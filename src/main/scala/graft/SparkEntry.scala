@@ -1,13 +1,121 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ingest.Ingest
+import graft.query.{InfluxQlParser, Planner}
+import graft.sources.EventsAdapter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions for every (queries, oracleSql) pair:
+  *  - column names identical on both sides (driver sorts columns by name);
+  *  - a total ORDER BY on both sides so row order is deterministic;
+  *  - order-dependent float aggregates (sum/avg of doubles) are emitted as
+  *    fixed-point BIGINT via floor(x*100) — IEEE-identical in Spark and
+  *    DuckDB, immune to summation-order ulp drift and to engine-specific
+  *    round() semantics. Exact aggregates (count/min/max) keep natural types.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Fixed "now" so relative time queries are deterministic & oracle-able. */
+  val NowMs = 1735689600000L // 2025-01-01T00:00:00Z
+  /** [2024-01-01, 2025-01-01] in ns — covers the whole events table. */
+  val FromNs = 1704067200000000000L
+  val ToNs = 1735689600000000000L
+
+  private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame = {
+    val stmt = InfluxQlParser.parse(q).fold(e => sys.error(s"parse: $e"), identity)
+    Planner.plan(spark, stmt, EventsAdapter.catalog(spark, sfDir), NowMs)
+  }
+
+  /** Planner SELECT output → hash-stable shape (fixed-point value + total order). */
+  private def stable(df: DataFrame): DataFrame =
+    df.withColumn("value", floor(col("value") * 100).cast("long"))
+      .orderBy("time_ms", "name", "labelname", "labelvalue", "message", "value")
+
+  private def tsSelect(agg: String, bucket: String)(s: SparkSession, dir: String): DataFrame =
+    stable(influx(s, dir,
+      s"""SELECT $agg("value") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time($bucket)"""))
+
+  /** Oracle for tsSelect: same pipeline in DuckDB SQL — per-series groups,
+    * exploded per label pair (the reference's ARRAY JOIN output shape). */
+  private def tsSelectOracle(aggSql: String, bucketMs: Long): String =
+    s"""WITH g AS (
+       |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms,
+       |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+       |         CAST(floor(($aggSql) * 100) AS BIGINT) AS value
+       |  FROM events
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+       |  GROUP BY 1, 2, 3)
+       |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+       |       event_type AS labelvalue, '' AS message FROM g
+       |UNION ALL
+       |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+       |       user_id AS labelvalue, '' AS message FROM g
+       |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises the full SURVEY §3.2 pipeline: series-index dedup + label
+    * explode → broadcast fingerprint join → time bucket → agg → sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    tsSelect("mean", "1m")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §3.2 SELECT pipeline (P2 time range, J1 join, W1 bucket, A1 agg,
+    //     A2 group, O1/O2 sort, U1 union via per-label explode) ---
+    "ts_select_mean_1m" -> (tsSelect("mean", "1m") _),
+    "ts_select_sum_1h" -> (tsSelect("sum", "1h") _),
+    "ts_select_count_10m" -> (tsSelect("count", "10m") _),
+    "ts_select_max_1h" -> (tsSelect("max", "1h") _),
+    "ts_select_min_1h" -> (tsSelect("min", "1h") _),
+
+    // --- §3.3 metadata statements over the series index (A3-A6, P5-P6, F7) ---
+    "ts_show_measurements" -> ((s, dir) =>
+      influx(s, dir, "SHOW MEASUREMENTS")),
+    "ts_show_field_keys" -> ((s, dir) =>
+      influx(s, dir, """SHOW FIELD KEYS FROM "events"""")),
+    "ts_show_tag_keys" -> ((s, dir) =>
+      influx(s, dir, """SHOW TAG KEYS FROM "events"""")),
+    "ts_show_tag_values" -> ((s, dir) =>
+      influx(s, dir, """SHOW TAG VALUES FROM "events" WITH KEY IN ("event_type")""")),
+
+    // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
+    //     type-split samples (S2-S5, P1), aggregated per hour partition ---
+    "ingest_lp_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val lines = EventsAdapter.asLineProtocol(EventsAdapter.events(s, dir)).as[String]
+      val batch = Ingest.fromLines(lines, nowMs = NowMs)
+      batch.samples
+        .groupBy(col("hour"))
+        .agg(
+          sum(when(col("message") === "", 1).otherwise(0)).as("n_float"),
+          sum(when(col("message") =!= "", 1).otherwise(0)).as("n_str"),
+          floor(sum(col("value")) * 100).cast("long").as("sum_cents"))
+        .orderBy("hour")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "ts_select_mean_1m" -> tsSelectOracle("avg(value)", 60000L),
+    "ts_select_sum_1h" -> tsSelectOracle("sum(value)", 3600000L),
+    "ts_select_count_10m" -> tsSelectOracle("CAST(count(value) AS DOUBLE)", 600000L),
+    "ts_select_max_1h" -> tsSelectOracle("max(value)", 3600000L),
+    "ts_select_min_1h" -> tsSelectOracle("min(value)", 3600000L),
+    "ts_show_measurements" ->
+      "SELECT DISTINCT 'events' AS measurement FROM events ORDER BY measurement",
+    "ts_show_field_keys" ->
+      "SELECT DISTINCT 'value' AS fieldKey, 'float' AS fieldType FROM events ORDER BY fieldKey",
+    "ts_show_tag_keys" ->
+      "SELECT 'event_type' AS tagKey UNION ALL SELECT 'user_id' ORDER BY tagKey",
+    "ts_show_tag_values" ->
+      "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events ORDER BY key, value",
+    "ingest_lp_roundtrip" ->
+      """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_float, count(*) AS n_str,
+        |       CAST(floor(sum(value) * 100) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin
+  )
 }

@@ -1,0 +1,49 @@
+package graft.ingest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Series fingerprint: a stable 64-bit hash of (sorted tag-set + field name).
+  *
+  * Reference: cflux.js:133-137,323-325 — `uuid = JSON(tags + {"__name__":
+  * field})`, `fingerprint = parseInt(shortHash(uuid), 16)`. We keep the
+  * same canonical-JSON identity but hash with xxhash64 (Spark built-in,
+  * 64-bit, codegen'd). The divergence is invisible: fingerprints never leave
+  * the engine (SURVEY §1.4).
+  */
+object Fingerprint {
+
+  /** Canonical series string: tags sorted by key rendered as a JSON array of
+    * single-entry objects, with {"__name__": field} appended — byte-for-byte
+    * the same shape the reference builds at cflux.js:323. */
+  def canonical(tags: Seq[(String, String)], fieldKey: String): String = {
+    val parts = tags.sortBy(_._1).map { case (k, v) => s"""{"${j(k)}":"${j(v)}"}""" } :+
+      s"""{"__name__":"${j(fieldKey)}"}"""
+    parts.mkString("[", ",", "]")
+  }
+
+  private def j(s: String): String =
+    s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+
+  /** Driver/executor-side hash, bit-identical to the DataFrame `xxhash64`
+    * function (seed 42, matching org.apache.spark.sql.functions.xxhash64). */
+  def hash(canonical: String): Long = {
+    val u = UTF8String.fromString(canonical)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  def of(tags: Seq[(String, String)], fieldKey: String): Long = hash(canonical(tags, fieldKey))
+
+  /** Column-level fingerprint over a canonical-string column. */
+  def col(canonicalCol: Column): Column = xxhash64(canonicalCol)
+}

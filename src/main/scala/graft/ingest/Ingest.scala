@@ -1,0 +1,109 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch ingest pipeline: line-protocol text → (samples DF, series-index DF).
+  *
+  * Mirrors the reference's /write path (SURVEY §3.1, cflux.js:298-372):
+  * parse each line, explode per field, fingerprint the series, split rows
+  * into the float vs string pipeline, and register unseen series in the
+  * series index. All of it executor-side (Dataset.flatMap over the pure
+  * parser) — no driver loops, so the same code path scales to arbitrarily
+  * many input splits.
+  */
+object Ingest {
+
+  /** One output sample row (FIXTURES.md §2; reference DDL cflux.js:152). */
+  final case class SampleRow(
+      fingerprint: Long,
+      timestamp_ms: Long,
+      value: Double,
+      string: String, // field KEY
+      message: String, // string value ("" on float rows)
+      hour: Long
+  )
+
+  /** One series-index row (FIXTURES.md §3; reference cflux.js:327). */
+  final case class SeriesRow(
+      date: java.sql.Date,
+      fingerprint: Long,
+      measurement: String,
+      name: String,
+      labelname: Seq[String],
+      labelvalue: Seq[String],
+      labels: String
+  )
+
+  final case class IngestBatch(samples: DataFrame, series: DataFrame)
+
+  /** Parse + normalize a batch of line-protocol lines.
+    *
+    * @param nowMs wall-clock fallback for points without a timestamp
+    *              (reference cflux.js:360). Passed in, not sampled, so the
+    *              pipeline stays deterministic and testable.
+    */
+  def fromLines(lines: Dataset[String], nowMs: Long): IngestBatch = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+
+    val samples = lines.flatMap { line =>
+      LineProtocol.parse(line) match {
+        case Left(_) => Iterator.empty // malformed lines skipped (reference logs & continues)
+        case Right(p) =>
+          val tsMs = p.timestampNs.map(graft.model.TimeUnits.nsToMs).getOrElse(nowMs)
+          val hour = graft.model.TimeUnits.msToHourBucket(tsMs)
+          p.fields.iterator.map {
+            case (k, LineProtocol.FloatV(v)) =>
+              SampleRow(Fingerprint.of(p.tags, k), tsMs, v, k, "", hour)
+            case (k, LineProtocol.StringV(v)) =>
+              SampleRow(Fingerprint.of(p.tags, k), tsMs, 0.0, k, v, hour)
+          }
+      }
+    }.toDF()
+
+    val epochDay = new java.sql.Date(nowMs - Math.floorMod(nowMs, 86400000L))
+    val series = lines.flatMap { line =>
+      LineProtocol.parse(line) match {
+        case Left(_) => Iterator.empty
+        case Right(p) =>
+          val sorted = p.tags.sortBy(_._1)
+          p.fields.iterator.map { case (k, _) =>
+            val canon = Fingerprint.canonical(p.tags, k)
+            SeriesRow(epochDay, Fingerprint.hash(canon), p.measurement, k,
+              sorted.map(_._1), sorted.map(_._2), canon)
+          }
+      }
+    }.toDF()
+      // batch analogue of the write-path LRU (cflux.js:126-130,326): one
+      // registration per fingerprint. Map-side partial dedup happens via the
+      // aggregate; result is small (series cardinality, not sample count).
+      .dropDuplicates("fingerprint")
+
+    IngestBatch(samples, series)
+  }
+
+  /** Write samples partitioned by hour, sorted within partitions by
+    * (fingerprint, timestamp_ms) — the parquet analogue of the reference's
+    * `PARTITION BY toRelativeHourNum ORDER BY (fingerprint, timestamp_ms)`
+    * (cflux.js:152): partition pruning on time ranges + row-group min/max
+    * skipping on fingerprint. */
+  def writeSamples(samples: DataFrame, path: String): Unit =
+    samples
+      .repartition(col("hour"))
+      .sortWithinPartitions("fingerprint", "timestamp_ms")
+      .write.mode("append").partitionBy("hour").parquet(path)
+
+  def writeSeriesIndex(series: DataFrame, path: String): Unit =
+    series.write.mode("append").parquet(path)
+
+  /** Read a series index with ReplacingMergeTree+FINAL semantics
+    * (last-write-wins by fingerprint, cflux.js:164,754). */
+  def readSeriesIndexFinal(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.parquet(path)
+    raw.withColumn("__rn",
+        row_number().over(Window.partitionBy(col("fingerprint")).orderBy(col("date").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

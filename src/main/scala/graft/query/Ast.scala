@@ -1,0 +1,50 @@
+package graft.query
+
+/** InfluxQL AST — only the surface the reference consumes (SURVEY §3.2/§3.3:
+  * cflux.js:691-743 for SELECT; cflux.js:395-852 for the dispatch table). */
+object Ast {
+
+  sealed trait Statement
+
+  /** One projected metric: `func("name") [AS alias]` or bare `"name"`.
+    * The reference reads returnColumns[].sourceColumns[].value
+    * (cflux.js:734,745-748) and ignores the function (always avg); we honor
+    * the function (SURVEY §2.4 build note). */
+  final case class Field(func: Option[String], name: String, alias: Option[String])
+
+  /** A time bound from the WHERE clause — the four shapes of
+    * cflux.js:702-727. Resolved to epoch ms at plan time. */
+  sealed trait TimeExpr
+  final case class NowMinus(durMs: Long) extends TimeExpr // time > now() - 1h
+  final case class AbsoluteNs(ns: Long) extends TimeExpr // time > 1545424651000000000
+  final case class DateString(s: String) extends TimeExpr // time > '2018-12-21 00:00:00'
+  case object Now extends TimeExpr // time < now()
+
+  final case class TimeBounds(lower: Option[TimeExpr], upper: Option[TimeExpr])
+
+  final case class TableRef(db: Option[String], rp: Option[String], measurement: String)
+
+  final case class Select(
+      fields: Seq[Field],
+      from: TableRef,
+      time: TimeBounds,
+      tagFilters: Seq[(String, String)], // "tag" = 'value' conjuncts (cflux.js:737-743)
+      groupByTimeMs: Option[Long], // honored (divergence: reference strips it, cflux.js:378)
+      groupByTags: Seq[String],
+      fill: Option[String],
+      limit: Option[Int] // honored (divergence: reference strips it, cflux.js:689)
+  ) extends Statement
+
+  final case class CreateDatabase(db: String) extends Statement
+  case object ShowDatabases extends Statement
+  final case class ShowMeasurements(db: Option[String]) extends Statement
+  final case class ShowRetentionPolicies(db: Option[String]) extends Statement
+  final case class ShowFieldKeys(from: Option[TableRef]) extends Statement
+  final case class ShowTagKeys(from: Option[TableRef]) extends Statement
+  final case class ShowTagValues(from: Option[TableRef], keys: Seq[String]) extends Statement
+  final case class CreateSubscription(id: String, db: String, rp: String, dest: String) extends Statement
+  case object ShowSubscriptions extends Statement
+  /** Anything else → reference logs UNSUPPORTED and returns an empty result
+    * (cflux.js:846-852). */
+  final case class Unsupported(raw: String) extends Statement
+}

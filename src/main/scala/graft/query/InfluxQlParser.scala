@@ -1,0 +1,352 @@
+package graft.query
+
+import graft.model.TimeUnits
+import scala.collection.mutable.ArrayBuffer
+
+/** Hand-rolled InfluxQL tokenizer + recursive-descent parser.
+  *
+  * Covers the grammar surface the reference actually consumes
+  * (SURVEY §3.2/§3.3). The reference regex-dispatches on raw text
+  * (cflux.js:395-852) and pre-rewrites GROUP BY time(...) / LIMIT away
+  * (cflux.js:378-385,689); we parse those clauses properly and honor them.
+  */
+object InfluxQlParser {
+
+  // ---------------------------------------------------------------- tokens
+  sealed trait Tok
+  final case class Ident(s: String, quoted: Boolean) extends Tok // bare or "double-quoted"
+  final case class Str(s: String) extends Tok // 'single-quoted'
+  final case class Num(s: String) extends Tok
+  final case class Dur(s: String) extends Tok // 1h, 5m, 90s, 1h30m
+  final case class Op(s: String) extends Tok // = < > <= >= ( ) , . * - + ::
+
+  def tokenize(q: String): Either[String, Vector[Tok]] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace || c == ';') i += 1
+      else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = q.charAt(i)
+          if (d == '\\' && i + 1 < n && (q.charAt(i + 1) == quote || q.charAt(i + 1) == '\\')) {
+            sb += q.charAt(i + 1); i += 2
+          } else if (d == quote) { closed = true; i += 1 }
+          else { sb += d; i += 1 }
+        }
+        if (!closed) return Left(s"unterminated quote at $i")
+        out += (if (quote == '"') Ident(sb.result(), quoted = true) else Str(sb.result()))
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.')) i += 1
+        // duration literal: digits immediately followed by a unit
+        val unitStart = i
+        while (i < n && q.charAt(i).isLetter) i += 1
+        val unit = q.substring(unitStart, i)
+        if (unit.nonEmpty && Set("ns", "u", "us", "ms", "s", "m", "h", "d", "w").contains(unit)) {
+          // compound durations: keep consuming digit+unit pairs (1h30m)
+          var j = i
+          var more = true
+          while (more && j < n && q.charAt(j).isDigit) {
+            var k = j
+            while (k < n && q.charAt(k).isDigit) k += 1
+            var u = k
+            while (u < n && q.charAt(u).isLetter) u += 1
+            if (Set("ns", "u", "us", "ms", "s", "m", "h", "d", "w").contains(q.substring(k, u))) j = u
+            else more = false
+          }
+          out += Dur(q.substring(start, j)); i = j
+        } else if (unit.nonEmpty) {
+          // digits+letters but not a duration — a bare identifier like 100x
+          out += Ident(q.substring(start, i), quoted = false)
+        } else out += Num(q.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
+        out += Ident(q.substring(start, i), quoted = false)
+      } else {
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (Set("<=", ">=", "!=", "<>", "=~", "::").contains(two)) { out += Op(two); i += 2 }
+        else if ("=<>(),.*-+/".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
+        else return Left(s"unexpected char '$c' at $i")
+      }
+    }
+    Right(out.toVector)
+  }
+
+  // ---------------------------------------------------------------- parser
+  final class P(ts: Vector[Tok]) {
+    var pos = 0
+    def peek: Option[Tok] = if (pos < ts.length) Some(ts(pos)) else None
+    def next(): Tok = { val t = ts(pos); pos += 1; t }
+    def done: Boolean = pos >= ts.length
+    def kw(s: String): Boolean = peek match {
+      case Some(Ident(x, false)) if x.equalsIgnoreCase(s) => pos += 1; true
+      case _                                              => false
+    }
+    def expectKw(s: String): Either[String, Unit] =
+      if (kw(s)) Right(()) else Left(s"expected $s at token $pos (${peek})")
+    def op(s: String): Boolean = peek match {
+      case Some(Op(x)) if x == s => pos += 1; true
+      case _                     => false
+    }
+    def ident(): Either[String, String] = peek match {
+      case Some(Ident(s, _)) => pos += 1; Right(s)
+      case t                 => Left(s"expected identifier, got $t")
+    }
+    def str(): Either[String, String] = peek match {
+      case Some(Str(s)) => pos += 1; Right(s)
+      case t            => Left(s"expected string, got $t")
+    }
+  }
+
+  def parse(query: String): Either[String, Ast.Statement] =
+    tokenize(query).flatMap { ts =>
+      val p = new P(ts)
+      val r = p.peek match {
+        case Some(Ident(k, false)) if k.equalsIgnoreCase("SELECT") => parseSelect(p)
+        case Some(Ident(k, false)) if k.equalsIgnoreCase("SHOW")   => parseShow(p, query)
+        case Some(Ident(k, false)) if k.equalsIgnoreCase("CREATE") => parseCreate(p, query)
+        case _                                                     => Right(Ast.Unsupported(query))
+      }
+      r
+    }
+
+  // SELECT f [, f...] FROM ref [WHERE ...] [GROUP BY ...] [FILL(x)] [LIMIT n]
+  private def parseSelect(p: P): Either[String, Ast.Statement] = {
+    p.kw("SELECT")
+    val fields = ArrayBuffer.empty[Ast.Field]
+    var first = true
+    while (first || p.op(",")) {
+      first = false
+      parseField(p) match {
+        case Right(f) => fields += f
+        case Left(e)  => return Left(e)
+      }
+    }
+    if (!p.kw("FROM")) return Left("expected FROM")
+    val from = parseTableRef(p) match { case Right(r) => r; case Left(e) => return Left(e) }
+
+    var lower: Option[Ast.TimeExpr] = None
+    var upper: Option[Ast.TimeExpr] = None
+    val tagFilters = ArrayBuffer.empty[(String, String)]
+    if (p.kw("WHERE")) {
+      var more = true
+      while (more) {
+        parseConjunct(p) match {
+          case Right(Left((isLower, te))) => if (isLower) lower = Some(te) else upper = Some(te)
+          case Right(Right(kv))           => tagFilters += kv
+          case Left(e)                    => return Left(e)
+        }
+        more = p.kw("AND")
+      }
+    }
+
+    var gbTime: Option[Long] = None
+    val gbTags = ArrayBuffer.empty[String]
+    if (p.kw("GROUP")) {
+      if (!p.kw("BY")) return Left("expected BY after GROUP")
+      var more = true
+      while (more) {
+        p.peek match {
+          case Some(Ident(f, false)) if f.equalsIgnoreCase("time") =>
+            p.next()
+            if (!p.op("(")) return Left("expected ( after time")
+            p.peek match {
+              case Some(Dur(d)) => p.next(); gbTime = Some(TimeUnits.durationMs(d))
+              case t            => return Left(s"expected duration in time(), got $t")
+            }
+            if (!p.op(")")) return Left("expected ) after time(dur")
+          case Some(Op("*")) => p.next(); gbTags += "*"
+          case Some(Ident(t, _)) => p.next(); gbTags += t
+          case t => return Left(s"bad GROUP BY element: $t")
+        }
+        more = p.op(",")
+      }
+    }
+
+    var fill: Option[String] = None
+    p.peek match {
+      case Some(Ident(f, false)) if f.equalsIgnoreCase("FILL") =>
+        p.next()
+        if (!p.op("(")) return Left("expected ( after FILL")
+        val v = p.next() match {
+          case Ident(s, _) => s
+          case Num(s)      => s
+          case t           => return Left(s"bad FILL arg $t")
+        }
+        if (!p.op(")")) return Left("expected ) after FILL(")
+        fill = Some(v)
+      case _ =>
+    }
+
+    var limit: Option[Int] = None
+    if (p.kw("LIMIT")) p.peek match {
+      case Some(Num(s)) => p.next(); limit = Some(s.toInt)
+      case t            => return Left(s"bad LIMIT $t")
+    }
+
+    Right(Ast.Select(fields.toSeq, from, Ast.TimeBounds(lower, upper),
+      tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit))
+  }
+
+  // func("name") [AS alias] | "name" | *
+  private def parseField(p: P): Either[String, Ast.Field] = {
+    p.peek match {
+      case Some(Op("*")) => p.next(); Right(Ast.Field(None, "*", None))
+      case Some(Ident(name, quoted)) =>
+        p.next()
+        if (!quoted && p.op("(")) {
+          val inner = p.next() match {
+            case Ident(s, _) => s
+            case Op("*")     => "*"
+            case t           => return Left(s"bad function arg $t")
+          }
+          if (!p.op(")")) return Left("expected )")
+          val alias = if (p.kw("AS")) p.ident().toOption else None
+          Right(Ast.Field(Some(name.toLowerCase), inner, alias))
+        } else {
+          val alias = if (p.kw("AS")) p.ident().toOption else None
+          Right(Ast.Field(None, name, alias))
+        }
+      case t => Left(s"bad field $t")
+    }
+  }
+
+  // "db"."rp"."m" | "db".."m" | "m"
+  private def parseTableRef(p: P): Either[String, Ast.TableRef] = {
+    val parts = ArrayBuffer.empty[String]
+    var more = true
+    while (more) {
+      p.peek match {
+        case Some(Ident(s, _)) => p.next(); parts += s
+        case _ if parts.nonEmpty && p.op(".") => parts += "" // "db".."m" empty rp — handled below
+        case t => return Left(s"bad table ref at $t")
+      }
+      more = p.op(".")
+      if (more) p.peek match {
+        case Some(Op(".")) => // ".." empty rp
+          p.next(); parts += ""
+          more = true
+        case _ =>
+      }
+    }
+    parts.toSeq match {
+      case Seq(m)         => Right(Ast.TableRef(None, None, m))
+      case Seq(db, m)     => Right(Ast.TableRef(Some(db), None, m))
+      case Seq(db, rp, m) => Right(Ast.TableRef(Some(db), Some(rp).filter(_.nonEmpty), m))
+      case x              => Left(s"bad table ref $x")
+    }
+  }
+
+  /** One WHERE conjunct → Left((isLowerBound, timeExpr)) for time bounds,
+    * Right((tag, value)) for tag equality (the two conjunct kinds the
+    * reference extracts, cflux.js:702-743). */
+  private def parseConjunct(p: P): Either[String, Either[(Boolean, Ast.TimeExpr), (String, String)]] = {
+    val lhs = p.next() match {
+      case Ident(s, _) => s
+      case t           => return Left(s"bad WHERE lhs $t")
+    }
+    if (lhs.equalsIgnoreCase("time")) {
+      val cmp = p.next() match {
+        case Op(o @ (">" | ">=" | "<" | "<=")) => o
+        case t                                 => return Left(s"bad time comparator $t")
+      }
+      val isLower = cmp == ">" || cmp == ">="
+      val te: Ast.TimeExpr = p.peek match {
+        case Some(Ident(nw, false)) if nw.equalsIgnoreCase("now") =>
+          p.next()
+          if (!p.op("(") || !p.op(")")) return Left("expected now()")
+          if (p.op("-")) p.peek match {
+            case Some(Dur(d)) => p.next(); Ast.NowMinus(TimeUnits.durationMs(d))
+            case t            => return Left(s"expected duration after now() -, got $t")
+          }
+          else Ast.Now
+        case Some(Num(s))  => p.next(); Ast.AbsoluteNs(s.toLong)
+        case Some(Dur(d))  => p.next(); Ast.AbsoluteNs(d.dropRight(1).toLong * 1000000L) // "123s"-shaped epoch w/ unit; rare
+        case Some(Str(s))  => p.next(); Ast.DateString(s)
+        case t             => return Left(s"bad time rhs $t")
+      }
+      Right(Left((isLower, te)))
+    } else {
+      if (!p.op("=")) return Left(s"only '=' tag filters supported, at '$lhs'")
+      val v = p.next() match {
+        case Str(s)      => s
+        case Ident(s, _) => s
+        case Num(s)      => s
+        case t           => return Left(s"bad tag value $t")
+      }
+      Right(Right((lhs, v)))
+    }
+  }
+
+  private def parseShow(p: P, raw: String): Either[String, Ast.Statement] = {
+    p.kw("SHOW")
+    if (p.kw("DATABASES")) Right(Ast.ShowDatabases)
+    else if (p.kw("MEASUREMENTS")) {
+      val db = if (p.kw("ON")) p.ident().toOption else None
+      Right(Ast.ShowMeasurements(db))
+    } else if (p.kw("RETENTION")) {
+      if (!p.kw("POLICIES")) return Left("expected POLICIES")
+      val db = if (p.kw("ON")) p.ident().toOption else None
+      Right(Ast.ShowRetentionPolicies(db))
+    } else if (p.kw("SUBSCRIPTIONS")) Right(Ast.ShowSubscriptions)
+    else if (p.kw("FIELD")) {
+      if (!p.kw("KEYS")) return Left("expected KEYS")
+      val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
+      Right(Ast.ShowFieldKeys(from))
+    } else if (p.kw("TAG")) {
+      if (p.kw("KEYS")) {
+        val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
+        Right(Ast.ShowTagKeys(from))
+      } else if (p.kw("VALUES")) {
+        val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
+        val keys = ArrayBuffer.empty[String]
+        if (p.kw("WITH")) {
+          if (!p.kw("KEY")) return Left("expected KEY")
+          if (p.kw("IN")) {
+            if (!p.op("(")) return Left("expected (")
+            var more = true
+            while (more) {
+              p.next() match {
+                case Ident(s, _) => keys += s
+                case Str(s)      => keys += s
+                case t           => return Left(s"bad key $t")
+              }
+              more = p.op(",")
+            }
+            if (!p.op(")")) return Left("expected )")
+          } else if (p.op("=")) {
+            p.next() match {
+              case Ident(s, _) => keys += s
+              case Str(s)      => keys += s
+              case t           => return Left(s"bad key $t")
+            }
+          }
+        }
+        Right(Ast.ShowTagValues(from, keys.toSeq))
+      } else Left("expected KEYS or VALUES after TAG")
+    } else Right(Ast.Unsupported(raw))
+  }
+
+  private def parseCreate(p: P, raw: String): Either[String, Ast.Statement] = {
+    p.kw("CREATE")
+    if (p.kw("DATABASE")) p.ident().map(Ast.CreateDatabase)
+    else if (p.kw("SUBSCRIPTION")) {
+      for {
+        id <- p.ident()
+        _ <- p.expectKw("ON")
+        db <- p.ident()
+        rp <- { p.op("."); p.ident() }
+        _ <- p.expectKw("DESTINATIONS")
+        _ <- { p.kw("ANY"); p.kw("ALL"); Right(()): Either[String, Unit] }
+        url <- p.str()
+      } yield Ast.CreateSubscription(id, db, rp, url)
+    } else Right(Ast.Unsupported(raw))
+  }
+}

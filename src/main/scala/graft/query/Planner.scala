@@ -1,0 +1,153 @@
+package graft.query
+
+import graft.model.TimeUnits
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog handed to the planner: per-measurement samples tables + the
+  * per-database series index (SURVEY §1.1). DataFrames, so the same planner
+  * serves parquet-backed, in-memory, and streaming-ingested tables. */
+final case class TsCatalog(
+    databases: Seq[String],
+    measurements: Map[String, DataFrame],
+    seriesIndex: DataFrame
+)
+
+/** AST → DataFrame planner. Declarative DataFrame ops only — Catalyst does
+  * pushdown/pruning/broadcast (SURVEY §4: zero custom rules needed).
+  *
+  * The SELECT pipeline mirrors the reference's emitted ClickHouse SQL
+  * (cflux.js:745-774): per metric, series-index FINAL dedup → per-label-pair
+  * explode (ARRAY JOIN) → name/tag PREWHERE → ANY INNER JOIN on fingerprint
+  * → time-range filter → time-bucket group → agg → UNION ALL → outer sort.
+  */
+object Planner {
+
+  /** Resolve the four WHERE-time shapes of cflux.js:702-727 to [fromMs, toMs]. */
+  def resolveTime(b: Ast.TimeBounds, nowMs: Long): (Long, Long) = {
+    def eval(te: Ast.TimeExpr): Long = te match {
+      case Ast.Now            => nowMs
+      case Ast.NowMinus(d)    => nowMs - d
+      case Ast.AbsoluteNs(ns) => TimeUnits.nsToMs(ns)
+      case Ast.DateString(s) =>
+        // reference floors string datetimes to 5 minutes (cflux.js:32-34);
+        // we parse exactly (documented divergence — SURVEY §2.5 W2)
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd[ HH:mm:ss]")
+        val ld = java.time.LocalDateTime.parse(
+          if (s.length == 10) s + " 00:00:00" else s, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        val _ = fmt // single formatter path above; keep linter quiet
+        ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    // fallback window = 300 s, matching cflux.js:719-726
+    val to = b.upper.map(eval).getOrElse(nowMs)
+    val from = b.lower.map(eval).getOrElse(to - 300000L)
+    (from, to)
+  }
+
+  /** Honest aggregate dispatch (SURVEY §2.4 build note): the reference
+    * always emits avg (cflux.js:749); we dispatch on the parsed function
+    * with mean as the compat default. */
+  def aggFor(func: Option[String], value: Column, ts: Column): Column = func match {
+    case None | Some("mean") => avg(value)
+    case Some("sum")         => sum(value)
+    case Some("count")       => count(value)
+    case Some("min")         => min(value)
+    case Some("max")         => max(value)
+    case Some("first")       => min_by(value, ts)
+    case Some("last")        => max_by(value, ts)
+    case Some("spread")      => max(value) - min(value)
+    case Some("median")      => median(value)
+    case Some("stddev")      => stddev_samp(value)
+    case Some(other)         => throw new IllegalArgumentException(s"unsupported aggregate: $other")
+  }
+
+  /** Series-index FINAL + ARRAY JOIN + PREWHERE subquery (cflux.js:750-764):
+    * last-write-wins dedup by fingerprint, exploded to one row per label
+    * pair, filtered by metric name and tag equalities. Small by design —
+    * the planner broadcasts it into the samples join. */
+  def seriesSide(seriesIndex: DataFrame, measurement: String, metric: String,
+                 tagFilters: Seq[(String, String)]): DataFrame = {
+    val deduped = seriesIndex
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint")).orderBy(col("date").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("measurement") === measurement && col("name") === metric)
+    val tagged = tagFilters.foldLeft(deduped) { case (df, (k, v)) =>
+      // reference: labelvalue[arrayFirstIndex(x -> x = k, labelname)] = v
+      // (cflux.js:759); map lookup is the Spark-native equivalent (F6)
+      df.filter(element_at(map_from_arrays(col("labelname"), col("labelvalue")), k) === v)
+    }
+    tagged
+      .select(col("fingerprint"), col("name"),
+        explode(arrays_zip(col("labelname"), col("labelvalue"))).as("lp"))
+      .select(col("fingerprint"), col("name"),
+        col("lp.labelname").as("labelname"), col("lp.labelvalue").as("labelvalue"))
+  }
+
+  def plan(spark: SparkSession, stmt: Ast.Statement, cat: TsCatalog, nowMs: Long): DataFrame =
+    stmt match {
+      case s: Ast.Select            => planSelect(spark, s, cat, nowMs)
+      case Ast.ShowDatabases        => spark.createDataFrame(
+        spark.sparkContext.parallelize(cat.databases.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+      case Ast.ShowMeasurements(_)  =>
+        cat.seriesIndex.select(col("measurement")).distinct().orderBy("measurement")
+      case Ast.ShowFieldKeys(from)  =>
+        scoped(cat, from).select(col("name").as("fieldKey"))
+          .distinct()
+          // reference reports every field as float (cflux.js:461,483)
+          .withColumn("fieldType", lit("float"))
+          .orderBy("fieldKey")
+      case Ast.ShowTagKeys(from)    =>
+        scoped(cat, from).select(explode(col("labelname")).as("tagKey"))
+          .distinct().orderBy("tagKey")
+      case Ast.ShowTagValues(from, keys) =>
+        val pairs = scoped(cat, from)
+          .select(explode(arrays_zip(col("labelname"), col("labelvalue"))).as("lp"))
+          .select(col("lp.labelname").as("key"), col("lp.labelvalue").as("value"))
+        val filtered = if (keys.nonEmpty) pairs.filter(col("key").isin(keys: _*)) else pairs
+        filtered.distinct().orderBy("key", "value")
+      case Ast.ShowRetentionPolicies(_) =>
+        // fabricated static response, matching cflux.js:419-448
+        import spark.implicits._
+        Seq(("autogen", "0s", "168h0m0s", 1, true))
+          .toDF("name", "duration", "shardGroupDuration", "replicaN", "default")
+      case other =>
+        throw new IllegalArgumentException(s"not a plannable query: $other")
+    }
+
+  private def scoped(cat: TsCatalog, from: Option[Ast.TableRef]): DataFrame =
+    from.map(r => cat.seriesIndex.filter(col("measurement") === r.measurement))
+      .getOrElse(cat.seriesIndex)
+
+  def planSelect(spark: SparkSession, s: Ast.Select, cat: TsCatalog, nowMs: Long): DataFrame = {
+    val samples = cat.measurements.getOrElse(s.from.measurement,
+      throw new IllegalArgumentException(s"unknown measurement ${s.from.measurement}"))
+    val (fromMs, toMs) = resolveTime(s.time, nowMs)
+    val bucketMs = s.groupByTimeMs.getOrElse(TimeUnits.MsPerMinute) // 1-min default (cflux.js:749)
+
+    val perMetric = s.fields.map { f =>
+      val series = seriesSide(cat.seriesIndex, s.from.measurement, f.name, s.tagFilters)
+      val outName = f.alias.getOrElse(f.func.getOrElse("mean"))
+      samples
+        // time filter FIRST: prunes hour partitions + parquet row groups
+        // before the join (reference PREWHERE minute BETWEEN, cflux.js:765)
+        .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
+        // ANY INNER JOIN USING(fingerprint) with broadcast series side (J1)
+        .join(broadcast(series), Seq("fingerprint"))
+        .withColumn("time_ms",
+          (floor(col("timestamp_ms") / bucketMs) * bucketMs).cast("long"))
+        .groupBy(col("fingerprint"), col("time_ms"), col("name"),
+          col("labelname"), col("labelvalue"), col("message"))
+        .agg(aggFor(f.func, col("value"), col("timestamp_ms")).cast("double").as(outName))
+        .select(col("time_ms"), col("name"), col(outName).as("value"),
+          col("labelname"), col("labelvalue"), col("message"))
+    }
+
+    val unioned = perMetric.reduce(_ unionAll _) // U1 (cflux.js:772)
+    val sorted = unioned.orderBy("time_ms", "name", "labelname", "labelvalue", "message") // O2
+    s.limit.map(sorted.limit).getOrElse(sorted) // O3, honored (divergence)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.collection.mutable
+
+/** Rows → InfluxDB-compatible JSON response shapes.
+  *
+  * Reproduces the reference's pivot at cflux.js:793-832: one series per
+  * (metric, tagKey, tagValue), columns ["time", metric], values
+  * [[ts_ms, v], ...] — with one independent object per group (fixing the
+  * reference's object-aliasing pivot bug noted in SURVEY §3.2).
+  */
+object Response {
+
+  final case class Series(name: String, tags: Map[String, String],
+                          columns: Seq[String], values: Seq[Seq[Any]])
+
+  /** Pivot the planner's SELECT output (time_ms, name, value, labelname,
+    * labelvalue, message). Call only at the API boundary, on a result that
+    * is already bounded (honored LIMIT / aggregated) — never mid-plan. */
+  def pivotSelect(df: DataFrame): Seq[Series] = {
+    val rows = df.collect()
+    val order = mutable.LinkedHashMap.empty[(String, String, String), mutable.ArrayBuffer[Seq[Any]]]
+    rows.foreach { r =>
+      val name = r.getAs[String]("name")
+      val key = (name, r.getAs[String]("labelname"), r.getAs[String]("labelvalue"))
+      val msg = r.getAs[String]("message")
+      val v: Any = if (msg != null && msg.nonEmpty) msg else r.getAs[Double]("value")
+      order.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += Seq(r.getAs[Long]("time_ms"), v)
+    }
+    order.map { case ((name, lk, lv), vals) =>
+      Series(name, Map(lk -> lv), Seq("time", name), vals.toSeq)
+    }.toSeq
+  }
+
+  def selectJson(df: DataFrame): String =
+    resultsJson(pivotSelect(df))
+
+  /** SHOW MEASUREMENTS / FIELD KEYS / TAG KEYS / TAG VALUES / DATABASES —
+    * the generic single-series shapes of cflux.js:450-674. */
+  def showJson(seriesName: String, df: DataFrame): String = {
+    val cols = df.columns.toSeq
+    val values = df.collect().toSeq.map(r => (0 until r.length).map(r.get))
+    resultsJson(Seq(Series(seriesName, Map.empty, cols, values)))
+  }
+
+  def emptyResult: String = """{"results":[{"statement_id":0}]}"""
+
+  def resultsJson(series: Seq[Series]): String = {
+    val ss = series.map { s =>
+      val tags =
+        if (s.tags.isEmpty) ""
+        else s.tags.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(""""tags":{""", ",", "},")
+      val cols = s.columns.map(q).mkString("[", ",", "]")
+      val vals = s.values.map(_.map(jval).mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""{"name":${q(s.name)},$tags"columns":$cols,"values":$vals}"""
+    }.mkString("[", ",", "]")
+    s"""{"results":[{"statement_id":0,"series":$ss}]}"""
+  }
+
+  private def jval(a: Any): String = a match {
+    case null                => "null"
+    case s: String           => q(s)
+    case b: Boolean          => b.toString
+    case d: Double           => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case n: Number           => n.toString
+    case other               => q(other.toString)
+  }
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.query.{Ast, InfluxQlParser}
+import org.scalatest.funsuite.AnyFunSuite
+
+class InfluxQlParserSpec extends AnyFunSuite {
+
+  private def parseOk(q: String): Ast.Statement =
+    InfluxQlParser.parse(q).fold(e => fail(s"parse failed for <$q>: $e"), identity)
+
+  test("flagship SELECT with now()-relative range, tag filter, group by time") {
+    val s = parseOk("""SELECT mean("usage_user") FROM "telegraf"."autogen"."cpu" """ +
+      """WHERE time > now() - 1h AND "host"='h1' GROUP BY time(1m)""").asInstanceOf[Ast.Select]
+    assert(s.fields == Seq(Ast.Field(Some("mean"), "usage_user", None)))
+    assert(s.from == Ast.TableRef(Some("telegraf"), Some("autogen"), "cpu"))
+    assert(s.time == Ast.TimeBounds(Some(Ast.NowMinus(3600000L)), None))
+    assert(s.tagFilters == Seq("host" -> "h1"))
+    assert(s.groupByTimeMs.contains(60000L))
+  }
+
+  test("multi-metric SELECT with absolute ns range") {
+    val s = parseOk("""SELECT mean("usage_user"), mean("usage_system") FROM "cpu" """ +
+      """WHERE time > 1545424651000000000 AND time < 1545428251000000000""").asInstanceOf[Ast.Select]
+    assert(s.fields.map(_.name) == Seq("usage_user", "usage_system"))
+    assert(s.time == Ast.TimeBounds(
+      Some(Ast.AbsoluteNs(1545424651000000000L)), Some(Ast.AbsoluteNs(1545428251000000000L))))
+  }
+
+  test("SELECT with string datetime range") {
+    val s = parseOk("""SELECT mean("used_percent") FROM "mem" """ +
+      """WHERE time > '2018-12-21 00:00:00' AND time < '2018-12-22 00:00:00'""").asInstanceOf[Ast.Select]
+    assert(s.time == Ast.TimeBounds(
+      Some(Ast.DateString("2018-12-21 00:00:00")), Some(Ast.DateString("2018-12-22 00:00:00"))))
+  }
+
+  test("SELECT honors aggregate dispatch, alias, limit, fill") {
+    val s = parseOk("""SELECT sum("value") AS total FROM "events" """ +
+      """WHERE time > now() - 5m GROUP BY time(30s) FILL(null) LIMIT 10""").asInstanceOf[Ast.Select]
+    assert(s.fields == Seq(Ast.Field(Some("sum"), "value", Some("total"))))
+    assert(s.groupByTimeMs.contains(30000L))
+    assert(s.fill.contains("null"))
+    assert(s.limit.contains(10))
+  }
+
+  test("SELECT with time < now() upper bound (stripped by reference, honored here)") {
+    val s = parseOk("""SELECT mean("v") FROM "m" WHERE time > now() - 5m AND time < now()""")
+      .asInstanceOf[Ast.Select]
+    assert(s.time == Ast.TimeBounds(Some(Ast.NowMinus(300000L)), Some(Ast.Now)))
+  }
+
+  test("SHOW statements (dispatch table of cflux.js:395-852)") {
+    assert(parseOk("SHOW DATABASES") == Ast.ShowDatabases)
+    assert(parseOk("SHOW MEASUREMENTS") == Ast.ShowMeasurements(None))
+    assert(parseOk("""SHOW RETENTION POLICIES ON "telegraf"""") ==
+      Ast.ShowRetentionPolicies(Some("telegraf")))
+    assert(parseOk("""SHOW FIELD KEYS FROM "telegraf"."autogen"."cpu"""") ==
+      Ast.ShowFieldKeys(Some(Ast.TableRef(Some("telegraf"), Some("autogen"), "cpu"))))
+    assert(parseOk("""SHOW TAG KEYS FROM "cpu"""") ==
+      Ast.ShowTagKeys(Some(Ast.TableRef(None, None, "cpu"))))
+    assert(parseOk("""SHOW TAG VALUES FROM "cpu" WITH KEY IN ("host","cpu")""") ==
+      Ast.ShowTagValues(Some(Ast.TableRef(None, None, "cpu")), Seq("host", "cpu")))
+    assert(parseOk("""SHOW TAG VALUES FROM "cpu" WITH KEY = "host"""") ==
+      Ast.ShowTagValues(Some(Ast.TableRef(None, None, "cpu")), Seq("host")))
+    assert(parseOk("SHOW SUBSCRIPTIONS") == Ast.ShowSubscriptions)
+  }
+
+  test("CREATE statements") {
+    assert(parseOk("""CREATE DATABASE "fixtures"""") == Ast.CreateDatabase("fixtures"))
+    assert(parseOk("""CREATE SUBSCRIPTION "sub1" ON "telegraf"."autogen" DESTINATIONS ANY 'http://localhost:9092'""") ==
+      Ast.CreateSubscription("sub1", "telegraf", "autogen", "http://localhost:9092"))
+  }
+
+  test("unsupported statements degrade to Unsupported, not error") {
+    assert(parseOk("DROP SERIES FROM cpu").isInstanceOf[Ast.Unsupported])
+    assert(parseOk("SHOW STATS").isInstanceOf[Ast.Unsupported])
+  }
+}

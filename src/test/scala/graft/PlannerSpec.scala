@@ -1,0 +1,130 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.query.{Ast, InfluxQlParser, Planner, Response, TsCatalog}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end: line protocol in → ingest → catalog → InfluxQL → DataFrame →
+  * InfluxDB JSON. The minimum slice of SURVEY §7.2 step 3 plus goldens. */
+class PlannerSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  // t0 = 2018-12-21T20:37:00Z in ns (minute-aligned so bucket math is easy)
+  private val t0ns = 1545424620000000000L
+  private val t0ms = t0ns / 1000000L
+  private def ns(offsetS: Long) = t0ns + offsetS * 1000000000L
+
+  private lazy val cat: TsCatalog = {
+    import spark.implicits._
+    val lines = Seq(
+      s"cpu,cpu=cpu0,host=h1 usage_user=10.0,usage_system=2.0 ${ns(0)}",
+      s"cpu,cpu=cpu0,host=h1 usage_user=20.0,usage_system=4.0 ${ns(30)}",
+      s"cpu,cpu=cpu0,host=h1 usage_user=40.0 ${ns(70)}",
+      s"cpu,cpu=cpu1,host=h1 usage_user=100.0 ${ns(10)}",
+      s"cpu,cpu=cpu0,host=h2 usage_user=7.0 ${ns(20)}",
+      s"mem,host=h1 used_percent=71.2 ${ns(5)}",
+      s"syslog,host=h1 message=\"boot ok\" ${ns(15)}"
+    ).toDS()
+    val batch = Ingest.fromLines(lines, nowMs = t0ms)
+    batch.samples.cache(); batch.series.cache()
+    val byMeasurement = Seq("cpu", "mem", "syslog").map { m =>
+      // per-measurement samples table: filter via the series index fingerprints
+      val fps = batch.series.filter(org.apache.spark.sql.functions.col("measurement") === m)
+        .select("fingerprint")
+      m -> batch.samples.join(fps, Seq("fingerprint"), "left_semi")
+    }.toMap
+    TsCatalog(Seq("telegraf"), byMeasurement, batch.series)
+  }
+
+  private def run(q: String, nowMs: Long = t0ms + 3600000L) = {
+    val stmt = InfluxQlParser.parse(q).fold(e => fail(s"parse: $e"), identity)
+    Planner.plan(spark, stmt, cat, nowMs)
+  }
+
+  test("flagship SELECT mean grouped to 1m buckets with tag filter") {
+    val df = run("""SELECT mean("usage_user") FROM "cpu" WHERE time > now() - 2h AND "cpu"='cpu0' GROUP BY time(1m)""")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getString(3), r.getString(4))).toSeq
+    val m0 = t0ms - t0ms % 60000L
+    // cpu0/h1: minute0 avg(10,20)=15, minute1 avg(40)=40; cpu0/h2: minute0 avg(7)
+    // one row per (bucket, series, label pair): cpu=cpu0 and host=hX
+    assert(rows.contains((m0, "usage_user", 15.0, "cpu", "cpu0")))
+    assert(rows.contains((m0, "usage_user", 15.0, "host", "h1")))
+    assert(rows.contains((m0 + 60000L, "usage_user", 40.0, "cpu", "cpu0")))
+    assert(rows.contains((m0, "usage_user", 7.0, "host", "h2")))
+    // cpu1 series excluded by tag filter
+    assert(!rows.exists(_._5 == "cpu1"))
+  }
+
+  test("aggregate dispatch: sum/min/max/count/first/last") {
+    def agg1(fn: String): Seq[(Long, Double)] = {
+      val df = run(s"""SELECT $fn("usage_user") FROM "cpu" WHERE time > now() - 2h AND "cpu"='cpu0' AND "host"='h1' GROUP BY time(10m)""")
+      df.filter("labelname = 'cpu'").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    }
+    val b = t0ms - t0ms % 600000L
+    assert(agg1("sum") == Seq((b, 70.0)))
+    assert(agg1("min") == Seq((b, 10.0)))
+    assert(agg1("max") == Seq((b, 40.0)))
+    assert(agg1("count") == Seq((b, 3.0)))
+    assert(agg1("first") == Seq((b, 10.0)))
+    assert(agg1("last") == Seq((b, 40.0)))
+    assert(agg1("spread") == Seq((b, 30.0)))
+  }
+
+  test("multi-metric SELECT unions per-metric subqueries (U1)") {
+    val df = run("""SELECT mean("usage_user"), mean("usage_system") FROM "cpu" WHERE time > now() - 2h AND "host"='h1' GROUP BY time(1h)""")
+    val names = df.select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("usage_user", "usage_system"))
+  }
+
+  test("absolute ns time range filters exactly") {
+    val df = run(s"""SELECT mean("usage_user") FROM "cpu" WHERE time > ${ns(0)} AND time < ${ns(60)} GROUP BY time(1m)""")
+    // only rows in [t0, t0+60s]: cpu0/h1 @0,@30 and cpu1 @10 and cpu0/h2 @20
+    val vals = df.filter("labelname = 'cpu'").collect().map(_.getDouble(2)).toSet
+    assert(vals == Set(15.0, 100.0, 7.0))
+  }
+
+  test("string field SELECT carries message through (string pipeline)") {
+    val df = run("""SELECT mean("message") FROM "syslog" WHERE time > now() - 2h GROUP BY time(1m)""")
+    val r = df.collect()
+    assert(r.nonEmpty && r.forall(_.getAs[String]("message") == "boot ok"))
+  }
+
+  test("LIMIT honored (divergence from reference which strips it)") {
+    val df = run("""SELECT mean("usage_user") FROM "cpu" WHERE time > now() - 2h GROUP BY time(1m) LIMIT 2""")
+    assert(df.count() == 2)
+  }
+
+  test("SHOW MEASUREMENTS / FIELD KEYS / TAG KEYS / TAG VALUES") {
+    assert(run("SHOW MEASUREMENTS").collect().map(_.getString(0)).toSeq ==
+      Seq("cpu", "mem", "syslog"))
+    assert(run("""SHOW FIELD KEYS FROM "cpu"""").collect().map(_.getString(0)).toSeq ==
+      Seq("usage_system", "usage_user"))
+    assert(run("""SHOW TAG KEYS FROM "cpu"""").collect().map(_.getString(0)).toSeq ==
+      Seq("cpu", "host"))
+    assert(run("""SHOW TAG VALUES FROM "cpu" WITH KEY IN ("host")""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("host", "h1"), ("host", "h2")))
+  }
+
+  test("fallback time range is 300s (cflux.js:719-726)") {
+    val (from, to) = Planner.resolveTime(Ast.TimeBounds(None, None), nowMs = 1000000L)
+    assert(to == 1000000L && from == 700000L)
+  }
+
+  test("golden InfluxDB JSON shape for SELECT") {
+    val df = run("""SELECT mean("usage_user") FROM "cpu" WHERE time > now() - 2h AND "cpu"='cpu1' GROUP BY time(1m)""")
+    val json = Response.selectJson(df)
+    val m0 = t0ms - t0ms % 60000L
+    assert(json ==
+      s"""{"results":[{"statement_id":0,"series":[""" +
+      s"""{"name":"usage_user","tags":{"cpu":"cpu1"},"columns":["time","usage_user"],"values":[[$m0,100]]},""" +
+      s"""{"name":"usage_user","tags":{"host":"h1"},"columns":["time","usage_user"],"values":[[$m0,100]]}]}]}""")
+  }
+
+  test("golden JSON for SHOW MEASUREMENTS and empty result") {
+    val json = Response.showJson("measurements", run("SHOW MEASUREMENTS"))
+    assert(json == """{"results":[{"statement_id":0,"series":[{"name":"measurements","columns":["measurement"],"values":[["cpu"],["mem"],["syslog"]]}]}]}""")
+    assert(Response.emptyResult == """{"results":[{"statement_id":0}]}""")
+  }
+}
