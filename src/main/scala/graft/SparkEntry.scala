@@ -1,6 +1,7 @@
 package graft
 
 import graft.ingest.Ingest
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
 import graft.query.{InfluxQlParser, Planner}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -23,6 +24,11 @@ object SparkEntry {
   /** [2024-01-01, 2025-01-01] in ns — covers the whole events table. */
   val FromNs = 1704067200000000000L
   val ToNs = 1735689600000000000L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame = {
     val stmt = InfluxQlParser.parse(q).fold(e => sys.error(s"parse: $e"), identity)
@@ -81,6 +87,27 @@ object SparkEntry {
     "ts_show_tag_values" -> ((s, dir) =>
       influx(s, dir, """SHOW TAG VALUES FROM "events" WITH KEY IN ("event_type")""")),
 
+    // --- LLM-pipeline: text analysis over documents ---
+    "doc_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
+    "doc_quality" -> ((s, dir) => TextOps.qualityScore(docs(s, dir))),
+    "doc_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+
+    // --- LLM-pipeline: dedup family ---
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "dedup_emb_cosine" -> ((s, dir) => Dedup.cosinePairs(emb(s, dir))),
+
+    // --- LLM-pipeline: similarity search over embeddings ---
+    "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(emb(s, dir))),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
+
+    // --- LLM-pipeline: multimodal binary columns (stubbed decode) ---
+    "mm_decode_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))),
+
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
     "ingest_lp_roundtrip" -> ((s, dir) => {
@@ -116,6 +143,18 @@ object SparkEntry {
     "ingest_lp_roundtrip" ->
       """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_float, count(*) AS n_str,
         |       CAST(floor(sum(value) * 100) AS BIGINT) AS sum_cents
-        |FROM events GROUP BY hour ORDER BY hour""".stripMargin
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+    "doc_token_stats" -> TextOps.tokenStatsOracle,
+    "doc_quality" -> TextOps.qualityScoreOracle,
+    "doc_langid" -> TextOps.langIdOracle,
+    "doc_fingerprint" -> TextOps.fingerprintOracle,
+    "dedup_exact" -> Dedup.exactOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
+    "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_emb_cosine" -> Dedup.cosinePairsOracle,
+    "ann_brute_topk" -> Similarity.bruteTopKOracle,
+    "ann_lsh_topk" -> Similarity.lshTopKOracle,
+    "mm_decode_features" -> Multimodal.extractFeaturesOracle
   )
 }

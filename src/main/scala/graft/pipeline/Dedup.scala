@@ -1,0 +1,279 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Deduplication operator family for the training-data pipeline
+  * (extension beyond the reference surface; see builder brief).
+  *
+  * Five operators, in increasing sophistication:
+  *  - exact:        hash-groupBy on full text            (1 shuffle)
+  *  - ngramJaccard: shingle-blocked exact Jaccard        (shuffle on shingle)
+  *  - minhashLsh:   MinHash signatures + banded LSH      (the 100 TB path)
+  *  - simhash:      64-bit SimHash + banded Hamming join (the 100 TB path)
+  *  - cosinePairs:  embedding near-dup by cosine         (brute; LSH in Similarity)
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup shuffles once on text (or better, on md5(text) — we
+  *    group by the 60-bit hash then confirm, keeping shuffle keys small);
+  *  - ngramJaccard's shingle self-join explodes on common shingles; it is
+  *    the *verify* stage — candidate generation at scale is minhashLsh,
+  *    whose band join shuffles only (band_id, band_value) pairs: 8 rows
+  *    per doc regardless of doc length;
+  *  - all aggregations are map-side partial (min/count), no skew on the
+  *    signature keys (hash-distributed by construction);
+  *  - every expression is a built-in function → whole-stage codegen.
+  *
+  * Every operator's DuckDB oracle is generated from the SAME Scala
+  * constants (permutation seeds, band layout, thresholds) a few lines
+  * below its Spark twin.
+  */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact dedup: one representative (min doc_id) per distinct text.
+    * Grouping key is the 60-bit content hash, not the full text, so the
+    * shuffle moves 8-byte keys instead of documents. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), baseHash(col("text")).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  val exactOracle: String =
+    s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM documents GROUP BY ${baseHashSql("text")}
+       |ORDER BY keep_id""".stripMargin
+
+  // ---- shared shingle relation ------------------------------------------
+
+  /** (doc_id, s): distinct word-3-shingles per doc. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text"))))).as("s"))
+
+  private val shingleRowsSql: String =
+    s"""SELECT DISTINCT doc_id, u.s
+       |  FROM (SELECT doc_id, ${shinglesSql(tokensSql)} AS ss FROM documents) d,
+       |       unnest(d.ss) u(s)""".stripMargin
+
+  /** Jaccard threshold, fixed-point 1e6. */
+  val JaccardThresholdFp = 800000L
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Exact word-3-gram Jaccard near-dup pairs (jac >= 0.8), candidate
+    * pairs blocked by sharing at least one shingle. Output (i, j, jac_fp). */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"),
+        expr("inter * 1000000 div (ca.c + cb.c - inter)").as("jac_fp"))
+      .filter(col("jac_fp") >= JaccardThresholdFp)
+      .orderBy("i", "j")
+  }
+
+  val ngramJaccardOracle: String =
+    s"""WITH sh AS ($shingleRowsSql),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id i, b.doc_id j, count(*) n
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, n * 1000000 // (ca.c + cb.c - n) AS jac_fp
+       |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp
+       |ORDER BY i, j""".stripMargin
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  val NumPerms = 32
+  val Bands = 8
+  val RowsPerBand = NumPerms / Bands
+
+  /** Universal-hash permutation coefficients, mod Mersenne prime P.
+    * Deterministic (Knuth multiplicative seeds) so the same literals are
+    * spliced into both the Spark plan and the DuckDB oracle. */
+  def permA(i: Int): Long = (2654435761L * (i + 1)) % P match { case 0 => 1; case a => a }
+  def permB(i: Int): Long = (40503L * (i + 1) + 7) % P
+
+  /** MinHash+LSH near-dup pairs: 32-perm signatures, 8 bands x 4 rows
+    * (s-curve threshold ~0.59), banded candidate join, exact-Jaccard
+    * verify at 0.8. Output (i, j, jac_fp) — identical to [[ngramJaccard]]
+    * whenever LSH recall is 1 at the threshold.
+    *
+    * This is the shape that survives 100 TB: per doc the band join ships
+    * 8 fixed-width rows, never the shingle set; the verify join touches
+    * only candidate pairs. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs).withColumn("h", baseHash(col("s")) % P).cache()
+    val sigCols = (0 until NumPerms).map { i =>
+      min((col("h") * permA(i) + permB(i)) % P).as(s"sig$i")
+    }
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bv"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    // exact-Jaccard verify restricted to candidates
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"),
+        expr("inter * 1000000 div (ca.c + cb.c - inter)").as("jac_fp"))
+      .filter(col("jac_fp") >= JaccardThresholdFp)
+      .orderBy("i", "j")
+  }
+
+  val minhashLshOracle: String = {
+    val sigExprs = (0 until NumPerms)
+      .map(i => s"min((h * ${permA(i)} + ${permB(i)}) % $P) AS sig$i").mkString(",\n       ")
+    val bandCase = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}").mkString(", ")
+      s"WHEN $b THEN concat_ws('_', $rows)"
+    }.mkString(" ")
+    s"""WITH sh AS ($shingleRowsSql),
+       |hs AS (SELECT doc_id, s, ${baseHashSql("s")} % $P AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |       $sigExprs
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, t.band, CASE t.band $bandCase END AS bv
+       |  FROM sig, range(${Bands}) t(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id i, y.doc_id j
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) n
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.i
+       |  JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
+       |  GROUP BY 1, 2)
+       |SELECT i, j, n * 1000000 // (ca.c + cb.c - n) AS jac_fp
+       |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp
+       |ORDER BY i, j""".stripMargin
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  val SimBits = 60               // baseHash is 60 bits
+  val SimBands = 4
+  val SimBandBits = SimBits / SimBands
+  val HammingMax = 3L
+
+  /** Token-frequency-weighted 60-bit SimHash per doc, then near-dup pairs
+    * by banded Hamming join (4 bands x 15 bits; any equal band → candidate;
+    * verify Hamming <= 3). Output (i, j, hamming). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", baseHash(col("tok")))
+    val bits = tok
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("cnt") * (expr("(h >> b) & 1") * 2 - 1)).as("s"))
+    val sims = bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 AS bigint), b)"))
+        .otherwise(0L)).as("sim"))
+    val bandStructs = (0 until SimBands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(sim >> ${b * SimBandBits}) & ${(1L << SimBandBits) - 1}").as("bv"))
+    }
+    val bands = sims.select(col("doc_id"), col("sim"),
+        explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("sim"), col("e.band"), col("e.bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy("i", "j")
+  }
+
+  val simhashOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.tok, count(*) AS cnt
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest(d.w) u(tok)
+       |  GROUP BY 1, 2),
+       |hs AS (SELECT doc_id, cnt, ${baseHashSql("tok")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, t.b, sum(cnt * (((h >> t.b) & 1) * 2 - 1)) AS s
+       |  FROM hs, range(${SimBits}) t(b) GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sim
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, sim, t.band,
+       |         (sim >> (t.band * ${SimBandBits})) & ${(1L << SimBandBits) - 1} AS bv
+       |  FROM sims, range(${SimBands}) t(band))
+       |SELECT DISTINCT x.doc_id AS i, y.doc_id AS j,
+       |       bit_count(xor(x.sim, y.sim)) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sim, y.sim)) <= $HammingMax
+       |ORDER BY i, j""".stripMargin
+
+  // ---- embedding cosine near-dup ----------------------------------------
+
+  /** Cosine threshold, fixed-point 1e6 (testdata max pair cosine ~0.51,
+    * so 0.45 exercises the operator non-trivially). */
+  val CosineThresholdFp = 450000L
+
+  /** Embedding near-dup pairs by cosine >= 0.45, brute-force O(n^2)
+    * verify form. The scale path is Similarity.lshTopK's hyperplane
+    * bucketing; this operator is its exact counterpart. */
+  def cosinePairs(emb: DataFrame): DataFrame = {
+    val dot = (a: String, b: String) =>
+      aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        floor(dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm")) * 1e6).cast("long").as("cos_fp"))
+      .filter(col("cos_fp") >= CosineThresholdFp)
+      .orderBy("i", "j")
+  }
+
+  /** DuckDB mirror: sequential left-fold sums (list_reduce) match Spark's
+    * aggregate() fold bit-for-bit (both accumulate in array order). */
+  val cosinePairsOracle: String = {
+    val dot = "list_reduce(list_transform(range(1, 65), d -> a.v[d] * b.v[d]), (x, y) -> x + y)"
+    val nrm = (t: String) => s"sqrt(list_reduce(list_transform(range(1, 65), d -> $t.v[d] * $t.v[d]), (x, y) -> x + y))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS i, b.vec_id AS j,
+       |       floor($dot / (${nrm("a")} * ${nrm("b")}) * 1e6)::BIGINT AS cos_fp
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE floor($dot / (${nrm("a")} * ${nrm("b")}) * 1e6) >= $CosineThresholdFp
+       |ORDER BY i, j""".stripMargin
+  }
+}

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One media item: opaque binary payload + typed metadata. */
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                    width: Int, height: Int)
+
+/** Features extracted by the (stubbed) decoder. */
+case class MediaFeature(media_id: Long, kind: String, width: Int, height: Int,
+                        byte_len: Long, checksum: Long, head_hex: String)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded per-partition in batches.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake (byte length, mod-prime checksum,
+  * head-bytes sample). Everything around it is the real production
+  * shape:
+  *   - schema: (media_id, kind, payload binary, width, height) — the
+  *     payload column stays opaque to Catalyst, metadata columns are
+  *     pruned/pushed independently of the blob;
+  *   - execution: `mapPartitions` over a typed Dataset = one iterator
+  *     per partition, the Scala analogue of `mapInPandas` batches — a
+  *     real decoder (JNI/FFI) drops in by replacing `decodeStub` only;
+  *   - scale: decode is embarrassingly parallel, no shuffle; partition
+  *     sizing is controlled upstream by `spark.sql.files.maxPartitionBytes`
+  *     so one task never holds more than a bounded number of blobs.
+  */
+object Multimodal {
+
+  /** Derive a deterministic media table from `documents` (text bytes as
+    * the opaque payload; fake width/height from n_chars). */
+  def mediaFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 640 + 1).cast("int").as("width"),
+      (col("n_chars") * 7 % 480 + 1).cast("int").as("height"))
+
+  /** STUB DECODER — deterministic fake standing in for an image/audio
+    * codec (none available in this container). Real per-blob work goes
+    * here; signature and batch shape are what production would use. */
+  private def decodeStub(m: MediaRow): MediaFeature = {
+    val checksum = m.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val headHex = m.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
+    MediaFeature(m.media_id, m.kind, m.width, m.height,
+      m.payload.length.toLong, checksum, headHex)
+  }
+
+  /** Batch feature extraction: typed per-partition iteration (the
+    * mapInPandas-equivalent batch boundary). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeStub)).toDF()
+      .orderBy("media_id")
+  }
+
+  /** DuckDB oracle for extractFeatures ∘ mediaFromDocs: the stub's
+    * arithmetic re-expressed over the (ASCII) text — ord(char) == byte. */
+  val extractFeaturesOracle: String =
+    s"""SELECT doc_id AS media_id,
+       |       'image' AS kind,
+       |       (n_chars % 640 + 1)::INTEGER AS width,
+       |       (n_chars * 7 % 480 + 1)::INTEGER AS height,
+       |       length(text)::BIGINT AS byte_len,
+       |       list_reduce(
+       |         list_transform(range(1, length(text) + 1), i -> ord(text[i])::BIGINT),
+       |         (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
+       |       lower(hex(substr(text, 1, 4))) AS head_hex
+       |FROM documents ORDER BY media_id""".stripMargin
+}

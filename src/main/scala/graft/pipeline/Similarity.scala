@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`, 64-dim testdata). Two tiers:
+  *
+  *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline.
+  *    Query set is broadcast; the big side streams once. At 100 TB this
+  *    is a single pass, no shuffle except the final per-query top-k
+  *    (Window over q_id, k rows each — tiny).
+  *  - [[lshTopK]]: random-hyperplane LSH. Each vector gets a
+  *    `NumPlanes`-bit bucket (sign of dot with deterministic integer
+  *    hyperplanes); candidates = same bucket; exact cosine re-rank
+  *    within bucket. At scale the bucket join replaces the cross
+  *    product: shuffle keys are (bucket), each side ~n/2^planes per
+  *    bucket. Recall tunes with NumPlanes (fewer planes → bigger
+  *    buckets → higher recall).
+  *
+  * Hyperplane coefficients come from an LCG formula spliced identically
+  * into the Spark plan and the DuckDB oracle — no stored random state.
+  * All sums are sequential left folds in both engines (Spark
+  * `aggregate` / DuckDB `list_reduce`), so doubles match bit-for-bit.
+  */
+object Similarity {
+
+  val K = 10
+  /** Queries = vec_id < NumQueries (deterministic, data-independent). */
+  val NumQueries = 10
+  val Dim = 64
+  val NumPlanes = 8
+
+  // ---- shared expressions -----------------------------------------------
+
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+
+  private def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private val dotSql = "list_reduce(list_transform(range(1, 65), d -> q.v[d] * c.v[d]), (x, y) -> x + y)"
+  private def nrmSql(t: String) =
+    s"sqrt(list_reduce(list_transform(range(1, 65), d -> $t.v[d] * $t.v[d]), (x, y) -> x + y))"
+
+  // ---- exact top-k -------------------------------------------------------
+
+  /** Exact cosine top-K for each query vector (vec_id < NumQueries),
+    * self-match excluded; ties broken by neighbor id on the fixed-point
+    * score so ranking is engine-independent.
+    * Output (q_id, rank, neighbor_id, cos_fp). */
+  def bruteTopK(emb: DataFrame): DataFrame = {
+    val e = normalized(emb)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        floor(dotCols(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("cos_fp"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_fp").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor_id", "cos_fp")
+      .orderBy("q_id", "rank")
+  }
+
+  val bruteTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // ---- LSH-bucketed top-k ------------------------------------------------
+
+  /** Deterministic integer hyperplane coefficient for (plane j, dim d):
+    * LCG over the flattened index, mapped to [-1000, 1000]. The same
+    * closed form is inlined into the oracle SQL. */
+  private def planeCoefExpr(j: Int): Column =
+    // dot(v, plane_j) with coef = ((1103515245*(j*64+d) + 12345) % 2001) - 1000
+    aggregate(
+      zip_with(col("v"), sequence(lit(j * Dim), lit(j * Dim + Dim - 1)),
+        (x, idx) => x * ((lit(1103515245L) * idx + 12345L) % 2001L - 1000L).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def bucketCol: Column =
+    (0 until NumPlanes).map(j => when(planeCoefExpr(j) > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _).as("bucket")
+
+  /** ANN top-K via NumPlanes-bit hyperplane buckets: exact cosine re-rank
+    * restricted to the query's bucket. Approximate by construction — the
+    * oracle mirrors the bucketing exactly, so results are deterministic.
+    * Output (q_id, rank, neighbor_id, cos_fp). */
+  def lshTopK(emb: DataFrame): DataFrame = {
+    val e = normalized(emb).withColumn("bucket", bucketCol)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qb"))
+    val scored = e.join(broadcast(q),
+        col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        floor(dotCols(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("cos_fp"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_fp").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor_id", "cos_fp")
+      .orderBy("q_id", "rank")
+  }
+
+  val lshTopKOracle: String = {
+    val planeDot = (t: String, j: Int) =>
+      s"""list_reduce(list_transform(range(0, $Dim),
+         |      d -> $t.v[d+1] * (((1103515245 * (${j * Dim} + d) + 12345) % 2001) - 1000)),
+         |    (x, y) -> x + y)""".stripMargin
+    val bucket = (t: String) => (0 until NumPlanes)
+      .map(j => s"(CASE WHEN ${planeDot(t, j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, v, ${bucket("t")} AS bucket
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM e q JOIN e c
+       |    ON q.vec_id < $NumQueries AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the LLM-pipeline operators over sf0.001.
+  * (Value-level correctness is the DuckDB oracle's job — see
+  * SparkEntry.oracleSql; these specs pin the invariants the oracle
+  * can't express: cross-operator agreement, ranking laws, determinism.) */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("exact dedup keeps every distinct text exactly once") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    assert(out.map(_.getLong(1)).sum === docs.count())
+  }
+
+  test("minhash LSH finds exactly the exact-Jaccard near-dup pairs (recall 1 at 0.8)") {
+    val exact = Dedup.ngramJaccard(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lsh = Dedup.minhashLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exact.nonEmpty) // testdata plants near-dups
+    assert(lsh.toSet === exact.toSet)
+  }
+
+  test("simhash near-dups substantially overlap Jaccard near-dups") {
+    // SimHash measures bag-of-words similarity, ngram-Jaccard measures
+    // order-sensitive shingle similarity — same planted dups, but each
+    // legitimately finds a few pairs the other doesn't (word-shuffled
+    // near-dups have equal bags yet disjoint shingles). Require strong
+    // agreement, not containment.
+    val jac = Dedup.ngramJaccard(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert((sim & jac).size * 2 > math.max(sim.size, jac.size))
+    sim.foreach { case (i, j) => assert(i < j) }
+  }
+
+  test("brute-force top-k: K rows per query, descending, self excluded") {
+    val rows = Similarity.bruteTopK(emb).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === Similarity.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === Similarity.K)
+      assert(rs.map(_.getLong(1)).toSeq === (1L to Similarity.K))
+      val sims = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(_.getLong(2) == q))
+    }
+  }
+
+  test("LSH top-k scores agree with brute-force for the pairs it returns") {
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val lsh = Similarity.lshTopK(emb).collect()
+    assert(lsh.nonEmpty)
+    // any (q, neighbor) the LSH ranks that brute-force also ranked must
+    // carry the identical fixed-point cosine
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c === r.getLong(3)))
+    }
+  }
+
+  test("embedding cosine pairs are symmetric-free (i<j) and above threshold") {
+    val rows = Dedup.cosinePairs(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= Dedup.CosineThresholdFp)
+    }
+  }
+
+  test("multimodal stub decode is deterministic and matches manual checksum") {
+    val feat = Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs))
+    val first = feat.limit(1).collect()(0)
+    val text = docs.filter(col("doc_id") === first.getLong(0))
+      .select("text").collect()(0).getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val expect = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(first.getAs[Long]("checksum") === expect)
+    assert(first.getAs[Long]("byte_len") === bytes.length.toLong)
+  }
+
+  test("token stats: subtokens >= tokens (splitting only refines)") {
+    val bad = TextOps.tokenStats(docs)
+      .filter(col("n_subtokens") < col("n_tokens")).count()
+    assert(bad === 0)
+  }
+
+  test("fingerprint is stable across runs") {
+    val a = TextOps.fingerprint(docs).collect().toSeq
+    val b = TextOps.fingerprint(docs).collect().toSeq
+    assert(a === b)
+  }
+}
