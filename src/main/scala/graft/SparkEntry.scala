@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.Ingest
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
-import graft.query.{InfluxQlParser, Planner}
+import graft.query.{InfluxQlParser, Planner, TsCatalog}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -30,9 +30,22 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame = {
+  private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame =
+    influxCat(spark, EventsAdapter.catalog(spark, sfDir), q)
+
+  private def influxCat(spark: SparkSession, cat: TsCatalog, q: String): DataFrame = {
     val stmt = InfluxQlParser.parse(q).fold(e => sys.error(s"parse: $e"), identity)
-    Planner.plan(spark, stmt, EventsAdapter.catalog(spark, sfDir), NowMs)
+    Planner.plan(spark, stmt, cat, NowMs)
+  }
+
+  /** Catalog built through the REAL ingest path: events rendered as line
+    * protocol, parsed, fingerprinted, type-split (SURVEY §3.1) — so the
+    * SELECT entries over it verify ingest∘query end-to-end. */
+  private def ingestedCatalog(s: SparkSession, dir: String): TsCatalog = {
+    import s.implicits._
+    val lines = EventsAdapter.asLineProtocol(EventsAdapter.events(s, dir)).as[String]
+    val batch = Ingest.fromLines(lines, nowMs = NowMs)
+    TsCatalog(Seq("graft"), Map(EventsAdapter.Measurement -> batch.samples), batch.series)
   }
 
   /** Planner SELECT output → hash-stable shape (fixed-point value + total order). */
@@ -61,6 +74,38 @@ object SparkEntry {
        |       user_id AS labelvalue, '' AS message FROM g
        |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
 
+  /** Oracle for the tag-filtered single-series SELECTs (mean, bucketed).
+    * The inner sort is total (one series → per-bucket rows distinct by
+    * labelname), so an inner LIMIT is deterministic on both engines. */
+  private def tagFilterOracle(bucketMs: Long, limit: Option[Int]): String = {
+    val inner =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1, 2, 3),
+         |u AS (
+         |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |         event_type AS labelvalue, '' AS message FROM g
+         |  UNION ALL
+         |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |         user_id AS labelvalue, '' AS message FROM g)""".stripMargin
+    limit match {
+      case None =>
+        s"""$inner
+           |SELECT * FROM u
+           |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+      case Some(n) =>
+        s"""$inner,
+           |l AS (SELECT * FROM u ORDER BY time_ms, name, labelname, labelvalue, message LIMIT $n)
+           |SELECT * FROM l
+           |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the full SURVEY §3.2 pipeline: series-index dedup + label
     * explode → broadcast fingerprint join → time bucket → agg → sort. */
@@ -76,6 +121,23 @@ object SparkEntry {
     "ts_select_count_10m" -> (tsSelect("count", "10m") _),
     "ts_select_max_1h" -> (tsSelect("max", "1h") _),
     "ts_select_min_1h" -> (tsSelect("min", "1h") _),
+    "ts_select_spread_1h" -> (tsSelect("spread", "1h") _),
+
+    // --- P4 tag-equality predicates (single series) + O3 honored LIMIT ---
+    "ts_select_tagfilter" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(5m)"""))),
+    "ts_select_limit" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1m) LIMIT 20"""))),
+
+    // --- §3.1∘§3.2 end-to-end: line-protocol ingest feeding the SELECT
+    //     pipeline (float field), plus the string-field pipeline (message
+    //     column carried through group keys, reference cflux.js:55,364) ---
+    "ts_select_ingested_sum_1h" -> ((s, dir) => stable(influxCat(s, ingestedCatalog(s, dir),
+      s"""SELECT sum("value") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+    "ts_select_string_count_1h" -> ((s, dir) => stable(influxCat(s, ingestedCatalog(s, dir),
+      s"""SELECT count("props") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
 
     // --- §3.3 metadata statements over the series index (A3-A6, P5-P6, F7) ---
     "ts_show_measurements" -> ((s, dir) =>
@@ -132,6 +194,24 @@ object SparkEntry {
     "ts_select_count_10m" -> tsSelectOracle("CAST(count(value) AS DOUBLE)", 600000L),
     "ts_select_max_1h" -> tsSelectOracle("max(value)", 3600000L),
     "ts_select_min_1h" -> tsSelectOracle("min(value)", 3600000L),
+    "ts_select_spread_1h" -> tsSelectOracle("max(value) - min(value)", 3600000L),
+    "ts_select_tagfilter" -> tagFilterOracle(300000L, limit = None),
+    "ts_select_limit" -> tagFilterOracle(60000L, limit = Some(20)),
+    "ts_select_ingested_sum_1h" -> tsSelectOracle("sum(value)", 3600000L),
+    "ts_select_string_count_1h" ->
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id, props,
+         |         CAST(floor(count(*) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT time_ms, 'props' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, props AS message FROM g
+         |UNION ALL
+         |SELECT time_ms, 'props' AS name, value, 'user_id' AS labelname,
+         |       user_id AS labelvalue, props AS message FROM g
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_show_measurements" ->
       "SELECT DISTINCT 'events' AS measurement FROM events ORDER BY measurement",
     "ts_show_field_keys" ->
