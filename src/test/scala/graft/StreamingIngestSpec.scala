@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming ingest semantics T1-T5 (SURVEY §2.9) via MemoryStream. */
+class StreamingIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private val NowMs = 1735689600000L
+
+  test("micro-batches land in hour partitions; series index dedups across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val (samples, series, ckpt) = (s"$dir/samples", s"$dir/series", s"$dir/ckpt")
+
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.start(stream.toDS(), StreamingIngest.Config(
+      samples, series, ckpt, fixedNowMs = Some(NowMs),
+      onBatch = Some(b => seen.addAndGet(b.count().toInt))))
+
+    // batch 1: two series, explicit ns timestamps in two different hours
+    stream.addData(
+      "cpu,host=a usage=1.5 1735689600000000000",
+      "cpu,host=b usage=2.5 1735693200000000000")
+    q.processAllAvailable()
+    // batch 2: one repeated series (no new registration), one new series,
+    // one LATE point (T3: lands in its own old hour partition)
+    stream.addData(
+      "cpu,host=a usage=3.5 1735689660000000000",
+      "cpu,host=c usage=4.5 1735693260000000000",
+      "cpu,host=a usage=9.9 1735686000000000000")
+    q.processAllAvailable()
+    q.stop()
+
+    val s = spark.read.parquet(samples)
+    assert(s.count() === 5)
+    // hour partitioning: 1735686000000/3.6e6=482135 (late), 482136, 482137
+    val hours = s.select("hour").distinct().as[Long].collect().sorted
+    assert(hours === Array(482135L, 482136L, 482137L))
+    // late row landed in ITS hour, not arrival hour (T3)
+    assert(s.filter(col("hour") === 482135L).count() === 1)
+
+    // T4: three distinct series registered exactly once each
+    val idx = spark.read.parquet(series)
+    assert(idx.count() === 3)
+    assert(idx.select("fingerprint").distinct().count() === 3)
+
+    // S9 fan-out saw every raw line
+    assert(seen.get() === 5)
+  }
+
+  test("restart resumes from checkpoint without re-registering series") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    val cfg = StreamingIngest.Config(
+      s"$dir/samples", s"$dir/series", s"$dir/ckpt", fixedNowMs = Some(NowMs))
+
+    val s1 = MemoryStream[String]
+    val q1 = StreamingIngest.start(s1.toDS(), cfg)
+    s1.addData("mem,host=a used=10 1735689600000000000")
+    q1.processAllAvailable(); q1.stop()
+
+    // "restarted" stream, same series again + a new one
+    val s2 = MemoryStream[String]
+    val q2 = StreamingIngest.start(s2.toDS(), cfg.copy(checkpointDir = s"$dir/ckpt2"))
+    s2.addData("mem,host=a used=11 1735689660000000000",
+               "mem,host=b used=12 1735689660000000000")
+    q2.processAllAvailable(); q2.stop()
+
+    val idx = spark.read.parquet(s"$dir/series")
+    // host=a registered once (stored index IS the dedup state across restarts)
+    assert(idx.count() === 2)
+    assert(spark.read.parquet(s"$dir/samples").count() === 3)
+  }
+}
