@@ -53,6 +53,11 @@ object SparkEntry {
     df.withColumn("value", floor(col("value") * 100).cast("long"))
       .orderBy("time_ms", "name", "labelname", "labelvalue", "message", "value")
 
+  /** Single-series (both tags pinned) query — total inner order. */
+  private def tagFilterQuery(bucket: String): String =
+    s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+      s""" AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time($bucket)"""
+
   private def tsSelect(agg: String, bucket: String)(s: SparkSession, dir: String): DataFrame =
     stable(influx(s, dir,
       s"""SELECT $agg("value") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time($bucket)"""))
@@ -106,6 +111,27 @@ object SparkEntry {
     }
   }
 
+  /** Oracle for the TICK window transforms over the single-series 1h-mean
+    * stream: `winExpr` computes the transformed value from per-bucket raw
+    * means inside a window over time; NULL rows are dropped (difference/
+    * derivative drop the first row; moving average keeps all). */
+  private def tickOracle(bucketMs: Long, winSetup: String, winExpr: String): String =
+    s"""WITH g AS (
+       |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms, avg(value) AS raw
+       |  FROM events
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+       |    AND event_type = 'click' AND user_id = 17
+       |  GROUP BY 1),
+       |d AS (SELECT time_ms, $winSetup FROM g),
+       |f AS (SELECT time_ms, CAST(floor(($winExpr) * 100) AS BIGINT) AS value
+       |      FROM d WHERE ($winExpr) IS NOT NULL)
+       |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+       |       'click' AS labelvalue, '' AS message FROM f
+       |UNION ALL
+       |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+       |       '17' AS labelvalue, '' AS message FROM f
+       |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the full SURVEY §3.2 pipeline: series-index dedup + label
     * explode → broadcast fingerprint join → time bucket → agg → sort. */
@@ -124,12 +150,8 @@ object SparkEntry {
     "ts_select_spread_1h" -> (tsSelect("spread", "1h") _),
 
     // --- P4 tag-equality predicates (single series) + O3 honored LIMIT ---
-    "ts_select_tagfilter" -> ((s, dir) => stable(influx(s, dir,
-      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(5m)"""))),
-    "ts_select_limit" -> ((s, dir) => stable(influx(s, dir,
-      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1m) LIMIT 20"""))),
+    "ts_select_tagfilter" -> ((s, dir) => stable(influx(s, dir, tagFilterQuery("5m")))),
+    "ts_select_limit" -> ((s, dir) => stable(influx(s, dir, tagFilterQuery("1m") + " LIMIT 20"))),
 
     // --- §3.1∘§3.2 end-to-end: line-protocol ingest feeding the SELECT
     //     pipeline (float field), plus the string-field pipeline (message
@@ -148,6 +170,20 @@ object SparkEntry {
       influx(s, dir, """SHOW TAG KEYS FROM "events"""")),
     "ts_show_tag_values" -> ((s, dir) =>
       influx(s, dir, """SHOW TAG VALUES FROM "events" WITH KEY IN ("event_type")""")),
+
+    // --- TICK-style window transforms (SURVEY §2.5 note; Kapacitor
+    //     difference/derivative/movingAverage over per-series streams) ---
+    "ts_difference_1h" -> ((s, dir) => stable(
+      graft.operators.Tick.difference(influx(s, dir, tagFilterQuery("1h"))))),
+    "ts_derivative_1h" -> ((s, dir) => stable(
+      graft.operators.Tick.derivative(influx(s, dir, tagFilterQuery("1h"))))),
+    "ts_moving_avg_1h" -> ((s, dir) => stable(
+      graft.operators.Tick.movingAverage(influx(s, dir, tagFilterQuery("1h")), 3))),
+
+    // --- §3.3 remaining metadata statements ---
+    "ts_show_databases" -> ((s, dir) => influx(s, dir, "SHOW DATABASES")),
+    "ts_show_retention" -> ((s, dir) =>
+      influx(s, dir, """SHOW RETENTION POLICIES ON "graft"""")),
 
     // --- LLM-pipeline: text analysis over documents ---
     "doc_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
@@ -224,6 +260,17 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_float, count(*) AS n_str,
         |       CAST(floor(sum(value) * 100) AS BIGINT) AS sum_cents
         |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+    "ts_difference_1h" -> tickOracle(3600000L,
+      "raw, lag(raw) OVER (ORDER BY time_ms) AS pr", "raw - pr"),
+    "ts_derivative_1h" -> tickOracle(3600000L,
+      "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
+      "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
+    "ts_moving_avg_1h" -> tickOracle(3600000L,
+      "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
+    "ts_show_databases" -> "SELECT 'graft' AS name",
+    "ts_show_retention" ->
+      """SELECT 'autogen' AS name, '0s' AS duration, '168h0m0s' AS shardGroupDuration,
+        |       1 AS replicaN, CAST(1 AS BOOLEAN) AS "default"""".stripMargin,
     "doc_token_stats" -> TextOps.tokenStatsOracle,
     "doc_quality" -> TextOps.qualityScoreOracle,
     "doc_langid" -> TextOps.langIdOracle,

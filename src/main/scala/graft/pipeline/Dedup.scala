@@ -51,15 +51,20 @@ object Dedup {
 
   // ---- shared shingle relation ------------------------------------------
 
-  /** (doc_id, s): distinct word-3-shingles per doc. */
+  /** (doc_id, h): distinct word-3-shingles per doc, pre-hashed to 60-bit
+    * longs — set operations and joins downstream move 8-byte keys instead
+    * of ~30-byte shingle strings (shuffle volume, hash probes). Collisions
+    * (~n²/2^61) are negligible and mirrored exactly by the oracle. */
   private def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text"))))).as("s"))
+        explode(array_distinct(
+          transform(shingles(tokens(col("text"))), s => baseHash(s)))).as("h"))
 
   private val shingleRowsSql: String =
-    s"""SELECT DISTINCT doc_id, u.s
-       |  FROM (SELECT doc_id, ${shinglesSql(tokensSql)} AS ss FROM documents) d,
-       |       unnest(d.ss) u(s)""".stripMargin
+    s"""SELECT DISTINCT doc_id, u.h
+       |  FROM (SELECT doc_id, list_transform(${shinglesSql(tokensSql)}, s -> ${baseHashSql("s")}) AS hs
+       |          FROM documents) d,
+       |       unnest(d.hs) u(h)""".stripMargin
 
   /** Jaccard threshold, fixed-point 1e6. */
   val JaccardThresholdFp = 800000L
@@ -69,10 +74,10 @@ object Dedup {
   /** Exact word-3-gram Jaccard near-dup pairs (jac >= 0.8), candidate
     * pairs blocked by sharing at least one shingle. Output (i, j, jac_fp). */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs).cache()
+    val sh = shingleRows(docs)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -89,7 +94,7 @@ object Dedup {
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id i, b.doc_id j, count(*) n
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT i, j, n * 1000000 // (ca.c + cb.c - n) AS jac_fp
        |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
@@ -117,9 +122,10 @@ object Dedup {
     * 8 fixed-width rows, never the shingle set; the verify join touches
     * only candidate pairs. */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs).withColumn("h", baseHash(col("s")) % P).cache()
+    val sh = shingleRows(docs).withColumn("hp", col("h") % P)
     val sigCols = (0 until NumPerms).map { i =>
-      min((col("h") * permA(i) + permB(i)) % P).as(s"sig$i")
+      // hp (< P < 2^31) keeps hp * permA inside signed-64 range
+      min((col("hp") * permA(i) + permB(i)) % P).as(s"sig$i")
     }
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until Bands).map { b =>
@@ -137,7 +143,7 @@ object Dedup {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
       .join(sh.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
@@ -150,13 +156,13 @@ object Dedup {
 
   val minhashLshOracle: String = {
     val sigExprs = (0 until NumPerms)
-      .map(i => s"min((h * ${permA(i)} + ${permB(i)}) % $P) AS sig$i").mkString(",\n       ")
+      .map(i => s"min((hp * ${permA(i)} + ${permB(i)}) % $P) AS sig$i").mkString(",\n       ")
     val bandCase = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}").mkString(", ")
       s"WHEN $b THEN concat_ws('_', $rows)"
     }.mkString(" ")
     s"""WITH sh AS ($shingleRowsSql),
-       |hs AS (SELECT doc_id, s, ${baseHashSql("s")} % $P AS h FROM sh),
+       |hs AS (SELECT doc_id, h % $P AS hp FROM sh),
        |sig AS (SELECT doc_id,
        |       $sigExprs
        |  FROM hs GROUP BY doc_id),
@@ -172,7 +178,7 @@ object Dedup {
        |  SELECT c.i, c.j, count(*) n
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.i
-       |  JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
+       |  JOIN sh sb ON sb.doc_id = c.j AND sb.h = sa.h
        |  GROUP BY 1, 2)
        |SELECT i, j, n * 1000000 // (ca.c + cb.c - n) AS jac_fp
        |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
@@ -253,10 +259,10 @@ object Dedup {
     * verify form. The scale path is Similarity.lshTopK's hyperplane
     * bucketing; this operator is its exact counterpart. */
   def cosinePairs(emb: DataFrame): DataFrame = {
-    val dot = (a: String, b: String) =>
-      aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    import graft.functions.VectorMath.dotF64
+    val dot = (a: String, b: String) => dotF64(col(a), col(b))
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         floor(dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm")) * 1e6).cast("long").as("cos_fp"))

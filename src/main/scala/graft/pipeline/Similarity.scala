@@ -34,11 +34,13 @@ object Similarity {
 
   // ---- shared expressions -----------------------------------------------
 
+  /** Codegen'd scalar loop (graft.functions.DotF64); same ascending-index
+    * summation order as the declarative aggregate fold and DuckDB's
+    * list_reduce, so oracle results stay bit-identical. */
   private def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorMath.dotF64(a, b)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+  private def norm(v: Column): Column = sqrt(dotCols(v, v))
 
   private def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal accessor for Spark's private[sql] Column <-> Expression
+  * conversions (Spark 4 moved them behind the classic module). Lives in
+  * an org.apache.spark.sql subpackage solely to satisfy the access
+  * modifier; nothing else of Spark's internals is touched. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
