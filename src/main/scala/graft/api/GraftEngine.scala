@@ -1,0 +1,133 @@
+package graft.api
+
+import graft.ingest.Ingest
+import graft.query.{Ast, InfluxQlParser, Planner, Response, TsCatalog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import scala.collection.concurrent.TrieMap
+
+/** The reference's two HTTP entry points as a library API:
+  *
+  *  - [[write]]  ≙ `POST /write?db=`      (cflux.js:298-352)
+  *  - [[query]]  ≙ `GET /query?db=&q=`    (cflux.js:374-852)
+  *
+  * Storage: one parquet dataset per database under `root/<db>/samples`,
+  * partitioned by (measurement, hour) — the reference's
+  * table-per-measurement × `PARTITION BY toRelativeHourNum` realized as
+  * partition columns, so measurement and time-range predicates prune at
+  * the file-listing level. Series index at `root/<db>/time_series`,
+  * last-write-wins by fingerprint on read (ReplacingMergeTree+FINAL
+  * analogue).
+  *
+  * Subscriptions are keyed by bare db (fixing the reference's store-by-
+  * "db.rp"/lookup-by-db mismatch, SURVEY §3.3); the transport is a
+  * pluggable callback (the reference fire-and-forgets an HTTP POST,
+  * cflux.js:313-315) so tests and non-HTTP deployments stay hermetic.
+  *
+  * An HTTP front (Express in the reference) would be a thin adapter over
+  * this class; the driver contract tests bypass HTTP by design.
+  */
+class GraftEngine(
+    spark: SparkSession,
+    root: String,
+    nowMs: () => Long = () => System.currentTimeMillis()
+) {
+
+  /** db → (subscription id, destination, transport). */
+  private val subscriptions =
+    TrieMap.empty[String, (String, String, String => Unit)]
+  /** dbs created this session or discovered on disk (databaseCache analogue). */
+  private val databases = TrieMap.empty[String, Unit]
+  discoverDatabases()
+
+  private def discoverDatabases(): Unit = {
+    val f = new java.io.File(root)
+    if (f.isDirectory)
+      f.listFiles().filter(_.isDirectory).foreach(d => databases.put(d.getName, ()))
+  }
+
+  private def samplesPath(db: String) = s"$root/$db/samples"
+  private def seriesPath(db: String) = s"$root/$db/time_series"
+
+  /** Lazy CREATE DATABASE analogue (cflux.js:174-194). */
+  def createDatabase(db: String): Unit = {
+    new java.io.File(s"$root/$db").mkdirs()
+    databases.put(db, ())
+  }
+
+  /** Ingest a raw line-protocol body (cflux.js:298-352): lazy db create,
+    * subscription fan-out on the raw body, parse/fingerprint/type-split,
+    * append samples + newly-seen series. */
+  def write(db: String, body: String): Unit = {
+    import spark.implicits._
+    createDatabase(db)
+    subscriptions.get(db).foreach { case (_, _, post) => post(body) }
+    val lines = spark.createDataset(body.split("\n").toSeq.filter(_.nonEmpty))
+    val batch = Ingest.fromLines(lines, nowMs())
+    Ingest.writeSamples(batch.samples, samplesPath(db))
+    val novel =
+      try batch.series.join(
+        spark.read.parquet(seriesPath(db)).select("fingerprint").distinct(),
+        Seq("fingerprint"), "left_anti")
+      catch { case _: org.apache.spark.sql.AnalysisException => batch.series }
+    Ingest.writeSeriesIndex(novel, seriesPath(db))
+  }
+
+  /** Catalog over the stored layout. Measurement map is lazy: each entry
+    * filters on the measurement partition column → pruned file listing. */
+  def catalog(db: String): TsCatalog = {
+    val samples = spark.read.parquet(samplesPath(db))
+    val measurements = {
+      val dir = new java.io.File(samplesPath(db))
+      dir.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
+        .map(_.getName.stripPrefix("measurement="))
+        .map(m => m -> samples.filter(col("measurement") === m))
+        .toMap
+    }
+    TsCatalog(databases.keys.toSeq.sorted,
+      measurements,
+      Ingest.readSeriesIndexFinal(spark, seriesPath(db)))
+  }
+
+  /** Execute one InfluxQL statement, returning the InfluxDB-shaped JSON
+    * body (dispatch table of cflux.js:395-852). */
+  def query(db: String, q: String): String =
+    InfluxQlParser.parse(q).fold(_ => Response.emptyResult, {
+      case s: Ast.Select =>
+        Response.selectJson(Planner.planSelect(spark, s, catalog(db), nowMs()))
+      case Ast.CreateDatabase(name) =>
+        createDatabase(name); Response.emptyResult
+      case Ast.CreateSubscription(id, sdb, _, dest) =>
+        // keyed by bare db (reference bug fixed, SURVEY §3.3)
+        subscriptions.put(sdb, (id, dest, transport(dest)))
+        Response.emptyResult
+      case Ast.ShowSubscriptions =>
+        Response.emptyResult // static empty mock (cflux.js:835-844)
+      case Ast.Unsupported(_) =>
+        Response.emptyResult // cflux.js:846-852
+      case stmt =>
+        val df = Planner.plan(spark, stmt, catalog(db), nowMs())
+        val name = stmt match {
+          case Ast.ShowMeasurements(_) => "measurements"
+          case _: Ast.ShowFieldKeys => "fieldKeys"
+          case _: Ast.ShowTagKeys => "tagKeys"
+          case _: Ast.ShowTagValues => "tagValues"
+          case Ast.ShowDatabases => "databases"
+          case _ => db
+        }
+        Response.showJson(name, df)
+    })
+
+  /** Register a test/alternate transport for a db's subscription. */
+  def withTransport(db: String, post: String => Unit): Unit =
+    subscriptions.updateWith(db) {
+      case Some((id, dest, _)) => Some((id, dest, post))
+      case None => Some(("sub", "callback://", post))
+    }
+
+  /** Default transport: fire-and-forget log line (the reference POSTs over
+    * HTTP with a 5 s timeout and ignores failures, cflux.js:272-273). */
+  private def transport(dest: String): String => Unit =
+    body => System.err.println(s"[graft] subscription forward ${body.length}B -> $dest")
+}

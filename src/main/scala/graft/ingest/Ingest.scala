@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** One output sample row (FIXTURES.md §2; reference DDL cflux.js:152). */
+  /** One output sample row (FIXTURES.md §2; reference DDL cflux.js:152).
+    * `measurement` realizes the reference's table-per-measurement as a
+    * partition column (one dataset per db, partition-pruned per query). */
   final case class SampleRow(
       fingerprint: Long,
       timestamp_ms: Long,
       value: Double,
       string: String, // field KEY
       message: String, // string value ("" on float rows)
-      hour: Long
+      hour: Long,
+      measurement: String
   )
 
   /** One series-index row (FIXTURES.md §3; reference cflux.js:327). */
@@ -55,9 +58,9 @@ object Ingest {
           val hour = graft.model.TimeUnits.msToHourBucket(tsMs)
           p.fields.iterator.map {
             case (k, LineProtocol.FloatV(v)) =>
-              SampleRow(Fingerprint.of(p.tags, k), tsMs, v, k, "", hour)
+              SampleRow(Fingerprint.of(p.tags, k), tsMs, v, k, "", hour, p.measurement)
             case (k, LineProtocol.StringV(v)) =>
-              SampleRow(Fingerprint.of(p.tags, k), tsMs, 0.0, k, v, hour)
+              SampleRow(Fingerprint.of(p.tags, k), tsMs, 0.0, k, v, hour, p.measurement)
           }
       }
     }.toDF()
@@ -90,9 +93,9 @@ object Ingest {
     * skipping on fingerprint. */
   def writeSamples(samples: DataFrame, path: String): Unit =
     samples
-      .repartition(col("hour"))
+      .repartition(col("measurement"), col("hour"))
       .sortWithinPartitions("fingerprint", "timestamp_ms")
-      .write.mode("append").partitionBy("hour").parquet(path)
+      .write.mode("append").partitionBy("measurement", "hour").parquet(path)
 
   def writeSeriesIndex(series: DataFrame, path: String): Unit =
     series.write.mode("append").parquet(path)

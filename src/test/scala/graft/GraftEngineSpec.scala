@@ -1,0 +1,94 @@
+package graft
+
+import graft.api.GraftEngine
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end engine façade: write line protocol, query it back as
+  * InfluxDB JSON — the full reference lifecycle (SURVEY §3.1 + §3.2/§3.3)
+  * without HTTP. */
+class GraftEngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val NowMs = 1735689600000L // 2025-01-01T00:00:00Z
+
+  private def newEngine() = {
+    val root = Files.createTempDirectory("graft-engine").toString
+    new GraftEngine(spark, root, () => NowMs)
+  }
+
+  test("write then SELECT returns InfluxDB-shaped series JSON") {
+    val e = newEngine()
+    e.write("telegraf",
+      """cpu,host=a,region=eu usage=10 1735689540000000000
+        |cpu,host=a,region=eu usage=20 1735689550000000000
+        |cpu,host=b,region=eu usage=30 1735689560000000000""".stripMargin)
+    val json = e.query("telegraf",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    // host=a bucket mean = 15, host=b = 30; one series per (metric, tag pair)
+    assert(json.contains(""""name":"usage""""))
+    assert(json.contains(""""tags":{"host":"a"}"""))
+    assert(json.contains(""""tags":{"host":"b"}"""))
+    assert(json.contains(""""tags":{"region":"eu"}"""))
+    assert(json.contains("[1735689540000,15]"))
+    assert(json.contains("[1735689540000,30]"))
+  }
+
+  test("multi-measurement catalog: per-measurement isolation + SHOW MEASUREMENTS") {
+    val e = newEngine()
+    e.write("db1",
+      """cpu,host=a usage=1 1735689540000000000
+        |mem,host=a used=2 1735689540000000000""".stripMargin)
+    val shows = e.query("db1", "SHOW MEASUREMENTS")
+    assert(shows.contains("cpu") && shows.contains("mem"))
+    // SELECT over cpu must not see mem's samples
+    val json = e.query("db1",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(json.contains("[1735689540000,1]") && !json.contains("used"))
+  }
+
+  test("string fields ride the message pipeline into the response") {
+    val e = newEngine()
+    e.write("db2", """app,host=a level="warn",code=7 1735689540000000000""")
+    val json = e.query("db2",
+      """SELECT mean("level") FROM "app" WHERE time > now() - 5m GROUP BY time(1m)""")
+    // string value wins over the (0) mean in the pivot (cflux.js:795 message||mean)
+    assert(json.contains("""[1735689540000,"warn"]"""))
+  }
+
+  test("subscription fan-out receives the raw write body (keyed by bare db)") {
+    val e = newEngine()
+    e.query("db3", """CREATE SUBSCRIPTION "sub0" ON "db3"."autogen" DESTINATIONS ANY 'http://sink'""")
+    val got = new java.util.concurrent.atomic.AtomicReference[String]("")
+    e.withTransport("db3", got.set)
+    val body = "cpu,host=a usage=5 1735689540000000000"
+    e.write("db3", body)
+    assert(got.get() === body)
+  }
+
+  test("metadata statements: SHOW DATABASES / FIELD KEYS / TAG VALUES / unsupported") {
+    val e = newEngine()
+    e.write("dbm", "cpu,host=a,region=eu usage=1,temp=2 1735689540000000000")
+    assert(e.query("dbm", "SHOW DATABASES").contains("dbm"))
+    val fk = e.query("dbm", """SHOW FIELD KEYS FROM "cpu"""")
+    assert(fk.contains("usage") && fk.contains("temp") && fk.contains("float"))
+    val tv = e.query("dbm", """SHOW TAG VALUES FROM "cpu" WITH KEY IN ("host")""")
+    assert(tv.contains("host") && tv.contains("a") && !tv.contains("region"))
+    assert(e.query("dbm", "DROP SERIES FROM cpu") === Response0)
+  }
+
+  private val Response0 = """{"results":[{"statement_id":0}]}"""
+
+  test("measurement + hour partition pruning reaches the file scan") {
+    val e = newEngine()
+    e.write("dbp",
+      """cpu,host=a usage=1 1735689540000000000
+        |cpu,host=a usage=2 1735693200000000000
+        |mem,host=a used=3 1735689540000000000""".stripMargin)
+    val cat = e.catalog("dbp")
+    val plan = cat.measurements("cpu")
+      .filter(org.apache.spark.sql.functions.col("hour") === 482136L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("measurement"), "measurement predicate should prune partitions")
+  }
+}
