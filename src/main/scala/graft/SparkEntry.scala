@@ -180,6 +180,20 @@ object SparkEntry {
     "ts_moving_avg_1h" -> ((s, dir) => stable(
       graft.operators.Tick.movingAverage(influx(s, dir, tagFilterQuery("1h")), 3))),
 
+    // --- as-of join (operator absent from both reference and Spark SQL;
+    //     composed union + running last per SURVEY §2.3 extension) ---
+    "ts_asof_prior_view" -> ((s, dir) => {
+      val ev = EventsAdapter.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev.filter(col("event_type") === "view")
+      graft.operators.AsOf
+        .latestPrior(clicks, views, Seq("user_id"), "ts_ns", "value", "prior_view")
+        .select(col("event_id"), col("user_id"), col("ts_ms").as("time_ms"),
+          coalesce(floor(col("prior_view") * 100), lit(-100L)).cast("long")
+            .as("prior_view_cents"))
+        .orderBy("event_id")
+    }),
+
     // --- §3.3 remaining metadata statements ---
     "ts_show_databases" -> ((s, dir) => influx(s, dir, "SHOW DATABASES")),
     "ts_show_retention" -> ((s, dir) =>
@@ -267,6 +281,12 @@ object SparkEntry {
       "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
     "ts_moving_avg_1h" -> tickOracle(3600000L,
       "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
+    "ts_asof_prior_view" ->
+      """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS time_ms,
+        |       CAST(coalesce(floor(v.value * 100), -100) AS BIGINT) AS prior_view_cents
+        |FROM events c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |WHERE c.event_type = 'click' ORDER BY c.event_id""".stripMargin,
     "ts_show_databases" -> "SELECT 'graft' AS name",
     "ts_show_retention" ->
       """SELECT 'autogen' AS name, '0s' AS duration, '168h0m0s' AS shardGroupDuration,

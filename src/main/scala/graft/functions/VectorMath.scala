@@ -25,9 +25,10 @@ case class DotF64(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-        Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = true)))
-      TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"dot_f64 expects array<double> inputs, got ${left.dataType} / ${right.dataType}")
   override def dataType: DataType = DoubleType
@@ -63,4 +64,8 @@ object VectorMath {
   /** Dot product of two array<double> columns (codegen'd). */
   def dotF64(a: Column, b: Column): Column =
     Bridge.column(DotF64(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Make `dot_f64(a, b)` callable from spark.sql text. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, "dot_f64", es => DotF64(es(0), es(1)))
 }

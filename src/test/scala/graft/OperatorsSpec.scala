@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.VectorMath
+import graft.operators.{AsOf, Tick}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AsOf join, TICK transforms, and the SQL-registered custom function. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  test("asof latestPrior picks latest right row <= left time, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 150L)).toDF("k", "t")
+    val right = Seq((1L, 50L, 5.0), (1L, 100L, 7.0), (1L, 250L, 9.0), (3L, 10L, 1.0))
+      .toDF("k", "t", "v")
+    val out = AsOf.latestPrior(left, right, Seq("k"), "t", "v", "prior")
+      .select("k", "t", "prior").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out === Set(
+      (1L, 100L, Some(7.0)), // equal timestamp counts (<=)
+      (1L, 200L, Some(7.0)), // 250 is later, skipped
+      (2L, 150L, None)))     // no right rows for key 2
+  }
+
+  test("dot_f64 callable from SQL after registration") {
+    VectorMath.register(spark)
+    val d = spark.sql("SELECT dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d === 11.0)
+  }
+
+  test("dot_f64 column API matches declarative fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq((Seq(0.1, 0.2, 0.3), Seq(0.4, 0.5, 0.6))).toDF("a", "b")
+    val custom = df.select(VectorMath.dotF64(col("a"), col("b"))).collect()(0).getDouble(0)
+    val declarative = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x))
+      .collect()(0).getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(custom) ===
+      java.lang.Double.doubleToLongBits(declarative))
+  }
+
+  test("tick difference drops first row per series; moving average keeps it") {
+    import spark.implicits._
+    val sel = Seq(
+      (1000L, "value", 10.0, "h", "a", ""),
+      (2000L, "value", 15.0, "h", "a", ""),
+      (3000L, "value", 12.0, "h", "a", ""),
+      (1000L, "value", 100.0, "h", "b", ""))
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+    val diff = Tick.difference(sel).select("labelvalue", "time_ms", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(diff === Set(("a", 2000L, 5.0), ("a", 3000L, -3.0)))
+    val ma = Tick.movingAverage(sel, 2).filter(col("labelvalue") === "a")
+      .orderBy("time_ms").select("value")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(ma === Seq(10.0, 12.5, 13.5))
+  }
+}
