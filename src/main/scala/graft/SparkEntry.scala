@@ -132,6 +132,35 @@ object SparkEntry {
        |       '17' AS labelvalue, '' AS message FROM f
        |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
 
+  /** Oracle for the FILL entries: bucket spine ⟕ per-bucket means, gaps
+    * filled per mode; single series → two identical label-pair streams. */
+  private def fillOracle(bucketMs: Long, mode: String): String = {
+    val fromB = Math.floorDiv(FromNs / 1000000L, bucketMs) * bucketMs
+    val toB = Math.floorDiv(ToNs / 1000000L, bucketMs) * bucketMs
+    val fillExpr = mode match {
+      case "0" => "coalesce(j.raw, 0)"
+      case "previous" =>
+        "coalesce(last_value(j.raw IGNORE NULLS) OVER " +
+          "(ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)"
+    }
+    s"""WITH g AS (
+       |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms, avg(value) AS raw
+       |  FROM events
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+       |    AND event_type = 'click' AND user_id = 17
+       |  GROUP BY 1),
+       |j AS (SELECT s.time_ms, g.raw
+       |      FROM generate_series($fromB, $toB, $bucketMs) s(time_ms)
+       |      LEFT JOIN g ON g.time_ms = s.time_ms),
+       |f AS (SELECT time_ms, CAST(floor(($fillExpr) * 100) AS BIGINT) AS value FROM j)
+       |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+       |       'click' AS labelvalue, '' AS message FROM f
+       |UNION ALL
+       |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+       |       '17' AS labelvalue, '' AS message FROM f
+       |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the full SURVEY §3.2 pipeline: series-index dedup + label
     * explode → broadcast fingerprint join → time bucket → agg → sort. */
@@ -180,6 +209,14 @@ object SparkEntry {
     "ts_moving_avg_1h" -> ((s, dir) => stable(
       graft.operators.Tick.movingAverage(influx(s, dir, tagFilterQuery("1h")), 3))),
 
+    // --- honest FILL() gap filling (reference injects FILL(null) as a
+    //     parser pacifier and never fills; SURVEY §2.5) ---
+    "ts_select_fill_zero" -> ((s, dir) => stable(
+      influx(s, dir, tagFilterQuery("1h") + " FILL(0)"))),
+    "ts_select_fill_previous" -> ((s, dir) => stable(
+      influx(s, dir, tagFilterQuery("1h") + " FILL(previous)")
+        .na.fill(-1.0, Seq("value")))), // leading gap → -1 (hash-safe, no nulls)
+
     // --- as-of join (operator absent from both reference and Spark SQL;
     //     composed union + running last per SURVEY §2.3 extension) ---
     "ts_asof_prior_view" -> ((s, dir) => {
@@ -210,6 +247,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "dedup_clusters" -> ((s, dir) => Dedup.clusters(docs(s, dir))),
     "dedup_emb_cosine" -> ((s, dir) => Dedup.cosinePairs(emb(s, dir))),
 
     // --- LLM-pipeline: similarity search over embeddings ---
@@ -281,6 +319,8 @@ object SparkEntry {
       "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
     "ts_moving_avg_1h" -> tickOracle(3600000L,
       "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
+    "ts_select_fill_zero" -> fillOracle(3600000L, "0"),
+    "ts_select_fill_previous" -> fillOracle(3600000L, "previous"),
     "ts_asof_prior_view" ->
       """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS time_ms,
         |       CAST(coalesce(floor(v.value * 100), -100) AS BIGINT) AS prior_view_cents
@@ -299,6 +339,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_clusters" -> Dedup.clustersOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsOracle,
     "ann_brute_topk" -> Similarity.bruteTopKOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,

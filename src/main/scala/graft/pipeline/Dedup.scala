@@ -249,6 +249,70 @@ object Dedup {
        |WHERE bit_count(xor(x.sim, y.sim)) <= $HammingMax
        |ORDER BY i, j""".stripMargin
 
+  // ---- dedup clusters (connected components) -----------------------------
+
+  /** Group near-duplicates into clusters: connected components over the
+    * ngram-Jaccard pair graph, labeled by the min doc_id in each
+    * component (the canonical "keep" representative). Every doc gets a
+    * row; singletons are their own cluster. Output
+    * (doc_id, cluster_id, n_members).
+    *
+    * Distributed min-label propagation with a driver convergence loop —
+    * the standard Spark shape for iterative graph algorithms (GraphX
+    * Pregel does the same). Near-dup components are shallow (pairs/
+    * chains), so convergence is 2-3 rounds; `localCheckpoint` cuts the
+    * growing lineage each round. At 100 TB: same loop, with the label
+    * relation hash-partitioned on doc_id so each round is one shuffle;
+    * iteration count is bounded by component diameter, which dedup
+    * graphs keep tiny. */
+  def clusters(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccard(docs).select(col("i"), col("j"))
+    val edges = pairs.union(pairs.select(col("j"), col("i")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 8) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: min reachable id via a recursive CTE (UNION dedup
+    * guarantees termination), same fixpoint as the propagation loop. */
+  val clustersOracle: String =
+    s"""WITH RECURSIVE sh AS ($shingleRowsSql),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id i, b.doc_id j, count(*) n
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp),
+       |e AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+       |r(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.b FROM r JOIN e ON e.a = r.lab),
+       |lbl AS (SELECT doc_id, min(lab) AS cluster_id FROM r GROUP BY doc_id)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM lbl ORDER BY doc_id""".stripMargin
+
   // ---- embedding cosine near-dup ----------------------------------------
 
   /** Cosine threshold, fixed-point 1e6 (testdata max pair cosine ~0.51,

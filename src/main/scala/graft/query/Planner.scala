@@ -131,7 +131,7 @@ object Planner {
     val perMetric = s.fields.map { f =>
       val series = seriesSide(cat.seriesIndex, s.from.measurement, f.name, s.tagFilters)
       val outName = f.alias.getOrElse(f.func.getOrElse("mean"))
-      samples
+      val agged = samples
         // time filter FIRST: prunes hour partitions + parquet row groups
         // before the join (reference PREWHERE minute BETWEEN, cflux.js:765)
         .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
@@ -144,10 +144,46 @@ object Planner {
         .agg(aggFor(f.func, col("value"), col("timestamp_ms")).cast("double").as(outName))
         .select(col("time_ms"), col("name"), col(outName).as("value"),
           col("labelname"), col("labelvalue"), col("message"))
+      fillGaps(agged, s.fill, fromMs, toMs, bucketMs)
     }
 
     val unioned = perMetric.reduce(_ unionAll _) // U1 (cflux.js:772)
     val sorted = unioned.orderBy("time_ms", "name", "labelname", "labelvalue", "message") // O2
     s.limit.map(sorted.limit).getOrElse(sorted) // O3, honored (divergence)
   }
+
+  /** Honest FILL() gap filling — an extension: the reference only injects
+    * the text `FILL(null)` to pacify its parser and never fills
+    * (cflux.js:378, SURVEY §2.5). Semantics follow InfluxDB: for each
+    * series present in the range, emit every bucket in
+    * [floor(from), floor(to)]; missing buckets get null / 0 / the
+    * previous value. Series with no points at all stay absent.
+    *
+    * Scale: the spine is (series in result) × (buckets in range) — bounded
+    * by the query range, built per-series with no extra shuffle beyond the
+    * spine join (broadcast: the distinct-series side is small). */
+  private def fillGaps(agged: DataFrame, fill: Option[String],
+                       fromMs: Long, toMs: Long, bucketMs: Long): DataFrame =
+    fill.map(_.toLowerCase) match {
+      case Some(mode @ ("null" | "0" | "previous")) =>
+        val keys = Seq("name", "labelname", "labelvalue", "message")
+        val fromBucket = Math.floorDiv(fromMs, bucketMs) * bucketMs
+        val toBucket = Math.floorDiv(toMs, bucketMs) * bucketMs
+        val spine = agged.select(keys.map(col): _*).distinct()
+          .withColumn("time_ms",
+            explode(sequence(lit(fromBucket), lit(toBucket), lit(bucketMs))))
+        val joined = spine.join(agged, keys :+ "time_ms", "left")
+          .select(col("time_ms"), col("name"), col("value"),
+            col("labelname"), col("labelvalue"), col("message"))
+        mode match {
+          case "0" => joined.na.fill(0.0, Seq("value"))
+          case "previous" =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*).orderBy("time_ms")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+            joined.withColumn("value", last("value", ignoreNulls = true).over(w))
+          case _ => joined // null
+        }
+      case _ => agged // none / linear (unsupported) / absent
+    }
 }

@@ -85,6 +85,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(first.getAs[Long]("byte_len") === bytes.length.toLong)
   }
 
+  test("clusters: pair endpoints share a cluster, labels are component minima") {
+    val pairs = Dedup.ngramJaccard(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = Dedup.clusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size === docs.count())
+    pairs.foreach { case (i, j) =>
+      assert(lbl(i) === lbl(j))
+      assert(lbl(i) <= i && lbl(j) <= j)
+    }
+    // singletons label themselves
+    val inPair = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    lbl.filterNot(kv => inPair(kv._1)).foreach { case (d, c) => assert(d === c) }
+  }
+
   test("token stats: subtokens >= tokens (splitting only refines)") {
     val bad = TextOps.tokenStats(docs)
       .filter(col("n_subtokens") < col("n_tokens")).count()
