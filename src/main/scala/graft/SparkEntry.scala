@@ -209,6 +209,12 @@ object SparkEntry {
     "ts_moving_avg_1h" -> ((s, dir) => stable(
       graft.operators.Tick.movingAverage(influx(s, dir, tagFilterQuery("1h")), 3))),
 
+    // --- honored GROUP BY tag (reference parses and ignores, cflux.js:695):
+    //     series collapse onto the requested tag's values ---
+    "ts_select_groupby_tag" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ GROUP BY time(1h), "event_type""""))),
+
     // --- honest FILL() gap filling (reference injects FILL(null) as a
     //     parser pacifier and never fills; SURVEY §2.5) ---
     "ts_select_fill_zero" -> ((s, dir) => stable(
@@ -253,6 +259,8 @@ object SparkEntry {
     // --- LLM-pipeline: similarity search over embeddings ---
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(emb(s, dir))),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
+    "emb_centroids" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
+    "emb_knn_classify" -> ((s, dir) => Similarity.knnClassify(emb(s, dir))),
 
     // --- LLM-pipeline: multimodal binary columns (stubbed decode) ---
     "mm_decode_features" -> ((s, dir) =>
@@ -343,6 +351,18 @@ object SparkEntry {
     "dedup_emb_cosine" -> Dedup.cosinePairsOracle,
     "ann_brute_topk" -> Similarity.bruteTopKOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,
+    "emb_centroids" -> Similarity.centroidsOracle,
+    "emb_knn_classify" -> Similarity.knnClassifyOracle,
+    "ts_select_groupby_tag" ->
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, event_type,
+         |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  GROUP BY 1, 2)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM g
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "mm_decode_features" -> Multimodal.extractFeaturesOracle
   )
 }

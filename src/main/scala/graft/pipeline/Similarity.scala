@@ -121,6 +121,61 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- label centroids & kNN classification ------------------------------
+
+  /** Per-label centroid, emitted as exploded (label, pos, mean_fp) rows —
+    * elementwise mean over the embedding column. One shuffle on
+    * (label, pos); map-side partial aggregation carries the sums. */
+  def centroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .select(col("label"), col("v"), explode(sequence(lit(1), lit(Dim))).as("pos"))
+      .withColumn("component", element_at(col("v"), col("pos")))
+      .groupBy("label", "pos")
+      .agg(floor(avg(col("component")) * 1e6).cast("long").as("mean_fp"))
+      .orderBy("label", "pos")
+
+  val centroidsOracle: String =
+    s"""SELECT label, t.pos,
+       |       CAST(floor(avg(embedding[t.pos]::DOUBLE) * 1e6) AS BIGINT) AS mean_fp
+       |FROM embeddings, range(1, ${Dim + 1}) t(pos)
+       |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
+
+  /** kNN label vote: predict each query vector's label from its 5 exact
+    * nearest neighbors (majority, ties broken by smaller label).
+    * Composition of [[bruteTopK]] + a broadcast label join + a windowed
+    * vote — shows the ANN result feeding a downstream decision. */
+  def knnClassify(emb: DataFrame, k: Int = 5): DataFrame = {
+    val neighbors = bruteTopK(emb).filter(col("rank") <= k)
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = neighbors.join(broadcast(labels), Seq("neighbor_id"))
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("q_id")
+  }
+
+  val knnClassifyOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT r.q_id, emb.label, count(*) AS votes
+       |  FROM ranked r JOIN embeddings emb ON emb.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 5 GROUP BY 1, 2),
+       |top AS (
+       |  SELECT q_id, label, votes,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+       |  FROM votes)
+       |SELECT q_id, label AS pred_label, votes FROM top WHERE rn = 1 ORDER BY q_id""".stripMargin
+
   val lshTopKOracle: String = {
     val planeDot = (t: String, j: Int) =>
       s"""list_reduce(list_transform(range(0, $Dim),

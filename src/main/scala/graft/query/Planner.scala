@@ -65,8 +65,14 @@ object Planner {
     * last-write-wins dedup by fingerprint, exploded to one row per label
     * pair, filtered by metric name and tag equalities. Small by design —
     * the planner broadcasts it into the samples join. */
+  /** @param groupTags honored `GROUP BY time(x), "tag"` keys (extension:
+    *                   the reference reads and ignores groupby tags,
+    *                   cflux.js:695) — when non-empty, only those label
+    *                   pairs survive the explode, so the downstream
+    *                   group-by collapses series onto the requested tags. */
   def seriesSide(seriesIndex: DataFrame, measurement: String, metric: String,
-                 tagFilters: Seq[(String, String)]): DataFrame = {
+                 tagFilters: Seq[(String, String)],
+                 groupTags: Seq[String] = Nil): DataFrame = {
     val deduped = seriesIndex
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -78,11 +84,13 @@ object Planner {
       // (cflux.js:759); map lookup is the Spark-native equivalent (F6)
       df.filter(element_at(map_from_arrays(col("labelname"), col("labelvalue")), k) === v)
     }
-    tagged
+    val exploded = tagged
       .select(col("fingerprint"), col("name"),
         explode(arrays_zip(col("labelname"), col("labelvalue"))).as("lp"))
       .select(col("fingerprint"), col("name"),
         col("lp.labelname").as("labelname"), col("lp.labelvalue").as("labelvalue"))
+    if (groupTags.nonEmpty) exploded.filter(col("labelname").isin(groupTags: _*))
+    else exploded
   }
 
   def plan(spark: SparkSession, stmt: Ast.Statement, cat: TsCatalog, nowMs: Long): DataFrame =
@@ -129,7 +137,8 @@ object Planner {
     val bucketMs = s.groupByTimeMs.getOrElse(TimeUnits.MsPerMinute) // 1-min default (cflux.js:749)
 
     val perMetric = s.fields.map { f =>
-      val series = seriesSide(cat.seriesIndex, s.from.measurement, f.name, s.tagFilters)
+      val series = seriesSide(cat.seriesIndex, s.from.measurement, f.name,
+        s.tagFilters, s.groupByTags)
       val outName = f.alias.getOrElse(f.func.getOrElse("mean"))
       val agged = samples
         // time filter FIRST: prunes hour partitions + parquet row groups
@@ -139,8 +148,13 @@ object Planner {
         .join(broadcast(series), Seq("fingerprint"))
         .withColumn("time_ms",
           (floor(col("timestamp_ms") / bucketMs) * bucketMs).cast("long"))
-        .groupBy(col("fingerprint"), col("time_ms"), col("name"),
-          col("labelname"), col("labelvalue"), col("message"))
+        // honored GROUP BY tags collapse across series (no fingerprint in
+        // the keys); default keeps per-series groups like the reference
+        // (A2, cflux.js:766)
+        .groupBy((if (s.groupByTags.nonEmpty) Nil
+                  else Seq(col("fingerprint"))) ++
+          Seq(col("time_ms"), col("name"),
+            col("labelname"), col("labelvalue"), col("message")): _*)
         .agg(aggFor(f.func, col("value"), col("timestamp_ms")).cast("double").as(outName))
         .select(col("time_ms"), col("name"), col(outName).as("value"),
           col("labelname"), col("labelvalue"), col("message"))
