@@ -242,6 +242,30 @@ object SparkEntry {
     "ts_show_retention" -> ((s, dir) =>
       influx(s, dir, """SHOW RETENTION POLICIES ON "graft"""")),
 
+    // --- general OLAP over the TPC-H-ish tables (engine credibility:
+    //     classic scan→filter→agg and grouped top-k shapes) ---
+    "olap_pricing_summary" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          floor(sum("l_quantity") * 100).cast("long").as("sum_qty_c"),
+          floor(sum("l_extendedprice") * 100).cast("long").as("sum_base_c"),
+          floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+            .cast("long").as("sum_disc_c"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "olap_top_users_per_type" -> ((s, dir) => {
+      val totals = EventsAdapter.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(floor(sum("value") * 100).cast("long").as("total_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("total_c").desc, col("user_id"))
+      totals.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("event_type", "rank")
+    }),
+
     // --- LLM-pipeline: text analysis over documents ---
     "doc_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(docs(s, dir))),
@@ -339,6 +363,24 @@ object SparkEntry {
     "ts_show_retention" ->
       """SELECT 'autogen' AS name, '0s' AS duration, '168h0m0s' AS shardGroupDuration,
         |       1 AS replicaN, CAST(1 AS BOOLEAN) AS "default"""".stripMargin,
+    "olap_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c,
+        |       CAST(floor(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_c,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_c,
+        |       count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "olap_top_users_per_type" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id, CAST(floor(sum(value) * 100) AS BIGINT) AS total_c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, total_c,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY total_c DESC, user_id) AS rank
+        |  FROM t)
+        |SELECT event_type, user_id, total_c, rank FROM r
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     "doc_token_stats" -> TextOps.tokenStatsOracle,
     "doc_quality" -> TextOps.qualityScoreOracle,
     "doc_langid" -> TextOps.langIdOracle,

@@ -55,6 +55,30 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(seen.get() === 5)
   }
 
+  test("streaming difference carries per-series state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingTick}
+    val in = MemoryStream[Point]
+    val q = StreamingTick.difference(in.toDS())
+      .writeStream.format("memory").queryName("diffs")
+      .outputMode("append").start()
+    in.addData(Point("cpu|a", 1000L, 10.0), Point("cpu|a", 2000L, 15.0),
+               Point("cpu|b", 1000L, 100.0))
+    q.processAllAvailable()
+    // second batch: diff vs state carried from batch 1 (15.0 and 100.0)
+    in.addData(Point("cpu|a", 3000L, 18.0), Point("cpu|b", 2000L, 90.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("diffs").as[graft.streaming.DiffPoint].collect()
+      .map(d => (d.series, d.ts, d.diff)).toSet
+    assert(got === Set(
+      ("cpu|a", 2000L, 5.0),   // within batch 1
+      ("cpu|a", 3000L, 3.0),   // across batches: 18 - 15
+      ("cpu|b", 2000L, -10.0)  // across batches: 90 - 100
+    ))
+  }
+
   test("restart resumes from checkpoint without re-registering series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
