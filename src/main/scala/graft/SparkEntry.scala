@@ -278,6 +278,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(docs(s, dir))),
+    "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(docs(s, dir))),
+    "doc_train_test_split" -> ((s, dir) => Dedup.trainTestSplit(docs(s, dir))),
+    "doc_vocabulary" -> ((s, dir) => TextOps.vocabulary(docs(s, dir))),
+    "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "dedup_emb_cosine" -> ((s, dir) => Dedup.cosinePairs(emb(s, dir))),
 
     // --- LLM-pipeline: similarity search over embeddings ---
@@ -390,6 +394,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
+    "dedup_keep_best" -> Dedup.keepBestOracle,
+    "doc_train_test_split" -> Dedup.trainTestSplitOracle,
+    "doc_vocabulary" -> TextOps.vocabularyOracle,
+    "emb_quantize_int8" -> Similarity.quantizeInt8Oracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsOracle,
     "ann_brute_topk" -> Similarity.bruteTopKOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,

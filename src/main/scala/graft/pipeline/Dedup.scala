@@ -313,6 +313,83 @@ object Dedup {
        |       count(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM lbl ORDER BY doc_id""".stripMargin
 
+  /** Dataset-curation output: one surviving doc per cluster — the member
+    * with the highest quality score (ties → smaller doc_id). This is the
+    * "what do I actually train on" composition of [[clusters]] ×
+    * [[TextOps.qualityScore]]. Output (cluster_id, keep_id, quality_fp,
+    * n_members). */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val labeled = clusters(docs)
+      .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality_fp")), Seq("doc_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_fp").desc, col("doc_id"))
+    labeled.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("quality_fp"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  val keepBestOracle: String = {
+    // clusters CTE chain + quality join + per-cluster argmax
+    val qualityCte =
+      s"""q AS (
+         |  SELECT doc_id,
+         |         (len(list_distinct(${TextOps.tokensSql})) * 1000 // len(${TextOps.tokensSql}))
+         |           + (CASE WHEN len(${TextOps.tokensSql}) BETWEEN 30 AND 500 THEN 200 ELSE 0 END)
+         |           - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 50 AS quality_fp
+         |  FROM documents)""".stripMargin
+    s"""WITH RECURSIVE sh AS ($shingleRowsSql),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id i, b.doc_id j, count(*) n
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp),
+       |e AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+       |r(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.b FROM r JOIN e ON e.a = r.lab),
+       |lbl AS (SELECT doc_id, min(lab) AS cluster_id FROM r GROUP BY doc_id),
+       |mem AS (SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY cluster_id),
+       |$qualityCte,
+       |ranked AS (
+       |  SELECT l.cluster_id, l.doc_id, q.quality_fp, m.n_members,
+       |         row_number() OVER (PARTITION BY l.cluster_id
+       |                            ORDER BY q.quality_fp DESC, l.doc_id) AS rn
+       |  FROM lbl l JOIN q ON q.doc_id = l.doc_id
+       |  JOIN mem m ON m.cluster_id = l.cluster_id)
+       |SELECT cluster_id, doc_id AS keep_id, quality_fp, n_members
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  /** Deterministic hash-split (train/valid/test 90/5/5 by content hash) —
+    * the standard leakage-safe way to split a corpus: membership depends
+    * only on the text, never on row order or partitioning. Output:
+    * per-split doc count + doc_id checksum. */
+  def trainTestSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), (baseHash(col("text")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("docid_sum"))
+      .orderBy("split")
+
+  val trainTestSplitOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, ${baseHashSql("text")} % 100 AS bucket FROM documents),
+       |s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+       |                          WHEN bucket < 95 THEN 'valid'
+       |                          ELSE 'test' END AS split FROM b)
+       |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS docid_sum
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   // ---- embedding cosine near-dup ----------------------------------------
 
   /** Cosine threshold, fixed-point 1e6 (testdata max pair cosine ~0.51,

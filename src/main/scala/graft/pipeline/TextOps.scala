@@ -145,6 +145,23 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- operator: vocabulary building ------------------------------------
+
+  /** Corpus vocabulary with term frequency + document frequency — the
+    * precursor to tokenizer/BPE training. One explode + one groupBy
+    * (map-side combined); vocabulary is bounded by distinct-token count,
+    * not corpus size. Output (token, tf, df) ordered by tf desc. */
+  def vocabulary(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("token"))
+
+  val vocabularyOracle: String =
+    s"""SELECT u.token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest(d.w) u(token)
+       |GROUP BY u.token ORDER BY tf DESC, token""".stripMargin
+
   // ---- operator: document fingerprinting --------------------------------
 
   /** Rolling-shingle fingerprint: min shingle hash (MinHash with one
