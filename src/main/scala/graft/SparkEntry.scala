@@ -64,13 +64,15 @@ object SparkEntry {
 
   /** Oracle for tsSelect: same pipeline in DuckDB SQL — per-series groups,
     * exploded per label pair (the reference's ARRAY JOIN output shape). */
-  private def tsSelectOracle(aggSql: String, bucketMs: Long): String =
+  private def tsSelectOracle(aggSql: String, bucketMs: Long,
+                             fromMs: Long = FromNs / 1000000L,
+                             toMs: Long = ToNs / 1000000L): String =
     s"""WITH g AS (
        |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms,
        |         event_type, CAST(user_id AS VARCHAR) AS user_id,
        |         CAST(floor(($aggSql) * 100) AS BIGINT) AS value
        |  FROM events
-       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+       |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
        |  GROUP BY 1, 2, 3)
        |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
        |       event_type AS labelvalue, '' AS message FROM g
@@ -189,6 +191,15 @@ object SparkEntry {
       s"""SELECT sum("value") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
     "ts_select_string_count_1h" -> ((s, dir) => stable(influxCat(s, ingestedCatalog(s, dir),
       s"""SELECT count("props") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+
+    // --- U1 multi-metric UNION ALL: one subquery per projected metric,
+    //     float + string pipelines in one statement (cflux.js:745-772) ---
+    "ts_select_multi_metric" -> ((s, dir) => stable(influxCat(s, ingestedCatalog(s, dir),
+      s"""SELECT mean("value"), count("props") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+
+    // --- P2 shape 1: now()-relative time range (now fixed at NowMs) ---
+    "ts_select_relative_range" -> ((s, dir) => stable(influx(s, dir,
+      """SELECT mean("value") FROM "events" WHERE time > now() - 364d GROUP BY time(1h)"""))),
 
     // --- §3.3 metadata statements over the series index (A3-A6, P5-P6, F7) ---
     "ts_show_measurements" -> ((s, dir) =>
@@ -355,6 +366,35 @@ object SparkEntry {
       "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
     "ts_moving_avg_1h" -> tickOracle(3600000L,
       "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
+    "ts_select_relative_range" -> tsSelectOracle("avg(value)", 3600000L,
+      fromMs = NowMs - 364L * 86400000L, toMs = NowMs),
+    "ts_select_multi_metric" ->
+      s"""WITH gv AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  GROUP BY 1, 2, 3),
+         |gp AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id, props,
+         |         CAST(floor(count(*) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM gv
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       user_id AS labelvalue, '' AS message FROM gv
+         |UNION ALL
+         |SELECT time_ms, 'props' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, props AS message FROM gp
+         |UNION ALL
+         |SELECT time_ms, 'props' AS name, value, 'user_id' AS labelname,
+         |       user_id AS labelvalue, props AS message FROM gp
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fill_zero" -> fillOracle(3600000L, "0"),
     "ts_select_fill_previous" -> fillOracle(3600000L, "previous"),
     "ts_asof_prior_view" ->
