@@ -18,6 +18,11 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // let the ContextCleaner drop stale broadcasts/shuffles from prior
+      // queries (otherwise they pile up across ~100 executions in this
+      // one JVM and GC pauses land inside whichever query runs next);
+      // outside the timed section.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -45,7 +45,12 @@ object SparkEntry {
     import s.implicits._
     val lines = EventsAdapter.asLineProtocol(EventsAdapter.events(s, dir)).as[String]
     val batch = Ingest.fromLines(lines, nowMs = NowMs)
-    TsCatalog(Seq("graft"), Map(EventsAdapter.Measurement -> batch.samples), batch.series)
+    // materialize the parse once — the SELECT plan references samples and
+    // the series side per metric, which would otherwise re-run the
+    // render+parse lineage up to 4x per statement
+    TsCatalog(Seq("graft"),
+      Map(EventsAdapter.Measurement -> batch.samples.localCheckpoint(true)),
+      batch.series.localCheckpoint(true))
   }
 
   /** Planner SELECT output → hash-stable shape (fixed-point value + total order). */

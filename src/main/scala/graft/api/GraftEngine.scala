@@ -57,13 +57,25 @@ class GraftEngine(
 
   /** Ingest a raw line-protocol body (cflux.js:298-352): lazy db create,
     * subscription fan-out on the raw body, parse/fingerprint/type-split,
-    * append samples + newly-seen series. */
-  def write(db: String, body: String): Unit = {
+    * append samples + newly-seen series.
+    *
+    * @param precision wire timestamp unit, like InfluxDB's
+    *                  `/write?precision=` (the reference instead has a
+    *                  process-wide `tsDivide` env, cflux.js:10,712);
+    *                  one of ns (default), u/us, ms, s. */
+  def write(db: String, body: String, precision: String = "ns"): Unit = {
     import spark.implicits._
     createDatabase(db)
     subscriptions.get(db).foreach { case (_, _, post) => post(body) }
+    val toNs: Long = precision match {
+      case "ns" => 1L
+      case "u" | "us" => 1000L
+      case "ms" => 1000000L
+      case "s" => 1000000000L
+      case other => throw new IllegalArgumentException(s"bad precision: $other")
+    }
     val lines = spark.createDataset(body.split("\n").toSeq.filter(_.nonEmpty))
-    val batch = Ingest.fromLines(lines, nowMs())
+    val batch = Ingest.fromLines(lines, nowMs(), tsToNs = toNs)
     Ingest.writeSamples(batch.samples, samplesPath(db))
     val novel =
       try batch.series.join(
@@ -95,7 +107,11 @@ class GraftEngine(
   def query(db: String, q: String): String =
     InfluxQlParser.parse(q).fold(_ => Response.emptyResult, {
       case s: Ast.Select =>
-        Response.selectJson(Planner.planSelect(spark, s, catalog(db), nowMs()))
+        // unknown measurement / empty db → empty result, not an error
+        // (the reference streams whatever ClickHouse errors back; a clean
+        // empty response is the intended behavior for clients)
+        try Response.selectJson(Planner.planSelect(spark, s, catalog(db), nowMs()))
+        catch { case _: IllegalArgumentException => Response.emptyResult }
       case Ast.CreateDatabase(name) =>
         createDatabase(name); Response.emptyResult
       case Ast.CreateSubscription(id, sdb, _, dest) =>

@@ -42,11 +42,14 @@ object Ingest {
 
   /** Parse + normalize a batch of line-protocol lines.
     *
-    * @param nowMs wall-clock fallback for points without a timestamp
-    *              (reference cflux.js:360). Passed in, not sampled, so the
-    *              pipeline stays deterministic and testable.
+    * @param nowMs  wall-clock fallback for points without a timestamp
+    *               (reference cflux.js:360). Passed in, not sampled, so the
+    *               pipeline stays deterministic and testable.
+    * @param tsToNs multiplier converting wire timestamps to ns (InfluxDB
+    *               `precision=` param; reference `tsDivide` env,
+    *               cflux.js:10,712). 1 = wire is already ns.
     */
-  def fromLines(lines: Dataset[String], nowMs: Long): IngestBatch = {
+  def fromLines(lines: Dataset[String], nowMs: Long, tsToNs: Long = 1L): IngestBatch = {
     val spark = lines.sparkSession
     import spark.implicits._
 
@@ -54,7 +57,7 @@ object Ingest {
       LineProtocol.parse(line) match {
         case Left(_) => Iterator.empty // malformed lines skipped (reference logs & continues)
         case Right(p) =>
-          val tsMs = p.timestampNs.map(graft.model.TimeUnits.nsToMs).getOrElse(nowMs)
+          val tsMs = p.timestampNs.map(t => graft.model.TimeUnits.nsToMs(t * tsToNs)).getOrElse(nowMs)
           val hour = graft.model.TimeUnits.msToHourBucket(tsMs)
           p.fields.iterator.map {
             case (k, LineProtocol.FloatV(v)) =>

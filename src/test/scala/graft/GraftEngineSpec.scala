@@ -78,6 +78,27 @@ class GraftEngineSpec extends AnyFunSuite {
 
   private val Response0 = """{"results":[{"statement_id":0}]}"""
 
+  test("write precision scales wire timestamps (s/ms/us/ns)") {
+    val e = newEngine()
+    // same instant expressed in four precisions -> one 1m bucket
+    e.write("dbt", "m1,h=a f=1 1735689540", "s")
+    e.write("dbt", "m1,h=a f=2 1735689540000", "ms")
+    e.write("dbt", "m1,h=a f=3 1735689540000000", "us")
+    e.write("dbt", "m1,h=a f=4 1735689540000000000", "ns")
+    val json = e.query("dbt",
+      """SELECT mean("f") FROM "m1" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(json.contains("[1735689540000,2.5]")) // mean(1,2,3,4) in ONE bucket
+    intercept[IllegalArgumentException](e.write("dbt", "m1 f=1", "fortnights"))
+  }
+
+  test("SELECT against unknown measurement or fresh db returns empty result") {
+    val e = newEngine()
+    e.write("dbe", "cpu,h=a f=1 1735689540000000000")
+    assert(e.query("dbe",
+      """SELECT mean("f") FROM "nope" WHERE time > now() - 5m GROUP BY time(1m)""")
+      === Response0)
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",
