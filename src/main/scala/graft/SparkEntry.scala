@@ -184,6 +184,8 @@ object SparkEntry {
     "ts_select_max_1h" -> (tsSelect("max", "1h") _),
     "ts_select_min_1h" -> (tsSelect("min", "1h") _),
     "ts_select_spread_1h" -> (tsSelect("spread", "1h") _),
+    "ts_select_p95_1h" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT percentile("value", 95) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
 
     // --- P4 tag-equality predicates (single series) + O3 honored LIMIT ---
     "ts_select_tagfilter" -> ((s, dir) => stable(influx(s, dir, tagFilterQuery("5m")))),
@@ -252,6 +254,12 @@ object SparkEntry {
             .as("prior_view_cents"))
         .orderBy("event_id")
     }),
+
+    // --- sessionization (inactivity-gap sessions over events) ---
+    "ts_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(
+        EventsAdapter.events(s, dir).select(col("user_id"), col("ts_ms")),
+        Seq("user_id"), "ts_ms", gapMs = 1800000L)),
 
     // --- §3.3 remaining metadata statements ---
     "ts_show_databases" -> ((s, dir) => influx(s, dir, "SHOW DATABASES")),
@@ -335,6 +343,7 @@ object SparkEntry {
     "ts_select_max_1h" -> tsSelectOracle("max(value)", 3600000L),
     "ts_select_min_1h" -> tsSelectOracle("min(value)", 3600000L),
     "ts_select_spread_1h" -> tsSelectOracle("max(value) - min(value)", 3600000L),
+    "ts_select_p95_1h" -> tsSelectOracle("quantile_cont(value, 0.95)", 3600000L),
     "ts_select_tagfilter" -> tagFilterOracle(300000L, limit = None),
     "ts_select_limit" -> tagFilterOracle(60000L, limit = Some(20)),
     "ts_select_ingested_sum_1h" -> tsSelectOracle("sum(value)", 3600000L),
@@ -408,6 +417,19 @@ object SparkEntry {
         |FROM events c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |WHERE c.event_type = 'click' ORDER BY c.event_id""".stripMargin,
+    "ts_sessionize" ->
+      """WITH x AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |s AS (SELECT user_id, t,
+        |             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+        |                  THEN 1 ELSE 0 END AS ns
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |i AS (SELECT user_id, t,
+        |             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |      FROM s)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(t) AS start_ms, max(t) AS end_ms
+        |FROM i GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "ts_show_databases" -> "SELECT 'graft' AS name",
     "ts_show_retention" ->
       """SELECT 'autogen' AS name, '0s' AS duration, '168h0m0s' AS shardGroupDuration,

@@ -10,7 +10,11 @@ object Ast {
     * The reference reads returnColumns[].sourceColumns[].value
     * (cflux.js:734,745-748) and ignores the function (always avg); we honor
     * the function (SURVEY §2.4 build note). */
-  final case class Field(func: Option[String], name: String, alias: Option[String])
+  /** @param arg numeric second function argument, e.g.
+    *             `percentile("value", 95)` — InfluxQL surface the
+    *             reference drops entirely (avg hardwired, cflux.js:749) */
+  final case class Field(func: Option[String], name: String, alias: Option[String],
+                         arg: Option[Double] = None)
 
   /** A time bound from the WHERE clause — the four shapes of
     * cflux.js:702-727. Resolved to epoch ms at plan time. */

@@ -207,9 +207,14 @@ object InfluxQlParser {
             case Op("*")     => "*"
             case t           => return Left(s"bad function arg $t")
           }
+          val arg: Option[Double] =
+            if (p.op(",")) p.next() match {
+              case Num(n) => Some(n.toDouble)
+              case t      => return Left(s"bad numeric function arg $t")
+            } else None
           if (!p.op(")")) return Left("expected )")
           val alias = if (p.kw("AS")) p.ident().toOption else None
-          Right(Ast.Field(Some(name.toLowerCase), inner, alias))
+          Right(Ast.Field(Some(name.toLowerCase), inner, alias, arg))
         } else {
           val alias = if (p.kw("AS")) p.ident().toOption else None
           Right(Ast.Field(None, name, alias))

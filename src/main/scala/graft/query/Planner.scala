@@ -47,7 +47,8 @@ object Planner {
   /** Honest aggregate dispatch (SURVEY §2.4 build note): the reference
     * always emits avg (cflux.js:749); we dispatch on the parsed function
     * with mean as the compat default. */
-  def aggFor(func: Option[String], value: Column, ts: Column): Column = func match {
+  def aggFor(func: Option[String], value: Column, ts: Column,
+             arg: Option[Double] = None): Column = func match {
     case None | Some("mean") => avg(value)
     case Some("sum")         => sum(value)
     case Some("count")       => count(value)
@@ -58,6 +59,9 @@ object Planner {
     case Some("spread")      => max(value) - min(value)
     case Some("median")      => median(value)
     case Some("stddev")      => stddev_samp(value)
+    case Some("percentile")  => // exact interpolated percentile, arg in [0,100]
+      percentile(value, lit(arg.getOrElse(
+        throw new IllegalArgumentException("percentile needs a numeric argument")) / 100.0))
     case Some(other)         => throw new IllegalArgumentException(s"unsupported aggregate: $other")
   }
 
@@ -155,7 +159,7 @@ object Planner {
                   else Seq(col("fingerprint"))) ++
           Seq(col("time_ms"), col("name"),
             col("labelname"), col("labelvalue"), col("message")): _*)
-        .agg(aggFor(f.func, col("value"), col("timestamp_ms")).cast("double").as(outName))
+        .agg(aggFor(f.func, col("value"), col("timestamp_ms"), f.arg).cast("double").as(outName))
         .select(col("time_ms"), col("name"), col(outName).as("value"),
           col("labelname"), col("labelvalue"), col("message"))
       fillGaps(agged, s.fill, fromMs, toMs, bucketMs)
