@@ -317,6 +317,8 @@ object SparkEntry {
     // --- LLM-pipeline: multimodal binary columns (stubbed decode) ---
     "mm_decode_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocs(docs(s, dir)))),
 
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
@@ -480,6 +482,7 @@ object SparkEntry {
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       event_type AS labelvalue, '' AS message FROM g
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
-    "mm_decode_features" -> Multimodal.extractFeaturesOracle
+    "mm_decode_features" -> Multimodal.extractFeaturesOracle,
+    "mm_frame_sample" -> Multimodal.sampleFramesOracle
   )
 }

@@ -11,6 +11,10 @@ case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
 case class MediaFeature(media_id: Long, kind: String, width: Int, height: Int,
                         byte_len: Long, checksum: Long, head_hex: String)
 
+/** Frame-sampling output: every 4th 16-byte "frame" + halved dimensions. */
+case class MediaFrames(media_id: Long, n_frames: Long, resized_w: Int,
+                       resized_h: Int, sample_checksum: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition in batches.
   *
@@ -58,6 +62,40 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(decodeStub)).toDF()
       .orderBy("media_id")
   }
+
+  /** STUB frame sampler — the video-path plumbing: treat the payload as
+    * fixed 16-byte "frames", keep every 4th, and emit halved "resized"
+    * dimensions. A real codec would decode frames here; batch shape,
+    * schema, and the per-partition iteration are the production form. */
+  def sampleFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      val nFrames = (m.payload.length + 15) / 16
+      var checksum = 0L
+      var p = 0
+      while (p < m.payload.length) {
+        val frame = p / 16
+        if (frame % 4 == 0) checksum += (m.payload(p) & 0xff).toLong * (frame + 1)
+        p += 1
+      }
+      MediaFrames(m.media_id, nFrames.toLong, m.width / 2 + 1, m.height / 2 + 1, checksum)
+    }).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB twin of [[sampleFrames]] ∘ [[mediaFromDocs]]. */
+  val sampleFramesOracle: String =
+    s"""SELECT doc_id AS media_id,
+       |       (length(text) + 15) // 16 AS n_frames,
+       |       ((n_chars % 640 + 1) // 2 + 1)::INTEGER AS resized_w,
+       |       ((n_chars * 7 % 480 + 1) // 2 + 1)::INTEGER AS resized_h,
+       |       list_reduce(
+       |         list_transform(range(1, length(text) + 1),
+       |           p -> CASE WHEN ((p - 1) // 16) % 4 = 0
+       |                     THEN ord(text[p])::BIGINT * ((p - 1) // 16 + 1)
+       |                     ELSE 0 END),
+       |         (a, b) -> a + b) AS sample_checksum
+       |FROM documents ORDER BY media_id""".stripMargin
 
   /** DuckDB oracle for extractFeatures ∘ mediaFromDocs: the stub's
     * arithmetic re-expressed over the (ASCII) text — ord(char) == byte. */
