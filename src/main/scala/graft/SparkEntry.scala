@@ -364,7 +364,7 @@ object SparkEntry {
          |       user_id AS labelvalue, props AS message FROM g
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_show_measurements" ->
-      "SELECT DISTINCT 'events' AS measurement FROM events ORDER BY measurement",
+      "SELECT DISTINCT 'events' AS name FROM events ORDER BY name",
     "ts_show_field_keys" ->
       "SELECT DISTINCT 'value' AS fieldKey, 'float' AS fieldType FROM events ORDER BY fieldKey",
     "ts_show_tag_keys" ->

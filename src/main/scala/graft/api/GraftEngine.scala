@@ -124,13 +124,16 @@ class GraftEngine(
         Response.emptyResult // cflux.js:846-852
       case stmt =>
         val df = Planner.plan(spark, stmt, catalog(db), nowMs())
+        // series names mirror the reference exactly: the measurement for
+        // field/tag statements (cflux.js:466,514,...), fixed names for
+        // measurements/databases (cflux.js:654,672), none for retention
         val name = stmt match {
           case Ast.ShowMeasurements(_) => "measurements"
-          case _: Ast.ShowFieldKeys => "fieldKeys"
-          case _: Ast.ShowTagKeys => "tagKeys"
-          case _: Ast.ShowTagValues => "tagValues"
+          case Ast.ShowFieldKeys(from) => from.map(_.measurement).getOrElse("")
+          case Ast.ShowTagKeys(from) => from.map(_.measurement).getOrElse("")
+          case Ast.ShowTagValues(from, _) => from.map(_.measurement).getOrElse("")
           case Ast.ShowDatabases => "databases"
-          case _ => db
+          case _ => "" // retention policies: nameless series (cflux.js:425-444)
         }
         Response.showJson(name, df)
     })

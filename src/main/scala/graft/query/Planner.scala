@@ -105,7 +105,8 @@ object Planner {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
       case Ast.ShowMeasurements(_)  =>
-        cat.seriesIndex.select(col("measurement")).distinct().orderBy("measurement")
+        // response column is "name" (cflux.js:654, InfluxDB shape)
+        cat.seriesIndex.select(col("measurement").as("name")).distinct().orderBy("name")
       case Ast.ShowFieldKeys(from)  =>
         scoped(cat, from).select(col("name").as("fieldKey"))
           .distinct()

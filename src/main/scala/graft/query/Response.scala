@@ -48,12 +48,14 @@ object Response {
 
   def resultsJson(series: Seq[Series]): String = {
     val ss = series.map { s =>
+      // empty name → nameless series (retention policies, cflux.js:425-444)
+      val name = if (s.name.isEmpty) "" else s""""name":${q(s.name)},"""
       val tags =
         if (s.tags.isEmpty) ""
         else s.tags.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(""""tags":{""", ",", "},")
       val cols = s.columns.map(q).mkString("[", ",", "]")
       val vals = s.values.map(_.map(jval).mkString("[", ",", "]")).mkString("[", ",", "]")
-      s"""{"name":${q(s.name)},$tags"columns":$cols,"values":$vals}"""
+      s"""{$name$tags"columns":$cols,"values":$vals}"""
     }.mkString("[", ",", "]")
     s"""{"results":[{"statement_id":0,"series":$ss}]}"""
   }

@@ -124,7 +124,8 @@ class PlannerSpec extends AnyFunSuite {
 
   test("golden JSON for SHOW MEASUREMENTS and empty result") {
     val json = Response.showJson("measurements", run("SHOW MEASUREMENTS"))
-    assert(json == """{"results":[{"statement_id":0,"series":[{"name":"measurements","columns":["measurement"],"values":[["cpu"],["mem"],["syslog"]]}]}]}""")
+    // column is "name", matching cflux.js:654 / InfluxDB's response shape
+    assert(json == """{"results":[{"statement_id":0,"series":[{"name":"measurements","columns":["name"],"values":[["cpu"],["mem"],["syslog"]]}]}]}""")
     assert(Response.emptyResult == """{"results":[{"statement_id":0}]}""")
   }
 }
