@@ -110,7 +110,8 @@ class GraftEngine(
         // unknown measurement / empty db → empty result, not an error
         // (the reference streams whatever ClickHouse errors back; a clean
         // empty response is the intended behavior for clients)
-        try Response.selectJson(Planner.planSelect(spark, s, catalog(db), nowMs()))
+        try Response.selectJson(
+          Planner.planSelect(spark, s, catalog(db), nowMs()), s.from.measurement)
         catch { case _: IllegalArgumentException => Response.emptyResult }
       case Ast.CreateDatabase(name) =>
         createDatabase(name); Response.emptyResult

@@ -17,8 +17,13 @@ object Response {
 
   /** Pivot the planner's SELECT output (time_ms, name, value, labelname,
     * labelvalue, message). Call only at the API boundary, on a result that
-    * is already bounded (honored LIMIT / aggregated) — never mid-plan. */
-  def pivotSelect(df: DataFrame): Seq[Series] = {
+    * is already bounded (honored LIMIT / aggregated) — never mid-plan.
+    *
+    * Shape per cflux.js:815-832: series name = the MEASUREMENT, columns
+    * ["time", metric], one series per (metric, tagKey, tagValue) — each an
+    * independent object (the reference pushes one mutated object, the
+    * aliasing bug flagged in SURVEY §3.2). */
+  def pivotSelect(df: DataFrame, measurement: String): Seq[(String, Series)] = {
     val rows = df.collect()
     val order = mutable.LinkedHashMap.empty[(String, String, String), mutable.ArrayBuffer[Seq[Any]]]
     rows.foreach { r =>
@@ -28,13 +33,22 @@ object Response {
       val v: Any = if (msg != null && msg.nonEmpty) msg else r.getAs[Double]("value")
       order.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += Seq(r.getAs[Long]("time_ms"), v)
     }
-    order.map { case ((name, lk, lv), vals) =>
-      Series(name, Map(lk -> lv), Seq("time", name), vals.toSeq)
-    }.toSeq
+    order.toSeq.map { case ((metric, lk, lv), vals) =>
+      metric -> Series(measurement, Map(lk -> lv), Seq("time", metric), vals.toSeq)
+    }
   }
 
-  def selectJson(df: DataFrame): String =
-    resultsJson(pivotSelect(df))
+  /** One results[] entry per (metric, tag pair), statement_id = the
+    * metric's first-seen index (cflux.js:818-829). */
+  def selectJson(df: DataFrame, measurement: String): String = {
+    val pivoted = pivotSelect(df, measurement)
+    val metricIdx = mutable.LinkedHashMap.empty[String, Int]
+    pivoted.foreach { case (m, _) => metricIdx.getOrElseUpdate(m, metricIdx.size) }
+    val entries = pivoted.map { case (m, s) =>
+      s"""{"statement_id":${metricIdx(m)},"series":[${seriesJson(s)}]}"""
+    }
+    s"""{"results":${entries.mkString("[", ",", "]")}}"""
+  }
 
   /** SHOW MEASUREMENTS / FIELD KEYS / TAG KEYS / TAG VALUES / DATABASES —
     * the generic single-series shapes of cflux.js:450-674. */
@@ -46,17 +60,19 @@ object Response {
 
   def emptyResult: String = """{"results":[{"statement_id":0}]}"""
 
+  private def seriesJson(s: Series): String = {
+    // empty name → nameless series (retention policies, cflux.js:425-444)
+    val name = if (s.name.isEmpty) "" else s""""name":${q(s.name)},"""
+    val tags =
+      if (s.tags.isEmpty) ""
+      else s.tags.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(""""tags":{""", ",", "},")
+    val cols = s.columns.map(q).mkString("[", ",", "]")
+    val vals = s.values.map(_.map(jval).mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""{$name$tags"columns":$cols,"values":$vals}"""
+  }
+
   def resultsJson(series: Seq[Series]): String = {
-    val ss = series.map { s =>
-      // empty name → nameless series (retention policies, cflux.js:425-444)
-      val name = if (s.name.isEmpty) "" else s""""name":${q(s.name)},"""
-      val tags =
-        if (s.tags.isEmpty) ""
-        else s.tags.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(""""tags":{""", ",", "},")
-      val cols = s.columns.map(q).mkString("[", ",", "]")
-      val vals = s.values.map(_.map(jval).mkString("[", ",", "]")).mkString("[", ",", "]")
-      s"""{$name$tags"columns":$cols,"values":$vals}"""
-    }.mkString("[", ",", "]")
+    val ss = series.map(seriesJson).mkString("[", ",", "]")
     s"""{"results":[{"statement_id":0,"series":$ss}]}"""
   }
 

@@ -24,8 +24,10 @@ class GraftEngineSpec extends AnyFunSuite {
         |cpu,host=b,region=eu usage=30 1735689560000000000""".stripMargin)
     val json = e.query("telegraf",
       """SELECT mean("usage") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
-    // host=a bucket mean = 15, host=b = 30; one series per (metric, tag pair)
-    assert(json.contains(""""name":"usage""""))
+    // host=a bucket mean = 15, host=b = 30; one series per (metric, tag
+    // pair), named after the MEASUREMENT with columns ["time", metric]
+    assert(json.contains(""""name":"cpu""""))
+    assert(json.contains(""""columns":["time","usage"]"""))
     assert(json.contains(""""tags":{"host":"a"}"""))
     assert(json.contains(""""tags":{"host":"b"}"""))
     assert(json.contains(""""tags":{"region":"eu"}"""))

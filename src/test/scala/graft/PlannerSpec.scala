@@ -114,12 +114,15 @@ class PlannerSpec extends AnyFunSuite {
 
   test("golden InfluxDB JSON shape for SELECT") {
     val df = run("""SELECT mean("usage_user") FROM "cpu" WHERE time > now() - 2h AND "cpu"='cpu1' GROUP BY time(1m)""")
-    val json = Response.selectJson(df)
+    val json = Response.selectJson(df, "cpu")
     val m0 = t0ms - t0ms % 60000L
+    // reference shape (cflux.js:815-832): series name = MEASUREMENT,
+    // columns ["time", metric], one results entry per (metric, tag pair),
+    // each an independent object (aliasing bug fixed per SURVEY §3.2)
     assert(json ==
-      s"""{"results":[{"statement_id":0,"series":[""" +
-      s"""{"name":"usage_user","tags":{"cpu":"cpu1"},"columns":["time","usage_user"],"values":[[$m0,100]]},""" +
-      s"""{"name":"usage_user","tags":{"host":"h1"},"columns":["time","usage_user"],"values":[[$m0,100]]}]}]}""")
+      s"""{"results":[""" +
+      s"""{"statement_id":0,"series":[{"name":"cpu","tags":{"cpu":"cpu1"},"columns":["time","usage_user"],"values":[[$m0,100]]}]},""" +
+      s"""{"statement_id":0,"series":[{"name":"cpu","tags":{"host":"h1"},"columns":["time","usage_user"],"values":[[$m0,100]]}]}]}""")
   }
 
   test("golden JSON for SHOW MEASUREMENTS and empty result") {
