@@ -305,6 +305,8 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(docs(s, dir))),
     "doc_train_test_split" -> ((s, dir) => Dedup.trainTestSplit(docs(s, dir))),
     "doc_vocabulary" -> ((s, dir) => TextOps.vocabulary(docs(s, dir))),
+    "doc_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
+    "doc_pack_bins" -> ((s, dir) => TextOps.packBins(docs(s, dir))),
     "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "dedup_emb_cosine" -> ((s, dir) => Dedup.cosinePairs(emb(s, dir))),
 
@@ -466,6 +468,8 @@ object SparkEntry {
     "dedup_keep_best" -> Dedup.keepBestOracle,
     "doc_train_test_split" -> Dedup.trainTestSplitOracle,
     "doc_vocabulary" -> TextOps.vocabularyOracle,
+    "doc_chunk" -> TextOps.chunkOracle,
+    "doc_pack_bins" -> TextOps.packBinsOracle,
     "emb_quantize_int8" -> Similarity.quantizeInt8Oracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsOracle,
     "ann_brute_topk" -> Similarity.bruteTopKOracle,

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the training-data pipeline operators
@@ -161,6 +162,93 @@ object TextOps {
     s"""SELECT u.token, count(*) AS tf, count(DISTINCT doc_id) AS df
        |FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest(d.w) u(token)
        |GROUP BY u.token ORDER BY tf DESC, token""".stripMargin
+
+  // ---- operator: document chunking ---------------------------------------
+
+  val ChunkSize = 32
+  val ChunkStride = 24 // 8-token overlap
+
+  /** Split each doc into fixed-size token windows with overlap (context-
+    * window preparation). Output (doc_id, chunk_idx, n_tokens, chunk_hash)
+    * — the hash stands in for the chunk text so the oracle verifies
+    * content without shipping it. Pure per-row explode: no shuffle. */
+  def chunk(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val nChunks = // ceil((n - size) / stride) + 1, min 1
+      greatest(lit(1L),
+        (ceil((size(w) - lit(ChunkSize)).cast("double") / ChunkStride) + 1).cast("long"))
+    docs
+      .select(col("doc_id"), w.as("w"), nChunks.as("nc"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        slice(col("w"), (col("chunk_idx") * ChunkStride + 1).cast("int"), lit(ChunkSize)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_tokens"),
+        baseHash(array_join(col("c"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkOracle: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |n AS (SELECT doc_id, w,
+       |             greatest(1, CAST(ceil((len(w) - $ChunkSize) / ${ChunkStride}.0) AS BIGINT) + 1) AS nc
+       |      FROM d),
+       |c AS (SELECT doc_id, t.chunk_idx,
+       |             w[(t.chunk_idx * $ChunkStride + 1):(t.chunk_idx * $ChunkStride + $ChunkSize)] AS c
+       |      FROM n, unnest(range(0, nc)) t(chunk_idx))
+       |SELECT doc_id, chunk_idx, len(c) AS n_tokens,
+       |       ${baseHashSql("array_to_string(c, ' ')")} AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- operator: sequence packing ----------------------------------------
+
+  val PackTarget = 2048L
+
+  /** Pack documents into ~fixed-token training bins: cumulative token
+    * count over doc_id order, bin = cumsum div target. Deterministic
+    * regardless of partitioning, and distributed: a global
+    * `Window.orderBy` would funnel everything through ONE partition, so
+    * this uses the two-phase prefix-sum shape instead — range-partition
+    * by doc_id, per-partition running sums in parallel, then add each
+    * partition's broadcast prefix offset (the driver touches one row per
+    * partition, nothing else). Output per bin: (bin, n_docs, n_tokens). */
+  def packBins(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+    // phase 1: one total per partition (tiny), prefix-scanned on the driver
+    val totals = toks.groupBy("pid").agg(sum("n").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // offset(pid) = sum of all partitions strictly before pid
+    val offsetOf = totals.map(_._1)
+      .zip(totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot }).toMap
+    val offsetCol = totals.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
+      when(col("pid") === pid, lit(offsetOf(pid))).otherwise(acc)
+    }
+    // phase 2: per-partition running sum (parallel) + partition offset
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("before", coalesce(sum("n").over(w), lit(0L)) + offsetCol)
+      .withColumn("bin", expr(s"before div $PackTarget"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .orderBy("bin")
+  }
+
+  val packBinsOracle: String =
+    s"""WITH d AS (SELECT doc_id, len($tokensSql) AS n FROM documents),
+       |c AS (SELECT doc_id, n,
+       |             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+       |      FROM d)
+       |SELECT below // $PackTarget AS bin, count(*) AS n_docs,
+       |       CAST(sum(n) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
 
   // ---- operator: document fingerprinting --------------------------------
 
