@@ -70,8 +70,8 @@ object SparkEntry {
   /** Oracle for tsSelect: same pipeline in DuckDB SQL — per-series groups,
     * exploded per label pair (the reference's ARRAY JOIN output shape). */
   private def tsSelectOracle(aggSql: String, bucketMs: Long,
-                             fromMs: Long = FromNs / 1000000L,
-                             toMs: Long = ToNs / 1000000L): String =
+                             fromMs: Long = FromNs / 1000000L + 1,
+                             toMs: Long = ToNs / 1000000L - 1): String =
     s"""WITH g AS (
        |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms,
        |         event_type, CAST(user_id AS VARCHAR) AS user_id,
@@ -96,7 +96,7 @@ object SparkEntry {
          |         event_type, CAST(user_id AS VARCHAR) AS user_id,
          |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
          |  FROM events
-         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
          |    AND event_type = 'click' AND user_id = 17
          |  GROUP BY 1, 2, 3),
          |u AS (
@@ -126,7 +126,7 @@ object SparkEntry {
     s"""WITH g AS (
        |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms, avg(value) AS raw
        |  FROM events
-       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
        |    AND event_type = 'click' AND user_id = 17
        |  GROUP BY 1),
        |d AS (SELECT time_ms, $winSetup FROM g),
@@ -142,8 +142,8 @@ object SparkEntry {
   /** Oracle for the FILL entries: bucket spine ⟕ per-bucket means, gaps
     * filled per mode; single series → two identical label-pair streams. */
   private def fillOracle(bucketMs: Long, mode: String): String = {
-    val fromB = Math.floorDiv(FromNs / 1000000L, bucketMs) * bucketMs
-    val toB = Math.floorDiv(ToNs / 1000000L, bucketMs) * bucketMs
+    val fromB = Math.floorDiv(FromNs / 1000000L + 1, bucketMs) * bucketMs
+    val toB = Math.floorDiv(ToNs / 1000000L - 1, bucketMs) * bucketMs
     val fillExpr = mode match {
       case "0" => "coalesce(j.raw, 0)"
       case "previous" =>
@@ -153,7 +153,7 @@ object SparkEntry {
     s"""WITH g AS (
        |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms, avg(value) AS raw
        |  FROM events
-       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
        |    AND event_type = 'click' AND user_id = 17
        |  GROUP BY 1),
        |j AS (SELECT s.time_ms, g.raw
@@ -357,7 +357,7 @@ object SparkEntry {
          |         event_type, CAST(user_id AS VARCHAR) AS user_id, props,
          |         CAST(floor(count(*) * 100) AS BIGINT) AS value
          |  FROM events
-         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
          |  GROUP BY 1, 2, 3, 4)
          |SELECT time_ms, 'props' AS name, value, 'event_type' AS labelname,
          |       event_type AS labelvalue, props AS message FROM g
@@ -385,21 +385,21 @@ object SparkEntry {
     "ts_moving_avg_1h" -> tickOracle(3600000L,
       "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
     "ts_select_relative_range" -> tsSelectOracle("avg(value)", 3600000L,
-      fromMs = NowMs - 364L * 86400000L, toMs = NowMs),
+      fromMs = NowMs - 364L * 86400000L + 1, toMs = NowMs),
     "ts_select_multi_metric" ->
       s"""WITH gv AS (
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
          |         event_type, CAST(user_id AS VARCHAR) AS user_id,
          |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
          |  FROM events
-         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
          |  GROUP BY 1, 2, 3),
          |gp AS (
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
          |         event_type, CAST(user_id AS VARCHAR) AS user_id, props,
          |         CAST(floor(count(*) * 100) AS BIGINT) AS value
          |  FROM events
-         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
          |  GROUP BY 1, 2, 3, 4)
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       event_type AS labelvalue, '' AS message FROM gv
@@ -481,7 +481,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, event_type,
          |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
          |  FROM events
-         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L} AND epoch_ms(ts) <= ${ToNs / 1000000L}
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
          |  GROUP BY 1, 2)
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       event_type AS labelvalue, '' AS message FROM g

@@ -75,7 +75,7 @@ class GraftEngine(
       case other => throw new IllegalArgumentException(s"bad precision: $other")
     }
     val lines = spark.createDataset(body.split("\n").toSeq.filter(_.nonEmpty))
-    val batch = Ingest.fromLines(lines, nowMs(), tsToNs = toNs)
+    val batch = Ingest.fromLines(lines, nowMs(), tsToNs = toNs, materializeParsed = true)
     Ingest.writeSamples(batch.samples, samplesPath(db))
     val novel =
       try batch.series.join(
@@ -86,20 +86,29 @@ class GraftEngine(
   }
 
   /** Catalog over the stored layout. Measurement map is lazy: each entry
-    * filters on the measurement partition column → pruned file listing. */
+    * filters on the measurement partition column → pruned file listing.
+    * A db with no writes yet (or never created) yields an empty catalog,
+    * never an error. */
   def catalog(db: String): TsCatalog = {
-    val samples = spark.read.parquet(samplesPath(db))
-    val measurements = {
-      val dir = new java.io.File(samplesPath(db))
-      dir.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
-        .map(_.getName.stripPrefix("measurement="))
-        .map(m => m -> samples.filter(col("measurement") === m))
-        .toMap
-    }
-    TsCatalog(databases.keys.toSeq.sorted,
-      measurements,
-      Ingest.readSeriesIndexFinal(spark, seriesPath(db)))
+    val dir = new java.io.File(samplesPath(db))
+    val measurementNames = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
+      .map(_.getName.stripPrefix("measurement="))
+    val measurements =
+      if (measurementNames.isEmpty) Map.empty[String, org.apache.spark.sql.DataFrame]
+      else {
+        val samples = spark.read.parquet(samplesPath(db))
+        measurementNames.map(m => m -> samples.filter(col("measurement") === m)).toMap
+      }
+    val series =
+      try Ingest.readSeriesIndexFinal(spark, seriesPath(db))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            graft.model.Schemas.seriesIndex)
+      }
+    TsCatalog(databases.keys.toSeq.sorted, measurements, series)
   }
 
   /** Execute one InfluxQL statement, returning the InfluxDB-shaped JSON

@@ -40,6 +40,16 @@ object Ingest {
 
   final case class IngestBatch(samples: DataFrame, series: DataFrame)
 
+  /** One parsed point, pre-split by value type (internal to the parse
+    * stage; both output relations derive from it). */
+  final case class ParsedPoint(
+      measurement: String,
+      tags: Seq[(String, String)],
+      floatFields: Seq[(String, Double)],
+      stringFields: Seq[(String, String)],
+      tsMs: Long
+  )
+
   /** Parse + normalize a batch of line-protocol lines.
     *
     * @param nowMs  wall-clock fallback for points without a timestamp
@@ -48,37 +58,46 @@ object Ingest {
     * @param tsToNs multiplier converting wire timestamps to ns (InfluxDB
     *               `precision=` param; reference `tsDivide` env,
     *               cflux.js:10,712). 1 = wire is already ns.
+    * @param materializeParsed localCheckpoint the parsed points so the
+    *               samples and series relations don't each re-run the
+    *               parse (use on batch call sites that consume BOTH —
+    *               GraftEngine.write, foreachBatch sinks).
     */
-  def fromLines(lines: Dataset[String], nowMs: Long, tsToNs: Long = 1L): IngestBatch = {
+  def fromLines(lines: Dataset[String], nowMs: Long, tsToNs: Long = 1L,
+                materializeParsed: Boolean = false): IngestBatch = {
     val spark = lines.sparkSession
     import spark.implicits._
 
-    val samples = lines.flatMap { line =>
+    val parsed0: Dataset[ParsedPoint] = lines.flatMap { line =>
       LineProtocol.parse(line) match {
         case Left(_) => Iterator.empty // malformed lines skipped (reference logs & continues)
         case Right(p) =>
           val tsMs = p.timestampNs.map(t => graft.model.TimeUnits.nsToMs(t * tsToNs)).getOrElse(nowMs)
-          val hour = graft.model.TimeUnits.msToHourBucket(tsMs)
-          p.fields.iterator.map {
-            case (k, LineProtocol.FloatV(v)) =>
-              SampleRow(Fingerprint.of(p.tags, k), tsMs, v, k, "", hour, p.measurement)
-            case (k, LineProtocol.StringV(v)) =>
-              SampleRow(Fingerprint.of(p.tags, k), tsMs, 0.0, k, v, hour, p.measurement)
-          }
+          Iterator.single(ParsedPoint(
+            p.measurement, p.tags,
+            p.fields.collect { case (k, LineProtocol.FloatV(v)) => (k, v) },
+            p.fields.collect { case (k, LineProtocol.StringV(v)) => (k, v) },
+            tsMs))
+      }
+    }
+    val parsed = if (materializeParsed) parsed0.localCheckpoint(true) else parsed0
+
+    val samples = parsed.flatMap { p =>
+      val hour = graft.model.TimeUnits.msToHourBucket(p.tsMs)
+      p.floatFields.iterator.map { case (k, v) =>
+        SampleRow(Fingerprint.of(p.tags, k), p.tsMs, v, k, "", hour, p.measurement)
+      } ++ p.stringFields.iterator.map { case (k, v) =>
+        SampleRow(Fingerprint.of(p.tags, k), p.tsMs, 0.0, k, v, hour, p.measurement)
       }
     }.toDF()
 
     val epochDay = new java.sql.Date(nowMs - Math.floorMod(nowMs, 86400000L))
-    val series = lines.flatMap { line =>
-      LineProtocol.parse(line) match {
-        case Left(_) => Iterator.empty
-        case Right(p) =>
-          val sorted = p.tags.sortBy(_._1)
-          p.fields.iterator.map { case (k, _) =>
-            val canon = Fingerprint.canonical(p.tags, k)
-            SeriesRow(epochDay, Fingerprint.hash(canon), p.measurement, k,
-              sorted.map(_._1), sorted.map(_._2), canon)
-          }
+    val series = parsed.flatMap { p =>
+      val sorted = p.tags.sortBy(_._1)
+      (p.floatFields.iterator ++ p.stringFields.iterator).map { case (k, _) =>
+        val canon = Fingerprint.canonical(p.tags, k)
+        SeriesRow(epochDay, Fingerprint.hash(canon), p.measurement, k,
+          sorted.map(_._1), sorted.map(_._2), canon)
       }
     }.toDF()
       // batch analogue of the write-path LRU (cflux.js:126-130,326): one

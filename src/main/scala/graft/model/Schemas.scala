@@ -88,6 +88,8 @@ object TimeUnits {
       }
     }.sum
     require(re.findFirstIn(lit).isDefined, s"bad duration literal: $lit")
-    ms
+    // sub-ms durations floor to 0 → clamp to the storage resolution (1 ms);
+    // a zero bucket would divide-by-zero downstream
+    math.max(1L, ms)
   }
 }

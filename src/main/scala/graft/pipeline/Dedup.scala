@@ -272,7 +272,9 @@ object Dedup {
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var converged = false
     var iter = 0
-    while (!converged && iter < 8) {
+    // bound only as a runaway backstop — and fail LOUDLY if hit, never
+    // return silently-unconverged (wrong) labels
+    while (!converged && iter < 64) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
       val next = labels.union(prop)
@@ -284,6 +286,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    require(converged, s"label propagation did not converge in $iter rounds")
     labels
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))

@@ -24,7 +24,11 @@ object Ast {
   final case class DateString(s: String) extends TimeExpr // time > '2018-12-21 00:00:00'
   case object Now extends TimeExpr // time < now()
 
-  final case class TimeBounds(lower: Option[TimeExpr], upper: Option[TimeExpr])
+  /** Strict flags preserve `>`/`<` vs `>=`/`<=` (the reference conflates
+    * them into BETWEEN, cflux.js:765 — a pagination-duplicating bug we fix;
+    * semantics are applied at ms resolution, the storage precision). */
+  final case class TimeBounds(lower: Option[TimeExpr], upper: Option[TimeExpr],
+                              lowerStrict: Boolean = false, upperStrict: Boolean = false)
 
   final case class TableRef(db: Option[String], rp: Option[String], measurement: String)
 
@@ -36,7 +40,8 @@ object Ast {
       groupByTimeMs: Option[Long], // honored (divergence: reference strips it, cflux.js:378)
       groupByTags: Seq[String],
       fill: Option[String],
-      limit: Option[Int] // honored (divergence: reference strips it, cflux.js:689)
+      limit: Option[Int], // honored (divergence: reference strips it, cflux.js:689)
+      orderDesc: Boolean = false // ORDER BY time DESC (reference ignores)
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement

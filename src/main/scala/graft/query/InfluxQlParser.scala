@@ -134,12 +134,16 @@ object InfluxQlParser {
 
     var lower: Option[Ast.TimeExpr] = None
     var upper: Option[Ast.TimeExpr] = None
+    var lowerStrict = false
+    var upperStrict = false
     val tagFilters = ArrayBuffer.empty[(String, String)]
     if (p.kw("WHERE")) {
       var more = true
       while (more) {
         parseConjunct(p) match {
-          case Right(Left((isLower, te))) => if (isLower) lower = Some(te) else upper = Some(te)
+          case Right(Left((isLower, strict, te))) =>
+            if (isLower) { lower = Some(te); lowerStrict = strict }
+            else { upper = Some(te); upperStrict = strict }
           case Right(Right(kv))           => tagFilters += kv
           case Left(e)                    => return Left(e)
         }
@@ -162,7 +166,7 @@ object InfluxQlParser {
               case t            => return Left(s"expected duration in time(), got $t")
             }
             if (!p.op(")")) return Left("expected ) after time(dur")
-          case Some(Op("*")) => p.next(); gbTags += "*"
+          case Some(Op("*")) => p.next() // GROUP BY * = all tags = default per-series grouping
           case Some(Ident(t, _)) => p.next(); gbTags += t
           case t => return Left(s"bad GROUP BY element: $t")
         }
@@ -185,14 +189,33 @@ object InfluxQlParser {
       case _ =>
     }
 
+    var orderDesc = false
+    if (p.kw("ORDER")) {
+      if (!p.kw("BY")) return Left("expected BY after ORDER")
+      p.peek match {
+        case Some(Ident(t, _)) if t.equalsIgnoreCase("time") => p.next()
+        case t => return Left(s"only ORDER BY time supported, got $t")
+      }
+      if (p.kw("DESC")) orderDesc = true else { p.kw("ASC"); () }
+    }
+
     var limit: Option[Int] = None
     if (p.kw("LIMIT")) p.peek match {
-      case Some(Num(s)) => p.next(); limit = Some(s.toInt)
+      case Some(Num(s)) => p.next()
+        s.toIntOption match {
+          case Some(n) => limit = Some(n)
+          case None => return Left(s"bad LIMIT value $s")
+        }
       case t            => return Left(s"bad LIMIT $t")
     }
 
-    Right(Ast.Select(fields.toSeq, from, Ast.TimeBounds(lower, upper),
-      tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit))
+    p.peek match {
+      case Some(t) => return Left(s"unexpected trailing token $t") // no silent drops
+      case None =>
+    }
+    Right(Ast.Select(fields.toSeq, from,
+      Ast.TimeBounds(lower, upper, lowerStrict, upperStrict),
+      tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc))
   }
 
   // func("name") [AS alias] | "name" | *
@@ -252,7 +275,7 @@ object InfluxQlParser {
   /** One WHERE conjunct → Left((isLowerBound, timeExpr)) for time bounds,
     * Right((tag, value)) for tag equality (the two conjunct kinds the
     * reference extracts, cflux.js:702-743). */
-  private def parseConjunct(p: P): Either[String, Either[(Boolean, Ast.TimeExpr), (String, String)]] = {
+  private def parseConjunct(p: P): Either[String, Either[(Boolean, Boolean, Ast.TimeExpr), (String, String)]] = {
     val lhs = p.next() match {
       case Ident(s, _) => s
       case t           => return Left(s"bad WHERE lhs $t")
@@ -263,6 +286,7 @@ object InfluxQlParser {
         case t                                 => return Left(s"bad time comparator $t")
       }
       val isLower = cmp == ">" || cmp == ">="
+      val strict = cmp == ">" || cmp == "<"
       val te: Ast.TimeExpr = p.peek match {
         case Some(Ident(nw, false)) if nw.equalsIgnoreCase("now") =>
           p.next()
@@ -273,11 +297,24 @@ object InfluxQlParser {
           }
           else Ast.Now
         case Some(Num(s))  => p.next(); Ast.AbsoluteNs(s.toLong)
-        case Some(Dur(d))  => p.next(); Ast.AbsoluteNs(d.dropRight(1).toLong * 1000000L) // "123s"-shaped epoch w/ unit; rare
+        case Some(Dur(d))  => // epoch with precision suffix, e.g. time > 1545424651s
+          p.next()
+          val (num, unit) = d.span(_.isDigit)
+          val factor = unit match {
+            case "ns" => 1L
+            case "u" | "us" => 1000L
+            case "ms" => 1000000L
+            case "s" => 1000000000L
+            case other => return Left(s"ambiguous epoch suffix '$other' in time literal $d")
+          }
+          num.toLongOption match {
+            case Some(n) => Ast.AbsoluteNs(n * factor)
+            case None => return Left(s"bad epoch time literal $d")
+          }
         case Some(Str(s))  => p.next(); Ast.DateString(s)
         case t             => return Left(s"bad time rhs $t")
       }
-      Right(Left((isLower, te)))
+      Right(Left((isLower, strict, te)))
     } else {
       if (!p.op("=")) return Left(s"only '=' tag filters supported, at '$lhs'")
       val v = p.next() match {

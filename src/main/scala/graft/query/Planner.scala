@@ -41,7 +41,9 @@ object Planner {
     // fallback window = 300 s, matching cflux.js:719-726
     val to = b.upper.map(eval).getOrElse(nowMs)
     val from = b.lower.map(eval).getOrElse(to - 300000L)
-    (from, to)
+    // strict comparators shrink the inclusive ms range by one
+    (if (b.lowerStrict) from + 1 else from,
+     if (b.upperStrict) to - 1 else to)
   }
 
   /** Honest aggregate dispatch (SURVEY §2.4 build note): the reference
@@ -167,7 +169,9 @@ object Planner {
     }
 
     val unioned = perMetric.reduce(_ unionAll _) // U1 (cflux.js:772)
-    val sorted = unioned.orderBy("time_ms", "name", "labelname", "labelvalue", "message") // O2
+    val timeKey = if (s.orderDesc) col("time_ms").desc else col("time_ms").asc
+    val sorted = unioned.orderBy(timeKey, col("name"), col("labelname"),
+      col("labelvalue"), col("message")) // O2 (+ honored ORDER BY time DESC)
     s.limit.map(sorted.limit).getOrElse(sorted) // O3, honored (divergence)
   }
 

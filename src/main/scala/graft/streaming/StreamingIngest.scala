@@ -67,7 +67,7 @@ object StreamingIngest {
         val spark = batch.sparkSession
         cfg.onBatch.foreach(f => f(batch)) // S9 fan-out before parse
         val nowMs = cfg.fixedNowMs.getOrElse(System.currentTimeMillis())
-        val b = Ingest.fromLines(batch, nowMs)
+        val b = Ingest.fromLines(batch, nowMs, materializeParsed = true)
         Ingest.writeSamples(b.samples, cfg.samplesPath)
         val novel = b.series.join(
           broadcast(existingFingerprints(spark, cfg.seriesPath)),

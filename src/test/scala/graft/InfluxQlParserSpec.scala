@@ -13,7 +13,7 @@ class InfluxQlParserSpec extends AnyFunSuite {
       """WHERE time > now() - 1h AND "host"='h1' GROUP BY time(1m)""").asInstanceOf[Ast.Select]
     assert(s.fields == Seq(Ast.Field(Some("mean"), "usage_user", None)))
     assert(s.from == Ast.TableRef(Some("telegraf"), Some("autogen"), "cpu"))
-    assert(s.time == Ast.TimeBounds(Some(Ast.NowMinus(3600000L)), None))
+    assert(s.time == Ast.TimeBounds(Some(Ast.NowMinus(3600000L)), None, lowerStrict = true))
     assert(s.tagFilters == Seq("host" -> "h1"))
     assert(s.groupByTimeMs.contains(60000L))
   }
@@ -23,14 +23,16 @@ class InfluxQlParserSpec extends AnyFunSuite {
       """WHERE time > 1545424651000000000 AND time < 1545428251000000000""").asInstanceOf[Ast.Select]
     assert(s.fields.map(_.name) == Seq("usage_user", "usage_system"))
     assert(s.time == Ast.TimeBounds(
-      Some(Ast.AbsoluteNs(1545424651000000000L)), Some(Ast.AbsoluteNs(1545428251000000000L))))
+      Some(Ast.AbsoluteNs(1545424651000000000L)), Some(Ast.AbsoluteNs(1545428251000000000L)),
+      lowerStrict = true, upperStrict = true))
   }
 
   test("SELECT with string datetime range") {
     val s = parseOk("""SELECT mean("used_percent") FROM "mem" """ +
       """WHERE time > '2018-12-21 00:00:00' AND time < '2018-12-22 00:00:00'""").asInstanceOf[Ast.Select]
     assert(s.time == Ast.TimeBounds(
-      Some(Ast.DateString("2018-12-21 00:00:00")), Some(Ast.DateString("2018-12-22 00:00:00"))))
+      Some(Ast.DateString("2018-12-21 00:00:00")), Some(Ast.DateString("2018-12-22 00:00:00")),
+      lowerStrict = true, upperStrict = true))
   }
 
   test("SELECT honors aggregate dispatch, alias, limit, fill") {
@@ -45,7 +47,7 @@ class InfluxQlParserSpec extends AnyFunSuite {
   test("SELECT with time < now() upper bound (stripped by reference, honored here)") {
     val s = parseOk("""SELECT mean("v") FROM "m" WHERE time > now() - 5m AND time < now()""")
       .asInstanceOf[Ast.Select]
-    assert(s.time == Ast.TimeBounds(Some(Ast.NowMinus(300000L)), Some(Ast.Now)))
+    assert(s.time == Ast.TimeBounds(Some(Ast.NowMinus(300000L)), Some(Ast.Now), lowerStrict = true, upperStrict = true))
   }
 
   test("SHOW statements (dispatch table of cflux.js:395-852)") {
@@ -68,6 +70,26 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(parseOk("""CREATE DATABASE "fixtures"""") == Ast.CreateDatabase("fixtures"))
     assert(parseOk("""CREATE SUBSCRIPTION "sub1" ON "telegraf"."autogen" DESTINATIONS ANY 'http://localhost:9092'""") ==
       Ast.CreateSubscription("sub1", "telegraf", "autogen", "http://localhost:9092"))
+  }
+
+  test("review fixes: trailing clauses, GROUP BY *, epoch suffixes, ORDER BY") {
+    // silent-drop is gone: unconsumed tokens are a parse error
+    assert(InfluxQlParser.parse(
+      """SELECT mean("v") FROM "m" WHERE "a"='x' OR "b"='y'""").isLeft)
+    // GROUP BY * = all tags = default per-series grouping (Grafana shape)
+    val star = parseOk("""SELECT mean("v") FROM "m" WHERE time > now() - 1h GROUP BY time(1m), *""")
+      .asInstanceOf[Ast.Select]
+    assert(star.groupByTags.isEmpty && star.groupByTimeMs.contains(60000L))
+    // epoch-with-unit literal converts via the unit; ambiguous units error
+    val es = parseOk("""SELECT mean("v") FROM "m" WHERE time > 1545424651s""")
+      .asInstanceOf[Ast.Select]
+    assert(es.time.lower.contains(Ast.AbsoluteNs(1545424651000000000L)))
+    assert(InfluxQlParser.parse("""SELECT mean("v") FROM "m" WHERE time > 123m""").isLeft)
+    // ORDER BY time DESC honored; huge LIMIT is an error not a crash
+    val od = parseOk("""SELECT mean("v") FROM "m" WHERE time > now() - 1h ORDER BY time DESC LIMIT 5""")
+      .asInstanceOf[Ast.Select]
+    assert(od.orderDesc && od.limit.contains(5))
+    assert(InfluxQlParser.parse("""SELECT mean("v") FROM "m" LIMIT 99999999999999""").isLeft)
   }
 
   test("unsupported statements degrade to Unsupported, not error") {

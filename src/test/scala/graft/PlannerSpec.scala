@@ -77,11 +77,16 @@ class PlannerSpec extends AnyFunSuite {
     assert(names == Set("usage_user", "usage_system"))
   }
 
-  test("absolute ns time range filters exactly") {
-    val df = run(s"""SELECT mean("usage_user") FROM "cpu" WHERE time > ${ns(0)} AND time < ${ns(60)} GROUP BY time(1m)""")
-    // only rows in [t0, t0+60s]: cpu0/h1 @0,@30 and cpu1 @10 and cpu0/h2 @20
-    val vals = df.filter("labelname = 'cpu'").collect().map(_.getDouble(2)).toSet
-    assert(vals == Set(15.0, 100.0, 7.0))
+  test("absolute ns time range honors strict comparators (InfluxQL >, <)") {
+    // strict >: the point exactly AT t0 is excluded (the reference's
+    // BETWEEN included it — the pagination-duplicating conflation we fix)
+    val strict = run(s"""SELECT mean("usage_user") FROM "cpu" WHERE time > ${ns(0)} AND time < ${ns(60)} GROUP BY time(1m)""")
+    val sVals = strict.filter("labelname = 'cpu'").collect().map(_.getDouble(2)).toSet
+    assert(sVals == Set(20.0, 100.0, 7.0)) // cpu0/h1 keeps only @30s
+    // inclusive >= keeps it
+    val incl = run(s"""SELECT mean("usage_user") FROM "cpu" WHERE time >= ${ns(0)} AND time <= ${ns(60)} GROUP BY time(1m)""")
+    val iVals = incl.filter("labelname = 'cpu'").collect().map(_.getDouble(2)).toSet
+    assert(iVals == Set(15.0, 100.0, 7.0)) // cpu0/h1 mean(10@0s, 20@30s)
   }
 
   test("string field SELECT carries message through (string pipeline)") {
