@@ -266,28 +266,39 @@ object Dedup {
     * iteration count is bounded by component diameter, which dedup
     * graphs keep tiny. */
   def clusters(docs: DataFrame): DataFrame = {
-    val pairs = ngramJaccard(docs).select(col("i"), col("j"))
-    val edges = pairs.union(pairs.select(col("j"), col("i")))
-      .toDF("src", "dst").localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // RDD-level loop (the GraphX/Pregel exception to DataFrame-first):
+    // each round persists exactly one labels RDD and eagerly unpersists
+    // the previous one — localCheckpoint blocks are NOT evictable and
+    // were accumulating across invocations until the memory store
+    // thrashed (353 s bench spike); persist/unpersist keeps at most two
+    // small relations alive.
+    val pairs = ngramJaccard(docs).select("i", "j").as[(Long, Long)].rdd
+    val edges = pairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select("doc_id").as[Long].rdd.map(d => (d, d))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
     // bound only as a runaway backstop — and fail LOUDLY if hit, never
     // return silently-unconverged (wrong) labels
     while (!converged && iter < 64) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.union(prop)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      val prop = edges.join(labels).map { case (_, (dst, lab)) => (dst, lab) }
+      val next = labels.union(prop).reduceByKey(math.min)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels)
+        .filter { case (_, (a, b)) => a != b }.count()
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"label propagation did not converge in $iter rounds")
-    labels
+    edges.unpersist(blocking = false)
+    val out = labels.toDF("doc_id", "cluster_id")
+    out
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
       .orderBy("doc_id")
