@@ -121,7 +121,7 @@ class GraftEngine(
         // empty response is the intended behavior for clients)
         try Response.selectJson(
           Planner.planSelect(spark, s, catalog(db), nowMs()), s.from.measurement)
-        catch { case _: IllegalArgumentException => Response.emptyResult }
+        catch { case scala.util.control.NonFatal(_) => Response.emptyResult }
       case Ast.CreateDatabase(name) =>
         createDatabase(name); Response.emptyResult
       case Ast.CreateSubscription(id, sdb, _, dest) =>

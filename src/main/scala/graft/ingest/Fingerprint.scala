@@ -23,14 +23,21 @@ object Fingerprint {
     parts.mkString("[", ",", "]")
   }
 
+  /** JSON string escaping, byte-for-byte Jackson's (what Spark's `to_json`
+    * emits) — so canonical strings built column-side with `to_json` (e.g.
+    * sources.EventsAdapter) hash identically to ingest-built ones. Jackson
+    * short-escapes \b \t \n \f \r and writes other control chars as
+    * uppercase-hex \u00XX. */
   private def j(s: String): String =
     s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
+      case '\b'         => "\\b"
+      case '\f'         => "\\f"
       case '\n'         => "\\n"
       case '\r'         => "\\r"
       case '\t'         => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' => f"\\u${c.toInt}%04X"
       case c            => c.toString
     }
 

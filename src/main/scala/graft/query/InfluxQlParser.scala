@@ -232,7 +232,10 @@ object InfluxQlParser {
           }
           val arg: Option[Double] =
             if (p.op(",")) p.next() match {
-              case Num(n) => Some(n.toDouble)
+              case Num(n) => n.toDoubleOption match {
+                case some @ Some(_) => some
+                case None           => return Left(s"bad numeric function arg $n")
+              }
               case t      => return Left(s"bad numeric function arg $t")
             } else None
           if (!p.op(")")) return Left("expected )")
@@ -296,7 +299,12 @@ object InfluxQlParser {
             case t            => return Left(s"expected duration after now() -, got $t")
           }
           else Ast.Now
-        case Some(Num(s))  => p.next(); Ast.AbsoluteNs(s.toLong)
+        case Some(Num(s))  =>
+          p.next()
+          s.toLongOption match {
+            case Some(n) => Ast.AbsoluteNs(n)
+            case None    => return Left(s"bad absolute time literal $s")
+          }
         case Some(Dur(d))  => // epoch with precision suffix, e.g. time > 1545424651s
           p.next()
           val (num, unit) = d.span(_.isDigit)

@@ -30,7 +30,12 @@ object Response {
       val name = r.getAs[String]("name")
       val key = (name, r.getAs[String]("labelname"), r.getAs[String]("labelvalue"))
       val msg = r.getAs[String]("message")
-      val v: Any = if (msg != null && msg.nonEmpty) msg else r.getAs[Double]("value")
+      // FILL(null) gap rows carry a NULL value — surface them as JSON null
+      // (getAs[Double] would unbox to 0.0, conflating FILL(null) with FILL(0))
+      val v: Any =
+        if (msg != null && msg.nonEmpty) msg
+        else if (r.isNullAt(r.fieldIndex("value"))) null
+        else r.getAs[Double]("value")
       order.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += Seq(r.getAs[Long]("time_ms"), v)
     }
     order.toSeq.map { case ((metric, lk, lv), vals) =>

@@ -16,12 +16,18 @@ object EventsAdapter {
   val Measurement = "events"
   val FieldKey = "value"
 
-  /** Canonical series JSON for tags sorted by key: event_type < user_id. */
-  private def canonicalCol(eventType: Column, userId: Column): Column =
+  /** Canonical series JSON for tags sorted by key: event_type < user_id.
+    * Each entry is rendered with `to_json` so tag values containing quotes,
+    * backslashes, or control chars get Jackson's escaping — the exact rules
+    * `Fingerprint.canonical` applies — keeping adapter-built and
+    * ingest-built fingerprints byte-identical for all inputs. */
+  private[sources] def canonicalCol(eventType: Column, userId: Column): Column =
     concat(
-      lit("""[{"event_type":""""), eventType,
-      lit(""""},{"user_id":""""), userId.cast("string"),
-      lit(""""},{"__name__":"""" + FieldKey + """"}]"""))
+      lit("["),
+      to_json(map(lit("event_type"), eventType)), lit(","),
+      to_json(map(lit("user_id"), userId.cast("string"))), lit(","),
+      lit(s"""{"__name__":"$FieldKey"}"""),
+      lit("]"))
 
   /** Read events with the ns-precision `ts` surfaced as BOTH `ts_ns` (long)
     * and `ts_ms` (long). Spark 4 refuses parquet TIMESTAMP(NANOS) unless

@@ -101,6 +101,33 @@ class GraftEngineSpec extends AnyFunSuite {
       === Response0)
   }
 
+  test("FILL(null) gap rows serialize as JSON null, distinct from FILL(0)") {
+    val e = newEngine()
+    // two points 3 minutes apart → 2 gap buckets between them
+    e.write("dbf",
+      """cpu,host=a usage=10 1735689420000000000
+        |cpu,host=a usage=20 1735689600000000000""".stripMargin)
+    val jn = e.query("dbf",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 10m GROUP BY time(1m) FILL(null)""")
+    assert(jn.contains("[1735689480000,null]"), s"expected null gap row in $jn")
+    val jz = e.query("dbf",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 10m GROUP BY time(1m) FILL(0)""")
+    assert(jz.contains("[1735689480000,0]") && !jz.contains("null"))
+  }
+
+  test("malformed queries return the clean empty result, never throw") {
+    val e = newEngine()
+    e.write("dbm", "cpu,h=a f=1 1735689540000000000")
+    val bad = Seq(
+      // decimal time literal → parser Left (previously NumberFormatException)
+      """SELECT mean("f") FROM "cpu" WHERE time > 1.5""",
+      // overflowing time literal
+      """SELECT mean("f") FROM "cpu" WHERE time > 99999999999999999999999999""",
+      // unparseable date string → planner DateTimeParseException path
+      """SELECT mean("f") FROM "cpu" WHERE time > 'not a date'""")
+    bad.foreach { q => assert(e.query("dbm", q) === Response0, s"for: $q") }
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",
