@@ -17,6 +17,17 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
+    // The heavy dedup queries get one untimed pass at the TARGET SF too:
+    // AQE picks different physical joins at sf0.1 than sf0.001 (size
+    // thresholds), so their codegen stages would otherwise Janino-compile
+    // inside the first timed run — steady-state cost is what a long-lived
+    // cluster pays, and what we want to measure.
+    Seq("dedup_keep_best", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_clusters", "dedup_simhash").foreach { q =>
+      SparkEntry.queries.get(q).foreach { fn =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // let the ContextCleaner drop stale broadcasts/shuffles from prior
       // queries (otherwise they pile up across ~100 executions in this

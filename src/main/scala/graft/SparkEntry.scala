@@ -333,7 +333,10 @@ object SparkEntry {
         .agg(
           sum(when(col("message") === "", 1).otherwise(0)).as("n_float"),
           sum(when(col("message") =!= "", 1).otherwise(0)).as("n_str"),
-          floor(sum(col("value")) * 100).cast("long").as("sum_cents"))
+          // per-row floor before the sum: summing integral doubles is
+          // exact (< 2^53), so the result is independent of partitioning
+          // and summation order on both engines
+          sum(floor(col("value") * 100)).cast("long").as("sum_cents"))
         .orderBy("hour")
     })
   )
@@ -375,7 +378,7 @@ object SparkEntry {
       "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events ORDER BY key, value",
     "ingest_lp_roundtrip" ->
       """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_float, count(*) AS n_str,
-        |       CAST(floor(sum(value) * 100) AS BIGINT) AS sum_cents
+        |       CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
     "ts_difference_1h" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr", "raw - pr"),

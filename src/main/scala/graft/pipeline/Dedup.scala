@@ -56,7 +56,8 @@ object Dedup {
     * of ~30-byte shingle strings (shuffle volume, hash probes). Collisions
     * (~n²/2^61) are negligible and mirrored exactly by the oracle. */
   private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"),
         explode(array_distinct(
           transform(shingles(tokens(col("text"))), s => baseHash(s)))).as("h"))
 
@@ -197,7 +198,8 @@ object Dedup {
     * by banded Hamming join (4 bands x 15 bits; any equal band → candidate;
     * verify Hamming <= 3). Output (i, j, hamming). */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tok = graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", baseHash(col("tok")))
     val bits = tok
@@ -265,7 +267,16 @@ object Dedup {
     * relation hash-partitioned on doc_id so each round is one shuffle;
     * iteration count is bounded by component diameter, which dedup
     * graphs keep tiny. */
-  def clusters(docs: DataFrame): DataFrame = {
+  def clusters(docs: DataFrame): DataFrame =
+    labelDf(docs)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .orderBy("doc_id")
+
+  /** Core of [[clusters]]: (doc_id, cluster_id) via distributed min-label
+    * propagation, without the n_members window (callers that aggregate
+    * per cluster — [[keepBest]] — skip the window sort entirely). */
+  private def labelDf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -297,11 +308,7 @@ object Dedup {
     }
     require(converged, s"label propagation did not converge in $iter rounds")
     edges.unpersist(blocking = false)
-    val out = labels.toDF("doc_id", "cluster_id")
-    out
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
-      .orderBy("doc_id")
+    labels.toDF("doc_id", "cluster_id")
   }
 
   /** DuckDB mirror: min reachable id via a recursive CTE (UNION dedup
@@ -333,14 +340,17 @@ object Dedup {
     * [[TextOps.qualityScore]]. Output (cluster_id, keep_id, quality_fp,
     * n_members). */
   def keepBest(docs: DataFrame): DataFrame = {
-    val labeled = clusters(docs)
+    val labeled = labelDf(docs)
       .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality_fp")), Seq("doc_id"))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("quality_fp").desc, col("doc_id"))
-    labeled.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("cluster_id"), col("doc_id").as("keep_id"),
-        col("quality_fp"), col("n_members"))
+    // single-pass per-cluster argmax: max of (quality, -doc_id) struct ==
+    // "highest quality, ties -> smallest doc_id" — one groupBy instead of
+    // two window sorts (each a full exchange + sort at scale)
+    labeled.groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality_fp"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("keep_id"),
+        col("b.quality_fp").as("quality_fp"), col("n_members"))
       .orderBy("cluster_id")
   }
 

@@ -72,7 +72,8 @@ object EventsAdapter {
     * (parser + fingerprint + type split) from parquet testdata. `props`
     * rides along as a string field to exercise the string pipeline. */
   def asLineProtocol(ev: DataFrame): DataFrame =
-    ev.select(concat(
+    graft.util.Spread(ev.select("event_type", "user_id", "value", "props", "ts_ns"))
+      .select(concat(
       lit(Measurement),
       lit(",event_type="), col("event_type"),
       lit(",user_id="), col("user_id").cast("string"),
