@@ -89,7 +89,8 @@ object SparkEntry {
   /** Oracle for the tag-filtered single-series SELECTs (mean, bucketed).
     * The inner sort is total (one series → per-bucket rows distinct by
     * labelname), so an inner LIMIT is deterministic on both engines. */
-  private def tagFilterOracle(bucketMs: Long, limit: Option[Int]): String = {
+  private def tagFilterOracle(bucketMs: Long, limit: Option[Int],
+                              offset: Option[Int] = None): String = {
     val inner =
       s"""WITH g AS (
          |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms,
@@ -111,12 +112,51 @@ object SparkEntry {
            |SELECT * FROM u
            |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
       case Some(n) =>
+        val off = offset.map(o => s" OFFSET $o").getOrElse("")
         s"""$inner,
-           |l AS (SELECT * FROM u ORDER BY time_ms, name, labelname, labelvalue, message LIMIT $n)
+           |l AS (SELECT * FROM u ORDER BY time_ms, name, labelname, labelvalue, message LIMIT $n$off)
            |SELECT * FROM l
            |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     }
   }
+
+  /** Oracle for the raw (non-aggregated) SELECT: every click/user-17 sample
+    * at its own timestamp, exploded per label pair. */
+  private def rawSelectOracle: String =
+    s"""WITH g AS (
+       |  SELECT epoch_ms(ts) AS time_ms, event_type, CAST(user_id AS VARCHAR) AS user_id,
+       |         CAST(floor(value * 100) AS BIGINT) AS value
+       |  FROM events
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+       |    AND event_type = 'click' AND user_id = 17)
+       |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+       |       event_type AS labelvalue, '' AS message FROM g
+       |UNION ALL
+       |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+       |       user_id AS labelvalue, '' AS message FROM g
+       |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+
+  /** Oracle for SLIMIT/SOFFSET: series = distinct (name, labelname,
+    * labelvalue) in sorted order; dense_rank pages them like the planner's
+    * paged semi-join. */
+  private def slimitOracle(bucketMs: Long, slimit: Int, soffset: Int): String =
+    s"""WITH g AS (
+       |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms,
+       |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+       |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
+       |  FROM events
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+       |  GROUP BY 1, 2, 3),
+       |u AS (
+       |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+       |         event_type AS labelvalue, '' AS message FROM g
+       |  UNION ALL
+       |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+       |         user_id AS labelvalue, '' AS message FROM g),
+       |r AS (SELECT u.*, dense_rank() OVER (ORDER BY name, labelname, labelvalue) AS sr FROM u)
+       |SELECT time_ms, name, value, labelname, labelvalue, message FROM r
+       |WHERE sr > $soffset AND sr <= $soffset + $slimit
+       |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
 
   /** Oracle for the TICK window transforms over the single-series 1h-mean
     * stream: `winExpr` computes the transformed value from per-bucket raw
@@ -190,6 +230,22 @@ object SparkEntry {
     // --- P4 tag-equality predicates (single series) + O3 honored LIMIT ---
     "ts_select_tagfilter" -> ((s, dir) => stable(influx(s, dir, tagFilterQuery("5m")))),
     "ts_select_limit" -> ((s, dir) => stable(influx(s, dir, tagFilterQuery("1m") + " LIMIT 20"))),
+
+    // --- SELECT-shape extensions beyond the reference: raw points, star
+    //     expansion, point pagination (OFFSET), series pagination
+    //     (SLIMIT/SOFFSET), regex measurement refs ---
+    "ts_select_raw" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT "value" FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
+    "ts_select_star_mean_2h" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean(*) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
+    "ts_select_offset" -> ((s, dir) => stable(influx(s, dir,
+      tagFilterQuery("1m") + " LIMIT 20 OFFSET 20"))),
+    "ts_select_slimit" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ GROUP BY time(6h) SLIMIT 1 SOFFSET 1"""))),
+    "ts_select_regex_from" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT sum("value") FROM /^ev/ WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
 
     // --- §3.1∘§3.2 end-to-end: line-protocol ingest feeding the SELECT
     //     pipeline (float field), plus the string-field pipeline (message
@@ -344,6 +400,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "ts_select_raw" -> rawSelectOracle,
+    "ts_select_star_mean_2h" -> tsSelectOracle("avg(value)", 7200000L),
+    "ts_select_offset" -> tagFilterOracle(60000L, Some(20), offset = Some(20)),
+    "ts_select_slimit" -> slimitOracle(21600000L, 1, 1),
+    "ts_select_regex_from" -> tsSelectOracle("sum(value)", 7200000L),
     "ts_select_mean_1m" -> tsSelectOracle("avg(value)", 60000L),
     "ts_select_sum_1h" -> tsSelectOracle("sum(value)", 3600000L),
     "ts_select_count_10m" -> tsSelectOracle("CAST(count(value) AS DOUBLE)", 600000L),

@@ -119,8 +119,23 @@ class GraftEngine(
         // unknown measurement / empty db → empty result, not an error
         // (the reference streams whatever ClickHouse errors back; a clean
         // empty response is the intended behavior for clients)
-        try Response.selectJson(
-          Planner.planSelect(spark, s, catalog(db), nowMs()), s.from.measurement)
+        try {
+          val cat = catalog(db)
+          s.from.regex match {
+            case Some(pattern) =>
+              // regex FROM: plan per matched measurement so each series is
+              // named after its own measurement (InfluxDB shape)
+              val per = Planner.regexMeasurements(cat, pattern).map { m =>
+                m -> Planner.planSelect(spark,
+                  s.copy(from = s.from.copy(measurement = m, regex = None)), cat, nowMs())
+              }
+              if (per.isEmpty) Response.emptyResult
+              else Response.multiSelectJson(per)
+            case None =>
+              Response.selectJson(
+                Planner.planSelect(spark, s, cat, nowMs()), s.from.measurement)
+          }
+        }
         catch { case scala.util.control.NonFatal(_) => Response.emptyResult }
       case Ast.CreateDatabase(name) =>
         createDatabase(name); Response.emptyResult

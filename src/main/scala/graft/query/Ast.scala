@@ -30,7 +30,11 @@ object Ast {
   final case class TimeBounds(lower: Option[TimeExpr], upper: Option[TimeExpr],
                               lowerStrict: Boolean = false, upperStrict: Boolean = false)
 
-  final case class TableRef(db: Option[String], rp: Option[String], measurement: String)
+  /** @param regex InfluxQL regex measurement ref (FROM /cpu../) — resolved
+    *               at plan time to every matching measurement (extension;
+    *               the reference's regex dispatch never matches one). */
+  final case class TableRef(db: Option[String], rp: Option[String], measurement: String,
+                            regex: Option[String] = None)
 
   final case class Select(
       fields: Seq[Field],
@@ -41,7 +45,10 @@ object Ast {
       groupByTags: Seq[String],
       fill: Option[String],
       limit: Option[Int], // honored (divergence: reference strips it, cflux.js:689)
-      orderDesc: Boolean = false // ORDER BY time DESC (reference ignores)
+      orderDesc: Boolean = false, // ORDER BY time DESC (reference ignores)
+      offset: Option[Int] = None, // point pagination (extension)
+      slimit: Option[Int] = None, // series limit (extension)
+      soffset: Option[Int] = None // series pagination (extension)
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement

@@ -19,6 +19,7 @@ object InfluxQlParser {
   final case class Num(s: String) extends Tok
   final case class Dur(s: String) extends Tok // 1h, 5m, 90s, 1h30m
   final case class Op(s: String) extends Tok // = < > <= >= ( ) , . * - + ::
+  final case class Re(s: String) extends Tok // /regex/ measurement ref
 
   def tokenize(q: String): Either[String, Vector[Tok]] = {
     val out = ArrayBuffer.empty[Tok]
@@ -69,10 +70,25 @@ object InfluxQlParser {
         val start = i
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
         out += Ident(q.substring(start, i), quoted = false)
+      } else if (c == '/') {
+        // regex literal /re/ (InfluxQL measurement refs; '\/' escapes the
+        // delimiter). Division is not in the grammar, so '/' always opens
+        // a regex.
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = q.charAt(i)
+          if (d == '\\' && i + 1 < n && q.charAt(i + 1) == '/') { sb += '/'; i += 2 }
+          else if (d == '/') { closed = true; i += 1 }
+          else { sb += d; i += 1 }
+        }
+        if (!closed) return Left(s"unterminated regex at $i")
+        out += Re(sb.result())
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         if (Set("<=", ">=", "!=", "<>", "=~", "::").contains(two)) { out += Op(two); i += 2 }
-        else if ("=<>(),.*-+/".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
+        else if ("=<>(),.*-+".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
         else return Left(s"unexpected char '$c' at $i")
       }
     }
@@ -199,15 +215,22 @@ object InfluxQlParser {
       if (p.kw("DESC")) orderDesc = true else { p.kw("ASC"); () }
     }
 
-    var limit: Option[Int] = None
-    if (p.kw("LIMIT")) p.peek match {
-      case Some(Num(s)) => p.next()
-        s.toIntOption match {
-          case Some(n) => limit = Some(n)
-          case None => return Left(s"bad LIMIT value $s")
-        }
-      case t            => return Left(s"bad LIMIT $t")
-    }
+    // LIMIT/OFFSET page points; SLIMIT/SOFFSET page series (InfluxQL order)
+    def intClause(kwName: String): Either[String, Option[Int]] =
+      if (!p.kw(kwName)) Right(None)
+      else p.peek match {
+        case Some(Num(s)) =>
+          p.next()
+          s.toIntOption match {
+            case Some(n) => Right(Some(n))
+            case None    => Left(s"bad $kwName value $s")
+          }
+        case t => Left(s"bad $kwName $t")
+      }
+    val limit = intClause("LIMIT") match { case Right(v) => v; case Left(e) => return Left(e) }
+    val offset = intClause("OFFSET") match { case Right(v) => v; case Left(e) => return Left(e) }
+    val slimit = intClause("SLIMIT") match { case Right(v) => v; case Left(e) => return Left(e) }
+    val soffset = intClause("SOFFSET") match { case Right(v) => v; case Left(e) => return Left(e) }
 
     p.peek match {
       case Some(t) => return Left(s"unexpected trailing token $t") // no silent drops
@@ -215,7 +238,8 @@ object InfluxQlParser {
     }
     Right(Ast.Select(fields.toSeq, from,
       Ast.TimeBounds(lower, upper, lowerStrict, upperStrict),
-      tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc))
+      tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc,
+      offset = offset, slimit = slimit, soffset = soffset))
   }
 
   // func("name") [AS alias] | "name" | *
@@ -249,8 +273,14 @@ object InfluxQlParser {
     }
   }
 
-  // "db"."rp"."m" | "db".."m" | "m"
+  // "db"."rp"."m" | "db".."m" | "m" | /regex/
   private def parseTableRef(p: P): Either[String, Ast.TableRef] = {
+    p.peek match {
+      case Some(Re(s)) =>
+        p.next()
+        return Right(Ast.TableRef(None, None, s"/$s/", regex = Some(s)))
+      case _ =>
+    }
     val parts = ArrayBuffer.empty[String]
     var more = true
     while (more) {

@@ -137,42 +137,96 @@ object Planner {
     from.map(r => cat.seriesIndex.filter(col("measurement") === r.measurement))
       .getOrElse(cat.seriesIndex)
 
+  /** Measurement names a regex FROM resolves to, sorted (extension). */
+  def regexMeasurements(cat: TsCatalog, pattern: String): Seq[String] = {
+    val r = pattern.r
+    cat.measurements.keys.toSeq.filter(m => r.findFirstIn(m).isDefined).sorted
+  }
+
   def planSelect(spark: SparkSession, s: Ast.Select, cat: TsCatalog, nowMs: Long): DataFrame = {
+    // regex FROM: union the identical plan over every matching measurement
+    // (rows carry the same schema; JSON naming per measurement happens at
+    // the engine layer, which plans each match separately)
+    s.from.regex.foreach { pattern =>
+      val ms = regexMeasurements(cat, pattern)
+      if (ms.isEmpty) throw new IllegalArgumentException(s"no measurement matches /$pattern/")
+      return ms.map { m =>
+        planSelect(spark, s.copy(from = s.from.copy(measurement = m, regex = None)), cat, nowMs)
+      }.reduce(_ unionAll _)
+    }
     val samples = cat.measurements.getOrElse(s.from.measurement,
       throw new IllegalArgumentException(s"unknown measurement ${s.from.measurement}"))
     val (fromMs, toMs) = resolveTime(s.time, nowMs)
     val bucketMs = s.groupByTimeMs.getOrElse(TimeUnits.MsPerMinute) // 1-min default (cflux.js:749)
 
-    val perMetric = s.fields.map { f =>
+    // `SELECT *` / `mean(*)`: expand to the measurement's field keys from
+    // the series index — a driver-side collect bounded by field-key
+    // cardinality (schema-sized, not data-sized)
+    val fields: Seq[Ast.Field] =
+      if (s.fields.exists(_.name == "*")) {
+        val names = cat.seriesIndex
+          .filter(col("measurement") === s.from.measurement)
+          .select("name").distinct().orderBy("name")
+          .collect().map(_.getString(0)).toSeq
+        if (names.isEmpty) throw new IllegalArgumentException(
+          s"no fields for measurement ${s.from.measurement}")
+        s.fields.flatMap { f =>
+          if (f.name == "*") names.map(n => f.copy(name = n, alias = None)) else Seq(f)
+        }
+      } else s.fields
+
+    // raw (non-aggregated) SELECT — honest InfluxDB semantics the
+    // reference can't express (it hardwires avg, cflux.js:749): no
+    // bucketing, no groupBy; each sample row at its own timestamp
+    val isRaw = fields.forall(_.func.isEmpty) && s.groupByTimeMs.isEmpty && s.fill.isEmpty
+
+    val perMetric = fields.map { f =>
       val series = seriesSide(cat.seriesIndex, s.from.measurement, f.name,
         s.tagFilters, s.groupByTags)
       val outName = f.alias.getOrElse(f.func.getOrElse("mean"))
-      val agged = samples
+      val timed = samples
         // time filter FIRST: prunes hour partitions + parquet row groups
         // before the join (reference PREWHERE minute BETWEEN, cflux.js:765)
         .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
         // ANY INNER JOIN USING(fingerprint) with broadcast series side (J1)
         .join(broadcast(series), Seq("fingerprint"))
-        .withColumn("time_ms",
-          (floor(col("timestamp_ms") / bucketMs) * bucketMs).cast("long"))
-        // honored GROUP BY tags collapse across series (no fingerprint in
-        // the keys); default keeps per-series groups like the reference
-        // (A2, cflux.js:766)
-        .groupBy((if (s.groupByTags.nonEmpty) Nil
-                  else Seq(col("fingerprint"))) ++
-          Seq(col("time_ms"), col("name"),
-            col("labelname"), col("labelvalue"), col("message")): _*)
-        .agg(aggFor(f.func, col("value"), col("timestamp_ms"), f.arg).cast("double").as(outName))
-        .select(col("time_ms"), col("name"), col(outName).as("value"),
+      if (isRaw)
+        timed.select(col("timestamp_ms").as("time_ms"), col("name"), col("value"),
           col("labelname"), col("labelvalue"), col("message"))
-      fillGaps(agged, s.fill, fromMs, toMs, bucketMs)
+      else {
+        val agged = timed
+          .withColumn("time_ms",
+            (floor(col("timestamp_ms") / bucketMs) * bucketMs).cast("long"))
+          // honored GROUP BY tags collapse across series (no fingerprint in
+          // the keys); default keeps per-series groups like the reference
+          // (A2, cflux.js:766)
+          .groupBy((if (s.groupByTags.nonEmpty) Nil
+                    else Seq(col("fingerprint"))) ++
+            Seq(col("time_ms"), col("name"),
+              col("labelname"), col("labelvalue"), col("message")): _*)
+          .agg(aggFor(f.func, col("value"), col("timestamp_ms"), f.arg).cast("double").as(outName))
+          .select(col("time_ms"), col("name"), col(outName).as("value"),
+            col("labelname"), col("labelvalue"), col("message"))
+        fillGaps(agged, s.fill, fromMs, toMs, bucketMs)
+      }
     }
 
     val unioned = perMetric.reduce(_ unionAll _) // U1 (cflux.js:772)
+    // SLIMIT/SOFFSET page SERIES (extension): page the small distinct
+    // series-key relation, then semi-join — no global window, so the
+    // row-side stays fully distributed at scale
+    val paged = if (s.slimit.isDefined || s.soffset.isDefined) {
+      val sk = Seq("name", "labelname", "labelvalue")
+      val keys = unioned.select(sk.map(col): _*).distinct().orderBy(sk.map(col): _*)
+      val off = s.soffset.map(keys.offset).getOrElse(keys)
+      val kept = s.slimit.map(off.limit).getOrElse(off)
+      unioned.join(broadcast(kept), sk, "left_semi")
+    } else unioned
     val timeKey = if (s.orderDesc) col("time_ms").desc else col("time_ms").asc
-    val sorted = unioned.orderBy(timeKey, col("name"), col("labelname"),
+    val sorted = paged.orderBy(timeKey, col("name"), col("labelname"),
       col("labelvalue"), col("message")) // O2 (+ honored ORDER BY time DESC)
-    s.limit.map(sorted.limit).getOrElse(sorted) // O3, honored (divergence)
+    val off = s.offset.map(sorted.offset).getOrElse(sorted) // point pagination
+    s.limit.map(off.limit).getOrElse(off) // O3, honored (divergence)
   }
 
   /** Honest FILL() gap filling — an extension: the reference only injects

@@ -45,8 +45,14 @@ object Response {
 
   /** One results[] entry per (metric, tag pair), statement_id = the
     * metric's first-seen index (cflux.js:818-829). */
-  def selectJson(df: DataFrame, measurement: String): String = {
-    val pivoted = pivotSelect(df, measurement)
+  def selectJson(df: DataFrame, measurement: String): String =
+    multiSelectJson(Seq(measurement -> df))
+
+  /** Regex-FROM variant: each matched measurement pivots under its own
+    * series name (InfluxDB names each series after its measurement),
+    * concatenated into one results[] list with shared statement ids. */
+  def multiSelectJson(per: Seq[(String, DataFrame)]): String = {
+    val pivoted = per.flatMap { case (m, df) => pivotSelect(df, m) }
     val metricIdx = mutable.LinkedHashMap.empty[String, Int]
     pivoted.foreach { case (m, _) => metricIdx.getOrElseUpdate(m, metricIdx.size) }
     val entries = pivoted.map { case (m, s) =>

@@ -101,6 +101,53 @@ class GraftEngineSpec extends AnyFunSuite {
       === Response0)
   }
 
+  test("raw SELECT returns unbucketed points at original timestamps") {
+    val e = newEngine()
+    e.write("dbr",
+      """cpu,host=a usage=10 1735689543000000000
+        |cpu,host=a usage=20 1735689547000000000""".stripMargin)
+    val json = e.query("dbr",
+      """SELECT "usage" FROM "cpu" WHERE time > now() - 5m""")
+    // raw timestamps survive (no minute flooring), both points present
+    assert(json.contains("[1735689543000,10]") && json.contains("[1735689547000,20]"), json)
+  }
+
+  test("SELECT * expands to every field of the measurement") {
+    val e = newEngine()
+    e.write("dbs", "app,host=a cpu=1,mem=2 1735689540000000000")
+    val json = e.query("dbs", """SELECT * FROM "app" WHERE time > now() - 5m""")
+    assert(json.contains(""""columns":["time","cpu"]""") &&
+      json.contains(""""columns":["time","mem"]"""), json)
+  }
+
+  test("regex FROM matches multiple measurements, each series named by its own") {
+    val e = newEngine()
+    e.write("dbx",
+      """cpu,host=a usage=1 1735689540000000000
+        |cpuload,host=a v=2 1735689540000000000
+        |mem,host=a used=3 1735689540000000000""".stripMargin)
+    val json = e.query("dbx",
+      """SELECT mean(*) FROM /^cpu/ WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(json.contains(""""name":"cpu"""") && json.contains(""""name":"cpuload""""), json)
+    assert(!json.contains(""""name":"mem""""), json)
+  }
+
+  test("SLIMIT/SOFFSET page series; OFFSET pages points") {
+    val e = newEngine()
+    e.write("dbl",
+      """cpu,host=a u=1 1735689540000000000
+        |cpu,host=b u=2 1735689540000000000
+        |cpu,host=c u=3 1735689540000000000""".stripMargin)
+    // series sorted by (name, labelname, labelvalue): host=a, host=b, host=c
+    val json = e.query("dbl",
+      """SELECT mean("u") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m) SLIMIT 1 SOFFSET 1""")
+    assert(json.contains(""""tags":{"host":"b"}"""), json)
+    assert(!json.contains(""""tags":{"host":"a"}""") && !json.contains(""""tags":{"host":"c"}"""), json)
+    val j2 = e.query("dbl",
+      """SELECT "u" FROM "cpu" WHERE time > now() - 5m LIMIT 1 OFFSET 1""")
+    assert(j2.contains(",2]") && !j2.contains(",1]") && !j2.contains(",3]"), j2)
+  }
+
   test("FILL(null) gap rows serialize as JSON null, distinct from FILL(0)") {
     val e = newEngine()
     // two points 3 minutes apart → 2 gap buckets between them

@@ -44,6 +44,22 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(s.limit.contains(10))
   }
 
+  test("SELECT extensions: regex FROM, OFFSET, SLIMIT/SOFFSET, star field") {
+    val s = parseOk("""SELECT "value" FROM /^cpu.*/ WHERE time > now() - 5m """ +
+      """LIMIT 10 OFFSET 20 SLIMIT 2 SOFFSET 1""").asInstanceOf[Ast.Select]
+    assert(s.from.regex.contains("^cpu.*"))
+    assert(s.fields == Seq(Ast.Field(None, "value", None)))
+    assert(s.limit.contains(10) && s.offset.contains(20))
+    assert(s.slimit.contains(2) && s.soffset.contains(1))
+    val star = parseOk("""SELECT mean(*) FROM "events" GROUP BY time(1h)""").asInstanceOf[Ast.Select]
+    assert(star.fields == Seq(Ast.Field(Some("mean"), "*", None)))
+    val rawStar = parseOk("""SELECT * FROM "events"""").asInstanceOf[Ast.Select]
+    assert(rawStar.fields == Seq(Ast.Field(None, "*", None)))
+    // escaped slash inside the regex literal
+    val esc = parseOk("""SELECT mean("v") FROM /a\/b/ WHERE time > now() - 5m""").asInstanceOf[Ast.Select]
+    assert(esc.from.regex.contains("a/b"))
+  }
+
   test("SELECT with time < now() upper bound (stripped by reference, honored here)") {
     val s = parseOk("""SELECT mean("v") FROM "m" WHERE time > now() - 5m AND time < now()""")
       .asInstanceOf[Ast.Select]
