@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Ingest
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Similarity, Sketches, TextOps}
 import graft.query.{InfluxQlParser, Planner, TsCatalog}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -364,6 +364,11 @@ object SparkEntry {
     "doc_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
     "doc_pack_bins" -> ((s, dir) => TextOps.packBins(docs(s, dir))),
     "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+
+    // --- approximate aggregates (SURVEY §2.4 "not present" list): HLL
+    //     distinct, deterministic cross-engine (see pipeline.Sketches) ---
+    "approx_distinct_hll" -> ((s, dir) =>
+      Sketches.hllDistinctUsers(EventsAdapter.events(s, dir))),
     "dedup_emb_cosine" -> ((s, dir) => Dedup.cosinePairs(emb(s, dir))),
 
     // --- LLM-pipeline: similarity search over embeddings ---
@@ -535,6 +540,7 @@ object SparkEntry {
     "doc_chunk" -> TextOps.chunkOracle,
     "doc_pack_bins" -> TextOps.packBinsOracle,
     "emb_quantize_int8" -> Similarity.quantizeInt8Oracle,
+    "approx_distinct_hll" -> Sketches.hllDistinctUsersOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsOracle,
     "ann_brute_topk" -> Similarity.bruteTopKOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,

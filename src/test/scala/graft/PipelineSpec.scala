@@ -99,6 +99,19 @@ class PipelineSpec extends AnyFunSuite {
     lbl.filterNot(kv => inPair(kv._1)).foreach { case (d, c) => assert(d === c) }
   }
 
+  test("HLL distinct estimate lands within the 256-register error envelope") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val rows = graft.pipeline.Sketches.hllDistinctUsers(ev).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      // 1.04/sqrt(256) = 6.5% standard error; allow 4 sigma
+      assert(math.abs(est - exact) / exact < 0.26,
+        s"${r.getAs[String]("event_type")}: est=$est exact=$exact")
+    }
+  }
+
   test("token stats: subtokens >= tokens (splitting only refines)") {
     val bad = TextOps.tokenStats(docs)
       .filter(col("n_subtokens") < col("n_tokens")).count()
