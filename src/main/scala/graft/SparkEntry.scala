@@ -364,6 +364,7 @@ object SparkEntry {
     "doc_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
     "doc_pack_bins" -> ((s, dir) => TextOps.packBins(docs(s, dir))),
     "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
 
     // --- approximate aggregates (SURVEY §2.4 "not present" list): HLL
     //     distinct, deterministic cross-engine (see pipeline.Sketches) ---
@@ -541,6 +542,7 @@ object SparkEntry {
     "doc_pack_bins" -> TextOps.packBinsOracle,
     "emb_quantize_int8" -> Similarity.quantizeInt8Oracle,
     "approx_distinct_hll" -> Sketches.hllDistinctUsersOracle,
+    "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsOracle,
     "ann_brute_topk" -> Similarity.bruteTopKOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,

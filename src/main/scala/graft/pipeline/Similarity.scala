@@ -121,6 +121,124 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- IVF (inverted-file) top-k ------------------------------------------
+
+  val IvfK = 8 // coarse centroids
+  val NProbe = 2 // clusters searched per query
+
+  /** Components quantized to fixed-point 1e6 longs: ALL k-means arithmetic
+    * (distances, sums, means) happens in exact int64, so assignments and
+    * centroids are order/partitioning-independent — the property that lets
+    * DuckDB mirror the clustering bit-for-bit with no ordered folds. */
+  private def quantCol: Column =
+    transform(col("v"), y => floor(y * 1e6).cast("long"))
+
+  /** Exact integer squared-L2 between two fp-1e6 vectors (fits int64:
+    * 64 * (diff ≤ 1e7)^2 ≈ 6.4e15). */
+  private def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** IVF ANN top-K: deterministic quantized k-means (init = first IvfK
+    * vectors, one recompute round — fixed iterations over convergence
+    * checks, for reproducibility), then each query probes its NProbe
+    * nearest clusters and exact-cosine re-ranks only their members.
+    *
+    * Scale shape (the 100 TB path next to [[lshTopK]]):
+    *  - assignment: broadcast of IvfK centroids + map-side partial argmin
+    *    → shuffle is one row per vector;
+    *  - centroid recompute: groupBy (cid, pos) with map-side combine →
+    *    shuffle volume is partitions × IvfK × Dim, independent of rows;
+    *  - search: probes (queries × NProbe) broadcast into the member scan —
+    *    only ~NProbe/IvfK of the corpus is scored per query.
+    * Output (q_id, rank, neighbor_id, cos_fp). */
+  def ivfTopK(emb: DataFrame): DataFrame = {
+    val x = normalized(emb).withColumn("xq", quantCol)
+    val x0 = x.select("vec_id", "xq")
+    def assign(cent: DataFrame): DataFrame =
+      x0.join(broadcast(cent), lit(true))
+        .groupBy("vec_id")
+        .agg(min(struct(distSq(col("xq"), col("c")).as("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+    val c0 = x0.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("xq").as("c"))
+    val a1 = assign(c0)
+    // per-dim integer mean: floor(sum/count) in doubles is exact here
+    // (sum < 2^53) and identical to DuckDB's floor division
+    val c1 = x0.join(a1, "vec_id")
+      .select(col("cid"), col("xq"), explode(sequence(lit(1), lit(Dim))).as("pos"))
+      .withColumn("comp", element_at(col("xq"), col("pos")))
+      .groupBy("cid", "pos")
+      .agg(floor(sum("comp") / count(lit(1))).cast("long").as("cp"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
+        s => s.getField("cp")).as("c"))
+    val a2 = assign(c1)
+    val q = x.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("xq").as("qq"))
+    val qc = q.join(broadcast(c1), lit(true))
+      .select(col("q_id"), col("qv"), col("qn"), col("cid"),
+        distSq(col("qq"), col("c")).as("d"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d"), col("cid"))
+    val probes = qc.withColumn("rn", row_number().over(wp)).filter(col("rn") <= NProbe)
+      .select("q_id", "qv", "qn", "cid")
+    val members = x.join(a2, "vec_id") // each vector in exactly one cluster
+    val scored = members.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        floor(dotCols(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("cos_fp"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_fp").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor_id", "cos_fp")
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfTopKOracle: String = {
+    val dSq = (xt: String, ct: String) =>
+      s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+         |        d -> ($xt.xq[d] - $ct.c[d]) * ($xt.xq[d] - $ct.c[d])), (a, b) -> a + b)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT vec_id, v,
+       |             list_transform(v, y -> CAST(floor(y * 1e6) AS BIGINT)) AS xq FROM e),
+       |c0 AS (SELECT vec_id AS cid, xq AS c FROM x WHERE vec_id < $IvfK),
+       |d1 AS (SELECT x.vec_id, c.cid, ${dSq("x", "c")} AS d FROM x, c0 c),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |         FROM d1) t WHERE rn = 1),
+       |cp1 AS (SELECT a1.cid, t.pos,
+       |               CAST(floor(sum(x.xq[t.pos])::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS cp
+       |        FROM x JOIN a1 USING (vec_id), range(1, ${Dim + 1}) t(pos)
+       |        GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(cp ORDER BY pos) AS c FROM cp1 GROUP BY cid),
+       |d2 AS (SELECT x.vec_id, c.cid, ${dSq("x", "c")} AS d FROM x, c1 c),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |         FROM d2) t WHERE rn = 1),
+       |qd AS (SELECT x.vec_id AS q_id, c.cid, ${dSq("x", "c")} AS d
+       |       FROM x, c1 c WHERE x.vec_id < $NumQueries),
+       |probes AS (SELECT q_id, cid FROM (
+       |             SELECT q_id, cid,
+       |                    row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |             FROM qd) t WHERE rn <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, a2.vec_id AS neighbor_id,
+       |         floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM probes p
+       |  JOIN a2 ON a2.cid = p.cid AND a2.vec_id <> p.q_id
+       |  JOIN e c ON c.vec_id = a2.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- int8 quantization --------------------------------------------------
 
   /** Symmetric int8 quantization per vector: scale = max|v|/127,

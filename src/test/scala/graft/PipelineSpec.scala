@@ -99,6 +99,26 @@ class PipelineSpec extends AnyFunSuite {
     lbl.filterNot(kv => inPair(kv._1)).foreach { case (d, c) => assert(d === c) }
   }
 
+  test("IVF top-k: K rows per query, clusters partition the corpus, high recall vs brute") {
+    import spark.implicits._
+    val ivf = graft.pipeline.Similarity.ivfTopK(emb).collect()
+    assert(ivf.nonEmpty)
+    // per query: ranks are 1..n ascending, scores non-increasing
+    ivf.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Long]("cos_fp")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // probing 2/8 clusters should still recover a good chunk of the true
+    // top-k (nearest vectors concentrate in the query's own cluster)
+    val brute = graft.pipeline.Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.3, s"IVF recall vs brute = $recall")
+  }
+
   test("HLL distinct estimate lands within the 256-register error envelope") {
     val ev = graft.sources.EventsAdapter.events(spark, dir)
     val rows = graft.pipeline.Sketches.hllDistinctUsers(ev).collect()
