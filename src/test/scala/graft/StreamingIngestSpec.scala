@@ -79,6 +79,35 @@ class StreamingIngestSpec extends AnyFunSuite {
     ))
   }
 
+  test("watermarked tumbling windows: close-once emission, too-late points dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingWindow}
+    val in = MemoryStream[Point]
+    val q = StreamingWindow.windowedMean(in.toDS(), "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("wnd")
+      .outputMode("append").start()
+    // batch 1: two points in window [0:00,1:00) + one at 3:20 that pushes
+    // the watermark to 2:20, past the first window's end
+    in.addData(Point("s1", 10000L, 10.0), Point("s1", 20000L, 20.0),
+               Point("s1", 200000L, 1.0))
+    q.processAllAvailable()
+    // batch 2: a point at 0:30 is OLDER than the watermark → dropped (it
+    // must not reopen or corrupt the closed window); 6:40 advances the
+    // watermark past window [3:00,4:00)
+    in.addData(Point("s1", 30000L, 999.0), Point("s1", 400000L, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wnd")
+      .select("series", "window_start_ms", "mean", "n")
+      .as[(String, Long, Double, Long)].collect().toSet
+    // window [0:00,1:00) emitted exactly once, WITHOUT the too-late 999
+    assert(got.contains(("s1", 0L, 15.0, 2L)), got)
+    // window [3:00,4:00) closed by the batch-2 watermark advance
+    assert(got.contains(("s1", 180000L, 1.0, 1L)), got)
+    assert(!got.exists(_._3 > 100), s"late point leaked into a window: $got")
+  }
+
   test("restart resumes from checkpoint without re-registering series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
