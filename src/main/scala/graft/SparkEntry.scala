@@ -246,6 +246,10 @@ object SparkEntry {
         """ GROUP BY time(6h) SLIMIT 1 SOFFSET 1"""))),
     "ts_select_regex_from" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT sum("value") FROM /^ev/ WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
+    "ts_select_subquery" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT max("mean") FROM (SELECT mean("value") FROM "events"""" +
+        s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h))""" +
+        s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
 
     // --- §3.1∘§3.2 end-to-end: line-protocol ingest feeding the SELECT
     //     pipeline (float field), plus the string-field pipeline (message
@@ -411,6 +415,29 @@ object SparkEntry {
     "ts_select_offset" -> tagFilterOracle(60000L, Some(20), offset = Some(20)),
     "ts_select_slimit" -> slimitOracle(21600000L, 1, 1),
     "ts_select_regex_from" -> tsSelectOracle("sum(value)", 7200000L),
+    "ts_select_subquery" ->
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |  GROUP BY 1, 2, 3),
+         |u AS (
+         |  SELECT time_ms, 'mean' AS name, value, 'event_type' AS labelname,
+         |         event_type AS labelvalue, '' AS message FROM g
+         |  UNION ALL
+         |  SELECT time_ms, 'mean' AS name, value, 'user_id' AS labelname,
+         |         user_id AS labelvalue, '' AS message FROM g),
+         |o AS (
+         |  SELECT (time_ms // 21600000) * 21600000 AS time_ms, name, labelname,
+         |         labelvalue, message,
+         |         CAST(floor(max(value) * 100) AS BIGINT) AS value
+         |  FROM u
+         |  WHERE time_ms >= ${FromNs / 1000000L + 1} AND time_ms <= ${ToNs / 1000000L - 1}
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT time_ms, name, value, labelname, labelvalue, message FROM o
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_mean_1m" -> tsSelectOracle("avg(value)", 60000L),
     "ts_select_sum_1h" -> tsSelectOracle("sum(value)", 3600000L),
     "ts_select_count_10m" -> tsSelectOracle("CAST(count(value) AS DOUBLE)", 600000L),

@@ -48,7 +48,12 @@ object Ast {
       orderDesc: Boolean = false, // ORDER BY time DESC (reference ignores)
       offset: Option[Int] = None, // point pagination (extension)
       slimit: Option[Int] = None, // series limit (extension)
-      soffset: Option[Int] = None // series pagination (extension)
+      soffset: Option[Int] = None, // series pagination (extension)
+      /** FROM (SELECT …) subquery (extension): the outer query runs over
+        * the inner result's per-(label pair) series, with the inner's
+        * output field names as the outer's field keys. `from` mirrors the
+        * innermost table ref for response naming. */
+      fromSub: Option[Select] = None
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement

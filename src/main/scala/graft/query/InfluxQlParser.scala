@@ -133,8 +133,9 @@ object InfluxQlParser {
       r
     }
 
-  // SELECT f [, f...] FROM ref [WHERE ...] [GROUP BY ...] [FILL(x)] [LIMIT n]
-  private def parseSelect(p: P): Either[String, Ast.Statement] = {
+  // SELECT f [, f...] FROM (ref | (SELECT …)) [WHERE ...] [GROUP BY ...]
+  // [FILL(x)] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
+  private def parseSelect(p: P, nested: Boolean = false): Either[String, Ast.Statement] = {
     p.kw("SELECT")
     val fields = ArrayBuffer.empty[Ast.Field]
     var first = true
@@ -146,7 +147,19 @@ object InfluxQlParser {
       }
     }
     if (!p.kw("FROM")) return Left("expected FROM")
-    val from = parseTableRef(p) match { case Right(r) => r; case Left(e) => return Left(e) }
+    // FROM (SELECT …): recurse; outer `from` mirrors the innermost ref
+    var fromSub: Option[Ast.Select] = None
+    val from: Ast.TableRef =
+      if (p.op("(")) {
+        parseSelect(p, nested = true) match {
+          case Right(inner: Ast.Select) =>
+            if (!p.op(")")) return Left("expected ) after subquery")
+            fromSub = Some(inner)
+            inner.from
+          case Right(other) => return Left(s"subquery must be a SELECT, got $other")
+          case Left(e)      => return Left(e)
+        }
+      } else parseTableRef(p) match { case Right(r) => r; case Left(e) => return Left(e) }
 
     var lower: Option[Ast.TimeExpr] = None
     var upper: Option[Ast.TimeExpr] = None
@@ -233,13 +246,14 @@ object InfluxQlParser {
     val soffset = intClause("SOFFSET") match { case Right(v) => v; case Left(e) => return Left(e) }
 
     p.peek match {
+      case Some(Op(")")) if nested => // the enclosing parser consumes it
       case Some(t) => return Left(s"unexpected trailing token $t") // no silent drops
       case None =>
     }
     Right(Ast.Select(fields.toSeq, from,
       Ast.TimeBounds(lower, upper, lowerStrict, upperStrict),
       tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc,
-      offset = offset, slimit = slimit, soffset = soffset))
+      offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub))
   }
 
   // func("name") [AS alias] | "name" | *

@@ -148,6 +148,23 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(j2.contains(",2]") && !j2.contains(",1]") && !j2.contains(",3]"), j2)
   }
 
+  test("subquery: outer max over inner per-minute means") {
+    val e = newEngine()
+    // minute 0: values 10,20 (mean 15); minute 1: 40 (mean 40)
+    e.write("dbq",
+      """cpu,host=a u=10 1735689540000000000
+        |cpu,host=a u=20 1735689550000000000
+        |cpu,host=a u=40 1735689600000000000""".stripMargin)
+    val json = e.query("dbq",
+      """SELECT max("mean") FROM (SELECT mean("u") FROM "cpu" WHERE time > now() - 10m """ +
+        """GROUP BY time(1m)) WHERE time > now() - 10m GROUP BY time(10m)""")
+    // the two minute-means land in different 10-min buckets: 23:50 → 15
+    // (max of a single mean), 00:00 → 40; raw points must not leak through
+    assert(json.contains("[1735689000000,15]") && json.contains("[1735689600000,40]"), json)
+    assert(!json.contains("[1735689540000,10]") && !json.contains("[1735689550000,20]"), json)
+    assert(json.contains(""""columns":["time","mean"]"""), json)
+  }
+
   test("FILL(null) gap rows serialize as JSON null, distinct from FILL(0)") {
     val e = newEngine()
     // two points 3 minutes apart → 2 gap buckets between them

@@ -60,6 +60,23 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(esc.from.regex.contains("a/b"))
   }
 
+  test("FROM (SELECT …) subquery parses recursively") {
+    val s = parseOk("""SELECT max("mean") FROM (SELECT mean("v") FROM "cpu" """ +
+      """WHERE time > now() - 1h GROUP BY time(1m)) WHERE time > now() - 1h GROUP BY time(10m)""")
+      .asInstanceOf[Ast.Select]
+    assert(s.fromSub.isDefined)
+    assert(s.from.measurement == "cpu") // outer mirrors the innermost ref
+    assert(s.fields == Seq(Ast.Field(Some("max"), "mean", None)))
+    val inner = s.fromSub.get
+    assert(inner.fields == Seq(Ast.Field(Some("mean"), "v", None)))
+    assert(inner.groupByTimeMs.contains(60000L) && s.groupByTimeMs.contains(600000L))
+    // two levels deep
+    val s2 = parseOk("""SELECT mean("max") FROM (SELECT max("mean") FROM """ +
+      """(SELECT mean("v") FROM "cpu" GROUP BY time(1m)) GROUP BY time(5m)) GROUP BY time(10m)""")
+      .asInstanceOf[Ast.Select]
+    assert(s2.fromSub.get.fromSub.isDefined)
+  }
+
   test("SELECT with time < now() upper bound (stripped by reference, honored here)") {
     val s = parseOk("""SELECT mean("v") FROM "m" WHERE time > now() - 5m AND time < now()""")
       .asInstanceOf[Ast.Select]
