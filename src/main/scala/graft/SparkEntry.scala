@@ -246,6 +246,21 @@ object SparkEntry {
         """ GROUP BY time(6h) SLIMIT 1 SOFFSET 1"""))),
     "ts_select_regex_from" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT sum("value") FROM /^ev/ WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
+    // --- function-of-function: window transforms parsed from the query
+    //     text and applied by the planner (same semantics as the direct
+    //     operators.Tick entries above) ---
+    "ts_select_fn_derivative" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT derivative(mean("value"), 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_movavg" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_cumsum" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT cumulative_sum(mean("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_nnd" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT non_negative_derivative(mean("value"), 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
     "ts_select_subquery" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT max("mean") FROM (SELECT mean("value") FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h))""" +
@@ -474,6 +489,16 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_float, count(*) AS n_str,
         |       CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+    "ts_select_fn_derivative" -> tickOracle(3600000L,
+      "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
+      "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
+    "ts_select_fn_movavg" -> tickOracle(3600000L,
+      "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
+    "ts_select_fn_cumsum" -> tickOracle(3600000L,
+      "sum(raw) OVER (ORDER BY time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs", "cs"),
+    "ts_select_fn_nnd" -> tickOracle(3600000L,
+      "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
+      "CASE WHEN pr IS NOT NULL AND time_ms > pt AND (raw - pr) >= 0 THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
     "ts_difference_1h" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr", "raw - pr"),
     "ts_derivative_1h" -> tickOracle(3600000L,

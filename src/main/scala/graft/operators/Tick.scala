@@ -27,11 +27,12 @@ object Tick {
     sel.withColumn("value", col("value") - lag("value", 1).over(w))
       .filter(col("value").isNotNull)
 
-  /** Per-series rate of change per second: difference / (Δt seconds). */
-  def derivative(sel: DataFrame): DataFrame =
+  /** Per-series rate of change per `unitMs` (default: per second):
+    * difference / (Δt / unit). */
+  def derivative(sel: DataFrame, unitMs: Long = 1000L): DataFrame =
     sel
       .withColumn("__dv", col("value") - lag("value", 1).over(w))
-      .withColumn("__dt", (col("time_ms") - lag("time_ms", 1).over(w)) / 1000.0)
+      .withColumn("__dt", (col("time_ms") - lag("time_ms", 1).over(w)) / unitMs.toDouble)
       .filter(col("__dv").isNotNull && col("__dt") > 0)
       .withColumn("value", col("__dv") / col("__dt"))
       .drop("__dv", "__dt")
@@ -41,4 +42,11 @@ object Tick {
   def movingAverage(sel: DataFrame, n: Int): DataFrame =
     sel.withColumn("value",
       avg("value").over(w.rowsBetween(-(n - 1), 0)))
+
+  /** Per-series running total in time order (ordered window accumulation
+    * — the same sequential order in any engine, so doubles stay
+    * deterministic). */
+  def cumulativeSum(sel: DataFrame): DataFrame =
+    sel.withColumn("value",
+      sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)))
 }

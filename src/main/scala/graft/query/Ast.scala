@@ -13,8 +13,15 @@ object Ast {
   /** @param arg numeric second function argument, e.g.
     *             `percentile("value", 95)` — InfluxQL surface the
     *             reference drops entirely (avg hardwired, cflux.js:749) */
+  /** Window transform wrapping an aggregate, InfluxQL function-of-function
+    * surface (extension): `derivative(mean("v"), 1s)`,
+    * `moving_average(mean("v"), 3)`, `difference(...)`,
+    * `non_negative_derivative(...)`, `cumulative_sum(...)`. */
+  final case class Transform(fn: String, durMs: Option[Long] = None, n: Option[Int] = None)
+
   final case class Field(func: Option[String], name: String, alias: Option[String],
-                         arg: Option[Double] = None)
+                         arg: Option[Double] = None,
+                         transform: Option[Transform] = None)
 
   /** A time bound from the WHERE clause — the four shapes of
     * cflux.js:702-727. Resolved to epoch ms at plan time. */

@@ -99,6 +99,7 @@ object InfluxQlParser {
   final class P(ts: Vector[Tok]) {
     var pos = 0
     def peek: Option[Tok] = if (pos < ts.length) Some(ts(pos)) else None
+    def peekAt(k: Int): Option[Tok] = if (pos + k < ts.length) Some(ts(pos + k)) else None
     def next(): Tok = { val t = ts(pos); pos += 1; t }
     def done: Boolean = pos >= ts.length
     def kw(s: String): Boolean = peek match {
@@ -256,29 +257,77 @@ object InfluxQlParser {
       offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub))
   }
 
-  // func("name") [AS alias] | "name" | *
+  /** Window transforms accepted as the OUTER call of a nested
+    * `transform(agg("field")[, arg])` (InfluxQL function-of-function). */
+  private val TransformFns = Set(
+    "derivative", "non_negative_derivative", "difference",
+    "moving_average", "cumulative_sum")
+
+  // transform(func("name")[, dur|n]) | func("name"[, num]) [AS a] | "name" | *
   private def parseField(p: P): Either[String, Ast.Field] = {
     p.peek match {
       case Some(Op("*")) => p.next(); Right(Ast.Field(None, "*", None))
       case Some(Ident(name, quoted)) =>
         p.next()
         if (!quoted && p.op("(")) {
-          val inner = p.next() match {
-            case Ident(s, _) => s
-            case Op("*")     => "*"
-            case t           => return Left(s"bad function arg $t")
+          // nested call = transform(agg(...)): an unquoted ident directly
+          // followed by an open paren
+          val nested = (p.peek, p.peekAt(1)) match {
+            case (Some(Ident(_, false)), Some(Op("("))) => true
+            case _                                      => false
           }
-          val arg: Option[Double] =
+          if (nested) {
+            val fnT = name.toLowerCase
+            if (!TransformFns.contains(fnT))
+              return Left(s"unsupported nested function $name")
+            val innerFn = p.next() match { case Ident(s, _) => s; case t => return Left(s"bad $t") }
+            p.op("(") // guaranteed by the lookahead
+            val innerName = p.next() match {
+              case Ident(s, _) => s
+              case Op("*")     => "*"
+              case t           => return Left(s"bad function arg $t")
+            }
+            val innerArg: Option[Double] =
+              if (p.op(",")) p.next() match {
+                case Num(n) => n.toDoubleOption match {
+                  case some @ Some(_) => some
+                  case None           => return Left(s"bad numeric function arg $n")
+                }
+                case t => return Left(s"bad numeric function arg $t")
+              } else None
+            if (!p.op(")")) return Left("expected ) closing inner call")
+            var durMs: Option[Long] = None
+            var nArg: Option[Int] = None
             if (p.op(",")) p.next() match {
-              case Num(n) => n.toDoubleOption match {
-                case some @ Some(_) => some
-                case None           => return Left(s"bad numeric function arg $n")
+              case Dur(d) => durMs = Some(TimeUnits.durationMs(d))
+              case Num(s) => s.toIntOption match {
+                case Some(n) => nArg = Some(n)
+                case None    => return Left(s"bad transform argument $s")
               }
-              case t      => return Left(s"bad numeric function arg $t")
-            } else None
-          if (!p.op(")")) return Left("expected )")
-          val alias = if (p.kw("AS")) p.ident().toOption else None
-          Right(Ast.Field(Some(name.toLowerCase), inner, alias, arg))
+              case t => return Left(s"bad transform argument $t")
+            }
+            if (!p.op(")")) return Left("expected ) closing transform")
+            val alias = if (p.kw("AS")) p.ident().toOption else None
+            Right(Ast.Field(Some(innerFn.toLowerCase), innerName, alias, innerArg,
+              transform = Some(Ast.Transform(fnT, durMs, nArg))))
+          } else {
+            val inner = p.next() match {
+              case Ident(s, _) => s
+              case Op("*")     => "*"
+              case t           => return Left(s"bad function arg $t")
+            }
+            val arg: Option[Double] =
+              if (p.op(",")) p.next() match {
+                case Num(n) => n.toDoubleOption match {
+                  case some @ Some(_) => some
+                  case None           => return Left(s"bad numeric function arg $n")
+                }
+                case t      => return Left(s"bad numeric function arg $t")
+              } else None
+            if (!p.op(")")) return Left("expected )")
+            val alias = if (p.kw("AS")) p.ident().toOption else None
+            Right(Ast.Field(Some(name.toLowerCase), inner, alias, arg))
+          }
         } else {
           val alias = if (p.kw("AS")) p.ident().toOption else None
           Right(Ast.Field(None, name, alias))

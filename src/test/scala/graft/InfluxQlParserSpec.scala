@@ -60,6 +60,20 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(esc.from.regex.contains("a/b"))
   }
 
+  test("function-of-function: transform(agg(field), arg) parses") {
+    val d = parseOk("""SELECT derivative(mean("value"), 1s) FROM "cpu" WHERE time > now() - 1h GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select]
+    assert(d.fields == Seq(Ast.Field(Some("mean"), "value", None,
+      transform = Some(Ast.Transform("derivative", Some(1000L), None)))))
+    val m = parseOk("""SELECT moving_average(sum("v"), 5) AS ma FROM "cpu"""").asInstanceOf[Ast.Select]
+    assert(m.fields == Seq(Ast.Field(Some("sum"), "v", Some("ma"),
+      transform = Some(Ast.Transform("moving_average", None, Some(5))))))
+    val c = parseOk("""SELECT cumulative_sum(mean("v")) FROM "cpu"""").asInstanceOf[Ast.Select]
+    assert(c.fields.head.transform.contains(Ast.Transform("cumulative_sum")))
+    // unsupported outer function is a parse error, not a silent drop
+    assert(InfluxQlParser.parse("""SELECT holt_winters(mean("v"), 10) FROM "cpu"""").isLeft)
+  }
+
   test("FROM (SELECT …) subquery parses recursively") {
     val s = parseOk("""SELECT max("mean") FROM (SELECT mean("v") FROM "cpu" """ +
       """WHERE time > now() - 1h GROUP BY time(1m)) WHERE time > now() - 1h GROUP BY time(10m)""")
