@@ -120,6 +120,26 @@ object SparkEntry {
     }
   }
 
+  /** Oracle for top/bottom selectors over the click/user-17 series: N
+    * extreme points per bucket, ties broken by earlier timestamp, emitted
+    * at the point's own timestamp. */
+  private def selectorOracle(bucketMs: Long, n: Int, dir: String): String =
+    s"""WITH p AS (
+       |  SELECT epoch_ms(ts) AS time_ms, epoch_ms(ts) // $bucketMs AS b, value,
+       |         event_type, CAST(user_id AS VARCHAR) AS user_id
+       |  FROM events
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+       |    AND event_type = 'click' AND user_id = 17),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY b ORDER BY value $dir, time_ms ASC) AS rn
+       |      FROM p),
+       |f AS (SELECT time_ms, CAST(floor(value * 100) AS BIGINT) AS value FROM r WHERE rn <= $n)
+       |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+       |       'click' AS labelvalue, '' AS message FROM f
+       |UNION ALL
+       |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+       |       '17' AS labelvalue, '' AS message FROM f
+       |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+
   /** Oracle for the raw (non-aggregated) SELECT: every click/user-17 sample
     * at its own timestamp, exploded per label pair. */
   private def rawSelectOracle: String =
@@ -246,6 +266,15 @@ object SparkEntry {
         """ GROUP BY time(6h) SLIMIT 1 SOFFSET 1"""))),
     "ts_select_regex_from" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT sum("value") FROM /^ev/ WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
+    // --- top/bottom selectors: N extreme points per bucket at their own
+    //     timestamps ---
+    "ts_select_top" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT top("value", 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+    "ts_select_bottom" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT bottom("value", 2) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+
     // --- function-of-function: window transforms parsed from the query
     //     text and applied by the planner (same semantics as the direct
     //     operators.Tick entries above) ---
@@ -489,6 +518,8 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_float, count(*) AS n_str,
         |       CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+    "ts_select_top" -> selectorOracle(21600000L, 3, "DESC"),
+    "ts_select_bottom" -> selectorOracle(21600000L, 2, "ASC"),
     "ts_select_fn_derivative" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
       "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),

@@ -9,7 +9,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("dedup_minhash_lsh", "ts_asof_prior_view", "ts_sessionize",
-                     "ann_lsh_topk", "olap_top_users_per_type", "ts_select_fill_zero")) {
+                     "ann_lsh_topk", "olap_top_users_per_type", "ts_select_fill_zero",
+                     "ts_select_subquery", "ts_select_slimit", "ts_select_raw",
+                     "ts_select_fn_derivative", "ann_ivf_topk", "approx_distinct_hll")) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct").filter(plan.contains)
       val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
