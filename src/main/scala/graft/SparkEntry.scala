@@ -71,13 +71,14 @@ object SparkEntry {
     * exploded per label pair (the reference's ARRAY JOIN output shape). */
   private def tsSelectOracle(aggSql: String, bucketMs: Long,
                              fromMs: Long = FromNs / 1000000L + 1,
-                             toMs: Long = ToNs / 1000000L - 1): String =
+                             toMs: Long = ToNs / 1000000L - 1,
+                             extraWhere: String = ""): String =
     s"""WITH g AS (
        |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms,
        |         event_type, CAST(user_id AS VARCHAR) AS user_id,
        |         CAST(floor(($aggSql) * 100) AS BIGINT) AS value
        |  FROM events
-       |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+       |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs $extraWhere
        |  GROUP BY 1, 2, 3)
        |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
        |       event_type AS labelvalue, '' AS message FROM g
@@ -266,6 +267,14 @@ object SparkEntry {
         """ GROUP BY time(6h) SLIMIT 1 SOFFSET 1"""))),
     "ts_select_regex_from" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT sum("value") FROM /^ev/ WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
+    // --- tag filter operators beyond equality: !=, =~, !~ ---
+    "ts_select_tag_neq" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" != 'click' GROUP BY time(6h)"""))),
+    "ts_select_tag_regex" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" =~ /^(cl|pu)/ GROUP BY time(6h)"""))),
+
     // --- top/bottom selectors: N extreme points per bucket at their own
     //     timestamps ---
     "ts_select_top" -> ((s, dir) => stable(influx(s, dir,
@@ -518,6 +527,11 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_float, count(*) AS n_str,
         |       CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+    "ts_select_tag_neq" ->
+      tsSelectOracle("avg(value)", 21600000L, extraWhere = "AND event_type <> 'click'"),
+    "ts_select_tag_regex" ->
+      tsSelectOracle("avg(value)", 21600000L,
+        extraWhere = "AND regexp_matches(event_type, '^(cl|pu)')"),
     "ts_select_top" -> selectorOracle(21600000L, 3, "DESC"),
     "ts_select_bottom" -> selectorOracle(21600000L, 2, "ASC"),
     "ts_select_fn_derivative" -> tickOracle(3600000L,

@@ -37,6 +37,11 @@ object Ast {
   final case class TimeBounds(lower: Option[TimeExpr], upper: Option[TimeExpr],
                               lowerStrict: Boolean = false, upperStrict: Boolean = false)
 
+  /** One WHERE tag conjunct. `op` ∈ =, !=, =~, !~ (the reference extracts
+    * only equality, cflux.js:737-743; the rest is the InfluxQL surface an
+    * InfluxDB client expects). For =~/!~ `value` is the regex source. */
+  final case class TagFilter(key: String, op: String, value: String)
+
   /** @param regex InfluxQL regex measurement ref (FROM /cpu../) — resolved
     *               at plan time to every matching measurement (extension;
     *               the reference's regex dispatch never matches one). */
@@ -47,7 +52,7 @@ object Ast {
       fields: Seq[Field],
       from: TableRef,
       time: TimeBounds,
-      tagFilters: Seq[(String, String)], // "tag" = 'value' conjuncts (cflux.js:737-743)
+      tagFilters: Seq[TagFilter], // "tag" =/!=/=~/!~ conjuncts
       groupByTimeMs: Option[Long], // honored (divergence: reference strips it, cflux.js:378)
       groupByTags: Seq[String],
       fill: Option[String],

@@ -87,7 +87,7 @@ object InfluxQlParser {
         out += Re(sb.result())
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
-        if (Set("<=", ">=", "!=", "<>", "=~", "::").contains(two)) { out += Op(two); i += 2 }
+        if (Set("<=", ">=", "!=", "<>", "=~", "!~", "::").contains(two)) { out += Op(two); i += 2 }
         else if ("=<>(),.*-+".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
         else return Left(s"unexpected char '$c' at $i")
       }
@@ -166,7 +166,7 @@ object InfluxQlParser {
     var upper: Option[Ast.TimeExpr] = None
     var lowerStrict = false
     var upperStrict = false
-    val tagFilters = ArrayBuffer.empty[(String, String)]
+    val tagFilters = ArrayBuffer.empty[Ast.TagFilter]
     if (p.kw("WHERE")) {
       var more = true
       while (more) {
@@ -371,7 +371,7 @@ object InfluxQlParser {
   /** One WHERE conjunct → Left((isLowerBound, timeExpr)) for time bounds,
     * Right((tag, value)) for tag equality (the two conjunct kinds the
     * reference extracts, cflux.js:702-743). */
-  private def parseConjunct(p: P): Either[String, Either[(Boolean, Boolean, Ast.TimeExpr), (String, String)]] = {
+  private def parseConjunct(p: P): Either[String, Either[(Boolean, Boolean, Ast.TimeExpr), Ast.TagFilter]] = {
     val lhs = p.next() match {
       case Ident(s, _) => s
       case t           => return Left(s"bad WHERE lhs $t")
@@ -417,14 +417,19 @@ object InfluxQlParser {
       }
       Right(Left((isLower, strict, te)))
     } else {
-      if (!p.op("=")) return Left(s"only '=' tag filters supported, at '$lhs'")
-      val v = p.next() match {
-        case Str(s)      => s
-        case Ident(s, _) => s
-        case Num(s)      => s
-        case t           => return Left(s"bad tag value $t")
+      val op = p.peek match {
+        case Some(Op(o @ ("=" | "!=" | "<>" | "=~" | "!~"))) =>
+          p.next(); if (o == "<>") "!=" else o
+        case t => return Left(s"bad tag operator $t after '$lhs'")
       }
-      Right(Right((lhs, v)))
+      val v = (op, p.next()) match {
+        case ("=" | "!=", Str(s))      => s
+        case ("=" | "!=", Ident(s, _)) => s
+        case ("=" | "!=", Num(s))      => s
+        case ("=~" | "!~", Re(s))      => s
+        case (_, t)                    => return Left(s"bad tag value $t for '$lhs' $op")
+      }
+      Right(Right(Ast.TagFilter(lhs, op, v)))
     }
   }
 

@@ -14,7 +14,7 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(s.fields == Seq(Ast.Field(Some("mean"), "usage_user", None)))
     assert(s.from == Ast.TableRef(Some("telegraf"), Some("autogen"), "cpu"))
     assert(s.time == Ast.TimeBounds(Some(Ast.NowMinus(3600000L)), None, lowerStrict = true))
-    assert(s.tagFilters == Seq("host" -> "h1"))
+    assert(s.tagFilters == Seq(Ast.TagFilter("host", "=", "h1")))
     assert(s.groupByTimeMs.contains(60000L))
   }
 
@@ -58,6 +58,16 @@ class InfluxQlParserSpec extends AnyFunSuite {
     // escaped slash inside the regex literal
     val esc = parseOk("""SELECT mean("v") FROM /a\/b/ WHERE time > now() - 5m""").asInstanceOf[Ast.Select]
     assert(esc.from.regex.contains("a/b"))
+  }
+
+  test("tag filter operators: !=, =~, !~") {
+    val s = parseOk("""SELECT mean("v") FROM "cpu" WHERE time > now() - 5m """ +
+      """AND "host" != 'h1' AND "region" =~ /^eu-/ AND "dc" !~ /test$/""")
+      .asInstanceOf[Ast.Select]
+    assert(s.tagFilters == Seq(
+      Ast.TagFilter("host", "!=", "h1"),
+      Ast.TagFilter("region", "=~", "^eu-"),
+      Ast.TagFilter("dc", "!~", "test$")))
   }
 
   test("function-of-function: transform(agg(field), arg) parses") {
