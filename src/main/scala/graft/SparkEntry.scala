@@ -267,6 +267,11 @@ object SparkEntry {
         """ GROUP BY time(6h) SLIMIT 1 SOFFSET 1"""))),
     "ts_select_regex_from" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT sum("value") FROM /^ev/ WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
+    // --- SHOW SERIES metadata (InfluxDB surface the reference lacks) ---
+    "ts_show_series" -> ((s, dir) => influx(s, dir, "SHOW SERIES FROM \"events\"")),
+    "ts_show_series_cardinality" -> ((s, dir) =>
+      influx(s, dir, "SHOW SERIES EXACT CARDINALITY FROM \"events\"")),
+
     // --- tag filter operators beyond equality: !=, =~, !~ ---
     "ts_select_tag_neq" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
@@ -527,6 +532,11 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_float, count(*) AS n_str,
         |       CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+    "ts_show_series" ->
+      """SELECT DISTINCT 'events,event_type=' || event_type || ',user_id=' || CAST(user_id AS VARCHAR) AS key
+        |FROM events ORDER BY key""".stripMargin,
+    "ts_show_series_cardinality" ->
+      """SELECT CAST(count(DISTINCT (event_type, user_id)) AS BIGINT) AS "count" FROM events""",
     "ts_select_tag_neq" ->
       tsSelectOracle("avg(value)", 21600000L, extraWhere = "AND event_type <> 'click'"),
     "ts_select_tag_regex" ->

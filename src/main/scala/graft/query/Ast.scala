@@ -75,6 +75,11 @@ object Ast {
   final case class ShowFieldKeys(from: Option[TableRef]) extends Statement
   final case class ShowTagKeys(from: Option[TableRef]) extends Statement
   final case class ShowTagValues(from: Option[TableRef], keys: Seq[String]) extends Statement
+  /** SHOW SERIES [FROM m] — series keys `measurement,k1=v1,k2=v2`
+    * (extension: InfluxDB metadata surface the reference lacks). */
+  final case class ShowSeries(from: Option[TableRef]) extends Statement
+  /** SHOW SERIES [EXACT] CARDINALITY [FROM m] (extension). */
+  final case class ShowSeriesCardinality(from: Option[TableRef]) extends Statement
   final case class CreateSubscription(id: String, db: String, rp: String, dest: String) extends Statement
   case object ShowSubscriptions extends Statement
   /** Anything else → reference logs UNSUPPORTED and returns an empty result

@@ -444,6 +444,12 @@ object InfluxQlParser {
       val db = if (p.kw("ON")) p.ident().toOption else None
       Right(Ast.ShowRetentionPolicies(db))
     } else if (p.kw("SUBSCRIPTIONS")) Right(Ast.ShowSubscriptions)
+    else if (p.kw("SERIES")) {
+      p.kw("EXACT") // SHOW SERIES EXACT CARDINALITY — EXACT is what we compute anyway
+      val cardinality = p.kw("CARDINALITY")
+      val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
+      Right(if (cardinality) Ast.ShowSeriesCardinality(from) else Ast.ShowSeries(from))
+    }
     else if (p.kw("FIELD")) {
       if (!p.kw("KEYS")) return Left("expected KEYS")
       val from = if (p.kw("FROM")) parseTableRef(p).toOption else None

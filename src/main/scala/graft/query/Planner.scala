@@ -133,6 +133,23 @@ object Planner {
           .select(col("lp.labelname").as("key"), col("lp.labelvalue").as("value"))
         val filtered = if (keys.nonEmpty) pairs.filter(col("key").isin(keys: _*)) else pairs
         filtered.distinct().orderBy("key", "value")
+      case Ast.ShowSeries(from) =>
+        // InfluxDB series key: measurement,k1=v1,k2=v2 (tags already sorted
+        // by key in the index). Distinct across field names — the series
+        // key excludes the field (one key per tagset, not per metric).
+        scoped(cat, from)
+          .select(concat(col("measurement"), lit(","),
+            array_join(zip_with(col("labelname"), col("labelvalue"),
+              (k, v) => concat(k, lit("="), v)), ",")).as("key"))
+          .distinct().orderBy("key")
+      case Ast.ShowSeriesCardinality(from) =>
+        // exact distinct-tagset count; the approximate path at scale is
+        // pipeline.Sketches (HLL over the same key)
+        scoped(cat, from)
+          .select(concat(col("measurement"), lit(","),
+            array_join(zip_with(col("labelname"), col("labelvalue"),
+              (k, v) => concat(k, lit("="), v)), ",")).as("key"))
+          .agg(countDistinct("key").as("count"))
       case Ast.ShowRetentionPolicies(_) =>
         // fabricated static response, matching cflux.js:419-448
         import spark.implicits._
