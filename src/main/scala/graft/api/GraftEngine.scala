@@ -139,6 +139,17 @@ class GraftEngine(
         catch { case scala.util.control.NonFatal(_) => Response.emptyResult }
       case Ast.CreateDatabase(name) =>
         createDatabase(name); Response.emptyResult
+      case Ast.DropMeasurement(m) =>
+        dropMeasurement(db, m); Response.emptyResult
+      case Ast.DeleteFrom(from, bounds) =>
+        val fromMs = bounds.lower
+          .map(te => Planner.evalTime(te, nowMs()) + (if (bounds.lowerStrict) 1 else 0))
+          .getOrElse(Long.MinValue / 2)
+        val toMs = bounds.upper
+          .map(te => Planner.evalTime(te, nowMs()) - (if (bounds.upperStrict) 1 else 0))
+          .getOrElse(Long.MaxValue / 2)
+        deletePoints(db, from.measurement, fromMs, toMs)
+        Response.emptyResult
       case Ast.CreateSubscription(id, sdb, _, dest) =>
         // keyed by bare db (reference bug fixed, SURVEY §3.3)
         subscriptions.put(sdb, (id, dest, transport(dest)))
@@ -162,6 +173,59 @@ class GraftEngine(
         }
         Response.showJson(name, df)
     })
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** DROP MEASUREMENT: delete the measurement's partition directory tree
+    * (a file-listing operation, no data rewrite — same cost model on a
+    * 100 TB object store) and rewrite the schema-sized series index
+    * without it. */
+  def dropMeasurement(db: String, m: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val part = new Path(s"${samplesPath(db)}/measurement=$m")
+    val fs = hadoopFs(part)
+    fs.delete(part, true)
+    val idx = new Path(seriesPath(db))
+    if (fs.exists(idx)) {
+      val tmp = new Path(seriesPath(db) + "_tmp")
+      spark.read.parquet(seriesPath(db))
+        .filter(col("measurement") =!= m)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(idx, true)
+      fs.rename(tmp, idx)
+    }
+  }
+
+  /** DELETE FROM … WHERE time: hour partitions fully inside the range are
+    * dropped as directories (metadata-only — the fast path that matters
+    * at scale); only the at-most-two boundary partitions are rewritten.
+    * Series metadata is kept (InfluxDB DELETE semantics). */
+  def deletePoints(db: String, m: String, fromMs: Long, toMs: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(s"${samplesPath(db)}/measurement=$m")
+    val fs = hadoopFs(base)
+    if (!fs.exists(base)) return
+    fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("hour=")) {
+        val h = name.stripPrefix("hour=").toLong
+        val hourStart = h * 3600000L
+        val hourEnd = hourStart + 3599999L
+        if (hourStart >= fromMs && hourEnd <= toMs) {
+          fs.delete(st.getPath, true) // fully covered: metadata-only drop
+        } else if (hourEnd >= fromMs && hourStart <= toMs) {
+          // boundary partition: rewrite just this directory, filtered
+          val tmp = new Path(st.getPath.toString + "_tmp")
+          spark.read.parquet(st.getPath.toString)
+            .filter(!(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs))
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(st.getPath, true)
+          fs.rename(tmp, st.getPath)
+        }
+      }
+    }
+  }
 
   /** Register a test/alternate transport for a db's subscription. */
   def withTransport(db: String, post: String => Unit): Unit =

@@ -81,6 +81,12 @@ object Ast {
   /** SHOW SERIES [EXACT] CARDINALITY [FROM m] (extension). */
   final case class ShowSeriesCardinality(from: Option[TableRef]) extends Statement
   final case class CreateSubscription(id: String, db: String, rp: String, dest: String) extends Statement
+  /** DROP MEASUREMENT "m" — removes the measurement's data + series
+    * metadata (extension: storage lifecycle the reference lacks). */
+  final case class DropMeasurement(measurement: String) extends Statement
+  /** DELETE FROM "m" [WHERE time …] — point deletion by time range; no
+    * WHERE deletes every point but keeps series metadata (extension). */
+  final case class DeleteFrom(from: TableRef, time: TimeBounds) extends Statement
   case object ShowSubscriptions extends Statement
   /** Anything else → reference logs UNSUPPORTED and returns an empty result
     * (cflux.js:846-852). */

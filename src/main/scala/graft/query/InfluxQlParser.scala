@@ -129,6 +129,8 @@ object InfluxQlParser {
         case Some(Ident(k, false)) if k.equalsIgnoreCase("SELECT") => parseSelect(p)
         case Some(Ident(k, false)) if k.equalsIgnoreCase("SHOW")   => parseShow(p, query)
         case Some(Ident(k, false)) if k.equalsIgnoreCase("CREATE") => parseCreate(p, query)
+        case Some(Ident(k, false)) if k.equalsIgnoreCase("DROP")   => parseDrop(p, query)
+        case Some(Ident(k, false)) if k.equalsIgnoreCase("DELETE") => parseDelete(p)
         case _                                                     => Right(Ast.Unsupported(query))
       }
       r
@@ -486,6 +488,42 @@ object InfluxQlParser {
         Right(Ast.ShowTagValues(from, keys.toSeq))
       } else Left("expected KEYS or VALUES after TAG")
     } else Right(Ast.Unsupported(raw))
+  }
+
+  private def parseDrop(p: P, raw: String): Either[String, Ast.Statement] = {
+    p.kw("DROP")
+    if (p.kw("MEASUREMENT")) p.ident().map(Ast.DropMeasurement)
+    else Right(Ast.Unsupported(raw))
+  }
+
+  // DELETE FROM "m" [WHERE time-conjuncts] — tag predicates are rejected
+  // (point deletion is time-range only; measurement scope via FROM)
+  private def parseDelete(p: P): Either[String, Ast.Statement] = {
+    p.kw("DELETE")
+    if (!p.kw("FROM")) return Left("expected FROM after DELETE")
+    val from = parseTableRef(p) match { case Right(r) => r; case Left(e) => return Left(e) }
+    var lower: Option[Ast.TimeExpr] = None
+    var upper: Option[Ast.TimeExpr] = None
+    var lowerStrict = false
+    var upperStrict = false
+    if (p.kw("WHERE")) {
+      var more = true
+      while (more) {
+        parseConjunct(p) match {
+          case Right(Left((isLower, strict, te))) =>
+            if (isLower) { lower = Some(te); lowerStrict = strict }
+            else { upper = Some(te); upperStrict = strict }
+          case Right(Right(tf)) => return Left(s"DELETE supports only time predicates, got '${tf.key}'")
+          case Left(e)          => return Left(e)
+        }
+        more = p.kw("AND")
+      }
+    }
+    p.peek match {
+      case Some(t) => Left(s"unexpected trailing token $t")
+      case None => Right(Ast.DeleteFrom(from,
+        Ast.TimeBounds(lower, upper, lowerStrict, upperStrict)))
+    }
   }
 
   private def parseCreate(p: P, raw: String): Either[String, Ast.Statement] = {

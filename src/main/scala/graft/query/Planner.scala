@@ -23,21 +23,24 @@ final case class TsCatalog(
   */
 object Planner {
 
+  /** One WHERE-time expression → epoch ms (shared by SELECT's resolveTime
+    * and the DELETE path, which has different missing-bound defaults). */
+  def evalTime(te: Ast.TimeExpr, nowMs: Long): Long = te match {
+    case Ast.Now            => nowMs
+    case Ast.NowMinus(d)    => nowMs - d
+    case Ast.AbsoluteNs(ns) => TimeUnits.nsToMs(ns)
+    case Ast.DateString(s) =>
+      // reference floors string datetimes to 5 minutes (cflux.js:32-34);
+      // we parse exactly (documented divergence — SURVEY §2.5 W2)
+      val ld = java.time.LocalDateTime.parse(
+        if (s.length == 10) s + " 00:00:00" else s,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+
   /** Resolve the four WHERE-time shapes of cflux.js:702-727 to [fromMs, toMs]. */
   def resolveTime(b: Ast.TimeBounds, nowMs: Long): (Long, Long) = {
-    def eval(te: Ast.TimeExpr): Long = te match {
-      case Ast.Now            => nowMs
-      case Ast.NowMinus(d)    => nowMs - d
-      case Ast.AbsoluteNs(ns) => TimeUnits.nsToMs(ns)
-      case Ast.DateString(s) =>
-        // reference floors string datetimes to 5 minutes (cflux.js:32-34);
-        // we parse exactly (documented divergence — SURVEY §2.5 W2)
-        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd[ HH:mm:ss]")
-        val ld = java.time.LocalDateTime.parse(
-          if (s.length == 10) s + " 00:00:00" else s, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-        val _ = fmt // single formatter path above; keep linter quiet
-        ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    }
+    def eval(te: Ast.TimeExpr): Long = evalTime(te, nowMs)
     // fallback window = 300 s, matching cflux.js:719-726
     val to = b.upper.map(eval).getOrElse(nowMs)
     val from = b.lower.map(eval).getOrElse(to - 300000L)

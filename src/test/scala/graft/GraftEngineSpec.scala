@@ -192,6 +192,42 @@ class GraftEngineSpec extends AnyFunSuite {
     bad.foreach { q => assert(e.query("dbm", q) === Response0, s"for: $q") }
   }
 
+  test("DROP MEASUREMENT removes data and series metadata; others untouched") {
+    val e = newEngine()
+    e.write("dbd",
+      """cpu,host=a usage=1 1735689540000000000
+        |mem,host=a used=2 1735689540000000000""".stripMargin)
+    assert(e.query("dbd", "DROP MEASUREMENT \"cpu\"") === Response0)
+    val shows = e.query("dbd", "SHOW MEASUREMENTS")
+    assert(!shows.contains("cpu") && shows.contains("mem"), shows)
+    assert(e.query("dbd",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+      === Response0)
+    // mem still answers
+    assert(e.query("dbd",
+      """SELECT mean("used") FROM "mem" WHERE time > now() - 5m GROUP BY time(1m)""")
+      .contains("[1735689540000,2]"))
+  }
+
+  test("DELETE drops covered hour partitions and rewrites only boundaries") {
+    val e = newEngine()
+    // hour 482136: 00:10, 00:20; hour 482137: 01:10, 01:50
+    e.write("dbdel",
+      """cpu,host=a u=1 1735690200000000000
+        |cpu,host=a u=2 1735690800000000000
+        |cpu,host=a u=3 1735693800000000000
+        |cpu,host=a u=4 1735696200000000000""".stripMargin)
+    // delete everything up to 01:20 → hour 482136 fully covered (dir
+    // drop), hour 482137 partially (rewrite keeps only the 01:50 point)
+    assert(e.query("dbdel",
+      "DELETE FROM \"cpu\" WHERE time <= 1735694400000000000") === Response0)
+    val json = e.query("dbdel",
+      """SELECT "u" FROM "cpu" WHERE time > 1735689600000000000 AND time < 1735700000000000000""")
+    assert(json.contains(",4]") && !json.contains(",1]") && !json.contains(",2]") && !json.contains(",3]"), json)
+    // series metadata survives point deletion
+    assert(e.query("dbdel", "SHOW SERIES FROM \"cpu\"").contains("cpu,host=a"))
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",
