@@ -397,6 +397,57 @@ object SparkEntry {
             .cast("long").as("sum_disc_c"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
+    // Q3-shape shipping-priority top-N: selective dim filter reduced
+    // before the fact joins; revenue as exact fixed-point (per-row floor,
+    // long sum — partitioning-independent); top-10 via sort+limit
+    // (TakeOrderedAndProject, no full sort materialization)
+    "olap_q3_topn" -> ((s, dir) => {
+      val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum("rev_c").as("revenue_fp"))
+        .orderBy(col("revenue_fp").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    // Q5-shape local-supplier revenue: region→nation broadcast chain
+    // restricts supplier; the two fact joins shuffle on their natural
+    // keys; c_nationkey = s_nationkey rides the supplier join as an
+    // extra equi-key
+    "olap_q5_revenue" -> ((s, dir) => {
+      val reg = s.read.parquet(s"$dir/region.parquet").filter(col("r_name") === "ASIA")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val cust = s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_nationkey")
+      val ord = s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("rev_c").as("revenue_fp"))
+        .orderBy(col("revenue_fp").desc, col("n_name"))
+    }),
     "olap_top_users_per_type" -> ((s, dir) => {
       val totals = EventsAdapter.events(s, dir)
         .groupBy("event_type", "user_id")
@@ -623,6 +674,29 @@ object SparkEntry {
         |       count(*) AS n
         |FROM lineitem WHERE l_shipdate <= '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "olap_q3_topn" ->
+      """SELECT l_orderkey,
+        |       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_fp
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_fp DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "olap_q5_revenue" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_fp
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue_fp DESC, n_name""".stripMargin,
     "olap_top_users_per_type" ->
       """WITH t AS (
         |  SELECT event_type, user_id, CAST(floor(sum(value) * 100) AS BIGINT) AS total_c
