@@ -210,17 +210,35 @@ object SparkEntry {
       case "previous" =>
         "coalesce(last_value(j.raw IGNORE NULLS) OVER " +
           "(ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)"
+      case "linear" =>
+        // same neighbor windows + interpolation expression as the planner
+        // (identical op order keeps the doubles bit-equal)
+        """coalesce(CASE WHEN j.raw IS NOT NULL THEN j.raw
+          |  WHEN pv IS NOT NULL AND nv IS NOT NULL
+          |    THEN pv + (nv - pv) * ((j.time_ms - pt) / (nt - pt))
+          |  END, -1)""".stripMargin
     }
+    val linearWins = if (mode != "linear") "" else
+      """,
+        |  last_value(j.raw IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN j.raw IS NOT NULL THEN j.time_ms END IGNORE NULLS) OVER wp AS pt,
+        |  first_value(j.raw IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN j.raw IS NOT NULL THEN j.time_ms END IGNORE NULLS) OVER wn AS nt""".stripMargin
+    val linearWindowDefs = if (mode != "linear") "" else
+      """
+        |      WINDOW wp AS (ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (ORDER BY j.time_ms ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
     s"""WITH g AS (
        |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms, avg(value) AS raw
        |  FROM events
        |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
        |    AND event_type = 'click' AND user_id = 17
        |  GROUP BY 1),
-       |j AS (SELECT s.time_ms, g.raw
+       |j0 AS (SELECT s.time_ms, g.raw
        |      FROM generate_series($fromB, $toB, $bucketMs) s(time_ms)
        |      LEFT JOIN g ON g.time_ms = s.time_ms),
-       |f AS (SELECT time_ms, CAST(floor(($fillExpr) * 100) AS BIGINT) AS value FROM j)
+       |j2 AS (SELECT j.time_ms, j.raw$linearWins FROM j0 j$linearWindowDefs),
+       |f AS (SELECT j.time_ms, CAST(floor(($fillExpr) * 100) AS BIGINT) AS value FROM j2 j)
        |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
        |       'click' AS labelvalue, '' AS message FROM f
        |UNION ALL
@@ -358,6 +376,9 @@ object SparkEntry {
     "ts_select_fill_previous" -> ((s, dir) => stable(
       influx(s, dir, tagFilterQuery("1h") + " FILL(previous)")
         .na.fill(-1.0, Seq("value")))), // leading gap → -1 (hash-safe, no nulls)
+    "ts_select_fill_linear" -> ((s, dir) => stable(
+      influx(s, dir, tagFilterQuery("1h") + " FILL(linear)")
+        .na.fill(-1.0, Seq("value")))), // boundary gaps → -1 (hash-safe)
 
     // --- as-of join (operator absent from both reference and Spark SQL;
     //     composed union + running last per SURVEY §2.3 extension) ---
@@ -642,6 +663,7 @@ object SparkEntry {
          |       user_id AS labelvalue, props AS message FROM gp
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fill_zero" -> fillOracle(3600000L, "0"),
+    "ts_select_fill_linear" -> fillOracle(3600000L, "linear"),
     "ts_select_fill_previous" -> fillOracle(3600000L, "previous"),
     "ts_asof_prior_view" ->
       """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS time_ms,

@@ -355,7 +355,7 @@ object Planner {
   private def fillGaps(agged: DataFrame, fill: Option[String],
                        fromMs: Long, toMs: Long, bucketMs: Long): DataFrame =
     fill.map(_.toLowerCase) match {
-      case Some(mode @ ("null" | "0" | "previous")) =>
+      case Some(mode @ ("null" | "0" | "previous" | "linear")) =>
         val keys = Seq("name", "labelname", "labelvalue", "message")
         val fromBucket = Math.floorDiv(fromMs, bucketMs) * bucketMs
         val toBucket = Math.floorDiv(toMs, bucketMs) * bucketMs
@@ -372,6 +372,28 @@ object Planner {
               .partitionBy(keys.map(col): _*).orderBy("time_ms")
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
             joined.withColumn("value", last("value", ignoreNulls = true).over(w))
+          case "linear" =>
+            // interpolate interior gaps between the nearest non-null
+            // neighbors; leading/trailing gaps stay null (InfluxDB
+            // fill(linear)). Two ordered window passes per series.
+            import org.apache.spark.sql.expressions.Window.{unboundedFollowing, unboundedPreceding}
+            val wb = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*).orderBy("time_ms")
+            val wp = wb.rowsBetween(unboundedPreceding, 0)
+            val wn = wb.rowsBetween(0, unboundedFollowing)
+            joined
+              .withColumn("__pv", last("value", ignoreNulls = true).over(wp))
+              .withColumn("__pt",
+                last(when(col("value").isNotNull, col("time_ms")), ignoreNulls = true).over(wp))
+              .withColumn("__nv", first(col("value"), ignoreNulls = true).over(wn))
+              .withColumn("__nt",
+                first(when(col("value").isNotNull, col("time_ms")), ignoreNulls = true).over(wn))
+              .withColumn("value",
+                when(col("value").isNotNull, col("value"))
+                  .when(col("__pv").isNotNull && col("__nv").isNotNull,
+                    col("__pv") + (col("__nv") - col("__pv")) *
+                      ((col("time_ms") - col("__pt")) / (col("__nt") - col("__pt")))))
+              .drop("__pv", "__pt", "__nv", "__nt")
           case _ => joined // null
         }
       case _ => agged // none / linear (unsupported) / absent
