@@ -307,6 +307,10 @@ object SparkEntry {
       s"""SELECT bottom("value", 2) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
 
+    "ts_select_elapsed" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT elapsed("value", 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
+
     // --- function-of-function: window transforms parsed from the query
     //     text and applied by the planner (same semantics as the direct
     //     operators.Tick entries above) ---
@@ -616,6 +620,24 @@ object SparkEntry {
         extraWhere = "AND regexp_matches(event_type, '^(cl|pu)')"),
     "ts_select_top" -> selectorOracle(21600000L, 3, "DESC"),
     "ts_select_bottom" -> selectorOracle(21600000L, 2, "ASC"),
+    "ts_select_elapsed" ->
+      s"""WITH p AS (
+         |  SELECT epoch_ms(ts) AS time_ms, value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17),
+         |d AS (SELECT time_ms,
+         |             lag(time_ms) OVER (ORDER BY time_ms, value) AS pt
+         |      FROM p),
+         |f AS (SELECT time_ms,
+         |             CAST(floor(floor((time_ms - pt) / 1000.0) * 100) AS BIGINT) AS value
+         |      FROM d WHERE pt IS NOT NULL)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_derivative" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
       "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),

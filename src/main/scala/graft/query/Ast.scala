@@ -19,9 +19,11 @@ object Ast {
     * `non_negative_derivative(...)`, `cumulative_sum(...)`. */
   final case class Transform(fn: String, durMs: Option[Long] = None, n: Option[Int] = None)
 
+  /** @param argDur duration second argument (`elapsed("v", 1s)`), ms */
   final case class Field(func: Option[String], name: String, alias: Option[String],
                          arg: Option[Double] = None,
-                         transform: Option[Transform] = None)
+                         transform: Option[Transform] = None,
+                         argDur: Option[Long] = None)
 
   /** A time bound from the WHERE clause — the four shapes of
     * cflux.js:702-727. Resolved to epoch ms at plan time. */

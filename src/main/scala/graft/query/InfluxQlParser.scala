@@ -318,17 +318,19 @@ object InfluxQlParser {
               case Op("*")     => "*"
               case t           => return Left(s"bad function arg $t")
             }
-            val arg: Option[Double] =
-              if (p.op(",")) p.next() match {
-                case Num(n) => n.toDoubleOption match {
-                  case some @ Some(_) => some
-                  case None           => return Left(s"bad numeric function arg $n")
-                }
-                case t      => return Left(s"bad numeric function arg $t")
-              } else None
+            var arg: Option[Double] = None
+            var argDur: Option[Long] = None
+            if (p.op(",")) p.next() match {
+              case Num(n) => n.toDoubleOption match {
+                case Some(d) => arg = Some(d)
+                case None    => return Left(s"bad numeric function arg $n")
+              }
+              case Dur(d) => argDur = Some(TimeUnits.durationMs(d))
+              case t      => return Left(s"bad numeric function arg $t")
+            }
             if (!p.op(")")) return Left("expected )")
             val alias = if (p.kw("AS")) p.ident().toOption else None
-            Right(Ast.Field(Some(name.toLowerCase), inner, alias, arg))
+            Right(Ast.Field(Some(name.toLowerCase), inner, alias, arg, argDur = argDur))
           }
         } else {
           val alias = if (p.kw("AS")) p.ident().toOption else None

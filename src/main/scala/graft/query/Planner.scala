@@ -263,7 +263,22 @@ object Planner {
       if (isRaw)
         timed.select(col("timestamp_ms").as("time_ms"), nameOut.as("name"), col("value"),
           col("labelname"), col("labelvalue"), col("message"))
-      else if (f.func.exists(fn => fn == "top" || fn == "bottom")) {
+      else if (f.func.contains("elapsed")) {
+        // elapsed("v"[, unit]): truncated time delta between consecutive
+        // RAW points of each series, emitted at the later point (InfluxQL;
+        // default unit 1ms). One per-series window, no global sort.
+        val unitMs = f.argDur.getOrElse(1L)
+        val partCols = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
+          Seq(col("name"), col("labelname"), col("labelvalue"), col("message"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(partCols: _*).orderBy(col("timestamp_ms"), col("value"))
+        timed.withColumn("__pt", lag("timestamp_ms", 1).over(w))
+          .filter(col("__pt").isNotNull)
+          .select(col("timestamp_ms").as("time_ms"), nameOut.as("name"),
+            floor((col("timestamp_ms") - col("__pt")) / unitMs.toDouble)
+              .cast("double").as("value"),
+            col("labelname"), col("labelvalue"), col("message"))
+      } else if (f.func.exists(fn => fn == "top" || fn == "bottom")) {
         // top/bottom SELECTORS (InfluxQL): N extreme POINTS per bucket per
         // series, emitted at their own timestamps. Without GROUP BY time
         // the whole range is one bucket (InfluxDB semantics). A per-group

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests for the properties that decide 100 TB
+  * behavior: column pruning reaching the parquet scan, predicate
+  * pushdown, broadcast joins for dimension sides, whole-stage codegen in
+  * hot paths, and absence of cartesian products. A plan that silently
+  * loses one of these still passes the correctness gate — these pin it. */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("column pruning: text ops read only (doc_id, text), not all 5 columns") {
+    val p = plan("doc_token_stats")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("lang") && !p.contains("source"),
+      "unused document columns must be pruned from the scan")
+  }
+
+  test("predicate pushdown: Q3's date filters reach the parquet scans") {
+    val p = plan("olap_q3_topn")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("series-index side of every SELECT broadcasts into the samples join") {
+    val p = plan("ts_select_sum_1h")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-N is TakeOrderedAndProject, not a full global sort") {
+    val p = plan("olap_q3_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // AQE finalizes the physical plan only on execution — run the query,
+    // then inspect the final adaptive plan for codegen stages
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // count() would execute a derived plan, not df's own
+      df.queryExecution.executedPlan.toString
+    }
+    // simple-mode plan strings mark codegen stages with a "*(n)" prefix
+    assert(finalPlan("dedup_exact").contains("*("))
+    assert(finalPlan("doc_quality").contains("*("))
+  }
+}
