@@ -19,4 +19,12 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply a SparkSessionExtensions' injected functions to an existing
+    * session's registry — what the session builder does at construction;
+    * exposed (private[sql]) so tests can exercise the extensions hook
+    * without tearing down the shared session. */
+  def applyExtensionFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                              spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

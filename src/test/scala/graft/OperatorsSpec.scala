@@ -30,6 +30,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d === 11.0)
   }
 
+  test("GraftExtensions injects dot_f64 through the SparkSessionExtensions hook") {
+    // exercise the builder-time path (spark.sql.extensions=graft.GraftExtensions)
+    // against the shared session's registry
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.Bridge.applyExtensionFunctions(ext, spark)
+    val d = spark.sql("SELECT dot_f64(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d === 23.0)
+  }
+
   test("dot_f64 column API matches declarative fold bit-for-bit") {
     import spark.implicits._
     val df = Seq((Seq(0.1, 0.2, 0.3), Seq(0.4, 0.5, 0.6))).toDF("a", "b")
