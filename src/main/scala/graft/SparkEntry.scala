@@ -307,6 +307,9 @@ object SparkEntry {
       s"""SELECT bottom("value", 2) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
 
+    "ts_select_integral" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT integral("value", 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
     "ts_select_elapsed" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT elapsed("value", 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
@@ -620,6 +623,27 @@ object SparkEntry {
         extraWhere = "AND regexp_matches(event_type, '^(cl|pu)')"),
     "ts_select_top" -> selectorOracle(21600000L, 3, "DESC"),
     "ts_select_bottom" -> selectorOracle(21600000L, 2, "ASC"),
+    "ts_select_integral" ->
+      s"""WITH p AS (
+         |  SELECT epoch_ms(ts) AS time_ms, value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17),
+         |s AS (SELECT time_ms, value,
+         |             lag(time_ms) OVER (ORDER BY time_ms, value) AS pt,
+         |             lag(value) OVER (ORDER BY time_ms, value) AS pv
+         |      FROM p),
+         |seg AS (SELECT (time_ms // 21600000) * 21600000 AS b,
+         |               CAST(floor((value + pv) / 2.0 * ((time_ms - pt) / 1000.0) * 1e6) AS BIGINT) AS a
+         |        FROM s WHERE pt IS NOT NULL),
+         |g AS (SELECT b AS time_ms, CAST(sum(a) AS BIGINT) AS sfp FROM seg GROUP BY 1),
+         |f AS (SELECT time_ms, CAST(floor((sfp / 1e6) * 100) AS BIGINT) AS value FROM g)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_elapsed" ->
       s"""WITH p AS (
          |  SELECT epoch_ms(ts) AS time_ms, value

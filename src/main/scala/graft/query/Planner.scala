@@ -278,6 +278,31 @@ object Planner {
             floor((col("timestamp_ms") - col("__pt")) / unitMs.toDouble)
               .cast("double").as("value"),
             col("labelname"), col("labelvalue"), col("message"))
+      } else if (f.func.contains("integral")) {
+        // integral("v"[, unit]): trapezoid area under consecutive raw
+        // points, summed per bucket per series. Segment area is emitted
+        // as fixed-point 1e6 BEFORE the sum (exact int64 accumulation →
+        // partitioning/order independent; the oracle mirrors the floor).
+        // Divergence: a segment belongs to its later point's bucket
+        // (InfluxDB clips segments at bucket boundaries).
+        val unitMs = f.argDur.getOrElse(1000L) // default 1s (InfluxQL)
+        val partCols = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
+          Seq(col("name"), col("labelname"), col("labelvalue"), col("message"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(partCols: _*).orderBy(col("timestamp_ms"), col("value"))
+        timed
+          .withColumn("__pt", lag("timestamp_ms", 1).over(w))
+          .withColumn("__pv", lag("value", 1).over(w))
+          .filter(col("__pt").isNotNull)
+          .withColumn("__area_fp",
+            floor((col("value") + col("__pv")) / 2.0 *
+              ((col("timestamp_ms") - col("__pt")) / unitMs.toDouble) * 1e6).cast("long"))
+          .withColumn("time_ms",
+            (floor(col("timestamp_ms") / bucketMs) * bucketMs).cast("long"))
+          .groupBy((partCols :+ col("time_ms")): _*)
+          .agg((sum("__area_fp") / 1e6).as(outName))
+          .select(col("time_ms"), nameOut.as("name"), col(outName).as("value"),
+            col("labelname"), col("labelvalue"), col("message"))
       } else if (f.func.exists(fn => fn == "top" || fn == "bottom")) {
         // top/bottom SELECTORS (InfluxQL): N extreme POINTS per bucket per
         // series, emitted at their own timestamps. Without GROUP BY time
