@@ -1,0 +1,79 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** The reference's HTTP surface (Express app, cflux.js:282-864) over
+  * [[GraftEngine]], using the JDK's built-in HttpServer — no added
+  * dependencies, so the adapter stays a thin shell over the library API:
+  *
+  *  - `POST /write?db=X[&precision=ns|u|us|ms|s]` → 204 (cflux.js:298-352;
+  *    like the reference, the status is committed before heavy work —
+  *    at-most-once admission)
+  *  - `GET|POST /query?db=X&q=...` → 200 InfluxDB-shaped JSON
+  *    (cflux.js:374-852)
+  *  - `GET /ping` → 204 (cflux.js:861-864)
+  *
+  * An InfluxDB line-protocol client (Telegraf, influx CLI) pointed at
+  * this port speaks to the engine exactly as it would to the reference.
+  */
+final class GraftHttp(engine: GraftEngine, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+  }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def respond(ex: HttpExchange, code: Int, payload: String = ""): Unit = {
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    if (payload.nonEmpty) {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } else ex.sendResponseHeaders(code, -1)
+    ex.close()
+  }
+
+  server.createContext("/ping", (ex: HttpExchange) => respond(ex, 204))
+
+  server.createContext("/write", (ex: HttpExchange) => {
+    val p = params(ex)
+    val db = p.getOrElse("db", "")
+    val precision = p.getOrElse("precision", "ns")
+    val lines = body(ex)
+    // reference sends 204 before flushing (cflux.js:351) — we admit, then
+    // ingest; a failed ingest logs rather than failing the client
+    respond(ex, 204)
+    try engine.write(db, lines, precision)
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[graft-http] write failed: $e") }
+  })
+
+  server.createContext("/query", (ex: HttpExchange) => {
+    val p = params(ex)
+    // q may arrive as a query param (GET) or form body (POST)
+    val fromBody = if (ex.getRequestMethod == "POST") {
+      body(ex).split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+    } else Map.empty[String, String]
+    val db = p.getOrElse("db", fromBody.getOrElse("db", ""))
+    val q = p.getOrElse("q", fromBody.getOrElse("q", ""))
+    try respond(ex, 200, engine.query(db, q))
+    catch { case scala.util.control.NonFatal(_) => respond(ex, 200, graft.query.Response.emptyResult) }
+  })
+
+  /** Bind and serve; returns the bound port (useful with port=0). */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.api.{GraftEngine, GraftHttp}
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** The reference lifecycle over real HTTP: write line protocol with an
+  * InfluxDB-style client, query it back, ping. */
+class GraftHttpSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val NowMs = 1735689600000L
+
+  test("write → query → ping over HTTP, InfluxDB wire shapes") {
+    val root = Files.createTempDirectory("graft-http").toString
+    val engine = new GraftEngine(spark, root, () => NowMs)
+    val http = new GraftHttp(engine)
+    val port = http.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def send(r: HttpRequest): HttpResponse[String] =
+        client.send(r, HttpResponse.BodyHandlers.ofString())
+
+      val ping = send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ping")).build())
+      assert(ping.statusCode() === 204)
+
+      val write = send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/write?db=httpdb&precision=s"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "cpu,host=a usage=42 1735689540\ncpu,host=a usage=44 1735689550"))
+        .build())
+      assert(write.statusCode() === 204)
+      // /write admits before ingesting (reference behavior) — wait for the
+      // rows to land before querying
+      val deadline = System.nanoTime() + 30e9.toLong
+      def rows(): Long =
+        try engine.catalog("httpdb").measurements.get("cpu").map(_.count()).getOrElse(0L)
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      while (rows() < 2 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(rows() === 2)
+
+      val q = java.net.URLEncoder.encode(
+        """SELECT mean("usage") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""", "UTF-8")
+      val res = send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/query?db=httpdb&q=$q")).build())
+      assert(res.statusCode() === 200)
+      assert(res.body().contains(""""name":"cpu""""), res.body())
+      assert(res.body().contains("[1735689540000,43]"), res.body())
+
+      // malformed query over the wire → clean empty result, 200
+      val bad = send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/query?db=httpdb&q=NONSENSE")).build())
+      assert(bad.statusCode() === 200 && bad.body().contains("results"))
+    } finally http.stop()
+  }
+}
