@@ -111,36 +111,53 @@ class GraftEngine(
     TsCatalog(databases.keys.toSeq.sorted, measurements, series)
   }
 
-  /** Execute one InfluxQL statement, returning the InfluxDB-shaped JSON
-    * body (dispatch table of cflux.js:395-852). */
+  /** Execute an InfluxQL query — one statement or a `;`-separated batch —
+    * returning the InfluxDB-shaped JSON body (dispatch table of
+    * cflux.js:395-852; the reference handles only single statements).
+    * Single statements keep the reference's per-metric statement ids;
+    * batches get one results[] entry per statement, id = its index
+    * (InfluxDB's shape). */
   def query(db: String, q: String): String =
-    InfluxQlParser.parse(q).fold(_ => Response.emptyResult, {
+    InfluxQlParser.parseAll(q) match {
+      case Left(_) | Right(Seq()) => Response.emptyResult
+      case Right(Seq(single)) =>
+        s"""{"results":[${statementEntries(db, single, 0, perMetricIds = true).mkString(",")}]}"""
+      case Right(stmts) =>
+        val es = stmts.zipWithIndex.flatMap { case (st, i) =>
+          statementEntries(db, st, i, perMetricIds = false)
+        }
+        s"""{"results":[${es.mkString(",")}]}"""
+    }
+
+  /** One statement → its results[] entries (side effects included). */
+  private def statementEntries(db: String, stmt: Ast.Statement, id: Int,
+                               perMetricIds: Boolean): Seq[String] = {
+    val bare = Seq(s"""{"statement_id":$id}""")
+    stmt match {
       case s: Ast.Select =>
         // unknown measurement / empty db → empty result, not an error
         // (the reference streams whatever ClickHouse errors back; a clean
         // empty response is the intended behavior for clients)
         try {
           val cat = catalog(db)
-          s.from.regex match {
+          val per = s.from.regex match {
             case Some(pattern) =>
               // regex FROM: plan per matched measurement so each series is
               // named after its own measurement (InfluxDB shape)
-              val per = Planner.regexMeasurements(cat, pattern).map { m =>
+              Planner.regexMeasurements(cat, pattern).map { m =>
                 m -> Planner.planSelect(spark,
                   s.copy(from = s.from.copy(measurement = m, regex = None)), cat, nowMs())
               }
-              if (per.isEmpty) Response.emptyResult
-              else Response.multiSelectJson(per)
             case None =>
-              Response.selectJson(
-                Planner.planSelect(spark, s, cat, nowMs()), s.from.measurement)
+              Seq(s.from.measurement -> Planner.planSelect(spark, s, cat, nowMs()))
           }
+          if (per.isEmpty) bare else Response.selectEntries(per, id, perMetricIds)
         }
-        catch { case scala.util.control.NonFatal(_) => Response.emptyResult }
+        catch { case scala.util.control.NonFatal(_) => bare }
       case Ast.CreateDatabase(name) =>
-        createDatabase(name); Response.emptyResult
+        createDatabase(name); bare
       case Ast.DropMeasurement(m) =>
-        dropMeasurement(db, m); Response.emptyResult
+        dropMeasurement(db, m); bare
       case Ast.DeleteFrom(from, bounds) =>
         val fromMs = bounds.lower
           .map(te => Planner.evalTime(te, nowMs()) + (if (bounds.lowerStrict) 1 else 0))
@@ -149,21 +166,21 @@ class GraftEngine(
           .map(te => Planner.evalTime(te, nowMs()) - (if (bounds.upperStrict) 1 else 0))
           .getOrElse(Long.MaxValue / 2)
         deletePoints(db, from.measurement, fromMs, toMs)
-        Response.emptyResult
-      case Ast.CreateSubscription(id, sdb, _, dest) =>
+        bare
+      case Ast.CreateSubscription(sid, sdb, _, dest) =>
         // keyed by bare db (reference bug fixed, SURVEY §3.3)
-        subscriptions.put(sdb, (id, dest, transport(dest)))
-        Response.emptyResult
+        subscriptions.put(sdb, (sid, dest, transport(dest)))
+        bare
       case Ast.ShowSubscriptions =>
-        Response.emptyResult // static empty mock (cflux.js:835-844)
+        bare // static empty mock (cflux.js:835-844)
       case Ast.Unsupported(_) =>
-        Response.emptyResult // cflux.js:846-852
-      case stmt =>
-        val df = Planner.plan(spark, stmt, catalog(db), nowMs())
+        bare // cflux.js:846-852
+      case other =>
+        val df = Planner.plan(spark, other, catalog(db), nowMs())
         // series names mirror the reference exactly: the measurement for
         // field/tag statements (cflux.js:466,514,...), fixed names for
         // measurements/databases (cflux.js:654,672), none for retention
-        val name = stmt match {
+        val name = other match {
           case Ast.ShowMeasurements(_) => "measurements"
           case Ast.ShowFieldKeys(from) => from.map(_.measurement).getOrElse("")
           case Ast.ShowTagKeys(from) => from.map(_.measurement).getOrElse("")
@@ -171,8 +188,9 @@ class GraftEngine(
           case Ast.ShowDatabases => "databases"
           case _ => "" // retention policies: nameless series (cflux.js:425-444)
         }
-        Response.showJson(name, df)
-    })
+        Seq(Response.entryJson(id, Seq(Response.showSeries(name, df))))
+    }
+  }
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -20,6 +20,7 @@ object InfluxQlParser {
   final case class Dur(s: String) extends Tok // 1h, 5m, 90s, 1h30m
   final case class Op(s: String) extends Tok // = < > <= >= ( ) , . * - + ::
   final case class Re(s: String) extends Tok // /regex/ measurement ref
+  case object Semi extends Tok // statement separator
 
   def tokenize(q: String): Either[String, Vector[Tok]] = {
     val out = ArrayBuffer.empty[Tok]
@@ -27,7 +28,8 @@ object InfluxQlParser {
     val n = q.length
     while (i < n) {
       val c = q.charAt(i)
-      if (c.isWhitespace || c == ';') i += 1
+      if (c.isWhitespace) i += 1
+      else if (c == ';') { out += Semi; i += 1 }
       else if (c == '"' || c == '\'') {
         val quote = c
         val sb = new StringBuilder
@@ -122,19 +124,49 @@ object InfluxQlParser {
     }
   }
 
+  /** Parse a single statement; multiple `;`-separated statements are an
+    * error here — use [[parseAll]] (the engine's entry point). */
   def parse(query: String): Either[String, Ast.Statement] =
-    tokenize(query).flatMap { ts =>
-      val p = new P(ts)
-      val r = p.peek match {
-        case Some(Ident(k, false)) if k.equalsIgnoreCase("SELECT") => parseSelect(p)
-        case Some(Ident(k, false)) if k.equalsIgnoreCase("SHOW")   => parseShow(p, query)
-        case Some(Ident(k, false)) if k.equalsIgnoreCase("CREATE") => parseCreate(p, query)
-        case Some(Ident(k, false)) if k.equalsIgnoreCase("DROP")   => parseDrop(p, query)
-        case Some(Ident(k, false)) if k.equalsIgnoreCase("DELETE") => parseDelete(p)
-        case _                                                     => Right(Ast.Unsupported(query))
-      }
-      r
+    parseAll(query).flatMap {
+      case Seq(one) => Right(one)
+      case Seq()    => Left("empty query")
+      case many     => Left(s"${many.length} statements; expected one")
     }
+
+  /** Parse a `;`-separated statement list (InfluxDB batches statements in
+    * one /query call; the reference regex-dispatches the raw text and
+    * handles only the first match). Empty segments are dropped. */
+  def parseAll(query: String): Either[String, Seq[Ast.Statement]] =
+    tokenize(query).flatMap { ts =>
+      val segments = splitOnSemi(ts).filter(_.nonEmpty)
+      segments.foldLeft[Either[String, Vector[Ast.Statement]]](Right(Vector.empty)) {
+        case (acc @ Left(_), _) => acc
+        case (Right(done), seg) => parseTokens(seg, query).map(done :+ _)
+      }
+    }
+
+  private def splitOnSemi(ts: Vector[Tok]): Seq[Vector[Tok]] = {
+    val out = Vector.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    ts.foreach {
+      case Semi => out += cur.result(); cur = Vector.newBuilder[Tok]
+      case t    => cur += t
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def parseTokens(ts: Vector[Tok], raw: String): Either[String, Ast.Statement] = {
+    val p = new P(ts)
+    p.peek match {
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("SELECT") => parseSelect(p)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("SHOW")   => parseShow(p, raw)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("CREATE") => parseCreate(p, raw)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("DROP")   => parseDrop(p, raw)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("DELETE") => parseDelete(p)
+      case _                                                     => Right(Ast.Unsupported(raw))
+    }
+  }
 
   // SELECT f [, f...] FROM (ref | (SELECT …)) [WHERE ...] [GROUP BY ...]
   // [FILL(x)] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]

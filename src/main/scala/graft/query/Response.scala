@@ -51,23 +51,41 @@ object Response {
   /** Regex-FROM variant: each matched measurement pivots under its own
     * series name (InfluxDB names each series after its measurement),
     * concatenated into one results[] list with shared statement ids. */
-  def multiSelectJson(per: Seq[(String, DataFrame)]): String = {
+  def multiSelectJson(per: Seq[(String, DataFrame)]): String =
+    s"""{"results":${selectEntries(per, 0, perMetricIds = true).mkString("[", ",", "]")}}"""
+
+  /** results[] entries for a SELECT. perMetricIds = the reference's quirk
+    * (one entry per metric, ids by first-seen metric — single-statement
+    * compat); otherwise one entry carrying every series under `baseId`
+    * (InfluxDB's shape for multi-statement queries). */
+  def selectEntries(per: Seq[(String, DataFrame)], baseId: Int,
+                    perMetricIds: Boolean): Seq[String] = {
     val pivoted = per.flatMap { case (m, df) => pivotSelect(df, m) }
-    val metricIdx = mutable.LinkedHashMap.empty[String, Int]
-    pivoted.foreach { case (m, _) => metricIdx.getOrElseUpdate(m, metricIdx.size) }
-    val entries = pivoted.map { case (m, s) =>
-      s"""{"statement_id":${metricIdx(m)},"series":[${seriesJson(s)}]}"""
-    }
-    s"""{"results":${entries.mkString("[", ",", "]")}}"""
+    if (perMetricIds) {
+      val metricIdx = mutable.LinkedHashMap.empty[String, Int]
+      pivoted.foreach { case (m, _) => metricIdx.getOrElseUpdate(m, metricIdx.size) }
+      pivoted.map { case (m, s) =>
+        s"""{"statement_id":${metricIdx(m)},"series":[${seriesJson(s)}]}"""
+      }
+    } else Seq(entryJson(baseId, pivoted.map(_._2)))
+  }
+
+  /** One results[] entry: bare statement id when there are no series. */
+  def entryJson(id: Int, series: Seq[Series]): String =
+    if (series.isEmpty) s"""{"statement_id":$id}"""
+    else s"""{"statement_id":$id,"series":[${series.map(seriesJson).mkString(",")}]}"""
+
+  /** SHOW-shaped DataFrame → one Series (columns + collected rows). */
+  def showSeries(seriesName: String, df: DataFrame): Series = {
+    val cols = df.columns.toSeq
+    val values = df.collect().toSeq.map(r => (0 until r.length).map(r.get))
+    Series(seriesName, Map.empty, cols, values)
   }
 
   /** SHOW MEASUREMENTS / FIELD KEYS / TAG KEYS / TAG VALUES / DATABASES —
     * the generic single-series shapes of cflux.js:450-674. */
-  def showJson(seriesName: String, df: DataFrame): String = {
-    val cols = df.columns.toSeq
-    val values = df.collect().toSeq.map(r => (0 until r.length).map(r.get))
-    resultsJson(Seq(Series(seriesName, Map.empty, cols, values)))
-  }
+  def showJson(seriesName: String, df: DataFrame): String =
+    resultsJson(Seq(showSeries(seriesName, df)))
 
   def emptyResult: String = """{"results":[{"statement_id":0}]}"""
 

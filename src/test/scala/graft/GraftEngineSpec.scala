@@ -192,6 +192,21 @@ class GraftEngineSpec extends AnyFunSuite {
     bad.foreach { q => assert(e.query("dbm", q) === Response0, s"for: $q") }
   }
 
+  test("multi-statement query: one results entry per statement, ids by index") {
+    val e = newEngine()
+    e.write("dbms",
+      """cpu,host=a usage=10 1735689540000000000
+        |mem,host=a used=5 1735689540000000000""".stripMargin)
+    val json = e.query("dbms",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m); """ +
+        """SHOW MEASUREMENTS; CREATE DATABASE "dbms2"""")
+    assert(json.contains(""""statement_id":0""") && json.contains("[1735689540000,10]"), json)
+    assert(json.contains(""""statement_id":1""") && json.contains("measurements"), json)
+    assert(json.contains("""{"statement_id":2}"""), json)
+    // the CREATE side effect ran
+    assert(e.query("dbms2", "SHOW MEASUREMENTS").contains("results"))
+  }
+
   test("DROP MEASUREMENT removes data and series metadata; others untouched") {
     val e = newEngine()
     e.write("dbd",
