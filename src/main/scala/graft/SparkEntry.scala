@@ -307,6 +307,9 @@ object SparkEntry {
       s"""SELECT bottom("value", 2) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
 
+    "ts_select_bucket_offset" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h, 30m)"""))),
     "ts_select_integral" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT integral("value", 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
@@ -623,6 +626,20 @@ object SparkEntry {
         extraWhere = "AND regexp_matches(event_type, '^(cl|pu)')"),
     "ts_select_top" -> selectorOracle(21600000L, 3, "DESC"),
     "ts_select_bottom" -> selectorOracle(21600000L, 2, "ASC"),
+    "ts_select_bucket_offset" ->
+      s"""WITH g AS (
+         |  SELECT ((epoch_ms(ts) - 1800000) // 3600000) * 3600000 + 1800000 AS time_ms,
+         |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM g
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM g
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_integral" ->
       s"""WITH p AS (
          |  SELECT epoch_ms(ts) AS time_ms, value

@@ -67,7 +67,9 @@ object Ast {
         * the inner result's per-(label pair) series, with the inner's
         * output field names as the outer's field keys. `from` mirrors the
         * innermost table ref for response naming. */
-      fromSub: Option[Select] = None
+      fromSub: Option[Select] = None,
+      /** GROUP BY time(x, offset) bucket shift, ms (extension). */
+      groupByTimeOffsetMs: Long = 0L
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement

@@ -216,6 +216,7 @@ object InfluxQlParser {
     }
 
     var gbTime: Option[Long] = None
+    var gbOffset = 0L
     val gbTags = ArrayBuffer.empty[String]
     if (p.kw("GROUP")) {
       if (!p.kw("BY")) return Left("expected BY after GROUP")
@@ -228,6 +229,11 @@ object InfluxQlParser {
             p.peek match {
               case Some(Dur(d)) => p.next(); gbTime = Some(TimeUnits.durationMs(d))
               case t            => return Left(s"expected duration in time(), got $t")
+            }
+            // time(x, offset): shift every bucket boundary by the offset
+            if (p.op(",")) p.peek match {
+              case Some(Dur(d)) => p.next(); gbOffset = TimeUnits.durationMs(d)
+              case t            => return Left(s"expected duration offset in time(), got $t")
             }
             if (!p.op(")")) return Left("expected ) after time(dur")
           case Some(Op("*")) => p.next() // GROUP BY * = all tags = default per-series grouping
@@ -288,7 +294,8 @@ object InfluxQlParser {
     Right(Ast.Select(fields.toSeq, from,
       Ast.TimeBounds(lower, upper, lowerStrict, upperStrict),
       tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc,
-      offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub))
+      offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub,
+      groupByTimeOffsetMs = gbOffset))
   }
 
   /** Window transforms accepted as the OUTER call of a nested

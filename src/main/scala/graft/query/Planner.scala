@@ -224,6 +224,7 @@ object Planner {
       throw new IllegalArgumentException(s"unknown measurement ${s.from.measurement}"))
     val (fromMs, toMs) = resolveTime(s.time, nowMs)
     val bucketMs = s.groupByTimeMs.getOrElse(TimeUnits.MsPerMinute) // 1-min default (cflux.js:749)
+    val bucketOffMs = s.groupByTimeOffsetMs // GROUP BY time(x, offset) shift
 
     // `SELECT *` / `mean(*)`: expand to the measurement's field keys from
     // the series index — a driver-side collect bounded by field-key
@@ -298,7 +299,8 @@ object Planner {
             floor((col("value") + col("__pv")) / 2.0 *
               ((col("timestamp_ms") - col("__pt")) / unitMs.toDouble) * 1e6).cast("long"))
           .withColumn("time_ms",
-            (floor(col("timestamp_ms") / bucketMs) * bucketMs).cast("long"))
+            (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
+              + bucketOffMs).cast("long"))
           .groupBy((partCols :+ col("time_ms")): _*)
           .agg((sum("__area_fp") / 1e6).as(outName))
           .select(col("time_ms"), nameOut.as("name"), col(outName).as("value"),
@@ -313,7 +315,8 @@ object Planner {
           throw new IllegalArgumentException(s"${f.func.get} needs a point count"))
         val bucketed = timed.withColumn("__bucket",
           if (s.groupByTimeMs.isDefined)
-            (floor(col("timestamp_ms") / bucketMs) * bucketMs).cast("long")
+            (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
+              + bucketOffMs).cast("long")
           else lit(0L))
         val ord =
           if (f.func.contains("top")) Seq(col("value").desc, col("timestamp_ms").asc)
@@ -328,7 +331,8 @@ object Planner {
       } else {
         val agged = timed
           .withColumn("time_ms",
-            (floor(col("timestamp_ms") / bucketMs) * bucketMs).cast("long"))
+            (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
+              + bucketOffMs).cast("long"))
           // honored GROUP BY tags collapse across series (no fingerprint in
           // the keys); default keeps per-series groups like the reference
           // (A2, cflux.js:766)
@@ -339,7 +343,7 @@ object Planner {
           .agg(aggFor(f.func, col("value"), col("timestamp_ms"), f.arg).cast("double").as(outName))
           .select(col("time_ms"), nameOut.as("name"), col(outName).as("value"),
             col("labelname"), col("labelvalue"), col("message"))
-        val filled = fillGaps(agged, s.fill, fromMs, toMs, bucketMs)
+        val filled = fillGaps(agged, s.fill, fromMs, toMs, bucketMs, bucketOffMs)
         // window transform over the (filled) bucketed series — the
         // function-of-function surface (operators.Tick over SELECT shape)
         f.transform.map(applyTransform(filled, _)).getOrElse(filled)
@@ -393,12 +397,13 @@ object Planner {
     * by the query range, built per-series with no extra shuffle beyond the
     * spine join (broadcast: the distinct-series side is small). */
   private def fillGaps(agged: DataFrame, fill: Option[String],
-                       fromMs: Long, toMs: Long, bucketMs: Long): DataFrame =
+                       fromMs: Long, toMs: Long, bucketMs: Long,
+                       bucketOffMs: Long = 0L): DataFrame =
     fill.map(_.toLowerCase) match {
       case Some(mode @ ("null" | "0" | "previous" | "linear")) =>
         val keys = Seq("name", "labelname", "labelvalue", "message")
-        val fromBucket = Math.floorDiv(fromMs, bucketMs) * bucketMs
-        val toBucket = Math.floorDiv(toMs, bucketMs) * bucketMs
+        val fromBucket = Math.floorDiv(fromMs - bucketOffMs, bucketMs) * bucketMs + bucketOffMs
+        val toBucket = Math.floorDiv(toMs - bucketOffMs, bucketMs) * bucketMs + bucketOffMs
         val spine = agged.select(keys.map(col): _*).distinct()
           .withColumn("time_ms",
             explode(sequence(lit(fromBucket), lit(toBucket), lit(bucketMs))))

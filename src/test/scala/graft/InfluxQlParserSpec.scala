@@ -60,6 +60,14 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(esc.from.regex.contains("a/b"))
   }
 
+  test("GROUP BY time with offset; multi-statement parseAll") {
+    val s = parseOk("""SELECT mean("v") FROM "cpu" GROUP BY time(1h, 30m)""").asInstanceOf[Ast.Select]
+    assert(s.groupByTimeMs.contains(3600000L) && s.groupByTimeOffsetMs == 1800000L)
+    val all = InfluxQlParser.parseAll("""SHOW DATABASES; SHOW MEASUREMENTS;""")
+    assert(all == Right(Seq(Ast.ShowDatabases, Ast.ShowMeasurements(None))))
+    assert(InfluxQlParser.parse("SHOW DATABASES; SHOW MEASUREMENTS").isLeft)
+  }
+
   test("tag filter operators: !=, =~, !~") {
     val s = parseOk("""SELECT mean("v") FROM "cpu" WHERE time > now() - 5m """ +
       """AND "host" != 'h1' AND "region" =~ /^eu-/ AND "dc" !~ /test$/""")
