@@ -60,6 +60,26 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(esc.from.regex.contains("a/b"))
   }
 
+  test("parser is total: arbitrary input returns Either, never throws") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random garbage + mutated fragments of real queries
+    val fragments = Seq("SELECT", "FROM", "WHERE", "time", ">", "now()", "-",
+      "GROUP BY", "time(1h, 30m)", "FILL(linear)", "\"cpu\"", "/re/", "'str",
+      "mean(", "LIMIT", "9999999999999999999999", "1.5", ";", "=~", "!~",
+      "top(\"v\",", "DELETE", "DROP MEASUREMENT", "(SELECT", "::", "..", "\\")
+    val gen = Gen.oneOf(
+      Gen.listOf(Gen.oneOf(fragments)).map(_.mkString(" ")),
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf(Gen.asciiPrintableStr, Gen.oneOf(fragments))).map(_.mkString(" ")))
+    (0 until 500).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(7L + i)).foreach { q =>
+        InfluxQlParser.parseAll(q) // must return, not throw
+        InfluxQlParser.parse(q)
+      }
+    }
+  }
+
   test("GROUP BY time with offset; multi-statement parseAll") {
     val s = parseOk("""SELECT mean("v") FROM "cpu" GROUP BY time(1h, 30m)""").asInstanceOf[Ast.Select]
     assert(s.groupByTimeMs.contains(3600000L) && s.groupByTimeOffsetMs == 1800000L)
