@@ -289,6 +289,10 @@ object SparkEntry {
     "ts_show_series" -> ((s, dir) => influx(s, dir, "SHOW SERIES FROM \"events\"")),
     "ts_show_series_cardinality" -> ((s, dir) =>
       influx(s, dir, "SHOW SERIES EXACT CARDINALITY FROM \"events\"")),
+    "ts_show_fieldkey_cardinality" -> ((s, dir) =>
+      influx(s, dir, "SHOW FIELD KEY EXACT CARDINALITY FROM \"events\"")),
+    "ts_show_tagkey_cardinality" -> ((s, dir) =>
+      influx(s, dir, "SHOW TAG KEY EXACT CARDINALITY FROM \"events\"")),
 
     // --- tag filter operators beyond equality: !=, =~, !~ ---
     "ts_select_tag_neq" -> ((s, dir) => stable(influx(s, dir,
@@ -619,6 +623,8 @@ object SparkEntry {
         |FROM events ORDER BY key""".stripMargin,
     "ts_show_series_cardinality" ->
       """SELECT CAST(count(DISTINCT (event_type, user_id)) AS BIGINT) AS "count" FROM events""",
+    "ts_show_fieldkey_cardinality" -> """SELECT CAST(1 AS BIGINT) AS "count"""",
+    "ts_show_tagkey_cardinality" -> """SELECT CAST(2 AS BIGINT) AS "count"""",
     "ts_select_tag_neq" ->
       tsSelectOracle("avg(value)", 21600000L, extraWhere = "AND event_type <> 'click'"),
     "ts_select_tag_regex" ->

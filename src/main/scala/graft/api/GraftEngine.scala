@@ -117,21 +117,42 @@ class GraftEngine(
     * Single statements keep the reference's per-metric statement ids;
     * batches get one results[] entry per statement, id = its index
     * (InfluxDB's shape). */
-  def query(db: String, q: String): String =
-    InfluxQlParser.parseAll(q) match {
-      case Left(_) | Right(Seq()) => Response.emptyResult
-      case Right(Seq(single)) =>
-        s"""{"results":[${statementEntries(db, single, 0, perMetricIds = true).mkString(",")}]}"""
-      case Right(stmts) =>
-        val es = stmts.zipWithIndex.flatMap { case (st, i) =>
-          statementEntries(db, st, i, perMetricIds = false)
+  def query(db: String, q: String): String = query(db, q, None)
+
+  /** @param epoch response time unit, like InfluxDB's `epoch=` query
+    *              param: s/m/h divide, u/ns multiply; default ms (the
+    *              reference always emits ms, cflux.js:808). */
+  def query(db: String, q: String, epoch: Option[String]): String = {
+    val timeScale: Long => Long = epoch match {
+      case Some("s")         => _ / 1000L
+      case Some("m")         => _ / 60000L
+      case Some("h")         => _ / 3600000L
+      case Some("u" | "us")  => _ * 1000L
+      case Some("ns")        => _ * 1000000L
+      case _                 => identity
+    }
+    InfluxQlParser.parseAllLenient(q) match {
+      case Seq() => Response.emptyResult
+      case Seq(Left(_)) => Response.emptyResult // single bad statement: reference shape
+      case Seq(Right(single)) =>
+        s"""{"results":[${statementEntries(db, single, 0, perMetricIds = true, timeScale).mkString(",")}]}"""
+      case stmts =>
+        // batch: one entry per statement; a bad statement carries its own
+        // error object without failing the rest (InfluxDB shape)
+        val es = stmts.zipWithIndex.flatMap {
+          case (Right(st), i) => statementEntries(db, st, i, perMetricIds = false, timeScale)
+          case (Left(err), i) =>
+            val msg = err.replace("\\", "\\\\").replace("\"", "\\\"")
+            Seq(s"""{"statement_id":$i,"error":"$msg"}""")
         }
         s"""{"results":[${es.mkString(",")}]}"""
     }
+  }
 
   /** One statement → its results[] entries (side effects included). */
   private def statementEntries(db: String, stmt: Ast.Statement, id: Int,
-                               perMetricIds: Boolean): Seq[String] = {
+                               perMetricIds: Boolean,
+                               timeScale: Long => Long = identity): Seq[String] = {
     val bare = Seq(s"""{"statement_id":$id}""")
     stmt match {
       case s: Ast.Select =>
@@ -151,7 +172,7 @@ class GraftEngine(
             case None =>
               Seq(s.from.measurement -> Planner.planSelect(spark, s, cat, nowMs()))
           }
-          if (per.isEmpty) bare else Response.selectEntries(per, id, perMetricIds)
+          if (per.isEmpty) bare else Response.selectEntries(per, id, perMetricIds, timeScale)
         }
         catch { case scala.util.control.NonFatal(_) => bare }
       case Ast.CreateDatabase(name) =>

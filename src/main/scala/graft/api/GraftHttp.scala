@@ -68,7 +68,8 @@ final class GraftHttp(engine: GraftEngine, port: Int = 0) {
     } else Map.empty[String, String]
     val db = p.getOrElse("db", fromBody.getOrElse("db", ""))
     val q = p.getOrElse("q", fromBody.getOrElse("q", ""))
-    try respond(ex, 200, engine.query(db, q))
+    val epoch = p.get("epoch").orElse(fromBody.get("epoch"))
+    try respond(ex, 200, engine.query(db, q, epoch))
     catch { case scala.util.control.NonFatal(_) => respond(ex, 200, graft.query.Response.emptyResult) }
   })
 

@@ -84,6 +84,9 @@ object Ast {
   final case class ShowSeries(from: Option[TableRef]) extends Statement
   /** SHOW SERIES [EXACT] CARDINALITY [FROM m] (extension). */
   final case class ShowSeriesCardinality(from: Option[TableRef]) extends Statement
+  /** SHOW MEASUREMENT / FIELD KEY / TAG KEY [EXACT] CARDINALITY
+    * (extension); kind ∈ measurement | field_key | tag_key. */
+  final case class ShowCardinality(kind: String, from: Option[TableRef]) extends Statement
   final case class CreateSubscription(id: String, db: String, rp: String, dest: String) extends Statement
   /** DROP MEASUREMENT "m" — removes the measurement's data + series
     * metadata (extension: storage lifecycle the reference lacks). */

@@ -145,6 +145,15 @@ object InfluxQlParser {
       }
     }
 
+  /** Like [[parseAll]] but per-statement: a bad segment yields its own
+    * Left without failing the others (InfluxDB reports per-statement
+    * errors in batch responses). A lex error fails the whole input. */
+  def parseAllLenient(query: String): Seq[Either[String, Ast.Statement]] =
+    tokenize(query) match {
+      case Left(e)   => Seq(Left(e))
+      case Right(ts) => splitOnSemi(ts).filter(_.nonEmpty).map(parseTokens(_, query))
+    }
+
   private def splitOnSemi(ts: Vector[Tok]): Seq[Vector[Tok]] = {
     val out = Vector.newBuilder[Vector[Tok]]
     var cur = Vector.newBuilder[Tok]
@@ -493,14 +502,31 @@ object InfluxQlParser {
       val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
       Right(if (cardinality) Ast.ShowSeriesCardinality(from) else Ast.ShowSeries(from))
     }
-    else if (p.kw("FIELD")) {
-      if (!p.kw("KEYS")) return Left("expected KEYS")
+    else if (p.kw("MEASUREMENT")) {
+      p.kw("EXACT")
+      if (!p.kw("CARDINALITY")) return Left("expected CARDINALITY after MEASUREMENT")
       val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
-      Right(Ast.ShowFieldKeys(from))
+      Right(Ast.ShowCardinality("measurement", from))
+    }
+    else if (p.kw("FIELD")) {
+      if (p.kw("KEYS")) {
+        val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
+        Right(Ast.ShowFieldKeys(from))
+      } else if (p.kw("KEY")) {
+        p.kw("EXACT")
+        if (!p.kw("CARDINALITY")) return Left("expected CARDINALITY after FIELD KEY")
+        val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
+        Right(Ast.ShowCardinality("field_key", from))
+      } else Left("expected KEYS or KEY after FIELD")
     } else if (p.kw("TAG")) {
       if (p.kw("KEYS")) {
         val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
         Right(Ast.ShowTagKeys(from))
+      } else if (p.kw("KEY")) {
+        p.kw("EXACT")
+        if (!p.kw("CARDINALITY")) return Left("expected CARDINALITY after TAG KEY")
+        val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
+        Right(Ast.ShowCardinality("tag_key", from))
       } else if (p.kw("VALUES")) {
         val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
         val keys = ArrayBuffer.empty[String]

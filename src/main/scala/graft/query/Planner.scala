@@ -153,6 +153,20 @@ object Planner {
             array_join(zip_with(col("labelname"), col("labelvalue"),
               (k, v) => concat(k, lit("="), v)), ",")).as("key"))
           .agg(countDistinct("key").as("count"))
+      case Ast.ShowCardinality(kind, from) =>
+        // exact counts over the schema-sized series index (single "count"
+        // row; InfluxDB groups by measurement — simplification documented)
+        val base = scoped(cat, from)
+        kind match {
+          case "measurement" =>
+            base.agg(countDistinct("measurement").as("count"))
+          case "field_key" =>
+            base.agg(countDistinct("measurement", "name").as("count"))
+          case "tag_key" =>
+            base.select(col("measurement"), explode(col("labelname")).as("k"))
+              .agg(countDistinct("measurement", "k").as("count"))
+          case other => throw new IllegalArgumentException(s"bad cardinality kind $other")
+        }
       case Ast.ShowRetentionPolicies(_) =>
         // fabricated static response, matching cflux.js:419-448
         import spark.implicits._

@@ -23,7 +23,8 @@ object Response {
     * ["time", metric], one series per (metric, tagKey, tagValue) — each an
     * independent object (the reference pushes one mutated object, the
     * aliasing bug flagged in SURVEY §3.2). */
-  def pivotSelect(df: DataFrame, measurement: String): Seq[(String, Series)] = {
+  def pivotSelect(df: DataFrame, measurement: String,
+                  timeScale: Long => Long = identity): Seq[(String, Series)] = {
     val rows = df.collect()
     val order = mutable.LinkedHashMap.empty[(String, String, String), mutable.ArrayBuffer[Seq[Any]]]
     rows.foreach { r =>
@@ -36,7 +37,8 @@ object Response {
         if (msg != null && msg.nonEmpty) msg
         else if (r.isNullAt(r.fieldIndex("value"))) null
         else r.getAs[Double]("value")
-      order.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += Seq(r.getAs[Long]("time_ms"), v)
+      order.getOrElseUpdate(key, mutable.ArrayBuffer.empty) +=
+        Seq(timeScale(r.getAs[Long]("time_ms")), v)
     }
     order.toSeq.map { case ((metric, lk, lv), vals) =>
       metric -> Series(measurement, Map(lk -> lv), Seq("time", metric), vals.toSeq)
@@ -59,8 +61,9 @@ object Response {
     * compat); otherwise one entry carrying every series under `baseId`
     * (InfluxDB's shape for multi-statement queries). */
   def selectEntries(per: Seq[(String, DataFrame)], baseId: Int,
-                    perMetricIds: Boolean): Seq[String] = {
-    val pivoted = per.flatMap { case (m, df) => pivotSelect(df, m) }
+                    perMetricIds: Boolean,
+                    timeScale: Long => Long = identity): Seq[String] = {
+    val pivoted = per.flatMap { case (m, df) => pivotSelect(df, m, timeScale) }
     if (perMetricIds) {
       val metricIdx = mutable.LinkedHashMap.empty[String, Int]
       pivoted.foreach { case (m, _) => metricIdx.getOrElseUpdate(m, metricIdx.size) }

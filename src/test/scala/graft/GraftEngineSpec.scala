@@ -192,6 +192,22 @@ class GraftEngineSpec extends AnyFunSuite {
     bad.foreach { q => assert(e.query("dbm", q) === Response0, s"for: $q") }
   }
 
+  test("SHOW CARDINALITY family and epoch= time units") {
+    val e = newEngine()
+    e.write("dbc",
+      """cpu,host=a,region=eu usage=1,load=2 1735689540000000000
+        |mem,host=a used=3 1735689540000000000""".stripMargin)
+    assert(e.query("dbc", "SHOW MEASUREMENT CARDINALITY").contains("[2]"))
+    // field keys: (cpu,usage), (cpu,load), (mem,used)
+    assert(e.query("dbc", "SHOW FIELD KEY EXACT CARDINALITY").contains("[3]"))
+    // tag keys: (cpu,host), (cpu,region), (mem,host)
+    assert(e.query("dbc", "SHOW TAG KEY CARDINALITY").contains("[3]"))
+    val json = e.query("dbc",
+      """SELECT mean("used") FROM "mem" WHERE time > now() - 5m GROUP BY time(1m)""",
+      Some("s"))
+    assert(json.contains("[1735689540,3]"), json)
+  }
+
   test("multi-statement query: one results entry per statement, ids by index") {
     val e = newEngine()
     e.write("dbms",
@@ -205,6 +221,11 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(json.contains("""{"statement_id":2}"""), json)
     // the CREATE side effect ran
     assert(e.query("dbms2", "SHOW MEASUREMENTS").contains("results"))
+    // a bad statement inside a batch errors alone, the rest still answer
+    val mixed = e.query("dbms",
+      """SELECT mean("usage") FROM "cpu" WHERE time > 1.5; SHOW MEASUREMENTS""")
+    assert(mixed.contains(""""statement_id":0,"error""""), mixed)
+    assert(mixed.contains(""""statement_id":1""") && mixed.contains("cpu"), mixed)
   }
 
   test("DROP MEASUREMENT removes data and series metadata; others untouched") {
