@@ -333,6 +333,9 @@ object SparkEntry {
     "ts_select_fn_cumsum" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT cumulative_sum(mean("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_holt" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT holt_winters(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
     "ts_select_fn_nnd" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT non_negative_derivative(mean("value"), 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
@@ -692,6 +695,36 @@ object SparkEntry {
       "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
     "ts_select_fn_cumsum" -> tickOracle(3600000L,
       "sum(raw) OVER (ORDER BY time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs", "cs"),
+    "ts_select_fn_holt" ->
+      // recursive CTE replays the Holt recurrence row by row: DuckDB's
+      // list_reduce struct lambdas mutate the accumulator field-by-field
+      // (later fields read already-updated values), so a fold cannot
+      // carry (l, b) state faithfully — a CTE SELECT can
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |agg AS (SELECT max(time_ms) AS last_t,
+         |               list(value ORDER BY time_ms, value) AS vs FROM g),
+         |r(i, l, b) AS (
+         |  SELECT 1, vs[1], vs[2] - vs[1] FROM agg
+         |  UNION ALL
+         |  SELECT i + 1,
+         |         0.5 * vs[i + 1] + 0.5 * (l + b),
+         |         0.25 * ((0.5 * vs[i + 1] + 0.5 * (l + b)) - l) + 0.75 * b
+         |  FROM r, agg WHERE i + 1 <= len(vs)),
+         |folded AS (SELECT last_t, l, b FROM r, agg WHERE i = len(vs)),
+         |f AS (SELECT last_t + t.h * 3600000 AS time_ms,
+         |             CAST(floor((l + t.h * b) * 100) AS BIGINT) AS value
+         |      FROM folded, range(1, 5) t(h))
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_nnd" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
       "CASE WHEN pr IS NOT NULL AND time_ms > pt AND (raw - pr) >= 0 THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),

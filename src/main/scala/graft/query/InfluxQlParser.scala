@@ -311,7 +311,7 @@ object InfluxQlParser {
     * `transform(agg("field")[, arg])` (InfluxQL function-of-function). */
   private val TransformFns = Set(
     "derivative", "non_negative_derivative", "difference",
-    "moving_average", "cumulative_sum")
+    "moving_average", "cumulative_sum", "holt_winters")
 
   // transform(func("name")[, dur|n]) | func("name"[, num]) [AS a] | "name" | *
   private def parseField(p: P): Either[String, Ast.Field] = {

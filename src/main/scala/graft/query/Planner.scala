@@ -360,7 +360,7 @@ object Planner {
         val filled = fillGaps(agged, s.fill, fromMs, toMs, bucketMs, bucketOffMs)
         // window transform over the (filled) bucketed series — the
         // function-of-function surface (operators.Tick over SELECT shape)
-        f.transform.map(applyTransform(filled, _)).getOrElse(filled)
+        f.transform.map(applyTransform(filled, _, bucketMs)).getOrElse(filled)
       }
     }
 
@@ -387,7 +387,12 @@ object Planner {
     * buckets participate — e.g. derivative over fill(previous) yields 0).
     * Delegates to operators.Tick: one shuffle on the series key, codegen'd
     * window scan (SURVEY §2.5 note). */
-  private def applyTransform(sel: DataFrame, t: Ast.Transform): DataFrame = t.fn match {
+  private def applyTransform(sel: DataFrame, t: Ast.Transform,
+                             bucketMs: Long): DataFrame = t.fn match {
+    case "holt_winters" =>
+      graft.operators.HoltWinters.forecast(sel,
+        t.n.getOrElse(throw new IllegalArgumentException("holt_winters needs a forecast count")),
+        bucketMs)
     case "difference"  => graft.operators.Tick.difference(sel)
     case "derivative"  => graft.operators.Tick.derivative(sel, t.durMs.getOrElse(1000L))
     case "non_negative_derivative" =>

@@ -108,8 +108,11 @@ class InfluxQlParserSpec extends AnyFunSuite {
       transform = Some(Ast.Transform("moving_average", None, Some(5))))))
     val c = parseOk("""SELECT cumulative_sum(mean("v")) FROM "cpu"""").asInstanceOf[Ast.Select]
     assert(c.fields.head.transform.contains(Ast.Transform("cumulative_sum")))
+    val hw = parseOk("""SELECT holt_winters(mean("v"), 4) FROM "cpu" GROUP BY time(1h)""")
+      .asInstanceOf[Ast.Select]
+    assert(hw.fields.head.transform.contains(Ast.Transform("holt_winters", None, Some(4))))
     // unsupported outer function is a parse error, not a silent drop
-    assert(InfluxQlParser.parse("""SELECT holt_winters(mean("v"), 10) FROM "cpu"""").isLeft)
+    assert(InfluxQlParser.parse("""SELECT chande_momentum(mean("v"), 10) FROM "cpu"""").isLeft)
   }
 
   test("FROM (SELECT …) subquery parses recursively") {
