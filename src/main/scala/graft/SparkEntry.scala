@@ -289,6 +289,8 @@ object SparkEntry {
     "ts_show_series" -> ((s, dir) => influx(s, dir, "SHOW SERIES FROM \"events\"")),
     "ts_show_series_cardinality" -> ((s, dir) =>
       influx(s, dir, "SHOW SERIES EXACT CARDINALITY FROM \"events\"")),
+    "ts_show_tag_values_regex" -> ((s, dir) =>
+      influx(s, dir, """SHOW TAG VALUES FROM "events" WITH KEY =~ /^u/""")),
     "ts_show_fieldkey_cardinality" -> ((s, dir) =>
       influx(s, dir, "SHOW FIELD KEY EXACT CARDINALITY FROM \"events\"")),
     "ts_show_tagkey_cardinality" -> ((s, dir) =>
@@ -626,6 +628,9 @@ object SparkEntry {
         |FROM events ORDER BY key""".stripMargin,
     "ts_show_series_cardinality" ->
       """SELECT CAST(count(DISTINCT (event_type, user_id)) AS BIGINT) AS "count" FROM events""",
+    "ts_show_tag_values_regex" ->
+      """SELECT DISTINCT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value
+        |FROM events ORDER BY key, value""".stripMargin,
     "ts_show_fieldkey_cardinality" -> """SELECT CAST(1 AS BIGINT) AS "count"""",
     "ts_show_tagkey_cardinality" -> """SELECT CAST(2 AS BIGINT) AS "count"""",
     "ts_select_tag_neq" ->

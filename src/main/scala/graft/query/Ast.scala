@@ -78,7 +78,9 @@ object Ast {
   final case class ShowRetentionPolicies(db: Option[String]) extends Statement
   final case class ShowFieldKeys(from: Option[TableRef]) extends Statement
   final case class ShowTagKeys(from: Option[TableRef]) extends Statement
-  final case class ShowTagValues(from: Option[TableRef], keys: Seq[String]) extends Statement
+  /** @param keyRegex `WITH KEY =~ /re/` matcher (extension) */
+  final case class ShowTagValues(from: Option[TableRef], keys: Seq[String],
+                                 keyRegex: Option[String] = None) extends Statement
   /** SHOW SERIES [FROM m] — series keys `measurement,k1=v1,k2=v2`
     * (extension: InfluxDB metadata surface the reference lacks). */
   final case class ShowSeries(from: Option[TableRef]) extends Statement

@@ -530,9 +530,15 @@ object InfluxQlParser {
       } else if (p.kw("VALUES")) {
         val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
         val keys = ArrayBuffer.empty[String]
+        var keyRegex: Option[String] = None
         if (p.kw("WITH")) {
           if (!p.kw("KEY")) return Left("expected KEY")
-          if (p.kw("IN")) {
+          if (p.op("=~")) {
+            p.next() match {
+              case Re(s) => keyRegex = Some(s)
+              case t     => return Left(s"bad key regex $t")
+            }
+          } else if (p.kw("IN")) {
             if (!p.op("(")) return Left("expected (")
             var more = true
             while (more) {
@@ -552,7 +558,7 @@ object InfluxQlParser {
             }
           }
         }
-        Right(Ast.ShowTagValues(from, keys.toSeq))
+        Right(Ast.ShowTagValues(from, keys.toSeq, keyRegex))
       } else Left("expected KEYS or VALUES after TAG")
     } else Right(Ast.Unsupported(raw))
   }

@@ -130,11 +130,15 @@ object Planner {
       case Ast.ShowTagKeys(from)    =>
         scoped(cat, from).select(explode(col("labelname")).as("tagKey"))
           .distinct().orderBy("tagKey")
-      case Ast.ShowTagValues(from, keys) =>
+      case Ast.ShowTagValues(from, keys, keyRegex) =>
         val pairs = scoped(cat, from)
           .select(explode(arrays_zip(col("labelname"), col("labelvalue"))).as("lp"))
           .select(col("lp.labelname").as("key"), col("lp.labelvalue").as("value"))
-        val filtered = if (keys.nonEmpty) pairs.filter(col("key").isin(keys: _*)) else pairs
+        val filtered = keyRegex match {
+          case Some(re) => pairs.filter(col("key").rlike(re))
+          case None if keys.nonEmpty => pairs.filter(col("key").isin(keys: _*))
+          case None => pairs
+        }
         filtered.distinct().orderBy("key", "value")
       case Ast.ShowSeries(from) =>
         // InfluxDB series key: measurement,k1=v1,k2=v2 (tags already sorted
@@ -206,7 +210,13 @@ object Planner {
     // tag pair, cflux.js:815-832); InfluxDB proper keys series by full
     // tagset (documented divergence). Fully lazy: the inner plan nests
     // inside the outer's, one composed Catalyst tree.
-    s.fromSub.foreach { inner =>
+    s.fromSub.foreach { inner0 =>
+      // InfluxDB: an inner query without its own time bounds inherits the
+      // outer WHERE time
+      val inner =
+        if (inner0.time.lower.isEmpty && inner0.time.upper.isEmpty)
+          inner0.copy(time = s.time)
+        else inner0
       val innerDf = planSelectImpl(spark, inner, cat, nowMs, renameFields = true)
       val synthSamples = innerDf.select(
         subFingerprint.as("fingerprint"),

@@ -165,6 +165,17 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(json.contains(""""columns":["time","mean"]"""), json)
   }
 
+  test("subquery inner inherits the outer WHERE time when it has none") {
+    val e = newEngine()
+    // 2h before "now" — outside the 300s default window the inner would
+    // otherwise fall back to
+    e.write("dbi", "cpu,host=a u=6 1735682400000000000")
+    val json = e.query("dbi",
+      """SELECT max("mean") FROM (SELECT mean("u") FROM "cpu" GROUP BY time(1m)) """ +
+        """WHERE time > now() - 3h GROUP BY time(10m)""")
+    assert(json.contains(",6]"), json)
+  }
+
   test("FILL(null) gap rows serialize as JSON null, distinct from FILL(0)") {
     val e = newEngine()
     // two points 3 minutes apart → 2 gap buckets between them

@@ -151,6 +151,8 @@ class InfluxQlParserSpec extends AnyFunSuite {
       Ast.ShowTagValues(Some(Ast.TableRef(None, None, "cpu")), Seq("host", "cpu")))
     assert(parseOk("""SHOW TAG VALUES FROM "cpu" WITH KEY = "host"""") ==
       Ast.ShowTagValues(Some(Ast.TableRef(None, None, "cpu")), Seq("host")))
+    assert(parseOk("""SHOW TAG VALUES FROM "cpu" WITH KEY =~ /^h/""") ==
+      Ast.ShowTagValues(Some(Ast.TableRef(None, None, "cpu")), Nil, Some("^h")))
     assert(parseOk("SHOW SUBSCRIPTIONS") == Ast.ShowSubscriptions)
   }
 
