@@ -664,10 +664,25 @@ object SparkEntry {
          |             lag(time_ms) OVER (ORDER BY time_ms, value) AS pt,
          |             lag(value) OVER (ORDER BY time_ms, value) AS pv
          |      FROM p),
-         |seg AS (SELECT (time_ms // 21600000) * 21600000 AS b,
-         |               CAST(floor((value + pv) / 2.0 * ((time_ms - pt) / 1000.0) * 1e6) AS BIGINT) AS a
-         |        FROM s WHERE pt IS NOT NULL),
-         |g AS (SELECT b AS time_ms, CAST(sum(a) AS BIGINT) AS sfp FROM seg GROUP BY 1),
+         |seg AS (SELECT * FROM s WHERE pt IS NOT NULL AND time_ms > pt),
+         |pieces AS (
+         |  SELECT t.b,
+         |         greatest(s2.pt, t.b) AS ss,
+         |         least(s2.time_ms, t.b + 21600000) AS ee,
+         |         s2.pv + (s2.value - s2.pv) *
+         |           ((greatest(s2.pt, t.b) - s2.pt) / (s2.time_ms - s2.pt)) AS vs,
+         |         s2.pv + (s2.value - s2.pv) *
+         |           ((least(s2.time_ms, t.b + 21600000) - s2.pt) / (s2.time_ms - s2.pt)) AS ve
+         |  FROM seg s2
+         |  JOIN generate_series(${(FromNs / 1000000L / 21600000L) * 21600000L},
+         |                       ${(ToNs / 1000000L / 21600000L) * 21600000L},
+         |                       21600000) t(b)
+         |    ON t.b >= (s2.pt // 21600000) * 21600000
+         |   AND t.b <= ((s2.time_ms - 1) // 21600000) * 21600000),
+         |areas AS (SELECT b AS time_ms,
+         |                 CAST(floor((vs + ve) / 2.0 * ((ee - ss) / 1000.0) * 1e6) AS BIGINT) AS a
+         |          FROM pieces),
+         |g AS (SELECT time_ms, CAST(sum(a) AS BIGINT) AS sfp FROM areas GROUP BY 1),
          |f AS (SELECT time_ms, CAST(floor((sfp / 1e6) * 100) AS BIGINT) AS value FROM g)
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       'click' AS labelvalue, '' AS message FROM f

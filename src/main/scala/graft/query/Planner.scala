@@ -305,26 +305,37 @@ object Planner {
             col("labelname"), col("labelvalue"), col("message"))
       } else if (f.func.contains("integral")) {
         // integral("v"[, unit]): trapezoid area under consecutive raw
-        // points, summed per bucket per series. Segment area is emitted
-        // as fixed-point 1e6 BEFORE the sum (exact int64 accumulation →
-        // partitioning/order independent; the oracle mirrors the floor).
-        // Divergence: a segment belongs to its later point's bucket
-        // (InfluxDB clips segments at bucket boundaries).
+        // points, summed per bucket per series, with segments CLIPPED at
+        // bucket boundaries (interpolated endpoint values — InfluxDB
+        // semantics). Each clipped piece is emitted as fixed-point 1e6
+        // BEFORE the sum: exact int64 accumulation, partitioning/order
+        // independent, and the oracle mirrors the floor per piece.
         val unitMs = f.argDur.getOrElse(1000L) // default 1s (InfluxQL)
         val partCols = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
           Seq(col("name"), col("labelname"), col("labelvalue"), col("message"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(partCols: _*).orderBy(col("timestamp_ms"), col("value"))
-        timed
+        val segs = timed
           .withColumn("__pt", lag("timestamp_ms", 1).over(w))
           .withColumn("__pv", lag("value", 1).over(w))
-          .filter(col("__pt").isNotNull)
+          .filter(col("__pt").isNotNull && col("timestamp_ms") > col("__pt"))
+        def bucketOf(t: Column): Column =
+          (floor((t - bucketOffMs) / bucketMs) * bucketMs + bucketOffMs).cast("long")
+        // one row per bucket the segment overlaps (segment end exclusive);
+        // clip to the bucket and interpolate the clipped endpoint values
+        val pieces = segs
+          .withColumn("time_ms", explode(sequence(
+            bucketOf(col("__pt")), bucketOf(col("timestamp_ms") - 1), lit(bucketMs))))
+          .withColumn("__s", greatest(col("__pt"), col("time_ms")))
+          .withColumn("__e", least(col("timestamp_ms"), col("time_ms") + bucketMs))
+          .withColumn("__vs", col("__pv") + (col("value") - col("__pv")) *
+            ((col("__s") - col("__pt")) / (col("timestamp_ms") - col("__pt"))))
+          .withColumn("__ve", col("__pv") + (col("value") - col("__pv")) *
+            ((col("__e") - col("__pt")) / (col("timestamp_ms") - col("__pt"))))
           .withColumn("__area_fp",
-            floor((col("value") + col("__pv")) / 2.0 *
-              ((col("timestamp_ms") - col("__pt")) / unitMs.toDouble) * 1e6).cast("long"))
-          .withColumn("time_ms",
-            (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
-              + bucketOffMs).cast("long"))
+            floor((col("__vs") + col("__ve")) / 2.0 *
+              ((col("__e") - col("__s")) / unitMs.toDouble) * 1e6).cast("long"))
+        pieces
           .groupBy((partCols :+ col("time_ms")): _*)
           .agg((sum("__area_fp") / 1e6).as(outName))
           .select(col("time_ms"), nameOut.as("name"), col(outName).as("value"),
