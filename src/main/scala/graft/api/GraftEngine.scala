@@ -180,11 +180,12 @@ class GraftEngine(
       case Ast.DropMeasurement(m) =>
         dropMeasurement(db, m); bare
       case Ast.DeleteFrom(from, bounds) =>
+        val now = nowMs() // one reading for both bounds
         val fromMs = bounds.lower
-          .map(te => Planner.evalTime(te, nowMs()) + (if (bounds.lowerStrict) 1 else 0))
+          .map(te => Planner.evalTime(te, now) + (if (bounds.lowerStrict) 1 else 0))
           .getOrElse(Long.MinValue / 2)
         val toMs = bounds.upper
-          .map(te => Planner.evalTime(te, nowMs()) - (if (bounds.upperStrict) 1 else 0))
+          .map(te => Planner.evalTime(te, now) - (if (bounds.upperStrict) 1 else 0))
           .getOrElse(Long.MaxValue / 2)
         deletePoints(db, from.measurement, fromMs, toMs)
         bare
@@ -254,8 +255,10 @@ class GraftEngine(
         if (hourStart >= fromMs && hourEnd <= toMs) {
           fs.delete(st.getPath, true) // fully covered: metadata-only drop
         } else if (hourEnd >= fromMs && hourStart <= toMs) {
-          // boundary partition: rewrite just this directory, filtered
-          val tmp = new Path(st.getPath.toString + "_tmp")
+          // boundary partition: rewrite just this directory, filtered.
+          // The temp dir gets a leading underscore so a crash mid-rewrite
+          // leaves a directory Spark's partition discovery ignores.
+          val tmp = new Path(st.getPath.getParent, "_tmp_" + name)
           spark.read.parquet(st.getPath.toString)
             .filter(!(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs))
             .write.mode("overwrite").parquet(tmp.toString)
