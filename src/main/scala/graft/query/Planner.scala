@@ -285,6 +285,13 @@ object Planner {
       // subquery-inner mode: the output name is the field's output name
       // (the field key the outer query will select)
       val nameOut = if (renameFields && !isRaw) lit(outName) else col("name")
+      // transforms compose over bucketed AGGREGATES only; wrapping a
+      // selector (top/bottom/elapsed/integral) is an explicit error, not
+      // a silent drop
+      if (f.transform.isDefined &&
+          f.func.exists(Set("top", "bottom", "elapsed", "integral")))
+        throw new IllegalArgumentException(
+          s"${f.transform.get.fn} cannot wrap selector ${f.func.get}")
       if (isRaw)
         timed.select(col("timestamp_ms").as("time_ms"), nameOut.as("name"), col("value"),
           col("labelname"), col("labelvalue"), col("message"))

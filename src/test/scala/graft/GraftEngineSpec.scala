@@ -199,7 +199,9 @@ class GraftEngineSpec extends AnyFunSuite {
       // overflowing time literal
       """SELECT mean("f") FROM "cpu" WHERE time > 99999999999999999999999999""",
       // unparseable date string → planner DateTimeParseException path
-      """SELECT mean("f") FROM "cpu" WHERE time > 'not a date'""")
+      """SELECT mean("f") FROM "cpu" WHERE time > 'not a date'""",
+      // transform over a selector is rejected, not silently dropped
+      """SELECT derivative(top("f", 3), 1s) FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
     bad.foreach { q => assert(e.query("dbm", q) === Response0, s"for: $q") }
   }
 
