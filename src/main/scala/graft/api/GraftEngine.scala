@@ -214,6 +214,39 @@ class GraftEngine(
     }
   }
 
+  /** Continuous query: a Structured Streaming file source tails the
+    * measurement's stored samples, so every `write` (or streaming ingest
+    * micro-batch) surfaces in live watermarked tumbling windows — the
+    * composition of the engine's storage layout with
+    * [[graft.streaming.StreamingWindow]] semantics. Caller starts the
+    * returned DataFrame with writeStream (append mode: windows emit once,
+    * when the watermark passes them).
+    *
+    * Scale shape: the file source lists only NEW files per micro-batch
+    * (hour-partitioned appends), and state is bounded by
+    * series × open windows via the watermark. */
+  def continuousMean(db: String, measurement: String,
+                     windowDur: String, lateness: String): DataFrame = {
+    val dir = s"${samplesPath(db)}/measurement=$measurement"
+    // file schema = samples minus the hour partition column (discovered
+    // from the hour=N directories)
+    val fileSchema = org.apache.spark.sql.types.StructType(
+      graft.model.Schemas.samples.filterNot(_.name == "hour"))
+    spark.readStream
+      .schema(fileSchema)
+      .option("basePath", dir)
+      .parquet(dir)
+      .withColumn("event_time", org.apache.spark.sql.functions.timestamp_millis(col("timestamp_ms")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("fingerprint"),
+        org.apache.spark.sql.functions.window(col("event_time"), windowDur))
+      .agg(org.apache.spark.sql.functions.avg("value").as("mean"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select(col("fingerprint"),
+        org.apache.spark.sql.functions.unix_millis(col("window.start")).as("window_start_ms"),
+        col("mean"), col("n"))
+  }
+
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 

@@ -108,6 +108,29 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(!got.exists(_._3 > 100), s"late point leaked into a window: $got")
   }
 
+  test("continuous query: stored writes surface as watermarked windows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cq").toString
+    val e = new graft.api.GraftEngine(spark, root, () => NowMs)
+    // window [23:58,23:59): two points, mean 15
+    e.write("dbcq",
+      """cpu,host=a u=10 1735689510000000000
+        |cpu,host=a u=20 1735689520000000000""".stripMargin)
+    val q = e.continuousMean("dbcq", "cpu", "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("cq").outputMode("append").start()
+    q.processAllAvailable()
+    // later batches advance the watermark past the first window (watermark
+    // updates at batch end; the closed window emits in the following batch)
+    e.write("dbcq", "cpu,host=a u=1 1735689900000000000")
+    q.processAllAvailable()
+    e.write("dbcq", "cpu,host=a u=2 1735689960000000000")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cq").select("window_start_ms", "mean", "n")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got.contains((1735689480000L, 15.0, 2L)), got)
+  }
+
   test("restart resumes from checkpoint without re-registering series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
