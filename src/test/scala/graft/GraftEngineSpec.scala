@@ -165,6 +165,22 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(json.contains(""""columns":["time","mean"]"""), json)
   }
 
+  test("transform composes over a subquery: difference of inner means") {
+    val e = newEngine()
+    // minutes 23:57, 23:58, 23:59 → means 10, 30, 25
+    e.write("dbtc",
+      """cpu,host=a u=10 1735689420000000000
+        |cpu,host=a u=30 1735689480000000000
+        |cpu,host=a u=25 1735689540000000000""".stripMargin)
+    val json = e.query("dbtc",
+      """SELECT difference(max("mean")) FROM (SELECT mean("u") FROM "cpu" """ +
+        """WHERE time > now() - 10m GROUP BY time(1m)) """ +
+        """WHERE time > now() - 10m GROUP BY time(1m)""")
+    // per-minute maxes of the inner means differenced: 30-10=20, 25-30=-5
+    assert(json.contains("[1735689480000,20]") && json.contains("[1735689540000,-5]"), json)
+    assert(!json.contains("[1735689420000"), json) // first bucket dropped
+  }
+
   test("subquery inner inherits the outer WHERE time when it has none") {
     val e = newEngine()
     // 2h before "now" — outside the 300s default window the inner would
