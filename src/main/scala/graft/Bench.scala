@@ -44,10 +44,27 @@ object Bench {
       }.min
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only a bounded tail of stdout; a per-query map over
+    // all ~80 entries overflows it and the JSON line gets truncated
+    // (BENCH_r02 parsed:null). Report the headline subset — one per operator
+    // family — rounded to ms; "value" still totals EVERY query.
+    val headline = Seq(
+      "ts_select_mean_1m", "ts_select_sum_1h", "ts_select_p95_1h",
+      "ts_select_groupby_tag", "ts_select_fill_linear", "ts_select_subquery",
+      "ts_select_multi_metric", "ts_select_raw", "ts_select_string_count_1h",
+      "ts_select_regex_from", "ts_difference_1h", "ts_moving_avg_1h",
+      "ts_asof_prior_view", "ts_sessionize",
+      "olap_pricing_summary", "olap_q3_topn", "olap_q5_revenue",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+      "dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
+      "dedup_emb_cosine", "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+      "emb_centroids", "emb_knn_classify", "approx_distinct_hll",
+      "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",
+      "doc_pack_bins", "mm_decode_features", "ingest_lp_roundtrip")
+    val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -142,8 +142,7 @@ class GraftEngine(
         val es = stmts.zipWithIndex.flatMap {
           case (Right(st), i) => statementEntries(db, st, i, perMetricIds = false, timeScale)
           case (Left(err), i) =>
-            val msg = err.replace("\\", "\\\\").replace("\"", "\\\"")
-            Seq(s"""{"statement_id":$i,"error":"$msg"}""")
+            Seq(s"""{"statement_id":$i,"error":"${Response.jsonEscape(err)}"}""")
         }
         s"""{"results":[${es.mkString(",")}]}"""
     }
@@ -158,7 +157,10 @@ class GraftEngine(
       case s: Ast.Select =>
         // unknown measurement / empty db → empty result, not an error
         // (the reference streams whatever ClickHouse errors back; a clean
-        // empty response is the intended behavior for clients)
+        // empty response is the intended behavior for clients). User-facing
+        // query rejections (IllegalArgumentException from the planner, e.g.
+        // moving_average without a window) DO surface as a per-statement
+        // error object, like InfluxDB's.
         try {
           val cat = catalog(db)
           val per = s.from.regex match {
@@ -174,7 +176,12 @@ class GraftEngine(
           }
           if (per.isEmpty) bare else Response.selectEntries(per, id, perMetricIds, timeScale)
         }
-        catch { case scala.util.control.NonFatal(_) => bare }
+        catch {
+          case _: Planner.UnknownMeasurement => bare
+          case e: IllegalArgumentException =>
+            Seq(s"""{"statement_id":$id,"error":"${Response.jsonEscape(e.getMessage)}"}""")
+          case scala.util.control.NonFatal(_) => bare
+        }
       case Ast.CreateDatabase(name) =>
         createDatabase(name); bare
       case Ast.DropMeasurement(m) =>
@@ -187,7 +194,14 @@ class GraftEngine(
         val toMs = bounds.upper
           .map(te => Planner.evalTime(te, now) - (if (bounds.upperStrict) 1 else 0))
           .getOrElse(Long.MaxValue / 2)
-        deletePoints(db, from.measurement, fromMs, toMs)
+        // a regex table ref deletes from every matching measurement
+        // (InfluxDB supports DELETE FROM /re/; the literal string "/re/"
+        // would silently name a nonexistent directory otherwise)
+        val targets = from.regex match {
+          case Some(pattern) => Planner.regexMeasurements(catalog(db), pattern)
+          case None          => Seq(from.measurement)
+        }
+        targets.foreach(m => deletePoints(db, m, fromMs, toMs))
         bare
       case Ast.CreateSubscription(sid, sdb, _, dest) =>
         // keyed by bare db (reference bug fixed, SURVEY §3.3)

@@ -18,9 +18,13 @@ import java.nio.charset.StandardCharsets
   * An InfluxDB line-protocol client (Telegraf, influx CLI) pointed at
   * this port speaks to the engine exactly as it would to the reference.
   */
-final class GraftHttp(engine: GraftEngine, port: Int = 0) {
+final class GraftHttp(engine: GraftEngine, port: Int = 0,
+                      bindAddress: String = "127.0.0.1") {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // loopback by default: the engine exposes unauthenticated write/DROP/
+  // DELETE, so a wider bind must be an explicit caller decision
+  private val server =
+    HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
 
   private def params(ex: HttpExchange): Map[String, String] = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")

@@ -15,10 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
 object Fingerprint {
 
   /** Canonical series string: tags sorted by key rendered as a JSON array of
-    * single-entry objects, with {"__name__": field} appended — byte-for-byte
-    * the same shape the reference builds at cflux.js:323. */
-  def canonical(tags: Seq[(String, String)], fieldKey: String): String = {
-    val parts = tags.sortBy(_._1).map { case (k, v) => s"""{"${j(k)}":"${j(v)}"}""" } :+
+    * single-entry objects, with {"__name__": field} appended — the shape the
+    * reference builds at cflux.js:323 — PLUS a leading {"__measurement__":m}
+    * entry the reference omits. Without it, series with identical tagsets
+    * and field names in different measurements collide, and the shared
+    * series index (deduped by fingerprint alone, the ReplacingMergeTree
+    * ORDER BY fingerprint of cflux.js:164) silently drops all but one — a
+    * latent reference bug. Fingerprints never leave the engine (SURVEY
+    * §1.4), so the divergence is invisible to clients. */
+  def canonical(measurement: String, tags: Seq[(String, String)], fieldKey: String): String = {
+    val parts = s"""{"__measurement__":"${j(measurement)}"}""" +:
+      tags.sortBy(_._1).map { case (k, v) => s"""{"${j(k)}":"${j(v)}"}""" } :+
       s"""{"__name__":"${j(fieldKey)}"}"""
     parts.mkString("[", ",", "]")
   }
@@ -49,7 +56,8 @@ object Fingerprint {
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
 
-  def of(tags: Seq[(String, String)], fieldKey: String): Long = hash(canonical(tags, fieldKey))
+  def of(measurement: String, tags: Seq[(String, String)], fieldKey: String): Long =
+    hash(canonical(measurement, tags, fieldKey))
 
   /** Column-level fingerprint over a canonical-string column. */
   def col(canonicalCol: Column): Column = xxhash64(canonicalCol)

@@ -85,9 +85,9 @@ object Ingest {
     val samples = parsed.flatMap { p =>
       val hour = graft.model.TimeUnits.msToHourBucket(p.tsMs)
       p.floatFields.iterator.map { case (k, v) =>
-        SampleRow(Fingerprint.of(p.tags, k), p.tsMs, v, k, "", hour, p.measurement)
+        SampleRow(Fingerprint.of(p.measurement, p.tags, k), p.tsMs, v, k, "", hour, p.measurement)
       } ++ p.stringFields.iterator.map { case (k, v) =>
-        SampleRow(Fingerprint.of(p.tags, k), p.tsMs, 0.0, k, v, hour, p.measurement)
+        SampleRow(Fingerprint.of(p.measurement, p.tags, k), p.tsMs, 0.0, k, v, hour, p.measurement)
       }
     }.toDF()
 
@@ -95,7 +95,7 @@ object Ingest {
     val series = parsed.flatMap { p =>
       val sorted = p.tags.sortBy(_._1)
       (p.floatFields.iterator ++ p.stringFields.iterator).map { case (k, _) =>
-        val canon = Fingerprint.canonical(p.tags, k)
+        val canon = Fingerprint.canonical(p.measurement, p.tags, k)
         SeriesRow(epochDay, Fingerprint.hash(canon), p.measurement, k,
           sorted.map(_._1), sorted.map(_._2), canon)
       }

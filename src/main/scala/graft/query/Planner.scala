@@ -23,6 +23,13 @@ final case class TsCatalog(
   */
 object Planner {
 
+  /** SELECT over a measurement/field that doesn't exist: the engine answers
+    * with a clean empty result (reference behavior for unknown tables), so
+    * these must stay distinguishable from user-facing query REJECTIONS
+    * (plain IllegalArgumentException), which surface as per-statement error
+    * objects like InfluxDB's. */
+  final class UnknownMeasurement(msg: String) extends IllegalArgumentException(msg)
+
   /** One WHERE-time expression → epoch ms (shared by SELECT's resolveTime
     * and the DELETE path, which has different missing-bound defaults). */
   def evalTime(te: Ast.TimeExpr, nowMs: Long): Long = te match {
@@ -95,7 +102,7 @@ object Planner {
       // must match series that lack the key entirely.
       val v = element_at(map_from_arrays(col("labelname"), col("labelvalue")), tf.key)
       tf.op match {
-        case "="  => df.filter(v === tf.value)
+        case "="  => df.filter(coalesce(v, lit("")) === tf.value)
         case "!=" => df.filter(coalesce(v, lit("")) =!= tf.value)
         case "=~" => df.filter(coalesce(v, lit("")).rlike(tf.value))
         case "!~" => df.filter(!coalesce(v, lit("")).rlike(tf.value))
@@ -238,14 +245,14 @@ object Planner {
     // the engine layer, which plans each match separately)
     s.from.regex.foreach { pattern =>
       val ms = regexMeasurements(cat, pattern)
-      if (ms.isEmpty) throw new IllegalArgumentException(s"no measurement matches /$pattern/")
+      if (ms.isEmpty) throw new UnknownMeasurement(s"no measurement matches /$pattern/")
       return ms.map { m =>
         planSelectImpl(spark, s.copy(from = s.from.copy(measurement = m, regex = None)),
           cat, nowMs, renameFields)
       }.reduce(_ unionAll _)
     }
     val samples = cat.measurements.getOrElse(s.from.measurement,
-      throw new IllegalArgumentException(s"unknown measurement ${s.from.measurement}"))
+      throw new UnknownMeasurement(s"unknown measurement ${s.from.measurement}"))
     val (fromMs, toMs) = resolveTime(s.time, nowMs)
     val bucketMs = s.groupByTimeMs.getOrElse(TimeUnits.MsPerMinute) // 1-min default (cflux.js:749)
     val bucketOffMs = s.groupByTimeOffsetMs // GROUP BY time(x, offset) shift
@@ -259,7 +266,7 @@ object Planner {
           .filter(col("measurement") === s.from.measurement)
           .select("name").distinct().orderBy("name")
           .collect().map(_.getString(0)).toSeq
-        if (names.isEmpty) throw new IllegalArgumentException(
+        if (names.isEmpty) throw new UnknownMeasurement(
           s"no fields for measurement ${s.from.measurement}")
         s.fields.flatMap { f =>
           if (f.name == "*") names.map(n => f.copy(name = n, alias = None)) else Seq(f)

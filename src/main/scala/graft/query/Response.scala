@@ -117,6 +117,20 @@ object Response {
     case other               => q(other.toString)
   }
 
+  /** Escape a string for embedding in a JSON string literal (quotes,
+    * backslash, and all control chars < 0x20). Shared by every hand-built
+    * JSON emitter — parser error messages embed raw token payloads, which
+    * may contain newlines/tabs that would otherwise break the response. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
   private def q(s: String): String = "\"" + s.flatMap {
     case '"'          => "\\\""
     case '\\'         => "\\\\"

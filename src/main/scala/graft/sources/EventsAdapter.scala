@@ -24,6 +24,7 @@ object EventsAdapter {
   private[sources] def canonicalCol(eventType: Column, userId: Column): Column =
     concat(
       lit("["),
+      lit(s"""{"__measurement__":"$Measurement"}"""), lit(","),
       to_json(map(lit("event_type"), eventType)), lit(","),
       to_json(map(lit("user_id"), userId.cast("string"))), lit(","),
       lit(s"""{"__name__":"$FieldKey"}"""),

@@ -215,10 +215,13 @@ class GraftEngineSpec extends AnyFunSuite {
       // overflowing time literal
       """SELECT mean("f") FROM "cpu" WHERE time > 99999999999999999999999999""",
       // unparseable date string → planner DateTimeParseException path
-      """SELECT mean("f") FROM "cpu" WHERE time > 'not a date'""",
-      // transform over a selector is rejected, not silently dropped
-      """SELECT derivative(top("f", 3), 1s) FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+      """SELECT mean("f") FROM "cpu" WHERE time > 'not a date'""")
     bad.foreach { q => assert(e.query("dbm", q) === Response0, s"for: $q") }
+    // transform over a selector is rejected with an explicit per-statement
+    // error (InfluxDB shape), not a silent empty result
+    val sel = e.query("dbm",
+      """SELECT derivative(top("f", 3), 1s) FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(sel.contains(""""statement_id":0,"error":"derivative cannot wrap selector top""""), sel)
   }
 
   test("SHOW CARDINALITY family and epoch= time units") {
@@ -291,6 +294,58 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(json.contains(",4]") && !json.contains(",1]") && !json.contains(",2]") && !json.contains(",3]"), json)
     // series metadata survives point deletion
     assert(e.query("dbdel", "SHOW SERIES FROM \"cpu\"").contains("cpu,host=a"))
+  }
+
+  test("planner rejections surface as per-statement error; unknown measurement stays bare") {
+    val e = newEngine()
+    e.write("dberr", "cpu,host=a usage=1 1735689540000000000")
+    // user-facing rejection (missing window arg) → error object, not a
+    // silent empty result
+    val bad = e.query("dberr",
+      """SELECT moving_average(mean("usage")) FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(bad.contains(""""statement_id":0,"error":"moving_average needs a window size""""), bad)
+    // transform-over-selector rejection surfaces too
+    val sel = e.query("dberr",
+      """SELECT derivative(top("usage", 3)) FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(sel.contains(""""error""""), sel)
+    // unknown measurement / empty db keep the reference's clean empty shape
+    assert(e.query("dberr",
+      """SELECT mean("x") FROM "nosuch" WHERE time > now() - 5m GROUP BY time(1m)""") === Response0)
+    assert(e.query("dberr",
+      """SELECT mean("x") FROM /nomatch.*/ WHERE time > now() - 5m GROUP BY time(1m)""") === Response0)
+    // error messages never leak raw control characters into the JSON
+    val batch = e.query("dberr", "SELECT mean(\"usage\") FROM \"cpu\" WHERE time > \n\t1.5; SHOW MEASUREMENTS")
+    assert(!batch.exists(_ < ' '), batch)
+    assert(batch.contains(""""statement_id":0,"error""""), batch)
+  }
+
+  test("tag '=' with empty string matches series lacking the tag") {
+    val e = newEngine()
+    // host=a carries region; host=b does not
+    e.write("dbtag",
+      """cpu,host=a,region=eu usage=10 1735689540000000000
+        |cpu,host=b usage=20 1735689540000000000""".stripMargin)
+    val json = e.query("dbtag",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 5m AND "region" = '' GROUP BY time(1m)""")
+    assert(json.contains("[1735689540000,20]"), json)
+    assert(!json.contains("[1735689540000,10]"), json)
+    // and '=' with a real value still excludes the tagless series
+    val eu = e.query("dbtag",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 5m AND "region" = 'eu' GROUP BY time(1m)""")
+    assert(eu.contains("[1735689540000,10]") && !eu.contains("[1735689540000,20]"), eu)
+  }
+
+  test("DELETE FROM /regex/ deletes from every matching measurement") {
+    val e = newEngine()
+    e.write("dbre",
+      """cpu,host=a u=1 1735689540000000000
+        |cpu2,host=a u=2 1735689540000000000
+        |mem,host=a u=3 1735689540000000000""".stripMargin)
+    assert(e.query("dbre", "DELETE FROM /cpu.*/ WHERE time <= 1735700000000000000") === Response0)
+    val range = "time > 1735689000000000000 AND time < 1735700000000000000"
+    assert(!e.query("dbre", s"""SELECT "u" FROM "cpu" WHERE $range""").contains(",1]"))
+    assert(!e.query("dbre", s"""SELECT "u" FROM "cpu2" WHERE $range""").contains(",2]"))
+    assert(e.query("dbre", s"""SELECT "u" FROM "mem" WHERE $range""").contains(",3]"))
   }
 
   test("measurement + hour partition pruning reaches the file scan") {

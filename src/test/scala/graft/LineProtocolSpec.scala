@@ -106,8 +106,8 @@ class LineProtocolSpec extends AnyFunSuite {
     import graft.ingest.Fingerprint
     val rnd = new scala.util.Random(42)
     forAll(Gen.zip(Gen.listOf(Gen.zip(identGen, identGen)), identGen)) { case (tags, field) =>
-      val a = Fingerprint.of(tags, field)
-      val b = Fingerprint.of(rnd.shuffle(tags), field)
+      val a = Fingerprint.of("m", tags, field)
+      val b = Fingerprint.of("m", rnd.shuffle(tags), field)
       assert(a == b)
     }
   }

@@ -29,7 +29,8 @@ class SourcesSpec extends AnyFunSuite {
     val got = EventsAdapter.samples(ev.withColumn("ts_ns", col("ts_ms") * 1000000L))
       .select("fingerprint").as[Long].collect().toSeq
     val want = nasty.zipWithIndex.map { case (s, i) =>
-      Fingerprint.of(Seq("event_type" -> s, "user_id" -> i.toString), EventsAdapter.FieldKey)
+      Fingerprint.of(EventsAdapter.Measurement,
+        Seq("event_type" -> s, "user_id" -> i.toString), EventsAdapter.FieldKey)
     }
     assert(got === want)
   }
