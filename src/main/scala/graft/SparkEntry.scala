@@ -58,6 +58,13 @@ object SparkEntry {
     df.withColumn("value", floor(col("value") * 100).cast("long"))
       .orderBy("time_ms", "name", "labelname", "labelvalue", "message", "value")
 
+  /** [[stable]] with the honored ORDER BY time DESC preserved (the oracle
+    * row order must match: the checker compares rows as-written). */
+  private def stableDesc(df: DataFrame): DataFrame =
+    df.withColumn("value", floor(col("value") * 100).cast("long"))
+      .orderBy(col("time_ms").desc, col("name"), col("labelname"),
+        col("labelvalue"), col("message"), col("value"))
+
   /** Single-series (both tags pinned) query — total inner order. */
   private def tagFilterQuery(bucket: String): String =
     s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
@@ -303,6 +310,19 @@ object SparkEntry {
     "ts_select_tag_regex" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" =~ /^(cl|pu)/ GROUP BY time(6h)"""))),
+
+    // --- distinct/mode selectors (InfluxQL): per-bucket distinct values /
+    //     most-frequent value (ties → lowest) ---
+    "ts_select_distinct" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT distinct("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+    "ts_select_mode" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mode("value") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
+
+    // --- honored ORDER BY time DESC (reference ignores ORDER BY) ---
+    "ts_select_order_desc" -> ((s, dir) => stableDesc(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h) ORDER BY time DESC"""))),
 
     // --- top/bottom selectors: N extreme points per bucket at their own
     //     timestamps ---
@@ -594,6 +614,55 @@ object SparkEntry {
     "ts_select_min_1h" -> tsSelectOracle("min(value)", 3600000L),
     "ts_select_spread_1h" -> tsSelectOracle("max(value) - min(value)", 3600000L),
     "ts_select_p95_1h" -> tsSelectOracle("quantile_cont(value, 0.95)", 3600000L),
+    "ts_select_distinct" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT (epoch_ms(ts) // 21600000) * 21600000 AS time_ms, value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17),
+         |u AS (
+         |  SELECT time_ms, value, 'event_type' AS labelname, 'click' AS labelvalue FROM d
+         |  UNION ALL
+         |  SELECT time_ms, value, 'user_id' AS labelname, '17' AS labelvalue FROM d)
+         |SELECT time_ms, 'value' AS name, CAST(floor(value * 100) AS BIGINT) AS value,
+         |       labelname, labelvalue, '' AS message
+         |FROM u ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_mode" ->
+      s"""WITH c AS (
+         |  SELECT (epoch_ms(ts) // 21600000) * 21600000 AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id, value, count(*) AS n
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |  GROUP BY 1, 2, 3, 4),
+         |m AS (
+         |  SELECT time_ms, event_type, user_id, value,
+         |         row_number() OVER (PARTITION BY time_ms, event_type, user_id
+         |                            ORDER BY n DESC, value ASC) AS rn
+         |  FROM c),
+         |sel AS (
+         |  SELECT time_ms, event_type, user_id,
+         |         CAST(floor(value * 100) AS BIGINT) AS value FROM m WHERE rn = 1)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM sel
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       user_id AS labelvalue, '' AS message FROM sel
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_order_desc" ->
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
+         |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |         'click' AS labelvalue, '' AS message FROM g
+         |  UNION ALL
+         |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |         '17' AS labelvalue, '' AS message FROM g)
+         |ORDER BY time_ms DESC, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_tagfilter" -> tagFilterOracle(300000L, limit = None),
     "ts_select_limit" -> tagFilterOracle(60000L, limit = Some(20)),
     "ts_select_ingested_sum_1h" -> tsSelectOracle("sum(value)", 3600000L),

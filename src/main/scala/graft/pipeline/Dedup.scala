@@ -279,6 +279,7 @@ object Dedup {
   private def labelDf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     // RDD-level loop (the GraphX/Pregel exception to DataFrame-first):
     // each round persists exactly one labels RDD and eagerly unpersists
@@ -286,18 +287,33 @@ object Dedup {
     // were accumulating across invocations until the memory store
     // thrashed (353 s bench spike); persist/unpersist keeps at most two
     // small relations alive.
+    //
+    // Only nodes that touch an edge participate in the loop: the near-dup
+    // graph is a tiny fraction of the corpus (that's what makes it a
+    // DEDUP problem), so propagation cost is bounded by the edge set, not
+    // the doc count — every other doc is a singleton cluster appended as
+    // one anti-join afterwards. One shared HashPartitioner, sized by the
+    // edge count, co-partitions edges and labels so each round's joins
+    // are narrow (the only per-round shuffle is the small reduceByKey of
+    // freshly-propagated labels).
     val pairs = ngramJaccard(docs).select("i", "j").as[(Long, Long)].rdd
-    val edges = pairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
+    val both = pairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select("doc_id").as[Long].rdd.map(d => (d, d))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = both.count()
+    val part = new HashPartitioner(math.max(1, math.min(
+      (nEdges / 50000L).toInt + 1, spark.sparkContext.defaultParallelism)))
+    val edges = both.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize via `both`, then drop the unpartitioned copy
+    both.unpersist(blocking = false)
+    var labels = edges.keys.distinct(part.numPartitions).map(d => (d, d))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
     // bound only as a runaway backstop — and fail LOUDLY if hit, never
     // return silently-unconverged (wrong) labels
     while (!converged && iter < 64) {
       val prop = edges.join(labels).map { case (_, (dst, lab)) => (dst, lab) }
-      val next = labels.union(prop).reduceByKey(math.min)
+      val next = labels.union(prop).reduceByKey(part, math.min(_, _))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels)
         .filter { case (_, (a, b)) => a != b }.count()
@@ -308,7 +324,11 @@ object Dedup {
     }
     require(converged, s"label propagation did not converge in $iter rounds")
     edges.unpersist(blocking = false)
-    labels.toDF("doc_id", "cluster_id")
+    val connected = labels.toDF("doc_id", "cluster_id")
+    val singletons = docs.select("doc_id")
+      .join(connected.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    connected.unionByName(singletons)
   }
 
   /** DuckDB mirror: min reachable id via a recursive CTE (UNION dedup

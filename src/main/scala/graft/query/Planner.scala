@@ -296,9 +296,12 @@ object Planner {
       // selector (top/bottom/elapsed/integral) is an explicit error, not
       // a silent drop
       if (f.transform.isDefined &&
-          f.func.exists(Set("top", "bottom", "elapsed", "integral")))
+          f.func.exists(Set("top", "bottom", "elapsed", "integral", "distinct", "mode")))
         throw new IllegalArgumentException(
           s"${f.transform.get.fn} cannot wrap selector ${f.func.get}")
+      def bucketStart: Column =
+        (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
+          + bucketOffMs).cast("long")
       if (isRaw)
         timed.select(col("timestamp_ms").as("time_ms"), nameOut.as("name"), col("value"),
           col("labelname"), col("labelvalue"), col("message"))
@@ -353,6 +356,30 @@ object Planner {
           .groupBy((partCols :+ col("time_ms")): _*)
           .agg((sum("__area_fp") / 1e6).as(outName))
           .select(col("time_ms"), nameOut.as("name"), col(outName).as("value"),
+            col("labelname"), col("labelvalue"), col("message"))
+      } else if (f.func.contains("distinct")) {
+        // distinct("v"): the distinct field values per bucket per tag pair,
+        // emitted at the bucket start (InfluxQL). A plain distinct over the
+        // output shape — map-side partial dedup, no window, no extra
+        // shuffle beyond the hash aggregate.
+        timed.withColumn("time_ms", bucketStart)
+          .select(col("time_ms"), nameOut.as("name"), col("value"),
+            col("labelname"), col("labelvalue"), col("message"))
+          .distinct()
+      } else if (f.func.contains("mode")) {
+        // mode("v"): most frequent value per bucket per series; ties →
+        // lowest value (InfluxDB). Two stacked hash aggregates — count per
+        // value, then single-pass argmax via max(struct(count, -value)) —
+        // no window sort.
+        val keys = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
+          Seq(col("time_ms"), col("name"), col("labelname"), col("labelvalue"),
+            col("message"))
+        timed.withColumn("time_ms", bucketStart)
+          .groupBy((keys :+ col("value")): _*).agg(count(lit(1)).as("__c"))
+          .groupBy(keys: _*)
+          .agg(max(struct(col("__c"), (-col("value")).as("__negv"))).as("__b"))
+          .select(col("time_ms"), nameOut.as("name"),
+            (-col("__b.__negv")).cast("double").as("value"),
             col("labelname"), col("labelvalue"), col("message"))
       } else if (f.func.exists(fn => fn == "top" || fn == "bottom")) {
         // top/bottom SELECTORS (InfluxQL): N extreme POINTS per bucket per

@@ -348,6 +348,36 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(e.query("dbre", s"""SELECT "u" FROM "mem" WHERE $range""").contains(",3]"))
   }
 
+  test("distinct() and mode() selectors; ORDER BY time DESC honored") {
+    val e = newEngine()
+    // one series, one 1-min bucket: values 5,5,2 → distinct {2,5}, mode 5;
+    // a second bucket with 7 once → mode tie rule irrelevant, value 7
+    e.write("dbdm",
+      """cpu,host=a u=5 1735689540000000000
+        |cpu,host=a u=5 1735689541000000000
+        |cpu,host=a u=2 1735689542000000000
+        |cpu,host=a u=7 1735689481000000000""".stripMargin)
+    val dq = e.query("dbdm",
+      """SELECT distinct("u") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(dq.contains("[1735689540000,2]") && dq.contains("[1735689540000,5]"), dq)
+    assert(!dq.contains("[1735689540000,5],[1735689540000,5]"), dq) // deduped
+    val mq = e.query("dbdm",
+      """SELECT mode("u") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(mq.contains("[1735689540000,5]") && !mq.contains("[1735689540000,2]"), mq)
+    assert(mq.contains("[1735689480000,7]"), mq)
+    // mode tie → lowest value: bucket with 3 once and 9 once
+    e.write("dbdm2", "cpu,host=a u=9 1735689540000000000\ncpu,host=a u=3 1735689541000000000")
+    val tie = e.query("dbdm2",
+      """SELECT mode("u") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(tie.contains("[1735689540000,3]") && !tie.contains(",9]"), tie)
+    // ORDER BY time DESC reverses the emitted value order
+    val desc = e.query("dbdm",
+      """SELECT mean("u") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m) ORDER BY time DESC""")
+    val i540 = desc.indexOf("1735689540000")
+    val i480 = desc.indexOf("1735689480000")
+    assert(i540 >= 0 && i480 >= 0 && i540 < i480, desc)
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",
