@@ -2,8 +2,8 @@ package graft.api
 
 import graft.ingest.Ingest
 import graft.query.{Ast, InfluxQlParser, Planner, Response, TsCatalog}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array, array_join, broadcast, coalesce, col, concat, floor, lit, map, to_json, xxhash64, zip_with}
 import scala.collection.concurrent.TrieMap
 
 /** The reference's two HTTP entry points as a library API:
@@ -36,6 +36,9 @@ class GraftEngine(
   /** db → (subscription id, destination, transport). */
   private val subscriptions =
     TrieMap.empty[String, (String, String, String => Unit)]
+  /** (db, name) → continuous query; lastRun tracks the covered-up-to ms. */
+  private val continuousQueries = TrieMap.empty[(String, String), Ast.CreateContinuousQuery]
+  private val cqLastRun = TrieMap.empty[(String, String), Long]
   /** dbs created this session or discovered on disk (databaseCache analogue). */
   private val databases = TrieMap.empty[String, Unit]
   discoverDatabases()
@@ -154,6 +157,16 @@ class GraftEngine(
                                timeScale: Long => Long = identity): Seq[String] = {
     val bare = Seq(s"""{"statement_id":$id}""")
     stmt match {
+      case s: Ast.Select if s.into.isDefined =>
+        try {
+          val written = executeInto(db, s)
+          Seq(s"""{"statement_id":$id,"series":[{"name":"result",""" +
+            s""""columns":["time","written"],"values":[[0,$written]]}]}""")
+        } catch {
+          case _: Planner.UnknownMeasurement => bare
+          case e: IllegalArgumentException =>
+            Seq(s"""{"statement_id":$id,"error":"${Response.jsonEscape(e.getMessage)}"}""")
+        }
       case s: Ast.Select =>
         // unknown measurement / empty db → empty result, not an error
         // (the reference streams whatever ClickHouse errors back; a clean
@@ -203,6 +216,19 @@ class GraftEngine(
         }
         targets.foreach(m => deletePoints(db, m, fromMs, toMs))
         bare
+      case cq: Ast.CreateContinuousQuery =>
+        continuousQueries.put((cq.db, cq.name), cq); bare
+      case Ast.DropContinuousQuery(name, cdb) =>
+        continuousQueries.remove((cdb, name))
+        cqLastRun.remove((cdb, name)); bare
+      case Ast.ShowContinuousQueries =>
+        // InfluxDB shape: one series per db, columns [name, query]
+        val perDb = continuousQueries.values.toSeq.groupBy(_.db).toSeq.sortBy(_._1)
+        val series = perDb.map { case (d, cqs) =>
+          Response.Series(d, Map.empty, Seq("name", "query"),
+            cqs.sortBy(_.name).map(c => Seq(c.name, c.raw)))
+        }
+        Seq(Response.entryJson(id, series))
       case Ast.CreateSubscription(sid, sdb, _, dest) =>
         // keyed by bare db (reference bug fixed, SURVEY §3.3)
         subscriptions.put(sdb, (sid, dest, transport(dest)))
@@ -259,6 +285,96 @@ class GraftEngine(
       .select(col("fingerprint"),
         org.apache.spark.sql.functions.unix_millis(col("window.start")).as("window_start_ms"),
         col("mean"), col("n"))
+  }
+
+  /** Canonical series string for the TARGET measurement, rebuilt
+    * column-side from the source's label arrays + the output field name.
+    * `to_json` applies Jackson escaping — byte-identical to
+    * [[graft.ingest.Fingerprint.canonical]], so INTO-written series hash
+    * exactly as if they had been ingested over line protocol. */
+  private def retargetCanonical(target: String, fieldOut: Column): Column = {
+    val parts = concat(
+      array(to_json(map(lit("__measurement__"), lit(target)))),
+      zip_with(col("labelname"), col("labelvalue"), (k, v) => to_json(map(k, v))),
+      array(to_json(map(lit("__name__"), fieldOut))))
+    concat(lit("["), array_join(parts, ","), lit("]"))
+  }
+
+  /** SELECT … INTO "target": run the select (output-field naming, source
+    * fingerprint kept), rebuild series identity for the target
+    * measurement, and append samples + newly-seen series — the same
+    * storage path as [[write]]. Returns the number of points written
+    * (InfluxDB's `result/written` response).
+    *
+    * Scale shape: one broadcast join against the schema-sized series
+    * index; the written relation stays partitioned by (measurement, hour)
+    * like every other write. */
+  def executeInto(db: String, s: Ast.Select): Long = {
+    val target = s.into.getOrElse(
+      throw new IllegalArgumentException("executeInto needs an INTO clause")).measurement
+    val cat = catalog(db)
+    val out = Planner.planSelectInto(spark, s.copy(into = None), cat, nowMs())
+    // planner output is exploded per label pair with identical values per
+    // pair — dedup back to one row per (series, point, field); the pair
+    // columns are re-derived from the series index's label ARRAYS below
+    val rows = out.select("fingerprint", "time_ms", "name", "value", "message")
+      .dropDuplicates("fingerprint", "time_ms", "name")
+    val srcSeries = Ingest.readSeriesIndexFinal(spark, seriesPath(db))
+      .select(col("fingerprint"), col("labelname"), col("labelvalue"))
+    val joined = rows.join(broadcast(srcSeries), Seq("fingerprint"))
+      .localCheckpoint(true) // one evaluation for count + both writes
+    val canon = retargetCanonical(target, col("name"))
+    val samples = joined.select(
+      xxhash64(canon).as("fingerprint"),
+      col("time_ms").as("timestamp_ms"),
+      coalesce(col("value"), lit(0.0)).as("value"),
+      col("name").as("string"),
+      coalesce(col("message"), lit("")).as("message"),
+      floor(col("time_ms") / 3600000.0).cast("long").as("hour"),
+      lit(target).as("measurement"))
+    val written = samples.count()
+    if (written > 0) {
+      Ingest.writeSamples(samples, samplesPath(db))
+      val now = nowMs()
+      val epochDay = new java.sql.Date(now - Math.floorMod(now, 86400000L))
+      val series = joined
+        .dropDuplicates("fingerprint", "name")
+        .select(
+          lit(epochDay).as("date"),
+          xxhash64(canon).as("fingerprint"),
+          lit(target).as("measurement"),
+          col("name"),
+          col("labelname"), col("labelvalue"),
+          canon.as("labels"))
+      val novel =
+        try series.join(
+          spark.read.parquet(seriesPath(db)).select("fingerprint").distinct(),
+          Seq("fingerprint"), "left_anti")
+        catch { case _: org.apache.spark.sql.AnalysisException => series }
+      Ingest.writeSeriesIndex(novel, seriesPath(db))
+    }
+    written
+  }
+
+  /** Run every continuous query registered on `db` once, like InfluxDB's
+    * CQ scheduler tick: a CQ without its own WHERE time covers
+    * (last run, now] — so repeated ticks write each interval once. Returns
+    * points written per CQ name. */
+  def runContinuousQueries(db: String): Map[String, Long] = {
+    continuousQueries.toSeq.collect { case ((d, name), cq) if d == db =>
+      val now = nowMs()
+      val last = cqLastRun.getOrElse((db, name), 0L)
+      val sel = cq.select
+      val bounded =
+        if (sel.time.lower.isEmpty && sel.time.upper.isEmpty)
+          sel.copy(time = Ast.TimeBounds(
+            Some(Ast.AbsoluteNs(last * 1000000L)), Some(Ast.AbsoluteNs(now * 1000000L)),
+            lowerStrict = true, upperStrict = false))
+        else sel
+      val written = executeInto(db, bounded)
+      cqLastRun.put((db, name), now)
+      name -> written
+    }.toMap
   }
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =

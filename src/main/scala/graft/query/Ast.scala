@@ -69,10 +69,21 @@ object Ast {
         * innermost table ref for response naming. */
       fromSub: Option[Select] = None,
       /** GROUP BY time(x, offset) bucket shift, ms (extension). */
-      groupByTimeOffsetMs: Long = 0L
+      groupByTimeOffsetMs: Long = 0L,
+      /** SELECT … INTO "target": write the result back as a measurement
+        * (extension; InfluxQL's downsampling/copy primitive, also the body
+        * of a continuous query). */
+      into: Option[TableRef] = None
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement
+
+  /** CREATE CONTINUOUS QUERY "name" ON "db" BEGIN select-into END
+    * (extension; InfluxDB's standing downsampling queries). */
+  final case class CreateContinuousQuery(name: String, db: String, select: Select,
+                                         raw: String = "") extends Statement
+  final case class DropContinuousQuery(name: String, db: String) extends Statement
+  case object ShowContinuousQueries extends Statement
   case object ShowDatabases extends Statement
   final case class ShowMeasurements(db: Option[String]) extends Statement
   final case class ShowRetentionPolicies(db: Option[String]) extends Statement

@@ -177,9 +177,10 @@ object InfluxQlParser {
     }
   }
 
-  // SELECT f [, f...] FROM (ref | (SELECT …)) [WHERE ...] [GROUP BY ...]
-  // [FILL(x)] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
-  private def parseSelect(p: P, nested: Boolean = false): Either[String, Ast.Statement] = {
+  // SELECT f [, f...] [INTO ref] FROM (ref | (SELECT …)) [WHERE ...]
+  // [GROUP BY ...] [FILL(x)] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
+  private def parseSelect(p: P, nested: Boolean = false,
+                          stopAtEnd: Boolean = false): Either[String, Ast.Statement] = {
     p.kw("SELECT")
     val fields = ArrayBuffer.empty[Ast.Field]
     var first = true
@@ -190,6 +191,10 @@ object InfluxQlParser {
         case Left(e)  => return Left(e)
       }
     }
+    val into: Option[Ast.TableRef] =
+      if (p.kw("INTO"))
+        parseTableRef(p) match { case Right(r) => Some(r); case Left(e) => return Left(e) }
+      else None
     if (!p.kw("FROM")) return Left("expected FROM")
     // FROM (SELECT …): recurse; outer `from` mirrors the innermost ref
     var fromSub: Option[Ast.Select] = None
@@ -297,6 +302,7 @@ object InfluxQlParser {
 
     p.peek match {
       case Some(Op(")")) if nested => // the enclosing parser consumes it
+      case Some(Ident(k, false)) if stopAtEnd && k.equalsIgnoreCase("END") => // CQ body
       case Some(t) => return Left(s"unexpected trailing token $t") // no silent drops
       case None =>
     }
@@ -304,7 +310,7 @@ object InfluxQlParser {
       Ast.TimeBounds(lower, upper, lowerStrict, upperStrict),
       tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc,
       offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub,
-      groupByTimeOffsetMs = gbOffset))
+      groupByTimeOffsetMs = gbOffset, into = into))
   }
 
   /** Window transforms accepted as the OUTER call of a nested
@@ -496,6 +502,10 @@ object InfluxQlParser {
       val db = if (p.kw("ON")) p.ident().toOption else None
       Right(Ast.ShowRetentionPolicies(db))
     } else if (p.kw("SUBSCRIPTIONS")) Right(Ast.ShowSubscriptions)
+    else if (p.kw("CONTINUOUS")) {
+      if (!p.kw("QUERIES")) return Left("expected QUERIES after CONTINUOUS")
+      Right(Ast.ShowContinuousQueries)
+    }
     else if (p.kw("SERIES")) {
       p.kw("EXACT") // SHOW SERIES EXACT CARDINALITY — EXACT is what we compute anyway
       val cardinality = p.kw("CARDINALITY")
@@ -566,7 +576,14 @@ object InfluxQlParser {
   private def parseDrop(p: P, raw: String): Either[String, Ast.Statement] = {
     p.kw("DROP")
     if (p.kw("MEASUREMENT")) p.ident().map(Ast.DropMeasurement)
-    else Right(Ast.Unsupported(raw))
+    else if (p.kw("CONTINUOUS")) {
+      if (!p.kw("QUERY")) return Left("expected QUERY after CONTINUOUS")
+      for {
+        name <- p.ident()
+        _ <- p.expectKw("ON")
+        db <- p.ident()
+      } yield Ast.DropContinuousQuery(name, db)
+    } else Right(Ast.Unsupported(raw))
   }
 
   // DELETE FROM "m" [WHERE time-conjuncts] — tag predicates are rejected
@@ -612,6 +629,20 @@ object InfluxQlParser {
         _ <- { p.kw("ANY"); p.kw("ALL"); Right(()): Either[String, Unit] }
         url <- p.str()
       } yield Ast.CreateSubscription(id, db, rp, url)
+    } else if (p.kw("CONTINUOUS")) {
+      if (!p.kw("QUERY")) return Left("expected QUERY after CONTINUOUS")
+      for {
+        name <- p.ident()
+        _ <- p.expectKw("ON")
+        db <- p.ident()
+        _ <- p.expectKw("BEGIN")
+        sel <- parseSelect(p, stopAtEnd = true).flatMap {
+          case s: Ast.Select if s.into.isDefined => Right(s)
+          case _: Ast.Select => Left("continuous query body needs INTO")
+          case other         => Left(s"bad CQ body $other")
+        }
+        _ <- p.expectKw("END")
+      } yield Ast.CreateContinuousQuery(name, db, sel, raw.trim)
     } else Right(Ast.Unsupported(raw))
   }
 }

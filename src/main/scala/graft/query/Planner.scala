@@ -200,6 +200,29 @@ object Planner {
   def planSelect(spark: SparkSession, s: Ast.Select, cat: TsCatalog, nowMs: Long): DataFrame =
     planSelectImpl(spark, s, cat, nowMs, renameFields = false)
 
+  /** Plan a SELECT … INTO body: output-field naming (like subqueries — the
+    * written field key is the aggregate/alias name, InfluxDB INTO
+    * semantics) plus the source fingerprint kept in the output so the
+    * engine can rebuild series identity for the target measurement.
+    * Shapes whose output rows don't carry a per-series fingerprint are
+    * rejected explicitly (surfaced as per-statement errors). */
+  def planSelectInto(spark: SparkSession, s: Ast.Select, cat: TsCatalog, nowMs: Long): DataFrame = {
+    val selectors = Set("top", "bottom", "elapsed", "integral", "distinct", "mode")
+    if (s.fields.exists(_.transform.isDefined))
+      throw new IllegalArgumentException("INTO does not support window transforms")
+    if (s.fields.exists(_.func.exists(selectors)))
+      throw new IllegalArgumentException("INTO does not support selector functions")
+    if (s.fill.isDefined)
+      throw new IllegalArgumentException("INTO does not support FILL")
+    if (s.groupByTags.nonEmpty)
+      throw new IllegalArgumentException("INTO supports per-series grouping (GROUP BY *) only")
+    if (s.from.regex.isDefined)
+      throw new IllegalArgumentException("INTO does not support regex FROM")
+    if (s.fromSub.isDefined)
+      throw new IllegalArgumentException("INTO does not support subquery FROM")
+    planSelectImpl(spark, s, cat, nowMs, renameFields = true, keepFp = true)
+  }
+
   /** Synthetic fingerprint for a subquery's per-(label pair) series. */
   private def subFingerprint: Column =
     xxhash64(concat_ws("\u0000", col("name"), col("labelname"), col("labelvalue")))
@@ -209,7 +232,8 @@ object Planner {
     *                     is the field key the OUTER query selects —
     *                     InfluxDB subquery naming. */
   private def planSelectImpl(spark: SparkSession, s: Ast.Select, cat: TsCatalog,
-                             nowMs: Long, renameFields: Boolean): DataFrame = {
+                             nowMs: Long, renameFields: Boolean,
+                             keepFp: Boolean = false): DataFrame = {
     // FROM (SELECT …): plan the inner with field-name outputs, wrap its
     // result as a synthetic (samples, series index) catalog, and run the
     // outer over it. Series identity = the inner's per-(label pair) rows
@@ -238,7 +262,7 @@ object Planner {
           array(col("labelvalue")).as("labelvalue"))
       val synthCat = TsCatalog(cat.databases,
         Map(s.from.measurement -> synthSamples), synthSeries)
-      return planSelectImpl(spark, s.copy(fromSub = None), synthCat, nowMs, renameFields)
+      return planSelectImpl(spark, s.copy(fromSub = None), synthCat, nowMs, renameFields, keepFp)
     }
     // regex FROM: union the identical plan over every matching measurement
     // (rows carry the same schema; JSON naming per measurement happens at
@@ -302,9 +326,10 @@ object Planner {
       def bucketStart: Column =
         (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
           + bucketOffMs).cast("long")
+      def fpCol: Seq[Column] = if (keepFp) Seq(col("fingerprint")) else Nil
       if (isRaw)
-        timed.select(col("timestamp_ms").as("time_ms"), nameOut.as("name"), col("value"),
-          col("labelname"), col("labelvalue"), col("message"))
+        timed.select(fpCol ++ Seq(col("timestamp_ms").as("time_ms"), nameOut.as("name"),
+          col("value"), col("labelname"), col("labelvalue"), col("message")): _*)
       else if (f.func.contains("elapsed")) {
         // elapsed("v"[, unit]): truncated time delta between consecutive
         // RAW points of each series, emitted at the later point (InfluxQL;
@@ -417,8 +442,8 @@ object Planner {
             Seq(col("time_ms"), col("name"),
               col("labelname"), col("labelvalue"), col("message")): _*)
           .agg(aggFor(f.func, col("value"), col("timestamp_ms"), f.arg).cast("double").as(outName))
-          .select(col("time_ms"), nameOut.as("name"), col(outName).as("value"),
-            col("labelname"), col("labelvalue"), col("message"))
+          .select(fpCol ++ Seq(col("time_ms"), nameOut.as("name"), col(outName).as("value"),
+            col("labelname"), col("labelvalue"), col("message")): _*)
         val filled = fillGaps(agged, s.fill, fromMs, toMs, bucketMs, bucketOffMs)
         // window transform over the (filled) bucketed series — the
         // function-of-function surface (operators.Tick over SELECT shape)

@@ -378,6 +378,41 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(i540 >= 0 && i480 >= 0 && i540 < i480, desc)
   }
 
+  test("SELECT INTO writes a downsampled measurement; continuous queries run it") {
+    val e = newEngine()
+    e.write("dbcq",
+      """cpu,host=a u=10 1735689540000000000
+        |cpu,host=a u=20 1735689550000000000
+        |cpu,host=b u=30 1735689560000000000""".stripMargin)
+    val into = e.query("dbcq",
+      """SELECT mean("u") INTO "cpu_1m" FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(into.contains(""""name":"result"""") && into.contains("[[0,2]]"), into)
+    // written field key is the aggregate output name ("mean"); tags survive
+    val back = e.query("dbcq",
+      """SELECT mean("mean") FROM "cpu_1m" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(back.contains("[1735689540000,15]") && back.contains("[1735689540000,30]"), back)
+    assert(back.contains(""""tags":{"host":"a"}"""), back)
+    // continuous query: registered, visible, runnable, droppable
+    assert(e.query("dbcq",
+      """CREATE CONTINUOUS QUERY "cq1" ON "dbcq" BEGIN SELECT mean("u") INTO "cpu_cq" FROM "cpu" GROUP BY time(1m) END""")
+      === Response0)
+    val shows = e.query("dbcq", "SHOW CONTINUOUS QUERIES")
+    assert(shows.contains("cq1") && shows.contains("cpu_cq"), shows)
+    val ran = e.runContinuousQueries("dbcq")
+    assert(ran("cq1") === 2L, ran.toString)
+    // a second tick covers only (last run, now] — nothing new to write
+    assert(e.runContinuousQueries("dbcq")("cq1") === 0L)
+    val cqRes = e.query("dbcq",
+      """SELECT mean("mean") FROM "cpu_cq" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(cqRes.contains("[1735689540000,15]"), cqRes)
+    e.query("dbcq", """DROP CONTINUOUS QUERY "cq1" ON "dbcq"""")
+    assert(!e.query("dbcq", "SHOW CONTINUOUS QUERIES").contains("cq1"))
+    // unsupported INTO shapes surface as per-statement errors
+    val rej = e.query("dbcq",
+      """SELECT mean("u") INTO "x" FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m) FILL(0)""")
+    assert(rej.contains(""""error":"INTO does not support FILL""""), rej)
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",
