@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Ingest
-import graft.pipeline.{Dedup, Multimodal, Similarity, Sketches, TextOps}
+import graft.pipeline.{Dedup, EventOps, Multimodal, Similarity, Sketches, TextOps}
 import graft.query.{InfluxQlParser, Planner, TsCatalog}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -524,6 +524,14 @@ object SparkEntry {
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(docs(s, dir))),
     "doc_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "doc_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
+    "doc_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(docs(s, dir))),
+    "doc_tfidf" -> ((s, dir) => TextOps.tfidf(docs(s, dir))),
+
+    // --- LLM-pipeline: event analytics ---
+    "events_funnel" -> ((s, dir) => EventOps.funnel(EventsAdapter.events(s, dir))),
+    "events_retention" -> ((s, dir) => EventOps.retention(EventsAdapter.events(s, dir))),
+    "events_json_extract" -> ((s, dir) => EventOps.jsonExtract(EventsAdapter.events(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -924,6 +932,12 @@ object SparkEntry {
     "doc_quality" -> TextOps.qualityScoreOracle,
     "doc_langid" -> TextOps.langIdOracle,
     "doc_fingerprint" -> TextOps.fingerprintOracle,
+    "doc_repetition" -> TextOps.repetitionOracle,
+    "doc_sample_stratified" -> TextOps.stratifiedSampleOracle,
+    "doc_tfidf" -> TextOps.tfidfOracle,
+    "events_funnel" -> EventOps.funnelOracle,
+    "events_retention" -> EventOps.retentionOracle,
+    "events_json_extract" -> EventOps.jsonExtractOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,

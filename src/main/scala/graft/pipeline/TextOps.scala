@@ -271,4 +271,115 @@ object TextOps {
        |       len(list_filter($hs, h -> h % 16 = 0)) AS n_sampled
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ---- operator: repetition filtering (Gopher-style) ---------------------
+
+  /** Within-document repetition signals (the Gopher/MassiveText quality
+    * rules): over each doc's 3-shingle MULTIset — duplicate-shingle
+    * fraction ((n - distinct) / n) and top-shingle fraction (most frequent
+    * shingle / n), fixed-point 1e6. High values = boilerplate/spam.
+    *
+    * Shape: one explode + two stacked hash aggregations, all map-side
+    * partial; shuffle keys are (doc_id, 8-byte shingle hash). Docs with
+    * fewer than 3 tokens have no shingles and drop out (nothing to
+    * measure). Output (doc_id, n_shingles, dup_fp, top_fp). */
+  def repetition(docs: DataFrame): DataFrame =
+    graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"),
+        explode(transform(shingles(tokens(col("text"))), s => baseHash(s))).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_shingles"), count(lit(1)).as("d"), max("c").as("m"))
+      .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+        expr("(n_shingles - d) * 1000000 div n_shingles").as("dup_fp"),
+        expr("m * 1000000 div n_shingles").as("top_fp"))
+      .orderBy("doc_id")
+
+  val repetitionOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, u.h
+       |  FROM (SELECT doc_id, list_transform(${shinglesSql(tokensSql)}, s -> ${baseHashSql("s")}) AS hs
+       |        FROM documents) d, unnest(d.hs) u(h)),
+       |g AS (SELECT doc_id, h, count(*) AS c FROM sh GROUP BY 1, 2),
+       |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+       |             count(*) AS d, max(c) AS m
+       |      FROM g GROUP BY 1)
+       |SELECT doc_id, n_shingles,
+       |       (n_shingles - d) * 1000000 // n_shingles AS dup_fp,
+       |       m * 1000000 // n_shingles AS top_fp
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  // ---- operator: stratified sampling -------------------------------------
+
+  /** Per-language sampling rates, percent: downsample the dominant
+    * language, keep half of everything else (data-mixing). */
+  val SampleRatePct: Map[String, Int] = Map("en" -> 10)
+  val SampleRateDefaultPct = 50
+
+  /** Deterministic stratified sample: keep a doc iff
+    * hash("samp:" + doc_id) mod 100 < rate(lang). Hash-based (not
+    * rand()) so the sample is reproducible across runs, retries, and
+    * cluster sizes — the property a training-data pipeline needs for
+    * lineage. Pure per-row filter: no shuffle, fully pushed into the
+    * scan's codegen stage. Output (doc_id, lang) kept. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val rate = SampleRatePct.foldLeft(lit(SampleRateDefaultPct)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"))
+      .filter(baseHash(concat(lit("samp:"), col("doc_id").cast("string"))) % 100 < rate)
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleOracle: String = {
+    val rate = SampleRatePct.foldLeft(s"$SampleRateDefaultPct") {
+      case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${baseHashSql("'samp:' || doc_id::VARCHAR")} % 100 < ($rate)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- operator: TF-IDF ---------------------------------------------------
+
+  val TfIdfTopK = 5
+
+  /** Top-K characteristic terms per document by integer tf-idf
+    * (tf * 1e6 / df — exact inverse-document-frequency weighting, no
+    * floats so both engines agree bit-for-bit). Ties break toward the
+    * lexicographically smaller token.
+    *
+    * Shape: tf = one explode + groupBy (map-side combined); df is an
+    * aggregation OF the tf relation (already distinct per (doc, token) —
+    * no second pass over the corpus); the df join broadcasts because a
+    * vocabulary is bounded while the corpus is not; top-K is a per-doc
+    * window over the tf relation, partitioned on doc_id (never a global
+    * sort). Output (doc_id, token, tf, df, score, rnk). */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TfIdfTopK)
+      .select("doc_id", "token", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.token
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest(d.w) u(token)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT doc_id, token, tf, df, tf * 1000000 // df AS score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY tf * 1000000 // df DESC, token) AS rnk
+       |  FROM tf JOIN df USING (token))
+       |SELECT doc_id, token, tf, df, score, rnk FROM s
+       |WHERE rnk <= $TfIdfTopK ORDER BY doc_id, rnk""".stripMargin
 }
