@@ -366,6 +366,19 @@ object SparkEntry {
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h))""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
 
+    // --- InfluxQL operator surface: arithmetic + math over fields/aggs ---
+    "ts_select_arith_1h" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") * 2 + 10 AS "value" FROM "events"""" +
+        s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+    "ts_select_math_sqrt" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT sqrt(mean("value")) AS "value" FROM "events"""" +
+        s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+    "ts_select_arith_fields" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT "mean" + "spread" AS "value" FROM (SELECT mean("value"), spread("value")""" +
+        s""" FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        s""" AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h))""" +
+        s""" WHERE time > $FromNs AND time < $ToNs"""))),
+
     // --- §3.1∘§3.2 end-to-end: line-protocol ingest feeding the SELECT
     //     pipeline (float field), plus the string-field pipeline (message
     //     column carried through group keys, reference cflux.js:55,364) ---
@@ -592,6 +605,23 @@ object SparkEntry {
     "ts_select_offset" -> tagFilterOracle(60000L, Some(20), offset = Some(20)),
     "ts_select_slimit" -> slimitOracle(21600000L, 1, 1),
     "ts_select_regex_from" -> tsSelectOracle("sum(value)", 7200000L),
+    "ts_select_arith_1h" -> tsSelectOracle("avg(value) * 2 + 10", 3600000L),
+    "ts_select_math_sqrt" -> tsSelectOracle("sqrt(avg(value))", 3600000L),
+    "ts_select_arith_fields" ->
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         CAST(floor((avg(value) + (max(value) - min(value))) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1, 2, 3)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM g
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       user_id AS labelvalue, '' AS message FROM g
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_subquery" ->
       s"""WITH g AS (
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,

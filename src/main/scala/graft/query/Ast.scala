@@ -19,11 +19,46 @@ object Ast {
     * `non_negative_derivative(...)`, `cumulative_sum(...)`. */
   final case class Transform(fn: String, durMs: Option[Long] = None, n: Option[Int] = None)
 
-  /** @param argDur duration second argument (`elapsed("v", 1s)`), ms */
+  /** @param argDur duration second argument (`elapsed("v", 1s)`), ms
+    * @param expr   when set, the projection is an ARITHMETIC EXPRESSION
+    *               over field/aggregate leaves (`mean("a") * 2 + 1`,
+    *               `"a" + "b"`, `sqrt(mean("v"))`) — InfluxQL operator
+    *               surface (extension; the reference drops everything but
+    *               a bare name, cflux.js:734). func/name then only carry
+    *               the derived output name. */
   final case class Field(func: Option[String], name: String, alias: Option[String],
                          arg: Option[Double] = None,
                          transform: Option[Transform] = None,
-                         argDur: Option[Long] = None)
+                         argDur: Option[Long] = None,
+                         expr: Option[FExpr] = None)
+
+  /** Arithmetic expression tree over projection leaves (extension).
+    * Leaves are ordinary [[Field]]s (bare field or aggregate call);
+    * binary ops pair points of the SAME timestamp and series, InfluxDB
+    * semantics (unpaired points drop out). */
+  sealed trait FExpr
+  final case class FLeaf(field: Field) extends FExpr
+  final case class FNum(v: Double) extends FExpr
+  final case class FBin(op: String, l: FExpr, r: FExpr) extends FExpr
+  /** Unary math call: abs/ceil/floor/round/sqrt/exp/ln/log2/log10, plus
+    * pow(x, n). round is half-up (floor(x+0.5); InfluxDB rounds half away
+    * from zero — documented divergence at negative .5 boundaries). */
+  final case class FMath(fn: String, x: FExpr, arg: Option[Double] = None) extends FExpr
+
+  object FExpr {
+    /** Leaf fields of `e`, left-to-right, duplicates removed. */
+    def leaves(e: FExpr): Seq[Field] = {
+      val out = scala.collection.mutable.LinkedHashSet.empty[Field]
+      def go(x: FExpr): Unit = x match {
+        case FLeaf(f)       => out += f
+        case FNum(_)        =>
+        case FBin(_, l, r)  => go(l); go(r)
+        case FMath(_, x, _) => go(x)
+      }
+      go(e)
+      out.toSeq
+    }
+  }
 
   /** A time bound from the WHERE clause — the four shapes of
     * cflux.js:702-727. Resolved to epoch ms at plan time. */

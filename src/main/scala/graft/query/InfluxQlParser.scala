@@ -22,6 +22,13 @@ object InfluxQlParser {
   final case class Re(s: String) extends Tok // /regex/ measurement ref
   case object Semi extends Tok // statement separator
 
+  /** Unquoted keywords after which a '/' opens a regex literal (the
+    * positions InfluxQL's grammar allows one: measurement refs and tag
+    * matchers). After any OTHER bare identifier — a field ref in an
+    * expression — '/' is division. */
+  private val RegexCtxKeywords = Set(
+    "from", "where", "and", "or", "key", "select", "measurement", "with")
+
   def tokenize(q: String): Either[String, Vector[Tok]] = {
     val out = ArrayBuffer.empty[Tok]
     var i = 0
@@ -73,20 +80,31 @@ object InfluxQlParser {
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
         out += Ident(q.substring(start, i), quoted = false)
       } else if (c == '/') {
-        // regex literal /re/ (InfluxQL measurement refs; '\/' escapes the
-        // delimiter). Division is not in the grammar, so '/' always opens
-        // a regex.
-        val sb = new StringBuilder
-        i += 1
-        var closed = false
-        while (i < n && !closed) {
-          val d = q.charAt(i)
-          if (d == '\\' && i + 1 < n && q.charAt(i + 1) == '/') { sb += '/'; i += 2 }
-          else if (d == '/') { closed = true; i += 1 }
-          else { sb += d; i += 1 }
+        // '/' is EITHER a regex literal (FROM /re/, =~ /re/) or division
+        // (mean("a") / 2). Same ambiguity InfluxQL's own scanner has;
+        // resolved by the previous token: after a value-ish token (number,
+        // duration, ')', or a non-keyword identifier) it is division,
+        // anywhere else it opens a regex. '\/' escapes the delimiter.
+        val regexCtx = out.lastOption match {
+          case None | Some(Op(_)) | Some(Semi) | Some(Str(_)) =>
+            out.lastOption != Some(Op(")"))
+          case Some(Ident(s, false)) => RegexCtxKeywords.contains(s.toLowerCase)
+          case _                     => false
         }
-        if (!closed) return Left(s"unterminated regex at $i")
-        out += Re(sb.result())
+        if (!regexCtx) { out += Op("/"); i += 1 }
+        else {
+          val sb = new StringBuilder
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            val d = q.charAt(i)
+            if (d == '\\' && i + 1 < n && q.charAt(i + 1) == '/') { sb += '/'; i += 2 }
+            else if (d == '/') { closed = true; i += 1 }
+            else { sb += d; i += 1 }
+          }
+          if (!closed) return Left(s"unterminated regex at $i")
+          out += Re(sb.result())
+        }
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         if (Set("<=", ">=", "!=", "<>", "=~", "!~", "::").contains(two)) { out += Op(two); i += 2 }
@@ -320,7 +338,99 @@ object InfluxQlParser {
     "moving_average", "cumulative_sum", "holt_winters")
 
   // transform(func("name")[, dur|n]) | func("name"[, num]) [AS a] | "name" | *
+  /** Unary math transformations (InfluxQL surface); `pow` takes a numeric
+    * second argument. Disjoint from aggregate and window-transform names,
+    * so atom dispatch is unambiguous. */
+  private val MathFns = Set(
+    "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10", "pow")
+
+  /** One projection: an arithmetic expression over field/aggregate leaves
+    * with + - * / precedence and parens, or (the common case) a single
+    * leaf. `AS alias` binds to the whole expression. */
   private def parseField(p: P): Either[String, Ast.Field] = {
+    parseFieldExpr(p) match {
+      case Left(e) => Left(e)
+      case Right(Ast.FLeaf(f)) =>
+        val alias = if (p.kw("AS")) p.ident().toOption else None
+        Right(if (alias.isDefined) f.copy(alias = alias) else f)
+      case Right(tree) =>
+        val leaves = Ast.FExpr.leaves(tree)
+        if (leaves.exists(_.name == "*"))
+          return Left("* cannot appear in arithmetic")
+        if (leaves.exists(_.transform.isDefined))
+          return Left("window transform cannot appear in arithmetic")
+        if (leaves.isEmpty)
+          return Left("constant-only projection is not a field")
+        val alias = if (p.kw("AS")) p.ident().toOption else None
+        val derived = tree match {
+          case Ast.FMath(fn, _, _) => fn
+          case _ => leaves.map(f => f.func.getOrElse(f.name)).distinct.mkString("_")
+        }
+        Right(Ast.Field(None, derived, alias, expr = Some(tree)))
+    }
+  }
+
+  private def parseFieldExpr(p: P): Either[String, Ast.FExpr] = {
+    var l = parseFieldTerm(p) match { case Right(x) => x; case e => return e }
+    var more = true
+    while (more) p.peek match {
+      case Some(Op(o @ ("+" | "-"))) =>
+        p.next()
+        parseFieldTerm(p) match {
+          case Right(r) => l = Ast.FBin(o, l, r)
+          case e        => return e
+        }
+      case _ => more = false
+    }
+    Right(l)
+  }
+
+  private def parseFieldTerm(p: P): Either[String, Ast.FExpr] = {
+    var l = parseFieldAtom(p) match { case Right(x) => x; case e => return e }
+    var more = true
+    while (more) p.peek match {
+      case Some(Op(o @ ("*" | "/"))) =>
+        p.next()
+        parseFieldAtom(p) match {
+          case Right(r) => l = Ast.FBin(o, l, r)
+          case e        => return e
+        }
+      case _ => more = false
+    }
+    Right(l)
+  }
+
+  private def parseFieldAtom(p: P): Either[String, Ast.FExpr] = p.peek match {
+    case Some(Num(s)) =>
+      p.next()
+      s.toDoubleOption.map(v => Ast.FNum(v)).toRight(s"bad number $s")
+    case Some(Op("-")) => // unary minus
+      p.next()
+      parseFieldAtom(p).map(a => Ast.FBin("-", Ast.FNum(0), a))
+    case Some(Op("(")) =>
+      p.next()
+      parseFieldExpr(p).flatMap { e =>
+        if (p.op(")")) Right(e) else Left("expected ) in expression")
+      }
+    case Some(Ident(fn, false))
+        if MathFns.contains(fn.toLowerCase) && p.peekAt(1).contains(Op("(")) =>
+      p.next(); p.op("(")
+      val fnL = fn.toLowerCase
+      parseFieldExpr(p).flatMap { x =>
+        val arg: Option[Double] =
+          if (p.op(",")) p.peek match {
+            case Some(Num(s)) => p.next(); s.toDoubleOption
+            case t            => return Left(s"bad math argument $t")
+          } else None
+        if (fnL == "pow" && arg.isEmpty) Left("pow needs an exponent")
+        else if (fnL != "pow" && arg.isDefined) Left(s"$fnL takes one argument")
+        else if (!p.op(")")) Left(s"expected ) closing $fnL")
+        else Right(Ast.FMath(fnL, x, arg))
+      }
+    case _ => parseFieldLeaf(p).map(Ast.FLeaf)
+  }
+
+  private def parseFieldLeaf(p: P): Either[String, Ast.Field] = {
     p.peek match {
       case Some(Op("*")) => p.next(); Right(Ast.Field(None, "*", None))
       case Some(Ident(name, quoted)) =>
@@ -363,8 +473,7 @@ object InfluxQlParser {
               case t => return Left(s"bad transform argument $t")
             }
             if (!p.op(")")) return Left("expected ) closing transform")
-            val alias = if (p.kw("AS")) p.ident().toOption else None
-            Right(Ast.Field(Some(innerFn.toLowerCase), innerName, alias, innerArg,
+            Right(Ast.Field(Some(innerFn.toLowerCase), innerName, None, innerArg,
               transform = Some(Ast.Transform(fnT, durMs, nArg))))
           } else {
             val inner = p.next() match {
@@ -383,13 +492,9 @@ object InfluxQlParser {
               case t      => return Left(s"bad numeric function arg $t")
             }
             if (!p.op(")")) return Left("expected )")
-            val alias = if (p.kw("AS")) p.ident().toOption else None
-            Right(Ast.Field(Some(name.toLowerCase), inner, alias, arg, argDur = argDur))
+            Right(Ast.Field(Some(name.toLowerCase), inner, None, arg, argDur = argDur))
           }
-        } else {
-          val alias = if (p.kw("AS")) p.ident().toOption else None
-          Right(Ast.Field(None, name, alias))
-        }
+        } else Right(Ast.Field(None, name, None))
       case t => Left(s"bad field $t")
     }
   }

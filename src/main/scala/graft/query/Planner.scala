@@ -210,6 +210,8 @@ object Planner {
     val selectors = Set("top", "bottom", "elapsed", "integral", "distinct", "mode")
     if (s.fields.exists(_.transform.isDefined))
       throw new IllegalArgumentException("INTO does not support window transforms")
+    if (s.fields.exists(_.expr.isDefined))
+      throw new IllegalArgumentException("INTO does not support arithmetic projections")
     if (s.fields.exists(_.func.exists(selectors)))
       throw new IllegalArgumentException("INTO does not support selector functions")
     if (s.fill.isDefined)
@@ -300,9 +302,12 @@ object Planner {
     // raw (non-aggregated) SELECT — honest InfluxDB semantics the
     // reference can't express (it hardwires avg, cflux.js:749): no
     // bucketing, no groupBy; each sample row at its own timestamp
-    val isRaw = fields.forall(_.func.isEmpty) && s.groupByTimeMs.isEmpty && s.fill.isEmpty
+    def leavesOf(f: Ast.Field): Seq[Ast.Field] =
+      f.expr.map(Ast.FExpr.leaves).getOrElse(Seq(f))
+    val isRaw = fields.flatMap(leavesOf).forall(_.func.isEmpty) &&
+      s.groupByTimeMs.isEmpty && s.fill.isEmpty
 
-    val perMetric = fields.map { f =>
+    def planLeaf(f: Ast.Field): DataFrame = {
       val series = seriesSide(cat.seriesIndex, s.from.measurement, f.name,
         s.tagFilters, s.groupByTags)
       val outName = f.alias.getOrElse(
@@ -448,6 +453,67 @@ object Planner {
         // window transform over the (filled) bucketed series — the
         // function-of-function surface (operators.Tick over SELECT shape)
         f.transform.map(applyTransform(filled, _, bucketMs)).getOrElse(filled)
+      }
+    }
+
+    val perMetric = fields.map { f =>
+      f.expr match {
+        case None => planLeaf(f)
+        case Some(tree) =>
+          // arithmetic projection (extension): plan every leaf metric with
+          // the ordinary machinery, pair points of the same series and
+          // timestamp/bucket (InfluxQL drops unpaired points), and fold
+          // the expression over the paired values — all built-in Column
+          // ops, fully codegen'd. FILL applies per leaf BEFORE pairing,
+          // so fill(0) arithmetic sees the gap rows.
+          val leaves = Ast.FExpr.leaves(tree)
+          val banned = Set("top", "bottom", "elapsed", "integral", "distinct", "mode")
+          leaves.find(_.func.exists(banned)).foreach { lf =>
+            throw new IllegalArgumentException(
+              s"${lf.func.get} cannot appear in arithmetic") }
+          if (leaves.exists(_.func.isEmpty) && leaves.exists(_.func.isDefined))
+            throw new IllegalArgumentException(
+              "cannot mix aggregated and raw fields in arithmetic")
+          val outName = f.alias.getOrElse(f.name)
+          val keys = Seq("time_ms", "labelname", "labelvalue", "message")
+          val planned = leaves.zipWithIndex.map { case (lf, i) =>
+            planLeaf(lf).select(keys.map(col) :+ col("value").as(s"__v$i"): _*) }
+          val joined = planned.reduce(_.join(_, keys))
+          val vcols = leaves.zipWithIndex.map { case (lf, i) =>
+            (lf, col(s"__v$i")) }.toMap
+          def ev(e: Ast.FExpr): Column = e match {
+            case Ast.FLeaf(lf)       => vcols(lf)
+            case Ast.FNum(v)         => lit(v)
+            case Ast.FBin("+", l, r) => ev(l) + ev(r)
+            case Ast.FBin("-", l, r) => ev(l) - ev(r)
+            case Ast.FBin("*", l, r) => ev(l) * ev(r)
+            case Ast.FBin("/", l, r) => ev(l) / ev(r)
+            case Ast.FBin(o, _, _) =>
+              throw new IllegalArgumentException(s"bad operator $o")
+            case Ast.FMath(fn, x, arg) =>
+              val v = ev(x)
+              fn match {
+                case "abs"   => abs(v)
+                case "ceil"  => ceil(v).cast("double")
+                case "floor" => floor(v).cast("double")
+                // half-up, NOT Spark round(): HALF_UP on the binary double
+                // both engines hold — InfluxDB rounds half away from zero
+                // (divergence at negative .5 boundaries, documented)
+                case "round" => floor(v + 0.5).cast("double")
+                case "sqrt"  => sqrt(v)
+                case "exp"   => exp(v)
+                case "ln"    => log(v)
+                case "log2"  => log2(v)
+                case "log10" => log10(v)
+                case "pow"   => pow(v, lit(arg.getOrElse(
+                  throw new IllegalArgumentException("pow needs an exponent"))))
+                case other =>
+                  throw new IllegalArgumentException(s"unknown math function $other")
+              }
+          }
+          joined.select(col("time_ms"), lit(outName).as("name"),
+            ev(tree).cast("double").as("value"),
+            col("labelname"), col("labelvalue"), col("message"))
       }
     }
 

@@ -413,6 +413,30 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(rej.contains(""""error":"INTO does not support FILL""""), rej)
   }
 
+  test("field arithmetic through the engine: agg math, raw pairing, math fns") {
+    val e = newEngine()
+    e.write("dbar",
+      """m,host=a u=16 1735689540000000000
+        |m,host=a u=4,v=3 1735689550000000000""".stripMargin)
+    // mean(u) * 2 + 1 over one 1m bucket: mean(16,4)=10 -> 21
+    val r1 = e.query("dbar",
+      """SELECT mean("u") * 2 + 1 FROM "m" WHERE time > now() - 10m GROUP BY time(1m)""")
+    assert(r1.contains("[1735689540000,21]"), r1)
+    // raw field pairing: u+v exists only at the shared timestamp
+    // (InfluxQL drops unpaired points)
+    val r2 = e.query("dbar", """SELECT "u" + "v" FROM "m" WHERE time > now() - 10m""")
+    assert(r2.contains("[1735689550000,7]") && !r2.contains("1735689540000"), r2)
+    assert(r2.contains(""""columns":["time","u_v"]"""), r2)
+    // math fn over an aggregate; alias names the output column
+    val r3 = e.query("dbar",
+      """SELECT sqrt(mean("u")) AS root FROM "m" WHERE time > now() - 10m GROUP BY time(1m)""")
+    assert(r3.contains("[1735689540000,3.1622776601683795]") && r3.contains(""""columns":["time","root"]"""), r3)
+    // division lexes as division (not regex) after a call
+    val r4 = e.query("dbar",
+      """SELECT mean("u") / 2 FROM "m" WHERE time > now() - 10m GROUP BY time(1m)""")
+    assert(r4.contains("[1735689540000,5]"), r4)
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",

@@ -186,4 +186,65 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(parseOk("DROP SERIES FROM cpu").isInstanceOf[Ast.Unsupported])
     assert(parseOk("SHOW STATS").isInstanceOf[Ast.Unsupported])
   }
+
+  test("field arithmetic: precedence, parens, derived names, alias") {
+    val a = parseOk("""SELECT mean("u") * 2 + 1 FROM "m" WHERE time > now() - 1h GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select]
+    val f = a.fields.head
+    assert(f.name === "mean" && f.expr.isDefined)
+    f.expr.get match {
+      case Ast.FBin("+", Ast.FBin("*", Ast.FLeaf(lf), Ast.FNum(2.0)), Ast.FNum(1.0)) =>
+        assert(lf.func.contains("mean") && lf.name === "u")
+      case other => fail(s"bad tree $other")
+    }
+    val b = parseOk("""SELECT "a" + "b" FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select]
+    assert(b.fields.head.name === "a_b")
+    val c = parseOk("""SELECT ("a" + "b") / 2 AS half FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select]
+    assert(c.fields.head.alias.contains("half"))
+    // * / binds tighter than + -
+    val d = parseOk("""SELECT "a" + "b" * 3 FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head.expr.get
+    d match {
+      case Ast.FBin("+", Ast.FLeaf(_), Ast.FBin("*", Ast.FLeaf(_), Ast.FNum(3.0))) =>
+      case other => fail(s"precedence wrong: $other")
+    }
+  }
+
+  test("math functions parse; pow needs exponent; * banned in arithmetic") {
+    val a = parseOk("""SELECT sqrt(mean("u")) FROM "m" WHERE time > now() - 1h GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(a.name === "sqrt")
+    a.expr.get match {
+      case Ast.FMath("sqrt", Ast.FLeaf(lf), None) => assert(lf.func.contains("mean"))
+      case other                                  => fail(s"bad $other")
+    }
+    val pw = parseOk("""SELECT pow("u", 2) FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(pw.expr.get === Ast.FMath("pow", Ast.FLeaf(Ast.Field(None, "u", None)), Some(2.0)))
+    assert(InfluxQlParser.parse("""SELECT pow("u") FROM "m"""").isLeft)
+    assert(InfluxQlParser.parse("""SELECT * + 1 FROM "m"""").isLeft)
+    assert(InfluxQlParser.parse(
+      """SELECT derivative(mean("u"), 1s) + 1 FROM "m" GROUP BY time(1m)""").isLeft)
+  }
+
+  test("'/' lexes as division after values, as regex after keywords") {
+    val d = parseOk("""SELECT mean("u") / 2 FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    d.expr.get match {
+      case Ast.FBin("/", Ast.FLeaf(_), Ast.FNum(2.0)) =>
+      case other => fail(s"bad division parse: $other")
+    }
+    val r = parseOk("""SELECT mean("u") FROM /cpu.*/ WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select]
+    assert(r.from.regex.contains("cpu.*"))
+    val t = parseOk("""SELECT mean("u") FROM "m" WHERE time > now() - 1h AND "host" =~ /web-\d+/""")
+      .asInstanceOf[Ast.Select]
+    assert(t.tagFilters.head.op === "=~")
+    // field/field division
+    val ff = parseOk("""SELECT "a" / "b" FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(ff.name === "a_b")
+  }
 }
