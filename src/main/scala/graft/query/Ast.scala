@@ -79,6 +79,13 @@ object Ast {
     * InfluxDB client expects). For =~/!~ `value` is the regex source. */
   final case class TagFilter(key: String, op: String, value: String)
 
+  /** One WHERE field-value conjunct (`"value" > 50` — numeric RHS means a
+    * FIELD comparison in InfluxQL; tag values are always strings).
+    * `op` ∈ > >= < <= = !=. Applied to raw points BEFORE aggregation
+    * (InfluxDB semantics). Extension: the reference drops everything but
+    * time/tag equality. */
+  final case class FieldFilter(name: String, op: String, v: Double)
+
   /** @param regex InfluxQL regex measurement ref (FROM /cpu../) — resolved
     *               at plan time to every matching measurement (extension;
     *               the reference's regex dispatch never matches one). */
@@ -108,7 +115,9 @@ object Ast {
       /** SELECT … INTO "target": write the result back as a measurement
         * (extension; InfluxQL's downsampling/copy primitive, also the body
         * of a continuous query). */
-      into: Option[TableRef] = None
+      into: Option[TableRef] = None,
+      /** WHERE field-value conjuncts (extension). */
+      fieldFilters: Seq[FieldFilter] = Nil
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement

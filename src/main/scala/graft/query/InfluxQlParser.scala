@@ -233,15 +233,17 @@ object InfluxQlParser {
     var lowerStrict = false
     var upperStrict = false
     val tagFilters = ArrayBuffer.empty[Ast.TagFilter]
+    val fieldFilters = ArrayBuffer.empty[Ast.FieldFilter]
     if (p.kw("WHERE")) {
       var more = true
       while (more) {
         parseConjunct(p) match {
-          case Right(Left((isLower, strict, te))) =>
+          case Right(TimeConj(isLower, strict, te)) =>
             if (isLower) { lower = Some(te); lowerStrict = strict }
             else { upper = Some(te); upperStrict = strict }
-          case Right(Right(kv))           => tagFilters += kv
-          case Left(e)                    => return Left(e)
+          case Right(TagConj(kv))   => tagFilters += kv
+          case Right(FieldConj(ff)) => fieldFilters += ff
+          case Left(e)              => return Left(e)
         }
         more = p.kw("AND")
       }
@@ -328,7 +330,7 @@ object InfluxQlParser {
       Ast.TimeBounds(lower, upper, lowerStrict, upperStrict),
       tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc,
       offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub,
-      groupByTimeOffsetMs = gbOffset, into = into))
+      groupByTimeOffsetMs = gbOffset, into = into, fieldFilters = fieldFilters.toSeq))
   }
 
   /** Window transforms accepted as the OUTER call of a nested
@@ -534,7 +536,13 @@ object InfluxQlParser {
   /** One WHERE conjunct → Left((isLowerBound, timeExpr)) for time bounds,
     * Right((tag, value)) for tag equality (the two conjunct kinds the
     * reference extracts, cflux.js:702-743). */
-  private def parseConjunct(p: P): Either[String, Either[(Boolean, Boolean, Ast.TimeExpr), Ast.TagFilter]] = {
+  private sealed trait Conj
+  private final case class TimeConj(isLower: Boolean, strict: Boolean,
+                                    te: Ast.TimeExpr) extends Conj
+  private final case class TagConj(tf: Ast.TagFilter) extends Conj
+  private final case class FieldConj(ff: Ast.FieldFilter) extends Conj
+
+  private def parseConjunct(p: P): Either[String, Conj] = {
     val lhs = p.next() match {
       case Ident(s, _) => s
       case t           => return Left(s"bad WHERE lhs $t")
@@ -578,21 +586,26 @@ object InfluxQlParser {
         case Some(Str(s))  => p.next(); Ast.DateString(s)
         case t             => return Left(s"bad time rhs $t")
       }
-      Right(Left((isLower, strict, te)))
+      Right(TimeConj(isLower, strict, te))
     } else {
       val op = p.peek match {
-        case Some(Op(o @ ("=" | "!=" | "<>" | "=~" | "!~"))) =>
+        case Some(Op(o @ ("=" | "!=" | "<>" | "=~" | "!~" | ">" | ">=" | "<" | "<="))) =>
           p.next(); if (o == "<>") "!=" else o
-        case t => return Left(s"bad tag operator $t after '$lhs'")
+        case t => return Left(s"bad WHERE operator $t after '$lhs'")
       }
-      val v = (op, p.next()) match {
-        case ("=" | "!=", Str(s))      => s
-        case ("=" | "!=", Ident(s, _)) => s
-        case ("=" | "!=", Num(s))      => s
-        case ("=~" | "!~", Re(s))      => s
-        case (_, t)                    => return Left(s"bad tag value $t for '$lhs' $op")
+      // numeric RHS = FIELD comparison (InfluxQL: tag values are always
+      // strings); string/ident RHS with =/!= = tag comparison
+      val neg = (op != "=~" && op != "!~") && p.op("-")
+      (op, p.next()) match {
+        case ("=" | "!=", Str(s)) if !neg      => Right(TagConj(Ast.TagFilter(lhs, op, s)))
+        case ("=" | "!=", Ident(s, _)) if !neg => Right(TagConj(Ast.TagFilter(lhs, op, s)))
+        case ("=~" | "!~", Re(s))              => Right(TagConj(Ast.TagFilter(lhs, op, s)))
+        case (_, Num(n)) => n.toDoubleOption match {
+          case Some(d) => Right(FieldConj(Ast.FieldFilter(lhs, op, if (neg) -d else d)))
+          case None    => Left(s"bad numeric literal $n")
+        }
+        case (_, t) => Left(s"bad WHERE rhs $t for '$lhs' $op")
       }
-      Right(Right(Ast.TagFilter(lhs, op, v)))
     }
   }
 
@@ -705,11 +718,14 @@ object InfluxQlParser {
       var more = true
       while (more) {
         parseConjunct(p) match {
-          case Right(Left((isLower, strict, te))) =>
+          case Right(TimeConj(isLower, strict, te)) =>
             if (isLower) { lower = Some(te); lowerStrict = strict }
             else { upper = Some(te); upperStrict = strict }
-          case Right(Right(tf)) => return Left(s"DELETE supports only time predicates, got '${tf.key}'")
-          case Left(e)          => return Left(e)
+          case Right(TagConj(tf)) =>
+            return Left(s"DELETE supports only time predicates, got '${tf.key}'")
+          case Right(FieldConj(ff)) =>
+            return Left(s"DELETE supports only time predicates, got '${ff.name}'")
+          case Left(e) => return Left(e)
         }
         more = p.kw("AND")
       }

@@ -312,12 +312,31 @@ object Planner {
         s.tagFilters, s.groupByTags)
       val outName = f.alias.getOrElse(
         f.transform.map(_.fn).getOrElse(f.func.getOrElse("mean")))
-      val timed = samples
+      val timed0 = samples
         // time filter FIRST: prunes hour partitions + parquet row groups
         // before the join (reference PREWHERE minute BETWEEN, cflux.js:765)
         .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
         // ANY INNER JOIN USING(fingerprint) with broadcast series side (J1)
         .join(broadcast(series), Seq("fingerprint"))
+      // WHERE field-value conjuncts apply to RAW points BEFORE any
+      // aggregation (InfluxDB). The predicate lands next to the time
+      // filter, so it pushes into the scan alongside it. A filter naming
+      // a field this projection doesn't read cannot be evaluated on this
+      // relation (per-field row model) — explicit error, not silence.
+      val timed = s.fieldFilters.foldLeft(timed0) { (df, ff) =>
+        if (ff.name != f.name)
+          throw new IllegalArgumentException(
+            s"field filter on '${ff.name}' requires selecting that field")
+        ff.op match {
+          case ">"  => df.filter(col("value") > ff.v)
+          case ">=" => df.filter(col("value") >= ff.v)
+          case "<"  => df.filter(col("value") < ff.v)
+          case "<=" => df.filter(col("value") <= ff.v)
+          case "="  => df.filter(col("value") === ff.v)
+          case "!=" => df.filter(col("value") =!= ff.v)
+          case o    => throw new IllegalArgumentException(s"bad field operator $o")
+        }
+      }
       // subquery-inner mode: the output name is the field's output name
       // (the field key the outer query will select)
       val nameOut = if (renameFields && !isRaw) lit(outName) else col("name")

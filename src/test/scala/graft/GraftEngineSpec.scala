@@ -437,6 +437,22 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(r4.contains("[1735689540000,5]"), r4)
   }
 
+  test("WHERE field-value filter applies to raw points before aggregation") {
+    val e = newEngine()
+    e.write("dbfv",
+      """m,host=a u=10 1735689540000000000
+        |m,host=a u=80 1735689550000000000
+        |m,host=a u=60 1735689555000000000""".stripMargin)
+    // mean over points with u > 50 only: mean(80, 60) = 70
+    val r = e.query("dbfv",
+      """SELECT mean("u") FROM "m" WHERE time > now() - 10m AND "u" > 50 GROUP BY time(1m)""")
+    assert(r.contains("[1735689540000,70]"), r)
+    // filter naming an unselected field errors explicitly
+    val bad = e.query("dbfv",
+      """SELECT mean("u") FROM "m" WHERE time > now() - 10m AND "w" > 50 GROUP BY time(1m)""")
+    assert(bad.contains(""""error""""), bad)
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",

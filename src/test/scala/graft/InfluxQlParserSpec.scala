@@ -229,6 +229,24 @@ class InfluxQlParserSpec extends AnyFunSuite {
       """SELECT derivative(mean("u"), 1s) + 1 FROM "m" GROUP BY time(1m)""").isLeft)
   }
 
+  test("WHERE field-value conjuncts: numeric RHS is a field filter") {
+    val a = parseOk(
+      """SELECT mean("v") FROM "m" WHERE time > now() - 1h AND "v" > 50 AND "host" = 'a'""")
+      .asInstanceOf[Ast.Select]
+    assert(a.fieldFilters === Seq(Ast.FieldFilter("v", ">", 50.0)))
+    assert(a.tagFilters === Seq(Ast.TagFilter("host", "=", "a")))
+    // numeric equality is a FIELD comparison (tag values are strings)
+    val b = parseOk("""SELECT "v" FROM "m" WHERE time > now() - 1h AND "v" = 3""")
+      .asInstanceOf[Ast.Select]
+    assert(b.fieldFilters === Seq(Ast.FieldFilter("v", "=", 3.0)))
+    // negative literals
+    val c = parseOk("""SELECT "v" FROM "m" WHERE time > now() - 1h AND "v" <= -1.5""")
+      .asInstanceOf[Ast.Select]
+    assert(c.fieldFilters === Seq(Ast.FieldFilter("v", "<=", -1.5)))
+    // DELETE still rejects non-time predicates
+    assert(InfluxQlParser.parse("""DELETE FROM "m" WHERE "v" > 1""").isLeft)
+  }
+
   test("'/' lexes as division after values, as regex after keywords") {
     val d = parseOk("""SELECT mean("u") / 2 FROM "m" WHERE time > now() - 1h""")
       .asInstanceOf[Ast.Select].fields.head
