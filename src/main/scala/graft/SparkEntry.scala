@@ -367,6 +367,9 @@ object SparkEntry {
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
 
     // --- InfluxQL operator surface: arithmetic + math over fields/aggs ---
+    "ts_select_tag_or" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        s""" AND ("event_type" = 'click' OR "event_type" = 'view') GROUP BY time(1h)"""))),
     "ts_select_where_value" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         s""" AND "value" > 50 GROUP BY time(1h)"""))),
@@ -608,6 +611,8 @@ object SparkEntry {
     "ts_select_offset" -> tagFilterOracle(60000L, Some(20), offset = Some(20)),
     "ts_select_slimit" -> slimitOracle(21600000L, 1, 1),
     "ts_select_regex_from" -> tsSelectOracle("sum(value)", 7200000L),
+    "ts_select_tag_or" -> tsSelectOracle("avg(value)", 3600000L,
+      extraWhere = "AND (event_type = 'click' OR event_type = 'view')"),
     "ts_select_where_value" ->
       tsSelectOracle("avg(value)", 3600000L, extraWhere = "AND value > 50"),
     "ts_select_arith_1h" -> tsSelectOracle("avg(value) * 2 + 10", 3600000L),

@@ -117,7 +117,11 @@ object Ast {
         * of a continuous query). */
       into: Option[TableRef] = None,
       /** WHERE field-value conjuncts (extension). */
-      fieldFilters: Seq[FieldFilter] = Nil
+      fieldFilters: Seq[FieldFilter] = Nil,
+      /** Parenthesized OR-groups of tag predicates (extension):
+        * `("host" = 'a' OR "host" = 'b')` — AND across groups, OR within
+        * a group. */
+      tagOrGroups: Seq[Seq[TagFilter]] = Nil
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement

@@ -234,10 +234,30 @@ object InfluxQlParser {
     var upperStrict = false
     val tagFilters = ArrayBuffer.empty[Ast.TagFilter]
     val fieldFilters = ArrayBuffer.empty[Ast.FieldFilter]
+    val tagOrGroups = ArrayBuffer.empty[Seq[Ast.TagFilter]]
     if (p.kw("WHERE")) {
       var more = true
       while (more) {
-        parseConjunct(p) match {
+        // parenthesized OR-group of tag predicates:
+        // ("host" = 'a' OR "region" =~ /eu.*/ [OR ...])
+        if (p.op("(")) {
+          val group = ArrayBuffer.empty[Ast.TagFilter]
+          var inner = true
+          while (inner) {
+            parseConjunct(p) match {
+              case Right(TagConj(kv)) => group += kv
+              case Right(FieldConj(ff)) =>
+                return Left(s"field predicate '${ff.name}' not allowed in OR group")
+              case Right(_: TimeConj) =>
+                return Left("time predicate not allowed in OR group")
+              case Left(e) => return Left(e)
+            }
+            inner = p.kw("OR")
+          }
+          if (!p.op(")")) return Left("expected ) closing OR group")
+          if (group.size == 1) tagFilters += group.head
+          else tagOrGroups += group.toSeq
+        } else parseConjunct(p) match {
           case Right(TimeConj(isLower, strict, te)) =>
             if (isLower) { lower = Some(te); lowerStrict = strict }
             else { upper = Some(te); upperStrict = strict }
@@ -330,7 +350,8 @@ object InfluxQlParser {
       Ast.TimeBounds(lower, upper, lowerStrict, upperStrict),
       tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc,
       offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub,
-      groupByTimeOffsetMs = gbOffset, into = into, fieldFilters = fieldFilters.toSeq))
+      groupByTimeOffsetMs = gbOffset, into = into, fieldFilters = fieldFilters.toSeq,
+      tagOrGroups = tagOrGroups.toSeq))
   }
 
   /** Window transforms accepted as the OUTER call of a nested

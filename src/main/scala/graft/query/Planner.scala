@@ -86,29 +86,38 @@ object Planner {
     *                   cflux.js:695) — when non-empty, only those label
     *                   pairs survive the explode, so the downstream
     *                   group-by collapses series onto the requested tags. */
+  /** One tag predicate as a Column over the series-index row shape.
+    * Reference: labelvalue[arrayFirstIndex(x -> x = k, labelname)] = v
+    * (cflux.js:759); map lookup is the Spark-native equivalent (F6).
+    * InfluxDB treats a missing tag as '' — negative/regex operators must
+    * match series that lack the key entirely. */
+  private def tagPred(tf: Ast.TagFilter): Column = {
+    val v = element_at(map_from_arrays(col("labelname"), col("labelvalue")), tf.key)
+    tf.op match {
+      case "="   => coalesce(v, lit("")) === tf.value
+      case "!="  => coalesce(v, lit("")) =!= tf.value
+      case "=~"  => coalesce(v, lit("")).rlike(tf.value)
+      case "!~"  => !coalesce(v, lit("")).rlike(tf.value)
+      case other => throw new IllegalArgumentException(s"bad tag operator $other")
+    }
+  }
+
   def seriesSide(seriesIndex: DataFrame, measurement: String, metric: String,
                  tagFilters: Seq[Ast.TagFilter],
-                 groupTags: Seq[String] = Nil): DataFrame = {
+                 groupTags: Seq[String] = Nil,
+                 tagOrGroups: Seq[Seq[Ast.TagFilter]] = Nil): DataFrame = {
     val deduped = seriesIndex
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fingerprint")).orderBy(col("date").desc)))
       .filter(col("__rn") === 1).drop("__rn")
       .filter(col("measurement") === measurement && col("name") === metric)
-    val tagged = tagFilters.foldLeft(deduped) { case (df, tf) =>
-      // reference: labelvalue[arrayFirstIndex(x -> x = k, labelname)] = v
-      // (cflux.js:759); map lookup is the Spark-native equivalent (F6).
-      // InfluxDB treats a missing tag as '' — negative/regex operators
-      // must match series that lack the key entirely.
-      val v = element_at(map_from_arrays(col("labelname"), col("labelvalue")), tf.key)
-      tf.op match {
-        case "="  => df.filter(coalesce(v, lit("")) === tf.value)
-        case "!=" => df.filter(coalesce(v, lit("")) =!= tf.value)
-        case "=~" => df.filter(coalesce(v, lit("")).rlike(tf.value))
-        case "!~" => df.filter(!coalesce(v, lit("")).rlike(tf.value))
-        case other => throw new IllegalArgumentException(s"bad tag operator $other")
-      }
-    }
+    val anded = tagFilters.foldLeft(deduped)((df, tf) => df.filter(tagPred(tf)))
+    // OR-groups: AND across groups, OR within one (each group one
+    // predicate Column — still a plain pushable filter on the small
+    // series relation)
+    val tagged = tagOrGroups.foldLeft(anded)((df, g) =>
+      df.filter(g.map(tagPred).reduce(_ || _)))
     val exploded = tagged
       .select(col("fingerprint"), col("name"),
         explode(arrays_zip(col("labelname"), col("labelvalue"))).as("lp"))
@@ -309,7 +318,7 @@ object Planner {
 
     def planLeaf(f: Ast.Field): DataFrame = {
       val series = seriesSide(cat.seriesIndex, s.from.measurement, f.name,
-        s.tagFilters, s.groupByTags)
+        s.tagFilters, s.groupByTags, s.tagOrGroups)
       val outName = f.alias.getOrElse(
         f.transform.map(_.fn).getOrElse(f.func.getOrElse("mean")))
       val timed0 = samples

@@ -453,6 +453,19 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(bad.contains(""""error""""), bad)
   }
 
+  test("OR-group of tag predicates selects the union of matching series") {
+    val e = newEngine()
+    e.write("dbor",
+      """m,host=a u=1 1735689540000000000
+        |m,host=b u=2 1735689540000000000
+        |m,host=c u=3 1735689540000000000""".stripMargin)
+    val r = e.query("dbor",
+      """SELECT mean("u") FROM "m" WHERE time > now() - 10m""" +
+        """ AND ("host" = 'a' OR "host" = 'b') GROUP BY time(1m)""")
+    assert(r.contains(""""tags":{"host":"a"}""") && r.contains(""""tags":{"host":"b"}"""), r)
+    assert(!r.contains(""""host":"c""""), r)
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",

@@ -247,6 +247,24 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(InfluxQlParser.parse("""DELETE FROM "m" WHERE "v" > 1""").isLeft)
   }
 
+  test("parenthesized OR-groups of tag predicates") {
+    val a = parseOk("""SELECT mean("v") FROM "m" WHERE time > now() - 1h""" +
+      """ AND ("host" = 'a' OR "host" = 'b') AND "region" = 'eu'""")
+      .asInstanceOf[Ast.Select]
+    assert(a.tagOrGroups === Seq(Seq(
+      Ast.TagFilter("host", "=", "a"), Ast.TagFilter("host", "=", "b"))))
+    assert(a.tagFilters === Seq(Ast.TagFilter("region", "=", "eu")))
+    // single-element group collapses to a plain conjunct
+    val b = parseOk("""SELECT "v" FROM "m" WHERE ("host" = 'a') AND time > now() - 1h""")
+      .asInstanceOf[Ast.Select]
+    assert(b.tagOrGroups.isEmpty && b.tagFilters === Seq(Ast.TagFilter("host", "=", "a")))
+    // time/field predicates are rejected inside a group, explicitly
+    assert(InfluxQlParser.parse(
+      """SELECT "v" FROM "m" WHERE (time > now() OR "host" = 'a')""").isLeft)
+    assert(InfluxQlParser.parse(
+      """SELECT "v" FROM "m" WHERE ("v" > 1 OR "host" = 'a')""").isLeft)
+  }
+
   test("'/' lexes as division after values, as regex after keywords") {
     val d = parseOk("""SELECT mean("u") / 2 FROM "m" WHERE time > now() - 1h""")
       .asInstanceOf[Ast.Select].fields.head
