@@ -367,6 +367,9 @@ object SparkEntry {
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
 
     // --- InfluxQL operator surface: arithmetic + math over fields/aggs ---
+    "ts_select_raw_difference" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT difference("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
     "ts_select_tag_or" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         s""" AND ("event_type" = 'click' OR "event_type" = 'view') GROUP BY time(1h)"""))),
@@ -611,6 +614,23 @@ object SparkEntry {
     "ts_select_offset" -> tagFilterOracle(60000L, Some(20), offset = Some(20)),
     "ts_select_slimit" -> slimitOracle(21600000L, 1, 1),
     "ts_select_regex_from" -> tsSelectOracle("sum(value)", 7200000L),
+    "ts_select_raw_difference" ->
+      s"""WITH g AS (
+         |  SELECT epoch_ms(ts) AS time_ms, event_type,
+         |         CAST(user_id AS VARCHAR) AS user_id, value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17),
+         |d AS (
+         |  SELECT time_ms, event_type, user_id,
+         |         CAST(floor((value - lag(value) OVER (ORDER BY time_ms)) * 100) AS BIGINT) AS value
+         |  FROM g QUALIFY lag(value) OVER (ORDER BY time_ms) IS NOT NULL)
+         |SELECT time_ms, 'difference' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM d
+         |UNION ALL
+         |SELECT time_ms, 'difference' AS name, value, 'user_id' AS labelname,
+         |       user_id AS labelvalue, '' AS message FROM d
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_tag_or" -> tsSelectOracle("avg(value)", 3600000L,
       extraWhere = "AND (event_type = 'click' OR event_type = 'view')"),
     "ts_select_where_value" ->

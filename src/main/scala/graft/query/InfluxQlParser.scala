@@ -515,7 +515,15 @@ object InfluxQlParser {
               case t      => return Left(s"bad numeric function arg $t")
             }
             if (!p.op(")")) return Left("expected )")
-            Right(Ast.Field(Some(name.toLowerCase), inner, None, arg, argDur = argDur))
+            // transform fn DIRECTLY over a raw field — difference("v"),
+            // derivative("v", 1s) — InfluxQL's raw-points transform
+            // surface (no aggregate, no GROUP BY time)
+            if (TransformFns.contains(name.toLowerCase))
+              Right(Ast.Field(None, inner, None,
+                transform = Some(Ast.Transform(name.toLowerCase,
+                  durMs = argDur, n = arg.map(_.toInt)))))
+            else
+              Right(Ast.Field(Some(name.toLowerCase), inner, None, arg, argDur = argDur))
           }
         } else Right(Ast.Field(None, name, None))
       case t => Left(s"bad field $t")

@@ -360,10 +360,30 @@ object Planner {
         (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
           + bucketOffMs).cast("long")
       def fpCol: Seq[Column] = if (keepFp) Seq(col("fingerprint")) else Nil
-      if (isRaw)
-        timed.select(fpCol ++ Seq(col("timestamp_ms").as("time_ms"), nameOut.as("name"),
-          col("value"), col("labelname"), col("labelvalue"), col("message")): _*)
-      else if (f.func.contains("elapsed")) {
+      if (isRaw) {
+        // transform output is named after the transform (InfluxDB:
+        // difference("v") -> column "difference"); plain raw keeps the
+        // field key
+        val rawName = if (f.transform.isDefined) lit(outName) else nameOut
+        val rawOut = timed.select(fpCol ++ Seq(col("timestamp_ms").as("time_ms"),
+          rawName.as("name"), col("value"), col("labelname"), col("labelvalue"),
+          col("message")): _*)
+        // transform directly over raw points (difference("v"),
+        // derivative("v", 1s), cumulative_sum, moving_average): the same
+        // per-series Tick windows, applied at point granularity
+        f.transform.map { t =>
+          if (t.fn == "holt_winters")
+            throw new IllegalArgumentException(
+              "holt_winters requires an aggregate and GROUP BY time")
+          applyTransform(rawOut, t, bucketMs)
+        }.getOrElse(rawOut)
+      } else if (f.func.isEmpty && f.transform.isDefined) {
+        // transform of a bare field under GROUP BY time: InfluxDB requires
+        // an aggregate inside the call — explicit error, not a silent mean
+        throw new IllegalArgumentException(
+          s"${f.transform.get.fn} over a bare field requires no GROUP BY time " +
+            "(or wrap the field in an aggregate)")
+      } else if (f.func.contains("elapsed")) {
         // elapsed("v"[, unit]): truncated time delta between consecutive
         // RAW points of each series, emitted at the later point (InfluxQL;
         // default unit 1ms). One per-series window, no global sort.

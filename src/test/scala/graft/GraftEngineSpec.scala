@@ -453,6 +453,26 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(bad.contains(""""error""""), bad)
   }
 
+  test("transform directly over raw points: difference, derivative") {
+    val e = newEngine()
+    e.write("dbtr",
+      """m,host=a u=10 1735689540000000000
+        |m,host=a u=25 1735689550000000000
+        |m,host=a u=20 1735689560000000000""".stripMargin)
+    val d = e.query("dbtr",
+      """SELECT difference("u") FROM "m" WHERE time > now() - 10m""")
+    assert(d.contains("[1735689550000,15]") && d.contains("[1735689560000,-5]"), d)
+    assert(d.contains(""""columns":["time","difference"]"""), d)
+    // derivative per second: 15 over 10s -> 1.5
+    val dv = e.query("dbtr",
+      """SELECT derivative("u", 1s) FROM "m" WHERE time > now() - 10m""")
+    assert(dv.contains("[1735689550000,1.5]"), dv)
+    // bare-field transform under GROUP BY time errors explicitly
+    val bad = e.query("dbtr",
+      """SELECT difference("u") FROM "m" WHERE time > now() - 10m GROUP BY time(1m)""")
+    assert(bad.contains(""""error""""), bad)
+  }
+
   test("OR-group of tag predicates selects the union of matching series") {
     val e = newEngine()
     e.write("dbor",
