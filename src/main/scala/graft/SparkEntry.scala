@@ -358,6 +358,12 @@ object SparkEntry {
     "ts_select_fn_holt" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT holt_winters(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_ema" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT exponential_moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_sample" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT sample("value", 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
     "ts_select_fn_nnd" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT non_negative_derivative(mean("value"), 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
@@ -530,6 +536,53 @@ object SparkEntry {
         .agg(sum("rev_c").as("revenue_fp"))
         .orderBy(col("revenue_fp").desc, col("n_name"))
     }),
+    "olap_q10_returns" -> ((s, dir) => {
+      // TPC-H Q10 shape: returned-item revenue per customer in a quarter.
+      // Dim chain (nation) broadcasts; lineitem is filtered on returnflag
+      // at the scan; customer⋈orders⋈lineitem shuffle on the join keys;
+      // final top-20 is TakeOrderedAndProject, no global sort. Revenue is
+      // per-row fixed-point then an exact long sum.
+      val nat = s.read.parquet(s"$dir/nation.parquet").select("n_nationkey", "n_name")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .select("o_orderkey", "o_custkey")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum("rev_c").as("revenue_fp"))
+        .orderBy(col("revenue_fp").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "olap_running_revenue" -> ((s, dir) => {
+      // cumulative monthly revenue per order priority: windowed running
+      // sum over exact fixed-point longs; partitions = priorities (5),
+      // rows per partition = months — a bounded window even at 100 TB
+      // because the agg collapses to (priority × month) BEFORE the window
+      val monthly = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy("ym")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      monthly.withColumn("cum_rev_fp", sum("rev_fp").over(w))
+        .orderBy("o_orderpriority", "ym")
+    }),
+    "sketch_cms_heavy" -> ((s, dir) =>
+      Sketches.cmsHeavyUsers(EventsAdapter.events(s, dir))),
+    "sketch_bloom_probe" -> ((s, dir) =>
+      Sketches.bloomProbe(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))),
+    "emb_matryoshka" -> ((s, dir) => Similarity.matryoshka(emb(s, dir))),
     "olap_top_users_per_type" -> ((s, dir) => {
       val totals = EventsAdapter.events(s, dir)
         .groupBy("event_type", "user_id")
@@ -554,6 +607,9 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => EventOps.funnel(EventsAdapter.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.retention(EventsAdapter.events(s, dir))),
     "events_json_extract" -> ((s, dir) => EventOps.jsonExtract(EventsAdapter.events(s, dir))),
+    "events_active_users" -> ((s, dir) => EventOps.activeUsers(EventsAdapter.events(s, dir))),
+    "events_attribution" -> ((s, dir) => EventOps.attribution(EventsAdapter.events(s, dir))),
+    "events_transitions" -> ((s, dir) => EventOps.transitions(EventsAdapter.events(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -563,6 +619,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(docs(s, dir))),
     "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(docs(s, dir))),
     "doc_train_test_split" -> ((s, dir) => Dedup.trainTestSplit(docs(s, dir))),
+    "doc_decontaminate" -> ((s, dir) => TextOps.decontaminate(docs(s, dir))),
+    "doc_hot_ngrams" -> ((s, dir) => TextOps.hotNgrams(docs(s, dir))),
     "doc_vocabulary" -> ((s, dir) => TextOps.vocabulary(docs(s, dir))),
     "doc_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
     "doc_pack_bins" -> ((s, dir) => TextOps.packBins(docs(s, dir))),
@@ -882,6 +940,50 @@ object SparkEntry {
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
          |       '17' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_fn_ema" ->
+      // EMA recurrence replayed by a recursive CTE (same shape as holt):
+      // α = 2/(N+1) = 0.5 for N=3 — binary-exact, so 0.5*x + 0.5*e is the
+      // identical IEEE op sequence as the Spark mapGroups fold
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
+         |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
+         |r(i, e) AS (
+         |  SELECT 1, vs[1] FROM agg
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * vs[i + 1] + 0.5 * e
+         |  FROM r, agg WHERE i + 1 <= len(vs)),
+         |f AS (SELECT tt[i] AS time_ms, CAST(floor(e * 100) AS BIGINT) AS value
+         |      FROM r, agg)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_sample" ->
+      // deterministic sample: N smallest md5(timestamp) per bucket —
+      // both engines hash the same decimal string to the same lowercase
+      // hex, so the pick is identical
+      s"""WITH p AS (
+         |  SELECT epoch_ms(ts) AS time_ms, (epoch_ms(ts) // 21600000) AS b, value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY b ORDER BY md5(CAST(time_ms AS VARCHAR)), time_ms) AS rn
+         |      FROM p),
+         |f AS (SELECT time_ms, CAST(floor(value * 100) AS BIGINT) AS value FROM r WHERE rn <= 4)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_nnd" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
       "CASE WHEN pr IS NOT NULL AND time_ms > pt AND (raw - pr) >= 0 THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
@@ -978,6 +1080,29 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue_fp DESC, n_name""".stripMargin,
+    "olap_q10_returns" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_name, n_name,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_fp
+        |  FROM customer, orders, lineitem, nation
+        |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT * FROM r ORDER BY revenue_fp DESC, c_custkey LIMIT 20""".stripMargin,
+    "olap_running_revenue" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority,
+        |         year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_fp
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, ym, rev_fp,
+        |       CAST(sum(rev_fp) OVER (PARTITION BY o_orderpriority ORDER BY ym
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_fp
+        |FROM m ORDER BY o_orderpriority, ym""".stripMargin,
+    "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
+    "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
+    "emb_matryoshka" -> Similarity.matryoshkaOracle,
     "olap_top_users_per_type" ->
       """WITH t AS (
         |  SELECT event_type, user_id, CAST(floor(sum(value) * 100) AS BIGINT) AS total_c
@@ -998,6 +1123,9 @@ object SparkEntry {
     "events_funnel" -> EventOps.funnelOracle,
     "events_retention" -> EventOps.retentionOracle,
     "events_json_extract" -> EventOps.jsonExtractOracle,
+    "events_active_users" -> EventOps.activeUsersOracle,
+    "events_attribution" -> EventOps.attributionOracle,
+    "events_transitions" -> EventOps.transitionsOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
@@ -1005,6 +1133,8 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.clustersOracle,
     "dedup_keep_best" -> Dedup.keepBestOracle,
     "doc_train_test_split" -> Dedup.trainTestSplitOracle,
+    "doc_decontaminate" -> TextOps.decontaminateOracle,
+    "doc_hot_ngrams" -> TextOps.hotNgramsOracle,
     "doc_vocabulary" -> TextOps.vocabularyOracle,
     "doc_chunk" -> TextOps.chunkOracle,
     "doc_pack_bins" -> TextOps.packBinsOracle,

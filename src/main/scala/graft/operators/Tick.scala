@@ -49,4 +49,36 @@ object Tick {
   def cumulativeSum(sel: DataFrame): DataFrame =
     sel.withColumn("value",
       sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** InfluxQL `exponential_moving_average(agg(field), N)`: EMA with
+    * α = 2/(N+1), seeded by the first point (ema₀ = x₀) — one output per
+    * input point. The recurrence is inherently sequential, so like
+    * [[HoltWinters]] this is the rare typed-mapGroups operator: state is
+    * one double per series, groups are bounded by the query's bucket
+    * count. α is an IEEE division both engines perform identically and
+    * the fold order is the time order in both, so doubles stay
+    * bit-identical vs the oracle's recursive CTE. (InfluxDB additionally
+    * offers warmup-type variants; seed-by-first matches its default
+    * hold period = N semantics only for N=1 — documented divergence.) */
+  def exponentialMovingAverage(sel: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "exponential_moving_average needs a positive window")
+    val spark = sel.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (n + 1)
+    val oneMinus = 1.0 - alpha
+    sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      .as[(Long, String, Double, String, String, String)]
+      .groupByKey(r => (r._2, r._4, r._5, r._6))
+      .flatMapGroups { (key: (String, String, String, String),
+                        it: Iterator[(Long, String, Double, String, String, String)]) =>
+        val (name, ln, lv, msg) = key
+        val pts = it.toVector.sortBy(r => (r._1, r._3))
+        var e = 0.0
+        pts.iterator.zipWithIndex.map { case (p, i) =>
+          e = if (i == 0) p._3 else alpha * p._3 + oneMinus * e
+          (p._1, name, e, ln, lv, msg)
+        }
+      }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+  }
 }

@@ -110,4 +110,87 @@ object EventOps {
       |       max(json_extract(props, '$.k')::BIGINT) AS max_k,
       |       count(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  private val DayMs = 86400000L
+
+  /** Rolling active users: for every day, DAU (distinct users that day)
+    * and trailing-7-day WAU (distinct users in [day-6, day]). Emits every
+    * window-day any event contributes to, including the trailing 6 past
+    * the last event day (still well-defined trailing windows).
+    *
+    * Shape: dedup to (user, day) FIRST — the explode and the distinct
+    * aggregation run over user×day granularity, bounded by users × days,
+    * not raw event volume; the ×7 window explode replaces a self-join
+    * range predicate (which would be a non-equi join Spark can only
+    * nested-loop). One shuffle for the dedup, one for the final agg. */
+  def activeUsers(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr(s"ts_ns div 1000000 div $DayMs").as("day"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+        explode(sequence(col("day"), col("day") + 6)).as("win_day"))
+      .groupBy(col("win_day").as("day"))
+      .agg(
+        countDistinct(when(col("win_day") === col("day"), col("user_id"))).as("dau"),
+        countDistinct("user_id").as("wau7"))
+      .orderBy("day")
+
+  val activeUsersOracle: String =
+    s"""WITH du AS (SELECT DISTINCT user_id, epoch_ms(ts) // $DayMs AS day FROM events),
+       |x AS (SELECT user_id, day, day + t.o AS win_day FROM du, range(0, 7) t(o))
+       |SELECT win_day AS day,
+       |       count(DISTINCT CASE WHEN day = win_day THEN user_id END) AS dau,
+       |       count(DISTINCT user_id) AS wau7
+       |FROM x GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent prior click/view ('none' when the purchase has no prior
+    * touch). The as-of machinery is [[graft.operators.AsOf.latestPrior]] —
+    * one shuffle on user_id, running-last window, no range join. Ordering
+    * key is the ns timestamp (unique per user in the events model), so
+    * the credited touch is exact, not a tie-broken guess. */
+  def attribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"))
+    val touches = events.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_ns"), col("event_type"))
+    graft.operators.AsOf.latestPrior(
+        purchases, touches, Seq("user_id"), "ts_ns", "event_type", "touch")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("touch")
+  }
+
+  val attributionOracle: String =
+    """WITH p AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type FROM events
+      |      WHERE event_type IN ('click', 'view'))
+      |SELECT coalesce(t.event_type, 'none') AS touch, count(*) AS n_purchases
+      |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND t.ts_ns <= p.ts_ns
+      |GROUP BY 1 ORDER BY touch""".stripMargin
+
+  /** User-path transitions: counts of consecutive (prev_type → type)
+    * bigrams per user journey — the Markov-chain edge weights of product
+    * flow analysis. One window shuffle on user_id (ordered by the unique
+    * (ts_ns, event_id) key), then a plain hash aggregate. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val transitionsOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type, count(*) AS n
+      |FROM s WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
 }

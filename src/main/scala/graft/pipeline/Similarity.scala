@@ -273,6 +273,44 @@ object Similarity {
        |         (a, b) -> a + b) AS q_checksum
        |FROM s ORDER BY vec_id""".stripMargin
 
+  // ---- matryoshka truncation ---------------------------------------------
+
+  /** Matryoshka dimensionality reduction: keep the first 16 components,
+    * L2-renormalize — the "truncate an MRL-trained embedding" shape.
+    * Output is (vec_id, prefix-norm, position-weighted checksum of the
+    * renormalized fixed-point components): verifies every component
+    * without shipping the array. Narrow per-row projection, no shuffle;
+    * both the norm fold and the checksum fold run in ascending index
+    * order in both engines (bit-identical doubles). */
+  val MatDim = 16
+
+  def matryoshka(emb: DataFrame): DataFrame = {
+    val p = slice(col("embedding").cast("array<double>"), 1, MatDim)
+    val nrm = sqrt(aggregate(p, lit(0.0), (a, x) => a + x * x))
+    emb.select(
+        col("vec_id"),
+        floor(nrm * 1e6).cast("long").as("norm_fp"),
+        aggregate(
+          zip_with(
+            transform(p, x => floor(x / nrm * 1e6).cast("long")),
+            sequence(lit(1), lit(MatDim)), (c, d) => c * d),
+          lit(0L), (acc, x) => acc + x).as("m_checksum"))
+      .orderBy("vec_id")
+  }
+
+  val matryoshkaOracle: String =
+    s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:$MatDim] AS p FROM embeddings),
+       |n AS (SELECT vec_id, p,
+       |             sqrt(list_reduce(list_prepend(0.0::DOUBLE, p), (a, x) -> a + x * x)) AS nrm
+       |      FROM e)
+       |SELECT vec_id,
+       |       CAST(floor(nrm * 1e6) AS BIGINT) AS norm_fp,
+       |       list_reduce(
+       |         list_transform(range(1, ${MatDim + 1}),
+       |           d -> CAST(floor(p[d] / nrm * 1e6) AS BIGINT) * d),
+       |         (a, b) -> a + b) AS m_checksum
+       |FROM n ORDER BY vec_id""".stripMargin
+
   // ---- label centroids & kNN classification ------------------------------
 
   /** Per-label centroid, emitted as exploded (label, pos, mean_fp) rows —

@@ -102,4 +102,126 @@ object Sketches {
        |FROM f JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users
        |             FROM events GROUP BY event_type) x USING (event_type)
        |ORDER BY event_type""".stripMargin
+
+  // ---- Count-Min sketch: heavy hitters ----------------------------------
+
+  val CmsDepth = 4
+  val CmsWidth = 512
+  /** Heavy-hitter threshold: estimated event count ≥ this. */
+  val CmsThreshold = 80L
+
+  /** Count-Min heavy hitters over per-user event counts: build a d×w
+    * counter matrix (d independent md5-seeded hashes), estimate each
+    * candidate as min over its d buckets, report users whose ESTIMATE
+    * crosses the threshold next to their exact count (CMS guarantees
+    * est ≥ exact, so no true heavy hitter is missed — the overcount is
+    * visible in the output).
+    *
+    * Scale shape: the matrix build is `groupBy(row, bucket).count` —
+    * map-side combinable, shuffle cardinality d×w = 2048 cells TOTAL
+    * regardless of input size (the whole point of the sketch at 100 TB).
+    * The candidate probe joins d rows per candidate against the 2048-cell
+    * matrix — broadcast. Candidates here = distinct users (the driver
+    * gate needs a total answer); in production the candidate stream would
+    * be a sampled pass, the matrix unchanged. */
+  def cmsHeavyUsers(ev: DataFrame): DataFrame = {
+    val rows = ev.select(col("user_id").cast("string").as("u"))
+    val cells = rows
+      .select(col("u"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .select(col("d"),
+        pmod(baseHash(concat_ws(":", col("d"), col("u"))), lit(CmsWidth)).as("bucket"))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val exact = rows.groupBy("u").agg(count(lit(1)).as("exact_n"))
+    val probes = exact.select(col("u"), col("exact_n"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .select(col("u"), col("exact_n"), col("d"),
+        pmod(baseHash(concat_ws(":", col("d"), col("u"))), lit(CmsWidth)).as("bucket"))
+    probes.join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy("u", "exact_n").agg(min("c").as("est_n"))
+      .filter(col("est_n") >= CmsThreshold)
+      .select(col("u").cast("long").as("user_id"), col("est_n"), col("exact_n"))
+      .orderBy("user_id")
+  }
+
+  val cmsHeavyUsersOracle: String = {
+    val h = baseHashSql("(t.d || ':' || u)")
+    s"""WITH rows_ AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+       |cells AS (
+       |  SELECT t.d, $h % $CmsWidth AS bucket, count(*) AS c
+       |  FROM rows_, range(0, $CmsDepth) t(d) GROUP BY 1, 2),
+       |exact AS (SELECT u, count(*) AS exact_n FROM rows_ GROUP BY 1),
+       |probes AS (
+       |  SELECT u, exact_n, t.d, $h % $CmsWidth AS bucket
+       |  FROM exact, range(0, $CmsDepth) t(d)),
+       |est AS (
+       |  SELECT u, exact_n, min(c) AS est_n
+       |  FROM probes JOIN cells USING (d, bucket) GROUP BY 1, 2)
+       |SELECT CAST(u AS BIGINT) AS user_id, est_n, exact_n
+       |FROM est WHERE est_n >= $CmsThreshold ORDER BY user_id""".stripMargin
+  }
+
+  // ---- Bloom filter: membership probe ------------------------------------
+
+  val BloomBits = 4096
+  val BloomK = 3
+  /** Offset that turns every real key into a guaranteed-absent probe. */
+  val BloomAbsentOffset = 1000000L
+
+  /** Bloom-filter membership summary: build a 4096-bit filter (k=3
+    * md5-seeded hashes) over customer keys, probe it with every order's
+    * custkey (all true members) AND the same keys shifted by 1e6 (all
+    * non-members), and report the 2×2 (is_member, bloom_hit) contingency
+    * counts — false-positive behavior measured, false negatives provably
+    * zero.
+    *
+    * Scale shape: the filter is the groupBy-distinct of k positions per
+    * build key — ≤ 4096 rows however large the build side; probes stream
+    * through a broadcast join on position (the classic use: replace a
+    * shuffle semi-join of a 100 TB fact against a dimension with a
+    * broadcast bit-set pre-filter that discards most rows scan-side). */
+  def bloomProbe(customer: DataFrame, orders: DataFrame): DataFrame = {
+    def positions(key: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      pmod(baseHash(concat_ws(":", d, key.cast("string"))), lit(BloomBits))
+    val bits = customer
+      .select(col("c_custkey"), explode(sequence(lit(0), lit(BloomK - 1))).as("d"))
+      .select(positions(col("c_custkey"), col("d")).as("pos"))
+      .distinct()
+    val probes = orders.select(col("o_custkey")).distinct()
+      .select(explode(array(col("o_custkey"), col("o_custkey") + BloomAbsentOffset)).as("key"))
+      .withColumn("is_member", col("key") < BloomAbsentOffset)
+    val hits = probes
+      .select(col("key"), col("is_member"),
+        explode(sequence(lit(0), lit(BloomK - 1))).as("d"))
+      .select(col("key"), col("is_member"), positions(col("key"), col("d")).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy("key", "is_member").agg(count(lit(1)).as("nhit"))
+    probes.join(hits, Seq("key", "is_member"), "left")
+      .withColumn("bloom_hit", coalesce(col("nhit"), lit(0L)) === BloomK)
+      .groupBy("is_member", "bloom_hit").agg(count(lit(1)).as("n"))
+      .orderBy("is_member", "bloom_hit")
+  }
+
+  val bloomProbeOracle: String = {
+    val hc = baseHashSql("(t.d || ':' || CAST(c_custkey AS VARCHAR))")
+    val hp = baseHashSql("(t.d || ':' || CAST(key AS VARCHAR))")
+    s"""WITH bits AS (
+       |  SELECT DISTINCT $hc % $BloomBits AS pos
+       |  FROM customer, range(0, $BloomK) t(d)),
+       |probes AS (
+       |  SELECT u.key, u.key < $BloomAbsentOffset AS is_member
+       |  FROM (SELECT DISTINCT o_custkey FROM orders) o,
+       |       unnest([o.o_custkey, o.o_custkey + $BloomAbsentOffset]) u(key)),
+       |ph AS (
+       |  SELECT key, is_member, t.d, $hp % $BloomBits AS pos
+       |  FROM probes, range(0, $BloomK) t(d)),
+       |hits AS (
+       |  SELECT key, is_member, count(*) AS nhit
+       |  FROM ph WHERE pos IN (SELECT pos FROM bits)
+       |  GROUP BY 1, 2),
+       |flags AS (
+       |  SELECT p.is_member, coalesce(h.nhit, 0) = $BloomK AS bloom_hit
+       |  FROM probes p LEFT JOIN hits h USING (key, is_member))
+       |SELECT is_member, bloom_hit, count(*) AS n
+       |FROM flags GROUP BY 1, 2 ORDER BY is_member, bloom_hit""".stripMargin
+  }
 }

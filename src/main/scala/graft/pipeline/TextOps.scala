@@ -382,4 +382,88 @@ object TextOps {
        |  FROM tf JOIN df USING (token))
        |SELECT doc_id, token, tf, df, score, rnk FROM s
        |WHERE rnk <= $TfIdfTopK ORDER BY doc_id, rnk""".stripMargin
+
+  // ---- operator: benchmark decontamination -------------------------------
+
+  /** Word k-grams as space-joined strings (generalized [[shingles]]):
+    * empty array below k tokens (same descending-sequence guard). */
+  def kgrams(w: Column, k: Int): Column =
+    when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of [[kgrams]]: list slice + array_to_string. */
+  def kgramsSql(w: String, k: Int): String =
+    s"list_transform(range(1, len($w) - ${k - 2}), i -> array_to_string($w[i:i+${k - 1}], ' '))"
+
+  /** Decontamination n-gram width — 13, the published Gopher/GPT-3 rule. */
+  val DecontamK = 13
+  /** Benchmark membership: doc_id ≡ 0 (mod 7) plays the held-out
+    * benchmark set in the synthetic corpus. */
+  val BenchMod = 7L
+
+  /** Training-set decontamination (Gopher/GPT-3 style): a train doc is
+    * contaminated when it shares at least one 13-token n-gram with any
+    * benchmark doc. Output: (doc_id, n_shared) per contaminated train
+    * doc, n_shared = distinct shared 13-gram hashes.
+    *
+    * Scale shape: benchmark suites are fixed-size (MB, not TB), so the
+    * benchmark gram set is explicitly `broadcast` — the train side
+    * streams through a broadcast hash semi-join with NO shuffle of the
+    * 100 TB side; the only exchange is the final per-doc count. */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(transform(kgrams(tokens(col("text")), DecontamK), g => baseHash(g))).as("h"))
+    val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
+      .select("h").distinct()
+    grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(benchGrams), "h")
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateOracle: String = {
+    val hs = s"list_transform(${kgramsSql("w", DecontamK)}, g -> ${baseHashSql("g")})"
+    s"""WITH g AS (
+       |  SELECT doc_id, u.h
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest($hs) u(h)),
+       |b AS (SELECT DISTINCT h FROM g WHERE doc_id % $BenchMod = 0)
+       |SELECT doc_id, count(DISTINCT g.h) AS n_shared
+       |FROM g JOIN b USING (h)
+       |WHERE doc_id % $BenchMod != 0
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- operator: template/boilerplate span detection ----------------------
+
+  /** Corpus-level hot n-gram mining: the 20 most document-frequent
+    * 8-grams (boilerplate/template spans repeated across documents), df =
+    * distinct docs containing the gram, ties → lexicographically smaller
+    * gram. The cross-document complement of [[repetition]].
+    *
+    * Shape: explode → per-(gram) distinct-doc count (two hash aggregates,
+    * map-side partial) → TakeOrderedAndProject top-k, never a global
+    * sort of the gram relation. */
+  val HotK = 8
+  val HotTopN = 20
+
+  def hotNgrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(kgrams(tokens(col("text")), HotK)).as("gram"))
+      .distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(HotTopN)
+
+  val hotNgramsOracle: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id, u.gram
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d,
+       |       unnest(${kgramsSql("w", HotK)}) u(gram))
+       |SELECT gram, count(*) AS df FROM g
+       |GROUP BY 1 ORDER BY df DESC, gram LIMIT $HotTopN""".stripMargin
 }

@@ -358,7 +358,8 @@ object InfluxQlParser {
     * `transform(agg("field")[, arg])` (InfluxQL function-of-function). */
   private val TransformFns = Set(
     "derivative", "non_negative_derivative", "difference",
-    "moving_average", "cumulative_sum", "holt_winters")
+    "moving_average", "cumulative_sum", "holt_winters",
+    "exponential_moving_average")
 
   // transform(func("name")[, dur|n]) | func("name"[, num]) [AS a] | "name" | *
   /** Unary math transformations (InfluxQL surface); `pow` takes a numeric

@@ -216,7 +216,7 @@ object Planner {
     * Shapes whose output rows don't carry a per-series fingerprint are
     * rejected explicitly (surfaced as per-statement errors). */
   def planSelectInto(spark: SparkSession, s: Ast.Select, cat: TsCatalog, nowMs: Long): DataFrame = {
-    val selectors = Set("top", "bottom", "elapsed", "integral", "distinct", "mode")
+    val selectors = Set("top", "bottom", "elapsed", "integral", "distinct", "mode", "sample")
     if (s.fields.exists(_.transform.isDefined))
       throw new IllegalArgumentException("INTO does not support window transforms")
     if (s.fields.exists(_.expr.isDefined))
@@ -353,7 +353,7 @@ object Planner {
       // selector (top/bottom/elapsed/integral) is an explicit error, not
       // a silent drop
       if (f.transform.isDefined &&
-          f.func.exists(Set("top", "bottom", "elapsed", "integral", "distinct", "mode")))
+          f.func.exists(Set("top", "bottom", "elapsed", "integral", "distinct", "mode", "sample")))
         throw new IllegalArgumentException(
           s"${f.transform.get.fn} cannot wrap selector ${f.func.get}")
       def bucketStart: Column =
@@ -459,6 +459,25 @@ object Planner {
           .select(col("time_ms"), nameOut.as("name"),
             (-col("__b.__negv")).cast("double").as("value"),
             col("labelname"), col("labelvalue"), col("message"))
+      } else if (f.func.contains("sample")) {
+        // sample("v", N): N points per bucket per series at their own
+        // timestamps. InfluxDB picks via reservoir sampling (random,
+        // unreproducible); we take the N smallest md5(timestamp) — a
+        // deterministic uniform-spread pick any engine can replay
+        // (documented divergence). Same row_number window shape as
+        // top/bottom: partitions are series × buckets, no global sort.
+        val n = f.arg.map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("sample needs a point count"))
+        val bucketed = timed.withColumn("__bucket",
+          if (s.groupByTimeMs.isDefined) bucketStart else lit(0L))
+        val partCols = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
+          Seq(col("__bucket"), col("name"), col("labelname"), col("labelvalue"), col("message"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(partCols: _*)
+          .orderBy(md5(col("timestamp_ms").cast("string")), col("timestamp_ms"))
+        bucketed.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+          .select(col("timestamp_ms").as("time_ms"), nameOut.as("name"), col("value"),
+            col("labelname"), col("labelvalue"), col("message"))
       } else if (f.func.exists(fn => fn == "top" || fn == "bottom")) {
         // top/bottom SELECTORS (InfluxQL): N extreme POINTS per bucket per
         // series, emitted at their own timestamps. Without GROUP BY time
@@ -515,7 +534,7 @@ object Planner {
           // ops, fully codegen'd. FILL applies per leaf BEFORE pairing,
           // so fill(0) arithmetic sees the gap rows.
           val leaves = Ast.FExpr.leaves(tree)
-          val banned = Set("top", "bottom", "elapsed", "integral", "distinct", "mode")
+          val banned = Set("top", "bottom", "elapsed", "integral", "distinct", "mode", "sample")
           leaves.find(_.func.exists(banned)).foreach { lf =>
             throw new IllegalArgumentException(
               s"${lf.func.get} cannot appear in arithmetic") }
@@ -603,6 +622,10 @@ object Planner {
       graft.operators.Tick.movingAverage(sel,
         t.n.getOrElse(throw new IllegalArgumentException("moving_average needs a window size")))
     case "cumulative_sum" => graft.operators.Tick.cumulativeSum(sel)
+    case "exponential_moving_average" =>
+      graft.operators.Tick.exponentialMovingAverage(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "exponential_moving_average needs a window size")))
     case other => throw new IllegalArgumentException(s"unsupported transform: $other")
   }
 

@@ -283,4 +283,15 @@ class InfluxQlParserSpec extends AnyFunSuite {
       .asInstanceOf[Ast.Select].fields.head
     assert(ff.name === "a_b")
   }
+
+  test("sample selector and exponential_moving_average transform parse") {
+    val s = parseOk("""SELECT sample("value", 4) FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(s.func.contains("sample") && s.arg.contains(4.0))
+    val e = parseOk(
+      """SELECT exponential_moving_average(mean("v"), 3) FROM "m" WHERE time > now() - 1h GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(e.func.contains("mean"))
+    assert(e.transform.exists(t => t.fn == "exponential_moving_average" && t.n.contains(3)))
+  }
 }

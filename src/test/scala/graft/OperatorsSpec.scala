@@ -68,4 +68,17 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).toSeq
     assert(ma === Seq(10.0, 12.5, 13.5))
   }
+
+  test("exponential moving average: seeded by first point, α=0.5 recurrence") {
+    import spark.implicits._
+    val sel = Seq(
+      (1000L, "value", 10.0, "h", "a", ""),
+      (2000L, "value", 20.0, "h", "a", ""),
+      (3000L, "value", 30.0, "h", "a", ""))
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+    val ema = Tick.exponentialMovingAverage(sel, 3) // α = 2/4 = 0.5
+      .orderBy("time_ms").select("value").collect().map(_.getDouble(0)).toSeq
+    // e1=10; e2=0.5*20+0.5*10=15; e3=0.5*30+0.5*15=22.5
+    assert(ema === Seq(10.0, 15.0, 22.5))
+  }
 }

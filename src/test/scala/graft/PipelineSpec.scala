@@ -143,4 +143,68 @@ class PipelineSpec extends AnyFunSuite {
     val b = TextOps.fingerprint(docs).collect().toSeq
     assert(a === b)
   }
+
+  test("active users: wau7 >= dau, and day-0 wau equals dau of the first day") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val rows = EventOps.activeUsers(ev).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("wau7") >= r.getAs[Long]("dau")))
+    // the first window-day has exactly one contributing day → wau7 == dau
+    val first = rows.minBy(_.getAs[Long]("day"))
+    assert(first.getAs[Long]("wau7") === first.getAs[Long]("dau"))
+  }
+
+  test("attribution credits every purchase exactly once") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val total = EventOps.attribution(ev).agg(sum("n_purchases")).head.getLong(0)
+    assert(total === ev.filter(col("event_type") === "purchase").count())
+  }
+
+  test("transitions: bigram counts sum to events minus one per active user") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val total = EventOps.transitions(ev).agg(sum("n")).head.getLong(0)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(total === expected)
+  }
+
+  test("decontamination flags exactly the docs sharing a 13-gram with the benchmark split") {
+    val out = TextOps.decontaminate(docs).collect()
+    // no benchmark doc may appear in the output, and n_shared >= 1
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % TextOps.BenchMod !== 0L)
+      assert(r.getAs[Long]("n_shared") >= 1L)
+    }
+  }
+
+  test("hot ngrams: df descending, within corpus doc count") {
+    val n = docs.count()
+    val rows = TextOps.hotNgrams(docs).collect()
+    assert(rows.length <= TextOps.HotTopN)
+    val dfs = rows.map(_.getAs[Long]("df")).toSeq
+    assert(dfs === dfs.sorted.reverse)
+    dfs.foreach(d => assert(d >= 1 && d <= n))
+  }
+
+  test("CMS estimate never undercounts (one-sided error)") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    Sketches.cmsHeavyUsers(ev).collect().foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n"))
+    }
+  }
+
+  test("bloom probe: zero false negatives, members all hit") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val rows = Sketches.bloomProbe(cust, ord).collect()
+    // every (is_member=true) row must have bloom_hit=true
+    rows.filter(_.getAs[Boolean]("is_member")).foreach { r =>
+      assert(r.getAs[Boolean]("bloom_hit"), "bloom false negative")
+    }
+  }
+
+  test("matryoshka renormalized checksum is stable and norms positive") {
+    val rows = Similarity.matryoshka(emb).collect()
+    assert(rows.length === emb.count())
+    rows.foreach(r => assert(r.getAs[Long]("norm_fp") > 0))
+  }
 }
