@@ -300,6 +300,8 @@ object SparkEntry {
       influx(s, dir, """SHOW TAG VALUES FROM "events" WITH KEY =~ /^u/""")),
     "ts_show_fieldkey_cardinality" -> ((s, dir) =>
       influx(s, dir, "SHOW FIELD KEY EXACT CARDINALITY FROM \"events\"")),
+    "ts_show_tagvalues_cardinality" -> ((s, dir) =>
+      influx(s, dir, "SHOW TAG VALUES EXACT CARDINALITY FROM \"events\"")),
     "ts_show_tagkey_cardinality" -> ((s, dir) =>
       influx(s, dir, "SHOW TAG KEY EXACT CARDINALITY FROM \"events\"")),
 
@@ -336,6 +338,9 @@ object SparkEntry {
     "ts_select_bucket_offset" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h, 30m)"""))),
+    "ts_select_tz_day" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1d) tz('America/Chicago')"""))),
     "ts_select_integral" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT integral("value", 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
@@ -828,6 +833,12 @@ object SparkEntry {
         |FROM events ORDER BY key, value""".stripMargin,
     "ts_show_fieldkey_cardinality" -> """SELECT CAST(1 AS BIGINT) AS "count"""",
     "ts_show_tagkey_cardinality" -> """SELECT CAST(2 AS BIGINT) AS "count"""",
+    "ts_show_tagvalues_cardinality" ->
+      """SELECT * FROM (
+        |  SELECT 'event_type' AS key, count(DISTINCT event_type) AS count FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(DISTINCT user_id) FROM events)
+        |ORDER BY key""".stripMargin,
     "ts_select_tag_neq" ->
       tsSelectOracle("avg(value)", 21600000L, extraWhere = "AND event_type <> 'click'"),
     "ts_select_tag_regex" ->
@@ -835,6 +846,25 @@ object SparkEntry {
         extraWhere = "AND regexp_matches(event_type, '^(cl|pu)')"),
     "ts_select_top" -> selectorOracle(21600000L, 3, "DESC"),
     "ts_select_bottom" -> selectorOracle(21600000L, 2, "ASC"),
+    "ts_select_tz_day" ->
+      // local-midnight day buckets: UTC instant → Chicago wall clock →
+      // floor to day → back to the UTC instant of that local midnight
+      s"""WITH g AS (
+         |  SELECT epoch_ms(timezone('UTC',
+         |           timezone('America/Chicago', make_timestamp(
+         |             ((epoch_ms(timezone('America/Chicago', timezone('UTC', ts)))
+         |               // 86400000) * 86400000) * 1000)))) AS time_ms,
+         |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM g
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM g
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_bucket_offset" ->
       s"""WITH g AS (
          |  SELECT ((epoch_ms(ts) - 1800000) // 3600000) * 3600000 + 1800000 AS time_ms,

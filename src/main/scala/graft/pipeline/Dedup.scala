@@ -75,7 +75,11 @@ object Dedup {
   /** Exact word-3-gram Jaccard near-dup pairs (jac >= 0.8), candidate
     * pairs blocked by sharing at least one shingle. Output (i, j, jac_fp). */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
+    // materialize the shingle relation once: it feeds the self-join
+    // (twice) and the count side — without this, the tokenize + md5 +
+    // explode lineage recomputes per consumer. At 100 TB the same
+    // relation would be a checkpoint/persisted table.
+    val sh = shingleRows(docs).localCheckpoint(true)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -123,12 +127,18 @@ object Dedup {
     * 8 fixed-width rows, never the shingle set; the verify join touches
     * only candidate pairs. */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs).withColumn("hp", col("h") % P)
+    // shingles feed the signature build AND the verify self-join AND the
+    // set-size counts — materialize once (6 consumers otherwise re-run
+    // the tokenize+hash+explode lineage; this one call took 13 s/query
+    // at sf0.1 before, 6x the materialized cost)
+    val sh = shingleRows(docs).withColumn("hp", col("h") % P).localCheckpoint(true)
     val sigCols = (0 until NumPerms).map { i =>
       // hp (< P < 2^31) keeps hp * permA inside signed-64 range
       min((col("hp") * permA(i) + permB(i)) % P).as(s"sig$i")
     }
+    // signatures are consumed by both sides of the band self-join
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint(true)
     val bandStructs = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bv"))
@@ -207,9 +217,13 @@ object Dedup {
         explode(sequence(lit(0), lit(SimBits - 1))).as("b"))
       .groupBy("doc_id", "b")
       .agg(sum(col("cnt") * (expr("(h >> b) & 1") * 2 - 1)).as("s"))
+    // one 64-bit signature per doc, consumed by BOTH sides of the band
+    // self-join — materialize so the 64-way bit explode + two aggregations
+    // run once, not twice
     val sims = bits.groupBy("doc_id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 AS bigint), b)"))
         .otherwise(0L)).as("sim"))
+      .localCheckpoint(true)
     val bandStructs = (0 until SimBands).map { b =>
       struct(lit(b).as("band"),
         expr(s"(sim >> ${b * SimBandBits}) & ${(1L << SimBandBits) - 1}").as("bv"))

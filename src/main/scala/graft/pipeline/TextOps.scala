@@ -220,6 +220,11 @@ object TextOps {
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .withColumn("pid", spark_partition_id())
+      // materialized once: phase 1 collects per-partition totals and
+      // phase 2 re-reads the same rows — and partition ids MUST come from
+      // one physical materialization anyway (a recompute could range-
+      // sample differently and shift doc→pid assignment between phases)
+      .localCheckpoint(true)
     // phase 1: one total per partition (tiny), prefix-scanned on the driver
     val totals = toks.groupBy("pid").agg(sum("n").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -121,7 +121,10 @@ object Ast {
       /** Parenthesized OR-groups of tag predicates (extension):
         * `("host" = 'a' OR "host" = 'b')` — AND across groups, OR within
         * a group. */
-      tagOrGroups: Seq[Seq[TagFilter]] = Nil
+      tagOrGroups: Seq[Seq[TagFilter]] = Nil,
+      /** tz('Zone/Name') trailing clause: GROUP BY time buckets align to
+        * local wall-clock boundaries in the zone (InfluxQL surface). */
+      tz: Option[String] = None
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement
@@ -148,6 +151,11 @@ object Ast {
   /** SHOW MEASUREMENT / FIELD KEY / TAG KEY [EXACT] CARDINALITY
     * (extension); kind ∈ measurement | field_key | tag_key. */
   final case class ShowCardinality(kind: String, from: Option[TableRef]) extends Statement
+  /** SHOW TAG VALUES [EXACT] CARDINALITY [FROM m] [WITH KEY …]: distinct
+    * value count PER tag key (InfluxDB reports one total; per-key is the
+    * more informative superset — documented divergence). */
+  final case class ShowTagValuesCardinality(from: Option[TableRef],
+                                            keys: Seq[String]) extends Statement
   final case class CreateSubscription(id: String, db: String, rp: String, dest: String) extends Statement
   /** DROP MEASUREMENT "m" — removes the measurement's data + series
     * metadata (extension: storage lifecycle the reference lacks). */

@@ -340,6 +340,21 @@ object InfluxQlParser {
     val slimit = intClause("SLIMIT") match { case Right(v) => v; case Left(e) => return Left(e) }
     val soffset = intClause("SOFFSET") match { case Right(v) => v; case Left(e) => return Left(e) }
 
+    // tz('Zone/Name') — InfluxQL's trailing timezone clause: GROUP BY
+    // time buckets align to local wall-clock boundaries in that zone
+    var tz: Option[String] = None
+    p.peek match {
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("tz") =>
+        p.next()
+        if (!p.op("(")) return Left("expected ( after tz")
+        p.next() match {
+          case Str(z) => tz = Some(z)
+          case t      => return Left(s"expected zone string in tz(), got $t")
+        }
+        if (!p.op(")")) return Left("expected ) after tz(zone")
+      case _ =>
+    }
+
     p.peek match {
       case Some(Op(")")) if nested => // the enclosing parser consumes it
       case Some(Ident(k, false)) if stopAtEnd && k.equalsIgnoreCase("END") => // CQ body
@@ -351,7 +366,7 @@ object InfluxQlParser {
       tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc,
       offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub,
       groupByTimeOffsetMs = gbOffset, into = into, fieldFilters = fieldFilters.toSeq,
-      tagOrGroups = tagOrGroups.toSeq))
+      tagOrGroups = tagOrGroups.toSeq, tz = tz))
   }
 
   /** Window transforms accepted as the OUTER call of a nested
@@ -686,6 +701,8 @@ object InfluxQlParser {
         val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
         Right(Ast.ShowCardinality("tag_key", from))
       } else if (p.kw("VALUES")) {
+        p.kw("EXACT")
+        val cardinality = p.kw("CARDINALITY")
         val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
         val keys = ArrayBuffer.empty[String]
         var keyRegex: Option[String] = None
@@ -716,7 +733,9 @@ object InfluxQlParser {
             }
           }
         }
-        Right(Ast.ShowTagValues(from, keys.toSeq, keyRegex))
+        Right(
+          if (cardinality) Ast.ShowTagValuesCardinality(from, keys.toSeq)
+          else Ast.ShowTagValues(from, keys.toSeq, keyRegex))
       } else Left("expected KEYS or VALUES after TAG")
     } else Right(Ast.Unsupported(raw))
   }

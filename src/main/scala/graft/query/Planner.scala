@@ -187,6 +187,15 @@ object Planner {
               .agg(countDistinct("measurement", "k").as("count"))
           case other => throw new IllegalArgumentException(s"bad cardinality kind $other")
         }
+      case Ast.ShowTagValuesCardinality(from, keys) =>
+        // distinct value count per tag key over the schema-sized series
+        // index (exact; the scale path for data-sized cardinality is the
+        // HLL sketch in pipeline.Sketches)
+        val pairs = scoped(cat, from)
+          .select(explode(arrays_zip(col("labelname"), col("labelvalue"))).as("lp"))
+          .select(col("lp.labelname").as("key"), col("lp.labelvalue").as("value"))
+        val filtered = if (keys.nonEmpty) pairs.filter(col("key").isin(keys: _*)) else pairs
+        filtered.groupBy("key").agg(countDistinct("value").as("count")).orderBy("key")
       case Ast.ShowRetentionPolicies(_) =>
         // fabricated static response, matching cflux.js:419-448
         import spark.implicits._
@@ -288,6 +297,13 @@ object Planner {
     }
     val samples = cat.measurements.getOrElse(s.from.measurement,
       throw new UnknownMeasurement(s"unknown measurement ${s.from.measurement}"))
+    // tz() composes with the agg/selector bucket paths; FILL's bucket
+    // spine and integral's boundary clipping are UTC-arithmetic — an
+    // explicit error beats silently-UTC buckets under a tz() clause
+    if (s.tz.isDefined && s.fill.isDefined)
+      throw new IllegalArgumentException("tz() with FILL is not supported")
+    if (s.tz.isDefined && s.fields.exists(_.func.contains("integral")))
+      throw new IllegalArgumentException("tz() with integral is not supported")
     val (fromMs, toMs) = resolveTime(s.time, nowMs)
     val bucketMs = s.groupByTimeMs.getOrElse(TimeUnits.MsPerMinute) // 1-min default (cflux.js:749)
     val bucketOffMs = s.groupByTimeOffsetMs // GROUP BY time(x, offset) shift
@@ -356,9 +372,21 @@ object Planner {
           f.func.exists(Set("top", "bottom", "elapsed", "integral", "distinct", "mode", "sample")))
         throw new IllegalArgumentException(
           s"${f.transform.get.fn} cannot wrap selector ${f.func.get}")
-      def bucketStart: Column =
-        (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
-          + bucketOffMs).cast("long")
+      def bucketStart: Column = s.tz match {
+        case None =>
+          (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
+            + bucketOffMs).cast("long")
+        case Some(zone) =>
+          // tz('Zone'): floor on the LOCAL wall-clock epoch, then map the
+          // local bucket start back to a UTC instant — buckets align to
+          // the zone's calendar boundaries, DST-aware (JVM tzdata; the
+          // DuckDB oracle's IANA tables agree on post-1970 zones)
+          val localMs = unix_millis(
+            from_utc_timestamp(timestamp_millis(col("timestamp_ms")), zone))
+          val localBucket = (floor((localMs - bucketOffMs) / bucketMs) * bucketMs
+            + bucketOffMs).cast("long")
+          unix_millis(to_utc_timestamp(timestamp_millis(localBucket), zone))
+      }
       def fpCol: Seq[Column] = if (keepFp) Seq(col("fingerprint")) else Nil
       if (isRaw) {
         // transform output is named after the transform (InfluxDB:
@@ -487,10 +515,7 @@ object Planner {
         val n = f.arg.map(_.toInt).getOrElse(
           throw new IllegalArgumentException(s"${f.func.get} needs a point count"))
         val bucketed = timed.withColumn("__bucket",
-          if (s.groupByTimeMs.isDefined)
-            (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
-              + bucketOffMs).cast("long")
-          else lit(0L))
+          if (s.groupByTimeMs.isDefined) bucketStart else lit(0L))
         val ord =
           if (f.func.contains("top")) Seq(col("value").desc, col("timestamp_ms").asc)
           else Seq(col("value").asc, col("timestamp_ms").asc)
@@ -503,9 +528,7 @@ object Planner {
             col("labelname"), col("labelvalue"), col("message"))
       } else {
         val agged = timed
-          .withColumn("time_ms",
-            (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
-              + bucketOffMs).cast("long"))
+          .withColumn("time_ms", bucketStart)
           // honored GROUP BY tags collapse across series (no fingerprint in
           // the keys); default keeps per-series groups like the reference
           // (A2, cflux.js:766)

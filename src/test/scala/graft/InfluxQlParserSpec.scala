@@ -284,6 +284,19 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(ff.name === "a_b")
   }
 
+  test("tz clause and SHOW TAG VALUES CARDINALITY parse") {
+    val s = parseOk(
+      """SELECT mean("v") FROM "m" WHERE time > now() - 1h GROUP BY time(1d) tz('America/Chicago')""")
+      .asInstanceOf[Ast.Select]
+    assert(s.tz.contains("America/Chicago"))
+    assert(s.groupByTimeMs.contains(86400000L))
+    parseOk("""SHOW TAG VALUES EXACT CARDINALITY FROM "m" WITH KEY = "host"""") match {
+      case Ast.ShowTagValuesCardinality(Some(ref), Seq("host")) =>
+        assert(ref.measurement === "m")
+      case other => fail(s"bad parse: $other")
+    }
+  }
+
   test("sample selector and exponential_moving_average transform parse") {
     val s = parseOk("""SELECT sample("value", 4) FROM "m" WHERE time > now() - 1h""")
       .asInstanceOf[Ast.Select].fields.head
