@@ -626,6 +626,8 @@ object SparkEntry {
     "doc_train_test_split" -> ((s, dir) => Dedup.trainTestSplit(docs(s, dir))),
     "doc_decontaminate" -> ((s, dir) => TextOps.decontaminate(docs(s, dir))),
     "doc_hot_ngrams" -> ((s, dir) => TextOps.hotNgrams(docs(s, dir))),
+    "doc_char_diversity" -> ((s, dir) => TextOps.charDiversity(docs(s, dir))),
+    "emb_dup_clusters" -> ((s, dir) => Dedup.semanticClusters(emb(s, dir))),
     "doc_vocabulary" -> ((s, dir) => TextOps.vocabulary(docs(s, dir))),
     "doc_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
     "doc_pack_bins" -> ((s, dir) => TextOps.packBins(docs(s, dir))),
@@ -1165,6 +1167,8 @@ object SparkEntry {
     "doc_train_test_split" -> Dedup.trainTestSplitOracle,
     "doc_decontaminate" -> TextOps.decontaminateOracle,
     "doc_hot_ngrams" -> TextOps.hotNgramsOracle,
+    "doc_char_diversity" -> TextOps.charDiversityOracle,
+    "emb_dup_clusters" -> Dedup.semanticClustersOracle,
     "doc_vocabulary" -> TextOps.vocabularyOracle,
     "doc_chunk" -> TextOps.chunkOracle,
     "doc_pack_bins" -> TextOps.packBinsOracle,

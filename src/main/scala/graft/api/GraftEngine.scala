@@ -199,6 +199,8 @@ class GraftEngine(
         createDatabase(name); bare
       case Ast.DropMeasurement(m) =>
         dropMeasurement(db, m); bare
+      case Ast.DropSeries(from, filters) =>
+        dropSeries(db, from.map(_.measurement), filters); bare
       case Ast.DeleteFrom(from, bounds) =>
         val now = nowMs() // one reading for both bounds
         val fromMs = bounds.lower
@@ -399,6 +401,53 @@ class GraftEngine(
       fs.delete(idx, true)
       fs.rename(tmp, idx)
     }
+  }
+
+  /** DROP SERIES [FROM m] [WHERE tag = 'v' …]: removes the matching
+    * series' sample rows AND their series-index entries (InfluxDB DROP
+    * SERIES semantics — unlike DELETE, the series disappear from SHOW
+    * SERIES). Victim fingerprints come from the schema-sized series
+    * index (driver-side set, bounded by series cardinality, not data);
+    * sample data is rewritten per hour directory with the victims
+    * filtered out — series-level deletion in a time-partitioned layout
+    * touches every partition by nature (InfluxDB pays the same via
+    * tombstone compaction). */
+  def dropSeries(db: String, measurement: Option[String],
+                 filters: Seq[Ast.TagFilter]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idx = new Path(seriesPath(db))
+    val fs = hadoopFs(idx)
+    if (!fs.exists(idx)) return
+    val index = spark.read.parquet(seriesPath(db))
+    val scoped = measurement.map(m => index.filter(col("measurement") === m))
+      .getOrElse(index)
+    val pred = filters.map(Planner.tagPred).reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val victims = scoped.filter(pred)
+      .select("fingerprint", "measurement").distinct().collect()
+    if (victims.isEmpty) return
+    victims.groupBy(_.getString(1)).foreach { case (m, rows) =>
+      val fps = rows.map(_.getLong(0)).toSeq
+      val base = new Path(s"${samplesPath(db)}/measurement=$m")
+      if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("hour=")) {
+          val tmp = new Path(st.getPath.getParent, "_tmp_" + name)
+          spark.read.parquet(st.getPath.toString)
+            .filter(!col("fingerprint").isin(fps: _*))
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(st.getPath, true)
+          fs.rename(tmp, st.getPath)
+        }
+      }
+    }
+    val fpAll = victims.map(_.getLong(0)).toSeq
+    val tmp = new Path(seriesPath(db) + "_tmp")
+    spark.read.parquet(seriesPath(db))
+      .filter(!col("fingerprint").isin(fpAll: _*))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(idx, true)
+    fs.rename(tmp, idx)
   }
 
   /** DELETE FROM … WHERE time: hour partitions fully inside the range are

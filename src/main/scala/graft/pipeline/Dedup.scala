@@ -290,8 +290,18 @@ object Dedup {
   /** Core of [[clusters]]: (doc_id, cluster_id) via distributed min-label
     * propagation, without the n_members window (callers that aggregate
     * per cluster — [[keepBest]] — skip the window sort entirely). */
-  private def labelDf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private def labelDf(docs: DataFrame): DataFrame =
+    propagateClusters(ngramJaccard(docs).select("i", "j"), docs.select("doc_id"))
+
+  /** Generic distributed connected components by min-label propagation:
+    * `pairs` is an undirected (i, j) edge list; `nodes` (single id column)
+    * supplies the universe — ids touching no edge come back as singleton
+    * clusters. Output columns: (<nodes' id column>, cluster_id). Shared by
+    * the text near-dup clustering and the embedding semantic-dup
+    * clustering. */
+  private[pipeline] def propagateClusters(pairsDf: DataFrame, nodes: DataFrame): DataFrame = {
+    val idName = nodes.columns.head
+    val spark = pairsDf.sparkSession
     import spark.implicits._
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
@@ -310,7 +320,7 @@ object Dedup {
     // edge count, co-partitions edges and labels so each round's joins
     // are narrow (the only per-round shuffle is the small reduceByKey of
     // freshly-propagated labels).
-    val pairs = ngramJaccard(docs).select("i", "j").as[(Long, Long)].rdd
+    val pairs = pairsDf.as[(Long, Long)].rdd
     val both = pairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = both.count()
@@ -338,10 +348,10 @@ object Dedup {
     }
     require(converged, s"label propagation did not converge in $iter rounds")
     edges.unpersist(blocking = false)
-    val connected = labels.toDF("doc_id", "cluster_id")
-    val singletons = docs.select("doc_id")
-      .join(connected.select("doc_id"), Seq("doc_id"), "left_anti")
-      .withColumn("cluster_id", col("doc_id"))
+    val connected = labels.toDF(idName, "cluster_id")
+    val singletons = nodes
+      .join(connected.select(idName), Seq(idName), "left_anti")
+      .withColumn("cluster_id", col(idName))
     connected.unionByName(singletons)
   }
 
@@ -480,5 +490,34 @@ object Dedup {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE floor($dot / (${nrm("a")} * ${nrm("b")}) * 1e6) >= $CosineThresholdFp
        |ORDER BY i, j""".stripMargin
+  }
+
+  /** Semantic-duplicate clusters: connected components over the
+    * embedding-cosine near-dup edges — [[propagateClusters]] applied to
+    * [[cosinePairs]] exactly as text clustering applies it to
+    * [[ngramJaccard]]. Output (vec_id, cluster_id, n_members). */
+  def semanticClusters(emb: DataFrame): DataFrame =
+    propagateClusters(cosinePairs(emb).select("i", "j"), emb.select("vec_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .orderBy("vec_id")
+
+  val semanticClustersOracle: String = {
+    val dot = "list_reduce(list_transform(range(1, 65), d -> a.v[d] * b.v[d]), (x, y) -> x + y)"
+    val nrm = (t: String) => s"sqrt(list_reduce(list_transform(range(1, 65), d -> $t.v[d] * $t.v[d]), (x, y) -> x + y))"
+    s"""WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j
+       |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+       |  WHERE floor($dot / (${nrm("a")} * ${nrm("b")}) * 1e6) >= $CosineThresholdFp),
+       |e AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+       |r(vec_id, lab) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.vec_id, e.b FROM r JOIN e ON e.a = r.lab),
+       |lbl AS (SELECT vec_id, min(lab) AS cluster_id FROM r GROUP BY vec_id)
+       |SELECT vec_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM lbl ORDER BY vec_id""".stripMargin
   }
 }

@@ -464,6 +464,38 @@ object TextOps {
       .orderBy(col("df").desc, col("gram"))
       .limit(HotTopN)
 
+  // ---- operator: character-diversity scoring ------------------------------
+
+  /** Char-bigram diversity (perplexity proxy without floats): Simpson
+    * concentration over each doc's character-bigram distribution,
+    * fixed-point 1e6 — low = diverse text, high = repetitive/spammy
+    * (1e6 = a single bigram repeated). Related to collision entropy
+    * (Rényi-2 = -log₂ simpson) but stays in EXACT integer arithmetic, so
+    * the oracle compare has no libm/ulp exposure at all.
+    * Output (doc_id, n_bigrams, distinct_bigrams, simpson_fp); docs
+    * shorter than 2 chars have no distribution and drop out. */
+  def charDiversity(docs: DataFrame): DataFrame =
+    graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        expr("sum(c * c) * 1000000 div (sum(c) * sum(c))").as("simpson_fp"))
+      .orderBy("doc_id")
+
+  val charDiversityOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, u.g
+      |  FROM (SELECT doc_id, list_transform(range(1, length(text)), i -> substr(text, i, 2)) AS gs
+      |        FROM documents) d, unnest(d.gs) u(g)),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |       count(*) AS distinct_bigrams,
+      |       CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT) AS simpson_fp
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val hotNgramsOracle: String =
     s"""WITH g AS (
        |  SELECT DISTINCT doc_id, u.gram

@@ -163,6 +163,11 @@ object Ast {
   /** DELETE FROM "m" [WHERE time …] — point deletion by time range; no
     * WHERE deletes every point but keeps series metadata (extension). */
   final case class DeleteFrom(from: TableRef, time: TimeBounds) extends Statement
+  /** DROP SERIES [FROM "m"] [WHERE "tag" = 'v' …] — removes matching
+    * series' data AND index entries (InfluxDB DROP SERIES; extension).
+    * Tag conjuncts are = / != equality only, like InfluxDB's. */
+  final case class DropSeries(from: Option[TableRef],
+                              tagFilters: Seq[TagFilter]) extends Statement
   case object ShowSubscriptions extends Statement
   /** Anything else → reference logs UNSUPPORTED and returns an empty result
     * (cflux.js:846-852). */

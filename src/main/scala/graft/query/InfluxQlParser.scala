@@ -743,6 +743,29 @@ object InfluxQlParser {
   private def parseDrop(p: P, raw: String): Either[String, Ast.Statement] = {
     p.kw("DROP")
     if (p.kw("MEASUREMENT")) p.ident().map(Ast.DropMeasurement)
+    else if (p.kw("SERIES")) {
+      val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
+      val filters = ArrayBuffer.empty[Ast.TagFilter]
+      if (p.kw("WHERE")) {
+        var more = true
+        while (more) {
+          val key = p.next() match {
+            case Ident(k, _) => k
+            case t           => return Left(s"bad DROP SERIES tag $t")
+          }
+          val op =
+            if (p.op("=")) "=" else if (p.op("!=")) "!="
+            else return Left("DROP SERIES supports = and != tag predicates")
+          val v = p.next() match {
+            case Str(s) => s
+            case t      => return Left(s"bad DROP SERIES tag value $t")
+          }
+          filters += Ast.TagFilter(key, op, v)
+          more = p.kw("AND")
+        }
+      }
+      Right(Ast.DropSeries(from, filters.toSeq))
+    }
     else if (p.kw("CONTINUOUS")) {
       if (!p.kw("QUERY")) return Left("expected QUERY after CONTINUOUS")
       for {

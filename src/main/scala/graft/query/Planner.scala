@@ -91,7 +91,7 @@ object Planner {
     * (cflux.js:759); map lookup is the Spark-native equivalent (F6).
     * InfluxDB treats a missing tag as '' — negative/regex operators must
     * match series that lack the key entirely. */
-  private def tagPred(tf: Ast.TagFilter): Column = {
+  private[graft] def tagPred(tf: Ast.TagFilter): Column = {
     val v = element_at(map_from_arrays(col("labelname"), col("labelvalue")), tf.key)
     tf.op match {
       case "="   => coalesce(v, lit("")) === tf.value

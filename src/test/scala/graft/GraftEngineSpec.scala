@@ -296,6 +296,26 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(e.query("dbdel", "SHOW SERIES FROM \"cpu\"").contains("cpu,host=a"))
   }
 
+  test("DROP SERIES removes matching series data AND metadata; others untouched") {
+    val e = newEngine()
+    e.write("dbds",
+      """cpu,host=a usage=1 1735689540000000000
+        |cpu,host=b usage=2 1735689540000000000
+        |mem,host=a used=3 1735689540000000000""".stripMargin)
+    assert(e.query("dbds", """DROP SERIES FROM "cpu" WHERE "host" = 'a'""") === Response0)
+    // host=a series gone from data and SHOW SERIES; host=b intact
+    val series = e.query("dbds", "SHOW SERIES FROM \"cpu\"")
+    assert(!series.contains("cpu,host=a") && series.contains("cpu,host=b"), series)
+    val q = e.query("dbds",
+      """SELECT "usage" FROM "cpu" WHERE time > now() - 5m""")
+    assert(q.contains(",2]") && !q.contains(",1]"), q)
+    // other measurements untouched (scoped FROM)
+    assert(e.query("dbds", "SHOW SERIES FROM \"mem\"").contains("mem,host=a"))
+    // un-scoped DROP SERIES with a filter hits every measurement
+    assert(e.query("dbds", """DROP SERIES WHERE "host" = 'a'""") === Response0)
+    assert(!e.query("dbds", "SHOW SERIES FROM \"mem\"").contains("mem,host=a"))
+  }
+
   test("planner rejections surface as per-statement error; unknown measurement stays bare") {
     val e = newEngine()
     e.write("dberr", "cpu,host=a usage=1 1735689540000000000")

@@ -183,8 +183,21 @@ class InfluxQlParserSpec extends AnyFunSuite {
   }
 
   test("unsupported statements degrade to Unsupported, not error") {
-    assert(parseOk("DROP SERIES FROM cpu").isInstanceOf[Ast.Unsupported])
+    assert(parseOk("DROP SHARD 3").isInstanceOf[Ast.Unsupported])
     assert(parseOk("SHOW STATS").isInstanceOf[Ast.Unsupported])
+  }
+
+  test("DROP SERIES parses: scoped, filtered, bare") {
+    parseOk("""DROP SERIES FROM "cpu" WHERE "host" = 'a' AND "dc" != 'x'""") match {
+      case Ast.DropSeries(Some(ref), fs) =>
+        assert(ref.measurement === "cpu")
+        assert(fs === Seq(Ast.TagFilter("host", "=", "a"), Ast.TagFilter("dc", "!=", "x")))
+      case other => fail(s"bad parse: $other")
+    }
+    assert(parseOk("DROP SERIES FROM cpu") === Ast.DropSeries(
+      Some(Ast.TableRef(None, None, "cpu")), Nil))
+    assert(parseOk("""DROP SERIES WHERE "host" = 'a'""") ===
+      Ast.DropSeries(None, Seq(Ast.TagFilter("host", "=", "a"))))
   }
 
   test("field arithmetic: precedence, parens, derived names, alias") {

@@ -155,4 +155,31 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(idx.count() === 2)
     assert(spark.read.parquet(s"$dir/samples").count() === 3)
   }
+
+  test("stream-stream interval join: pairs within the bound, state evicted by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingJoin}
+    val cause = MemoryStream[Point]
+    val effect = MemoryStream[Point]
+    val q = StreamingJoin.causeEffect(cause.toDS(), effect.toDS(),
+        withinMs = 60000L, lateness = "10 seconds")
+      .writeStream.format("memory").queryName("ce").outputMode("append").start()
+    // click at 0:10 → purchase at 0:40 (within 60 s): pairs.
+    // purchase at 2:00 (beyond the minute after the click): no pair.
+    // different series at 0:30: no pair.
+    cause.addData(Point("u1", 10000L, 1.0))
+    effect.addData(Point("u1", 40000L, 5.0), Point("u2", 30000L, 7.0),
+      Point("u1", 120000L, 9.0))
+    q.processAllAvailable()
+    // advance both watermarks far past everything so pending pairs emit
+    cause.addData(Point("wm", 600000L, 0.0))
+    effect.addData(Point("wm", 600000L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ce")
+      .select("series", "cause_ts", "effect_ts", "effect_value")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === Set(("u1", 10000L, 40000L, 5.0)), got)
+  }
 }
