@@ -338,6 +338,13 @@ object SparkEntry {
     "ts_select_bucket_offset" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h, 30m)"""))),
+    "ts_select_count_distinct" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT count(distinct("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
+    "mm_audio_windows" -> ((s, dir) =>
+      Multimodal.windowAudio(Multimodal.mediaFromDocs(docs(s, dir)))),
+    "ts_select_first_last" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT first("value"), last("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
     "ts_select_tz_day" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1d) tz('America/Chicago')"""))),
@@ -848,6 +855,28 @@ object SparkEntry {
         extraWhere = "AND regexp_matches(event_type, '^(cl|pu)')"),
     "ts_select_top" -> selectorOracle(21600000L, 3, "DESC"),
     "ts_select_bottom" -> selectorOracle(21600000L, 2, "ASC"),
+    "ts_select_count_distinct" ->
+      tsSelectOracle("count(DISTINCT value)", 21600000L),
+    "mm_audio_windows" -> Multimodal.windowAudioOracle,
+    "ts_select_first_last" ->
+      // first()/last() = value at the bucket's earliest/latest timestamp
+      // (ms timestamps are unique within the series — no arg ties)
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 21600000) * 21600000 AS time_ms,
+         |         CAST(floor(arg_min(value, epoch_ms(ts)) * 100) AS BIGINT) AS v_first,
+         |         CAST(floor(arg_max(value, epoch_ms(ts)) * 100) AS BIGINT) AS v_last
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |u AS (SELECT time_ms, v_first AS value FROM g
+         |      UNION ALL SELECT time_ms, v_last FROM g)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM u
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM u
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_tz_day" ->
       // local-midnight day buckets: UTC instant → Chicago wall clock →
       // floor to day → back to the UTC instant of that local midnight

@@ -15,6 +15,10 @@ case class MediaFeature(media_id: Long, kind: String, width: Int, height: Int,
 case class MediaFrames(media_id: Long, n_frames: Long, resized_w: Int,
                        resized_h: Int, sample_checksum: Long)
 
+/** Audio-windowing output: 16-bit samples → 64-sample windows, 32 hop. */
+case class MediaWindows(media_id: Long, n_samples: Long, n_windows: Long,
+                        energy_checksum: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition in batches.
   *
@@ -82,6 +86,54 @@ object Multimodal {
       MediaFrames(m.media_id, nFrames.toLong, m.width / 2 + 1, m.height / 2 + 1, checksum)
     }).toDF().orderBy("media_id")
   }
+
+  /** STUB audio windower — the audio-path plumbing: payload as 16-bit LE
+    * PCM samples, sliced into 64-sample windows with a 32-sample hop;
+    * per-window mean amplitude folds into a position-weighted checksum
+    * (integer arithmetic only — a real FFT/feature kernel drops in at the
+    * same per-window point). Blobs shorter than one window emit 0
+    * windows, not an error. */
+  def windowAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val Win = 64
+    val Hop = 32
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      val n = m.payload.length / 2
+      val nw = if (n < Win) 0 else (n - Win) / Hop + 1
+      var chk = 0L
+      var w = 0
+      while (w < nw) {
+        var s = 0L
+        var i = 0
+        while (i < Win) {
+          val off = (w * Hop + i) * 2
+          s += ((m.payload(off + 1) & 0xffL) << 8) | (m.payload(off) & 0xffL)
+          i += 1
+        }
+        chk += (s / Win) * (w + 1)
+        w += 1
+      }
+      MediaWindows(m.media_id, n.toLong, nw.toLong, chk)
+    }).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB twin of [[windowAudio]] ∘ [[mediaFromDocs]] (ASCII text:
+    * ord(char) == byte; sample k = hi*256 + lo, little-endian). */
+  val windowAudioOracle: String =
+    """WITH d AS (SELECT doc_id, text, length(text) // 2 AS n FROM documents),
+      |w AS (SELECT doc_id, text, n,
+      |             CASE WHEN n < 64 THEN 0 ELSE (n - 64) // 32 + 1 END AS nw FROM d)
+      |SELECT doc_id AS media_id, n::BIGINT AS n_samples, nw::BIGINT AS n_windows,
+      |       CASE WHEN nw = 0 THEN 0 ELSE
+      |         list_reduce(list_transform(range(0, nw), wi ->
+      |           (list_reduce(list_transform(range(0, 64),
+      |              i -> ord(text[(wi * 32 + i) * 2 + 2])::BIGINT * 256
+      |                   + ord(text[(wi * 32 + i) * 2 + 1])::BIGINT),
+      |              (a, b) -> a + b) // 64) * (wi + 1)),
+      |           (a, b) -> a + b)
+      |       END AS energy_checksum
+      |FROM w ORDER BY media_id""".stripMargin
 
   /** DuckDB twin of [[sampleFrames]] ∘ [[mediaFromDocs]]. */
   val sampleFramesOracle: String =

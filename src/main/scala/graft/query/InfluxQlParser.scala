@@ -483,6 +483,22 @@ object InfluxQlParser {
           }
           if (nested) {
             val fnT = name.toLowerCase
+            // count(distinct("v")) — InfluxQL's distinct-count aggregate,
+            // the one nested call that is NOT a window transform
+            if (fnT == "count") {
+              p.next() match {
+                case Ident(d, _) if d.equalsIgnoreCase("distinct") =>
+                case t => return Left(s"only count(distinct(...)) nests in count, got $t")
+              }
+              p.op("(") // guaranteed by the lookahead
+              val innerName = p.next() match {
+                case Ident(s, _) => s
+                case t           => return Left(s"bad distinct arg $t")
+              }
+              if (!p.op(")")) return Left("expected ) closing distinct")
+              if (!p.op(")")) return Left("expected ) closing count")
+              return Right(Ast.Field(Some("count_distinct"), innerName, None))
+            }
             if (!TransformFns.contains(fnT))
               return Left(s"unsupported nested function $name")
             val innerFn = p.next() match { case Ident(s, _) => s; case t => return Left(s"bad $t") }

@@ -64,6 +64,7 @@ object Planner {
     case None | Some("mean") => avg(value)
     case Some("sum")         => sum(value)
     case Some("count")       => count(value)
+    case Some("count_distinct") => countDistinct(value) // count(distinct("v"))
     case Some("min")         => min(value)
     case Some("max")         => max(value)
     case Some("first")       => min_by(value, ts)

@@ -314,6 +314,11 @@ class InfluxQlParserSpec extends AnyFunSuite {
     val s = parseOk("""SELECT sample("value", 4) FROM "m" WHERE time > now() - 1h""")
       .asInstanceOf[Ast.Select].fields.head
     assert(s.func.contains("sample") && s.arg.contains(4.0))
+    val cd = parseOk("""SELECT count(distinct("v")) FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(cd.func.contains("count_distinct") && cd.name === "v")
+    // only distinct() nests inside count
+    assert(InfluxQlParser.parse("""SELECT count(mean("v")) FROM "m"""").isLeft)
     val e = parseOk(
       """SELECT exponential_moving_average(mean("v"), 3) FROM "m" WHERE time > now() - 1h GROUP BY time(1m)""")
       .asInstanceOf[Ast.Select].fields.head

@@ -39,6 +39,35 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("Q10: returnflag + date filters pushed; nation broadcast; top-20 TakeOrdered") {
+    val p = plan("olap_q10_returns")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("decontamination: the benchmark gram side broadcasts, the corpus side never shuffles into it") {
+    val p = plan("doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bloom probe: the bit-set side broadcasts as a semi-join") {
+    val p = plan("sketch_bloom_probe")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("running revenue: window AFTER the (priority, month) collapse, no raw-row window") {
+    val p = plan("olap_running_revenue")
+    // exactly one Window node, fed by an aggregate (not by the scan)
+    assert("Window".r.findAllIn(p).length >= 1, p)
+    assert(p.indexOf("Window") < p.indexOf("Scan parquet"), // physical plan prints top-down
+      "the window must sit above the monthly aggregate, not over raw orders")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // AQE finalizes the physical plan only on execution — run the query,
     // then inspect the final adaptive plan for codegen stages
