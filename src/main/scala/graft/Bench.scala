@@ -60,7 +60,14 @@ object Bench {
       "dedup_emb_cosine", "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
       "emb_centroids", "emb_knn_classify", "approx_distinct_hll",
       "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",
-      "doc_pack_bins", "mm_decode_features", "ingest_lp_roundtrip")
+      "doc_pack_bins", "mm_decode_features", "ingest_lp_roundtrip",
+      // round 3 families
+      "doc_decontaminate", "doc_hot_ngrams", "doc_char_diversity",
+      "sketch_cms_heavy", "sketch_bloom_probe", "events_active_users",
+      "events_attribution", "events_funnel", "ts_select_tz_day",
+      "ts_select_fn_ema", "ts_select_sample", "emb_dup_clusters",
+      "emb_matryoshka", "mm_audio_windows", "olap_q10_returns",
+      "olap_running_revenue")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -34,8 +34,17 @@ final class GraftHttp(engine: GraftEngine, port: Int = 0,
     }.toMap
   }
 
-  private def body(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+  /** Request body, transparently gunzipped when Content-Encoding: gzip —
+    * InfluxDB clients (Telegraf `content_encoding = "gzip"`, the influx
+    * CLI) compress write bodies by default at any real batch size. */
+  private def body(ex: HttpExchange): String = {
+    val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    val in =
+      if (gz) new java.util.zip.GZIPInputStream(ex.getRequestBody)
+      else ex.getRequestBody
+    new String(in.readAllBytes(), StandardCharsets.UTF_8)
+  }
 
   private def respond(ex: HttpExchange, code: Int, payload: String = ""): Unit = {
     val bytes = payload.getBytes(StandardCharsets.UTF_8)

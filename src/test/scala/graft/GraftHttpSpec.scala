@@ -52,6 +52,21 @@ class GraftHttpSpec extends AnyFunSuite {
       val bad = send(HttpRequest.newBuilder(
         URI.create(s"http://localhost:$port/query?db=httpdb&q=NONSENSE")).build())
       assert(bad.statusCode() === 200 && bad.body().contains("results"))
+
+      // gzip write body (Telegraf content_encoding="gzip" default shape)
+      val baos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(baos)
+      gz.write("cpu,host=a usage=46 1735689560".getBytes("UTF-8"))
+      gz.close()
+      val gzWrite = send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/write?db=httpdb&precision=s"))
+        .header("Content-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(baos.toByteArray))
+        .build())
+      assert(gzWrite.statusCode() === 204)
+      val deadline2 = System.nanoTime() + 30e9.toLong
+      while (rows() < 3 && System.nanoTime() < deadline2) Thread.sleep(100)
+      assert(rows() === 3)
     } finally http.stop()
   }
 }
