@@ -39,6 +39,9 @@ class GraftEngine(
   /** (db, name) → continuous query; lastRun tracks the covered-up-to ms. */
   private val continuousQueries = TrieMap.empty[(String, String), Ast.CreateContinuousQuery]
   private val cqLastRun = TrieMap.empty[(String, String), Long]
+  /** (db, name) → (durationMs, default) — honest retention policies
+    * (the reference only fabricates a static response). */
+  private val retentionPolicies = TrieMap.empty[(String, String), (Long, Boolean)]
   /** dbs created this session or discovered on disk (databaseCache analogue). */
   private val databases = TrieMap.empty[String, Unit]
   discoverDatabases()
@@ -184,6 +187,17 @@ class GraftEngine(
                 m -> Planner.planSelect(spark,
                   s.copy(from = s.from.copy(measurement = m, regex = None)), cat, nowMs())
               }
+            case None if s.fromMulti.nonEmpty =>
+              // FROM "a", "b": plan per measurement so each one's series
+              // carry their own measurement name (InfluxDB shape); refs
+              // that don't exist contribute nothing instead of blanking
+              // the whole statement
+              (s.from +: s.fromMulti)
+                .filter(r => cat.measurements.contains(r.measurement))
+                .map { r =>
+                  r.measurement -> Planner.planSelect(spark,
+                    s.copy(from = r, fromMulti = Nil), cat, nowMs())
+                }
             case None =>
               Seq(s.from.measurement -> Planner.planSelect(spark, s, cat, nowMs()))
           }
@@ -231,6 +245,18 @@ class GraftEngine(
             cqs.sortBy(_.name).map(c => Seq(c.name, c.raw)))
         }
         Seq(Response.entryJson(id, series))
+      case Ast.CreateRetentionPolicy(name, rdb, dur, dflt) =>
+        retentionPolicies.put((rdb, name), (dur, dflt)); bare
+      case Ast.ShowRetentionPolicies(dbOpt) if retentionPolicies.keys.exists(_._1 == dbOpt.getOrElse(db)) =>
+        // registered policies replace the fabricated static response
+        val target = dbOpt.getOrElse(db)
+        val rows: Seq[Seq[Any]] = retentionPolicies.toSeq.collect {
+          case ((d, name), (dur, dflt)) if d == target =>
+            Seq[Any](name, s"${dur / 3600000L}h0m0s", "168h0m0s", 1L, dflt)
+        }.sortBy(_.head.toString)
+        Seq(Response.entryJson(id, Seq(Response.Series("", Map.empty,
+          Seq("name", "duration", "shardGroupDuration", "replicaN", "default"),
+          rows))))
       case Ast.CreateSubscription(sid, sdb, _, dest) =>
         // keyed by bare db (reference bug fixed, SURVEY §3.3)
         subscriptions.put(sdb, (sid, dest, transport(dest)))
@@ -400,6 +426,36 @@ class GraftEngine(
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(idx, true)
       fs.rename(tmp, idx)
+    }
+  }
+
+  /** Retention enforcement tick: for every db with a registered policy,
+    * drop every hour partition that ends before now − duration (the
+    * shortest policy wins when several are registered). Directory-level
+    * deletes only — metadata-cost expiry however large the partitions,
+    * the property that matters when a year of 100 TB/day ages out. The
+    * caller schedules this like [[runContinuousQueries]]; series
+    * metadata stays (an expired series that writes again keeps its
+    * identity, matching InfluxDB shard expiry). */
+  def enforceRetention(): Unit = {
+    import org.apache.hadoop.fs.Path
+    val now = nowMs()
+    retentionPolicies.keys.map(_._1).toSet.foreach { (db: String) =>
+      val cutoff = now - retentionPolicies.collect {
+        case ((d, _), (dur, _)) if d == db => dur
+      }.min
+      val base = new Path(samplesPath(db))
+      val fs = hadoopFs(base)
+      if (fs.exists(base)) fs.listStatus(base).foreach { mdir =>
+        if (mdir.getPath.getName.startsWith("measurement="))
+          fs.listStatus(mdir.getPath).foreach { st =>
+            val name = st.getPath.getName
+            if (name.startsWith("hour=")) {
+              val hourEnd = name.stripPrefix("hour=").toLong * 3600000L + 3599999L
+              if (hourEnd < cutoff) fs.delete(st.getPath, true)
+            }
+          }
+      }
     }
   }
 

@@ -124,7 +124,11 @@ object Ast {
       tagOrGroups: Seq[Seq[TagFilter]] = Nil,
       /** tz('Zone/Name') trailing clause: GROUP BY time buckets align to
         * local wall-clock boundaries in the zone (InfluxQL surface). */
-      tz: Option[String] = None
+      tz: Option[String] = None,
+      /** Additional comma-separated FROM refs (`FROM "cpu", "mem"`):
+        * the statement runs over every listed measurement, one result
+        * series set per measurement (InfluxQL multi-measurement FROM). */
+      fromMulti: Seq[TableRef] = Nil
   ) extends Statement
 
   final case class CreateDatabase(db: String) extends Statement
@@ -157,6 +161,13 @@ object Ast {
   final case class ShowTagValuesCardinality(from: Option[TableRef],
                                             keys: Seq[String]) extends Statement
   final case class CreateSubscription(id: String, db: String, rp: String, dest: String) extends Statement
+  /** CREATE RETENTION POLICY "n" ON "db" DURATION d REPLICATION r
+    * [DEFAULT] — honest retention (extension: the reference only
+    * fabricates a static SHOW response, cflux.js:419-448). Enforcement =
+    * `GraftEngine.enforceRetention` dropping expired hour partitions. */
+  final case class CreateRetentionPolicy(name: String, db: String,
+                                         durationMs: Long,
+                                         default: Boolean) extends Statement
   /** DROP MEASUREMENT "m" — removes the measurement's data + series
     * metadata (extension: storage lifecycle the reference lacks). */
   final case class DropMeasurement(measurement: String) extends Statement

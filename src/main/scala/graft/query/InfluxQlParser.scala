@@ -227,6 +227,14 @@ object InfluxQlParser {
           case Left(e)      => return Left(e)
         }
       } else parseTableRef(p) match { case Right(r) => r; case Left(e) => return Left(e) }
+    // FROM "cpu", "mem": additional comma-separated measurement refs
+    val fromMulti = ArrayBuffer.empty[Ast.TableRef]
+    if (fromSub.isEmpty) {
+      while (p.op(",")) parseTableRef(p) match {
+        case Right(r) => fromMulti += r
+        case Left(e)  => return Left(e)
+      }
+    }
 
     var lower: Option[Ast.TimeExpr] = None
     var upper: Option[Ast.TimeExpr] = None
@@ -366,7 +374,7 @@ object InfluxQlParser {
       tagFilters.toSeq, gbTime, gbTags.toSeq, fill, limit, orderDesc,
       offset = offset, slimit = slimit, soffset = soffset, fromSub = fromSub,
       groupByTimeOffsetMs = gbOffset, into = into, fieldFilters = fieldFilters.toSeq,
-      tagOrGroups = tagOrGroups.toSeq, tz = tz))
+      tagOrGroups = tagOrGroups.toSeq, tz = tz, fromMulti = fromMulti.toSeq))
   }
 
   /** Window transforms accepted as the OUTER call of a nested
@@ -852,6 +860,24 @@ object InfluxQlParser {
         }
         _ <- p.expectKw("END")
       } yield Ast.CreateContinuousQuery(name, db, sel, raw.trim)
+    } else if (p.kw("RETENTION")) {
+      // CREATE RETENTION POLICY "n" ON "db" DURATION 30d REPLICATION 1 [DEFAULT]
+      if (!p.kw("POLICY")) return Left("expected POLICY after RETENTION")
+      for {
+        name <- p.ident()
+        _ <- p.expectKw("ON")
+        db <- p.ident()
+        _ <- p.expectKw("DURATION")
+        dur <- (p.next() match {
+          case Dur(d) => Right(TimeUnits.durationMs(d))
+          case t      => Left(s"expected duration, got $t")
+        }): Either[String, Long]
+        _ <- p.expectKw("REPLICATION")
+        _ <- (p.next() match {
+          case Num(_) => Right(())
+          case t      => Left(s"expected replication factor, got $t")
+        }): Either[String, Unit]
+      } yield Ast.CreateRetentionPolicy(name, db, dur, p.kw("DEFAULT"))
     } else Right(Ast.Unsupported(raw))
   }
 }

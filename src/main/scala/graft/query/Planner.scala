@@ -241,6 +241,8 @@ object Planner {
       throw new IllegalArgumentException("INTO does not support regex FROM")
     if (s.fromSub.isDefined)
       throw new IllegalArgumentException("INTO does not support subquery FROM")
+    if (s.fromMulti.nonEmpty)
+      throw new IllegalArgumentException("INTO does not support multi-measurement FROM")
     planSelectImpl(spark, s, cat, nowMs, renameFields = true, keepFp = true)
   }
 
@@ -284,6 +286,14 @@ object Planner {
       val synthCat = TsCatalog(cat.databases,
         Map(s.from.measurement -> synthSamples), synthSeries)
       return planSelectImpl(spark, s.copy(fromSub = None), synthCat, nowMs, renameFields, keepFp)
+    }
+    // FROM "a", "b": union the identical plan over every listed
+    // measurement (same mechanics as regex FROM below; the engine names
+    // each measurement's series separately)
+    if (s.fromMulti.nonEmpty) {
+      return (s.from +: s.fromMulti).map { r =>
+        planSelectImpl(spark, s.copy(from = r, fromMulti = Nil), cat, nowMs, renameFields)
+      }.reduce(_ unionAll _)
     }
     // regex FROM: union the identical plan over every matching measurement
     // (rows carry the same schema; JSON naming per measurement happens at

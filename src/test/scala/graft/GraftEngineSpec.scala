@@ -296,6 +296,40 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(e.query("dbdel", "SHOW SERIES FROM \"cpu\"").contains("cpu,host=a"))
   }
 
+  test("retention policy: registered policy shows, enforcement drops expired hours only") {
+    val e = newEngine()
+    // now = 1735689600000 (2025-01-01T00:00Z); write one point 3 h old,
+    // one 30 min old
+    e.write("dbrp",
+      """cpu,host=a u=1 1735678800000000000
+        |cpu,host=a u=2 1735687800000000000""".stripMargin)
+    assert(e.query("dbrp",
+      """CREATE RETENTION POLICY "short" ON "dbrp" DURATION 1h REPLICATION 1 DEFAULT""")
+      === Response0)
+    val show = e.query("dbrp", "SHOW RETENTION POLICIES ON \"dbrp\"")
+    assert(show.contains(""""short","1h0m0s"""") && show.contains("true"), show)
+    e.enforceRetention()
+    val q = e.query("dbrp", """SELECT "u" FROM "cpu" WHERE time > now() - 6h""")
+    assert(q.contains(",2]") && !q.contains(",1]"), q)
+    // series metadata survives expiry
+    assert(e.query("dbrp", "SHOW SERIES FROM \"cpu\"").contains("cpu,host=a"))
+  }
+
+  test("multi-measurement FROM: one series set per measurement, missing refs skipped") {
+    val e = newEngine()
+    e.write("dbmf",
+      """cpu,host=a usage=10 1735689540000000000
+        |mem,host=a usage=30 1735689540000000000""".stripMargin)
+    val json = e.query("dbmf",
+      """SELECT mean("usage") FROM "cpu", "mem" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(json.contains(""""name":"cpu"""") && json.contains(""""name":"mem""""), json)
+    assert(json.contains("[1735689540000,10]") && json.contains("[1735689540000,30]"), json)
+    // a nonexistent ref contributes nothing, the rest still answer
+    val part = e.query("dbmf",
+      """SELECT mean("usage") FROM "cpu", "nope" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(part.contains(""""name":"cpu"""") && !part.contains("nope"), part)
+  }
+
   test("DROP SERIES removes matching series data AND metadata; others untouched") {
     val e = newEngine()
     e.write("dbds",

@@ -187,6 +187,13 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(parseOk("SHOW STATS").isInstanceOf[Ast.Unsupported])
   }
 
+  test("multi-measurement FROM parses into fromMulti") {
+    val s = parseOk("""SELECT mean("u") FROM "cpu", "mem", "disk" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select]
+    assert(s.from.measurement === "cpu")
+    assert(s.fromMulti.map(_.measurement) === Seq("mem", "disk"))
+  }
+
   test("DROP SERIES parses: scoped, filtered, bare") {
     parseOk("""DROP SERIES FROM "cpu" WHERE "host" = 'a' AND "dc" != 'x'""") match {
       case Ast.DropSeries(Some(ref), fs) =>

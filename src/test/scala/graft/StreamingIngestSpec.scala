@@ -156,6 +156,28 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/samples").count() === 3)
   }
 
+  test("streaming threshold alert: one event per crossing, state survives batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingAlert}
+    val in = MemoryStream[Point]
+    val q = StreamingAlert.threshold(in.toDS(), 50.0)
+      .writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    // batch 1: 10 → 60 (crit at ts 2) → 70 (still above: silent)
+    in.addData(Point("s1", 1L, 10.0), Point("s1", 2L, 60.0), Point("s1", 3L, 70.0))
+    q.processAllAvailable()
+    // batch 2: state carries "above" across batches → 40 emits ok; then
+    // 90 re-crosses (crit); another series' first point above → crit
+    in.addData(Point("s1", 4L, 40.0), Point("s1", 5L, 90.0), Point("s2", 1L, 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alerts")
+      .as[graft.streaming.AlertEvent].collect()
+      .map(a => (a.series, a.ts, a.level)).toSet
+    assert(got === Set(
+      ("s1", 2L, "crit"), ("s1", 4L, "ok"), ("s1", 5L, "crit"), ("s2", 1L, "crit")), got)
+  }
+
   test("stream-stream interval join: pairs within the bound, state evicted by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
