@@ -414,6 +414,13 @@ object SparkEntry {
     "ts_select_string_count_1h" -> ((s, dir) => stable(influxCat(s, ingestedCatalog(s, dir),
       s"""SELECT count("props") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
 
+    // --- cross-field WHERE: the condition names a DIFFERENT field than
+    //     the projection — the whole point drops when it fails (InfluxDB);
+    //     rows pair on (tagset, timestamp) across the per-field row model ---
+    "ts_select_where_other_field" -> ((s, dir) => stable(influxCat(s, ingestedCatalog(s, dir),
+      s"""SELECT count("props") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "value" > 50 GROUP BY time(6h)"""))),
+
     // --- U1 multi-metric UNION ALL: one subquery per projected metric,
     //     float + string pipelines in one statement (cflux.js:745-772) ---
     "ts_select_multi_metric" -> ((s, dir) => stable(influxCat(s, ingestedCatalog(s, dir),
@@ -813,6 +820,21 @@ object SparkEntry {
          |         CAST(floor(count(*) * 100) AS BIGINT) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT time_ms, 'props' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, props AS message FROM g
+         |UNION ALL
+         |SELECT time_ms, 'props' AS name, value, 'user_id' AS labelname,
+         |       user_id AS labelvalue, props AS message FROM g
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_where_other_field" ->
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 21600000) * 21600000 AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id, props,
+         |         CAST(floor(count(*) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND value > 50
          |  GROUP BY 1, 2, 3, 4)
          |SELECT time_ms, 'props' AS name, value, 'event_type' AS labelname,
          |       event_type AS labelvalue, props AS message FROM g

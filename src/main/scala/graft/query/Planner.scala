@@ -103,15 +103,20 @@ object Planner {
     }
   }
 
-  def seriesSide(seriesIndex: DataFrame, measurement: String, metric: String,
-                 tagFilters: Seq[Ast.TagFilter],
-                 groupTags: Seq[String] = Nil,
-                 tagOrGroups: Seq[Seq[Ast.TagFilter]] = Nil): DataFrame = {
-    val deduped = seriesIndex
+  /** ReplacingMergeTree-FINAL analogue: last-write-wins dedup of the
+    * series index by fingerprint (cflux.js:754). */
+  private def dedupIndex(seriesIndex: DataFrame): DataFrame =
+    seriesIndex
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fingerprint")).orderBy(col("date").desc)))
       .filter(col("__rn") === 1).drop("__rn")
+
+  def seriesSide(seriesIndex: DataFrame, measurement: String, metric: String,
+                 tagFilters: Seq[Ast.TagFilter],
+                 groupTags: Seq[String] = Nil,
+                 tagOrGroups: Seq[Seq[Ast.TagFilter]] = Nil): DataFrame = {
+    val deduped = dedupIndex(seriesIndex)
       .filter(col("measurement") === measurement && col("name") === metric)
     val anded = tagFilters.foldLeft(deduped)((df, tf) => df.filter(tagPred(tf)))
     // OR-groups: AND across groups, OR within one (each group one
@@ -355,23 +360,49 @@ object Planner {
         // ANY INNER JOIN USING(fingerprint) with broadcast series side (J1)
         .join(broadcast(series), Seq("fingerprint"))
       // WHERE field-value conjuncts apply to RAW points BEFORE any
-      // aggregation (InfluxDB). The predicate lands next to the time
-      // filter, so it pushes into the scan alongside it. A filter naming
-      // a field this projection doesn't read cannot be evaluated on this
-      // relation (per-field row model) — explicit error, not silence.
-      val timed = s.fieldFilters.foldLeft(timed0) { (df, ff) =>
-        if (ff.name != f.name)
-          throw new IllegalArgumentException(
-            s"field filter on '${ff.name}' requires selecting that field")
-        ff.op match {
-          case ">"  => df.filter(col("value") > ff.v)
-          case ">=" => df.filter(col("value") >= ff.v)
-          case "<"  => df.filter(col("value") < ff.v)
-          case "<=" => df.filter(col("value") <= ff.v)
-          case "="  => df.filter(col("value") === ff.v)
-          case "!=" => df.filter(col("value") =!= ff.v)
-          case o    => throw new IllegalArgumentException(s"bad field operator $o")
-        }
+      // aggregation (InfluxDB). Same-field filters land next to the time
+      // filter, pushing into the scan alongside it. Filters on OTHER
+      // fields pair across the per-field row model on (tagset,
+      // timestamp): InfluxDB drops the whole point when the condition
+      // field fails, so the projection's rows semi-join against the
+      // qualifying (tagset, ts) keys of the condition field's rows.
+      def opFilter(df: DataFrame, ff: Ast.FieldFilter): DataFrame = ff.op match {
+        case ">"  => df.filter(col("value") > ff.v)
+        case ">=" => df.filter(col("value") >= ff.v)
+        case "<"  => df.filter(col("value") < ff.v)
+        case "<=" => df.filter(col("value") <= ff.v)
+        case "="  => df.filter(col("value") === ff.v)
+        case "!=" => df.filter(col("value") =!= ff.v)
+        case o    => throw new IllegalArgumentException(s"bad field operator $o")
+      }
+      val (own, cross) = s.fieldFilters.partition(_.name == f.name)
+      val timed1 = own.foldLeft(timed0)(opFilter)
+      val timed = if (cross.isEmpty) timed1 else {
+        // tagset key = hash of the full (sorted) tag arrays — the series
+        // identity MINUS the field, shared by every field of one series.
+        // The fingerprint→tagkey map is schema-sized → broadcast; the
+        // (tagkey, ts) semi-join is the only data-sized exchange, hash-
+        // partitioned on keys that are unique per point at scale.
+        val fpTag = dedupIndex(cat.seriesIndex)
+          .filter(col("measurement") === s.from.measurement)
+          .select(col("fingerprint"), col("name"),
+            xxhash64(concat_ws(" ",
+              concat(col("labelname"), col("labelvalue")))).as("__tagkey"))
+        val qual = cross.groupBy(_.name).map { case (fn, ffs) =>
+          val fps = fpTag.filter(col("name") === fn)
+            .select("fingerprint", "__tagkey")
+          val q0 = samples
+            .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
+            .join(broadcast(fps), Seq("fingerprint"))
+          ffs.foldLeft(q0)(opFilter)
+            .select(col("__tagkey"), col("timestamp_ms"))
+        }.reduce(_.join(_, Seq("__tagkey", "timestamp_ms"))) // AND across fields
+          .distinct()
+        timed1
+          .join(broadcast(fpTag.select("fingerprint", "__tagkey").distinct()),
+            Seq("fingerprint"))
+          .join(qual, Seq("__tagkey", "timestamp_ms"), "left_semi")
+          .drop("__tagkey")
       }
       // subquery-inner mode: the output name is the field's output name
       // (the field key the outer query will select)

@@ -501,10 +501,21 @@ class GraftEngineSpec extends AnyFunSuite {
     val r = e.query("dbfv",
       """SELECT mean("u") FROM "m" WHERE time > now() - 10m AND "u" > 50 GROUP BY time(1m)""")
     assert(r.contains("[1735689540000,70]"), r)
-    // filter naming an unselected field errors explicitly
-    val bad = e.query("dbfv",
+    // cross-field filter: the condition names a DIFFERENT field — the
+    // whole point drops when it fails (pairing on tagset + timestamp)
+    e.write("dbfv",
+      """m,host=a u=5,w=100 1735689560000000000
+        |m,host=a u=7,w=1 1735689565000000000""".stripMargin)
+    val crossed = e.query("dbfv",
       """SELECT mean("u") FROM "m" WHERE time > now() - 10m AND "w" > 50 GROUP BY time(1m)""")
-    assert(bad.contains(""""error""""), bad)
+    // only the w=100 point qualifies → mean(u) = 5
+    assert(crossed.contains("[1735689540000,5]"), crossed)
+    assert(!crossed.contains(",7]"), crossed)
+    // a filter on a field that doesn't exist qualifies nothing → the
+    // zero-series response shape
+    val none = e.query("dbfv",
+      """SELECT mean("u") FROM "m" WHERE time > now() - 10m AND "nope" > 50 GROUP BY time(1m)""")
+    assert(!none.contains("values"), none)
   }
 
   test("transform directly over raw points: difference, derivative") {
