@@ -418,9 +418,12 @@ object TextOps {
     * streams through a broadcast hash semi-join with NO shuffle of the
     * 100 TB side; the only exchange is the final per-doc count. */
   def decontaminate(docs: DataFrame): DataFrame = {
-    val grams = docs
+    // the gram relation feeds BOTH the benchmark set and the train side —
+    // materialize once (tokenize + 13-slice + md5 is the dominant cost)
+    val grams = graft.util.Spread(docs.select("doc_id", "text"))
       .select(col("doc_id"),
         explode(transform(kgrams(tokens(col("text")), DecontamK), g => baseHash(g))).as("h"))
+      .localCheckpoint(true)
     val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
       .select("h").distinct()
     grams.filter(col("doc_id") % BenchMod =!= 0)
