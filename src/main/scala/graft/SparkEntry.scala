@@ -602,6 +602,7 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))),
     "emb_matryoshka" -> ((s, dir) => Similarity.matryoshka(emb(s, dir))),
+    "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "olap_top_users_per_type" -> ((s, dir) => {
       val totals = EventsAdapter.events(s, dir)
         .groupBy("event_type", "user_id")
@@ -1186,6 +1187,7 @@ object SparkEntry {
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
     "emb_matryoshka" -> Similarity.matryoshkaOracle,
+    "ann_pq_topk" -> Similarity.pqTopKOracle,
     "olap_top_users_per_type" ->
       """WITH t AS (
         |  SELECT event_type, user_id, CAST(floor(sum(value) * 100) AS BIGINT) AS total_c

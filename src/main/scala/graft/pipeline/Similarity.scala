@@ -273,6 +273,107 @@ object Similarity {
        |         (a, b) -> a + b) AS q_checksum
        |FROM s ORDER BY vec_id""".stripMargin
 
+  // ---- product quantization ----------------------------------------------
+
+  val PqM = 4 // subspaces
+  val PqSub: Int = Dim / PqM // 16 dims each
+  val PqK = 16 // codebook entries per subspace
+
+  /** Product-quantization ANN top-K: per-subspace deterministic k-means
+    * codebooks (init = first PqK subvectors, one recompute round — the
+    * same fixed-iteration discipline as [[ivfTopK]]), each vector encoded
+    * as PqM codebook ids, queries scored by ADC (asymmetric distance:
+    * query subvector vs codebook entry of the neighbor's code, summed
+    * across subspaces — exact int64 arithmetic end to end).
+    *
+    * The 100 TB shape this demonstrates: the scan side touches CODES
+    * (PqM small ints per vector ≈ 4 bytes) instead of raw vectors
+    * (Dim × 8 bytes) — a 64× memory-bandwidth reduction; the per-query
+    * distance table (PqM × PqK entries) and the codebooks broadcast. */
+  def pqTopK(emb: DataFrame): DataFrame = {
+    val x = normalized(emb).withColumn("xq", quantCol)
+    val subs = x.select(col("vec_id"), col("xq"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("xq"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+      .localCheckpoint(true) // feeds codebook build, assignment, queries
+    def assign(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), Seq("m"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(distSq(col("sub"), col("c")).as("d"), col("cid"))).as("mm"))
+        .select(col("vec_id"), col("m"), col("mm.cid").as("cid"))
+    val cb0 = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cid"), col("sub").as("c"))
+    val a1 = assign(cb0)
+    val cb1 = subs.join(a1, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), col("sub"),
+        explode(sequence(lit(1), lit(PqSub))).as("pos"))
+      .withColumn("comp", element_at(col("sub"), col("pos")))
+      .groupBy("m", "cid", "pos")
+      .agg(floor(sum("comp") / count(lit(1))).cast("long").as("cp"))
+      .groupBy("m", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
+        s => s.getField("cp")).as("c"))
+      .localCheckpoint(true) // consumed by assignment + the distance table
+    val codes = assign(cb1)
+    val dtab = subs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+      .join(broadcast(cb1), Seq("m"))
+      .select(col("q_id"), col("m"), col("cid"),
+        distSq(col("qsub"), col("c")).as("d"))
+    val scored = codes.join(broadcast(dtab), Seq("m", "cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d").as("adc_fp"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_fp"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor_id", "adc_fp")
+      .orderBy("q_id", "rank")
+  }
+
+  val pqTopKOracle: String = {
+    val dSq = (st: String, ct: String) =>
+      s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+         |        d -> ($st.sub[d] - $ct.c[d]) * ($st.sub[d] - $ct.c[d])), (a, b) -> a + b)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT vec_id,
+       |             list_transform(v, y -> CAST(floor(y * 1e6) AS BIGINT)) AS xq FROM e),
+       |subs AS (SELECT vec_id, t.m,
+       |                xq[t.m * $PqSub + 1 : t.m * $PqSub + $PqSub] AS sub
+       |         FROM x, range(0, $PqM) t(m)),
+       |cb0 AS (SELECT m, vec_id AS cid, sub AS c FROM subs WHERE vec_id < $PqK),
+       |d1 AS (SELECT s.vec_id, s.m, c.cid, ${dSq("s", "c")} AS d
+       |       FROM subs s JOIN cb0 c ON c.m = s.m),
+       |a1 AS (SELECT vec_id, m, cid FROM (
+       |         SELECT vec_id, m, cid,
+       |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |         FROM d1) t WHERE rn = 1),
+       |cp1 AS (SELECT a1.m, a1.cid, t.pos,
+       |               CAST(floor(sum(s.sub[t.pos])::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS cp
+       |        FROM subs s JOIN a1 ON a1.vec_id = s.vec_id AND a1.m = s.m,
+       |             range(1, ${PqSub + 1}) t(pos)
+       |        GROUP BY 1, 2, 3),
+       |cb1 AS (SELECT m, cid, list(cp ORDER BY pos) AS c FROM cp1 GROUP BY 1, 2),
+       |d2 AS (SELECT s.vec_id, s.m, c.cid, ${dSq("s", "c")} AS d
+       |       FROM subs s JOIN cb1 c ON c.m = s.m),
+       |codes AS (SELECT vec_id, m, cid FROM (
+       |            SELECT vec_id, m, cid,
+       |                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |            FROM d2) t WHERE rn = 1),
+       |dtab AS (SELECT s.vec_id AS q_id, s.m, c.cid, ${dSq("s", "c")} AS d
+       |         FROM subs s JOIN cb1 c ON c.m = s.m WHERE s.vec_id < $NumQueries),
+       |scored AS (SELECT dt.q_id, a.vec_id AS neighbor_id, CAST(sum(dt.d) AS BIGINT) AS adc_fp
+       |           FROM codes a JOIN dtab dt ON dt.m = a.m AND dt.cid = a.cid
+       |           WHERE dt.q_id != a.vec_id GROUP BY 1, 2),
+       |r AS (SELECT q_id, neighbor_id, adc_fp,
+       |             row_number() OVER (PARTITION BY q_id
+       |                                ORDER BY adc_fp, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT q_id, rank, neighbor_id, adc_fp FROM r
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- matryoshka truncation ---------------------------------------------
 
   /** Matryoshka dimensionality reduction: keep the first 16 components,

@@ -202,6 +202,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ top-k: K ranked rows per query, ADC ascending, useful recall vs brute") {
+    val pq = Similarity.pqTopK(emb).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === Similarity.NumQueries)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      val adcs = sorted.map(_.getAs[Long]("adc_fp")).toSeq
+      assert(adcs === adcs.sorted, "ADC distances must ascend with rank")
+    }
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = pq.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // synthetic embeddings are near-random: 4×16-code ADC recall is
+    // modest by construction (real embeddings cluster; random ones
+    // don't). The spec pins "far better than chance" (chance ≈ K/N =
+    // 0.1 at sf0.001), not SOTA recall.
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.2, s"PQ recall vs brute = $recall")
+  }
+
   test("matryoshka renormalized checksum is stable and norms positive") {
     val rows = Similarity.matryoshka(emb).collect()
     assert(rows.length === emb.count())
