@@ -263,6 +263,8 @@ class GraftEngine(
         bare
       case Ast.ShowSubscriptions =>
         bare // static empty mock (cflux.js:835-844)
+      case Ast.ShowQueries | Ast.KillQuery(_) =>
+        bare // synchronous engine: the running-query registry is empty
       case Ast.Unsupported(_) =>
         bare // cflux.js:846-852
       case other =>

@@ -180,6 +180,12 @@ object Ast {
   final case class DropSeries(from: Option[TableRef],
                               tagFilters: Seq[TagFilter]) extends Statement
   case object ShowSubscriptions extends Statement
+  /** SHOW QUERIES / KILL QUERY n — statement-compat mocks: execution is
+    * synchronous in this engine, so the running-query registry is always
+    * empty (same spirit as the reference's static SHOW SUBSCRIPTIONS
+    * mock, cflux.js:835-844). */
+  case object ShowQueries extends Statement
+  final case class KillQuery(qid: Long) extends Statement
   /** Anything else → reference logs UNSUPPORTED and returns an empty result
     * (cflux.js:846-852). */
   final case class Unsupported(raw: String) extends Statement

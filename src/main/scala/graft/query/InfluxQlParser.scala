@@ -191,6 +191,13 @@ object InfluxQlParser {
       case Some(Ident(k, false)) if k.equalsIgnoreCase("CREATE") => parseCreate(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("DROP")   => parseDrop(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("DELETE") => parseDelete(p)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("KILL") =>
+        p.next()
+        if (!p.kw("QUERY")) Left("expected QUERY after KILL")
+        else p.next() match {
+          case Num(s) => s.toLongOption.toRight(s"bad query id $s").map(Ast.KillQuery)
+          case t      => Left(s"expected query id, got $t")
+        }
       case _                                                     => Right(Ast.Unsupported(raw))
     }
   }
@@ -689,6 +696,7 @@ object InfluxQlParser {
       val db = if (p.kw("ON")) p.ident().toOption else None
       Right(Ast.ShowRetentionPolicies(db))
     } else if (p.kw("SUBSCRIPTIONS")) Right(Ast.ShowSubscriptions)
+    else if (p.kw("QUERIES")) Right(Ast.ShowQueries)
     else if (p.kw("CONTINUOUS")) {
       if (!p.kw("QUERIES")) return Left("expected QUERIES after CONTINUOUS")
       Right(Ast.ShowContinuousQueries)

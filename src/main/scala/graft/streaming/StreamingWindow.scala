@@ -35,4 +35,22 @@ object StreamingWindow {
       .select(col("series"),
         unix_millis(col("window.start")).as("window_start_ms"),
         col("mean"), col("n"))
+
+  /** Streaming sessionization: the live counterpart of
+    * `operators.Sessionize` — Spark's `session_window` merges points of
+    * one series into sessions separated by at least `gap` of inactivity.
+    * A session's state closes (and the row emits, append-mode-once) when
+    * the watermark passes session end + gap; state is
+    * O(series × open sessions), the bound an unbounded feed needs.
+    * Output (series, session_start_ms, session_end_ms, n, mean). */
+  def sessionized(points: Dataset[Point], gap: String, lateness: String): DataFrame =
+    points
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("series"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"))
+      .select(col("series"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n"), col("mean"))
 }

@@ -187,6 +187,16 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(parseOk("SHOW STATS").isInstanceOf[Ast.Unsupported])
   }
 
+  test("SHOW QUERIES and KILL QUERY parse; retention policy parses") {
+    assert(parseOk("SHOW QUERIES") === Ast.ShowQueries)
+    assert(parseOk("KILL QUERY 42") === Ast.KillQuery(42L))
+    parseOk("""CREATE RETENTION POLICY "d" ON "db" DURATION 24h REPLICATION 1 DEFAULT""") match {
+      case Ast.CreateRetentionPolicy("d", "db", dur, true) =>
+        assert(dur === 86400000L)
+      case other => fail(s"bad parse: $other")
+    }
+  }
+
   test("multi-measurement FROM parses into fromMulti") {
     val s = parseOk("""SELECT mean("u") FROM "cpu", "mem", "disk" WHERE time > now() - 1h""")
       .asInstanceOf[Ast.Select]

@@ -156,6 +156,32 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/samples").count() === 3)
   }
 
+  test("streaming session windows: inactivity gap splits sessions, append emits closed ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingWindow}
+    val in = MemoryStream[Point]
+    val q = StreamingWindow.sessionized(in.toDS(), gap = "30 seconds", lateness = "10 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // session 1: points at 0:00 and 0:10 (within the 30 s gap);
+    // then silence until 2:00 → a second session; the 2:00 point also
+    // pushes the watermark past session 1's close
+    in.addData(Point("s1", 0L, 10.0), Point("s1", 10000L, 20.0), Point("s1", 120000L, 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past everything so session 2 closes too
+    in.addData(Point("wm", 600000L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess")
+      .select("series", "session_start_ms", "session_end_ms", "n", "mean")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .filter(_._1 == "s1").toSet
+    // session 1 = [0, 10s + 30s gap), 2 points, mean 15; session 2 = single point
+    assert(got === Set(
+      ("s1", 0L, 40000L, 2L, 15.0),
+      ("s1", 120000L, 150000L, 1L, 5.0)), got)
+  }
+
   test("streaming threshold alert: one event per crossing, state survives batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
