@@ -67,7 +67,7 @@ object Bench {
       "events_attribution", "events_funnel", "ts_select_tz_day",
       "ts_select_fn_ema", "ts_select_sample", "emb_dup_clusters",
       "emb_matryoshka", "mm_audio_windows", "olap_q10_returns",
-      "olap_running_revenue")
+      "olap_running_revenue", "ann_pq_topk", "events_power_users")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

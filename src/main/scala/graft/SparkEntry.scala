@@ -630,6 +630,7 @@ object SparkEntry {
     "events_active_users" -> ((s, dir) => EventOps.activeUsers(EventsAdapter.events(s, dir))),
     "events_attribution" -> ((s, dir) => EventOps.attribution(EventsAdapter.events(s, dir))),
     "events_transitions" -> ((s, dir) => EventOps.transitions(EventsAdapter.events(s, dir))),
+    "events_power_users" -> ((s, dir) => EventOps.powerUsers(EventsAdapter.events(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -1211,6 +1212,7 @@ object SparkEntry {
     "events_active_users" -> EventOps.activeUsersOracle,
     "events_attribution" -> EventOps.attributionOracle,
     "events_transitions" -> EventOps.transitionsOracle,
+    "events_power_users" -> EventOps.powerUsersOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,

@@ -265,6 +265,21 @@ class GraftEngine(
         bare // static empty mock (cflux.js:835-844)
       case Ast.ShowQueries | Ast.KillQuery(_) =>
         bare // synchronous engine: the running-query registry is empty
+      case Ast.Explain(sel) =>
+        // the engine's REAL physical plan — Catalyst's formatted explain,
+        // one line per row (the Spark-native EXPLAIN answer)
+        try {
+          val df = Planner.planSelect(spark, sel, catalog(db), nowMs())
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val rows: Seq[Seq[Any]] = plan.split('\n').toSeq.map(l => Seq[Any](l))
+          Seq(Response.entryJson(id, Seq(Response.Series("explain", Map.empty,
+            Seq("QUERY PLAN"), rows))))
+        } catch {
+          case _: Planner.UnknownMeasurement => bare
+          case e: IllegalArgumentException =>
+            Seq(s"""{"statement_id":$id,"error":"${Response.jsonEscape(e.getMessage)}"}""")
+        }
       case Ast.Unsupported(_) =>
         bare // cflux.js:846-852
       case other =>

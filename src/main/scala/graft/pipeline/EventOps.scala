@@ -169,6 +169,41 @@ object EventOps {
       |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND t.ts_ns <= p.ts_ns
       |GROUP BY 1 ORDER BY touch""".stripMargin
 
+  /** Pareto power users: the smallest prefix of users (by event count,
+    * ties → lower user_id) that covers ≥ 50% of all events. Output
+    * (rank, user_id, n_events, cum_events), one row per needed user.
+    *
+    * Shape: events collapse to per-user counts FIRST (map-side partial),
+    * so the ranking window runs over the user relation — bounded by
+    * user cardinality, not event volume; the cumulative share is
+    * inherently sequential and stays on that small relation. */
+  def powerUsers(events: DataFrame): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val total = events.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_events").desc, col("user_id"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_events", sum("n_events").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      // a user is needed while coverage BEFORE them is still < 50%
+      .filter((col("cum_events") - col("n_events")) * 2 < total)
+      .select("rank", "user_id", "n_events", "cum_events")
+      .orderBy("rank")
+  }
+
+  val powerUsersOracle: String =
+    """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+      |t AS (SELECT count(*) AS total FROM events),
+      |r AS (SELECT user_id, n_events,
+      |             row_number() OVER (ORDER BY n_events DESC, user_id) AS rank,
+      |             sum(n_events) OVER (ORDER BY n_events DESC, user_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+      |      FROM c)
+      |SELECT rank, user_id, n_events, CAST(cum_events AS BIGINT) AS cum_events
+      |FROM r, t WHERE (cum_events - n_events) * 2 < total
+      |ORDER BY rank""".stripMargin
+
   /** User-path transitions: counts of consecutive (prev_type → type)
     * bigrams per user journey — the Markov-chain edge weights of product
     * flow analysis. One window shuffle on user_id (ordered by the unique

@@ -459,11 +459,13 @@ object TextOps {
   val HotTopN = 20
 
   def hotNgrams(docs: DataFrame): DataFrame =
-    docs
+    graft.util.Spread(docs.select("doc_id", "text"))
       .select(col("doc_id"),
         explode(kgrams(tokens(col("text")), HotK)).as("gram"))
-      .distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+      // countDistinct instead of distinct().count(): Catalyst plans one
+      // partial-distinct aggregate tree (map-side dedup of (gram, doc)
+      // before any exchange) instead of two full shuffles
+      .groupBy("gram").agg(countDistinct("doc_id").as("df"))
       .orderBy(col("df").desc, col("gram"))
       .limit(HotTopN)
 

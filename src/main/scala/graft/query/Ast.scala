@@ -186,6 +186,10 @@ object Ast {
     * mock, cflux.js:835-844). */
   case object ShowQueries extends Statement
   final case class KillQuery(qid: Long) extends Statement
+  /** EXPLAIN SELECT … — returns the engine's ACTUAL physical plan (the
+    * Spark formatted explain) as a one-column series; the Spark-native
+    * answer to InfluxDB's EXPLAIN. */
+  final case class Explain(select: Select) extends Statement
   /** Anything else → reference logs UNSUPPORTED and returns an empty result
     * (cflux.js:846-852). */
   final case class Unsupported(raw: String) extends Statement

@@ -191,6 +191,13 @@ object InfluxQlParser {
       case Some(Ident(k, false)) if k.equalsIgnoreCase("CREATE") => parseCreate(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("DROP")   => parseDrop(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("DELETE") => parseDelete(p)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("EXPLAIN") =>
+        p.next()
+        p.kw("ANALYZE") // accepted; we always report the executed plan shape
+        parseSelect(p).flatMap {
+          case s: Ast.Select => Right(Ast.Explain(s))
+          case other         => Left(s"EXPLAIN requires a SELECT, got $other")
+        }
       case Some(Ident(k, false)) if k.equalsIgnoreCase("KILL") =>
         p.next()
         if (!p.kw("QUERY")) Left("expected QUERY after KILL")

@@ -296,6 +296,18 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(e.query("dbdel", "SHOW SERIES FROM \"cpu\"").contains("cpu,host=a"))
   }
 
+  test("EXPLAIN SELECT returns the real physical plan as a series") {
+    val e = newEngine()
+    e.write("dbex", "cpu,host=a u=1 1735689540000000000")
+    val plan = e.query("dbex",
+      """EXPLAIN SELECT mean("u") FROM "cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(plan.contains("QUERY PLAN"), plan)
+    // the plan must show the engine's actual join strategy and agg
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("HashAggregate"), plan)
+    // unknown measurement stays a clean bare statement
+    assert(e.query("dbex", """EXPLAIN SELECT mean("u") FROM "nope"""") === Response0)
+  }
+
   test("retention policy: registered policy shows, enforcement drops expired hours only") {
     val e = newEngine()
     // now = 1735689600000 (2025-01-01T00:00Z); write one point 3 h old,
