@@ -296,6 +296,26 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(e.query("dbdel", "SHOW SERIES FROM \"cpu\"").contains("cpu,host=a"))
   }
 
+  test("tz() day buckets follow the DST transition (Chicago, 2025-03-09)") {
+    val e = newEngine()
+    // America/Chicago DST begins 2025-03-09 02:00 local (UTC-6 → UTC-5):
+    // local midnight Mar 9 = 06:00Z, local midnight Mar 10 = 05:00Z.
+    // One point each local day, written at ns epochs:
+    //   Mar 9 12:00 local = 17:00Z = 1741539600s
+    //   Mar 10 12:00 local = 17:00Z = 1741626000s
+    e.write("dbtz",
+      """cpu,host=a u=1 1741539600000000000
+        |cpu,host=a u=2 1741626000000000000""".stripMargin)
+    val json = e.query("dbtz",
+      """SELECT mean("u") FROM "cpu" WHERE time > 1741400000000000000""" +
+        """ AND time < 1741700000000000000 GROUP BY time(1d) tz('America/Chicago')""")
+    // bucket starts at the UTC instants of the LOCAL midnights:
+    // Mar 9 00:00 CST = 1741500000000 ms; Mar 10 00:00 CDT = 1741582800000 ms
+    // (23-hour DST day — the UTC gap between starts is 82800000 ms)
+    assert(json.contains("[1741500000000,1]"), json)
+    assert(json.contains("[1741582800000,2]"), json)
+  }
+
   test("EXPLAIN SELECT returns the real physical plan as a series") {
     val e = newEngine()
     e.write("dbex", "cpu,host=a u=1 1735689540000000000")
