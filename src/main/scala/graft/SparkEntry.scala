@@ -379,6 +379,15 @@ object SparkEntry {
     "ts_select_fn_nnd" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT non_negative_derivative(mean("value"), 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_nndiff" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT non_negative_difference(mean("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_dema" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT double_exponential_moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_cmo" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT chande_momentum_oscillator(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
     "ts_select_subquery" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT max("mean") FROM (SELECT mean("value") FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h))""" +
@@ -601,6 +610,30 @@ object SparkEntry {
       Sketches.bloomProbe(
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))),
+    "sketch_kmv_jaccard" -> ((s, dir) =>
+      Sketches.kmvJaccard(EventsAdapter.events(s, dir))),
+    "olap_q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: large-volume orders. The HAVING subquery is the
+      // same lineitem aggregation reused (one scan, map-side combinable);
+      // its survivors (p99 tail — tiny) broadcast into the order/customer
+      // joins; final top-100 is TakeOrderedAndProject.
+      val bigOrders = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(floor(sum(col("l_quantity")) * 100).cast("long").as("qty_fp"))
+        .filter(col("qty_fp") > 250 * 100)
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      ord.join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          floor(col("o_totalprice") * 100).cast("long").as("total_fp"),
+          col("qty_fp"))
+        .orderBy(col("total_fp").desc, col("o_orderkey"))
+        .limit(100)
+    }),
     "emb_matryoshka" -> ((s, dir) => Similarity.matryoshka(emb(s, dir))),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "olap_top_users_per_type" -> ((s, dir) => {
@@ -622,6 +655,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "doc_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(docs(s, dir))),
     "doc_tfidf" -> ((s, dir) => TextOps.tfidf(docs(s, dir))),
+    "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
 
     // --- LLM-pipeline: event analytics ---
     "events_funnel" -> ((s, dir) => EventOps.funnel(EventsAdapter.events(s, dir))),
@@ -631,6 +665,8 @@ object SparkEntry {
     "events_attribution" -> ((s, dir) => EventOps.attribution(EventsAdapter.events(s, dir))),
     "events_transitions" -> ((s, dir) => EventOps.transitions(EventsAdapter.events(s, dir))),
     "events_power_users" -> ((s, dir) => EventOps.powerUsers(EventsAdapter.events(s, dir))),
+    "events_streaks" -> ((s, dir) => EventOps.streaks(EventsAdapter.events(s, dir))),
+    "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -648,6 +684,8 @@ object SparkEntry {
     "doc_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
     "doc_pack_bins" -> ((s, dir) => TextOps.packBins(docs(s, dir))),
     "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    "emb_binary_quant" -> ((s, dir) => Similarity.binaryQuantize(emb(s, dir))),
+    "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
 
     // --- approximate aggregates (SURVEY §2.4 "not present" list): HLL
@@ -1072,6 +1110,74 @@ object SparkEntry {
     "ts_select_fn_nnd" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
       "CASE WHEN pr IS NOT NULL AND time_ms > pt AND (raw - pr) >= 0 THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
+    "ts_select_fn_nndiff" -> tickOracle(3600000L,
+      "raw, lag(raw) OVER (ORDER BY time_ms) AS pr",
+      "CASE WHEN pr IS NOT NULL AND (raw - pr) >= 0 THEN raw - pr END"),
+    "ts_select_fn_dema" ->
+      // two stacked EMA recurrences (recursive CTEs), DEMA = 2·e1 − e2;
+      // α = 0.5 for N=3 is binary-exact, so every step is the identical
+      // IEEE op sequence as the Spark mapGroups fold
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
+         |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
+         |r1(i, e) AS (
+         |  SELECT 1, vs[1] FROM agg
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * vs[i + 1] + 0.5 * e
+         |  FROM r1, agg WHERE i + 1 <= len(vs)),
+         |a1 AS (SELECT list(e ORDER BY i) AS es FROM r1),
+         |r2(i, e2) AS (
+         |  SELECT 1, es[1] FROM a1
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * es[i + 1] + 0.5 * e2
+         |  FROM r2, a1 WHERE i + 1 <= len(es)),
+         |f AS (SELECT tt[r1.i] AS time_ms,
+         |             CAST(floor((2.0 * r1.e - r2.e2) * 100) AS BIGINT) AS value
+         |      FROM r1 JOIN r2 ON r1.i = r2.i CROSS JOIN agg)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_fn_cmo" -> {
+      // explicit lag-chain sums mirror Tick.chandeMomentum's fixed
+      // left-to-right fold (a windowed SUM would leave summation order
+      // to the engine's frame implementation)
+      val up = (0 until 4).map(k =>
+        s"(CASE WHEN d$k > 0 THEN d$k ELSE 0.0 END)").mkString(" + ")
+      val dn = (0 until 4).map(k =>
+        s"(CASE WHEN d$k < 0 THEN -d$k ELSE 0.0 END)").mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |d0 AS (SELECT time_ms, raw - lag(raw) OVER (ORDER BY time_ms) AS d FROM g),
+         |dd AS (SELECT time_ms, d AS d0,
+         |              lag(d, 1) OVER (ORDER BY time_ms) AS d1,
+         |              lag(d, 2) OVER (ORDER BY time_ms) AS d2,
+         |              lag(d, 3) OVER (ORDER BY time_ms) AS d3
+         |       FROM d0 WHERE d IS NOT NULL),
+         |c AS (SELECT time_ms, ($up) AS up, ($dn) AS dn
+         |      FROM dd WHERE d3 IS NOT NULL),
+         |f AS (SELECT time_ms,
+         |             CAST(floor((CASE WHEN up + dn = 0 THEN 0.0
+         |                              ELSE 100.0 * (up - dn) / (up + dn) END) * 100) AS BIGINT) AS value
+         |      FROM c)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    },
     "ts_difference_1h" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr", "raw - pr"),
     "ts_derivative_1h" -> tickOracle(3600000L,
@@ -1187,8 +1293,25 @@ object SparkEntry {
         |FROM m ORDER BY o_orderpriority, ym""".stripMargin,
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
+    "sketch_kmv_jaccard" -> Sketches.kmvJaccardOracle,
     "emb_matryoshka" -> Similarity.matryoshkaOracle,
     "ann_pq_topk" -> Similarity.pqTopKOracle,
+    "emb_binary_quant" -> Similarity.binaryQuantizeOracle,
+    "ann_hamming_topk" -> Similarity.hammingTopKOracle,
+    "events_streaks" -> EventOps.streaksOracle,
+    "events_bursts" -> EventOps.burstsOracle,
+    "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
+    "olap_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS qty_fp
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(floor(sum(l_quantity) * 100) AS BIGINT) > 25000)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+        |       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_fp, b.qty_fp
+        |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_fp DESC, o_orderkey LIMIT 100""".stripMargin,
     "olap_top_users_per_type" ->
       """WITH t AS (
         |  SELECT event_type, user_id, CAST(floor(sum(value) * 100) AS BIGINT) AS total_c

@@ -81,4 +81,67 @@ object Tick {
       }
       .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
   }
+
+  /** InfluxQL `double_exponential_moving_average(agg(field), N)`:
+    * DEMA = 2·EMA − EMA(EMA), both EMAs with α = 2/(N+1) seeded by their
+    * first input (same seeding as [[exponentialMovingAverage]]). The two
+    * chained recurrences run in ONE typed-mapGroups pass — state is two
+    * doubles per series. Both EMA folds and the final 2·e1 − e2 are the
+    * identical IEEE op sequence the oracle's stacked recursive CTEs
+    * perform, so doubles stay bit-identical. */
+  def doubleExponentialMovingAverage(sel: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "double_exponential_moving_average needs a positive window")
+    val spark = sel.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (n + 1)
+    val oneMinus = 1.0 - alpha
+    sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      .as[(Long, String, Double, String, String, String)]
+      .groupByKey(r => (r._2, r._4, r._5, r._6))
+      .flatMapGroups { (key: (String, String, String, String),
+                        it: Iterator[(Long, String, Double, String, String, String)]) =>
+        val (name, ln, lv, msg) = key
+        val pts = it.toVector.sortBy(r => (r._1, r._3))
+        var e1 = 0.0
+        var e2 = 0.0
+        pts.iterator.zipWithIndex.map { case (p, i) =>
+          e1 = if (i == 0) p._3 else alpha * p._3 + oneMinus * e1
+          e2 = if (i == 0) e1 else alpha * e1 + oneMinus * e2
+          (p._1, name, 2.0 * e1 - e2, ln, lv, msg)
+        }
+      }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+  }
+
+  /** InfluxQL `chande_momentum_oscillator(agg(field), N)`:
+    * 100 · (ΣUp − ΣDown) / (ΣUp + ΣDown) over the last N first
+    * differences per series; emitted only once N differences exist
+    * (InfluxDB's warm-up). 0 when all N differences are zero.
+    *
+    * Declarative — NO recurrence: the N-term up/down sums are explicit
+    * lag-k chains folded left-to-right, a fixed IEEE op sequence
+    * identical to the oracle's mirrored expression (a windowed SUM would
+    * leave summation order to each engine's frame implementation). */
+  def chandeMomentum(sel: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "chande_momentum_oscillator needs a positive period")
+    val d = sel
+      .withColumn("__d", col("value") - lag("value", 1).over(w))
+      .filter(col("__d").isNotNull)
+    val wd = w // same series partitioning, time order, over the diff rows
+    val terms = (0 until n).map { k =>
+      val dk = lag(col("__d"), k).over(wd)
+      (when(dk > 0, dk).otherwise(lit(0.0)),
+        when(dk < 0, -dk).otherwise(lit(0.0)),
+        dk.isNotNull)
+    }
+    val up = terms.map(_._1).reduce(_ + _)
+    val dn = terms.map(_._2).reduce(_ + _)
+    val full = terms.map(_._3).reduce(_ && _)
+    d.withColumn("__up", up).withColumn("__dn", dn).withColumn("__full", full)
+      .filter(col("__full"))
+      .withColumn("value",
+        when(col("__up") + col("__dn") === 0.0, lit(0.0))
+          .otherwise(lit(100.0) * (col("__up") - col("__dn")) / (col("__up") + col("__dn"))))
+      .drop("__d", "__up", "__dn", "__full")
+  }
 }

@@ -74,7 +74,14 @@ object Dedup {
 
   /** Exact word-3-gram Jaccard near-dup pairs (jac >= 0.8), candidate
     * pairs blocked by sharing at least one shingle. Output (i, j, jac_fp). */
-  def ngramJaccard(docs: DataFrame): DataFrame = {
+  def ngramJaccard(docs: DataFrame): DataFrame =
+    jaccardPairs(docs).orderBy("i", "j")
+
+  /** [[ngramJaccard]] without the presentation sort — the clustering
+    * consumers ([[clusters]], [[keepBest]]) feed the pairs straight into
+    * the propagation loop, where a total order buys nothing but a range
+    * exchange. */
+  private def jaccardPairs(docs: DataFrame): DataFrame = {
     // materialize the shingle relation once: it feeds the self-join
     // (twice) and the count side — without this, the tokenize + md5 +
     // explode lineage recomputes per consumer. At 100 TB the same
@@ -91,7 +98,6 @@ object Dedup {
       .select(col("i"), col("j"),
         expr("inter * 1000000 div (ca.c + cb.c - inter)").as("jac_fp"))
       .filter(col("jac_fp") >= JaccardThresholdFp)
-      .orderBy("i", "j")
   }
 
   val ngramJaccardOracle: String =
@@ -291,7 +297,7 @@ object Dedup {
     * propagation, without the n_members window (callers that aggregate
     * per cluster — [[keepBest]] — skip the window sort entirely). */
   private def labelDf(docs: DataFrame): DataFrame =
-    propagateClusters(ngramJaccard(docs).select("i", "j"), docs.select("doc_id"))
+    propagateClusters(jaccardPairs(docs).select("i", "j"), docs.select("doc_id"))
 
   /** Generic distributed connected components by min-label propagation:
     * `pairs` is an undirected (i, j) edge list; `nodes` (single id column)
@@ -385,7 +391,7 @@ object Dedup {
     * n_members). */
   def keepBest(docs: DataFrame): DataFrame = {
     val labeled = labelDf(docs)
-      .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality_fp")), Seq("doc_id"))
+      .join(TextOps.qualityFp(docs).select(col("doc_id"), col("quality_fp")), Seq("doc_id"))
     // single-pass per-cluster argmax: max of (quality, -doc_id) struct ==
     // "highest quality, ties -> smallest doc_id" — one groupBy instead of
     // two window sorts (each a full exchange + sort at scale)
@@ -467,7 +473,10 @@ object Dedup {
   /** Embedding near-dup pairs by cosine >= 0.45, brute-force O(n^2)
     * verify form. The scale path is Similarity.lshTopK's hyperplane
     * bucketing; this operator is its exact counterpart. */
-  def cosinePairs(emb: DataFrame): DataFrame = {
+  def cosinePairs(emb: DataFrame): DataFrame =
+    cosinePairsUnsorted(emb).orderBy("i", "j")
+
+  private def cosinePairsUnsorted(emb: DataFrame): DataFrame = {
     import graft.functions.VectorMath.dotF64
     val dot = (a: String, b: String) => dotF64(col(a), col(b))
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -476,7 +485,6 @@ object Dedup {
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         floor(dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm")) * 1e6).cast("long").as("cos_fp"))
       .filter(col("cos_fp") >= CosineThresholdFp)
-      .orderBy("i", "j")
   }
 
   /** DuckDB mirror: sequential left-fold sums (list_reduce) match Spark's
@@ -497,7 +505,7 @@ object Dedup {
     * [[cosinePairs]] exactly as text clustering applies it to
     * [[ngramJaccard]]. Output (vec_id, cluster_id, n_members). */
   def semanticClusters(emb: DataFrame): DataFrame =
-    propagateClusters(cosinePairs(emb).select("i", "j"), emb.select("vec_id"))
+    propagateClusters(cosinePairsUnsorted(emb).select("i", "j"), emb.select("vec_id"))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
       .orderBy("vec_id")

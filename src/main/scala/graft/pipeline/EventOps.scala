@@ -228,4 +228,73 @@ object EventOps {
       |SELECT prev_type, event_type AS next_type, count(*) AS n
       |FROM s WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
+
+  // ---- activity streaks (gaps and islands) --------------------------------
+
+  /** Longest streaks kept. */
+  val StreakTopN = 20
+
+  /** Top-[[StreakTopN]] longest consecutive-day activity streaks: the
+    * classic gaps-and-islands shape. Collapse to distinct (user, day)
+    * FIRST (the per-user relation is then bounded by days, not events —
+    * no power-user skew), then island key = day - row_number() per user,
+    * then one aggregation per island. The final top-N is
+    * TakeOrderedAndProject over per-user maxima — no global sort of the
+    * island relation. Output (user_id, start_day_ms, streak_len). */
+  def streaks(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    events
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("isl", col("day") - row_number().over(w))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("streak_len"), (min("day") * 86400000L).as("start_day_ms"))
+      .select("user_id", "start_day_ms", "streak_len")
+      .orderBy(col("streak_len").desc, col("user_id"), col("start_day_ms"))
+      .limit(StreakTopN)
+  }
+
+  val streaksOracle: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+       |i AS (
+       |  SELECT user_id, day,
+       |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+       |  FROM d),
+       |s AS (
+       |  SELECT user_id, min(day) * 86400000 AS start_day_ms, count(*) AS streak_len
+       |  FROM i GROUP BY user_id, isl)
+       |SELECT user_id, start_day_ms, streak_len FROM s
+       |ORDER BY streak_len DESC, user_id, start_day_ms LIMIT $StreakTopN""".stripMargin
+
+  // ---- burst detection ----------------------------------------------------
+
+  /** Hours whose event count exceeds 2× the per-type hourly mean —
+    * anomaly/burst detection in exact integer arithmetic
+    * (n × n_hours > 2 × total avoids any float mean). Two stacked
+    * map-side-combinable aggregations plus a broadcast of the per-type
+    * totals (|event types| rows); the hourly-count relation never
+    * re-shuffles. Output (event_type, hour_ms, n). */
+  def bursts(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val totals = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("n").as("total"))
+    hourly.join(broadcast(totals), Seq("event_type"))
+      .filter(col("n") * col("n_hours") > lit(2) * col("total"))
+      .select(col("event_type"), (col("h") * 3600000L).as("hour_ms"), col("n"))
+      .orderBy("event_type", "hour_ms")
+  }
+
+  val burstsOracle: String =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, count(*) AS n_hours, sum(n) AS total FROM c GROUP BY 1)
+      |SELECT c.event_type, c.h * 3600000 AS hour_ms, c.n
+      |FROM c JOIN t USING (event_type)
+      |WHERE c.n * t.n_hours > 2 * t.total
+      |ORDER BY event_type, hour_ms""".stripMargin
 }

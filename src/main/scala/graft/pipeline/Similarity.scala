@@ -490,4 +490,115 @@ object Similarity {
        |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
+
+  // ---- binary (sign-bit) quantization + Hamming ANN ------------------------
+
+  /** Hamming candidates kept per query before the exact re-rank. */
+  val BinRerank = 50
+
+  /** Sign-bit code half: bit d set iff v[off + d + 1] > 0, d in [0, 32).
+    * Two 32-bit halves instead of one 64-bit word keeps every shift
+    * below the sign bit — identical, unambiguous semantics in Spark and
+    * DuckDB (no reliance on either engine's signed-overflow behavior). */
+  private def binHalf(off: Int): Column =
+    expr(s"""aggregate(
+       transform(sequence(0, 31),
+         d -> IF(element_at(v, d + ${off + 1}) > CAST(0 AS DOUBLE),
+                 shiftleft(CAST(1 AS BIGINT), d), CAST(0 AS BIGINT))),
+       CAST(0 AS BIGINT), (a, x) -> a + x)""")
+
+  private def binHalfSql(t: String, off: Int): String =
+    s"""list_reduce(list_transform(range(0, 32),
+       |      d -> CASE WHEN $t.v[d + ${off + 1}] > 0 THEN (1::BIGINT << d) ELSE 0 END),
+       |    (a, b) -> a + b)""".stripMargin
+
+  /** Binary quantization: 64 dims → 64 sign bits, materialized as two
+    * 32-bit halves (code_lo = dims 1-32, code_hi = dims 33-64). 8 bytes
+    * per vector — a 64× cut vs float32 — is what a 100 TB ANN corpus
+    * scans in the coarse phase. Output (vec_id, code_lo, code_hi,
+    * n_bits). */
+  def binaryQuantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), binHalf(0).as("code_lo"), binHalf(32).as("code_hi"))
+      .withColumn("n_bits",
+        (bit_count(col("code_lo")) + bit_count(col("code_hi"))).cast("long"))
+      .orderBy("vec_id")
+
+  val binaryQuantizeOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id,
+       |             ${binHalfSql("e", 0)} AS code_lo,
+       |             ${binHalfSql("e", 32)} AS code_hi
+       |      FROM e)
+       |SELECT vec_id, code_lo, code_hi,
+       |       bit_count(code_lo) + bit_count(code_hi) AS n_bits
+       |FROM c ORDER BY vec_id""".stripMargin
+
+  /** ANN top-K via binary codes: coarse scan ranks ALL neighbors by
+    * Hamming distance on the 64-bit sign code (ties → neighbor id),
+    * keeps [[BinRerank]] candidates per query, then re-ranks those by
+    * exact cosine. Output (q_id, rank, neighbor_id, hamming, cos_fp).
+    *
+    * The 100 TB shape: the scan side touches an 8-byte code per vector
+    * (the codes relation — no raw vectors), the per-query top-[[BinRerank]]
+    * is a window over broadcast-joined rows (no shuffle of the corpus),
+    * and raw vectors are fetched by id for candidates only
+    * (NumQueries × BinRerank rows) in the re-rank join. */
+  def hammingTopK(emb: DataFrame): DataFrame = {
+    val e = normalized(emb)
+    val codes = e
+      .select(col("vec_id"), col("v"))
+      .select(col("vec_id"), binHalf(0).as("lo"), binHalf(32).as("hi"))
+    val qCodes = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val scored = codes.join(broadcast(qCodes), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("hamming"))
+    val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("neighbor_id"))
+    val cand = scored.withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= BinRerank)
+      .select("q_id", "neighbor_id", "hamming")
+    val qVec = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val reranked = cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(qVec), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"), col("hamming"),
+        floor(dotCols(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("cos_fp"))
+    val wC = Window.partitionBy("q_id").orderBy(col("cos_fp").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor_id", "hamming", "cos_fp")
+      .orderBy("q_id", "rank")
+  }
+
+  val hammingTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |                 ${binHalfSql("e", 0)} AS lo,
+       |                 ${binHalfSql("e", 32)} AS hi
+       |          FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi)) AS hamming
+       |  FROM codes q JOIN codes c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT q_id, neighbor_id, hamming,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY hamming, neighbor_id) AS hrank
+       |  FROM scored),
+       |rer AS (
+       |  SELECT t.q_id, t.neighbor_id, t.hamming,
+       |         floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM cand t
+       |  JOIN e c ON c.vec_id = t.neighbor_id
+       |  JOIN e q ON q.vec_id = t.q_id
+       |  WHERE t.hrank <= $BinRerank),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, hamming, cos_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |  FROM rer)
+       |SELECT q_id, rank, neighbor_id, hamming, cos_fp FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 }

@@ -224,4 +224,139 @@ object Sketches {
        |SELECT is_member, bloom_hit, count(*) AS n
        |FROM flags GROUP BY 1, 2 ORDER BY is_member, bloom_hit""".stripMargin
   }
+
+  // ---- KMV (bottom-k) set-similarity sketch ------------------------------
+
+  /** KMV sketch size: the k smallest hash values of each set. */
+  val KmvK = 64
+
+  /** Pairwise Jaccard similarity between the active user-day sets of
+    * every event-type pair (set element = user_id ⊗ activity day — the
+    * engagement-overlap question "do the same users do A and B on the
+    * same days"), estimated from KMV (bottom-k) sketches, next to the
+    * exact value (the honesty column).
+    *
+    * Sketch: per event_type, the [[KmvK]] smallest md5-based hashes of
+    * its distinct elements. Pair estimate: take the k smallest of the
+    * union of both sketches; J_est = |values present in both sketches| / k.
+    * Deterministic — the sketch is a pure function of the set, so the
+    * DuckDB oracle reproduces it bit-for-bit (no random seeds at all).
+    *
+    * Scale shape: the per-type sketch is a map-side-combinable top-k
+    * (distinct → window or partial min-heap), k rows per group REGARDLESS
+    * of set cardinality — billions of elements reduce to 64 longs before
+    * anything is joined. The pairwise stage runs on |types|² × k rows,
+    * never on the raw sets. The exact side — the thing the sketch
+    * replaces at 100 TB — is computed here via a per-element 5-bit type
+    * bitmask (one groupBy + one pass over the mask histogram), which is
+    * itself the efficient exact shape: all pairwise intersections from
+    * one pass, no self-join of element sets.
+    * Output (type_a, type_b, est_fp, exact_fp). */
+  def kmvJaccard(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val el = expr("user_id * 100000 + ts_ns div 86400000000000")
+    val h = baseHash(el.cast("string"))
+    // distinct (type, element-hash); hash collisions are mirrored by the oracle
+    val sk0 = ev.select(col("event_type"), h.as("h")).distinct()
+    // two-phase bottom-k: per-(type, salt) local k smallest first, so the
+    // final per-type window sorts ≤ 64k rows per type instead of the whole
+    // distinct set — |types| is tiny, which would otherwise make the
+    // single window partition the skew bottleneck at scale
+    val wLocal = Window.partitionBy("event_type", "salt").orderBy("h")
+    val wK = Window.partitionBy("event_type").orderBy("h")
+    val pre = sk0.withColumn("salt", pmod(col("h"), lit(64)))
+      .withColumn("rk", row_number().over(wLocal)).filter(col("rk") <= KmvK)
+      .select("event_type", "h")
+    val sk = pre.withColumn("rk", row_number().over(wK)).filter(col("rk") <= KmvK)
+      .select("event_type", "h")
+    // type pairs (a < b) from the sketch relation itself
+    val types = sk.select(col("event_type").as("t")).distinct()
+    val pairs = types.as("x").join(types.as("y"), col("x.t") < col("y.t"))
+      .select(col("x.t").as("type_a"), col("y.t").as("type_b"))
+    // union of the two sketches per pair, flagged by membership side
+    val members = pairs
+      .join(sk.as("s"), col("s.event_type") === col("type_a") ||
+        col("s.event_type") === col("type_b"))
+      .groupBy("type_a", "type_b", "h")
+      .agg(
+        max(when(col("event_type") === col("type_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("event_type") === col("type_b"), 1).otherwise(0)).as("in_b"))
+    val wU = Window.partitionBy("type_a", "type_b").orderBy("h")
+    val est = members.withColumn("rk", row_number().over(wU))
+      .filter(col("rk") <= KmvK)
+      .groupBy("type_a", "type_b")
+      .agg(expr("sum(in_a * in_b) * 1000000 div count(1)").as("est_fp"))
+    // exact: per-element type bitmask → all pairwise counts from ONE pass
+    // over elements (then one pass over the tiny mask-histogram
+    // relation) — no self-join of element sets
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val typeNames = ev.select(col("event_type")).distinct()
+      .orderBy("event_type").collect().map(_.getString(0))
+    val rowBit = typeNames.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
+      acc.bitwiseOR(when(col("event_type") === t, lit(1L << i)).otherwise(0L))
+    }
+    val masks = ev.select(el.as("el"), rowBit.as("b"))
+      .groupBy("el").agg(expr("bit_or(b)").as("m0"))
+      .groupBy("m0").agg(count(lit(1)).as("n"))
+    val pairsLocal = for {
+      (ta, ia) <- typeNames.zipWithIndex.toSeq
+      (tb, ib) <- typeNames.zipWithIndex.toSeq if ta < tb
+    } yield (ta, tb, (1L << ia) | (1L << ib))
+    val exact = broadcast(pairsLocal.toDF("pa", "pb", "pm")).crossJoin(masks)
+      .groupBy("pa", "pb")
+      .agg(expr(
+        """sum(IF((m0 & pm) = pm, n, CAST(0 AS BIGINT))) * 1000000
+          | div sum(IF((m0 & pm) != 0, n, CAST(0 AS BIGINT)))""".stripMargin).as("exact_fp"))
+      .select(col("pa").as("type_a"), col("pb").as("type_b"), col("exact_fp"))
+    est.join(exact, Seq("type_a", "type_b"))
+      .select("type_a", "type_b", "est_fp", "exact_fp")
+      .orderBy("type_a", "type_b")
+  }
+
+  val kmvJaccardOracle: String =
+    s"""WITH els AS (
+       |  SELECT event_type, user_id * 100000 + epoch_ms(ts) // 86400000 AS el
+       |  FROM events),
+       |d AS (
+       |  SELECT DISTINCT event_type, ${baseHashSql("CAST(el AS VARCHAR)")} AS h
+       |  FROM els),
+       |sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |    FROM d) WHERE rk <= $KmvK),
+       |t AS (SELECT DISTINCT event_type AS ty FROM sk),
+       |pairs AS (SELECT x.ty AS type_a, y.ty AS type_b FROM t x JOIN t y ON x.ty < y.ty),
+       |members AS (
+       |  SELECT p.type_a, p.type_b, s.h,
+       |         max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+       |  GROUP BY 1, 2, 3),
+       |u AS (
+       |  SELECT type_a, type_b, in_a, in_b,
+       |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk
+       |  FROM members),
+       |est AS (
+       |  SELECT type_a, type_b,
+       |         CAST(sum(in_a * in_b) * 1000000 // count(*) AS BIGINT) AS est_fp
+       |  FROM u WHERE rk <= $KmvK GROUP BY 1, 2),
+       |ut AS (SELECT DISTINCT event_type FROM events),
+       |bits AS (SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS bit FROM ut),
+       |um AS (
+       |  SELECT e.el, CAST(sum(DISTINCT (1::BIGINT << b.bit)) AS BIGINT) AS m0
+       |  FROM els e JOIN bits b USING (event_type) GROUP BY e.el),
+       |exact AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         CAST(sum(CASE WHEN (m.m0 & ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)))
+       |                       = ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)) THEN 1 ELSE 0 END)
+       |           * 1000000
+       |           // sum(CASE WHEN (m.m0 & ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)))
+       |                          != 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_fp
+       |  FROM bits a JOIN bits b ON a.event_type < b.event_type CROSS JOIN um m
+       |  GROUP BY 1, 2)
+       |SELECT type_a, type_b, est_fp, exact_fp
+       |FROM est JOIN exact USING (type_a, type_b)
+       |ORDER BY type_a, type_b""".stripMargin
 }

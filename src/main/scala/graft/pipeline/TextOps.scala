@@ -86,7 +86,13 @@ object TextOps {
   /** Heuristic quality score from length, type-token ratio and
     * punctuation density; all integer fixed-point.
     * quality_fp = 1000*distinct/total (TTR) + 200 if 30<=n<=500 - 50*punct. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityFp(docs).orderBy("doc_id")
+
+  /** [[qualityScore]] without the presentation sort — join consumers
+    * ([[graft.pipeline.Dedup.keepBest]]) don't need a total order and the
+    * range exchange it costs. */
+  private[pipeline] def qualityFp(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
     docs.select(col("doc_id"), w.as("w"),
         size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_punct"))
@@ -99,7 +105,6 @@ object TextOps {
         expr("n_distinct * 1000 div n_tokens") +
           when(col("n_tokens").between(30, 500), 200L).otherwise(0L) -
           col("n_punct") * 50L)
-      .orderBy("doc_id")
   }
 
   val qualityScoreOracle: String =
@@ -508,4 +513,62 @@ object TextOps {
        |       unnest(${kgramsSql("w", HotK)}) u(gram))
        |SELECT gram, count(*) AS df FROM g
        |GROUP BY 1 ORDER BY df DESC, gram LIMIT $HotTopN""".stripMargin
+
+  // ---- operator: Gopher-style filter battery -----------------------------
+
+  /** Gopher rule thresholds (Rae et al. 2021, table A1 shape — constants
+    * tuned to this corpus' token distribution): doc length bounds, mean
+    * word length band (×1000 fixed-point), minimum distinct stopword
+    * hits. */
+  val GopherMinTokens = 30L
+  val GopherMaxTokens = 50000L
+  val GopherMinMeanWl = 2000L
+  val GopherMaxMeanWl = 8000L
+  val GopherMinStops = 2L
+
+  /** The Gopher quality-filter battery: per-doc length, mean word length
+    * and stopword-presence signals plus the combined keep/drop verdict —
+    * the standard pre-training corpus gate, next to [[qualityScore]]
+    * (scoring) and [[repetition]] (repetition signals). One narrow
+    * projection per row, no shuffle before the presentation sort; at
+    * 100 TB the verdict column is what the next pipeline stage filters
+    * on, pushed down to the scan. Output (doc_id, n_tokens, mean_wl_fp,
+    * stop_hits, keep). */
+  def gopherFilters(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    docs.select(col("doc_id"), w.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        // sum of word lengths via the space-free text length: avoids a
+        // second pass over the token array
+        aggregate(transform(col("w"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_wl"),
+        size(array_intersect(array_distinct(col("w")), stopArr)).cast("long").as("stop_hits"))
+      .withColumn("mean_wl_fp", expr("sum_wl * 1000 div n_tokens"))
+      .withColumn("keep",
+        col("n_tokens").between(GopherMinTokens, GopherMaxTokens) &&
+          col("mean_wl_fp").between(GopherMinMeanWl, GopherMaxMeanWl) &&
+          col("stop_hits") >= GopherMinStops)
+      .select("doc_id", "n_tokens", "mean_wl_fp", "stop_hits", "keep")
+      .orderBy("doc_id")
+  }
+
+  val gopherFiltersOracle: String = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         len($tokensSql) AS n_tokens,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           list_transform($tokensSql, t -> length(t)::BIGINT)), (a, b) -> a + b) AS sum_wl,
+       |         len(list_filter(list_distinct($tokensSql), x -> x IN ($inList))) AS stop_hits
+       |  FROM documents),
+       |m AS (SELECT doc_id, n_tokens, sum_wl * 1000 // n_tokens AS mean_wl_fp, stop_hits FROM q)
+       |SELECT doc_id, n_tokens, mean_wl_fp, stop_hits,
+       |       (n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens)
+       |         AND (mean_wl_fp BETWEEN $GopherMinMeanWl AND $GopherMaxMeanWl)
+       |         AND (stop_hits >= $GopherMinStops) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

@@ -395,8 +395,9 @@ object InfluxQlParser {
     * `transform(agg("field")[, arg])` (InfluxQL function-of-function). */
   private val TransformFns = Set(
     "derivative", "non_negative_derivative", "difference",
-    "moving_average", "cumulative_sum", "holt_winters",
-    "exponential_moving_average")
+    "non_negative_difference", "moving_average", "cumulative_sum",
+    "holt_winters", "exponential_moving_average",
+    "double_exponential_moving_average", "chande_momentum_oscillator")
 
   // transform(func("name")[, dur|n]) | func("name"[, num]) [AS a] | "name" | *
   /** Unary math transformations (InfluxQL surface); `pow` takes a numeric

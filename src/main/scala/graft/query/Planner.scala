@@ -679,6 +679,8 @@ object Planner {
         t.n.getOrElse(throw new IllegalArgumentException("holt_winters needs a forecast count")),
         bucketMs)
     case "difference"  => graft.operators.Tick.difference(sel)
+    case "non_negative_difference" =>
+      graft.operators.Tick.difference(sel).filter(col("value") >= 0)
     case "derivative"  => graft.operators.Tick.derivative(sel, t.durMs.getOrElse(1000L))
     case "non_negative_derivative" =>
       graft.operators.Tick.derivative(sel, t.durMs.getOrElse(1000L))
@@ -691,6 +693,14 @@ object Planner {
       graft.operators.Tick.exponentialMovingAverage(sel,
         t.n.getOrElse(throw new IllegalArgumentException(
           "exponential_moving_average needs a window size")))
+    case "double_exponential_moving_average" =>
+      graft.operators.Tick.doubleExponentialMovingAverage(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "double_exponential_moving_average needs a window size")))
+    case "chande_momentum_oscillator" =>
+      graft.operators.Tick.chandeMomentum(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "chande_momentum_oscillator needs a period count")))
     case other => throw new IllegalArgumentException(s"unsupported transform: $other")
   }
 

@@ -342,4 +342,23 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(e.func.contains("mean"))
     assert(e.transform.exists(t => t.fn == "exponential_moving_average" && t.n.contains(3)))
   }
+
+  test("dema / cmo / non_negative_difference transforms parse") {
+    val d = parseOk(
+      """SELECT double_exponential_moving_average(mean("v"), 3) FROM "m" GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(d.transform.exists(t => t.fn == "double_exponential_moving_average" && t.n.contains(3)))
+    val c = parseOk(
+      """SELECT chande_momentum_oscillator(mean("v"), 4) FROM "m" GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(c.transform.exists(t => t.fn == "chande_momentum_oscillator" && t.n.contains(4)))
+    val nn = parseOk(
+      """SELECT non_negative_difference(mean("v")) FROM "m" GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(nn.transform.exists(t => t.fn == "non_negative_difference" && t.n.isEmpty))
+    // raw-field form parses too
+    val raw = parseOk("""SELECT non_negative_difference("v") FROM "m"""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(raw.func.isEmpty && raw.transform.exists(_.fn == "non_negative_difference"))
+  }
 }

@@ -227,4 +227,107 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.length === emb.count())
     rows.foreach(r => assert(r.getAs[Long]("norm_fp") > 0))
   }
+
+  test("binary quantization: n_bits = popcount of halves, codes match dim signs") {
+    val rows = Similarity.binaryQuantize(emb).collect()
+    assert(rows.length === emb.count())
+    val byId = rows.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("code_lo"), r.getAs[Long]("code_hi"), r.getAs[Long]("n_bits"))).toMap
+    byId.values.foreach { case (lo, hi, nb) =>
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
+      assert(nb === java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi))
+    }
+    // spot-check one vector's bits against the raw embedding
+    val v = emb.orderBy("vec_id").select("vec_id", "embedding").head()
+    val arr = v.getAs[scala.collection.Seq[Float]](1)
+    val (lo, hi, _) = byId(v.getLong(0))
+    (0 until 32).foreach { d =>
+      assert(((lo >> d) & 1L) === (if (arr(d) > 0) 1L else 0L))
+      assert(((hi >> d) & 1L) === (if (arr(d + 32) > 0) 1L else 0L))
+    }
+  }
+
+  test("hamming ANN: K ranked rows per query, cosine descending, useful recall vs brute") {
+    val ham = Similarity.hammingTopK(emb).collect()
+    val byQ = ham.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === Similarity.NumQueries)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.length === Similarity.K)
+      val cs = sorted.map(_.getAs[Long]("cos_fp")).toSeq
+      assert(cs === cs.sorted.reverse, "cosine must descend with rank")
+      sorted.foreach(r => assert(r.getAs[Long]("hamming") >= 0 && r.getAs[Long]("hamming") <= 64))
+    }
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = ham.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // 1-bit-per-dim codes on near-random vectors: far better than chance
+    // (chance ≈ K/N = 0.1 at sf0.001), not exact
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.3, s"hamming recall vs brute = $recall")
+  }
+
+  test("KMV Jaccard estimate tracks the exact value") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val rows = Sketches.kmvJaccard(ev).collect()
+    assert(rows.length === 10) // C(5,2) event-type pairs
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_fp")
+      val exact = r.getAs[Long]("exact_fp")
+      assert(est >= 0 && est <= 1000000)
+      // k=64 bottom-k: standard error ~ 1/sqrt(64) = 12.5pp; allow 3σ
+      assert(math.abs(est - exact) <= 375000, s"est=$est exact=$exact")
+    }
+  }
+
+  test("streaks are genuine maximal consecutive-day runs") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val rows = EventOps.streaks(ev).collect()
+    assert(rows.nonEmpty && rows.length <= EventOps.StreakTopN)
+    val lens = rows.map(_.getAs[Long]("streak_len")).toSeq
+    assert(lens === lens.sorted.reverse, "ordered longest-first")
+    // verify each reported streak against the user's raw activity days
+    val days = ev.select(col("user_id"), expr("ts_ns div 86400000000000").as("d"))
+      .distinct().collect().groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(1)).toSet }
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val start = r.getAs[Long]("start_day_ms") / 86400000L
+      val len = r.getAs[Long]("streak_len")
+      val ds = days(u)
+      (0L until len).foreach(k => assert(ds.contains(start + k), "streak days active"))
+      assert(!ds.contains(start - 1), "maximal at left")
+      assert(!ds.contains(start + len), "maximal at right")
+    }
+  }
+
+  test("bursts: every flagged hour exceeds 2x the per-type hourly mean") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val flagged = EventOps.bursts(ev).collect()
+    val hourly = ev.groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+    flagged.foreach { r =>
+      val rows = hourly(r.getString(0))
+      val nh = rows.length.toLong
+      val tot = rows.map(_.getLong(2)).sum
+      assert(r.getAs[Long]("n") * nh > 2 * tot)
+    }
+  }
+
+  test("gopher filter battery: verdict consistent with its own signals") {
+    val rows = TextOps.gopherFilters(docs).collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n_tokens") >= TextOps.GopherMinTokens &&
+        r.getAs[Long]("n_tokens") <= TextOps.GopherMaxTokens &&
+        r.getAs[Long]("mean_wl_fp") >= TextOps.GopherMinMeanWl &&
+        r.getAs[Long]("mean_wl_fp") <= TextOps.GopherMaxMeanWl &&
+        r.getAs[Long]("stop_hits") >= TextOps.GopherMinStops
+      assert(r.getAs[Boolean]("keep") === expect)
+    }
+    // the battery must discriminate on this corpus
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
 }

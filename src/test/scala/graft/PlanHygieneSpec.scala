@@ -60,6 +60,24 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("hamming ANN: query codes broadcast into the coarse scan; no cartesian") {
+    val p = plan("ann_hamming_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q18: the HAVING-survivor side broadcasts; top-100 is TakeOrdered") {
+    val p = plan("olap_q18_large_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("streaks: top-N is TakeOrderedAndProject over the island aggregate") {
+    val p = plan("events_streaks")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("running revenue: window AFTER the (priority, month) collapse, no raw-row window") {
     val p = plan("olap_running_revenue")
     // exactly one Window node, fed by an aggregate (not by the scan)
