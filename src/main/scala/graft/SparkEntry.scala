@@ -667,6 +667,7 @@ object SparkEntry {
     "events_power_users" -> ((s, dir) => EventOps.powerUsers(EventsAdapter.events(s, dir))),
     "events_streaks" -> ((s, dir) => EventOps.streaks(EventsAdapter.events(s, dir))),
     "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
+    "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -1300,6 +1301,7 @@ object SparkEntry {
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,
     "events_bursts" -> EventOps.burstsOracle,
+    "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "olap_q18_large_orders" ->
       """WITH big AS (

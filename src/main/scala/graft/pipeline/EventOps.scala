@@ -229,6 +229,33 @@ object EventOps {
       |FROM s WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
 
+  // ---- time to convert ----------------------------------------------------
+
+  /** Signup→purchase conversion-delay histogram (whole days): per user,
+    * first signup and first purchase strictly after it — the same
+    * stage-pairing joins as [[funnel]], co-partitioned on user_id — then
+    * one tiny aggregation over delay buckets. Output
+    * (delay_days, n_users). */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val byType = (t: String) => events.filter(col("event_type") === t)
+      .select(col("user_id"), expr("ts_ns div 1000000").as("ts_ms"))
+    val s = byType("signup").groupBy("user_id").agg(min("ts_ms").as("t1"))
+    val p = byType("purchase").join(s, "user_id").filter(col("ts_ms") > col("t1"))
+      .groupBy("user_id").agg(min("ts_ms").as("t2"), min("t1").as("t1m"))
+    p.select(expr("(t2 - t1m) div 86400000").as("delay_days"))
+      .groupBy("delay_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("delay_days")
+  }
+
+  val timeToConvertOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s AS (SELECT user_id, min(ts_ms) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(ts_ms) AS t2, min(t1) AS t1m
+      |      FROM e JOIN s USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_ms > t1 GROUP BY 1)
+      |SELECT (t2 - t1m) // 86400000 AS delay_days, count(*) AS n_users
+      |FROM p GROUP BY 1 ORDER BY delay_days""".stripMargin
+
   // ---- activity streaks (gaps and islands) --------------------------------
 
   /** Longest streaks kept. */

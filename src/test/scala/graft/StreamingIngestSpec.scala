@@ -230,4 +230,25 @@ class StreamingIngestSpec extends AnyFunSuite {
       .as[(String, Long, Long, Double)].collect().toSet
     assert(got === Set(("u1", 10000L, 40000L, 5.0)), got)
   }
+
+  test("streaming exact dedup: first content wins within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamDoc, StreamingDedup}
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingDedup.firstSeen(in.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    // batch 1: docs 1 and 3 share content — smallest docId survives
+    in.addData(StreamDoc(3, "alpha beta"), StreamDoc(1, "alpha beta"),
+               StreamDoc(2, "gamma"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate is dropped by carried state;
+    // fresh content passes
+    in.addData(StreamDoc(4, "alpha beta"), StreamDoc(5, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup").as[StreamDoc].collect().map(_.docId).toSet
+    assert(got === Set(1L, 2L, 5L), got)
+  }
 }
