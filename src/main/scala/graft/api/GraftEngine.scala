@@ -265,6 +265,40 @@ class GraftEngine(
         bare // static empty mock (cflux.js:835-844)
       case Ast.ShowQueries | Ast.KillQuery(_) =>
         bare // synchronous engine: the running-query registry is empty
+      case Ast.ShowShards =>
+        // honest: walk measurement=*/hour=* partition dirs — metadata
+        // cost only, no data read (the same directory walk retention
+        // enforcement uses)
+        import org.apache.hadoop.fs.Path
+        def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+        val expiryDelta = retentionPolicies.collect {
+          case ((d, _), (dur, _)) if d == db => dur
+        }.minOption.getOrElse(0L)
+        val base = new Path(samplesPath(db))
+        val fs = hadoopFs(base)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        if (fs.exists(base))
+          fs.listStatus(base).sortBy(_.getPath.getName).foreach { mdir =>
+            val mn = mdir.getPath.getName
+            if (mn.startsWith("measurement=")) {
+              val m = mn.stripPrefix("measurement=")
+              fs.listStatus(mdir.getPath).map(_.getPath.getName)
+                .filter(_.startsWith("hour=")).map(_.stripPrefix("hour=").toLong)
+                .sorted.foreach { h =>
+                  val start = h * 3600000L
+                  val end = start + 3600000L
+                  rows += Seq[Any](h, db, "autogen", m,
+                    iso(start), iso(end), iso(end + expiryDelta), "")
+                }
+            }
+          }
+        Seq(Response.entryJson(id, Seq(Response.Series(db, Map.empty,
+          Seq("id", "database", "retention_policy", "shard_group",
+            "start_time", "end_time", "expiry_time", "owners"), rows.toSeq))))
+      case Ast.ShowUsers =>
+        // no auth subsystem: the empty user list in InfluxDB's shape
+        Seq(Response.entryJson(id, Seq(Response.Series("", Map.empty,
+          Seq("user", "admin"), Seq.empty))))
       case Ast.Explain(sel) =>
         // the engine's REAL physical plan — Catalyst's formatted explain,
         // one line per row (the Spark-native EXPLAIN answer)

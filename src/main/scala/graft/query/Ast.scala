@@ -186,6 +186,16 @@ object Ast {
     * mock, cflux.js:835-844). */
   case object ShowQueries extends Statement
   final case class KillQuery(qid: Long) extends Statement
+  /** SHOW SHARDS — honest implementation over the engine's storage: one
+    * row per stored (measurement, hour) partition directory; the hour
+    * partition IS the shard (the reference's toRelativeHourNum partition,
+    * cflux.js:152). InfluxDB's shard_group is a numeric id; ours carries
+    * the measurement name (per-measurement tables — documented
+    * divergence). */
+  case object ShowShards extends Statement
+  /** SHOW USERS — statement-compat mock: no auth subsystem, empty user
+    * list (same spirit as SHOW SUBSCRIPTIONS, cflux.js:835-844). */
+  case object ShowUsers extends Statement
   /** EXPLAIN SELECT … — returns the engine's ACTUAL physical plan (the
     * Spark formatted explain) as a one-column series; the Spark-native
     * answer to InfluxDB's EXPLAIN. */

@@ -705,6 +705,8 @@ object InfluxQlParser {
       Right(Ast.ShowRetentionPolicies(db))
     } else if (p.kw("SUBSCRIPTIONS")) Right(Ast.ShowSubscriptions)
     else if (p.kw("QUERIES")) Right(Ast.ShowQueries)
+    else if (p.kw("SHARDS")) Right(Ast.ShowShards)
+    else if (p.kw("USERS")) Right(Ast.ShowUsers)
     else if (p.kw("CONTINUOUS")) {
       if (!p.kw("QUERIES")) return Left("expected QUERIES after CONTINUOUS")
       Right(Ast.ShowContinuousQueries)

@@ -583,6 +583,26 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(!r.contains(""""host":"c""""), r)
   }
 
+  test("SHOW SHARDS lists hour partitions honestly; SHOW USERS is the empty mock") {
+    val e = newEngine()
+    // two measurements, cpu spanning two hour partitions
+    e.write("dbsh",
+      """cpu,host=a usage=1 1735689540000000000
+        |cpu,host=a usage=2 1735693200000000000
+        |mem,host=a used=3 1735689540000000000""".stripMargin)
+    val sh = e.query("dbsh", "SHOW SHARDS")
+    assert(sh.contains(""""name":"dbsh""""), sh)
+    assert(sh.contains(""""columns":["id","database","retention_policy","shard_group","start_time","end_time","expiry_time","owners"]"""), sh)
+    // 1735689540000 is in hour 482135, 1735693200000 opens hour 482137? no:
+    // 1735693200000 / 3600000 = 482137.0 exactly → hour 482137
+    assert(sh.contains("482135") && sh.contains(""""cpu""""), sh)
+    assert(sh.contains("2024-12-31T23:00:00Z"), sh) // hour-482135 start
+    val shardRows = "\"cpu\"|\"mem\"".r.findAllIn(sh).length
+    assert(shardRows >= 3, s"expected cpu x2 + mem x1 shard rows: $sh")
+    val us = e.query("dbsh", "SHOW USERS")
+    assert(us.contains(""""columns":["user","admin"]"""), us)
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",

@@ -190,6 +190,8 @@ class InfluxQlParserSpec extends AnyFunSuite {
   test("SHOW QUERIES and KILL QUERY parse; retention policy parses") {
     assert(parseOk("SHOW QUERIES") === Ast.ShowQueries)
     assert(parseOk("KILL QUERY 42") === Ast.KillQuery(42L))
+    assert(parseOk("SHOW SHARDS") === Ast.ShowShards)
+    assert(parseOk("SHOW USERS") === Ast.ShowUsers)
     parseOk("""CREATE RETENTION POLICY "d" ON "db" DURATION 24h REPLICATION 1 DEFAULT""") match {
       case Ast.CreateRetentionPolicy("d", "db", dur, true) =>
         assert(dur === 86400000L)
