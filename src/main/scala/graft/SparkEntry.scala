@@ -388,6 +388,9 @@ object SparkEntry {
     "ts_select_fn_cmo" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT chande_momentum_oscillator(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_ker" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT kaufmans_efficiency_ratio(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
     "ts_select_subquery" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT max("mean") FROM (SELECT mean("value") FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h))""" +
@@ -1146,6 +1149,36 @@ object SparkEntry {
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
          |       '17' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_fn_ker" -> {
+      // net change = the same lag-chain sum WITHOUT abs, identical fold
+      // order to Tick.kaufmansEfficiency
+      val net = (0 until 4).map(k => s"d$k").mkString(" + ")
+      val vol = (0 until 4).map(k => s"abs(d$k)").mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |d0 AS (SELECT time_ms, raw - lag(raw) OVER (ORDER BY time_ms) AS d FROM g),
+         |dd AS (SELECT time_ms, d AS d0,
+         |              lag(d, 1) OVER (ORDER BY time_ms) AS d1,
+         |              lag(d, 2) OVER (ORDER BY time_ms) AS d2,
+         |              lag(d, 3) OVER (ORDER BY time_ms) AS d3
+         |       FROM d0 WHERE d IS NOT NULL),
+         |c AS (SELECT time_ms, ($net) AS net, ($vol) AS vol
+         |      FROM dd WHERE d3 IS NOT NULL),
+         |f AS (SELECT time_ms,
+         |             CAST(floor((CASE WHEN vol = 0 THEN 0.0
+         |                              ELSE abs(net) / vol END) * 100) AS BIGINT) AS value
+         |      FROM c)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    },
     "ts_select_fn_cmo" -> {
       // explicit lag-chain sums mirror Tick.chandeMomentum's fixed
       // left-to-right fold (a windowed SUM would leave summation order

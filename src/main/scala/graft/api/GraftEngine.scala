@@ -55,6 +55,31 @@ class GraftEngine(
   private def samplesPath(db: String) = s"$root/$db/samples"
   private def seriesPath(db: String) = s"$root/$db/time_series"
 
+  /** Per-db FINAL-deduped series index, cached across queries — the
+    * query-side analogue of the reference's fingerprint warm-load LRU
+    * (S7, cflux.js:126-130,199-229; SURVEY §4 cache row). The index is
+    * schema-sized (series cardinality, not data volume), so pinning it
+    * is bounded; every index mutation ([[write]], [[executeInto]],
+    * [[dropMeasurement]], [[dropSeries]]) invalidates. */
+  private val seriesIndexCache =
+    TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def invalidateSeriesIndex(db: String): Unit =
+    seriesIndexCache.remove(db).foreach(_.unpersist(blocking = false))
+
+  private def seriesIndexFinal(db: String): org.apache.spark.sql.DataFrame =
+    seriesIndexCache.getOrElseUpdate(db, {
+      val df =
+        try Ingest.readSeriesIndexFinal(spark, seriesPath(db))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              graft.model.Schemas.seriesIndex)
+        }
+      df.cache()
+    })
+
   /** Lazy CREATE DATABASE analogue (cflux.js:174-194). */
   def createDatabase(db: String): Unit = {
     new java.io.File(s"$root/$db").mkdirs()
@@ -89,6 +114,7 @@ class GraftEngine(
         Seq("fingerprint"), "left_anti")
       catch { case _: org.apache.spark.sql.AnalysisException => batch.series }
     Ingest.writeSeriesIndex(novel, seriesPath(db))
+    invalidateSeriesIndex(db)
   }
 
   /** Catalog over the stored layout. Measurement map is lazy: each entry
@@ -106,15 +132,7 @@ class GraftEngine(
         val samples = spark.read.parquet(samplesPath(db))
         measurementNames.map(m => m -> samples.filter(col("measurement") === m)).toMap
       }
-    val series =
-      try Ingest.readSeriesIndexFinal(spark, seriesPath(db))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            graft.model.Schemas.seriesIndex)
-      }
-    TsCatalog(databases.keys.toSeq.sorted, measurements, series)
+    TsCatalog(databases.keys.toSeq.sorted, measurements, seriesIndexFinal(db))
   }
 
   /** Execute an InfluxQL query — one statement or a `;`-separated batch —
@@ -399,7 +417,7 @@ class GraftEngine(
     // columns are re-derived from the series index's label ARRAYS below
     val rows = out.select("fingerprint", "time_ms", "name", "value", "message")
       .dropDuplicates("fingerprint", "time_ms", "name")
-    val srcSeries = Ingest.readSeriesIndexFinal(spark, seriesPath(db))
+    val srcSeries = seriesIndexFinal(db)
       .select(col("fingerprint"), col("labelname"), col("labelvalue"))
     val joined = rows.join(broadcast(srcSeries), Seq("fingerprint"))
       .localCheckpoint(true) // one evaluation for count + both writes
@@ -432,6 +450,7 @@ class GraftEngine(
           Seq("fingerprint"), "left_anti")
         catch { case _: org.apache.spark.sql.AnalysisException => series }
       Ingest.writeSeriesIndex(novel, seriesPath(db))
+      invalidateSeriesIndex(db)
     }
     written
   }
@@ -478,6 +497,7 @@ class GraftEngine(
       fs.delete(idx, true)
       fs.rename(tmp, idx)
     }
+    invalidateSeriesIndex(db)
   }
 
   /** Retention enforcement tick: for every db with a registered policy,
@@ -555,6 +575,7 @@ class GraftEngine(
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(idx, true)
     fs.rename(tmp, idx)
+    invalidateSeriesIndex(db)
   }
 
   /** DELETE FROM … WHERE time: hour partitions fully inside the range are

@@ -122,6 +122,31 @@ object Tick {
     * lag-k chains folded left-to-right, a fixed IEEE op sequence
     * identical to the oracle's mirrored expression (a windowed SUM would
     * leave summation order to each engine's frame implementation). */
+  /** InfluxQL `kaufmans_efficiency_ratio(agg(field), N)`:
+    * |net change over N periods| / Σ|period changes| per series — 1 on a
+    * straight trend, →0 on pure chop. Net change is the SAME lag-k diff
+    * chain summed without abs (identical fold order), so both engines
+    * compute the identical IEEE sequence; emitted once N differences
+    * exist; 0 when volatility is 0. */
+  def kaufmansEfficiency(sel: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "kaufmans_efficiency_ratio needs a positive period")
+    val d = sel
+      .withColumn("__d", col("value") - lag("value", 1).over(w))
+      .filter(col("__d").isNotNull)
+    val terms = (0 until n).map { k =>
+      val dk = lag(col("__d"), k).over(w)
+      (dk, abs(dk), dk.isNotNull)
+    }
+    val net = terms.map(_._1).reduce(_ + _)
+    val vol = terms.map(_._2).reduce(_ + _)
+    val full = terms.map(_._3).reduce(_ && _)
+    d.withColumn("__net", net).withColumn("__vol", vol).withColumn("__full", full)
+      .filter(col("__full"))
+      .withColumn("value",
+        when(col("__vol") === 0.0, lit(0.0)).otherwise(abs(col("__net")) / col("__vol")))
+      .drop("__d", "__net", "__vol", "__full")
+  }
+
   def chandeMomentum(sel: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "chande_momentum_oscillator needs a positive period")
     val d = sel

@@ -397,7 +397,8 @@ object InfluxQlParser {
     "derivative", "non_negative_derivative", "difference",
     "non_negative_difference", "moving_average", "cumulative_sum",
     "holt_winters", "exponential_moving_average",
-    "double_exponential_moving_average", "chande_momentum_oscillator")
+    "double_exponential_moving_average", "chande_momentum_oscillator",
+    "kaufmans_efficiency_ratio")
 
   // transform(func("name")[, dur|n]) | func("name"[, num]) [AS a] | "name" | *
   /** Unary math transformations (InfluxQL surface); `pow` takes a numeric

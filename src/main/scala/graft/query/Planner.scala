@@ -701,6 +701,10 @@ object Planner {
       graft.operators.Tick.chandeMomentum(sel,
         t.n.getOrElse(throw new IllegalArgumentException(
           "chande_momentum_oscillator needs a period count")))
+    case "kaufmans_efficiency_ratio" =>
+      graft.operators.Tick.kaufmansEfficiency(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "kaufmans_efficiency_ratio needs a period count")))
     case other => throw new IllegalArgumentException(s"unsupported transform: $other")
   }
 

@@ -358,6 +358,10 @@ class InfluxQlParserSpec extends AnyFunSuite {
       """SELECT non_negative_difference(mean("v")) FROM "m" GROUP BY time(1m)""")
       .asInstanceOf[Ast.Select].fields.head
     assert(nn.transform.exists(t => t.fn == "non_negative_difference" && t.n.isEmpty))
+    val ker = parseOk(
+      """SELECT kaufmans_efficiency_ratio(mean("v"), 4) FROM "m" GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(ker.transform.exists(t => t.fn == "kaufmans_efficiency_ratio" && t.n.contains(4)))
     // raw-field form parses too
     val raw = parseOk("""SELECT non_negative_difference("v") FROM "m"""")
       .asInstanceOf[Ast.Select].fields.head
