@@ -391,6 +391,9 @@ object SparkEntry {
     "ts_select_fn_ker" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT kaufmans_efficiency_ratio(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_rsi" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT relative_strength_index(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
     "ts_select_subquery" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT max("mean") FROM (SELECT mean("value") FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h))""" +
@@ -671,6 +674,8 @@ object SparkEntry {
     "events_streaks" -> ((s, dir) => EventOps.streaks(EventsAdapter.events(s, dir))),
     "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
+    "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
+    "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -1149,6 +1154,45 @@ object SparkEntry {
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
          |       '17' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_fn_rsi" ->
+      // Wilder RSI replayed by a recursive CTE over the ordered diff
+      // list: seed = ascending folds of the first 4 gains/losses (zeros
+      // for the other sign — x + 0.0 is exact), then
+      // avg_t = (avg·3 + x)/4; RSI formula mirrored op-for-op
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
+         |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
+         |dl AS (SELECT list_transform(range(1, len(vs)), i -> vs[i + 1] - vs[i]) AS ds,
+         |              tt FROM agg),
+         |r(i, ag, al) AS (
+         |  SELECT 4,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(ds[1:4], d -> CASE WHEN d > 0 THEN d ELSE 0.0 END)),
+         |           (a, b) -> a + b) / 4,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(ds[1:4], d -> CASE WHEN d < 0 THEN -d ELSE 0.0 END)),
+         |           (a, b) -> a + b) / 4
+         |  FROM dl
+         |  UNION ALL
+         |  SELECT i + 1,
+         |         (ag * 3 + (CASE WHEN ds[i + 1] > 0 THEN ds[i + 1] ELSE 0.0 END)) / 4,
+         |         (al * 3 + (CASE WHEN ds[i + 1] < 0 THEN -ds[i + 1] ELSE 0.0 END)) / 4
+         |  FROM r, dl WHERE i + 1 <= len(ds)),
+         |f AS (SELECT tt[i + 1] AS time_ms,
+         |             CAST(floor((CASE WHEN al = 0 THEN 100.0
+         |                              ELSE 100.0 - 100.0 / (1.0 + ag / al) END) * 100) AS BIGINT) AS value
+         |      FROM r, dl)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_ker" -> {
       // net change = the same lag-chain sum WITHOUT abs, identical fold
       // order to Tick.kaufmansEfficiency
@@ -1335,6 +1379,8 @@ object SparkEntry {
     "events_streaks" -> EventOps.streaksOracle,
     "events_bursts" -> EventOps.burstsOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
+    "events_rfm" -> EventOps.rfmOracle,
+    "dedup_containment" -> Dedup.containmentOracle,
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "olap_q18_large_orders" ->
       """WITH big AS (

@@ -113,6 +113,54 @@ object Tick {
       .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
   }
 
+  /** InfluxQL `relative_strength_index(agg(field), N)`: Wilder RSI.
+    * Seed after the first N differences: avgGain/avgLoss = plain means of
+    * the first N gains/losses (ascending-order folds); then Wilder
+    * smoothing avg_t = (avg_{t-1}·(N−1) + x_t)/N. RSI = 100 when
+    * avgLoss = 0, else 100 − 100/(1 + avgGain/avgLoss) — that exact
+    * formula, mirrored op-for-op by the oracle's recursive CTE, keeps
+    * the doubles bit-identical. Sequential recurrence ⇒ typed mapGroups
+    * (the [[exponentialMovingAverage]] discipline): 2 doubles of state
+    * per series. */
+  def relativeStrengthIndex(sel: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "relative_strength_index needs a positive period")
+    val spark = sel.sparkSession
+    import spark.implicits._
+    sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      .as[(Long, String, Double, String, String, String)]
+      .groupByKey(r => (r._2, r._4, r._5, r._6))
+      .flatMapGroups { (key: (String, String, String, String),
+                        it: Iterator[(Long, String, Double, String, String, String)]) =>
+        val (name, ln, lv, msg) = key
+        val pts = it.toVector.sortBy(r => (r._1, r._3))
+        val diffs = pts.sliding(2).collect {
+          case Vector(a, b) => (b._1, b._3 - a._3)
+        }.toVector
+        if (diffs.length < n) Iterator.empty
+        else {
+          var ag = 0.0
+          var al = 0.0
+          // seed: ascending-order folds over the first n diffs
+          diffs.take(n).foreach { case (_, d) =>
+            if (d > 0) ag = ag + d else al = al + (-d)
+          }
+          ag = ag / n
+          al = al / n
+          def rsi: Double = if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + ag / al)
+          val first = (diffs(n - 1)._1, name, rsi, ln, lv, msg)
+          val rest = diffs.drop(n).map { case (t, d) =>
+            val gain = if (d > 0) d else 0.0
+            val loss = if (d < 0) -d else 0.0
+            ag = (ag * (n - 1) + gain) / n
+            al = (al * (n - 1) + loss) / n
+            (t, name, rsi, ln, lv, msg)
+          }
+          (first +: rest).iterator
+        }
+      }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+  }
+
   /** InfluxQL `chande_momentum_oscillator(agg(field), N)`:
     * 100 · (ΣUp − ΣDown) / (ΣUp + ΣDown) over the last N first
     * differences per series; emitted only once N differences exist

@@ -112,6 +112,52 @@ object Dedup {
        |WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp
        |ORDER BY i, j""".stripMargin
 
+  // ---- asymmetric containment ---------------------------------------------
+
+  /** Containment threshold, fixed-point 1e6. */
+  val ContainmentThresholdFp = 500000L
+
+  /** Asymmetric shingle containment C(A→B) = |A∩B| / |A| — the near-dup
+    * measure that catches quote/subset relationships Jaccard misses when
+    * document lengths differ (a short doc fully contained in a long one
+    * has high containment but low Jaccard). Emits pairs where EITHER
+    * direction reaches the threshold, with both directions' values.
+    * Same blocked self-join + broadcast-counts shape as [[ngramJaccard]]
+    * (one intersection aggregation serves both directions).
+    * Output (i, j, cont_i_fp, cont_j_fp). */
+  def containment(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs).localCheckpoint(true)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"),
+        expr("inter * 1000000 div ca.c").as("cont_i_fp"),
+        expr("inter * 1000000 div cb.c").as("cont_j_fp"))
+      .filter(col("cont_i_fp") >= ContainmentThresholdFp ||
+        col("cont_j_fp") >= ContainmentThresholdFp)
+      .orderBy("i", "j")
+  }
+
+  val containmentOracle: String =
+    s"""WITH sh AS ($shingleRowsSql),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id i, b.doc_id j, count(*) n
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j,
+       |       n * 1000000 // ca.c AS cont_i_fp,
+       |       n * 1000000 // cb.c AS cont_j_fp
+       |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE n * 1000000 // ca.c >= $ContainmentThresholdFp
+       |   OR n * 1000000 // cb.c >= $ContainmentThresholdFp
+       |ORDER BY i, j""".stripMargin
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   val NumPerms = 32

@@ -229,6 +229,45 @@ object EventOps {
       |FROM s WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
 
+  // ---- RFM segmentation ---------------------------------------------------
+
+  /** RFM (recency / frequency / monetary) quartile segmentation — the
+    * classic customer-value cube. One aggregation collapses events to a
+    * per-user (last_ms, n_events, monetary) triple; three ntile(4)
+    * windows run over that user-cardinality relation (never raw events);
+    * quartile 1 = best (most recent / most active / highest spend), ties
+    * broken by user_id so both engines bucket identically. Output
+    * (r, f, m, n_users, monetary_fp_sum). */
+  def rfm(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = events.groupBy("user_id").agg(
+      max(expr("ts_ns div 1000000")).as("last_ms"),
+      count(lit(1)).as("n_events"),
+      sum(floor(col("value") * 100)).cast("long").as("m_fp"))
+    base
+      .withColumn("r", ntile(4).over(w.orderBy(col("last_ms").desc, col("user_id"))).cast("long"))
+      .withColumn("f", ntile(4).over(w.orderBy(col("n_events").desc, col("user_id"))).cast("long"))
+      .withColumn("m", ntile(4).over(w.orderBy(col("m_fp").desc, col("user_id"))).cast("long"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"), sum("m_fp").as("monetary_fp_sum"))
+      .orderBy("r", "f", "m")
+  }
+
+  val rfmOracle: String =
+    """WITH base AS (
+      |  SELECT user_id, max(epoch_ms(ts)) AS last_ms, count(*) AS n_events,
+      |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m_fp
+      |  FROM events GROUP BY 1),
+      |q AS (
+      |  SELECT user_id, m_fp,
+      |         ntile(4) OVER (ORDER BY last_ms DESC, user_id) AS r,
+      |         ntile(4) OVER (ORDER BY n_events DESC, user_id) AS f,
+      |         ntile(4) OVER (ORDER BY m_fp DESC, user_id) AS m
+      |  FROM base)
+      |SELECT r, f, m, count(*) AS n_users,
+      |       CAST(sum(m_fp) AS BIGINT) AS monetary_fp_sum
+      |FROM q GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+
   // ---- time to convert ----------------------------------------------------
 
   /** Signup→purchase conversion-delay histogram (whole days): per user,

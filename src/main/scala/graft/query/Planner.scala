@@ -705,6 +705,10 @@ object Planner {
       graft.operators.Tick.kaufmansEfficiency(sel,
         t.n.getOrElse(throw new IllegalArgumentException(
           "kaufmans_efficiency_ratio needs a period count")))
+    case "relative_strength_index" =>
+      graft.operators.Tick.relativeStrengthIndex(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "relative_strength_index needs a period count")))
     case other => throw new IllegalArgumentException(s"unsupported transform: $other")
   }
 

@@ -231,6 +231,30 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(got === Set(("u1", 10000L, 40000L, 5.0)), got)
   }
 
+  test("streaming windowed HLL: close-once estimate, exact in the sparse regime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingSketch, WindowDistinct}
+    val in = MemoryStream[Point]
+    val q = StreamingSketch.windowedDistinct(in.toDS(), 60000L, 1000L)
+      .writeStream.format("memory").queryName("whll")
+      .outputMode("append").start()
+    // window [0, 60s): three distinct series, one repeated
+    in.addData(Point("cpu|a", 1000L, 1.0), Point("cpu|b", 2000L, 1.0),
+               Point("cpu|c", 3000L, 1.0), Point("cpu|a", 4000L, 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past the window end → window closes once
+    in.addData(Point("cpu|z", 300000L, 1.0))
+    q.processAllAvailable()
+    in.addData(Point("cpu|z", 400000L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("whll").as[WindowDistinct].collect()
+      .filter(_.windowStart == 0L)
+    // linear counting is exact while registers are sparse: 3 distinct
+    assert(got.toSeq === Seq(WindowDistinct(0L, 3L)), got.toSeq)
+  }
+
   test("streaming exact dedup: first content wins within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
