@@ -67,7 +67,13 @@ object Bench {
       "events_attribution", "events_funnel", "ts_select_tz_day",
       "ts_select_fn_ema", "ts_select_sample", "emb_dup_clusters",
       "emb_matryoshka", "mm_audio_windows", "olap_q10_returns",
-      "olap_running_revenue", "ann_pq_topk", "events_power_users")
+      "olap_running_revenue", "ann_pq_topk", "events_power_users",
+      // round-3 additions
+      "emb_binary_quant", "ann_hamming_topk", "sketch_kmv_jaccard",
+      "events_streaks", "events_bursts", "events_rfm",
+      "events_time_to_convert", "doc_gopher_filters", "dedup_containment",
+      "olap_q18_large_orders", "ts_select_fn_rsi", "ts_select_fn_cmo",
+      "ts_select_fn_dema")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -29,7 +29,7 @@ import scala.collection.concurrent.TrieMap
   */
 class GraftEngine(
     spark: SparkSession,
-    root: String,
+    val root: String,
     nowMs: () => Long = () => System.currentTimeMillis()
 ) {
 
@@ -498,6 +498,43 @@ class GraftEngine(
       fs.rename(tmp, idx)
     }
     invalidateSeriesIndex(db)
+  }
+
+  /** Compaction tick: rewrite every hour partition that has accumulated
+    * more than one parquet file into a single file, re-sorted on
+    * (fingerprint, timestamp_ms) — the ClickHouse MergeTree background
+    * merge analogue (the reference delegates this to MergeTree; SURVEY
+    * §1.2 ORDER BY note). Micro-batch streaming ingest appends one file
+    * per trigger per partition; without merging, a day of 2-second
+    * triggers is 43k files per partition — read amplification and
+    * min/max-stat dilution this keeps bounded. Each partition rewrites
+    * independently (trivially parallel across a cluster); the temp dir
+    * gets a leading underscore so a crash mid-rewrite is invisible to
+    * partition discovery. Returns partitions compacted. */
+  def compact(db: String, measurement: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(s"${samplesPath(db)}/measurement=$measurement")
+    val fs = hadoopFs(base)
+    if (!fs.exists(base)) return 0
+    var done = 0
+    fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("hour=")) {
+        val files = fs.listStatus(st.getPath)
+          .filter(f => f.getPath.getName.endsWith(".parquet"))
+        if (files.length > 1) {
+          val tmp = new Path(st.getPath.getParent, "_compact_" + name)
+          spark.read.parquet(st.getPath.toString)
+            .coalesce(1)
+            .sortWithinPartitions("fingerprint", "timestamp_ms")
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(st.getPath, true)
+          fs.rename(tmp, st.getPath)
+          done += 1
+        }
+      }
+    }
+    done
   }
 
   /** Retention enforcement tick: for every db with a registered policy,

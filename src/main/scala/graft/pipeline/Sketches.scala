@@ -273,10 +273,14 @@ object Sketches {
     val types = sk.select(col("event_type").as("t")).distinct()
     val pairs = types.as("x").join(types.as("y"), col("x.t") < col("y.t"))
       .select(col("x.t").as("type_a"), col("y.t").as("type_b"))
-    // union of the two sketches per pair, flagged by membership side
+    // union of the two sketches per pair, flagged by membership side.
+    // The pair relation explodes to one row per (pair, member type) so
+    // the sketch join is a plain equi-join on event_type (an OR condition
+    // here planned as a nested-loop join)
     val members = pairs
-      .join(sk.as("s"), col("s.event_type") === col("type_a") ||
-        col("s.event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        explode(array(col("type_a"), col("type_b"))).as("event_type"))
+      .join(sk, "event_type")
       .groupBy("type_a", "type_b", "h")
       .agg(
         max(when(col("event_type") === col("type_a"), 1).otherwise(0)).as("in_a"),

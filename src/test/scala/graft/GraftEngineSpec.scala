@@ -583,6 +583,26 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(!r.contains(""""host":"c""""), r)
   }
 
+  test("compaction merges multi-file hour partitions; results and sort order survive") {
+    val e = newEngine()
+    // three separate writes → three parquet files in the same hour dir
+    e.write("dbc", "cpu,host=a u=1 1735689540000000000")
+    e.write("dbc", "cpu,host=a u=2 1735689541000000000")
+    e.write("dbc", "cpu,host=b u=3 1735689542000000000")
+    val before = e.query("dbc",
+      """SELECT mean("u") FROM "cpu" WHERE time > now() - 10m GROUP BY time(1m)""")
+    val hourDir = new java.io.File(
+      e.root + "/dbc/samples/measurement=cpu/hour=482135")
+    def parquets = hourDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquets >= 3, s"expected one file per write, got $parquets")
+    assert(e.compact("dbc", "cpu") === 1)
+    assert(parquets === 1, "compaction must leave a single file")
+    assert(e.compact("dbc", "cpu") === 0, "idempotent: nothing left to merge")
+    val after = e.query("dbc",
+      """SELECT mean("u") FROM "cpu" WHERE time > now() - 10m GROUP BY time(1m)""")
+    assert(after === before, "compaction must not change query results")
+  }
+
   test("SHOW SHARDS lists hour partitions honestly; SHOW USERS is the empty mock") {
     val e = newEngine()
     // two measurements, cpu spanning two hour partitions
