@@ -394,6 +394,9 @@ object SparkEntry {
     "ts_select_fn_rsi" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT relative_strength_index(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_top_tag" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT top("value", "event_type", 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ GROUP BY time(6h)"""))),
     "ts_select_subquery" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT max("mean") FROM (SELECT mean("value") FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h))""" +
@@ -1153,6 +1156,27 @@ object SparkEntry {
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
          |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_top_tag" ->
+      // 3-arg top: best point per (bucket, tag value), then the 3 tag
+      // values with the highest best points — two stacked windows
+      s"""WITH p AS (
+         |  SELECT epoch_ms(ts) AS time_ms, event_type, value,
+         |         (epoch_ms(ts) // 21600000) * 21600000 AS b
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}),
+         |best AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY b, event_type ORDER BY value DESC, time_ms) AS rn
+         |  FROM p),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY b ORDER BY value DESC, event_type) AS rk
+         |  FROM best WHERE rn = 1)
+         |SELECT time_ms, 'value' AS name,
+         |       CAST(floor(value * 100) AS BIGINT) AS value,
+         |       'event_type' AS labelname, event_type AS labelvalue, '' AS message
+         |FROM r WHERE rk <= 3
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_rsi" ->
       // Wilder RSI replayed by a recursive CTE over the ordered diff

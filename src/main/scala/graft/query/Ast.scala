@@ -30,7 +30,11 @@ object Ast {
                          arg: Option[Double] = None,
                          transform: Option[Transform] = None,
                          argDur: Option[Long] = None,
-                         expr: Option[FExpr] = None)
+                         expr: Option[FExpr] = None,
+                         /** 3-arg top/bottom("field", "tag", N): the tag
+                           * key whose values compete (InfluxDB's
+                           * per-tag-value extremes form). */
+                         selTag: Option[String] = None)
 
   /** Arithmetic expression tree over projection leaves (extension).
     * Leaves are ordinary [[Field]]s (bare field or aggregate call);

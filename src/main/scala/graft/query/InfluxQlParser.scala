@@ -562,12 +562,24 @@ object InfluxQlParser {
             }
             var arg: Option[Double] = None
             var argDur: Option[Long] = None
+            var selTag: Option[String] = None
             if (p.op(",")) p.next() match {
               case Num(n) => n.toDoubleOption match {
                 case Some(d) => arg = Some(d)
                 case None    => return Left(s"bad numeric function arg $n")
               }
               case Dur(d) => argDur = Some(TimeUnits.durationMs(d))
+              // 3-arg selector form: top("field", "tag", N)
+              case Ident(tag, _) if Set("top", "bottom").contains(name.toLowerCase) =>
+                selTag = Some(tag)
+                if (!p.op(",")) return Left(s"${name.toLowerCase}(field, tag, N) needs N")
+                p.next() match {
+                  case Num(n) => n.toDoubleOption match {
+                    case Some(d) => arg = Some(d)
+                    case None    => return Left(s"bad numeric function arg $n")
+                  }
+                  case t => return Left(s"bad tag-count arg $t")
+                }
               case t      => return Left(s"bad numeric function arg $t")
             }
             if (!p.op(")")) return Left("expected )")
@@ -579,7 +591,8 @@ object InfluxQlParser {
                 transform = Some(Ast.Transform(name.toLowerCase,
                   durMs = argDur, n = arg.map(_.toInt)))))
             else
-              Right(Ast.Field(Some(name.toLowerCase), inner, None, arg, argDur = argDur))
+              Right(Ast.Field(Some(name.toLowerCase), inner, None, arg,
+                argDur = argDur, selTag = selTag))
           }
         } else Right(Ast.Field(None, name, None))
       case t => Left(s"bad field $t")

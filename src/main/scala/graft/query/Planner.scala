@@ -561,13 +561,38 @@ object Planner {
         val ord =
           if (f.func.contains("top")) Seq(col("value").desc, col("timestamp_ms").asc)
           else Seq(col("value").asc, col("timestamp_ms").asc)
-        val partCols = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
-          Seq(col("__bucket"), col("name"), col("labelname"), col("labelvalue"), col("message"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(partCols: _*).orderBy(ord: _*)
-        bucketed.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
-          .select(col("timestamp_ms").as("time_ms"), nameOut.as("name"), col("value"),
-            col("labelname"), col("labelvalue"), col("message"))
+        f.selTag match {
+          case Some(tag) =>
+            // 3-arg form top("field", "tag", N): the single extreme point
+            // per tag VALUE, for the N tag values with the most extreme
+            // points (InfluxDB's per-tag-value competition). Two stacked
+            // windows: best-per-tag-value (competing across series that
+            // share the value), then rank the tag values; neither is a
+            // global sort — partitions are buckets × tag values.
+            val tagged = bucketed.filter(col("labelname") === tag)
+            val w1 = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__bucket"), col("name"), col("labelname"), col("labelvalue"))
+              .orderBy(ord: _*)
+            val best = tagged.withColumn("__rn", row_number().over(w1))
+              .filter(col("__rn") === 1)
+            val rankOrd =
+              (if (f.func.contains("top")) col("value").desc else col("value").asc) +:
+                Seq(col("labelvalue").asc)
+            val w2 = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__bucket"), col("name"), col("labelname"))
+              .orderBy(rankOrd: _*)
+            best.withColumn("__rk", row_number().over(w2)).filter(col("__rk") <= n)
+              .select(col("timestamp_ms").as("time_ms"), nameOut.as("name"), col("value"),
+                col("labelname"), col("labelvalue"), col("message"))
+          case None =>
+            val partCols = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
+              Seq(col("__bucket"), col("name"), col("labelname"), col("labelvalue"), col("message"))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(partCols: _*).orderBy(ord: _*)
+            bucketed.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+              .select(col("timestamp_ms").as("time_ms"), nameOut.as("name"), col("value"),
+                col("labelname"), col("labelvalue"), col("message"))
+        }
       } else {
         val agged = timed
           .withColumn("time_ms", bucketStart)

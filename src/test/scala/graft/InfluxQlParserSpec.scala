@@ -362,6 +362,12 @@ class InfluxQlParserSpec extends AnyFunSuite {
       """SELECT kaufmans_efficiency_ratio(mean("v"), 4) FROM "m" GROUP BY time(1m)""")
       .asInstanceOf[Ast.Select].fields.head
     assert(ker.transform.exists(t => t.fn == "kaufmans_efficiency_ratio" && t.n.contains(4)))
+    // 3-arg selector form: per-tag-value extremes
+    val tt = parseOk("""SELECT top("v", "host", 3) FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(tt.func.contains("top") && tt.selTag.contains("host") && tt.arg.contains(3.0))
+    // tag arg is only valid on top/bottom
+    assert(InfluxQlParser.parse("""SELECT mean("v", "host", 3) FROM "m"""").isLeft)
     // raw-field form parses too
     val raw = parseOk("""SELECT non_negative_difference("v") FROM "m"""")
       .asInstanceOf[Ast.Select].fields.head
