@@ -317,6 +317,37 @@ class GraftEngine(
         // no auth subsystem: the empty user list in InfluxDB's shape
         Seq(Response.entryJson(id, Seq(Response.Series("", Map.empty,
           Seq("user", "admin"), Seq.empty))))
+      case Ast.ShowStats =>
+        // honest storage statistics: directory-walk counts (metadata
+        // cost) + the schema-sized series index count
+        import org.apache.hadoop.fs.Path
+        val base = new Path(samplesPath(db))
+        val fs = hadoopFs(base)
+        var nMeasurements = 0L
+        var nPartitions = 0L
+        var nFiles = 0L
+        if (fs.exists(base)) fs.listStatus(base).foreach { mdir =>
+          if (mdir.getPath.getName.startsWith("measurement=")) {
+            nMeasurements += 1
+            fs.listStatus(mdir.getPath).foreach { st =>
+              if (st.getPath.getName.startsWith("hour=")) {
+                nPartitions += 1
+                nFiles += fs.listStatus(st.getPath)
+                  .count(_.getPath.getName.endsWith(".parquet"))
+              }
+            }
+          }
+        }
+        val nSeries = seriesIndexFinal(db).count()
+        Seq(Response.entryJson(id, Seq(Response.Series("graft", Map("database" -> db),
+          Seq("measurements", "series", "hourPartitions", "parquetFiles"),
+          Seq(Seq(nMeasurements, nSeries, nPartitions, nFiles))))))
+      case Ast.ShowDiagnostics =>
+        val rt = Runtime.getRuntime
+        Seq(Response.entryJson(id, Seq(Response.Series("build", Map.empty,
+          Seq("sparkVersion", "scalaVersion", "availableProcessors"),
+          Seq(Seq(spark.version, scala.util.Properties.versionNumberString,
+            rt.availableProcessors().toLong))))))
       case Ast.Explain(sel) =>
         // the engine's REAL physical plan — Catalyst's formatted explain,
         // one line per row (the Spark-native EXPLAIN answer)

@@ -200,6 +200,14 @@ object Ast {
   /** SHOW USERS — statement-compat mock: no auth subsystem, empty user
     * list (same spirit as SHOW SUBSCRIPTIONS, cflux.js:835-844). */
   case object ShowUsers extends Statement
+  /** SHOW STATS — honest per-db storage statistics (measurements, series,
+    * hour partitions, parquet files) from a metadata-cost directory walk
+    * plus the schema-sized series index; InfluxDB reports runtime
+    * counters, we report the storage truths the engine actually has. */
+  case object ShowStats extends Statement
+  /** SHOW DIAGNOSTICS — honest build/runtime facts (Spark version, Scala
+    * version, available processors). */
+  case object ShowDiagnostics extends Statement
   /** EXPLAIN SELECT … — returns the engine's ACTUAL physical plan (the
     * Spark formatted explain) as a one-column series; the Spark-native
     * answer to InfluxDB's EXPLAIN. */

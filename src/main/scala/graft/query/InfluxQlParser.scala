@@ -721,6 +721,8 @@ object InfluxQlParser {
     else if (p.kw("QUERIES")) Right(Ast.ShowQueries)
     else if (p.kw("SHARDS")) Right(Ast.ShowShards)
     else if (p.kw("USERS")) Right(Ast.ShowUsers)
+    else if (p.kw("STATS")) Right(Ast.ShowStats)
+    else if (p.kw("DIAGNOSTICS")) Right(Ast.ShowDiagnostics)
     else if (p.kw("CONTINUOUS")) {
       if (!p.kw("QUERIES")) return Left("expected QUERIES after CONTINUOUS")
       Right(Ast.ShowContinuousQueries)

@@ -621,6 +621,14 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(shardRows >= 3, s"expected cpu x2 + mem x1 shard rows: $sh")
     val us = e.query("dbsh", "SHOW USERS")
     assert(us.contains(""""columns":["user","admin"]"""), us)
+    // honest stats: 2 measurements, 3 series (cpu/usage x2 hosts? -> usage
+    // has host=a only twice across hours = 1 series; mem 1 series), 3 hour
+    // partitions — assert the column shape and the partition count
+    val st = e.query("dbsh", "SHOW STATS")
+    assert(st.contains(""""columns":["measurements","series","hourPartitions","parquetFiles"]"""), st)
+    assert(st.contains("""[2,2,3,"""), st) // 2 measurements, 2 series, 3 hour dirs
+    val di = e.query("dbsh", "SHOW DIAGNOSTICS")
+    assert(di.contains(""""sparkVersion""""), di)
   }
 
   test("measurement + hour partition pruning reaches the file scan") {

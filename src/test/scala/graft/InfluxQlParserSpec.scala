@@ -192,6 +192,8 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(parseOk("KILL QUERY 42") === Ast.KillQuery(42L))
     assert(parseOk("SHOW SHARDS") === Ast.ShowShards)
     assert(parseOk("SHOW USERS") === Ast.ShowUsers)
+    assert(parseOk("SHOW STATS") === Ast.ShowStats)
+    assert(parseOk("SHOW DIAGNOSTICS") === Ast.ShowDiagnostics)
     parseOk("""CREATE RETENTION POLICY "d" ON "db" DURATION 24h REPLICATION 1 DEFAULT""") match {
       case Ast.CreateRetentionPolicy("d", "db", dur, true) =>
         assert(dur === 86400000L)
