@@ -184,7 +184,7 @@ class InfluxQlParserSpec extends AnyFunSuite {
 
   test("unsupported statements degrade to Unsupported, not error") {
     assert(parseOk("DROP SHARD 3").isInstanceOf[Ast.Unsupported])
-    assert(parseOk("SHOW STATS").isInstanceOf[Ast.Unsupported])
+    assert(parseOk("""GRANT ALL ON "db" TO "u"""").isInstanceOf[Ast.Unsupported])
   }
 
   test("SHOW QUERIES and KILL QUERY parse; retention policy parses") {
