@@ -82,22 +82,49 @@ object Ingest {
     }
     val parsed = if (materializeParsed) parsed0.localCheckpoint(true) else parsed0
 
-    val samples = parsed.flatMap { p =>
-      val hour = graft.model.TimeUnits.msToHourBucket(p.tsMs)
-      p.floatFields.iterator.map { case (k, v) =>
-        SampleRow(Fingerprint.of(p.measurement, p.tags, k), p.tsMs, v, k, "", hour, p.measurement)
-      } ++ p.stringFields.iterator.map { case (k, v) =>
-        SampleRow(Fingerprint.of(p.measurement, p.tags, k), p.tsMs, 0.0, k, v, hour, p.measurement)
+    // Per-partition fingerprint memo — the executor-side analogue of the
+    // reference's 50k-entry label LRU (cflux.js:126-130): series
+    // cardinality ≪ sample count, so the canonical-JSON build + hash runs
+    // once per series per partition instead of once per row. Bounded like
+    // the reference's cache (clear-on-overflow ≈ LRU for a skew-free
+    // key distribution).
+    val MemoCap = 65536
+    val samples = parsed.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap
+        .empty[(String, Seq[(String, String)], String), Long]
+      def fp(m: String, tags: Seq[(String, String)], k: String): Long = {
+        if (memo.size > MemoCap) memo.clear()
+        memo.getOrElseUpdate((m, tags, k), Fingerprint.of(m, tags, k))
+      }
+      it.flatMap { p =>
+        val hour = graft.model.TimeUnits.msToHourBucket(p.tsMs)
+        p.floatFields.iterator.map { case (k, v) =>
+          SampleRow(fp(p.measurement, p.tags, k), p.tsMs, v, k, "", hour, p.measurement)
+        } ++ p.stringFields.iterator.map { case (k, v) =>
+          SampleRow(fp(p.measurement, p.tags, k), p.tsMs, 0.0, k, v, hour, p.measurement)
+        }
       }
     }.toDF()
 
     val epochDay = new java.sql.Date(nowMs - Math.floorMod(nowMs, 86400000L))
-    val series = parsed.flatMap { p =>
-      val sorted = p.tags.sortBy(_._1)
-      (p.floatFields.iterator ++ p.stringFields.iterator).map { case (k, _) =>
-        val canon = Fingerprint.canonical(p.measurement, p.tags, k)
-        SeriesRow(epochDay, Fingerprint.hash(canon), p.measurement, k,
-          sorted.map(_._1), sorted.map(_._2), canon)
+    // Series rows: the same memo doubles as a partition-local first-seen
+    // filter (the write-path LRU registration, cflux.js:321-332) — only
+    // the first occurrence per partition emits; the dropDuplicates below
+    // finishes the job across partitions.
+    val series = parsed.mapPartitions { it =>
+      val seen = scala.collection.mutable.HashSet
+        .empty[(String, Seq[(String, String)], String)]
+      it.flatMap { p =>
+        val sorted = p.tags.sortBy(_._1)
+        (p.floatFields.iterator ++ p.stringFields.iterator).flatMap { case (k, _) =>
+          val key = (p.measurement, p.tags, k)
+          if (seen.size > MemoCap) seen.clear()
+          if (seen.add(key)) {
+            val canon = Fingerprint.canonical(p.measurement, p.tags, k)
+            Iterator.single(SeriesRow(epochDay, Fingerprint.hash(canon), p.measurement, k,
+              sorted.map(_._1), sorted.map(_._2), canon))
+          } else Iterator.empty
+        }
       }
     }.toDF()
       // batch analogue of the write-path LRU (cflux.js:126-130,326): one

@@ -17,7 +17,9 @@ object IngestBench {
     // series index; two passes so JIT cost is visible separately
     for (pass <- 1 to 2) {
       val t0 = System.nanoTime()
-      val b = Ingest.fromLines(lines, 1735689600000L)
+      // materializeParsed like the engine write path: the parse runs once,
+      // not once per consumer
+      val b = Ingest.fromLines(lines, 1735689600000L, materializeParsed = true)
       Ingest.writeSamples(b.samples, s"$out/samples$pass")
       Ingest.writeSeriesIndex(b.series, s"$out/series$pass")
       val secs = (System.nanoTime() - t0) / 1e9
