@@ -20,11 +20,15 @@ object IngestBench {
       // materializeParsed like the engine write path: the parse runs once,
       // not once per consumer
       val b = Ingest.fromLines(lines, 1735689600000L, materializeParsed = true)
+      val t1 = System.nanoTime()
       Ingest.writeSamples(b.samples, s"$out/samples$pass")
+      val t2 = System.nanoTime()
       Ingest.writeSeriesIndex(b.series, s"$out/series$pass")
-      val secs = (System.nanoTime() - t0) / 1e9
+      val t3 = System.nanoTime()
+      val secs = (t3 - t0) / 1e9
       val rows = spark.read.parquet(s"$out/samples$pass").count()
-      println(f"[ingest-bench] pass$pass: $n%d lines -> $rows%d sample rows in $secs%.2fs = ${n / secs}%.0f lines/s, ${rows / secs}%.0f samples/s")
+      println(f"[ingest-bench] pass$pass: $n%d lines -> $rows%d sample rows in $secs%.2fs = ${n / secs}%.0f lines/s, ${rows / secs}%.0f samples/s" +
+        f" (parse ${(t1 - t0) / 1e9}%.2fs, samples ${(t2 - t1) / 1e9}%.2fs, series ${(t3 - t2) / 1e9}%.2fs)")
     }
     spark.stop()
   }
