@@ -621,6 +621,26 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"))),
     "sketch_kmv_jaccard" -> ((s, dir) =>
       Sketches.kmvJaccard(EventsAdapter.events(s, dir))),
+    "olap_q12_priority" -> ((s, dir) => {
+      // TPC-H Q12 shape (adapted to the synthetic columns): per
+      // returnflag, high- vs low-priority line counts for a shipping
+      // year. The conditional aggregation rides the SAME hash aggregate
+      // as a plain count (no extra pass); date filter pushed to the
+      // lineitem scan; orders side carries only (key, priority).
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_returnflag")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
     "olap_q18_large_orders" -> ((s, dir) => {
       // TPC-H Q18 shape: large-volume orders. The HAVING subquery is the
       // same lineitem aggregation reused (one scan, map-side combinable);
@@ -665,6 +685,7 @@ object SparkEntry {
     "doc_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(docs(s, dir))),
     "doc_tfidf" -> ((s, dir) => TextOps.tfidf(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
+    "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
 
     // --- LLM-pipeline: event analytics ---
     "events_funnel" -> ((s, dir) => EventOps.funnel(EventsAdapter.events(s, dir))),
@@ -1396,6 +1417,16 @@ object SparkEntry {
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
     "sketch_kmv_jaccard" -> Sketches.kmvJaccardOracle,
+    "olap_q12_priority" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "doc_mixture_weights" -> TextOps.mixtureWeightsOracle,
     "emb_matryoshka" -> Similarity.matryoshkaOracle,
     "ann_pq_topk" -> Similarity.pqTopKOracle,
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,

@@ -146,7 +146,21 @@ class GraftEngine(
   /** @param epoch response time unit, like InfluxDB's `epoch=` query
     *              param: s/m/h divide, u/ns multiply; default ms (the
     *              reference always emits ms, cflux.js:808). */
-  def query(db: String, q: String, epoch: Option[String]): String = {
+  def query(db: String, q: String, epoch: Option[String]): String =
+    s"""{"results":[${queryEntries(db, q, epoch).mkString(",")}]}"""
+
+  /** Chunked-response form (InfluxDB `chunked=true`): one complete
+    * `{"results":[entry]}` document per results entry, for streaming as
+    * newline-delimited JSON. Chunk granularity is the entry — InfluxDB
+    * additionally splits long series by chunk_size; our entries are
+    * LIMIT-bounded at the API boundary (documented divergence). */
+  def queryChunks(db: String, q: String, epoch: Option[String]): Seq[String] = {
+    val es = queryEntries(db, q, epoch)
+    if (es.isEmpty) Seq(Response.emptyResult)
+    else es.map(e => s"""{"results":[$e]}""")
+  }
+
+  private def queryEntries(db: String, q: String, epoch: Option[String]): Seq[String] = {
     val timeScale: Long => Long = epoch match {
       case Some("s")         => _ / 1000L
       case Some("m")         => _ / 60000L
@@ -156,19 +170,18 @@ class GraftEngine(
       case _                 => identity
     }
     InfluxQlParser.parseAllLenient(q) match {
-      case Seq() => Response.emptyResult
-      case Seq(Left(_)) => Response.emptyResult // single bad statement: reference shape
+      case Seq() => Seq(s"""{"statement_id":0}""")
+      case Seq(Left(_)) => Seq(s"""{"statement_id":0}""") // single bad statement: reference shape
       case Seq(Right(single)) =>
-        s"""{"results":[${statementEntries(db, single, 0, perMetricIds = true, timeScale).mkString(",")}]}"""
+        statementEntries(db, single, 0, perMetricIds = true, timeScale)
       case stmts =>
         // batch: one entry per statement; a bad statement carries its own
         // error object without failing the rest (InfluxDB shape)
-        val es = stmts.zipWithIndex.flatMap {
+        stmts.zipWithIndex.flatMap {
           case (Right(st), i) => statementEntries(db, st, i, perMetricIds = false, timeScale)
           case (Left(err), i) =>
             Seq(s"""{"statement_id":$i,"error":"${Response.jsonEscape(err)}"}""")
         }
-        s"""{"results":[${es.mkString(",")}]}"""
     }
   }
 

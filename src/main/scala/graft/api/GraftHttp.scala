@@ -82,7 +82,13 @@ final class GraftHttp(engine: GraftEngine, port: Int = 0,
     val db = p.getOrElse("db", fromBody.getOrElse("db", ""))
     val q = p.getOrElse("q", fromBody.getOrElse("q", ""))
     val epoch = p.get("epoch").orElse(fromBody.get("epoch"))
-    try respond(ex, 200, engine.query(db, q, epoch))
+    // chunked=true → newline-delimited JSON, one {"results":[...]} doc
+    // per results entry (InfluxDB chunked responses)
+    val chunked = p.get("chunked").orElse(fromBody.get("chunked")).contains("true")
+    try {
+      if (chunked) respond(ex, 200, engine.queryChunks(db, q, epoch).mkString("\n") + "\n")
+      else respond(ex, 200, engine.query(db, q, epoch))
+    }
     catch { case scala.util.control.NonFatal(_) => respond(ex, 200, graft.query.Response.emptyResult) }
   })
 

@@ -514,6 +514,39 @@ object TextOps {
        |SELECT gram, count(*) AS df FROM g
        |GROUP BY 1 ORDER BY df DESC, gram LIMIT $HotTopN""".stripMargin
 
+  // ---- operator: training-mixture weights --------------------------------
+
+  /** Total documents the downstream training mix should draw. */
+  val MixTargetDocs = 1000L
+
+  /** Square-root-scaled source mixing weights — the standard
+    * "up-sample small sources, down-sample big ones" mixture rule
+    * (α = 0.5 temperature; sqrt is correctly rounded IEEE in both
+    * engines, unlike arbitrary pow). Per source: document count, weight
+    * ∝ √n (fixed-point), and its integer share of [[MixTargetDocs]] by
+    * largest-remainder-free floor division (deterministic, Σ ≤ target).
+    * One tiny aggregation (|sources| rows) ends the plan — the 100 TB
+    * side is the single map-side count. Output
+    * (source, n_docs, weight_fp, target_docs). */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_fp", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
+    val total = counts.agg(sum("weight_fp")).head().getLong(0)
+    counts
+      .withColumn("target_docs", expr(s"weight_fp * $MixTargetDocs div ${math.max(total, 1L)}"))
+      .orderBy("source")
+  }
+
+  val mixtureWeightsOracle: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS weight_fp
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(weight_fp) AS BIGINT) AS tot FROM c)
+       |SELECT source, n_docs, weight_fp,
+       |       weight_fp * $MixTargetDocs // greatest(tot, 1) AS target_docs
+       |FROM c CROSS JOIN t ORDER BY source""".stripMargin
+
   // ---- operator: Gopher-style filter battery -----------------------------
 
   /** Gopher rule thresholds (Rae et al. 2021, table A1 shape — constants

@@ -67,6 +67,20 @@ class GraftHttpSpec extends AnyFunSuite {
       val deadline2 = System.nanoTime() + 30e9.toLong
       while (rows() < 3 && System.nanoTime() < deadline2) Thread.sleep(100)
       assert(rows() === 3)
+
+      // chunked=true → newline-delimited JSON: one complete results doc
+      // per statement of the batch
+      val batch = java.net.URLEncoder.encode(
+        """SHOW MEASUREMENTS; SHOW FIELD KEYS FROM "cpu"""", "UTF-8")
+      val ch = send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/query?db=httpdb&q=$batch&chunked=true")).build())
+      assert(ch.statusCode() === 200)
+      val chunks = ch.body().split("\n").filter(_.nonEmpty)
+      assert(chunks.length === 2, ch.body())
+      chunks.foreach { c =>
+        assert(c.startsWith("""{"results":[""") && c.endsWith("]}"), c)
+      }
+      assert(chunks(0).contains(""""measurements""""), chunks(0))
     } finally http.stop()
   }
 }
