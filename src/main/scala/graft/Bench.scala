@@ -73,7 +73,8 @@ object Bench {
       "events_streaks", "events_bursts", "events_rfm",
       "events_time_to_convert", "doc_gopher_filters", "dedup_containment",
       "olap_q18_large_orders", "ts_select_fn_rsi", "ts_select_fn_cmo",
-      "ts_select_fn_dema")
+      "ts_select_fn_dema", "ts_select_fn_ker", "ts_select_top_tag",
+      "olap_q12_priority", "doc_mixture_weights")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

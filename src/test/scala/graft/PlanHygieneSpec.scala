@@ -78,6 +78,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("KMV: sketch membership joins are hash-based; only the tiny pair build nests") {
+    val p = plan("sketch_kmv_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    // exactly two nested-loop joins are expected, both over broadcast
+    // sides bounded by |types|² ≈ tens of rows: the pair construction
+    // (t < t) and the pair × mask-histogram cross. The sketch membership
+    // join — the one that scales with k×|types| — exploded to equi-join
+    // keys and must plan hash-based.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("running revenue: window AFTER the (priority, month) collapse, no raw-row window") {
     val p = plan("olap_running_revenue")
     // exactly one Window node, fed by an aggregate (not by the scan)
