@@ -718,6 +718,7 @@ object SparkEntry {
     "doc_pack_bins" -> ((s, dir) => TextOps.packBins(docs(s, dir))),
     "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "emb_binary_quant" -> ((s, dir) => Similarity.binaryQuantize(emb(s, dir))),
+    "emb_outliers" -> ((s, dir) => Similarity.centroidOutliers(emb(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
 
@@ -1430,6 +1431,7 @@ object SparkEntry {
     "emb_matryoshka" -> Similarity.matryoshkaOracle,
     "ann_pq_topk" -> Similarity.pqTopKOracle,
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,
+    "emb_outliers" -> Similarity.centroidOutliersOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,
     "events_bursts" -> EventOps.burstsOracle,

@@ -431,6 +431,61 @@ object Similarity {
        |FROM embeddings, range(1, ${Dim + 1}) t(pos)
        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
 
+  /** Outliers kept per label. */
+  val OutlierK = 10
+
+  /** Embedding outlier detection: the [[OutlierK]] vectors per label
+    * with the LOWEST cosine to their own label centroid — the curation
+    * step that flags mislabeled/noise vectors before training. The
+    * centroid is the [[centroids]] output re-assembled from its
+    * fixed-point components (quantizing first makes the cosine a
+    * deterministic function of values both engines already hash-match —
+    * raw averaged centroids would leak summation-order ulps into the
+    * ranking). Centroid relation is label-cardinality-sized → broadcast;
+    * the corpus side streams once. Output (label, rank, vec_id,
+    * cos_fp). */
+  def centroidOutliers(emb: DataFrame): DataFrame = {
+    val cvec = centroids(emb).groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_fp")))),
+        s => s.getField("mean_fp").cast("double") / 1e6).as("c"))
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val scored = e.join(broadcast(cvec), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        floor(dotCols(col("v"), col("c")) / (norm(col("v")) * norm(col("c"))) * 1e6)
+          .cast("long").as("cos_fp"))
+    val w = Window.partitionBy("label").orderBy(col("cos_fp"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= OutlierK)
+      .select("label", "rank", "vec_id", "cos_fp")
+      .orderBy("label", "rank")
+  }
+
+  val centroidOutliersOracle: String = {
+    val dotVC = "list_reduce(list_transform(range(1, 65), d -> e.v[d] * cv.c[d]), (x, y) -> x + y)"
+    val nrmV = "sqrt(list_reduce(list_transform(range(1, 65), d -> e.v[d] * e.v[d]), (x, y) -> x + y))"
+    val nrmC = "sqrt(list_reduce(list_transform(range(1, 65), d -> cv.c[d] * cv.c[d]), (x, y) -> x + y))"
+    s"""WITH cent AS (
+       |  SELECT label, t.pos,
+       |         CAST(floor(avg(embedding[t.pos]::DOUBLE) * 1e6) AS BIGINT) AS mean_fp
+       |  FROM embeddings, range(1, ${Dim + 1}) t(pos)
+       |  GROUP BY 1, 2),
+       |cv AS (SELECT label, list(mean_fp::DOUBLE / 1e6 ORDER BY pos) AS c
+       |       FROM cent GROUP BY label),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (
+       |  SELECT e.label, e.vec_id,
+       |         floor($dotVC / ($nrmV * $nrmC) * 1e6)::BIGINT AS cos_fp
+       |  FROM e JOIN cv USING (label)),
+       |r AS (
+       |  SELECT label, vec_id, cos_fp,
+       |         row_number() OVER (PARTITION BY label ORDER BY cos_fp, vec_id) AS rank
+       |  FROM s)
+       |SELECT label, rank, vec_id, cos_fp FROM r
+       |WHERE rank <= $OutlierK ORDER BY label, rank""".stripMargin
+  }
+
   /** kNN label vote: predict each query vector's label from its 5 exact
     * nearest neighbors (majority, ties broken by smaller label).
     * Composition of [[bruteTopK]] + a broadcast label join + a windowed
