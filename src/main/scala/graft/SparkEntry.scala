@@ -686,6 +686,7 @@ object SparkEntry {
     "doc_tfidf" -> ((s, dir) => TextOps.tfidf(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
+    "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
 
     // --- LLM-pipeline: event analytics ---
     "events_funnel" -> ((s, dir) => EventOps.funnel(EventsAdapter.events(s, dir))),
@@ -1428,6 +1429,7 @@ object SparkEntry {
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "doc_mixture_weights" -> TextOps.mixtureWeightsOracle,
+    "doc_curation_pipeline" -> TextOps.curationPipelineOracle,
     "emb_matryoshka" -> Similarity.matryoshkaOracle,
     "ann_pq_topk" -> Similarity.pqTopKOracle,
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,

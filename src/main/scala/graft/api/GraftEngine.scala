@@ -86,6 +86,23 @@ class GraftEngine(
     databases.put(db, ())
   }
 
+  /** DROP DATABASE: the whole storage tree plus every piece of in-memory
+    * state keyed by the db (caches, policies, CQs, subscriptions) —
+    * directory-level delete, metadata cost at any scale. */
+  def dropDatabase(db: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(s"$root/$db")
+    val fs = hadoopFs(base)
+    if (fs.exists(base)) fs.delete(base, true)
+    databases.remove(db)
+    invalidateSeriesIndex(db)
+    retentionPolicies.keys.filter(_._1 == db).foreach(retentionPolicies.remove)
+    continuousQueries.keys.filter(_._1 == db).foreach { k =>
+      continuousQueries.remove(k); cqLastRun.remove(k)
+    }
+    subscriptions.remove(db)
+  }
+
   /** Ingest a raw line-protocol body (cflux.js:298-352): lazy db create,
     * subscription fan-out on the raw body, parse/fingerprint/type-split,
     * append samples + newly-seen series.
@@ -246,6 +263,10 @@ class GraftEngine(
         dropMeasurement(db, m); bare
       case Ast.DropSeries(from, filters) =>
         dropSeries(db, from.map(_.measurement), filters); bare
+      case Ast.DropDatabase(name) =>
+        dropDatabase(name); bare
+      case Ast.DropRetentionPolicy(name, rdb) =>
+        retentionPolicies.remove((rdb, name)); bare
       case Ast.DeleteFrom(from, bounds) =>
         val now = nowMs() // one reading for both bounds
         val fromMs = bounds.lower

@@ -567,7 +567,12 @@ object TextOps {
     * 100 TB the verdict column is what the next pipeline stage filters
     * on, pushed down to the scan. Output (doc_id, n_tokens, mean_wl_fp,
     * stop_hits, keep). */
-  def gopherFilters(docs: DataFrame): DataFrame = {
+  def gopherFilters(docs: DataFrame): DataFrame =
+    gopherBattery(docs).orderBy("doc_id")
+
+  /** [[gopherFilters]] without the presentation sort, for composition
+    * ([[curationPipeline]] feeds the verdict into a join). */
+  private[pipeline] def gopherBattery(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
     val stopArr = array(Stopwords.map(lit): _*)
     docs.select(col("doc_id"), w.as("w"))
@@ -585,7 +590,56 @@ object TextOps {
           col("mean_wl_fp").between(GopherMinMeanWl, GopherMaxMeanWl) &&
           col("stop_hits") >= GopherMinStops)
       .select("doc_id", "n_tokens", "mean_wl_fp", "stop_hits", "keep")
-      .orderBy("doc_id")
+  }
+
+  /** End-to-end curation composition — the "what do I actually train on"
+    * pipeline as ONE Catalyst plan: Gopher filter battery → exact
+    * content dedup among keepers (min doc_id per hash) → leakage-safe
+    * hash split, collapsed to per-split counts + id checksum. Each stage
+    * reuses the standalone operator's exact semantics, so this entry
+    * pins that the operators COMPOSE (no per-stage materialization;
+    * Catalyst fuses the projections and the dedup/split share one
+    * hash). Output (split, n_docs, docid_sum). */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val keep = gopherBattery(docs).filter(col("keep")).select("doc_id")
+    val kept = docs.join(keep, "doc_id")
+      .select(col("doc_id"), baseHash(col("text")).as("h"))
+    val deduped = kept.groupBy("h").agg(min("doc_id").as("doc_id"))
+    deduped
+      .withColumn("bucket", col("h") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("docid_sum"))
+      .orderBy("split")
+  }
+
+  val curationPipelineOracle: String = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         len($tokensSql) AS n_tokens,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           list_transform($tokensSql, t -> length(t)::BIGINT)), (a, b) -> a + b) AS sum_wl,
+       |         len(list_filter(list_distinct($tokensSql), x -> x IN ($inList))) AS stop_hits
+       |  FROM documents),
+       |m AS (SELECT doc_id, n_tokens, sum_wl * 1000 // n_tokens AS mean_wl_fp, stop_hits FROM q),
+       |keep AS (
+       |  SELECT doc_id FROM m
+       |  WHERE (n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens)
+       |    AND (mean_wl_fp BETWEEN $GopherMinMeanWl AND $GopherMaxMeanWl)
+       |    AND (stop_hits >= $GopherMinStops)),
+       |kd AS (
+       |  SELECT d.doc_id, ${baseHashSql("text")} AS h
+       |  FROM documents d JOIN keep USING (doc_id)),
+       |dd AS (SELECT h, min(doc_id) AS doc_id FROM kd GROUP BY h),
+       |s AS (SELECT doc_id, CASE WHEN h % 100 < 90 THEN 'train'
+       |                          WHEN h % 100 < 95 THEN 'valid'
+       |                          ELSE 'test' END AS split FROM dd)
+       |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS docid_sum
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
   val gopherFiltersOracle: String = {

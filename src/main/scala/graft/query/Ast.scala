@@ -183,6 +183,12 @@ object Ast {
     * Tag conjuncts are = / != equality only, like InfluxDB's. */
   final case class DropSeries(from: Option[TableRef],
                               tagFilters: Seq[TagFilter]) extends Statement
+  /** DROP DATABASE "db" — removes the database's entire storage tree,
+    * caches, and registered policies/CQs (extension: storage lifecycle
+    * the reference lacks). */
+  final case class DropDatabase(db: String) extends Statement
+  /** DROP RETENTION POLICY "name" ON "db" — unregisters the policy. */
+  final case class DropRetentionPolicy(name: String, db: String) extends Statement
   case object ShowSubscriptions extends Statement
   /** SHOW QUERIES / KILL QUERY n — statement-compat mocks: execution is
     * synchronous in this engine, so the running-query registry is always

@@ -831,6 +831,15 @@ object InfluxQlParser {
         _ <- p.expectKw("ON")
         db <- p.ident()
       } yield Ast.DropContinuousQuery(name, db)
+    }
+    else if (p.kw("DATABASE")) p.ident().map(Ast.DropDatabase)
+    else if (p.kw("RETENTION")) {
+      if (!p.kw("POLICY")) return Left("expected POLICY after RETENTION")
+      for {
+        name <- p.ident()
+        _ <- p.expectKw("ON")
+        db <- p.ident()
+      } yield Ast.DropRetentionPolicy(name, db)
     } else Right(Ast.Unsupported(raw))
   }
 

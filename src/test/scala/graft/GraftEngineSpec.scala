@@ -583,6 +583,28 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(!r.contains(""""host":"c""""), r)
   }
 
+  test("DROP DATABASE removes storage and every db-keyed registration") {
+    val e = newEngine()
+    e.write("dbdrop", "cpu,host=a u=1 1735689540000000000")
+    e.query("dbdrop",
+      """CREATE RETENTION POLICY "keep1d" ON "dbdrop" DURATION 24h REPLICATION 1""")
+    assert(e.query("dbdrop", "SHOW MEASUREMENTS").contains("cpu"))
+    e.query("dbdrop", """DROP DATABASE "dbdrop"""")
+    assert(!new java.io.File(e.root + "/dbdrop").exists())
+    assert(!e.query("dbdrop", "SHOW MEASUREMENTS").contains("cpu"))
+    assert(!e.query("dbdrop", "SHOW DATABASES").contains("dbdrop"))
+    // policy registry cleared → fabricated static retention response again
+    assert(!e.query("dbdrop", "SHOW RETENTION POLICIES ON \"dbdrop\"").contains("keep1d"))
+  }
+
+  test("DROP RETENTION POLICY unregisters; SHOW falls back to the static shape") {
+    val e = newEngine()
+    e.query("dbrp2", """CREATE RETENTION POLICY "p1" ON "dbrp2" DURATION 24h REPLICATION 1""")
+    assert(e.query("dbrp2", "SHOW RETENTION POLICIES ON \"dbrp2\"").contains("p1"))
+    e.query("dbrp2", """DROP RETENTION POLICY "p1" ON "dbrp2"""")
+    assert(!e.query("dbrp2", "SHOW RETENTION POLICIES ON \"dbrp2\"").contains("p1"))
+  }
+
   test("compaction merges multi-file hour partitions; results and sort order survive") {
     val e = newEngine()
     // three separate writes → three parquet files in the same hour dir
