@@ -267,6 +267,8 @@ class GraftEngine(
         dropDatabase(name); bare
       case Ast.DropRetentionPolicy(name, rdb) =>
         retentionPolicies.remove((rdb, name)); bare
+      case Ast.AlterRetentionPolicy(name, rdb, dur, dflt) =>
+        retentionPolicies.put((rdb, name), (dur, dflt)); bare
       case Ast.DeleteFrom(from, bounds) =>
         val now = nowMs() // one reading for both bounds
         val fromMs = bounds.lower

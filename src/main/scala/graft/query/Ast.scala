@@ -189,6 +189,10 @@ object Ast {
   final case class DropDatabase(db: String) extends Statement
   /** DROP RETENTION POLICY "name" ON "db" — unregisters the policy. */
   final case class DropRetentionPolicy(name: String, db: String) extends Statement
+  /** ALTER RETENTION POLICY — re-registers with the new duration. */
+  final case class AlterRetentionPolicy(name: String, db: String,
+                                        durationMs: Long,
+                                        default: Boolean) extends Statement
   case object ShowSubscriptions extends Statement
   /** SHOW QUERIES / KILL QUERY n — statement-compat mocks: execution is
     * synchronous in this engine, so the running-query registry is always

@@ -190,6 +190,7 @@ object InfluxQlParser {
       case Some(Ident(k, false)) if k.equalsIgnoreCase("SHOW")   => parseShow(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("CREATE") => parseCreate(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("DROP")   => parseDrop(p, raw)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("ALTER")  => parseAlter(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("DELETE") => parseDelete(p)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("EXPLAIN") =>
         p.next()
@@ -921,6 +922,29 @@ object InfluxQlParser {
           case t      => Left(s"expected replication factor, got $t")
         }): Either[String, Unit]
       } yield Ast.CreateRetentionPolicy(name, db, dur, p.kw("DEFAULT"))
+    } else Right(Ast.Unsupported(raw))
+  }
+
+  /** ALTER RETENTION POLICY "n" ON "db" DURATION 30d [REPLICATION 1]
+    * [DEFAULT] — re-registers the policy with the new duration (same
+    * registry slot as CREATE). */
+  private def parseAlter(p: P, raw: String): Either[String, Ast.Statement] = {
+    p.kw("ALTER")
+    if (p.kw("RETENTION")) {
+      if (!p.kw("POLICY")) return Left("expected POLICY after RETENTION")
+      for {
+        name <- p.ident()
+        _ <- p.expectKw("ON")
+        db <- p.ident()
+        _ <- p.expectKw("DURATION")
+        dur <- (p.next() match {
+          case Dur(d) => Right(TimeUnits.durationMs(d))
+          case t      => Left(s"expected duration, got $t")
+        }): Either[String, Long]
+      } yield {
+        if (p.kw("REPLICATION")) p.next() // factor accepted, single-node
+        Ast.AlterRetentionPolicy(name, db, dur, p.kw("DEFAULT"))
+      }
     } else Right(Ast.Unsupported(raw))
   }
 }

@@ -603,6 +603,10 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(e.query("dbrp2", "SHOW RETENTION POLICIES ON \"dbrp2\"").contains("p1"))
     e.query("dbrp2", """DROP RETENTION POLICY "p1" ON "dbrp2"""")
     assert(!e.query("dbrp2", "SHOW RETENTION POLICIES ON \"dbrp2\"").contains("p1"))
+    // ALTER re-registers with the new duration
+    e.query("dbrp2", """CREATE RETENTION POLICY "p2" ON "dbrp2" DURATION 24h REPLICATION 1""")
+    e.query("dbrp2", """ALTER RETENTION POLICY "p2" ON "dbrp2" DURATION 48h""")
+    assert(e.query("dbrp2", "SHOW RETENTION POLICIES ON \"dbrp2\"").contains("48h0m0s"))
   }
 
   test("compaction merges multi-file hour partitions; results and sort order survive") {

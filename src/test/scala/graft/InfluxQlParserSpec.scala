@@ -194,6 +194,10 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(parseOk("SHOW USERS") === Ast.ShowUsers)
     assert(parseOk("SHOW STATS") === Ast.ShowStats)
     assert(parseOk("SHOW DIAGNOSTICS") === Ast.ShowDiagnostics)
+    assert(parseOk("""DROP DATABASE "d"""") === Ast.DropDatabase("d"))
+    assert(parseOk("""DROP RETENTION POLICY "p" ON "d"""") === Ast.DropRetentionPolicy("p", "d"))
+    assert(parseOk("""ALTER RETENTION POLICY "p" ON "d" DURATION 1h REPLICATION 1 DEFAULT""")
+      === Ast.AlterRetentionPolicy("p", "d", 3600000L, default = true))
     parseOk("""CREATE RETENTION POLICY "d" ON "db" DURATION 24h REPLICATION 1 DEFAULT""") match {
       case Ast.CreateRetentionPolicy("d", "db", dur, true) =>
         assert(dur === 86400000L)
