@@ -146,6 +146,24 @@ object Ingest {
       .sortWithinPartitions("fingerprint", "timestamp_ms")
       .write.mode("append").partitionBy("measurement", "hour").parquet(path)
 
+  /** Samples as a BUCKETED catalog table: hour-partitioned like
+    * [[writeSamples]], additionally bucketed AND sorted by fingerprint
+    * (SURVEY §7.4 100 TB note: "partitioned by hour + bucketed by
+    * fingerprint"). Joins and aggregations keyed on fingerprint read the
+    * bucket spec from the catalog and plan WITHOUT an Exchange on the big
+    * side — at 100 TB the series join and every per-series window reuse
+    * the on-disk clustering instead of shuffling the corpus. Requires a
+    * catalog (`saveAsTable`) because the bucket spec lives in table
+    * metadata, not parquet. */
+  def writeSamplesBucketed(samples: DataFrame, table: String, buckets: Int = 32): Unit =
+    samples
+      .repartition(col("measurement"), col("hour"))
+      .write.mode("overwrite")
+      .partitionBy("measurement", "hour")
+      .bucketBy(buckets, "fingerprint")
+      .sortBy("fingerprint", "timestamp_ms")
+      .saveAsTable(table)
+
   def writeSeriesIndex(series: DataFrame, path: String): Unit =
     series.write.mode("append").parquet(path)
 
