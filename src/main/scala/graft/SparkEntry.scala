@@ -283,6 +283,11 @@ object SparkEntry {
     "ts_select_raw" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT "value" FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
+    // regex field projection expands to the matching field keys ("value"
+    // here — /^v/ excludes "props"), then follows the ordinary raw path
+    "ts_select_regex_field" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT /^v/ FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
     "ts_select_star_mean_2h" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean(*) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
     "ts_select_offset" -> ((s, dir) => stable(influx(s, dir,
@@ -764,6 +769,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "ts_select_raw" -> rawSelectOracle,
+    "ts_select_regex_field" -> rawSelectOracle,
     "ts_select_star_mean_2h" -> tsSelectOracle("avg(value)", 7200000L),
     "ts_select_offset" -> tagFilterOracle(60000L, Some(20), offset = Some(20)),
     "ts_select_slimit" -> slimitOracle(21600000L, 1, 1),

@@ -34,7 +34,10 @@ object Ast {
                          /** 3-arg top/bottom("field", "tag", N): the tag
                            * key whose values compete (InfluxDB's
                            * per-tag-value extremes form). */
-                         selTag: Option[String] = None)
+                         selTag: Option[String] = None,
+                         /** Regex field projection `SELECT /re/` — expands
+                           * to the matching field keys at plan time. */
+                         nameRegex: Option[String] = None)
 
   /** Arithmetic expression tree over projection leaves (extension).
     * Leaves are ordinary [[Field]]s (bare field or aggregate call);

@@ -596,6 +596,11 @@ object InfluxQlParser {
                 argDur = argDur, selTag = selTag))
           }
         } else Right(Ast.Field(None, name, None))
+      // regex field selection: SELECT /usage.*/ — expands to matching
+      // field keys at plan time (InfluxDB regex projections)
+      case Some(Re(re)) =>
+        p.next()
+        Right(Ast.Field(None, s"/$re/", None, nameRegex = Some(re)))
       case t => Left(s"bad field $t")
     }
   }

@@ -324,20 +324,30 @@ object Planner {
     val bucketMs = s.groupByTimeMs.getOrElse(TimeUnits.MsPerMinute) // 1-min default (cflux.js:749)
     val bucketOffMs = s.groupByTimeOffsetMs // GROUP BY time(x, offset) shift
 
-    // `SELECT *` / `mean(*)`: expand to the measurement's field keys from
-    // the series index — a driver-side collect bounded by field-key
-    // cardinality (schema-sized, not data-sized)
+    // `SELECT *` / `mean(*)` / `SELECT /re/`: expand to the measurement's
+    // field keys from the series index — a driver-side collect bounded by
+    // field-key cardinality (schema-sized, not data-sized)
     val fields: Seq[Ast.Field] =
-      if (s.fields.exists(_.name == "*")) {
+      if (s.fields.exists(f => f.name == "*" || f.nameRegex.isDefined)) {
         val names = cat.seriesIndex
           .filter(col("measurement") === s.from.measurement)
           .select("name").distinct().orderBy("name")
           .collect().map(_.getString(0)).toSeq
         if (names.isEmpty) throw new UnknownMeasurement(
           s"no fields for measurement ${s.from.measurement}")
-        s.fields.flatMap { f =>
-          if (f.name == "*") names.map(n => f.copy(name = n, alias = None)) else Seq(f)
+        val expanded = s.fields.flatMap { f =>
+          if (f.name == "*") names.map(n => f.copy(name = n, alias = None))
+          else f.nameRegex match {
+            case Some(re) =>
+              val p = java.util.regex.Pattern.compile(re)
+              names.filter(n => p.matcher(n).find())
+                .map(n => f.copy(name = n, alias = None, nameRegex = None))
+            case None => Seq(f)
+          }
         }
+        if (expanded.isEmpty) throw new UnknownMeasurement(
+          s"no fields match the regex projection on ${s.from.measurement}")
+        expanded
       } else s.fields
 
     // raw (non-aggregated) SELECT — honest InfluxDB semantics the

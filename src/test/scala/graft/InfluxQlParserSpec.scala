@@ -374,6 +374,10 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(tt.func.contains("top") && tt.selTag.contains("host") && tt.arg.contains(3.0))
     // tag arg is only valid on top/bottom
     assert(InfluxQlParser.parse("""SELECT mean("v", "host", 3) FROM "m"""").isLeft)
+    // regex field projection
+    val rf = parseOk("""SELECT /^usage/ FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(rf.nameRegex.contains("^usage") && rf.func.isEmpty)
     // raw-field form parses too
     val raw = parseOk("""SELECT non_negative_difference("v") FROM "m"""")
       .asInstanceOf[Ast.Select].fields.head
