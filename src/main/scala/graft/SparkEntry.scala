@@ -288,6 +288,8 @@ object SparkEntry {
     "ts_select_regex_field" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT /^v/ FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
+    "ts_select_mean_regex" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean(/^v/) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
     "ts_select_star_mean_2h" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean(*) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
     "ts_select_offset" -> ((s, dir) => stable(influx(s, dir,
@@ -770,6 +772,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ts_select_raw" -> rawSelectOracle,
     "ts_select_regex_field" -> rawSelectOracle,
+    "ts_select_mean_regex" -> tsSelectOracle("avg(value)", 7200000L),
     "ts_select_star_mean_2h" -> tsSelectOracle("avg(value)", 7200000L),
     "ts_select_offset" -> tagFilterOracle(60000L, Some(20), offset = Some(20)),
     "ts_select_slimit" -> slimitOracle(21600000L, 1, 1),

@@ -58,16 +58,28 @@ final class GraftHttp(engine: GraftEngine, port: Int = 0,
 
   server.createContext("/ping", (ex: HttpExchange) => respond(ex, 204))
 
-  server.createContext("/write", (ex: HttpExchange) => {
-    val p = params(ex)
-    val db = p.getOrElse("db", "")
-    val precision = p.getOrElse("precision", "ns")
+  private def handleWrite(ex: HttpExchange, db: String, precision: String): Unit = {
     val lines = body(ex)
     // reference sends 204 before flushing (cflux.js:351) — we admit, then
     // ingest; a failed ingest logs rather than failing the client
     respond(ex, 204)
     try engine.write(db, lines, precision)
     catch { case scala.util.control.NonFatal(e) => System.err.println(s"[graft-http] write failed: $e") }
+  }
+
+  server.createContext("/write", (ex: HttpExchange) => {
+    val p = params(ex)
+    handleWrite(ex, p.getOrElse("db", ""), p.getOrElse("precision", "ns"))
+  })
+
+  // InfluxDB 2.x write endpoint: Telegraf's v2 output and the v2 client
+  // libraries POST line protocol to /api/v2/write?org=...&bucket=...
+  // (precision defaults to ns like v1). bucket maps to the database; org
+  // and the Authorization token are accepted and ignored (no auth
+  // subsystem — same posture as the v1 surface).
+  server.createContext("/api/v2/write", (ex: HttpExchange) => {
+    val p = params(ex)
+    handleWrite(ex, p.getOrElse("bucket", ""), p.getOrElse("precision", "ns"))
   })
 
   server.createContext("/query", (ex: HttpExchange) => {

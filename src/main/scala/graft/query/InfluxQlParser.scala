@@ -556,9 +556,12 @@ object InfluxQlParser {
             Right(Ast.Field(Some(innerFn.toLowerCase), innerName, None, innerArg,
               transform = Some(Ast.Transform(fnT, durMs, nArg))))
           } else {
+            var innerRe: Option[String] = None
             val inner = p.next() match {
               case Ident(s, _) => s
               case Op("*")     => "*"
+              // aggregate over regex fields: mean(/re/) — expands like *
+              case Re(re)      => innerRe = Some(re); s"/$re/"
               case t           => return Left(s"bad function arg $t")
             }
             var arg: Option[Double] = None
@@ -593,7 +596,7 @@ object InfluxQlParser {
                   durMs = argDur, n = arg.map(_.toInt)))))
             else
               Right(Ast.Field(Some(name.toLowerCase), inner, None, arg,
-                argDur = argDur, selTag = selTag))
+                argDur = argDur, selTag = selTag, nameRegex = innerRe))
           }
         } else Right(Ast.Field(None, name, None))
       // regex field selection: SELECT /usage.*/ — expands to matching

@@ -68,6 +68,17 @@ class GraftHttpSpec extends AnyFunSuite {
       while (rows() < 3 && System.nanoTime() < deadline2) Thread.sleep(100)
       assert(rows() === 3)
 
+      // InfluxDB 2.x write endpoint: bucket maps to db, token ignored
+      val v2 = send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/api/v2/write?org=o&bucket=httpdb&precision=s"))
+        .header("Authorization", "Token anything")
+        .POST(HttpRequest.BodyPublishers.ofString("cpu,host=a usage=48 1735689570"))
+        .build())
+      assert(v2.statusCode() === 204)
+      val deadline3 = System.nanoTime() + 30e9.toLong
+      while (rows() < 4 && System.nanoTime() < deadline3) Thread.sleep(100)
+      assert(rows() === 4)
+
       // chunked=true → newline-delimited JSON: one complete results doc
       // per statement of the batch
       val batch = java.net.URLEncoder.encode(
