@@ -628,6 +628,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"))),
     "sketch_kmv_jaccard" -> ((s, dir) =>
       Sketches.kmvJaccard(EventsAdapter.events(s, dir))),
+    "olap_q6_forecast" -> ((s, dir) => {
+      // TPC-H Q6: single-table filter + aggregate — every predicate
+      // reaches the parquet scan (PushedFilters), no join, no shuffle
+      // beyond the scalar aggregate's partial/final pair. The purest
+      // pushdown showcase: at 100 TB this reads only the row groups whose
+      // min/max survive the date range.
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum(floor(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+            .as("revenue_fp"),
+          count(lit(1)).as("n_lines"))
+    }),
     "olap_q12_priority" -> ((s, dir) => {
       // TPC-H Q12 shape (adapted to the synthetic columns): per
       // returnflag, high- vs low-priority line counts for a shipping
@@ -1428,6 +1442,12 @@ object SparkEntry {
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
     "sketch_kmv_jaccard" -> Sketches.kmvJaccardOracle,
+    "olap_q6_forecast" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_fp,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "olap_q12_priority" ->
       """SELECT l_returnflag,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -78,6 +78,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("Q6: every predicate reaches the parquet scan; no join, no exchange but the aggregate's") {
+    val p = plan("olap_q6_forecast")
+    // the PushedFilters list is elided in toString — assert its head and
+    // that all three columns participate in the scan-level filter
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("IsNotNull(l_discount)") && p.contains("IsNotNull(l_quantity)"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("KMV: sketch membership joins are hash-based; only the tiny pair build nests") {
     val p = plan("sketch_kmv_jaccard")
     assert(!p.contains("CartesianProduct"))
