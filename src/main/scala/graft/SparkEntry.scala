@@ -741,6 +741,9 @@ object SparkEntry {
     "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "emb_binary_quant" -> ((s, dir) => Similarity.binaryQuantize(emb(s, dir))),
     "emb_outliers" -> ((s, dir) => Similarity.centroidOutliers(emb(s, dir))),
+    "ann_recall_report" -> ((s, dir) => Similarity.annRecall(emb(s, dir))),
+    "doc_length_quantiles" -> ((s, dir) => TextOps.lengthQuantiles(docs(s, dir))),
+    "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
 
@@ -1463,6 +1466,9 @@ object SparkEntry {
     "ann_pq_topk" -> Similarity.pqTopKOracle,
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,
     "emb_outliers" -> Similarity.centroidOutliersOracle,
+    "ann_recall_report" -> Similarity.annRecallOracle,
+    "doc_length_quantiles" -> TextOps.lengthQuantilesOracle,
+    "dedup_incremental" -> Dedup.incrementalOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,
     "events_bursts" -> EventOps.burstsOracle,

@@ -112,6 +112,42 @@ object Dedup {
        |WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp
        |ORDER BY i, j""".stripMargin
 
+  // ---- incremental dedup --------------------------------------------------
+
+  /** Incremental-ingest dedup: an incoming batch (odd doc_ids here — the
+    * deterministic stand-in for "today's crawl") admits only documents
+    * whose content hash is absent from the existing corpus (even ids),
+    * deduping within the batch too (min doc_id per hash). The anti-join
+    * against the corpus hash set is THE shape of continuous corpus
+    * growth; at 100 TB a bloom pre-filter (see
+    * [[graft.pipeline.Sketches.bloomProbe]]) screens the batch before
+    * the shuffle so only probable-duplicates join. Output
+    * (n_incoming, n_admitted, docid_sum). */
+  def incremental(docs: DataFrame): DataFrame = {
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(baseHash(col("text")).as("h")).distinct()
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), baseHash(col("text")).as("h"))
+    val admitted = incoming.join(existing, Seq("h"), "left_anti")
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+    incoming.agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(admitted.agg(
+        count(lit(1)).as("n_admitted"), sum("doc_id").as("docid_sum")))
+  }
+
+  val incrementalOracle: String =
+    s"""WITH ex AS (
+       |  SELECT DISTINCT ${baseHashSql("text")} AS h FROM documents WHERE doc_id % 2 = 0),
+       |inc AS (
+       |  SELECT doc_id, ${baseHashSql("text")} AS h FROM documents WHERE doc_id % 2 = 1),
+       |adm AS (
+       |  SELECT h, min(doc_id) AS doc_id FROM inc
+       |  WHERE h NOT IN (SELECT h FROM ex) GROUP BY h)
+       |SELECT (SELECT count(*) FROM inc) AS n_incoming,
+       |       count(*) AS n_admitted,
+       |       CAST(sum(doc_id) AS BIGINT) AS docid_sum
+       |FROM adm""".stripMargin
+
   // ---- asymmetric containment ---------------------------------------------
 
   /** Containment threshold, fixed-point 1e6. */

@@ -431,6 +431,48 @@ object Similarity {
        |FROM embeddings, range(1, ${Dim + 1}) t(pos)
        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
 
+  /** ANN evaluation: recall@K of every approximate index against the
+    * exact [[bruteTopK]] ground truth, as a first-class operator — the
+    * measurement that decides which index a 100 TB deployment ships.
+    * recall_fp = |approx ∩ exact| × 1e6 / (NumQueries × K). Ground truth
+    * is materialized once and semi-joined against each method's result;
+    * each method's cost is its own entry's cost (this op IS the four
+    * pipelines plus four tiny joins). Output (method, recall_fp). */
+  def annRecall(emb: DataFrame): DataFrame = {
+    val truth = bruteTopK(emb).select("q_id", "neighbor_id").localCheckpoint(true)
+    val total = NumQueries * K
+    Seq(
+      "hamming" -> hammingTopK(emb),
+      "ivf" -> ivfTopK(emb),
+      "lsh" -> lshTopK(emb),
+      "pq" -> pqTopK(emb)
+    ).map { case (name, df) =>
+      df.select("q_id", "neighbor_id")
+        .join(broadcast(truth), Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(expr(s"count(1) * 1000000 div $total").as("recall_fp"))
+        .select(lit(name).as("method"), col("recall_fp"))
+    }.reduce(_ unionByName _).orderBy("method")
+  }
+
+  def annRecallOracle: String = {
+    val total = NumQueries * K
+    def block(name: String, oracle: String) =
+      s"""SELECT '$name' AS method,
+         |       CAST(count(*) * 1000000 // $total AS BIGINT) AS recall_fp
+         |FROM (SELECT * FROM ($oracle) g
+         |      WHERE EXISTS (SELECT 1 FROM truth t
+         |                    WHERE t.q_id = g.q_id AND t.neighbor_id = g.neighbor_id)) m""".stripMargin
+    s"""WITH truth AS (SELECT q_id, neighbor_id FROM ($bruteTopKOracle) b)
+       |${block("hamming", hammingTopKOracle)}
+       |UNION ALL
+       |${block("ivf", ivfTopKOracle)}
+       |UNION ALL
+       |${block("lsh", lshTopKOracle)}
+       |UNION ALL
+       |${block("pq", pqTopKOracle)}
+       |ORDER BY method""".stripMargin
+  }
+
   /** Outliers kept per label. */
   val OutlierK = 10
 

@@ -514,6 +514,27 @@ object TextOps {
        |SELECT gram, count(*) AS df FROM g
        |GROUP BY 1 ORDER BY df DESC, gram LIMIT $HotTopN""".stripMargin
 
+  // ---- operator: corpus length report ------------------------------------
+
+  /** Per-source document-length quantile report (p50/p90/p99 of n_chars
+    * + count) — the curation dashboard numbers a corpus build watches.
+    * Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`); one hash aggregate keyed by source. */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      floor(percentile(col("n_chars"), lit(0.5)) * 100).cast("long").as("p50_fp"),
+      floor(percentile(col("n_chars"), lit(0.9)) * 100).cast("long").as("p90_fp"),
+      floor(percentile(col("n_chars"), lit(0.99)) * 100).cast("long").as("p99_fp"))
+      .orderBy("source")
+
+  val lengthQuantilesOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(floor(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_fp,
+      |       CAST(floor(quantile_cont(n_chars, 0.9) * 100) AS BIGINT) AS p90_fp,
+      |       CAST(floor(quantile_cont(n_chars, 0.99) * 100) AS BIGINT) AS p99_fp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---- operator: training-mixture weights --------------------------------
 
   /** Total documents the downstream training mix should draw. */
