@@ -628,6 +628,25 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"))),
     "sketch_kmv_jaccard" -> ((s, dir) =>
       Sketches.kmvJaccard(EventsAdapter.events(s, dir))),
+    "olap_q14_promo" -> ((s, dir) => {
+      // TPC-H Q14 shape: revenue share of one part class in a shipping
+      // quarter. The part dimension broadcasts; both the class-filtered
+      // and total revenue ride ONE conditional hash aggregate; the share
+      // is an exact integer ratio of the per-row fixed-point sums.
+      val part = s.read.parquet(s"$dir/part.parquet").select("p_partkey", "p_type")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY", col("rev_c")).otherwise(0L)).as("promo_c"),
+          sum(col("rev_c")).as("total_c"))
+        .select(
+          expr("promo_c * 1000000 div total_c").as("promo_share_fp"),
+          col("total_c").as("revenue_fp"))
+    }),
     "olap_q6_forecast" -> ((s, dir) => {
       // TPC-H Q6: single-table filter + aggregate — every predicate
       // reaches the parquet scan (PushedFilters), no join, no shuffle
@@ -1445,6 +1464,16 @@ object SparkEntry {
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
     "sketch_kmv_jaccard" -> Sketches.kmvJaccardOracle,
+    "olap_q14_promo" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |         CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev_c ELSE 0 END)
+        |              * 1000000 // sum(rev_c) AS BIGINT) AS promo_share_fp,
+        |       CAST(sum(rev_c) AS BIGINT) AS revenue_fp
+        |FROM j""".stripMargin,
     "olap_q6_forecast" ->
       """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_fp,
         |       count(*) AS n_lines

@@ -407,7 +407,7 @@ class GraftEngine(
         // field/tag statements (cflux.js:466,514,...), fixed names for
         // measurements/databases (cflux.js:654,672), none for retention
         val name = other match {
-          case Ast.ShowMeasurements(_) => "measurements"
+          case Ast.ShowMeasurements(_, _) => "measurements"
           case Ast.ShowFieldKeys(from) => from.map(_.measurement).getOrElse("")
           case Ast.ShowTagKeys(from) => from.map(_.measurement).getOrElse("")
           case Ast.ShowTagValues(from, _, _) => from.map(_.measurement).getOrElse("")

@@ -147,7 +147,9 @@ object Ast {
   final case class DropContinuousQuery(name: String, db: String) extends Statement
   case object ShowContinuousQueries extends Statement
   case object ShowDatabases extends Statement
-  final case class ShowMeasurements(db: Option[String]) extends Statement
+  /** @param regex WITH MEASUREMENT =~ /re/ filter (InfluxDB surface). */
+  final case class ShowMeasurements(db: Option[String],
+                                    regex: Option[String] = None) extends Statement
   final case class ShowRetentionPolicies(db: Option[String]) extends Statement
   final case class ShowFieldKeys(from: Option[TableRef]) extends Statement
   final case class ShowTagKeys(from: Option[TableRef]) extends Statement

@@ -721,7 +721,17 @@ object InfluxQlParser {
     if (p.kw("DATABASES")) Right(Ast.ShowDatabases)
     else if (p.kw("MEASUREMENTS")) {
       val db = if (p.kw("ON")) p.ident().toOption else None
-      Right(Ast.ShowMeasurements(db))
+      // WITH MEASUREMENT =~ /re/ (InfluxDB's measurement filter)
+      var regex: Option[String] = None
+      if (p.kw("WITH")) {
+        if (!p.kw("MEASUREMENT")) return Left("expected MEASUREMENT after WITH")
+        if (!p.op("=~")) return Left("expected =~ after WITH MEASUREMENT")
+        p.next() match {
+          case Re(re) => regex = Some(re)
+          case t      => return Left(s"expected /regex/, got $t")
+        }
+      }
+      Right(Ast.ShowMeasurements(db, regex))
     } else if (p.kw("RETENTION")) {
       if (!p.kw("POLICIES")) return Left("expected POLICIES")
       val db = if (p.kw("ON")) p.ident().toOption else None

@@ -140,9 +140,12 @@ object Planner {
         spark.sparkContext.parallelize(cat.databases.map(org.apache.spark.sql.Row(_))),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
-      case Ast.ShowMeasurements(_)  =>
-        // response column is "name" (cflux.js:654, InfluxDB shape)
-        cat.seriesIndex.select(col("measurement").as("name")).distinct().orderBy("name")
+      case Ast.ShowMeasurements(_, regex)  =>
+        // response column is "name" (cflux.js:654, InfluxDB shape);
+        // WITH MEASUREMENT =~ /re/ filters (unanchored, like InfluxDB)
+        val base = cat.seriesIndex.select(col("measurement").as("name")).distinct()
+        regex.fold(base)(re => base.filter(col("name").rlike(re)))
+          .orderBy("name")
       case Ast.ShowFieldKeys(from)  =>
         scoped(cat, from).select(col("name").as("fieldKey"))
           .distinct()

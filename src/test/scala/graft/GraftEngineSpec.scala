@@ -629,6 +629,19 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(after === before, "compaction must not change query results")
   }
 
+  test("SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ filters the listing") {
+    val e = newEngine()
+    e.write("dbrx",
+      """cpu,host=a u=1 1735689540000000000
+        |cpu_temp,host=a t=2 1735689540000000000
+        |mem,host=a m=3 1735689540000000000""".stripMargin)
+    val all = e.query("dbrx", "SHOW MEASUREMENTS")
+    assert(all.contains("cpu") && all.contains("cpu_temp") && all.contains("mem"))
+    val filtered = e.query("dbrx", "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^cpu/")
+    assert(filtered.contains("cpu") && filtered.contains("cpu_temp"), filtered)
+    assert(!filtered.contains("mem"), filtered)
+  }
+
   test("SHOW SHARDS lists hour partitions honestly; SHOW USERS is the empty mock") {
     val e = newEngine()
     // two measurements, cpu spanning two hour partitions
