@@ -628,6 +628,23 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"))),
     "sketch_kmv_jaccard" -> ((s, dir) =>
       Sketches.kmvJaccard(EventsAdapter.events(s, dir))),
+    "olap_q4_exists" -> ((s, dir) => {
+      // TPC-H Q4 shape: order counts by priority where a qualifying
+      // lineitem EXISTS — the left-semi join entry (Q18 covers the
+      // HAVING-broadcast shape, Q5/Q10 the inner chains). The semi-join
+      // keeps the orders side deduplicated by construction: no fanout,
+      // no distinct needed.
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .select("o_orderkey", "o_orderpriority")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
     "olap_q14_promo" -> ((s, dir) => {
       // TPC-H Q14 shape: revenue share of one part class in a shipping
       // quarter. The part dimension broadcasts; both the class-filtered
@@ -1464,6 +1481,13 @@ object SparkEntry {
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
     "sketch_kmv_jaccard" -> Sketches.kmvJaccardOracle,
+    "olap_q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "olap_q14_promo" ->
       """WITH j AS (
         |  SELECT p.p_type,
