@@ -779,6 +779,7 @@ object SparkEntry {
     "emb_outliers" -> ((s, dir) => Similarity.centroidOutliers(emb(s, dir))),
     "ann_recall_report" -> ((s, dir) => Similarity.annRecall(emb(s, dir))),
     "doc_length_quantiles" -> ((s, dir) => TextOps.lengthQuantiles(docs(s, dir))),
+    "doc_fertility" -> ((s, dir) => TextOps.fertilityBySource(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -800,6 +801,8 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocs(docs(s, dir)))),
+    "mm_image_tiles" -> ((s, dir) =>
+      Multimodal.tileImages(Multimodal.mediaFromDocs(docs(s, dir)))),
 
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
@@ -1521,6 +1524,7 @@ object SparkEntry {
     "emb_outliers" -> Similarity.centroidOutliersOracle,
     "ann_recall_report" -> Similarity.annRecallOracle,
     "doc_length_quantiles" -> TextOps.lengthQuantilesOracle,
+    "doc_fertility" -> TextOps.fertilityBySourceOracle,
     "dedup_incremental" -> Dedup.incrementalOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,
@@ -1597,6 +1601,7 @@ object SparkEntry {
          |       event_type AS labelvalue, '' AS message FROM g
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "mm_decode_features" -> Multimodal.extractFeaturesOracle,
-    "mm_frame_sample" -> Multimodal.sampleFramesOracle
+    "mm_frame_sample" -> Multimodal.sampleFramesOracle,
+    "mm_image_tiles" -> Multimodal.tileImagesOracle
   )
 }

@@ -162,4 +162,42 @@ object Multimodal {
        |         (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
        |       lower(hex(substr(text, 1, 4))) AS head_hex
        |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Vision-encoder tile size (ViT-style 224px patch grid). */
+  val TileSize = 224
+
+  /** Tile-grid geometry for vision preprocessing: per image, the
+    * ceil-divided tile grid at [[TileSize]] px plus the padding each
+    * axis needs to fill the last tile — the metadata-only planning step
+    * that decides per-image encoder cost BEFORE any pixels are decoded
+    * (pure integer column arithmetic, no UDF, no payload read: at
+    * 100 TB this runs on the metadata columns while the binary payload
+    * stays unscanned thanks to parquet column pruning). Output
+    * (media_id, tiles_x, tiles_y, n_tiles, pad_w, pad_h). */
+  def tileImages(media: DataFrame): DataFrame = {
+    val t = TileSize
+    media.select(col("media_id"), col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+      .withColumn("tiles_x", expr(s"(w + ${t - 1}) div $t"))
+      .withColumn("tiles_y", expr(s"(h + ${t - 1}) div $t"))
+      .select(col("media_id"), col("tiles_x"), col("tiles_y"),
+        (col("tiles_x") * col("tiles_y")).as("n_tiles"),
+        (col("tiles_x") * t - col("w")).as("pad_w"),
+        (col("tiles_y") * t - col("h")).as("pad_h"))
+      .orderBy("media_id")
+  }
+
+  val tileImagesOracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         (n_chars % 640 + 1)::BIGINT AS w,
+       |         (n_chars * 7 % 480 + 1)::BIGINT AS h
+       |  FROM documents),
+       |g AS (SELECT media_id, w, h,
+       |             (w + ${TileSize - 1}) // $TileSize AS tiles_x,
+       |             (h + ${TileSize - 1}) // $TileSize AS tiles_y
+       |      FROM m)
+       |SELECT media_id, tiles_x, tiles_y, tiles_x * tiles_y AS n_tiles,
+       |       tiles_x * $TileSize - w AS pad_w, tiles_y * $TileSize - h AS pad_h
+       |FROM g ORDER BY media_id""".stripMargin
 }

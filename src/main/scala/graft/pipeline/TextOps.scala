@@ -514,6 +514,36 @@ object TextOps {
        |SELECT gram, count(*) AS df FROM g
        |GROUP BY 1 ORDER BY df DESC, gram LIMIT $HotTopN""".stripMargin
 
+  // ---- operator: tokenizer fertility -------------------------------------
+
+  /** Tokenizer fertility by source: subtokens-per-word ratio (×1e6
+    * fixed point) — the standard tokenizer-efficiency metric (a fertile
+    * source costs more sequence length per word). Exact integer sums
+    * per source, one ratio at the end; the whitespace/subtoken counts
+    * are the [[tokenStats]] definitions. Output
+    * (source, n_words, n_subtokens, fertility_fp). */
+  def fertilityBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("s"))
+      .groupBy("source")
+      .agg(sum("w").as("n_words"), sum("s").as("n_subtokens"))
+      .withColumn("fertility_fp", expr("n_subtokens * 1000000 div n_words"))
+      .orderBy("source")
+
+  val fertilityBySourceOracle: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |         len($tokensSql) AS w,
+       |         len(regexp_extract_all(text, '[a-z0-9]+')) AS s
+       |  FROM documents),
+       |g AS (SELECT source, CAST(sum(w) AS BIGINT) AS n_words,
+       |             CAST(sum(s) AS BIGINT) AS n_subtokens
+       |      FROM c GROUP BY source)
+       |SELECT source, n_words, n_subtokens,
+       |       n_subtokens * 1000000 // n_words AS fertility_fp
+       |FROM g ORDER BY source""".stripMargin
+
   // ---- operator: corpus length report ------------------------------------
 
   /** Per-source document-length quantile report (p50/p90/p99 of n_chars
