@@ -757,6 +757,7 @@ object SparkEntry {
     "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
+    "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
@@ -1531,6 +1532,7 @@ object SparkEntry {
     "events_bursts" -> EventOps.burstsOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
+    "events_first_touch" -> EventOps.firstTouchOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "olap_q18_large_orders" ->

@@ -229,6 +229,45 @@ object EventOps {
       |FROM s WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
 
+  // ---- first-touch attribution --------------------------------------------
+
+  /** First-touch attribution: each purchase credits the user's EARLIEST
+    * view (the acquisition touch), vs [[attribution]]'s last-touch.
+    * Per-user first-view times are one map-side-combinable min — a
+    * user-cardinality relation that joins back to conversions without
+    * re-shuffling events. Daily counts of attributed vs organic
+    * (no prior view) conversions. Output
+    * (day_ms, n_attributed, n_organic). */
+  def firstTouch(events: DataFrame): DataFrame = {
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(expr("ts_ns")).as("ft_ns"))
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"))
+      .join(firstView, Seq("user_id"), "left")
+      .select(
+        (expr("ts_ns div 86400000000000") * 86400000L).as("day_ms"),
+        when(col("ft_ns").isNotNull && col("ft_ns") < col("ts_ns"), 1L)
+          .otherwise(0L).as("att"))
+      .groupBy("day_ms")
+      .agg(sum("att").as("n_attributed"),
+        (count(lit(1)) - sum("att")).as("n_organic"))
+      .orderBy("day_ms")
+  }
+
+  val firstTouchOracle: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS ft_ns FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |p AS (
+      |  SELECT (epoch_ns(e.ts) // 86400000000000) * 86400000 AS day_ms,
+      |         CASE WHEN fv.ft_ns IS NOT NULL AND fv.ft_ns < epoch_ns(e.ts)
+      |              THEN 1 ELSE 0 END AS att
+      |  FROM events e LEFT JOIN fv USING (user_id)
+      |  WHERE e.event_type = 'purchase')
+      |SELECT day_ms, CAST(sum(att) AS BIGINT) AS n_attributed,
+      |       CAST(count(*) - sum(att) AS BIGINT) AS n_organic
+      |FROM p GROUP BY day_ms ORDER BY day_ms""".stripMargin
+
   // ---- RFM segmentation ---------------------------------------------------
 
   /** RFM (recency / frequency / monetary) quartile segmentation — the
