@@ -81,4 +81,50 @@ class OperatorsSpec extends AnyFunSuite {
     // e1=10; e2=0.5*20+0.5*10=15; e3=0.5*30+0.5*15=22.5
     assert(ema === Seq(10.0, 15.0, 22.5))
   }
+
+  test("DEMA = 2*EMA - EMA(EMA); RSI hits 0/100 on pure trends; CMO/KER extremes") {
+    import spark.implicits._
+    def series(vs: Double*) = vs.zipWithIndex.map { case (v, i) =>
+      ((i + 1) * 1000L, "value", v, "h", "a", "")
+    }.toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+
+    // DEMA, α=0.5: e1 = 10, 15, 22.5; e2 = 10, 12.5, 17.5 → 2e1-e2
+    val dema = Tick.doubleExponentialMovingAverage(series(10, 20, 30), 3)
+      .orderBy("time_ms").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(dema === Seq(10.0, 17.5, 27.5))
+
+    // strictly rising series: every diff positive → RSI = 100, CMO = 100,
+    // KER = 1 (|net| == volatility)
+    val up = series(1, 2, 3, 4, 5, 6, 7)
+    val rsi = Tick.relativeStrengthIndex(up, 4)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(rsi.nonEmpty && rsi.forall(_ === 100.0))
+    val cmo = Tick.chandeMomentum(up, 4)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(cmo.nonEmpty && cmo.forall(_ === 100.0))
+    val ker = Tick.kaufmansEfficiency(up, 4)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(ker.nonEmpty && ker.forall(_ === 1.0))
+
+    // strictly falling: RSI = 0, CMO = -100, KER still 1 (perfect trend)
+    val down = series(7, 6, 5, 4, 3, 2, 1)
+    val rsiD = Tick.relativeStrengthIndex(down, 4)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(rsiD.nonEmpty && rsiD.forall(_ === 0.0))
+    val cmoD = Tick.chandeMomentum(down, 4)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(cmoD.nonEmpty && cmoD.forall(_ === -100.0))
+    val kerD = Tick.kaufmansEfficiency(down, 4)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(kerD.nonEmpty && kerD.forall(_ === 1.0))
+
+    // flat series: no movement → CMO 0, KER 0 (0-volatility guard)
+    val flat = series(5, 5, 5, 5, 5, 5)
+    val cmoF = Tick.chandeMomentum(flat, 4)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(cmoF.nonEmpty && cmoF.forall(_ === 0.0))
+    val kerF = Tick.kaufmansEfficiency(flat, 4)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(kerF.nonEmpty && kerF.forall(_ === 0.0))
+  }
 }
