@@ -758,6 +758,7 @@ object SparkEntry {
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
+    "events_weekly_profile" -> ((s, dir) => EventOps.weeklyProfile(EventsAdapter.events(s, dir))),
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
@@ -1533,6 +1534,7 @@ object SparkEntry {
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
     "events_first_touch" -> EventOps.firstTouchOracle,
+    "events_weekly_profile" -> EventOps.weeklyProfileOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "olap_q18_large_orders" ->

@@ -373,6 +373,27 @@ object EventOps {
        |SELECT user_id, start_day_ms, streak_len FROM s
        |ORDER BY streak_len DESC, user_id, start_day_ms LIMIT $StreakTopN""".stripMargin
 
+  // ---- weekly activity profile --------------------------------------------
+
+  /** Day-of-week × hour-of-day activity heatmap — the seasonality
+    * profile behind load forecasting and anomaly baselines. Day-of-week
+    * from epoch-day arithmetic ((day + 4) % 7, 0 = Sunday) — integer
+    * math, no timezone/locale dependency in either engine. One
+    * map-side-combinable aggregate to a fixed 168-cell relation.
+    * Output (dow, hour, n_events). */
+  def weeklyProfile(events: DataFrame): DataFrame =
+    events.select(
+        expr("(ts_ns div 86400000000000 + 4) % 7").as("dow"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n_events"))
+      .orderBy("dow", "hour")
+
+  val weeklyProfileOracle: String =
+    """SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+      |       (epoch_ms(ts) // 3600000) % 24 AS hour,
+      |       count(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
+
   // ---- burst detection ----------------------------------------------------
 
   /** Hours whose event count exceeds 2× the per-type hourly mean —
