@@ -628,6 +628,25 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"))),
     "sketch_kmv_jaccard" -> ((s, dir) =>
       Sketches.kmvJaccard(EventsAdapter.events(s, dir))),
+    "olap_q19_disjunctive" -> ((s, dir) => {
+      // TPC-H Q19 shape: OR-of-ANDs over (brand, quantity band) — the
+      // disjunctive-predicate entry. The part dimension broadcasts; the
+      // disjunction evaluates inside the join's codegen stage (each arm
+      // pairs a dimension attribute with a fact attribute, so it cannot
+      // push below the join — what CAN push is the quantity range union,
+      // which Catalyst derives as l_quantity <= 30 on the scan).
+      val part = s.read.parquet(s"$dir/part.parquet").select("p_partkey", "p_brand")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 10)) ||
+          (col("p_brand") === "Brand#9" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#17" && col("l_quantity").between(20, 30)))
+        .agg(sum("rev_c").as("revenue_fp"), count(lit(1)).as("n_lines"))
+    }),
     "olap_q4_exists" -> ((s, dir) => {
       // TPC-H Q4 shape: order counts by priority where a qualifying
       // lineitem EXISTS — the left-semi join entry (Q18 covers the
@@ -1486,6 +1505,13 @@ object SparkEntry {
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
     "sketch_kmv_jaccard" -> Sketches.kmvJaccardOracle,
+    "olap_q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_fp,
+        |       count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#9' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#17' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "olap_q4_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o
