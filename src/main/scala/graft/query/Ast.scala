@@ -158,7 +158,10 @@ object Ast {
                                  keyRegex: Option[String] = None) extends Statement
   /** SHOW SERIES [FROM m] — series keys `measurement,k1=v1,k2=v2`
     * (extension: InfluxDB metadata surface the reference lacks). */
-  final case class ShowSeries(from: Option[TableRef]) extends Statement
+  /** @param tagFilters WHERE "tag" = 'v' [AND …] conjuncts (InfluxDB's
+    *                    SHOW SERIES filter; = / != like DROP SERIES). */
+  final case class ShowSeries(from: Option[TableRef],
+                              tagFilters: Seq[TagFilter] = Nil) extends Statement
   /** SHOW SERIES [EXACT] CARDINALITY [FROM m] (extension). */
   final case class ShowSeriesCardinality(from: Option[TableRef]) extends Statement
   /** SHOW MEASUREMENT / FIELD KEY / TAG KEY [EXACT] CARDINALITY

@@ -750,7 +750,28 @@ object InfluxQlParser {
       p.kw("EXACT") // SHOW SERIES EXACT CARDINALITY — EXACT is what we compute anyway
       val cardinality = p.kw("CARDINALITY")
       val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
-      Right(if (cardinality) Ast.ShowSeriesCardinality(from) else Ast.ShowSeries(from))
+      // WHERE "tag" = 'v' [AND …] — same =/!= conjunct grammar as DROP SERIES
+      val filters = ArrayBuffer.empty[Ast.TagFilter]
+      if (p.kw("WHERE")) {
+        var more = true
+        while (more) {
+          val key = p.next() match {
+            case Ident(k, _) => k
+            case t           => return Left(s"bad SHOW SERIES tag $t")
+          }
+          val op =
+            if (p.op("=")) "=" else if (p.op("!=")) "!="
+            else return Left("SHOW SERIES supports = and != tag predicates")
+          val v = p.next() match {
+            case Str(s) => s
+            case t      => return Left(s"bad SHOW SERIES tag value $t")
+          }
+          filters += Ast.TagFilter(key, op, v)
+          more = p.kw("AND")
+        }
+      }
+      Right(if (cardinality) Ast.ShowSeriesCardinality(from)
+            else Ast.ShowSeries(from, filters.toSeq))
     }
     else if (p.kw("MEASUREMENT")) {
       p.kw("EXACT")

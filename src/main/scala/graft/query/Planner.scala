@@ -165,11 +165,13 @@ object Planner {
           case None => pairs
         }
         filtered.distinct().orderBy("key", "value")
-      case Ast.ShowSeries(from) =>
+      case Ast.ShowSeries(from, tagFilters) =>
         // InfluxDB series key: measurement,k1=v1,k2=v2 (tags already sorted
         // by key in the index). Distinct across field names — the series
         // key excludes the field (one key per tagset, not per metric).
-        scoped(cat, from)
+        // WHERE tag conjuncts apply per series row with missing-tag-as-''
+        // semantics (same predicate as the SELECT path's series side).
+        tagFilters.foldLeft(scoped(cat, from))((df, tf) => df.filter(tagPred(tf)))
           .select(concat(col("measurement"), lit(","),
             array_join(zip_with(col("labelname"), col("labelvalue"),
               (k, v) => concat(k, lit("="), v)), ",")).as("key"))

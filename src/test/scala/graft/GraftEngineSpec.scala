@@ -629,6 +629,21 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(after === before, "compaction must not change query results")
   }
 
+  test("SHOW SERIES WHERE tag filters series keys") {
+    val e = newEngine()
+    e.write("dbss",
+      """cpu,host=a,region=eu u=1 1735689540000000000
+        |cpu,host=b,region=eu u=2 1735689540000000000
+        |cpu,host=a,region=us u=3 1735689540000000000""".stripMargin)
+    val all = e.query("dbss", "SHOW SERIES")
+    assert(all.contains("cpu,host=a,region=eu") && all.contains("cpu,host=b,region=eu"))
+    val filtered = e.query("dbss", """SHOW SERIES WHERE "host" = 'a'""")
+    assert(filtered.contains("cpu,host=a,region=eu") && filtered.contains("cpu,host=a,region=us"), filtered)
+    assert(!filtered.contains("host=b"), filtered)
+    val neq = e.query("dbss", """SHOW SERIES FROM "cpu" WHERE "region" != 'us'""")
+    assert(neq.contains("region=eu") && !neq.contains("region=us"), neq)
+  }
+
   test("SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ filters the listing") {
     val e = newEngine()
     e.write("dbrx",
