@@ -410,7 +410,7 @@ class GraftEngine(
           case Ast.ShowMeasurements(_, _) => "measurements"
           case Ast.ShowFieldKeys(from) => from.map(_.measurement).getOrElse("")
           case Ast.ShowTagKeys(from) => from.map(_.measurement).getOrElse("")
-          case Ast.ShowTagValues(from, _, _) => from.map(_.measurement).getOrElse("")
+          case Ast.ShowTagValues(from, _, _, _) => from.map(_.measurement).getOrElse("")
           case Ast.ShowTagValuesCardinality(from, _) => from.map(_.measurement).getOrElse("")
           case Ast.ShowDatabases => "databases"
           case _ => "" // retention policies: nameless series (cflux.js:425-444)

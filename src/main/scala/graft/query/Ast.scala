@@ -153,9 +153,13 @@ object Ast {
   final case class ShowRetentionPolicies(db: Option[String]) extends Statement
   final case class ShowFieldKeys(from: Option[TableRef]) extends Statement
   final case class ShowTagKeys(from: Option[TableRef]) extends Statement
-  /** @param keyRegex `WITH KEY =~ /re/` matcher (extension) */
+  /** @param keyRegex `WITH KEY =~ /re/` matcher (extension)
+    * @param tagFilters trailing WHERE "tag" = 'v' conjuncts: only series
+    *                   matching them contribute pairs (InfluxDB's scoped
+    *                   tag-values listing) */
   final case class ShowTagValues(from: Option[TableRef], keys: Seq[String],
-                                 keyRegex: Option[String] = None) extends Statement
+                                 keyRegex: Option[String] = None,
+                                 tagFilters: Seq[TagFilter] = Nil) extends Statement
   /** SHOW SERIES [FROM m] — series keys `measurement,k1=v1,k2=v2`
     * (extension: InfluxDB metadata surface the reference lacks). */
   /** @param tagFilters WHERE "tag" = 'v' [AND …] conjuncts (InfluxDB's

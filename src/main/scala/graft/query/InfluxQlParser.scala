@@ -831,9 +831,30 @@ object InfluxQlParser {
             }
           }
         }
+        // trailing WHERE "tag" = 'v' [AND …] scopes which series
+        // contribute pairs (same conjunct grammar as SHOW SERIES)
+        val filters = ArrayBuffer.empty[Ast.TagFilter]
+        if (!cardinality && p.kw("WHERE")) {
+          var more = true
+          while (more) {
+            val key = p.next() match {
+              case Ident(k, _) => k
+              case t           => return Left(s"bad SHOW TAG VALUES tag $t")
+            }
+            val op =
+              if (p.op("=")) "=" else if (p.op("!=")) "!="
+              else return Left("SHOW TAG VALUES supports = and != tag predicates")
+            val v = p.next() match {
+              case Str(s) => s
+              case t      => return Left(s"bad SHOW TAG VALUES tag value $t")
+            }
+            filters += Ast.TagFilter(key, op, v)
+            more = p.kw("AND")
+          }
+        }
         Right(
           if (cardinality) Ast.ShowTagValuesCardinality(from, keys.toSeq)
-          else Ast.ShowTagValues(from, keys.toSeq, keyRegex))
+          else Ast.ShowTagValues(from, keys.toSeq, keyRegex, filters.toSeq))
       } else Left("expected KEYS or VALUES after TAG")
     } else Right(Ast.Unsupported(raw))
   }

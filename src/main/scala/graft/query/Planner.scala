@@ -155,8 +155,11 @@ object Planner {
       case Ast.ShowTagKeys(from)    =>
         scoped(cat, from).select(explode(col("labelname")).as("tagKey"))
           .distinct().orderBy("tagKey")
-      case Ast.ShowTagValues(from, keys, keyRegex) =>
-        val pairs = scoped(cat, from)
+      case Ast.ShowTagValues(from, keys, keyRegex, tagFilters) =>
+        // WHERE conjuncts scope the contributing SERIES before the pair
+        // explode (missing-tag-as-'' semantics, shared predicate)
+        val pairs = tagFilters
+          .foldLeft(scoped(cat, from))((df, tf) => df.filter(tagPred(tf)))
           .select(explode(arrays_zip(col("labelname"), col("labelvalue"))).as("lp"))
           .select(col("lp.labelname").as("key"), col("lp.labelvalue").as("value"))
         val filtered = keyRegex match {

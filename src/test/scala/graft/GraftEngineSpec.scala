@@ -642,6 +642,11 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(!filtered.contains("host=b"), filtered)
     val neq = e.query("dbss", """SHOW SERIES FROM "cpu" WHERE "region" != 'us'""")
     assert(neq.contains("region=eu") && !neq.contains("region=us"), neq)
+    // SHOW TAG VALUES scoped by another tag: hosts active in region=us
+    val tv = e.query("dbss",
+      """SHOW TAG VALUES FROM "cpu" WITH KEY = "host" WHERE "region" = 'us'""")
+    assert(tv.contains("""["host","a"]"""), tv)
+    assert(!tv.contains("""["host","b"]"""), tv)
   }
 
   test("SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ filters the listing") {
