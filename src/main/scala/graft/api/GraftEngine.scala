@@ -409,7 +409,7 @@ class GraftEngine(
         val name = other match {
           case Ast.ShowMeasurements(_, _) => "measurements"
           case Ast.ShowFieldKeys(from) => from.map(_.measurement).getOrElse("")
-          case Ast.ShowTagKeys(from) => from.map(_.measurement).getOrElse("")
+          case Ast.ShowTagKeys(from, _) => from.map(_.measurement).getOrElse("")
           case Ast.ShowTagValues(from, _, _, _) => from.map(_.measurement).getOrElse("")
           case Ast.ShowTagValuesCardinality(from, _) => from.map(_.measurement).getOrElse("")
           case Ast.ShowDatabases => "databases"

@@ -152,7 +152,10 @@ object Ast {
                                     regex: Option[String] = None) extends Statement
   final case class ShowRetentionPolicies(db: Option[String]) extends Statement
   final case class ShowFieldKeys(from: Option[TableRef]) extends Statement
-  final case class ShowTagKeys(from: Option[TableRef]) extends Statement
+  /** @param tagFilters WHERE "tag" = 'v' conjuncts scoping the
+    *                    contributing series (InfluxDB surface). */
+  final case class ShowTagKeys(from: Option[TableRef],
+                               tagFilters: Seq[TagFilter] = Nil) extends Statement
   /** @param keyRegex `WITH KEY =~ /re/` matcher (extension)
     * @param tagFilters trailing WHERE "tag" = 'v' conjuncts: only series
     *                   matching them contribute pairs (InfluxDB's scoped

@@ -750,28 +750,12 @@ object InfluxQlParser {
       p.kw("EXACT") // SHOW SERIES EXACT CARDINALITY — EXACT is what we compute anyway
       val cardinality = p.kw("CARDINALITY")
       val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
-      // WHERE "tag" = 'v' [AND …] — same =/!= conjunct grammar as DROP SERIES
-      val filters = ArrayBuffer.empty[Ast.TagFilter]
-      if (p.kw("WHERE")) {
-        var more = true
-        while (more) {
-          val key = p.next() match {
-            case Ident(k, _) => k
-            case t           => return Left(s"bad SHOW SERIES tag $t")
-          }
-          val op =
-            if (p.op("=")) "=" else if (p.op("!=")) "!="
-            else return Left("SHOW SERIES supports = and != tag predicates")
-          val v = p.next() match {
-            case Str(s) => s
-            case t      => return Left(s"bad SHOW SERIES tag value $t")
-          }
-          filters += Ast.TagFilter(key, op, v)
-          more = p.kw("AND")
-        }
+      val filters = parseTagConjuncts(p, "SHOW SERIES") match {
+        case Right(f) => f
+        case Left(e)  => return Left(e)
       }
       Right(if (cardinality) Ast.ShowSeriesCardinality(from)
-            else Ast.ShowSeries(from, filters.toSeq))
+            else Ast.ShowSeries(from, filters))
     }
     else if (p.kw("MEASUREMENT")) {
       p.kw("EXACT")
@@ -792,7 +776,7 @@ object InfluxQlParser {
     } else if (p.kw("TAG")) {
       if (p.kw("KEYS")) {
         val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
-        Right(Ast.ShowTagKeys(from))
+        parseTagConjuncts(p, "SHOW TAG KEYS").map(Ast.ShowTagKeys(from, _))
       } else if (p.kw("KEY")) {
         p.kw("EXACT")
         if (!p.kw("CARDINALITY")) return Left("expected CARDINALITY after TAG KEY")
@@ -831,32 +815,44 @@ object InfluxQlParser {
             }
           }
         }
-        // trailing WHERE "tag" = 'v' [AND …] scopes which series
-        // contribute pairs (same conjunct grammar as SHOW SERIES)
-        val filters = ArrayBuffer.empty[Ast.TagFilter]
-        if (!cardinality && p.kw("WHERE")) {
-          var more = true
-          while (more) {
-            val key = p.next() match {
-              case Ident(k, _) => k
-              case t           => return Left(s"bad SHOW TAG VALUES tag $t")
-            }
-            val op =
-              if (p.op("=")) "=" else if (p.op("!=")) "!="
-              else return Left("SHOW TAG VALUES supports = and != tag predicates")
-            val v = p.next() match {
-              case Str(s) => s
-              case t      => return Left(s"bad SHOW TAG VALUES tag value $t")
-            }
-            filters += Ast.TagFilter(key, op, v)
-            more = p.kw("AND")
+        // trailing WHERE scopes which series contribute pairs
+        val filters =
+          if (cardinality) Nil
+          else parseTagConjuncts(p, "SHOW TAG VALUES") match {
+            case Right(f) => f
+            case Left(e)  => return Left(e)
           }
-        }
         Right(
           if (cardinality) Ast.ShowTagValuesCardinality(from, keys.toSeq)
-          else Ast.ShowTagValues(from, keys.toSeq, keyRegex, filters.toSeq))
+          else Ast.ShowTagValues(from, keys.toSeq, keyRegex, filters))
       } else Left("expected KEYS or VALUES after TAG")
     } else Right(Ast.Unsupported(raw))
+  }
+
+  /** Optional trailing `WHERE "tag" = 'v' [AND …]` conjunct list —
+    * the =/!= grammar shared by DROP SERIES, SHOW SERIES,
+    * SHOW TAG KEYS and SHOW TAG VALUES. */
+  private def parseTagConjuncts(p: P, what: String): Either[String, Seq[Ast.TagFilter]] = {
+    val filters = ArrayBuffer.empty[Ast.TagFilter]
+    if (p.kw("WHERE")) {
+      var more = true
+      while (more) {
+        val key = p.next() match {
+          case Ident(k, _) => k
+          case t           => return Left(s"bad $what tag $t")
+        }
+        val op =
+          if (p.op("=")) "=" else if (p.op("!=")) "!="
+          else return Left(s"$what supports = and != tag predicates")
+        val v = p.next() match {
+          case Str(s) => s
+          case t      => return Left(s"bad $what tag value $t")
+        }
+        filters += Ast.TagFilter(key, op, v)
+        more = p.kw("AND")
+      }
+    }
+    Right(filters.toSeq)
   }
 
   private def parseDrop(p: P, raw: String): Either[String, Ast.Statement] = {
@@ -864,26 +860,7 @@ object InfluxQlParser {
     if (p.kw("MEASUREMENT")) p.ident().map(Ast.DropMeasurement)
     else if (p.kw("SERIES")) {
       val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
-      val filters = ArrayBuffer.empty[Ast.TagFilter]
-      if (p.kw("WHERE")) {
-        var more = true
-        while (more) {
-          val key = p.next() match {
-            case Ident(k, _) => k
-            case t           => return Left(s"bad DROP SERIES tag $t")
-          }
-          val op =
-            if (p.op("=")) "=" else if (p.op("!=")) "!="
-            else return Left("DROP SERIES supports = and != tag predicates")
-          val v = p.next() match {
-            case Str(s) => s
-            case t      => return Left(s"bad DROP SERIES tag value $t")
-          }
-          filters += Ast.TagFilter(key, op, v)
-          more = p.kw("AND")
-        }
-      }
-      Right(Ast.DropSeries(from, filters.toSeq))
+      parseTagConjuncts(p, "DROP SERIES").map(Ast.DropSeries(from, _))
     }
     else if (p.kw("CONTINUOUS")) {
       if (!p.kw("QUERY")) return Left("expected QUERY after CONTINUOUS")

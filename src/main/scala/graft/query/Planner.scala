@@ -152,8 +152,9 @@ object Planner {
           // reference reports every field as float (cflux.js:461,483)
           .withColumn("fieldType", lit("float"))
           .orderBy("fieldKey")
-      case Ast.ShowTagKeys(from)    =>
-        scoped(cat, from).select(explode(col("labelname")).as("tagKey"))
+      case Ast.ShowTagKeys(from, tagFilters) =>
+        tagFilters.foldLeft(scoped(cat, from))((df, tf) => df.filter(tagPred(tf)))
+          .select(explode(col("labelname")).as("tagKey"))
           .distinct().orderBy("tagKey")
       case Ast.ShowTagValues(from, keys, keyRegex, tagFilters) =>
         // WHERE conjuncts scope the contributing SERIES before the pair
