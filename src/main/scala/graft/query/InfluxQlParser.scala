@@ -750,7 +750,7 @@ object InfluxQlParser {
       p.kw("EXACT") // SHOW SERIES EXACT CARDINALITY — EXACT is what we compute anyway
       val cardinality = p.kw("CARDINALITY")
       val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
-      val filters = parseTagConjuncts(p, "SHOW SERIES") match {
+      val filters = parseTagConjuncts(p, "SHOW SERIES", allowRegex = true) match {
         case Right(f) => f
         case Left(e)  => return Left(e)
       }
@@ -776,7 +776,7 @@ object InfluxQlParser {
     } else if (p.kw("TAG")) {
       if (p.kw("KEYS")) {
         val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
-        parseTagConjuncts(p, "SHOW TAG KEYS").map(Ast.ShowTagKeys(from, _))
+        parseTagConjuncts(p, "SHOW TAG KEYS", allowRegex = true).map(Ast.ShowTagKeys(from, _))
       } else if (p.kw("KEY")) {
         p.kw("EXACT")
         if (!p.kw("CARDINALITY")) return Left("expected CARDINALITY after TAG KEY")
@@ -818,7 +818,7 @@ object InfluxQlParser {
         // trailing WHERE scopes which series contribute pairs
         val filters =
           if (cardinality) Nil
-          else parseTagConjuncts(p, "SHOW TAG VALUES") match {
+          else parseTagConjuncts(p, "SHOW TAG VALUES", allowRegex = true) match {
             case Right(f) => f
             case Left(e)  => return Left(e)
           }
@@ -830,9 +830,12 @@ object InfluxQlParser {
   }
 
   /** Optional trailing `WHERE "tag" = 'v' [AND …]` conjunct list —
-    * the =/!= grammar shared by DROP SERIES, SHOW SERIES,
-    * SHOW TAG KEYS and SHOW TAG VALUES. */
-  private def parseTagConjuncts(p: P, what: String): Either[String, Seq[Ast.TagFilter]] = {
+    * the grammar shared by DROP SERIES, SHOW SERIES, SHOW TAG KEYS and
+    * SHOW TAG VALUES. DROP SERIES keeps InfluxDB's =/!= restriction;
+    * the SHOW statements additionally accept =~ and !~ regex matchers
+    * (`allowRegex`). */
+  private def parseTagConjuncts(p: P, what: String,
+                                allowRegex: Boolean = false): Either[String, Seq[Ast.TagFilter]] = {
     val filters = ArrayBuffer.empty[Ast.TagFilter]
     if (p.kw("WHERE")) {
       var more = true
@@ -843,9 +846,13 @@ object InfluxQlParser {
         }
         val op =
           if (p.op("=")) "=" else if (p.op("!=")) "!="
-          else return Left(s"$what supports = and != tag predicates")
+          else if (allowRegex && p.op("=~")) "=~"
+          else if (allowRegex && p.op("!~")) "!~"
+          else return Left(s"$what supports ${if (allowRegex) "=, !=, =~ and !~"
+            else "= and !="} tag predicates")
         val v = p.next() match {
           case Str(s) => s
+          case Re(s) if op == "=~" || op == "!~" => s
           case t      => return Left(s"bad $what tag value $t")
         }
         filters += Ast.TagFilter(key, op, v)

@@ -647,6 +647,9 @@ class GraftEngineSpec extends AnyFunSuite {
       """SHOW TAG VALUES FROM "cpu" WITH KEY = "host" WHERE "region" = 'us'""")
     assert(tv.contains("""["host","a"]"""), tv)
     assert(!tv.contains("""["host","b"]"""), tv)
+    // regex matcher in the SHOW WHERE (=~ /re/)
+    val rx = e.query("dbss", """SHOW SERIES WHERE "region" =~ /^e/""")
+    assert(rx.contains("region=eu") && !rx.contains("region=us"), rx)
   }
 
   test("SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ filters the listing") {
