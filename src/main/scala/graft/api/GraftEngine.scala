@@ -604,6 +604,27 @@ class GraftEngine(
     done
   }
 
+  /** One background-maintenance pass over every known db — the single
+    * call a scheduler loops to keep a deployment healthy (ClickHouse
+    * runs the merge/TTL equivalents as background threads; InfluxDB as
+    * the retention and CQ services): continuous queries fire for their
+    * uncovered intervals, expired hour partitions drop, multi-file
+    * partitions compact. Each sub-task is itself idempotent, so a
+    * crashed tick re-runs safely. Returns per-db counts
+    * (cqPointsWritten, partitionsCompacted). */
+  def maintenanceTick(): Map[String, (Long, Int)] = {
+    enforceRetention()
+    databases.keys.toSeq.sorted.map { db =>
+      val cqWritten = runContinuousQueries(db).values.sum
+      val dir = new java.io.File(samplesPath(db))
+      val measurements = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isDirectory && f.getName.startsWith("measurement="))
+        .map(_.getName.stripPrefix("measurement="))
+      val compacted = measurements.map(m => compact(db, m)).sum
+      db -> (cqWritten, compacted)
+    }.toMap
+  }
+
   /** Retention enforcement tick: for every db with a registered policy,
     * drop every hour partition that ends before now − duration (the
     * shortest policy wins when several are registered). Directory-level

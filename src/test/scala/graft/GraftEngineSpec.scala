@@ -609,6 +609,25 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(e.query("dbrp2", "SHOW RETENTION POLICIES ON \"dbrp2\"").contains("48h0m0s"))
   }
 
+  test("maintenance tick: retention + compaction + CQs in one idempotent pass") {
+    val e = newEngine()
+    // three separate writes in one hour -> 3 files; plus an old hour that
+    // a 24h retention policy must expire (NowMs is 2025-01-01)
+    e.write("dbmt", "cpu,host=a u=1 1735689540000000000")
+    e.write("dbmt", "cpu,host=a u=2 1735689541000000000")
+    e.write("dbmt", "cpu,host=a u=9 1704067200000000000") // 2024-01-01, expired
+    e.query("dbmt", """CREATE RETENTION POLICY "d1" ON "dbmt" DURATION 24h REPLICATION 1""")
+    val res = e.maintenanceTick()
+    assert(res.contains("dbmt"), res)
+    assert(res("dbmt")._2 === 1, s"one multi-file partition compacts: $res")
+    assert(!new java.io.File(
+      e.root + "/dbmt/samples/measurement=cpu/hour=473352").exists(),
+      "expired hour partition must be gone")
+    // second tick: nothing left to do
+    val again = e.maintenanceTick()
+    assert(again("dbmt")._2 === 0, s"idempotent: $again")
+  }
+
   test("compaction merges multi-file hour partitions; results and sort order survive") {
     val e = newEngine()
     // three separate writes → three parquet files in the same hour dir
