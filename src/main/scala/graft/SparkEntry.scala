@@ -389,6 +389,13 @@ object SparkEntry {
     "ts_select_fn_nndiff" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT non_negative_difference(mean("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    // two transforms of the same aggregate in ONE statement — pins that
+    // the per-field pipelines compose through the union (each field runs
+    // its own transform independently)
+    "ts_select_multi_transform" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT difference(mean("value")), moving_average(mean("value"), 3) FROM "events"""" +
+        s""" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
     "ts_select_fn_dema" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT double_exponential_moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
@@ -1234,6 +1241,28 @@ object SparkEntry {
     "ts_select_fn_nndiff" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr",
       "CASE WHEN pr IS NOT NULL AND (raw - pr) >= 0 THEN raw - pr END"),
+    "ts_select_multi_transform" ->
+      // both transforms' outputs union before the pivot (each keeps the
+      // field name 'value'), then the usual two label-pair streams
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |d AS (SELECT time_ms, raw - lag(raw) OVER (ORDER BY time_ms) AS v FROM g),
+         |m AS (SELECT time_ms, avg(raw) OVER (ORDER BY time_ms
+         |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS v FROM g),
+         |f AS (
+         |  SELECT time_ms, CAST(floor(v * 100) AS BIGINT) AS value FROM d WHERE v IS NOT NULL
+         |  UNION ALL
+         |  SELECT time_ms, CAST(floor(v * 100) AS BIGINT) FROM m)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_dema" ->
       // two stacked EMA recurrences (recursive CTEs), DEMA = 2·e1 − e2;
       // α = 0.5 for N=3 is binary-exact, so every step is the identical
