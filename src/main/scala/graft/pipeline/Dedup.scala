@@ -387,10 +387,52 @@ object Dedup {
     * clusters. Output columns: (<nodes' id column>, cluster_id). Shared by
     * the text near-dup clustering and the embedding semantic-dup
     * clustering. */
+  /** Edge-count ceiling for the driver-side union-find fast path: 2M
+    * (i, j) pairs ≈ 32 MB on the driver — far below any sane driver
+    * heap. Near-dup graphs are sparse by construction (that's what makes
+    * dedup a dedup problem), so in practice even 100 TB corpora land
+    * here; the distributed loop below is the correctness backstop when
+    * they don't. */
+  private val DriverEdgeLimit = 2000000
+
   private[pipeline] def propagateClusters(pairsDf: DataFrame, nodes: DataFrame): DataFrame = {
     val idName = nodes.columns.head
     val spark = pairsDf.sparkSession
     import spark.implicits._
+    // Adaptive strategy (the AQE-broadcast analogue for iterative graph
+    // work): collect up to limit+1 edges; if the whole edge list fits,
+    // run exact union-find on the driver — the iterative joins, per-round
+    // shuffles, and convergence-check jobs all disappear. Only when the
+    // edge list overflows the cap does the distributed min-label loop
+    // run (and then its per-round cost is justified by the data size).
+    val sample = pairsDf.limit(DriverEdgeLimit + 1).collect()
+    if (sample.length <= DriverEdgeLimit) {
+      // `limit` returned everything → `sample` IS the edge list
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      sample.foreach { row =>
+        val i = row.getLong(0); val j = row.getLong(1)
+        if (!parent.containsKey(i)) parent.put(i, i)
+        if (!parent.containsKey(j)) parent.put(j, j)
+        val ri = find(i); val rj = find(j)
+        if (ri != rj) { if (ri < rj) parent.put(rj, ri) else parent.put(ri, rj) }
+      }
+      // min node id per component — roots were always united downward to
+      // the smaller id, so find(x) already IS the component minimum
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(k => labels += ((k, find(k))))
+      val connected = spark.createDataset(labels.toSeq).toDF(idName, "cluster_id")
+      val singletons = nodes
+        .join(broadcast(connected.select(idName)), Seq(idName), "left_anti")
+        .withColumn("cluster_id", col(idName))
+      return connected.unionByName(singletons)
+    }
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     // RDD-level loop (the GraphX/Pregel exception to DataFrame-first):
