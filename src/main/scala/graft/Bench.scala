@@ -74,7 +74,9 @@ object Bench {
       "events_time_to_convert", "doc_gopher_filters", "dedup_containment",
       "olap_q18_large_orders", "ts_select_fn_rsi", "ts_select_fn_cmo",
       "ts_select_fn_dema", "ts_select_fn_ker", "ts_select_top_tag",
-      "olap_q12_priority", "doc_mixture_weights")
+      "olap_q12_priority", "doc_mixture_weights",
+      "olap_q7_volume", "olap_q8_market_share", "olap_q13_custdist",
+      "olap_q15_top_supplier", "olap_q17_small_qty", "olap_q22_dormant")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

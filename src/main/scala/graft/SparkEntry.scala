@@ -746,6 +746,149 @@ object SparkEntry {
         .orderBy(col("total_fp").desc, col("o_orderkey"))
         .limit(100)
     }),
+    "olap_q7_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: bilateral trade volume between two nations by
+      // ship year. Both nation-role sides reduce to (key, name) before
+      // the fact chain; the supplier role broadcasts; the inequality
+      // between the two roles evaluates in the joined codegen stage.
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("rev_c").as("revenue_fp"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "olap_q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one nation's share of a part class's revenue
+      // among a region's customers, by order year. Share = conditional /
+      // total sums riding ONE hash aggregate, exact integer ratio; the
+      // region→nation and part dimensions broadcast; customer keys join
+      // inner (unique keys — no fanout).
+      val reg = s.read.parquet(s"$dir/region.parquet").filter(col("r_name") === "ASIA")
+      val natAll = s.read.parquet(s"$dir/nation.parquet")
+      val custNat = natAll
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(custNat), col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val suppNat = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(natAll.select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("rev_c")).otherwise(0L)).as("nat_c"),
+          sum(col("rev_c")).as("total_c"))
+        .select(col("o_year"),
+          expr("nat_c * 1000000 div total_c").as("share_fp"),
+          col("total_c").as("revenue_fp"))
+        .orderBy("o_year")
+    }),
+    "olap_q13_custdist" -> ((s, dir) => {
+      // TPC-H Q13 shape: THE outer-join entry. The right-side predicate
+      // filters orders BEFORE the join (ON-clause semantics); customers
+      // with no qualifying orders survive with count 0; then the
+      // distribution of counts. Two hash aggregates, no window.
+      val cust = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "olap_q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: revenue per supplier for a quarter, then the
+      // supplier(s) achieving the maximum — the scalar-max
+      // self-reference as a one-row broadcast join (no window over all
+      // suppliers, no second fact scan: the max re-aggregates the
+      // supplier-cardinality relation).
+      val rev = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy("l_suppkey")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("total_revenue_fp"))
+      val maxRev = rev.agg(max("total_revenue_fp").as("mx"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet").select("s_suppkey", "s_name")
+      rev.join(broadcast(maxRev), col("total_revenue_fp") === col("mx"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_fp"))
+        .orderBy("s_suppkey")
+    }),
+    "olap_q17_small_qty" -> ((s, dir) => {
+      // TPC-H Q17 shape: compare each fact row to its GROUP's average
+      // without a window — the per-part (count, sum) relation is
+      // part-cardinality-sized and broadcasts back; qty < 0.2·avg is the
+      // exact integer cross-multiply 10·qty·cnt < 2·sumq (no float
+      // division reaches the predicate).
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val brandParts = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#11").select("p_partkey")
+      val perPart = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("sumq"))
+        .withColumnRenamed("l_partkey", "ap_partkey")
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(perPart), col("l_partkey") === col("ap_partkey"))
+        .filter(col("qty") * 10 * col("cnt") < col("sumq") * 2)
+        .agg(sum("price_c").as("sum_c"), count(lit(1)).as("n_lines"))
+        .select(expr("sum_c div 7").as("avg_yearly_fp"), col("n_lines"))
+    }),
+    "olap_q22_dormant" -> ((s, dir) => {
+      // TPC-H Q22 shape: anti join + scalar-average subquery. Customers
+      // with above-average positive balance and no orders in the data's
+      // last two years, grouped by nation. The average is a one-row
+      // broadcast (cross-multiply predicate, no float division); recent
+      // orders reduce to a distinct key set BEFORE the anti join.
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val avgBal = cust.filter(col("bal_c") > 0)
+        .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n_c"))
+      val recent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey").distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("bal_c") * col("n_c") > col("sum_c"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_fp"))
+        .orderBy("c_nationkey")
+    }),
     "emb_matryoshka" -> ((s, dir) => Similarity.matryoshka(emb(s, dir))),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "olap_top_users_per_type" -> ((s, dir) => {
@@ -1603,6 +1746,84 @@ object SparkEntry {
         |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY total_fp DESC, o_orderkey LIMIT 100""".stripMargin,
+    "olap_q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_fp
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "olap_q8_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+        |         CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END)
+        |              * 1000000 // sum(rev_c) AS BIGINT) AS share_fp,
+        |       CAST(sum(rev_c) AS BIGINT) AS revenue_fp
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_q13_custdist" ->
+      """WITH cnts AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cnts GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "olap_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_fp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_fp
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_fp = (SELECT max(total_revenue_fp) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "olap_q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |pp AS (SELECT l_partkey, count(*) AS cnt, CAST(sum(qty) AS BIGINT) AS sumq
+        |       FROM li GROUP BY 1)
+        |SELECT CAST(sum(price_c) // 7 AS BIGINT) AS avg_yearly_fp, count(*) AS n_lines
+        |FROM li
+        |JOIN part ON li.l_partkey = p_partkey
+        |JOIN pp ON li.l_partkey = pp.l_partkey
+        |WHERE p_brand = 'Brand#11' AND qty * 10 * cnt < sumq * 2""".stripMargin,
+    "olap_q22_dormant" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |avg_b AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS n_c
+        |          FROM cust WHERE bal_c > 0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= '2000-01-01')
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(sum(bal_c) AS BIGINT) AS totacctbal_fp
+        |FROM cust, avg_b
+        |WHERE bal_c * n_c > sum_c
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "olap_top_users_per_type" ->
       """WITH t AS (
         |  SELECT event_type, user_id, CAST(floor(sum(value) * 100) AS BIGINT) AS total_c
