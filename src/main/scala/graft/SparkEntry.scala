@@ -276,6 +276,12 @@ object SparkEntry {
     // --- P4 tag-equality predicates (single series) + O3 honored LIMIT ---
     "ts_select_tagfilter" -> ((s, dir) => stable(influx(s, dir, tagFilterQuery("5m")))),
     "ts_select_limit" -> ((s, dir) => stable(influx(s, dir, tagFilterQuery("1m") + " LIMIT 20"))),
+    // ::field / ::tag namespace casts (InfluxQL cast syntax): semantics
+    // identical to the uncast query — the casts assert namespaces the
+    // engine already infers, and the parser vetoes contradictions
+    "ts_select_cast" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT mean("value"::field) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type"::tag = 'click' AND "user_id"::tag = '17' GROUP BY time(5m)"""))),
 
     // --- SELECT-shape extensions beyond the reference: raw points, star
     //     expansion, point pagination (OFFSET), series pagination
@@ -1122,6 +1128,7 @@ object SparkEntry {
          |         '17' AS labelvalue, '' AS message FROM g)
          |ORDER BY time_ms DESC, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_tagfilter" -> tagFilterOracle(300000L, limit = None),
+    "ts_select_cast" -> tagFilterOracle(300000L, limit = None),
     "ts_select_limit" -> tagFilterOracle(60000L, limit = Some(20)),
     "ts_select_ingested_sum_1h" -> tsSelectOracle("sum(value)", 3600000L),
     "ts_select_string_count_1h" ->

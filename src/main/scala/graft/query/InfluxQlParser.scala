@@ -314,7 +314,13 @@ object InfluxQlParser {
             }
             if (!p.op(")")) return Left("expected ) after time(dur")
           case Some(Op("*")) => p.next() // GROUP BY * = all tags = default per-series grouping
-          case Some(Ident(t, _)) => p.next(); gbTags += t
+          case Some(Ident(t, _)) =>
+            p.next()
+            parseCast(p) match {
+              case Left(e)              => return Left(e)
+              case Right(Some("field")) => return Left(s"""GROUP BY needs a tag, got "$t"::field""")
+              case Right(_)             => gbTags += t
+            }
           case t => return Left(s"bad GROUP BY element: $t")
         }
         more = p.op(",")
@@ -494,6 +500,17 @@ object InfluxQlParser {
     case _ => parseFieldLeaf(p).map(Ast.FLeaf)
   }
 
+  /** Optional `::field` / `::tag` namespace suffix (InfluxQL cast
+    * syntax, e.g. `"usage"::field`, `"host"::tag`). Returns the kind
+    * consumed, if any; the CALLER decides whether that namespace is
+    * legal in its position. */
+  private def parseCast(p: P): Either[String, Option[String]] =
+    if (p.op("::")) p.next() match {
+      case Ident(k, false) if k.equalsIgnoreCase("field") || k.equalsIgnoreCase("tag") =>
+        Right(Some(k.toLowerCase))
+      case t => Left(s"expected field or tag after ::, got $t")
+    } else Right(None)
+
   private def parseFieldLeaf(p: P): Either[String, Ast.Field] = {
     p.peek match {
       case Some(Op("*")) => p.next(); Right(Ast.Field(None, "*", None))
@@ -533,6 +550,11 @@ object InfluxQlParser {
               case Op("*")     => "*"
               case t           => return Left(s"bad function arg $t")
             }
+            parseCast(p) match {
+              case Left(e)            => return Left(e)
+              case Right(Some("tag")) => return Left("cannot aggregate a ::tag; tags are grouping keys")
+              case Right(_)           =>
+            }
             val innerArg: Option[Double] =
               if (p.op(",")) p.next() match {
                 case Num(n) => n.toDoubleOption match {
@@ -563,6 +585,11 @@ object InfluxQlParser {
               // aggregate over regex fields: mean(/re/) — expands like *
               case Re(re)      => innerRe = Some(re); s"/$re/"
               case t           => return Left(s"bad function arg $t")
+            }
+            parseCast(p) match {
+              case Left(e)            => return Left(e)
+              case Right(Some("tag")) => return Left("cannot aggregate a ::tag; tags are grouping keys")
+              case Right(_)           => // ::field or none: fields are the default
             }
             var arg: Option[Double] = None
             var argDur: Option[Long] = None
@@ -598,7 +625,15 @@ object InfluxQlParser {
               Right(Ast.Field(Some(name.toLowerCase), inner, None, arg,
                 argDur = argDur, selTag = selTag, nameRegex = innerRe))
           }
-        } else Right(Ast.Field(None, name, None))
+        } else parseCast(p) match {
+          // ::field is a namespace assertion — fields ARE the default
+          // identifier namespace here, so it's a no-op; ::tag projection
+          // has no standalone-column analogue in the per-series model
+          case Left(e)            => Left(e)
+          case Right(Some("tag")) =>
+            Left(s"""::tag projection is not supported; use GROUP BY "$name" instead""")
+          case Right(_)           => Right(Ast.Field(None, name, None))
+        }
       // regex field selection: SELECT /usage.*/ — expands to matching
       // field keys at plan time (InfluxDB regex projections)
       case Some(Re(re)) =>
@@ -654,6 +689,10 @@ object InfluxQlParser {
       case Ident(s, _) => s
       case t           => return Left(s"bad WHERE lhs $t")
     }
+    val lhsCast = parseCast(p) match {
+      case Left(e)  => return Left(e)
+      case Right(c) => c
+    }
     if (lhs.equalsIgnoreCase("time")) {
       val cmp = p.next() match {
         case Op(o @ (">" | ">=" | "<" | "<=")) => o
@@ -704,13 +743,21 @@ object InfluxQlParser {
       // strings); string/ident RHS with =/!= = tag comparison
       val neg = (op != "=~" && op != "!~") && p.op("-")
       (op, p.next()) match {
-        case ("=" | "!=", Str(s)) if !neg      => Right(TagConj(Ast.TagFilter(lhs, op, s)))
-        case ("=" | "!=", Ident(s, _)) if !neg => Right(TagConj(Ast.TagFilter(lhs, op, s)))
-        case ("=~" | "!~", Re(s))              => Right(TagConj(Ast.TagFilter(lhs, op, s)))
-        case (_, Num(n)) => n.toDoubleOption match {
+        // an explicit ::field cast vetoes the string-RHS = tag-filter
+        // inference (and vice versa) — the cast names the namespace
+        case ("=" | "!=", Str(s)) if !neg && !lhsCast.contains("field") =>
+          Right(TagConj(Ast.TagFilter(lhs, op, s)))
+        case ("=" | "!=", Ident(s, _)) if !neg && !lhsCast.contains("field") =>
+          Right(TagConj(Ast.TagFilter(lhs, op, s)))
+        case ("=~" | "!~", Re(s)) if !lhsCast.contains("field") =>
+          Right(TagConj(Ast.TagFilter(lhs, op, s)))
+        case (_, Num(n)) if !lhsCast.contains("tag") => n.toDoubleOption match {
           case Some(d) => Right(FieldConj(Ast.FieldFilter(lhs, op, if (neg) -d else d)))
           case None    => Left(s"bad numeric literal $n")
         }
+        case (_, Num(_)) => Left(s"'$lhs'::tag cannot compare to a number (tag values are strings)")
+        case (_, Str(_)) | (_, Ident(_, _)) =>
+          Left(s"'$lhs'::field string comparisons are not supported; use a tag filter")
         case (_, t) => Left(s"bad WHERE rhs $t for '$lhs' $op")
       }
     }

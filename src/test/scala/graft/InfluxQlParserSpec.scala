@@ -383,4 +383,28 @@ class InfluxQlParserSpec extends AnyFunSuite {
       .asInstanceOf[Ast.Select].fields.head
     assert(raw.func.isEmpty && raw.transform.exists(_.fn == "non_negative_difference"))
   }
+
+  test("::field / ::tag casts: namespace assertions and vetoes") {
+    // ::field on projection leaves and aggregate args is a no-op
+    val s1 = parseOk(
+      """SELECT mean("usage"::field) FROM "cpu" WHERE "host"::tag = 'a' GROUP BY time(1m), "host"::tag""")
+      .asInstanceOf[Ast.Select]
+    assert(s1.fields.head.func.contains("mean") && s1.fields.head.name == "usage")
+    assert(s1.tagFilters == Seq(Ast.TagFilter("host", "=", "a")))
+    assert(s1.groupByTags == Seq("host"))
+    val s2 = parseOk("""SELECT "usage"::field FROM "cpu"""").asInstanceOf[Ast.Select]
+    assert(s2.fields.head.name == "usage" && s2.fields.head.func.isEmpty)
+    // ::field on a string comparison vetoes the tag-filter inference
+    assert(InfluxQlParser.parse("""SELECT mean("v") FROM "m" WHERE "x"::field = 'a'""").isLeft)
+    // ::tag cannot compare to a number
+    assert(InfluxQlParser.parse("""SELECT mean("v") FROM "m" WHERE "x"::tag > 5""").isLeft)
+    // ::tag is not projectable; GROUP BY rejects ::field
+    assert(InfluxQlParser.parse("""SELECT "host"::tag FROM "m"""").isLeft)
+    assert(InfluxQlParser.parse("""SELECT mean("v") FROM "m" GROUP BY "v"::field""").isLeft)
+    assert(InfluxQlParser.parse("""SELECT mean("v"::tag) FROM "m"""").isLeft)
+    // numeric WHERE with ::field stays a field filter
+    val s3 = parseOk("""SELECT mean("v") FROM "m" WHERE "value"::field > 50""")
+      .asInstanceOf[Ast.Select]
+    assert(s3.fieldFilters == Seq(Ast.FieldFilter("value", ">", 50.0)))
+  }
 }
