@@ -76,7 +76,8 @@ object Bench {
       "ts_select_fn_dema", "ts_select_fn_ker", "ts_select_top_tag",
       "olap_q12_priority", "doc_mixture_weights",
       "olap_q7_volume", "olap_q8_market_share", "olap_q13_custdist",
-      "olap_q15_top_supplier", "olap_q17_small_qty", "olap_q22_dormant")
+      "olap_q15_top_supplier", "olap_q17_small_qty", "olap_q22_dormant",
+      "dedup_passage", "events_anomaly_days", "ts_select_cast")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

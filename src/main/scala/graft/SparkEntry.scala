@@ -930,6 +930,7 @@ object SparkEntry {
     "events_power_users" -> ((s, dir) => EventOps.powerUsers(EventsAdapter.events(s, dir))),
     "events_streaks" -> ((s, dir) => EventOps.streaks(EventsAdapter.events(s, dir))),
     "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
+    "events_anomaly_days" -> ((s, dir) => EventOps.anomalyDays(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
@@ -958,6 +959,7 @@ object SparkEntry {
     "doc_length_quantiles" -> ((s, dir) => TextOps.lengthQuantiles(docs(s, dir))),
     "doc_fertility" -> ((s, dir) => TextOps.fertilityBySource(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
+    "dedup_passage" -> ((s, dir) => Dedup.passage(docs(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
 
@@ -1733,9 +1735,11 @@ object SparkEntry {
     "doc_length_quantiles" -> TextOps.lengthQuantilesOracle,
     "doc_fertility" -> TextOps.fertilityBySourceOracle,
     "dedup_incremental" -> Dedup.incrementalOracle,
+    "dedup_passage" -> Dedup.passageOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,
     "events_bursts" -> EventOps.burstsOracle,
+    "events_anomaly_days" -> EventOps.anomalyDaysOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
     "events_first_touch" -> EventOps.firstTouchOracle,

@@ -112,6 +112,62 @@ object Dedup {
        |WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp
        |ORDER BY i, j""".stripMargin
 
+  // ---- passage-level dedup ------------------------------------------------
+
+  private val PassageLen = 16
+  private val PassageStride = 8
+
+  /** Cross-document duplicated PASSAGES: 16-token windows at stride 8,
+    * hashed; a window is "shared" when its hash occurs in more than one
+    * document. Per-doc output: window count, shared-window count, shared
+    * fraction (per-mille fixed point) — the passage-granular complement
+    * of whole-doc near-dup (quotes, boilerplate, templated sections that
+    * document-level Jaccard dilutes away). Docs under 16 tokens have no
+    * windows and are excluded.
+    *
+    * Scale shape: windows are (doc_id, 8-byte hash) pairs, ~n_tokens/8
+    * rows per doc; the dup-hash relation is a map-side-partial aggregate
+    * and the join back is a semi-join on the hash — hash-distributed, no
+    * skew short of genuinely viral passages (salt those at 100 TB).
+    * Output (doc_id, n_windows, n_shared, shared_fp). */
+  def passage(docs: DataFrame): DataFrame = {
+    val wins = graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= PassageLen)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("w")) - PassageLen, lit(PassageStride)),
+          i => baseHash(concat_ws(" ", slice(col("w"), i + lit(1), lit(PassageLen)))))).as("h"))
+      .localCheckpoint(true) // feeds the dup set, the semi-join, and per-doc counts
+    val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val shared = wins.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    perDoc.join(shared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_fp", expr("n_shared * 1000 div n_windows"))
+      .orderBy("doc_id")
+  }
+
+  val passageOracle: String =
+    s"""WITH wins AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(array_to_string(w[i+1:i+$PassageLen], ' ')), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d,
+       |       unnest(range(0, len(w) - $PassageLen + 1, $PassageStride)) u(i)
+       |  WHERE len(w) >= $PassageLen),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |pd AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1),
+       |sh AS (SELECT doc_id, count(*) AS n_shared FROM wins
+       |       WHERE h IN (SELECT h FROM dup) GROUP BY 1)
+       |SELECT pd.doc_id AS doc_id, pd.n_windows,
+       |       COALESCE(sh.n_shared, 0) AS n_shared,
+       |       CAST(COALESCE(sh.n_shared, 0) * 1000 // pd.n_windows AS BIGINT) AS shared_fp
+       |FROM pd LEFT JOIN sh ON pd.doc_id = sh.doc_id
+       |ORDER BY pd.doc_id""".stripMargin
+
   // ---- incremental dedup --------------------------------------------------
 
   /** Incremental-ingest dedup: an incoming batch (odd doc_ids here — the

@@ -423,4 +423,42 @@ object EventOps {
       |FROM c JOIN t USING (event_type)
       |WHERE c.n * t.n_hours > 2 * t.total
       |ORDER BY event_type, hour_ms""".stripMargin
+
+  /** Daily-count anomalies per event type: days whose count deviates
+    * from the type's mean by MORE than two standard deviations, decided
+    * in exact integer arithmetic — |x−μ| > 2σ cross-multiplied to
+    * (x·n − S)² > 4·(n·Q − S²) with S=Σx, Q=Σx², n=#days — so no float
+    * summation order ever reaches the verdict (z-score thresholding is
+    * the usual ulp trap). Two stacked map-side aggregates; the
+    * type-cardinality stats relation broadcasts. Output
+    * (event_type, day_ms, n_events). */
+  def anomalyDays(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr("ts_ms div 86400000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum("n_events").as("s"),
+      sum(col("n_events") * col("n_events")).as("q"))
+    val dev = col("n_events") * col("n_days") - col("s")
+    daily.join(broadcast(stats), Seq("event_type"))
+      .filter(dev * dev > lit(4) * (col("n_days") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), (col("d") * 86400000L).as("day_ms"), col("n_events"))
+      .orderBy("event_type", "day_ms")
+  }
+
+  val anomalyDaysOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS d, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |         CAST(sum(n_events) AS BIGINT) AS s,
+      |         CAST(sum(n_events * n_events) AS BIGINT) AS q
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.d * 86400000 AS day_ms, d.n_events
+      |FROM daily d JOIN st USING (event_type)
+      |WHERE (d.n_events * st.n_days - st.s) * (d.n_events * st.n_days - st.s)
+      |      > 4 * (st.n_days * st.q - st.s * st.s)
+      |ORDER BY event_type, day_ms""".stripMargin
 }

@@ -330,4 +330,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Boolean]("keep")))
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
+
+  test("passage dedup: bounds hold and exact duplicates share every window") {
+    val rows = Dedup.passage(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, fp) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("shared_fp"))
+      assert(s >= 0 && s <= w)
+      assert(fp === s * 1000 / w)
+    }
+    // docs under 16 tokens produce no row
+    val shortIds = docs.filter(size(split(col("text"), " ")) < 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.intersect(shortIds).isEmpty)
+    // exact text duplicates (planted by the generator) are 100% shared
+    val dupIds = docs.groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id")).collect().map(_.getLong(0)).toSet
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    dupIds.foreach { id =>
+      byId.get(id).foreach(r =>
+        assert(r.getAs[Long]("n_shared") === r.getAs[Long]("n_windows"),
+          s"doc $id is an exact dup but not fully shared"))
+    }
+  }
+
+  test("anomaly days: every flagged day really deviates by >2 sigma (float check)") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val daily = ev.select(col("event_type"), expr("ts_ms div 86400000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+    val flagged = EventOps.anomalyDays(ev).collect()
+    flagged.foreach { r =>
+      val t = r.getString(0)
+      val xs = daily(t).map(_.getAs[Long]("n").toDouble)
+      val mu = xs.sum / xs.length
+      val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / xs.length)
+      val x = r.getAs[Long]("n_events").toDouble
+      assert(math.abs(x - mu) > 2 * sigma - 1e-9,
+        s"$t day ${r.getAs[Long]("day_ms")}: |$x - $mu| <= 2*$sigma")
+    }
+  }
 }
