@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * change, not one per offending point). */
 final case class AlertEvent(series: String, ts: Long, value: Double, level: String)
 
+/** A no-data event: `series` last reported at `lastTs` and stayed silent
+  * past `deadlineTs` = lastTs + timeout (event time, watermark-decided). */
+final case class DeadmanEvent(series: String, lastTs: Long, deadlineTs: Long)
+
 /** Kapacitor-style streaming threshold alerting over the point stream —
   * the alert node of the TICK script family the reference's docker stack
   * delegates to Kapacitor (SURVEY §2.9; diffs.tick shows the stream →
@@ -50,5 +54,42 @@ object StreamingAlert {
     }
     state.update(above)
     out.iterator
+  }
+
+  /** Deadman switch (Kapacitor's `deadman` node): emit one event when a
+    * series that WAS reporting goes silent for more than `timeoutMs` of
+    * EVENT time. Silence is decided by the watermark passing
+    * lastSeen + timeoutMs — deterministic under replay, unlike a
+    * wall-clock timer — and state (one long per series) is removed on
+    * firing, so a series that resumes re-arms from scratch. State is
+    * bounded by live series cardinality at any stream rate. */
+  def deadman(points: Dataset[Point], timeoutMs: Long,
+              lateness: String = "0 seconds"): Dataset[DeadmanEvent] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    points
+      .select(col("series"), col("ts"), col("value"),
+        timestamp_millis(col("ts")).as("event_time"))
+      .withWatermark("event_time", lateness)
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        deadmanGroup(timeoutMs))
+  }
+
+  private def deadmanGroup(timeoutMs: Long)(
+      series: String, it: Iterator[(String, Long, Double, java.sql.Timestamp)],
+      state: GroupState[Long]): Iterator[DeadmanEvent] = {
+    if (state.hasTimedOut) {
+      val lastSeen = state.get
+      state.remove() // a resuming series re-arms from scratch
+      Iterator.single(DeadmanEvent(series, lastSeen, lastSeen + timeoutMs))
+    } else {
+      val lastSeen = it.map(_._2).foldLeft(if (state.exists) state.get else Long.MinValue)(math.max)
+      state.update(lastSeen)
+      state.setTimeoutTimestamp(lastSeen + timeoutMs)
+      Iterator.empty
+    }
   }
 }

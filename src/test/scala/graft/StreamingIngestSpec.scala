@@ -79,6 +79,28 @@ class StreamingIngestSpec extends AnyFunSuite {
     ))
   }
 
+  test("deadman alert: fires once when a series goes silent, survivor stays quiet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{DeadmanEvent, Point, StreamingAlert}
+    val in = MemoryStream[Point]
+    val q = StreamingAlert.deadman(in.toDS(), timeoutMs = 5000L)
+      .writeStream.format("memory").queryName("dead")
+      .outputMode("append").start()
+    // both series report; watermark after the batch = 2000
+    in.addData(Point("cpu|a", 1000L, 1.0), Point("cpu|b", 2000L, 1.0))
+    q.processAllAvailable()
+    // only b keeps reporting; watermark jumps past a's 6000 deadline
+    in.addData(Point("cpu|b", 20000L, 1.0))
+    q.processAllAvailable()
+    // one more batch so the timeout fires against the advanced watermark
+    in.addData(Point("cpu|b", 21000L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dead").as[DeadmanEvent].collect().toSet
+    assert(got === Set(DeadmanEvent("cpu|a", 1000L, 6000L)), got)
+  }
+
   test("watermarked tumbling windows: close-once emission, too-late points dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
