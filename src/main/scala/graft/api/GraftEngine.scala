@@ -3,7 +3,7 @@ package graft.api
 import graft.ingest.Ingest
 import graft.query.{Ast, InfluxQlParser, Planner, Response, TsCatalog}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, broadcast, coalesce, col, concat, floor, lit, map, to_json, xxhash64, zip_with}
+import org.apache.spark.sql.functions.{array, array_join, broadcast, coalesce, col, concat, floor, lit, map, regexp_replace, to_json, when, xxhash64, zip_with}
 import scala.collection.concurrent.TrieMap
 
 /** The reference's two HTTP entry points as a library API:
@@ -401,22 +401,30 @@ class GraftEngine(
         }
       case Ast.Unsupported(_) =>
         bare // cflux.js:846-852
+      case Ast.ShowLimited(inner, lim, off) =>
+        // pagination rides the SAME Catalyst plan as the listing —
+        // offset/limit are plan nodes, not a driver-side slice
+        val df0 = Planner.plan(spark, inner, catalog(db), nowMs())
+        val df1 = off.map(df0.offset).getOrElse(df0)
+        val df = lim.map(df1.limit).getOrElse(df1)
+        Seq(Response.entryJson(id, Seq(Response.showSeries(showName(inner), df))))
       case other =>
         val df = Planner.plan(spark, other, catalog(db), nowMs())
-        // series names mirror the reference exactly: the measurement for
-        // field/tag statements (cflux.js:466,514,...), fixed names for
-        // measurements/databases (cflux.js:654,672), none for retention
-        val name = other match {
-          case Ast.ShowMeasurements(_, _) => "measurements"
-          case Ast.ShowFieldKeys(from) => from.map(_.measurement).getOrElse("")
-          case Ast.ShowTagKeys(from, _) => from.map(_.measurement).getOrElse("")
-          case Ast.ShowTagValues(from, _, _, _) => from.map(_.measurement).getOrElse("")
-          case Ast.ShowTagValuesCardinality(from, _) => from.map(_.measurement).getOrElse("")
-          case Ast.ShowDatabases => "databases"
-          case _ => "" // retention policies: nameless series (cflux.js:425-444)
-        }
-        Seq(Response.entryJson(id, Seq(Response.showSeries(name, df))))
+        Seq(Response.entryJson(id, Seq(Response.showSeries(showName(other), df))))
     }
+  }
+
+  /** Series names mirror the reference exactly: the measurement for
+    * field/tag statements (cflux.js:466,514,...), fixed names for
+    * measurements/databases (cflux.js:654,672), none for retention. */
+  private def showName(st: Ast.Statement): String = st match {
+    case Ast.ShowMeasurements(_, _) => "measurements"
+    case Ast.ShowFieldKeys(from) => from.map(_.measurement).getOrElse("")
+    case Ast.ShowTagKeys(from, _) => from.map(_.measurement).getOrElse("")
+    case Ast.ShowTagValues(from, _, _, _) => from.map(_.measurement).getOrElse("")
+    case Ast.ShowTagValuesCardinality(from, _) => from.map(_.measurement).getOrElse("")
+    case Ast.ShowDatabases => "databases"
+    case _ => "" // retention policies: nameless series (cflux.js:425-444)
   }
 
   /** Continuous query: a Structured Streaming file source tails the
@@ -733,6 +741,38 @@ class GraftEngine(
         }
       }
     }
+  }
+
+  /** Export a measurement's stored points as InfluxDB line protocol —
+    * the `influx_inspect export` analogue, and the inverse of [[write]]:
+    * re-ingesting the output reproduces identical samples and
+    * fingerprints (round-trip pinned by spec). One broadcast join
+    * against the schema-sized series index; escaping mirrors
+    * [[graft.ingest.LineProtocol]]'s unescape rules exactly. Rows whose
+    * `message` is non-empty export as string fields; float rows render
+    * the double verbatim (both survive the parser unchanged).
+    * Output: one `line` column, distributed — at 100 TB this writes
+    * straight to text files, never through the driver. */
+  def exportLineProtocol(db: String, measurement: String): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "\\\\", "\\\\\\\\"), ",", "\\\\,"), " ", "\\\\ "), "=", "\\\\=")
+    val samples = spark.read.parquet(samplesPath(db))
+      .filter(col("measurement") === measurement)
+    val series = seriesIndexFinal(db)
+      .select(col("fingerprint"), col("labelname"), col("labelvalue"))
+    val tagsCol = array_join(zip_with(col("labelname"), col("labelvalue"),
+      (k, v) => concat(lit(","), esc(k), lit("="), esc(v))), "")
+    val fieldVal = when(col("message") =!= "",
+        concat(lit("\""),
+          regexp_replace(regexp_replace(col("message"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+          lit("\"")))
+      .otherwise(col("value").cast("string"))
+    samples.join(broadcast(series), Seq("fingerprint"))
+      .select(concat(
+        esc(lit(measurement)), tagsCol, lit(" "),
+        esc(col("string")), lit("="), fieldVal, lit(" "),
+        (col("timestamp_ms") * 1000000L).cast("string")).as("line"))
   }
 
   /** Register a test/alternate transport for a db's subscription. */

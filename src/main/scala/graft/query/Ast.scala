@@ -171,6 +171,11 @@ object Ast {
                               tagFilters: Seq[TagFilter] = Nil) extends Statement
   /** SHOW SERIES [EXACT] CARDINALITY [FROM m] (extension). */
   final case class ShowSeriesCardinality(from: Option[TableRef]) extends Statement
+  /** SHOW <listing> LIMIT n [OFFSET m] — InfluxDB paginates its metadata
+    * listings; the engine slices the planned DataFrame (limit/offset are
+    * plan nodes, so the slice rides the same Catalyst plan). */
+  final case class ShowLimited(inner: Statement, limit: Option[Int],
+                               offset: Option[Int]) extends Statement
   /** SHOW MEASUREMENT / FIELD KEY / TAG KEY [EXACT] CARDINALITY
     * (extension); kind ∈ measurement | field_key | tag_key. */
   final case class ShowCardinality(kind: String, from: Option[TableRef]) extends Statement

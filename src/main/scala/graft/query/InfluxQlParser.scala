@@ -187,7 +187,8 @@ object InfluxQlParser {
     val p = new P(ts)
     p.peek match {
       case Some(Ident(k, false)) if k.equalsIgnoreCase("SELECT") => parseSelect(p)
-      case Some(Ident(k, false)) if k.equalsIgnoreCase("SHOW")   => parseShow(p, raw)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("SHOW")   =>
+        parseShow(p, raw).flatMap(wrapShowLimit(p, _))
       case Some(Ident(k, false)) if k.equalsIgnoreCase("CREATE") => parseCreate(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("DROP")   => parseDrop(p, raw)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("ALTER")  => parseAlter(p, raw)
@@ -208,6 +209,32 @@ object InfluxQlParser {
         }
       case _                                                     => Right(Ast.Unsupported(raw))
     }
+  }
+
+  /** Trailing LIMIT/OFFSET on SHOW listings (InfluxDB paginates SHOW
+    * MEASUREMENTS / SERIES / TAG KEYS / TAG VALUES / FIELD KEYS): wraps
+    * the statement so the engine slices the listing after the plan.
+    * Statements whose responses aren't row listings reject the clause. */
+  private def wrapShowLimit(p: P, st: Ast.Statement): Either[String, Ast.Statement] = {
+    def intKw(kwName: String): Either[String, Option[Int]] =
+      if (!p.kw(kwName)) Right(None)
+      else p.next() match {
+        case Num(s) => s.toIntOption.map(Some(_)).toRight(s"bad $kwName value $s")
+        case t      => Left(s"bad $kwName $t")
+      }
+    for {
+      lim <- intKw("LIMIT")
+      off <- intKw("OFFSET")
+      out <- (lim, off) match {
+        case (None, None) => Right(st)
+        case _ => st match {
+          case _: Ast.ShowMeasurements | _: Ast.ShowSeries | _: Ast.ShowTagKeys |
+               _: Ast.ShowTagValues | _: Ast.ShowFieldKeys | Ast.ShowDatabases =>
+            Right(Ast.ShowLimited(st, lim, off))
+          case other => Left(s"LIMIT/OFFSET not supported on $other")
+        }
+      }
+    } yield out
   }
 
   // SELECT f [, f...] [INTO ref] FROM (ref | (SELECT …)) [WHERE ...]

@@ -725,4 +725,43 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"))
     assert(plan.contains("measurement"), "measurement predicate should prune partitions")
   }
+
+  test("SHOW listings paginate with LIMIT/OFFSET") {
+    val e = newEngine()
+    e.write("dbl",
+      """cpu,host=a usage=1 1735689540000000000
+        |mem,host=a used=1 1735689540000000000
+        |net,host=a rx=1 1735689540000000000""".stripMargin)
+    val lim = e.query("dbl", "SHOW MEASUREMENTS LIMIT 2")
+    assert(lim.contains("""["cpu"],["mem"]""") && !lim.contains("net"), lim)
+    val off = e.query("dbl", "SHOW MEASUREMENTS LIMIT 2 OFFSET 2")
+    assert(off.contains("net") && !off.contains("cpu"), off)
+    val ser = e.query("dbl", "SHOW SERIES LIMIT 1 OFFSET 1")
+    assert(ser.contains("mem,host=a") && !ser.contains("cpu"), ser)
+    // LIMIT on a non-listing SHOW is a parse error inside a batch
+    val bad = e.query("dbl", "SHOW STATS LIMIT 2; SHOW DATABASES")
+    assert(bad.contains("error"), bad)
+  }
+
+  test("line-protocol export round-trips: re-ingest reproduces samples + fingerprints") {
+    val e = newEngine()
+    // escapes in tag values, a string field with quote + backslash, a
+    // float field, negative + scientific-notation values
+    e.write("dbx",
+      """cpu,host=a\ b,path=c\,d usage=10.5 1735689540000000000
+        |cpu,host=a\ b,path=c\,d usage=-2.25 1735689550000000000
+        |cpu,host=e\=f note="say \"hi\" \\ bye" 1735689540000000000
+        |cpu,host=g tiny=0.0000001 1735689560000000000""".stripMargin)
+    val lines = e.exportLineProtocol("dbx", "cpu")
+      .collect().map(_.getString(0)).sorted
+    assert(lines.length === 4, lines.mkString("\n"))
+    val e2 = newEngine()
+    e2.write("dbx", lines.mkString("\n"))
+    def snapshot(en: GraftEngine) = en.catalog("dbx").measurements("cpu")
+      .select("fingerprint", "timestamp_ms", "value", "string", "message")
+      .collect().map(_.toSeq).toSet
+    assert(snapshot(e2) === snapshot(e))
+    // export of a measurement with no data is empty, not an error
+    assert(e.exportLineProtocol("dbx", "cpu").count() === 4)
+  }
 }
