@@ -532,23 +532,45 @@ class GraftEngine(
 
   /** Run every continuous query registered on `db` once, like InfluxDB's
     * CQ scheduler tick: a CQ without its own WHERE time covers
-    * (last run, now] — so repeated ticks write each interval once. Returns
-    * points written per CQ name. */
+    * (last run, now] — so repeated ticks write each interval once.
+    *
+    * RESAMPLE semantics: `EVERY e` throttles the tick (a CQ that ran less
+    * than `e` ago is skipped); `FOR f` widens each run's window to
+    * (now − f, now] and DELETES the target measurement's points in that
+    * range first — recomputation absorbs late-arriving source data, and
+    * the delete-then-write is the point-upsert InfluxDB's CQ INTO does
+    * natively (the delete is hour-partition-level where fully covered).
+    * Returns points written per CQ name that ran. */
   def runContinuousQueries(db: String): Map[String, Long] = {
     continuousQueries.toSeq.collect { case ((d, name), cq) if d == db =>
       val now = nowMs()
       val last = cqLastRun.getOrElse((db, name), 0L)
-      val sel = cq.select
-      val bounded =
-        if (sel.time.lower.isEmpty && sel.time.upper.isEmpty)
-          sel.copy(time = Ast.TimeBounds(
-            Some(Ast.AbsoluteNs(last * 1000000L)), Some(Ast.AbsoluteNs(now * 1000000L)),
-            lowerStrict = true, upperStrict = false))
-        else sel
-      val written = executeInto(db, bounded)
-      cqLastRun.put((db, name), now)
-      name -> written
-    }.toMap
+      if (cq.everyMs.exists(e => now - last < e)) None
+      else {
+        val sel = cq.select
+        val fromMs = cq.forMs match {
+          case Some(f) =>
+            // align the FOR window DOWN to the CQ's bucket boundary: a
+            // partially-covered bucket would otherwise recompute from
+            // partial source data and leave its stale target row outside
+            // the deleted range (InfluxDB aligns RESAMPLE windows too)
+            val g = sel.groupByTimeMs.getOrElse(60000L)
+            ((now - f) / g) * g
+          case None => last
+        }
+        val bounded =
+          if (sel.time.lower.isEmpty && sel.time.upper.isEmpty)
+            sel.copy(time = Ast.TimeBounds(
+              Some(Ast.AbsoluteNs(fromMs * 1000000L)), Some(Ast.AbsoluteNs(now * 1000000L)),
+              lowerStrict = true, upperStrict = false))
+          else sel
+        if (cq.forMs.isDefined)
+          sel.into.foreach(t => deletePoints(db, t.measurement, fromMs + 1, now))
+        val written = executeInto(db, bounded)
+        cqLastRun.put((db, name), now)
+        Some(name -> written)
+      }
+    }.flatten.toMap
   }
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =

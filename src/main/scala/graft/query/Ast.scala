@@ -140,10 +140,15 @@ object Ast {
 
   final case class CreateDatabase(db: String) extends Statement
 
-  /** CREATE CONTINUOUS QUERY "name" ON "db" BEGIN select-into END
-    * (extension; InfluxDB's standing downsampling queries). */
+  /** CREATE CONTINUOUS QUERY "name" ON "db" [RESAMPLE [EVERY d] [FOR d]]
+    * BEGIN select-into END (extension; InfluxDB's standing downsampling
+    * queries). EVERY throttles the scheduler tick; FOR widens each run's
+    * recomputed window to absorb late data (the engine deletes + rewrites
+    * the covered target range — InfluxDB's point-upsert analogue). */
   final case class CreateContinuousQuery(name: String, db: String, select: Select,
-                                         raw: String = "") extends Statement
+                                         raw: String = "",
+                                         everyMs: Option[Long] = None,
+                                         forMs: Option[Long] = None) extends Statement
   final case class DropContinuousQuery(name: String, db: String) extends Statement
   case object ShowContinuousQueries extends Statement
   case object ShowDatabases extends Statement

@@ -1014,6 +1014,25 @@ object InfluxQlParser {
         name <- p.ident()
         _ <- p.expectKw("ON")
         db <- p.ident()
+        resample <- {
+          // RESAMPLE [EVERY <dur>] [FOR <dur>] — at least one required
+          if (!p.kw("RESAMPLE")) Right((None, None)): Either[String, (Option[Long], Option[Long])]
+          else {
+            def dur(kwName: String): Either[String, Option[Long]] =
+              if (!p.kw(kwName)) Right(None)
+              else p.next() match {
+                case Dur(d) => Right(Some(TimeUnits.durationMs(d)))
+                case t      => Left(s"expected duration after $kwName, got $t")
+              }
+            for {
+              ev <- dur("EVERY")
+              fr <- dur("FOR")
+              r <- if (ev.isEmpty && fr.isEmpty)
+                     Left("RESAMPLE needs EVERY and/or FOR"): Either[String, (Option[Long], Option[Long])]
+                   else Right((ev, fr))
+            } yield r
+          }
+        }
         _ <- p.expectKw("BEGIN")
         sel <- parseSelect(p, stopAtEnd = true).flatMap {
           case s: Ast.Select if s.into.isDefined => Right(s)
@@ -1021,7 +1040,8 @@ object InfluxQlParser {
           case other         => Left(s"bad CQ body $other")
         }
         _ <- p.expectKw("END")
-      } yield Ast.CreateContinuousQuery(name, db, sel, raw.trim)
+      } yield Ast.CreateContinuousQuery(name, db, sel, raw.trim,
+        everyMs = resample._1, forMs = resample._2)
     } else if (p.kw("RETENTION")) {
       // CREATE RETENTION POLICY "n" ON "db" DURATION 30d REPLICATION 1 [DEFAULT]
       if (!p.kw("POLICY")) return Left("expected POLICY after RETENTION")

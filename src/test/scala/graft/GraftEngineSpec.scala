@@ -499,6 +499,31 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(rej.contains(""""error":"INTO does not support FILL""""), rej)
   }
 
+  test("RESAMPLE CQ: EVERY throttles the tick, FOR recomputes late data in place") {
+    var now = NowMs
+    val root = Files.createTempDirectory("graft-engine").toString
+    val e = new GraftEngine(spark, root, () => now)
+    e.write("dbr", "cpu,host=a u=10 1735689540000000000") // 23:59:00
+    assert(e.query("dbr",
+      """CREATE CONTINUOUS QUERY "cq" ON "dbr" RESAMPLE EVERY 10m FOR 30m""" +
+        """ BEGIN SELECT mean("u") INTO "cpu_1m" FROM "cpu" GROUP BY time(1m) END""")
+      === Response0)
+    assert(e.runContinuousQueries("dbr")("cq") === 1L)
+    // EVERY 10m: an immediate second tick skips the CQ entirely
+    assert(e.runContinuousQueries("dbr").isEmpty)
+    // a LATE point lands in the already-written minute bucket
+    e.write("dbr", "cpu,host=a u=30 1735689545000000000")
+    now += 660000L // +11 min: past EVERY, bucket still inside FOR
+    assert(e.runContinuousQueries("dbr")("cq") === 1L)
+    // the bucket was recomputed IN PLACE: mean(10,30)=20, old row gone
+    val res = e.query("dbr", """SELECT "mean" FROM "cpu_1m" WHERE time > now() - 30m""")
+    assert(res.contains("[1735689540000,20]"), res)
+    assert(!res.contains("[1735689540000,10]"), res)
+    // RESAMPLE without EVERY/FOR is a parse error
+    assert(graft.query.InfluxQlParser.parse(
+      """CREATE CONTINUOUS QUERY "x" ON "d" RESAMPLE BEGIN SELECT mean("u") INTO "y" FROM "c" GROUP BY time(1m) END""").isLeft)
+  }
+
   test("field arithmetic through the engine: agg math, raw pairing, math fns") {
     val e = newEngine()
     e.write("dbar",
