@@ -47,9 +47,21 @@ final class GraftHttp(engine: GraftEngine, port: Int = 0,
   }
 
   private def respond(ex: HttpExchange, code: Int, payload: String = ""): Unit = {
-    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    val raw = payload.getBytes(StandardCharsets.UTF_8)
+    // gzip the body when the client advertises it (InfluxDB compresses
+    // query responses the same way; result JSON compresses ~10x)
+    val gz = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip")) && raw.length > 0
+    val bytes =
+      if (gz) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.util.zip.GZIPOutputStream(bos)
+        out.write(raw); out.close()
+        bos.toByteArray
+      } else raw
     if (payload.nonEmpty) {
       ex.getResponseHeaders.set("Content-Type", "application/json")
+      if (gz) ex.getResponseHeaders.set("Content-Encoding", "gzip")
       ex.sendResponseHeaders(code, bytes.length)
       ex.getResponseBody.write(bytes)
     } else ex.sendResponseHeaders(code, -1)

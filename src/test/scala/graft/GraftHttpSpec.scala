@@ -92,6 +92,21 @@ class GraftHttpSpec extends AnyFunSuite {
         assert(c.startsWith("""{"results":[""") && c.endsWith("]}"), c)
       }
       assert(chunks(0).contains(""""measurements""""), chunks(0))
+
+      // Accept-Encoding: gzip → compressed response body with the header
+      val gzr = java.net.http.HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/query?db=httpdb&q=" +
+            java.net.URLEncoder.encode("SHOW MEASUREMENTS", "UTF-8")))
+          .header("Accept-Encoding", "gzip").build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      assert(gzr.statusCode() === 200)
+      assert(gzr.headers().firstValue("Content-Encoding").orElse("") === "gzip")
+      val unzipped = new String(
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(gzr.body())).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(unzipped.contains(""""measurements""""), unzipped)
     } finally http.stop()
   }
 }
