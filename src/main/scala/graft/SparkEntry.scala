@@ -424,6 +424,15 @@ object SparkEntry {
     "ts_select_fn_rsi" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT relative_strength_index(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_tema" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT triple_exponential_moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_trix" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT triple_exponential_derivative(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_kama" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT kaufmans_adaptive_moving_average(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
     "ts_select_top_tag" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT top("value", "event_type", 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ GROUP BY time(6h)"""))),
@@ -1451,6 +1460,125 @@ object SparkEntry {
          |f AS (SELECT tt[r1.i] AS time_ms,
          |             CAST(floor((2.0 * r1.e - r2.e2) * 100) AS BIGINT) AS value
          |      FROM r1 JOIN r2 ON r1.i = r2.i CROSS JOIN agg)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_fn_tema" ->
+      // three stacked EMA recurrences (recursive CTEs), TEMA = 3·e1 −
+      // 3·e2 + e3 evaluated in that exact op order; α = 0.5 for N=3 is
+      // binary-exact, so every step is the identical IEEE op sequence
+      // as the Spark mapGroups fold
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
+         |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
+         |r1(i, e) AS (
+         |  SELECT 1, vs[1] FROM agg
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * vs[i + 1] + 0.5 * e
+         |  FROM r1, agg WHERE i + 1 <= len(vs)),
+         |a1 AS (SELECT list(e ORDER BY i) AS es FROM r1),
+         |r2(i, e2) AS (
+         |  SELECT 1, es[1] FROM a1
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * es[i + 1] + 0.5 * e2
+         |  FROM r2, a1 WHERE i + 1 <= len(es)),
+         |a2 AS (SELECT list(e2 ORDER BY i) AS fs FROM r2),
+         |r3(i, e3) AS (
+         |  SELECT 1, fs[1] FROM a2
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * fs[i + 1] + 0.5 * e3
+         |  FROM r3, a2 WHERE i + 1 <= len(fs)),
+         |f AS (SELECT tt[r1.i] AS time_ms,
+         |             CAST(floor((3.0 * r1.e - 3.0 * r2.e2 + r3.e3) * 100) AS BIGINT) AS value
+         |      FROM r1 JOIN r2 ON r1.i = r2.i JOIN r3 ON r1.i = r3.i CROSS JOIN agg)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_fn_trix" ->
+      // the same triple-EMA chain; TRIX = 100·(e3 − prev e3)/prev e3,
+      // first row and zero-predecessor rows dropped (the Spark guard)
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
+         |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
+         |r1(i, e) AS (
+         |  SELECT 1, vs[1] FROM agg
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * vs[i + 1] + 0.5 * e
+         |  FROM r1, agg WHERE i + 1 <= len(vs)),
+         |a1 AS (SELECT list(e ORDER BY i) AS es FROM r1),
+         |r2(i, e2) AS (
+         |  SELECT 1, es[1] FROM a1
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * es[i + 1] + 0.5 * e2
+         |  FROM r2, a1 WHERE i + 1 <= len(es)),
+         |a2 AS (SELECT list(e2 ORDER BY i) AS fs FROM r2),
+         |r3(i, e3) AS (
+         |  SELECT 1, fs[1] FROM a2
+         |  UNION ALL
+         |  SELECT i + 1, 0.5 * fs[i + 1] + 0.5 * e3
+         |  FROM r3, a2 WHERE i + 1 <= len(fs)),
+         |t AS (SELECT i, e3, lag(e3) OVER (ORDER BY i) AS p3 FROM r3),
+         |f AS (SELECT tt[t.i] AS time_ms,
+         |             CAST(floor((100.0 * (e3 - p3) / p3) * 100) AS BIGINT) AS value
+         |      FROM t CROSS JOIN agg WHERE p3 IS NOT NULL AND p3 <> 0.0)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_fn_kama" ->
+      // ER/sc per row from the explicit ascending lag-chain (the KER
+      // fold-order discipline: oldest term first, left-assoc), then the
+      // KAMA recurrence replayed by a recursive CTE over the (x, sc)
+      // lists; seed = the price at the first row with N prior diffs
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |b AS (SELECT value AS x, time_ms,
+         |             row_number() OVER (ORDER BY time_ms, value) AS i FROM g),
+         |d AS (SELECT i, time_ms, x,
+         |             lag(x, 1) OVER (ORDER BY i) AS x1,
+         |             lag(x, 2) OVER (ORDER BY i) AS x2,
+         |             lag(x, 3) OVER (ORDER BY i) AS x3,
+         |             lag(x, 4) OVER (ORDER BY i) AS x4
+         |      FROM b),
+         |er AS (SELECT i, time_ms, x,
+         |              CASE WHEN (abs(x3 - x4) + abs(x2 - x3) + abs(x1 - x2) + abs(x - x1)) = 0.0
+         |                   THEN 0.0
+         |                   ELSE abs(x - x4) /
+         |                        (abs(x3 - x4) + abs(x2 - x3) + abs(x1 - x2) + abs(x - x1)) END AS er
+         |       FROM d WHERE x4 IS NOT NULL),
+         |sc AS (SELECT i, time_ms, x,
+         |              (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0) AS scr FROM er),
+         |agg AS (SELECT list(x ORDER BY i) AS xs, list(scr * scr ORDER BY i) AS ss,
+         |               list(time_ms ORDER BY i) AS tt FROM sc),
+         |r(j, k) AS (
+         |  SELECT 1, xs[1] FROM agg
+         |  UNION ALL
+         |  SELECT j + 1, k + ss[j + 1] * (xs[j + 1] - k)
+         |  FROM r, agg WHERE j + 1 <= len(xs)),
+         |f AS (SELECT tt[j] AS time_ms, CAST(floor(k * 100) AS BIGINT) AS value
+         |      FROM r, agg)
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL

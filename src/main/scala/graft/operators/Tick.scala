@@ -195,6 +195,124 @@ object Tick {
       .drop("__d", "__net", "__vol", "__full")
   }
 
+  /** InfluxQL `triple_exponential_moving_average(agg(field), N)`:
+    * TEMA = 3·EMA − 3·EMA(EMA) + EMA(EMA(EMA)), all three recurrences
+    * with α = 2/(N+1) seeded by their first input — the
+    * [[doubleExponentialMovingAverage]] discipline extended one level,
+    * still ONE typed-mapGroups pass with three doubles of state per
+    * series. The combination is evaluated as (3·e1 − 3·e2) + e3, the
+    * exact op order the oracle's stacked recursive CTEs mirror. */
+  def tripleExponentialMovingAverage(sel: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "triple_exponential_moving_average needs a positive window")
+    val spark = sel.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (n + 1)
+    val oneMinus = 1.0 - alpha
+    sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      .as[(Long, String, Double, String, String, String)]
+      .groupByKey(r => (r._2, r._4, r._5, r._6))
+      .flatMapGroups { (key: (String, String, String, String),
+                        it: Iterator[(Long, String, Double, String, String, String)]) =>
+        val (name, ln, lv, msg) = key
+        val pts = it.toVector.sortBy(r => (r._1, r._3))
+        var e1 = 0.0
+        var e2 = 0.0
+        var e3 = 0.0
+        pts.iterator.zipWithIndex.map { case (p, i) =>
+          e1 = if (i == 0) p._3 else alpha * p._3 + oneMinus * e1
+          e2 = if (i == 0) e1 else alpha * e1 + oneMinus * e2
+          e3 = if (i == 0) e2 else alpha * e2 + oneMinus * e3
+          (p._1, name, 3.0 * e1 - 3.0 * e2 + e3, ln, lv, msg)
+        }
+      }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+  }
+
+  /** InfluxQL `triple_exponential_derivative(agg(field), N)` (TRIX):
+    * 100 · (e3ₜ − e3ₜ₋₁) / e3ₜ₋₁ over the triple-smoothed EMA chain —
+    * the percent rate of change of E³. First point has no predecessor
+    * and rows whose previous e3 is exactly 0 are dropped (division
+    * guard; InfluxDB emits nothing useful there either). Same single
+    * mapGroups pass as [[tripleExponentialMovingAverage]] plus one
+    * double of carry for the previous e3. */
+  def tripleExponentialDerivative(sel: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "triple_exponential_derivative needs a positive window")
+    val spark = sel.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (n + 1)
+    val oneMinus = 1.0 - alpha
+    sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      .as[(Long, String, Double, String, String, String)]
+      .groupByKey(r => (r._2, r._4, r._5, r._6))
+      .flatMapGroups { (key: (String, String, String, String),
+                        it: Iterator[(Long, String, Double, String, String, String)]) =>
+        val (name, ln, lv, msg) = key
+        val pts = it.toVector.sortBy(r => (r._1, r._3))
+        var e1 = 0.0
+        var e2 = 0.0
+        var e3 = 0.0
+        var prev = 0.0
+        pts.iterator.zipWithIndex.flatMap { case (p, i) =>
+          e1 = if (i == 0) p._3 else alpha * p._3 + oneMinus * e1
+          e2 = if (i == 0) e1 else alpha * e1 + oneMinus * e2
+          val p3 = prev
+          e3 = if (i == 0) e2 else alpha * e2 + oneMinus * e3
+          prev = e3
+          if (i == 0 || p3 == 0.0) None
+          else Some((p._1, name, 100.0 * (e3 - p3) / p3, ln, lv, msg))
+        }
+      }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+  }
+
+  /** InfluxQL `kaufmans_adaptive_moving_average(agg(field), N)` (KAMA):
+    * an EMA whose smoothing constant adapts to the efficiency ratio —
+    * sc = (ER·(2/3 − 2/31) + 2/31)², kamaₜ = kamaₜ₋₁ + sc·(xₜ − kamaₜ₋₁)
+    * with the standard fastest=2 / slowest=30 periods. ER at index t is
+    * |xₜ − xₜ₋ₙ| / Σ|xⱼ − xⱼ₋₁| (j ascending over the last N diffs —
+    * the [[kaufmansEfficiency]] quantity, folded oldest-first so the
+    * oracle's explicit lag-chain reproduces the identical IEEE
+    * sequence); ER = 0 when volatility is 0. Warmup: first output at
+    * the N-th diff, seeded kama = x there (the [[relativeStrengthIndex]]
+    * seed-row discipline; InfluxDB's hold-period variants diverge —
+    * documented). Sequential recurrence ⇒ typed mapGroups, one double
+    * of state per series. */
+  def kaufmansAdaptiveMovingAverage(sel: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "kaufmans_adaptive_moving_average needs a positive period")
+    val spark = sel.sparkSession
+    import spark.implicits._
+    val fast = 2.0 / 3.0   // 2/(2+1)
+    val slow = 2.0 / 31.0  // 2/(30+1)
+    sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      .as[(Long, String, Double, String, String, String)]
+      .groupByKey(r => (r._2, r._4, r._5, r._6))
+      .flatMapGroups { (key: (String, String, String, String),
+                        it: Iterator[(Long, String, Double, String, String, String)]) =>
+        val (name, ln, lv, msg) = key
+        val pts = it.toVector.sortBy(r => (r._1, r._3))
+        if (pts.length <= n) Iterator.empty
+        else {
+          var kama = 0.0
+          (n until pts.length).iterator.map { i =>
+            val x = pts(i)._3
+            if (i == n) kama = x
+            else {
+              // volatility: ascending-order fold over the last n diffs
+              var vol = 0.0
+              var j = i - n + 1
+              while (j <= i) { vol = vol + math.abs(pts(j)._3 - pts(j - 1)._3); j += 1 }
+              val net = math.abs(x - pts(i - n)._3)
+              val er = if (vol == 0.0) 0.0 else net / vol
+              val scRoot = er * (fast - slow) + slow
+              kama = kama + scRoot * scRoot * (x - kama)
+            }
+            (pts(i)._1, name, kama, ln, lv, msg)
+          }
+        }
+      }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+  }
+
   def chandeMomentum(sel: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "chande_momentum_oscillator needs a positive period")
     val d = sel

@@ -432,7 +432,9 @@ object InfluxQlParser {
     "non_negative_difference", "moving_average", "cumulative_sum",
     "holt_winters", "exponential_moving_average",
     "double_exponential_moving_average", "chande_momentum_oscillator",
-    "kaufmans_efficiency_ratio", "relative_strength_index")
+    "kaufmans_efficiency_ratio", "relative_strength_index",
+    "triple_exponential_moving_average", "triple_exponential_derivative",
+    "kaufmans_adaptive_moving_average")
 
   // transform(func("name")[, dur|n]) | func("name"[, num]) [AS a] | "name" | *
   /** Unary math transformations (InfluxQL surface); `pow` takes a numeric

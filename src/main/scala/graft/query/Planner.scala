@@ -753,6 +753,18 @@ object Planner {
       graft.operators.Tick.relativeStrengthIndex(sel,
         t.n.getOrElse(throw new IllegalArgumentException(
           "relative_strength_index needs a period count")))
+    case "triple_exponential_moving_average" =>
+      graft.operators.Tick.tripleExponentialMovingAverage(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "triple_exponential_moving_average needs a window size")))
+    case "triple_exponential_derivative" =>
+      graft.operators.Tick.tripleExponentialDerivative(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "triple_exponential_derivative needs a window size")))
+    case "kaufmans_adaptive_moving_average" =>
+      graft.operators.Tick.kaufmansAdaptiveMovingAverage(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "kaufmans_adaptive_moving_average needs a period count")))
     case other => throw new IllegalArgumentException(s"unsupported transform: $other")
   }
 

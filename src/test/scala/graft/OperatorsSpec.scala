@@ -127,4 +127,35 @@ class OperatorsSpec extends AnyFunSuite {
       .select("value").collect().map(_.getDouble(0)).toSeq
     assert(kerF.nonEmpty && kerF.forall(_ === 0.0))
   }
+
+  test("TEMA/TRIX: triple-EMA chain; KAMA warmup, flat invariance, trend adaptation") {
+    import spark.implicits._
+    def series(vs: Double*) = vs.zipWithIndex.map { case (v, i) =>
+      ((i + 1) * 1000L, "value", v, "h", "a", "")
+    }.toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+
+    // α=0.5: e1 = 10, 15, 22.5; e2 = 10, 12.5, 17.5; e3 = 10, 11.25, 14.375
+    // TEMA = 3e1 − 3e2 + e3 → 10, 18.75, 29.375
+    val tema = Tick.tripleExponentialMovingAverage(series(10, 20, 30), 3)
+      .orderBy("time_ms").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(tema === Seq(10.0, 18.75, 29.375))
+
+    // TRIX over the same e3 chain: first row dropped; 100·(11.25−10)/10 = 12.5
+    val trix = Tick.tripleExponentialDerivative(series(10, 20, 30), 3)
+      .orderBy("time_ms").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(trix.length === 2 && trix.head === 12.5 &&
+      math.abs(trix(1) - 100.0 * 3.125 / 11.25) < 1e-12)
+
+    // KAMA n=2 on 10,20,30,40: warmup drops 2 rows; seed = 30; then a
+    // perfect trend → er=1 → sc=(2/3)² → 30 + 4/9·10
+    val kama = Tick.kaufmansAdaptiveMovingAverage(series(10, 20, 30, 40), 2)
+      .orderBy("time_ms").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(kama.length === 2 && kama.head === 30.0 &&
+      math.abs(kama(1) - (30.0 + 4.0 / 9.0 * 10.0)) < 1e-9)
+
+    // flat series: x − kama = 0 every step → kama pinned to the seed
+    val kamaF = Tick.kaufmansAdaptiveMovingAverage(series(5, 5, 5, 5, 5, 5), 3)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(kamaF.length === 3 && kamaF.forall(_ === 5.0))
+  }
 }
