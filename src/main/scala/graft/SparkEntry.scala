@@ -914,6 +914,158 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_fp"))
         .orderBy("c_nationkey")
     }),
+    "olap_q2_min_cost" -> ((s, dir) => {
+      // TPC-H Q2 shape (adapted: no partsupp table — lineitem is the
+      // offer relation): for each PROMO small part, the supplier(s)
+      // selling it at the part's minimum price — THE groupwise-min
+      // correlated-subquery shape. The per-part min is part-cardinality
+      // bounded and broadcasts back (no window over the fact table, no
+      // second scan); supplier×nation decorates after the distinct.
+      val parts = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_type") === "PROMO" && col("p_size") < 15)
+        .select("p_partkey")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val mins = li.groupBy(col("l_partkey").as("mp_partkey"))
+        .agg(min("price_c").as("min_price_c"))
+      val suppNat = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      li.join(broadcast(mins),
+          col("l_partkey") === col("mp_partkey") && col("price_c") === col("min_price_c"))
+        .select(col("l_partkey").as("p_partkey"), col("l_suppkey"), col("min_price_c"))
+        .distinct()
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "min_price_c")
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+    "olap_q9_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape (adapted: cost proxy = 80% of p_retailprice in
+      // cents — partsupp's ps_supplycost doesn't exist here): profit by
+      // (supplier nation, ship year) over name-matched parts. Revenue
+      // and cost both integer cents, so the profit sum is exact; part
+      // and supplier×nation dimensions broadcast into one fact scan.
+      val parts = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), floor(col("p_retailprice") * 80).cast("long").as("cost_c"))
+      val suppNat = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"),
+          year(col("l_shipdate")).cast("long").as("o_year"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name", "o_year")
+        .agg(sum(col("rev_c") - col("qty") * col("cost_c")).as("profit_fp"))
+        .orderBy("n_name", "o_year")
+    }),
+    "olap_q11_important" -> ((s, dir) => {
+      // TPC-H Q11 shape: per-part inventory value restricted to one
+      // nation's suppliers, HAVING value > 1/1000 of that nation's
+      // total — the group-vs-global-scalar fraction. The total is a
+      // one-row broadcast; the predicate is the exact integer
+      // cross-multiply value·1000 > total (no float division).
+      val suppN = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val per = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_quantity").cast("long") *
+            floor(col("l_extendedprice") * 100).cast("long")).as("val_c"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum("val_c").as("value_fp"))
+      val total = per.agg(sum("value_fp").as("total_fp"))
+      per.crossJoin(broadcast(total))
+        .filter(col("value_fp") * 1000 > col("total_fp"))
+        .select("p_partkey", "value_fp")
+        .orderBy(col("value_fp").desc, col("p_partkey"))
+    }),
+    "olap_q16_supplier_cnt" -> ((s, dir) => {
+      // TPC-H Q16 shape: supplier diversity per (brand, type),
+      // excluding a blocklist — THE anti-join + count-distinct entry.
+      // The blocklist ("complaints" proxy: every 5th supplier) and the
+      // brand-filtered part dimension both broadcast; count(distinct)
+      // runs as two stacked hash aggregates on (brand, type, suppkey).
+      val bl = s.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_suppkey") % 5 === 0)
+        .select(col("s_suppkey").as("bl_suppkey"))
+      val parts = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") =!= "Brand#5")
+        .select("p_partkey", "p_brand", "p_type")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bl), col("l_suppkey") === col("bl_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    }),
+    "olap_q20_excess" -> ((s, dir) => {
+      // TPC-H Q20 shape: the nested-semi chain. Suppliers who moved
+      // >100 units of 'small…' parts in 1997 (aggregate-then-filter on
+      // the supplier-cardinality relation) semi-select the supplier
+      // dimension; nation decorates. No fanout ever reaches the
+      // output — the fact table collapses before any wide join.
+      val smallParts = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").like("small%")).select("p_partkey")
+      val sold = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum("qty").as("sold_qty"))
+        .filter(col("sold_qty") > 300)
+      s.read.parquet(s"$dir/supplier.parquet")
+        .join(sold, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    }),
+    "olap_q21_waiting" -> ((s, dir) => {
+      // TPC-H Q21 shape: the self-semi + self-anti on the fact table.
+      // A supplier "kept an F order waiting": shipped >60 days after
+      // the order date, in a multi-supplier order where NO other
+      // supplier shipped late. Both existence probes join the distinct
+      // (order, supplier) relation — dedup before the self-joins keeps
+      // them key-sized; top-10 via TakeOrderedAndProject.
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      val late = li
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val anySupp = li.select("l_orderkey", "l_suppkey").distinct()
+        .select(col("l_orderkey").as("a_orderkey"), col("l_suppkey").as("a_suppkey"))
+      val lateOther = late
+        .select(col("l_orderkey").as("b_orderkey"), col("l_suppkey").as("b_suppkey"))
+      late
+        .join(anySupp, col("l_orderkey") === col("a_orderkey") &&
+          col("l_suppkey") =!= col("a_suppkey"), "left_semi")
+        .join(lateOther, col("l_orderkey") === col("b_orderkey") &&
+          col("l_suppkey") =!= col("b_suppkey"), "left_anti")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(s.read.parquet(s"$dir/supplier.parquet")
+          .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(10)
+    }),
     "emb_matryoshka" -> ((s, dir) => Similarity.matryoshka(emb(s, dir))),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "olap_top_users_per_type" -> ((s, dir) => {
@@ -1973,6 +2125,90 @@ object SparkEntry {
         |WHERE bal_c * n_c > sum_c
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_q2_min_cost" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO' AND p_size < 15),
+        |mins AS (SELECT l_partkey AS mp_partkey, min(price_c) AS min_price_c
+        |         FROM li GROUP BY 1),
+        |win AS (SELECT DISTINCT l_partkey AS p_partkey, l_suppkey, min_price_c
+        |        FROM li JOIN mins
+        |          ON l_partkey = mp_partkey AND price_c = min_price_c)
+        |SELECT p_partkey, s_suppkey, s_name, n_name, min_price_c
+        |FROM win
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "olap_q9_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |              - CAST(l_quantity AS BIGINT) *
+        |                CAST(floor(p_retailprice * 80) AS BIGINT)) AS BIGINT) AS profit_fp
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "olap_q11_important" ->
+      """WITH per AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) *
+        |                  CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_fp
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value_fp) AS BIGINT) AS total_fp FROM per)
+        |SELECT p_partkey, value_fp
+        |FROM per, tot WHERE value_fp * 1000 > total_fp
+        |ORDER BY value_fp DESC, p_partkey""".stripMargin,
+    "olap_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 5 = 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+    "olap_q20_excess" ->
+      """WITH sold AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sold_qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM sold WHERE sold_qty > 300)
+        |ORDER BY s_suppkey""".stripMargin,
+    "olap_q21_waiting" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li
+        |         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |anysupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li),
+        |waiting AS (
+        |  SELECT l.l_orderkey, l.l_suppkey FROM late l
+        |  WHERE EXISTS (SELECT 1 FROM anysupp a
+        |                WHERE a.l_orderkey = l.l_orderkey
+        |                  AND a.l_suppkey <> l.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late b
+        |                    WHERE b.l_orderkey = l.l_orderkey
+        |                      AND b.l_suppkey <> l.l_suppkey))
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 10""".stripMargin,
     "olap_top_users_per_type" ->
       """WITH t AS (
         |  SELECT event_type, user_id, CAST(floor(sum(value) * 100) AS BIGINT) AS total_c
