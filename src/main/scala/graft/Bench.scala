@@ -77,7 +77,9 @@ object Bench {
       "olap_q12_priority", "doc_mixture_weights",
       "olap_q7_volume", "olap_q8_market_share", "olap_q13_custdist",
       "olap_q15_top_supplier", "olap_q17_small_qty", "olap_q22_dormant",
-      "dedup_passage", "events_anomaly_days", "ts_select_cast")
+      "dedup_passage", "events_anomaly_days", "ts_select_cast",
+      "ts_select_fn_tema", "ts_select_fn_kama", "olap_q2_min_cost",
+      "olap_q9_profit", "olap_q21_waiting", "olap_q16_supplier_cnt")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

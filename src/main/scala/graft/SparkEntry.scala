@@ -217,6 +217,30 @@ object SparkEntry {
        |       '17' AS labelvalue, '' AS message FROM f
        |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
 
+  /** Oracle for the state-run entries (Flux stateCount/stateDuration over
+    * the single-series hourly means): gaps-and-islands via change-count
+    * island ids, `valueExpr` computed per in-state row over `grp`. */
+  private def stateOracle(valueExpr: String): String =
+    s"""WITH g AS (
+       |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
+       |  FROM events
+       |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+       |    AND event_type = 'click' AND user_id = 17
+       |  GROUP BY 1),
+       |c AS (SELECT time_ms, (raw > 25.0) AS ins,
+       |             CASE WHEN lag(raw > 25.0) OVER (ORDER BY time_ms) IS NULL
+       |                    OR (raw > 25.0) <> lag(raw > 25.0) OVER (ORDER BY time_ms)
+       |                  THEN 1 ELSE 0 END AS chg
+       |      FROM g),
+       |i AS (SELECT time_ms, ins, sum(chg) OVER (ORDER BY time_ms) AS grp FROM c),
+       |f AS (SELECT time_ms, $valueExpr AS value FROM i WHERE ins)
+       |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+       |       'click' AS labelvalue, '' AS message FROM f
+       |UNION ALL
+       |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+       |       '17' AS labelvalue, '' AS message FROM f
+       |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+
   /** Oracle for the FILL entries: bucket spine ⟕ per-bucket means, gaps
     * filled per mode; single series → two identical label-pair streams. */
   private def fillOracle(bucketMs: Long, mode: String): String = {
@@ -505,6 +529,10 @@ object SparkEntry {
       graft.operators.Tick.derivative(influx(s, dir, tagFilterQuery("1h"))))),
     "ts_moving_avg_1h" -> ((s, dir) => stable(
       graft.operators.Tick.movingAverage(influx(s, dir, tagFilterQuery("1h")), 3))),
+    "ts_state_count" -> ((s, dir) => stable(
+      graft.operators.Tick.stateCount(influx(s, dir, tagFilterQuery("1h")), 25.0))),
+    "ts_state_duration" -> ((s, dir) => stable(
+      graft.operators.Tick.stateDuration(influx(s, dir, tagFilterQuery("1h")), 25.0))),
 
     // --- honored GROUP BY tag (reference parses and ignores, cflux.js:695):
     //     series collapse onto the requested tag's values ---
@@ -654,6 +682,8 @@ object SparkEntry {
     }),
     "sketch_cms_heavy" -> ((s, dir) =>
       Sketches.cmsHeavyUsers(EventsAdapter.events(s, dir))),
+    "sketch_hist_quantiles" -> ((s, dir) =>
+      Sketches.histQuantiles(EventsAdapter.events(s, dir))),
     "sketch_bloom_probe" -> ((s, dir) =>
       Sketches.bloomProbe(
         s.read.parquet(s"$dir/customer.parquet"),
@@ -1087,6 +1117,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "doc_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(docs(s, dir))),
     "doc_tfidf" -> ((s, dir) => TextOps.tfidf(docs(s, dir))),
+    "doc_lm_surprisal" -> ((s, dir) => TextOps.lmSurprisal(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
     "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
@@ -1867,6 +1898,10 @@ object SparkEntry {
       "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
     "ts_moving_avg_1h" -> tickOracle(3600000L,
       "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
+    "ts_state_count" -> stateOracle(
+      "CAST(row_number() OVER (PARTITION BY grp ORDER BY time_ms) * 100 AS BIGINT)"),
+    "ts_state_duration" -> stateOracle(
+      "CAST(floor(((time_ms - min(time_ms) OVER (PARTITION BY grp)) / 1000.0) * 100) AS BIGINT)"),
     "ts_select_relative_range" -> tsSelectOracle("avg(value)", 3600000L,
       fromMs = NowMs - 364L * 86400000L + 1, toMs = NowMs),
     "ts_select_multi_metric" ->
@@ -1974,6 +2009,7 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_fp
         |FROM m ORDER BY o_orderpriority, ym""".stripMargin,
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
+    "sketch_hist_quantiles" -> Sketches.histQuantilesOracle,
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
     "sketch_kmv_jaccard" -> Sketches.kmvJaccardOracle,
     "olap_q19_disjunctive" ->
@@ -2226,6 +2262,7 @@ object SparkEntry {
     "doc_repetition" -> TextOps.repetitionOracle,
     "doc_sample_stratified" -> TextOps.stratifiedSampleOracle,
     "doc_tfidf" -> TextOps.tfidfOracle,
+    "doc_lm_surprisal" -> TextOps.lmSurprisalOracle,
     "events_funnel" -> EventOps.funnelOracle,
     "events_retention" -> EventOps.retentionOracle,
     "events_json_extract" -> EventOps.jsonExtractOracle,

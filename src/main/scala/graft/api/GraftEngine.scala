@@ -42,6 +42,10 @@ class GraftEngine(
   /** (db, name) → (durationMs, default) — honest retention policies
     * (the reference only fabricates a static response). */
   private val retentionPolicies = TrieMap.empty[(String, String), (Long, Boolean)]
+  /** user → admin flag (CREATE USER registry; passwords never stored). */
+  private val users = TrieMap.empty[String, Boolean]
+  /** (user, db) → privilege (GRANT registry; db "" = cluster-wide ALL). */
+  private val grants = TrieMap.empty[(String, String), String]
   /** dbs created this session or discovered on disk (databaseCache analogue). */
   private val databases = TrieMap.empty[String, Unit]
   discoverDatabases()
@@ -101,6 +105,7 @@ class GraftEngine(
       continuousQueries.remove(k); cqLastRun.remove(k)
     }
     subscriptions.remove(db)
+    grants.keys.filter(_._2 == db).foreach(grants.remove)
   }
 
   /** Ingest a raw line-protocol body (cflux.js:298-352): lazy db create,
@@ -350,9 +355,35 @@ class GraftEngine(
           Seq("id", "database", "retention_policy", "shard_group",
             "start_time", "end_time", "expiry_time", "owners"), rows.toSeq))))
       case Ast.ShowUsers =>
-        // no auth subsystem: the empty user list in InfluxDB's shape
+        // the CREATE USER registry in InfluxDB's shape (no auth is
+        // enforced — documented; empty until users are registered)
+        val rows: Seq[Seq[Any]] =
+          users.toSeq.sortBy(_._1).map { case (u, a) => Seq[Any](u, a) }
         Seq(Response.entryJson(id, Seq(Response.Series("", Map.empty,
-          Seq("user", "admin"), Seq.empty))))
+          Seq("user", "admin"), rows))))
+      case Ast.CreateUser(name, admin) =>
+        users.put(name, admin)
+        if (admin) grants.put((name, ""), "ALL PRIVILEGES")
+        bare
+      case Ast.DropUser(name) =>
+        users.remove(name)
+        grants.keys.filter(_._1 == name).foreach(grants.remove)
+        bare
+      case Ast.Grant(priv, gdb, user) =>
+        grants.put((user, gdb.getOrElse("")), priv)
+        if (gdb.isEmpty) users.put(user, true) // cluster ALL = admin
+        bare
+      case Ast.Revoke(priv, gdb, user) =>
+        grants.remove((user, gdb.getOrElse("")))
+        if (gdb.isEmpty && priv == "ALL PRIVILEGES")
+          users.replace(user, true, false)
+        bare
+      case Ast.ShowGrants(user) =>
+        val rows: Seq[Seq[Any]] = grants.toSeq
+          .collect { case ((u, d), p) if u == user && d.nonEmpty => Seq[Any](d, p) }
+          .sortBy(_.head.toString)
+        Seq(Response.entryJson(id, Seq(Response.Series("", Map.empty,
+          Seq("database", "privilege"), rows))))
       case Ast.ShowStats =>
         // honest storage statistics: directory-walk counts (metadata
         // cost) + the schema-sized series index count

@@ -313,6 +313,43 @@ object Tick {
       .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
   }
 
+  /** Flux-style `stateCount`: for points satisfying value > threshold,
+    * the ordinal position within the current consecutive run per series
+    * (1-based); out-of-state points drop. Declarative gaps-and-islands:
+    * change flag → running change-count island id (one window pass) →
+    * row_number within (series, island). No recurrence, no mapGroups —
+    * both windows ride the SAME series partitioning, one shuffle. */
+  def stateCount(sel: DataFrame, threshold: Double): DataFrame = {
+    val flagged = sel
+      .withColumn("__in", col("value") > threshold)
+      .withColumn("__chg",
+        when(lag("__in", 1).over(w).isNull ||
+          col("__in") =!= lag("__in", 1).over(w), 1L).otherwise(0L))
+      .withColumn("__grp", sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wg = Window.partitionBy((SeriesKeys.map(col) :+ col("__grp")): _*).orderBy("time_ms")
+    flagged.filter(col("__in"))
+      .withColumn("value", row_number().over(wg).cast("double"))
+      .drop("__in", "__chg", "__grp")
+  }
+
+  /** Flux-style `stateDuration`: ms since the current in-state run began
+    * per series (0 at the run's first point), ÷ `unitMs`. Same island
+    * construction as [[stateCount]]; the run start is a min-window over
+    * the island, still on the series partitioning. */
+  def stateDuration(sel: DataFrame, threshold: Double, unitMs: Long = 1000L): DataFrame = {
+    val flagged = sel
+      .withColumn("__in", col("value") > threshold)
+      .withColumn("__chg",
+        when(lag("__in", 1).over(w).isNull ||
+          col("__in") =!= lag("__in", 1).over(w), 1L).otherwise(0L))
+      .withColumn("__grp", sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wg = Window.partitionBy((SeriesKeys.map(col) :+ col("__grp")): _*).orderBy("time_ms")
+    flagged.filter(col("__in"))
+      .withColumn("value",
+        ((col("time_ms") - min("time_ms").over(wg)) / lit(unitMs.toDouble)))
+      .drop("__in", "__chg", "__grp")
+  }
+
   def chandeMomentum(sel: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "chande_momentum_oscillator needs a positive period")
     val d = sel

@@ -160,6 +160,79 @@ object Sketches {
        |FROM est WHERE est_n >= $CmsThreshold ORDER BY user_id""".stripMargin
   }
 
+  // ---- fixed-bin histogram quantile sketch -------------------------------
+
+  /** Histogram bin width in milli-value units (100 = 0.1-wide bins). */
+  val HistBinMv = 100L
+  /** Quantiles reported, as integer percents (exact rank arithmetic). */
+  val HistQs: Seq[Int] = Seq(50, 95, 99)
+
+  /** Mergeable fixed-bin histogram quantile sketch — the distributed
+    * percentile story at 100 TB: per-group bin counts are map-side
+    * combinable and the shuffle is bounded by groups × bins no matter
+    * the input size, where an exact percentile needs a per-group sort
+    * of the raw data. Estimate = lower edge of the first bin whose
+    * running count reaches the target rank.
+    *
+    * Rank arithmetic is all-integer (rank = ⌈n·q/100⌉ via
+    * (n·q + 99) div 100 — no float ceil at the boundary), and the
+    * honesty column is the exact k-th order statistic of the QUANTIZED
+    * milli-value (an integer order statistic is engine-independent;
+    * interpolated float quantiles are not). The exact column's
+    * per-group sort is the very cost the sketch exists to avoid —
+    * it rides along here as the verification baseline.
+    * Output: (event_type, q, n, est_fp, exact_fp) — fp = milli-value. */
+  def histQuantiles(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mv = ev.select(col("event_type"), floor(col("value") * 1000).cast("long").as("mv"))
+    val ranks = mv.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("q", explode(array(HistQs.map(q => lit(q.toLong)): _*)))
+      .withColumn("rank", expr("(n * q + 99) div 100"))
+    val cum = mv.select(col("event_type"), expr(s"mv div $HistBinMv").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("event_type").orderBy("bin")))
+    val est = cum.join(ranks, "event_type")
+      .filter(col("cum") >= col("rank"))
+      .groupBy("event_type", "q", "n", "rank")
+      .agg(min("bin").as("bin"))
+      .withColumn("est_fp", col("bin") * HistBinMv)
+    val exact = mv.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("mv")))
+      .join(ranks.select("event_type", "q", "rank"), "event_type")
+      .filter(col("rn") === col("rank"))
+      .select(col("event_type"), col("q"), col("mv").as("exact_fp"))
+    est.join(exact, Seq("event_type", "q"))
+      .select("event_type", "q", "n", "est_fp", "exact_fp")
+      .orderBy("event_type", "q")
+  }
+
+  val histQuantilesOracle: String =
+    s"""WITH mv AS (
+       |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS mv FROM events),
+       |ranks AS (
+       |  SELECT event_type, n, q, (n * q + 99) // 100 AS rank
+       |  FROM (SELECT event_type, count(*) AS n FROM mv GROUP BY 1),
+       |       (SELECT unnest([${HistQs.mkString(", ")}]::BIGINT[]) AS q)),
+       |cum AS (
+       |  SELECT event_type, bin, sum(c) OVER (
+       |           PARTITION BY event_type ORDER BY bin) AS cum
+       |  FROM (SELECT event_type, mv // $HistBinMv AS bin, count(*) AS c
+       |        FROM mv GROUP BY 1, 2)),
+       |est AS (
+       |  SELECT event_type, q, n, CAST(min(bin) * $HistBinMv AS BIGINT) AS est_fp
+       |  FROM cum JOIN ranks USING (event_type)
+       |  WHERE cum >= rank GROUP BY 1, 2, 3),
+       |ordered AS (
+       |  SELECT event_type, mv, row_number() OVER (
+       |           PARTITION BY event_type ORDER BY mv) AS rn FROM mv),
+       |exact AS (
+       |  SELECT event_type, q, mv AS exact_fp
+       |  FROM ordered JOIN ranks USING (event_type) WHERE rn = rank)
+       |SELECT event_type, q, n, est_fp, exact_fp
+       |FROM est JOIN exact USING (event_type, q)
+       |ORDER BY event_type, q""".stripMargin
+
   // ---- Bloom filter: membership probe ------------------------------------
 
   val BloomBits = 4096

@@ -393,6 +393,47 @@ object TextOps {
        |SELECT doc_id, token, tf, df, score, rnk FROM s
        |WHERE rnk <= $TfIdfTopK ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- operator: unigram LM surprisal score ------------------------------
+
+  /** Rank-based unigram "surprisal" quality score — the CCNet
+    * LM-perplexity-filter shape with zero libm exposure: instead of
+    * −Σ log p(token), score = mean corpus-frequency RANK of the doc's
+    * token occurrences (×1000 integer fixed-point). Docs written in
+    * common vocabulary score low (head ranks); rare-vocabulary docs
+    * score high — the same ordering a unigram LM's perplexity induces,
+    * in exact integer arithmetic both engines reproduce bit-for-bit.
+    *
+    * Shape: occurrence relation = one explode; the unigram table is
+    * vocabulary-bounded, so its global rank window and the join back
+    * are broadcast-sized while the corpus side never re-shuffles
+    * (rank join → per-doc hash aggregate, map-side partial). Ties in
+    * the count rank break on the lexicographically smaller token.
+    * Output: (doc_id, n_tokens, surprisal_fp). */
+  def lmSurprisal(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val ranked = occ.groupBy("token").agg(count(lit(1)).as("c"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
+    occ.join(broadcast(ranked.select("token", "rank")), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("rank").as("rank_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("rank_sum * 1000 div n_tokens").as("surprisal_fp"))
+      .orderBy("doc_id")
+  }
+
+  val lmSurprisalOracle: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, u.token
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest(d.w) u(token)),
+       |ranked AS (
+       |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+       |  FROM occ GROUP BY token)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS surprisal_fp
+       |FROM occ JOIN ranked USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- operator: benchmark decontamination -------------------------------
 
   /** Word k-grams as space-joined strings (generalized [[shingles]]):

@@ -232,9 +232,24 @@ object Ast {
     * the measurement name (per-measurement tables — documented
     * divergence). */
   case object ShowShards extends Statement
-  /** SHOW USERS — statement-compat mock: no auth subsystem, empty user
-    * list (same spirit as SHOW SUBSCRIPTIONS, cflux.js:835-844). */
+  /** SHOW USERS — lists the registered user registry (empty until
+    * CREATE USER runs; the reference has no auth subsystem at all). */
   case object ShowUsers extends Statement
+  /** CREATE USER "n" WITH PASSWORD 'p' [WITH ALL PRIVILEGES] — registry
+    * entry only: the engine performs no authentication (documented;
+    * the HTTP front accepts-and-ignores credentials like the v2 token),
+    * but the admin DDL round-trips so SHOW USERS / SHOW GRANTS are
+    * honest. The password is ignored, never stored. */
+  final case class CreateUser(name: String, admin: Boolean) extends Statement
+  /** DROP USER "n" — removes the registry entry and its grants. */
+  final case class DropUser(name: String) extends Statement
+  /** GRANT READ|WRITE|ALL [PRIVILEGES] ON "db" TO "u" (ALL may omit ON —
+    * cluster-wide admin). */
+  final case class Grant(privilege: String, db: Option[String], user: String) extends Statement
+  /** REVOKE — removes the matching grant (ALL without ON clears admin). */
+  final case class Revoke(privilege: String, db: Option[String], user: String) extends Statement
+  /** SHOW GRANTS FOR "u" — the user's per-db privileges. */
+  final case class ShowGrants(user: String) extends Statement
   /** SHOW STATS — honest per-db storage statistics (measurements, series,
     * hour partitions, parquet files) from a metadata-cost directory walk
     * plus the schema-sized series index; InfluxDB reports runtime

@@ -200,6 +200,10 @@ object InfluxQlParser {
           case s: Ast.Select => Right(Ast.Explain(s))
           case other         => Left(s"EXPLAIN requires a SELECT, got $other")
         }
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("GRANT") =>
+        parseGrantRevoke(p, revoke = false)
+      case Some(Ident(k, false)) if k.equalsIgnoreCase("REVOKE") =>
+        parseGrantRevoke(p, revoke = true)
       case Some(Ident(k, false)) if k.equalsIgnoreCase("KILL") =>
         p.next()
         if (!p.kw("QUERY")) Left("expected QUERY after KILL")
@@ -816,6 +820,12 @@ object InfluxQlParser {
     else if (p.kw("QUERIES")) Right(Ast.ShowQueries)
     else if (p.kw("SHARDS")) Right(Ast.ShowShards)
     else if (p.kw("USERS")) Right(Ast.ShowUsers)
+    else if (p.kw("GRANTS")) {
+      for {
+        _ <- p.expectKw("FOR")
+        u <- p.ident()
+      } yield Ast.ShowGrants(u)
+    }
     else if (p.kw("STATS")) Right(Ast.ShowStats)
     else if (p.kw("DIAGNOSTICS")) Right(Ast.ShowDiagnostics)
     else if (p.kw("CONTINUOUS")) {
@@ -954,6 +964,7 @@ object InfluxQlParser {
       } yield Ast.DropContinuousQuery(name, db)
     }
     else if (p.kw("DATABASE")) p.ident().map(Ast.DropDatabase)
+    else if (p.kw("USER")) p.ident().map(Ast.DropUser)
     else if (p.kw("RETENTION")) {
       if (!p.kw("POLICY")) return Left("expected POLICY after RETENTION")
       for {
@@ -962,6 +973,27 @@ object InfluxQlParser {
         db <- p.ident()
       } yield Ast.DropRetentionPolicy(name, db)
     } else Right(Ast.Unsupported(raw))
+  }
+
+  /** GRANT/REVOKE READ|WRITE|ALL [PRIVILEGES] [ON "db"] TO|FROM "user".
+    * ALL without ON is the cluster-admin form (InfluxDB 1.x grammar). */
+  private def parseGrantRevoke(p: P, revoke: Boolean): Either[String, Ast.Statement] = {
+    p.next() // GRANT | REVOKE
+    val priv =
+      if (p.kw("READ")) "READ"
+      else if (p.kw("WRITE")) "WRITE"
+      else if (p.kw("ALL")) { p.kw("PRIVILEGES"); "ALL PRIVILEGES" }
+      else return Left("expected READ, WRITE or ALL [PRIVILEGES]")
+    val db = if (p.kw("ON")) p.ident() match {
+      case Right(d) => Some(d)
+      case Left(e)  => return Left(e)
+    } else None
+    if (priv != "ALL PRIVILEGES" && db.isEmpty)
+      return Left(s"$priv requires ON <database>")
+    if (!p.kw(if (revoke) "FROM" else "TO"))
+      return Left(if (revoke) "expected FROM <user>" else "expected TO <user>")
+    p.ident().map(u =>
+      if (revoke) Ast.Revoke(priv, db, u) else Ast.Grant(priv, db, u))
   }
 
   // DELETE FROM "m" [WHERE time-conjuncts] — tag predicates are rejected
@@ -1000,6 +1032,15 @@ object InfluxQlParser {
   private def parseCreate(p: P, raw: String): Either[String, Ast.Statement] = {
     p.kw("CREATE")
     if (p.kw("DATABASE")) p.ident().map(Ast.CreateDatabase)
+    else if (p.kw("USER")) {
+      for {
+        name <- p.ident()
+        _ <- p.expectKw("WITH")
+        _ <- p.expectKw("PASSWORD")
+        _ <- p.str() // accepted, never stored
+      } yield Ast.CreateUser(name,
+        admin = p.kw("WITH") && p.kw("ALL") && { p.kw("PRIVILEGES"); true })
+    }
     else if (p.kw("SUBSCRIPTION")) {
       for {
         id <- p.ident()

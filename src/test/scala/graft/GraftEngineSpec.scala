@@ -737,6 +737,32 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(di.contains(""""sparkVersion""""), di)
   }
 
+  test("user registry: CREATE/DROP USER, GRANT/REVOKE, SHOW USERS/GRANTS round-trip") {
+    val e = newEngine()
+    assert(e.query("db0", "SHOW USERS").contains(""""columns":["user","admin"]"""))
+    e.query("db0", "CREATE USER \"alice\" WITH PASSWORD 'pw' WITH ALL PRIVILEGES")
+    e.query("db0", "CREATE USER \"bob\" WITH PASSWORD 'pw'")
+    val us = e.query("db0", "SHOW USERS")
+    assert(us.contains("""["alice",true]""") && us.contains("""["bob",false]"""), us)
+    e.query("db0", "GRANT READ ON \"metrics\" TO \"bob\"")
+    e.query("db0", "GRANT WRITE ON \"logs\" TO \"bob\"")
+    val gr = e.query("db0", "SHOW GRANTS FOR \"bob\"")
+    assert(gr.contains(""""columns":["database","privilege"]"""), gr)
+    assert(gr.contains("""["logs","WRITE"]""") && gr.contains("""["metrics","READ"]"""), gr)
+    e.query("db0", "REVOKE READ ON \"metrics\" FROM \"bob\"")
+    assert(!e.query("db0", "SHOW GRANTS FOR \"bob\"").contains("metrics"))
+    // cluster-wide GRANT ALL promotes to admin; REVOKE ALL demotes
+    e.query("db0", "GRANT ALL PRIVILEGES TO \"bob\"")
+    assert(e.query("db0", "SHOW USERS").contains("""["bob",true]"""))
+    e.query("db0", "REVOKE ALL PRIVILEGES FROM \"bob\"")
+    assert(e.query("db0", "SHOW USERS").contains("""["bob",false]"""))
+    e.query("db0", "DROP USER \"bob\"")
+    assert(!e.query("db0", "SHOW USERS").contains("bob"))
+    // grammar guard: scoped privilege requires ON
+    assert(e.query("db0", "GRANT READ TO \"alice\"; SELECT 1")
+      .contains("error"))
+  }
+
   test("measurement + hour partition pruning reaches the file scan") {
     val e = newEngine()
     e.write("dbp",

@@ -184,7 +184,6 @@ class InfluxQlParserSpec extends AnyFunSuite {
 
   test("unsupported statements degrade to Unsupported, not error") {
     assert(parseOk("DROP SHARD 3").isInstanceOf[Ast.Unsupported])
-    assert(parseOk("""GRANT ALL ON "db" TO "u"""").isInstanceOf[Ast.Unsupported])
   }
 
   test("SHOW QUERIES and KILL QUERY parse; retention policy parses") {
@@ -192,6 +191,15 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(parseOk("KILL QUERY 42") === Ast.KillQuery(42L))
     assert(parseOk("SHOW SHARDS") === Ast.ShowShards)
     assert(parseOk("SHOW USERS") === Ast.ShowUsers)
+    assert(parseOk("CREATE USER \"u\" WITH PASSWORD 'p'") === Ast.CreateUser("u", admin = false))
+    assert(parseOk("CREATE USER \"u\" WITH PASSWORD 'p' WITH ALL PRIVILEGES")
+      === Ast.CreateUser("u", admin = true))
+    assert(parseOk("""DROP USER "u"""") === Ast.DropUser("u"))
+    assert(parseOk("""GRANT READ ON "d" TO "u"""") === Ast.Grant("READ", Some("d"), "u"))
+    assert(parseOk("""GRANT ALL TO "u"""") === Ast.Grant("ALL PRIVILEGES", None, "u"))
+    assert(parseOk("""REVOKE WRITE ON "d" FROM "u"""") === Ast.Revoke("WRITE", Some("d"), "u"))
+    assert(InfluxQlParser.parse("""GRANT READ TO "u"""").isLeft) // scoped needs ON
+    assert(parseOk("""SHOW GRANTS FOR "u"""") === Ast.ShowGrants("u"))
     assert(parseOk("SHOW STATS") === Ast.ShowStats)
     assert(parseOk("SHOW DIAGNOSTICS") === Ast.ShowDiagnostics)
     assert(parseOk("""DROP DATABASE "d"""") === Ast.DropDatabase("d"))

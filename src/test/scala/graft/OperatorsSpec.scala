@@ -128,6 +128,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kerF.nonEmpty && kerF.forall(_ === 0.0))
   }
 
+  test("stateCount/stateDuration: islands restart on exit, duration 0 at entry") {
+    import spark.implicits._
+    val sel = Seq(
+      (1000L, 10.0), (2000L, 30.0), (3000L, 40.0), // run 1: 2 points
+      (4000L, 5.0),                                // out
+      (5000L, 50.0), (6000L, 60.0), (7000L, 70.0)) // run 2: 3 points
+      .map { case (t, v) => (t, "value", v, "h", "a", "") }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+    val cnt = Tick.stateCount(sel, 25.0).orderBy("time_ms")
+      .select("time_ms", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(cnt === Seq((2000L, 1.0), (3000L, 2.0), (5000L, 1.0), (6000L, 2.0), (7000L, 3.0)))
+    val dur = Tick.stateDuration(sel, 25.0).orderBy("time_ms")
+      .select("time_ms", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dur === Seq((2000L, 0.0), (3000L, 1.0), (5000L, 0.0), (6000L, 1.0), (7000L, 2.0)))
+  }
+
   test("TEMA/TRIX: triple-EMA chain; KAMA warmup, flat invariance, trend adaptation") {
     import spark.implicits._
     def series(vs: Double*) = vs.zipWithIndex.map { case (v, i) =>

@@ -176,6 +176,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lm surprisal: ranks bounded by vocab, repeated common text scores low") {
+    val out = TextOps.lmSurprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(_._1).distinct.length === out.length) // one row per doc
+    val vocab = docs.select(explode(split(col("text"), " "))).distinct().count()
+    // mean rank ∈ [1, vocab] → fixed-point bounds
+    assert(out.forall { case (_, n, s) => n > 0 && s >= 1000 && s <= vocab * 1000 })
+    // a doc of only the most common token would score exactly 1000; the
+    // corpus mean must exceed the minimum (sanity that ranks spread)
+    assert(out.map(_._3).max > 1000)
+  }
+
   test("hot ngrams: df descending, within corpus doc count") {
     val n = docs.count()
     val rows = TextOps.hotNgrams(docs).collect()
@@ -265,6 +277,22 @@ class PipelineSpec extends AnyFunSuite {
     // (chance ≈ K/N = 0.1 at sf0.001), not exact
     val recall = (brute & got).size.toDouble / brute.size
     assert(recall > 0.3, s"hamming recall vs brute = $recall")
+  }
+
+  test("hist quantile sketch: estimate bin contains the exact order statistic") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val out = Sketches.histQuantiles(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty && out.length % Sketches.HistQs.length === 0)
+    // the first bin whose cumulative count reaches the rank CONTAINS the
+    // k-th order statistic: lower edge <= exact < lower edge + bin width
+    assert(out.forall { case (_, _, _, est, exact) =>
+      est <= exact && exact < est + Sketches.HistBinMv })
+    // quantiles are monotone in q within each group
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byQ = rows.sortBy(_._2).map(_._5)
+      assert(byQ.zip(byQ.tail).forall { case (a, b) => a <= b })
+    }
   }
 
   test("KMV Jaccard estimate tracks the exact value") {
