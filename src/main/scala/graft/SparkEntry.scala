@@ -248,6 +248,7 @@ object SparkEntry {
     val toB = Math.floorDiv(ToNs / 1000000L - 1, bucketMs) * bucketMs
     val fillExpr = mode match {
       case "0" => "coalesce(j.raw, 0)"
+      case n if n.matches("-?[0-9.]+") => s"coalesce(j.raw, $n)"
       case "previous" =>
         "coalesce(last_value(j.raw IGNORE NULLS) OVER " +
           "(ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)"
@@ -481,6 +482,9 @@ object SparkEntry {
     "ts_select_math_sqrt" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT sqrt(mean("value")) AS "value" FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+    "ts_select_math_trig" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT atan2(mean("value"), 30) AS "value" FROM "events"""" +
+        s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
     "ts_select_arith_fields" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT "mean" + "spread" AS "value" FROM (SELECT mean("value"), spread("value")""" +
         s""" FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
@@ -544,6 +548,8 @@ object SparkEntry {
     //     parser pacifier and never fills; SURVEY §2.5) ---
     "ts_select_fill_zero" -> ((s, dir) => stable(
       influx(s, dir, tagFilterQuery("1h") + " FILL(0)"))),
+    "ts_select_fill_number" -> ((s, dir) => stable(
+      influx(s, dir, tagFilterQuery("1h") + " FILL(-5)"))),
     "ts_select_fill_previous" -> ((s, dir) => stable(
       influx(s, dir, tagFilterQuery("1h") + " FILL(previous)")
         .na.fill(-1.0, Seq("value")))), // leading gap → -1 (hash-safe, no nulls)
@@ -1118,6 +1124,8 @@ object SparkEntry {
     "doc_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(docs(s, dir))),
     "doc_tfidf" -> ((s, dir) => TextOps.tfidf(docs(s, dir))),
     "doc_lm_surprisal" -> ((s, dir) => TextOps.lmSurprisal(docs(s, dir))),
+    "doc_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
+    "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
     "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
@@ -1155,6 +1163,7 @@ object SparkEntry {
     "doc_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
     "doc_pack_bins" -> ((s, dir) => TextOps.packBins(docs(s, dir))),
     "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    "emb_bitext_mine" -> ((s, dir) => Similarity.bitextMine(emb(s, dir))),
     "emb_binary_quant" -> ((s, dir) => Similarity.binaryQuantize(emb(s, dir))),
     "emb_outliers" -> ((s, dir) => Similarity.centroidOutliers(emb(s, dir))),
     "ann_recall_report" -> ((s, dir) => Similarity.annRecall(emb(s, dir))),
@@ -1237,6 +1246,7 @@ object SparkEntry {
       tsSelectOracle("avg(value)", 3600000L, extraWhere = "AND value > 50"),
     "ts_select_arith_1h" -> tsSelectOracle("avg(value) * 2 + 10", 3600000L),
     "ts_select_math_sqrt" -> tsSelectOracle("sqrt(avg(value))", 3600000L),
+    "ts_select_math_trig" -> tsSelectOracle("atan2(avg(value), 30)", 3600000L),
     "ts_select_arith_fields" ->
       s"""WITH g AS (
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
@@ -1932,6 +1942,7 @@ object SparkEntry {
          |       user_id AS labelvalue, props AS message FROM gp
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fill_zero" -> fillOracle(3600000L, "0"),
+    "ts_select_fill_number" -> fillOracle(3600000L, "-5"),
     "ts_select_fill_linear" -> fillOracle(3600000L, "linear"),
     "ts_select_fill_previous" -> fillOracle(3600000L, "previous"),
     "ts_asof_prior_view" ->
@@ -2263,6 +2274,8 @@ object SparkEntry {
     "doc_sample_stratified" -> TextOps.stratifiedSampleOracle,
     "doc_tfidf" -> TextOps.tfidfOracle,
     "doc_lm_surprisal" -> TextOps.lmSurprisalOracle,
+    "doc_bpe_pairs" -> TextOps.bpePairsOracle,
+    "doc_source_cap" -> TextOps.sourceCapOracle,
     "events_funnel" -> EventOps.funnelOracle,
     "events_retention" -> EventOps.retentionOracle,
     "events_json_extract" -> EventOps.jsonExtractOracle,
@@ -2285,6 +2298,7 @@ object SparkEntry {
     "doc_chunk" -> TextOps.chunkOracle,
     "doc_pack_bins" -> TextOps.packBinsOracle,
     "emb_quantize_int8" -> Similarity.quantizeInt8Oracle,
+    "emb_bitext_mine" -> Similarity.bitextMineOracle,
     "approx_distinct_hll" -> Sketches.hllDistinctUsersOracle,
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsOracle,

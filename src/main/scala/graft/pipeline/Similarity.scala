@@ -84,6 +84,67 @@ object Similarity {
        |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ---- margin-based bitext mining ----------------------------------------
+
+  /** Mined pairs reported (highest-margin page). */
+  val BitextTopK = 50
+
+  /** Margin-based cross-set nearest-neighbor mining — the CCMatrix /
+    * LASER bitext-alignment shape: treat label-0 vectors as the source
+    * language and label-1 as the target, find each source's best target
+    * by cosine, and score confidence as the margin over the runner-up
+    * (absolute-margin criterion; a best match barely better than the
+    * second-best is a weak alignment). Cosines are quantized to int64
+    * fixed-point BEFORE any ranking, so best/second/margin are
+    * engine-exact.
+    *
+    * Scale shape: the target index broadcasts (one language's index;
+    * with both sides huge you'd LSH-bucket first — [[lshTopK]] is that
+    * path) while the source side streams through map-side scoring; the
+    * only shuffle is the per-source top-2, whose input is already
+    * score-quantized. Output: top-[[BitextTopK]] pairs by margin. */
+  def bitextMine(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val src = e.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"), col("nrm").as("sn"))
+    val tgt = e.filter(col("label") === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"), col("nrm").as("tn"))
+    val scored = src.join(broadcast(tgt))
+      .select(col("src_id"), col("tgt_id"),
+        floor(dotCols(col("sv"), col("tv")) / (col("sn") * col("tn")) * 1e6)
+          .cast("long").as("cos_fp"))
+    val w = Window.partitionBy("src_id").orderBy(col("cos_fp").desc, col("tgt_id"))
+    val top2 = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val best = top2.filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id").as("best_tgt_id"), col("cos_fp").as("best_fp"))
+    val second = top2.filter(col("rn") === 2)
+      .select(col("src_id"), col("cos_fp").as("second_fp"))
+    best.join(second, Seq("src_id"), "left")
+      .withColumn("margin_fp", col("best_fp") - coalesce(col("second_fp"), lit(0L)))
+      .select("src_id", "best_tgt_id", "best_fp", "margin_fp")
+      .orderBy(col("margin_fp").desc, col("src_id")).limit(BitextTopK)
+  }
+
+  val bitextMineOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS src_id, c.vec_id AS tgt_id,
+       |         floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM e q JOIN e c ON q.label = 0 AND c.label = 1),
+       |ranked AS (
+       |  SELECT src_id, tgt_id, cos_fp, row_number() OVER (
+       |           PARTITION BY src_id ORDER BY cos_fp DESC, tgt_id) AS rn
+       |  FROM scored),
+       |best AS (SELECT src_id, tgt_id AS best_tgt_id, cos_fp AS best_fp
+       |         FROM ranked WHERE rn = 1),
+       |second AS (SELECT src_id, cos_fp AS second_fp FROM ranked WHERE rn = 2)
+       |SELECT b.src_id, b.best_tgt_id, b.best_fp,
+       |       b.best_fp - coalesce(s.second_fp, 0) AS margin_fp
+       |FROM best b LEFT JOIN second s ON s.src_id = b.src_id
+       |ORDER BY margin_fp DESC, b.src_id LIMIT $BitextTopK""".stripMargin
+
   // ---- LSH-bucketed top-k ------------------------------------------------
 
   /** Deterministic integer hyperplane coefficient for (plane j, dim d):

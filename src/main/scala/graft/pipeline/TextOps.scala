@@ -434,6 +434,97 @@ object TextOps {
        |FROM occ JOIN ranked USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- operator: BPE pair statistics -------------------------------------
+
+  /** Top-K merge candidates reported (the first BPE merge-table page). */
+  val BpeTopK = 50
+
+  /** BPE merge-candidate statistics — the first step of byte-pair-encoding
+    * tokenizer training: adjacent character-pair frequencies over the
+    * corpus, occurrence-weighted. The scale shape is the whole point:
+    * the corpus FIRST collapses to its vocabulary (hash aggregate with
+    * map-side combine — the 100 TB of text reduces to vocab-bounded
+    * (token, freq) rows), and only that bounded relation explodes into
+    * character pairs. Real BPE trainers (GPT-2's, SentencePiece) count
+    * over the word-frequency table for exactly this reason — never over
+    * raw text. Output: top-[[BpeTopK]] (pair, freq), ties → pair order. */
+  def bpePairs(docs: DataFrame): DataFrame = {
+    val vocab = docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, char_length(token)-1), i -> substring(token, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("freq"))
+      .orderBy(col("freq").desc, col("pair")).limit(BpeTopK)
+      .select("pair", "freq")
+  }
+
+  val bpePairsOracle: String =
+    s"""WITH v AS (
+       |  SELECT u.token AS token, count(*) AS freq
+       |  FROM (SELECT $tokensSql AS w FROM documents) d, unnest(d.w) u(token)
+       |  WHERE len(u.token) >= 2
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT substring(token, CAST(i AS INTEGER), 2) AS pair,
+       |         CAST(sum(freq) AS BIGINT) AS freq
+       |  FROM v, unnest(range(1, len(token))) r(i)
+       |  GROUP BY 1)
+       |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  // ---- operator: per-source quota cap ------------------------------------
+
+  /** Per-source document quota. */
+  val SourceCap = 100
+  /** Salt fan-out for the two-phase per-source top-N. */
+  private val CapSalts = 64
+
+  /** Per-source quota-capped curation — the domain-balancing step of a
+    * crawl pipeline (cap any one domain's contribution, keep its
+    * highest-quality docs). Exact top-N per source WITHOUT shuffling any
+    * source's full row set to one task: phase 1 ranks within
+    * (source, doc_id % [[CapSalts]]) partitions and keeps N per salt, so
+    * phase 2's authoritative rank sees ≤ salts × N rows per source —
+    * bounded however skewed the domain distribution is (the head domain
+    * of a crawl is routinely 100×–1000× the median; a single-window
+    * top-N would funnel all of it through one task).
+    * Output: per-source (n_kept, id_checksum, min_quality_fp). */
+  def sourceCap(docs: DataFrame): DataFrame = {
+    val q = docs.select(col("doc_id"), col("source"))
+      .join(qualityFp(docs).select("doc_id", "quality_fp"), Seq("doc_id"))
+    val ord = Seq(col("quality_fp").desc, col("doc_id").asc)
+    val local = q
+      .withColumn("salt", pmod(col("doc_id"), lit(CapSalts)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source", "salt").orderBy(ord: _*)))
+      .filter(col("rn") <= SourceCap).drop("salt", "rn")
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(ord: _*)))
+      .filter(col("rn") <= SourceCap)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_kept"),
+        sum("doc_id").as("id_checksum"),
+        min("quality_fp").as("min_quality_fp"))
+      .orderBy("source")
+  }
+
+  val sourceCapOracle: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |         (len(list_distinct($tokensSql)) * 1000 // len($tokensSql))
+       |           + (CASE WHEN len($tokensSql) BETWEEN 30 AND 500 THEN 200 ELSE 0 END)
+       |           - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 50 AS quality_fp
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, quality_fp, row_number() OVER (
+       |           PARTITION BY source ORDER BY quality_fp DESC, doc_id) AS rn
+       |  FROM q)
+       |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       |       min(quality_fp) AS min_quality_fp
+       |FROM r WHERE rn <= $SourceCap GROUP BY source ORDER BY source""".stripMargin
+
   // ---- operator: benchmark decontamination -------------------------------
 
   /** Word k-grams as space-joined strings (generalized [[shingles]]):

@@ -363,10 +363,11 @@ object InfluxQlParser {
       case Some(Ident(f, false)) if f.equalsIgnoreCase("FILL") =>
         p.next()
         if (!p.op("(")) return Left("expected ( after FILL")
+        val neg = if (p.op("-")) "-" else ""
         val v = p.next() match {
-          case Ident(s, _) => s
-          case Num(s)      => s
-          case t           => return Left(s"bad FILL arg $t")
+          case Ident(s, _) if neg.isEmpty => s
+          case Num(s)                     => neg + s
+          case t                          => return Left(s"bad FILL arg $t")
         }
         if (!p.op(")")) return Left("expected ) after FILL(")
         fill = Some(v)
@@ -445,7 +446,8 @@ object InfluxQlParser {
     * second argument. Disjoint from aggregate and window-transform names,
     * so atom dispatch is unambiguous. */
   private val MathFns = Set(
-    "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10", "pow")
+    "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10", "pow",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2")
 
   /** One projection: an arithmetic expression over field/aggregate leaves
     * with + - * / precedence and parens, or (the common case) a single
@@ -526,7 +528,9 @@ object InfluxQlParser {
             case t            => return Left(s"bad math argument $t")
           } else None
         if (fnL == "pow" && arg.isEmpty) Left("pow needs an exponent")
-        else if (fnL != "pow" && arg.isDefined) Left(s"$fnL takes one argument")
+        else if (fnL == "atan2" && arg.isEmpty) Left("atan2 needs a divisor")
+        else if (fnL != "pow" && fnL != "atan2" && arg.isDefined)
+          Left(s"$fnL takes one argument")
         else if (!p.op(")")) Left(s"expected ) closing $fnL")
         else Right(Ast.FMath(fnL, x, arg))
       }

@@ -683,6 +683,14 @@ object Planner {
                 case "log10" => log10(v)
                 case "pow"   => pow(v, lit(arg.getOrElse(
                   throw new IllegalArgumentException("pow needs an exponent"))))
+                case "sin"   => sin(v)
+                case "cos"   => cos(v)
+                case "tan"   => tan(v)
+                case "asin"  => asin(v)
+                case "acos"  => acos(v)
+                case "atan"  => atan(v)
+                case "atan2" => atan2(v, lit(arg.getOrElse(
+                  throw new IllegalArgumentException("atan2 needs a divisor"))))
                 case other =>
                   throw new IllegalArgumentException(s"unknown math function $other")
               }
@@ -782,7 +790,12 @@ object Planner {
                        fromMs: Long, toMs: Long, bucketMs: Long,
                        bucketOffMs: Long = 0L): DataFrame =
     fill.map(_.toLowerCase) match {
-      case Some(mode @ ("null" | "0" | "previous" | "linear")) =>
+      // fill(none): drop gap rows entirely — identical to the no-FILL
+      // default here (InfluxDB's default for GROUP BY time is fill(null);
+      // ours is none — documented divergence, explicit token honored)
+      case Some("none") => agged
+      case Some(mode) if mode == "null" || mode == "previous" ||
+          mode == "linear" || numericFill(mode).isDefined =>
         val keys = Seq("name", "labelname", "labelvalue", "message")
         val fromBucket = Math.floorDiv(fromMs - bucketOffMs, bucketMs) * bucketMs + bucketOffMs
         val toBucket = Math.floorDiv(toMs - bucketOffMs, bucketMs) * bucketMs + bucketOffMs
@@ -793,7 +806,10 @@ object Planner {
           .select(col("time_ms"), col("name"), col("value"),
             col("labelname"), col("labelvalue"), col("message"))
         mode match {
-          case "0" => joined.na.fill(0.0, Seq("value"))
+          // fill(<number>): any numeric constant plugs the gaps —
+          // fill(0) is just the common case (InfluxQL fill(100) etc.)
+          case n if numericFill(n).isDefined =>
+            joined.na.fill(numericFill(n).get, Seq("value"))
           case "previous" =>
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(keys.map(col): _*).orderBy("time_ms")
@@ -823,6 +839,12 @@ object Planner {
               .drop("__pv", "__pt", "__nv", "__nt")
           case _ => joined // null
         }
-      case _ => agged // none / linear (unsupported) / absent
+      case _ => agged // absent or unrecognized
     }
+
+  /** FILL(<number>) argument, if the token is a numeric literal (the
+    * parser passes the raw token text through; "null"/"previous"/...
+    * fall out as None). */
+  private def numericFill(tok: String): Option[Double] =
+    try Some(java.lang.Double.parseDouble(tok)) catch { case _: NumberFormatException => None }
 }

@@ -206,6 +206,20 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(jz.contains("[1735689480000,0]") && !jz.contains("null"))
   }
 
+  test("FILL(<number>) plugs gaps with the constant; FILL(none) drops them") {
+    val e = newEngine()
+    e.write("dbfn",
+      """cpu,host=a usage=10 1735689420000000000
+        |cpu,host=a usage=20 1735689600000000000""".stripMargin)
+    val jn = e.query("dbfn",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 10m GROUP BY time(1m) FILL(-5)""")
+    assert(jn.contains("[1735689480000,-5]"), s"expected -5 gap row in $jn")
+    val none = e.query("dbfn",
+      """SELECT mean("usage") FROM "cpu" WHERE time > now() - 10m GROUP BY time(1m) FILL(none)""")
+    assert(!none.contains("1735689480000"), s"expected no gap rows in $none")
+    assert(none.contains("1735689420000") && none.contains("1735689600000"))
+  }
+
   test("malformed queries return the clean empty result, never throw") {
     val e = newEngine()
     e.write("dbm", "cpu,h=a f=1 1735689540000000000")

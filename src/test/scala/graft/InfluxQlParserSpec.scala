@@ -271,6 +271,21 @@ class InfluxQlParserSpec extends AnyFunSuite {
     assert(pw.expr.get === Ast.FMath("pow", Ast.FLeaf(Ast.Field(None, "u", None)), Some(2.0)))
     assert(InfluxQlParser.parse("""SELECT pow("u") FROM "m"""").isLeft)
     assert(InfluxQlParser.parse("""SELECT * + 1 FROM "m"""").isLeft)
+    // trig family; atan2 needs its divisor, sin rejects a second arg
+    val tg = parseOk("""SELECT atan2(mean("u"), 30) FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(tg.expr.get match {
+      case Ast.FMath("atan2", _, Some(30.0)) => true; case _ => false
+    })
+    assert(parseOk("""SELECT sin(mean("u")) FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head.name === "sin")
+    assert(InfluxQlParser.parse("""SELECT atan2(mean("u")) FROM "m"""").isLeft)
+    assert(InfluxQlParser.parse("""SELECT sin(mean("u"), 2) FROM "m"""").isLeft)
+    // FILL numeric (incl. negative) and none parse through
+    assert(parseOk("""SELECT mean("u") FROM "m" WHERE time > now() - 1h GROUP BY time(1m) FILL(-5)""")
+      .asInstanceOf[Ast.Select].fill.contains("-5"))
+    assert(parseOk("""SELECT mean("u") FROM "m" WHERE time > now() - 1h GROUP BY time(1m) FILL(none)""")
+      .asInstanceOf[Ast.Select].fill.contains("none"))
     assert(InfluxQlParser.parse(
       """SELECT derivative(mean("u"), 1s) + 1 FROM "m" GROUP BY time(1m)""").isLeft)
   }

@@ -188,6 +188,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_._3).max > 1000)
   }
 
+  test("bpe pairs: 2-char pairs, freq non-increasing, counts tie to the vocab") {
+    val out = TextOps.bpePairs(docs).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length <= TextOps.BpeTopK && out.nonEmpty)
+    assert(out.forall(_._1.length == 2))
+    val freqs = out.map(_._2)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    // top pair's frequency == its occurrence count over all token instances
+    val (topPair, topFreq) = out.head
+    val occ = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(t)-1), i -> substring(t, i, 2))")).as("p"))
+      .filter(col("p") === topPair).count()
+    assert(occ === topFreq)
+  }
+
+  test("source cap: two-phase salted top-N equals the single-window truth") {
+    val out = TextOps.sourceCap(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._2 <= TextOps.SourceCap))
+    // every source in the corpus reports, capped at its doc count
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.map(_._1).toSet === perSource.keySet)
+    assert(out.forall { case (s, n, _, _) => n == math.min(perSource(s), TextOps.SourceCap.toLong) })
+  }
+
+  test("bitext mining: targets from label 1, margins non-negative and non-increasing") {
+    val out = Similarity.bitextMine(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.length <= Similarity.BitextTopK)
+    val srcLabels = emb.filter(col("label") === 0).select("vec_id").collect().map(_.getLong(0)).toSet
+    val tgtLabels = emb.filter(col("label") === 1).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall { case (s, t, _, _) => srcLabels(s) && tgtLabels(t) })
+    val margins = out.map(_._4)
+    assert(margins.forall(_ >= 0) && margins.zip(margins.tail).forall { case (a, b) => a >= b })
+  }
+
   test("hot ngrams: df descending, within corpus doc count") {
     val n = docs.count()
     val rows = TextOps.hotNgrams(docs).collect()
