@@ -690,6 +690,9 @@ object SparkEntry {
       Sketches.cmsHeavyUsers(EventsAdapter.events(s, dir))),
     "sketch_hist_quantiles" -> ((s, dir) =>
       Sketches.histQuantiles(EventsAdapter.events(s, dir))),
+    "events_topk_heap" -> ((s, dir) =>
+      graft.operators.TopK.topValuesPerType(
+        EventsAdapter.events(s, dir), graft.operators.TopK.TopKPerType)),
     "sketch_bloom_probe" -> ((s, dir) =>
       Sketches.bloomProbe(
         s.read.parquet(s"$dir/customer.parquet"),
@@ -2021,6 +2024,8 @@ object SparkEntry {
         |FROM m ORDER BY o_orderpriority, ym""".stripMargin,
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_hist_quantiles" -> Sketches.histQuantilesOracle,
+    "events_topk_heap" ->
+      graft.operators.TopK.topValuesPerTypeOracle(graft.operators.TopK.TopKPerType),
     "sketch_bloom_probe" -> Sketches.bloomProbeOracle,
     "sketch_kmv_jaccard" -> Sketches.kmvJaccardOracle,
     "olap_q19_disjunctive" ->

@@ -128,6 +128,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kerF.nonEmpty && kerF.forall(_ === 0.0))
   }
 
+  test("bounded-heap top-K equals the window truth under forced partial merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random rows over few keys, scattered across
+    // 16 partitions so every map task builds its own partial heap
+    val rows = (1L to 4000L).map { i =>
+      val t = "t" + (i % 5)
+      (i, java.time.Instant.ofEpochMilli(0), i % 97, t, ((i * 2654435761L) % 1000L).toDouble / 7.0, "")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(16)
+    val heap = graft.operators.TopK.topValuesPerType(ev, 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val truth = ev.select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("s"), col("event_id").as("id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("s").desc, col("id"))))
+      .filter(col("rank") <= 7)
+      .select("event_type", "rank", "id", "s").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+    assert(heap.toSeq.sorted === truth.toSeq.sorted)
+    // ties break toward the smaller event_id (duplicate scores exist by
+    // construction: 5 keys x 1000 score values over 4000 rows)
+    assert(heap.groupBy(_._1).values.forall { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.zip(sorted.tail).forall { case (a, b) =>
+        a._4 > b._4 || (a._4 == b._4 && a._3 < b._3) }
+    })
+  }
+
   test("stateCount/stateDuration: islands restart on exit, duration 0 at entry") {
     import spark.implicits._
     val sel = Seq(
