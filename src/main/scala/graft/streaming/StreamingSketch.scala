@@ -6,6 +6,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One distinct-count estimate for a closed tumbling window. */
 final case class WindowDistinct(windowStart: Long, estDistinct: Long)
 
+/** One heavy-hitter report for a closed tumbling window: `estCount` ≥
+  * true count ≥ `estCount - maxErr` (SpaceSaving one-sided bound). */
+final case class WindowHeavyHitter(windowStart: Long, series: String,
+                                   estCount: Long, maxErr: Long)
+
 /** Streaming windowed HyperLogLog: approximate distinct `series` per
   * tumbling event-time window, emitted ONCE when the window closes —
   * the streaming face of `pipeline.Sketches.hllDistinctUsers`.
@@ -92,6 +97,66 @@ object StreamingSketch {
             }
             state.update(regs)
             // close once the event-time watermark passes the window end
+            state.setTimeoutTimestamp(windowStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** SpaceSaving summary capacity — the hard bound on per-window state. */
+  val HHCapacity = 64
+
+  /** Streaming windowed heavy hitters via SpaceSaving (Metwally et al.):
+    * per tumbling event-time window, track at most [[HHCapacity]]
+    * (series, count, overestimate) counters; an unseen series evicts the
+    * current minimum and inherits its count as its error bound. On
+    * window close (event-time timeout, same watermark discipline as
+    * [[windowedDistinct]]) emit every series whose estimated count ≥
+    * `minCount`, with its error bound.
+    *
+    * The SpaceSaving guarantees hold per window regardless of stream
+    * rate: est ≥ true ≥ est − err, and any series with true count >
+    * n/capacity is guaranteed present in the summary. State is
+    * O(open windows × capacity) — the bounded-memory form of "GROUP BY
+    * series ORDER BY count DESC" that an exact computation can't give a
+    * stream. Emission order is count-desc/series-asc so replays are
+    * byte-identical. */
+  def windowedHeavyHitters(points: Dataset[Point], windowMs: Long,
+                           latenessMs: Long, minCount: Long): Dataset[WindowHeavyHitter] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .withColumnRenamed("ts", "tsMs")
+      .selectExpr("series", "tsMs", "timestamp_millis(tsMs) AS eventTime")
+      .withWatermark("eventTime", s"$latenessMs milliseconds")
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, ts, _) => ts - Math.floorMod(ts, windowMs) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (windowStart: Long, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[Seq[(String, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+              .filter { case (_, c, _) => c >= minCount }
+              .sortBy { case (s, c, _) => (-c, s) }
+              .map { case (s, c, e) => WindowHeavyHitter(windowStart, s, c, e) }
+            state.remove()
+            out.iterator
+          } else {
+            val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+            if (state.exists) state.get.foreach { case (s, c, e) => m.put(s, (c, e)) }
+            it.foreach { case (series, _, _) =>
+              m.get(series) match {
+                case Some((c, e)) => m.put(series, (c + 1, e))
+                case None if m.size < HHCapacity => m.put(series, (1L, 0L))
+                case None =>
+                  // evict the min-count counter (ties: lexicographically
+                  // smallest series, so replay order can't change the pick)
+                  val (vs, (vc, _)) = m.minBy { case (s, (c, _)) => (c, s) }
+                  m.remove(vs)
+                  m.put(series, (vc + 1, vc))
+              }
+            }
+            state.update(m.toSeq.map { case (s, (c, e)) => (s, c, e) })
             state.setTimeoutTimestamp(windowStart + windowMs)
             Iterator.empty
           }

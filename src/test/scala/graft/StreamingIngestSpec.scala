@@ -277,6 +277,33 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(WindowDistinct(0L, 3L)), got.toSeq)
   }
 
+  test("streaming heavy hitters: bounds hold, heavy series guaranteed, close-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingSketch, WindowHeavyHitter}
+    val in = MemoryStream[Point]
+    val q = StreamingSketch.windowedHeavyHitters(in.toDS(), 60000L, 1000L, 3L)
+      .writeStream.format("memory").queryName("whh")
+      .outputMode("append").start()
+    // window [0, 60s): "hot" appears 5x across two batches, others once
+    in.addData(Point("hot", 1000L, 1.0), Point("hot", 2000L, 1.0),
+               Point("cold1", 3000L, 1.0), Point("hot", 4000L, 1.0))
+    q.processAllAvailable()
+    in.addData(Point("hot", 5000L, 1.0), Point("hot", 6000L, 1.0),
+               Point("cold2", 7000L, 1.0))
+    q.processAllAvailable()
+    // advance the watermark past the window end → close once
+    in.addData(Point("z", 300000L, 1.0))
+    q.processAllAvailable()
+    in.addData(Point("z", 400000L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("whh").as[WindowHeavyHitter].collect()
+      .filter(_.windowStart == 0L)
+    // capacity 64 >> 4 distinct series: counts are exact, errors zero
+    assert(got.toSeq === Seq(WindowHeavyHitter(0L, "hot", 5L, 0L)), got.toSeq)
+  }
+
   test("streaming exact dedup: first content wins within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
