@@ -285,7 +285,18 @@ object Planner {
         if (inner0.time.lower.isEmpty && inner0.time.upper.isEmpty)
           inner0.copy(time = s.time)
         else inner0
+      // Materialize the inner result ONCE (lazy localCheckpoint = the
+      // DataFrame form of CTE materialization): the outer consumes it at
+      // least twice — synthetic samples AND synthetic series derive from
+      // it, and each arithmetic leaf plans it again. Without this the
+      // subtree duplicates per consumer and Spark re-executes the whole
+      // inner scan+aggregate each time (no ReuseExchange across the
+      // copies — verified on the final adaptive plan). The checkpointed
+      // relation is the inner's AGGREGATED output — bounded by buckets ×
+      // series, far smaller than its input at any scale — and its blocks
+      // are dropped by the ContextCleaner when the plan is collected.
       val innerDf = planSelectImpl(spark, inner, cat, nowMs, renameFields = true)
+        .localCheckpoint(false)
       val synthSamples = innerDf.select(
         subFingerprint.as("fingerprint"),
         col("time_ms").as("timestamp_ms"), col("value"), col("message"))

@@ -10,7 +10,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
-    df.count()
+    df.collect() // materialize THIS plan instance so AQE finalizes it
     println("===FINAL PLAN===")
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
