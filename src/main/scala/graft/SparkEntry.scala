@@ -418,6 +418,9 @@ object SparkEntry {
     "ts_select_fn_holt" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT holt_winters(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+    "ts_select_fn_holt_fit" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT holt_winters_with_fit(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
+        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
     "ts_select_fn_ema" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT exponential_moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
@@ -1551,6 +1554,41 @@ object SparkEntry {
          |folded AS (SELECT last_t, l, b FROM r, agg WHERE i = len(vs)),
          |f AS (SELECT last_t + t.h * 3600000 AS time_ms,
          |             CAST(floor((l + t.h * b) * 100) AS BIGINT) AS value
+         |      FROM folded, range(1, 5) t(h))
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
+    "ts_select_fn_holt_fit" ->
+      // same recurrence as holt; fits are the one-step-ahead predictions
+      // (point 1 = the init level, point i>=2 = l+b of state i-1), then
+      // the 4 forecasts from the folded state
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |agg AS (SELECT max(time_ms) AS last_t,
+         |               list(time_ms ORDER BY time_ms, value) AS ts,
+         |               list(value ORDER BY time_ms, value) AS vs FROM g),
+         |r(i, l, b) AS (
+         |  SELECT 1, vs[1], vs[2] - vs[1] FROM agg
+         |  UNION ALL
+         |  SELECT i + 1,
+         |         0.5 * vs[i + 1] + 0.5 * (l + b),
+         |         0.25 * ((0.5 * vs[i + 1] + 0.5 * (l + b)) - l) + 0.75 * b
+         |  FROM r, agg WHERE i + 1 <= len(vs)),
+         |folded AS (SELECT last_t, l, b FROM r, agg WHERE i = len(vs)),
+         |f AS (SELECT ts[1] AS time_ms, CAST(floor(vs[1] * 100) AS BIGINT) AS value FROM agg
+         |      UNION ALL
+         |      SELECT ts[i + 1], CAST(floor((l + b) * 100) AS BIGINT)
+         |      FROM r, agg WHERE i + 1 <= len(vs)
+         |      UNION ALL
+         |      SELECT last_t + t.h * 3600000,
+         |             CAST(floor((l + t.h * b) * 100) AS BIGINT)
          |      FROM folded, range(1, 5) t(h))
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       'click' AS labelvalue, '' AS message FROM f

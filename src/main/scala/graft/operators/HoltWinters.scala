@@ -58,4 +58,43 @@ object HoltWinters {
       }
       .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
   }
+
+  /** InfluxQL `holt_winters_with_fit(agg(field), N)`: the fitted curve at
+    * every input bucket, then the N forecasts. Fit definition (fixed so
+    * both engines replay it bit-for-bit): point 1 emits the init level
+    * x1; point i ≥ 2 emits the model's ONE-STEP-AHEAD prediction
+    * l + b computed from points 1..i-1, i.e. the value the recurrence
+    * blends with x_i. Same recurrence, same single pass, state still two
+    * doubles per series. */
+  def forecastWithFit(sel: DataFrame, n: Int, bucketMs: Long): DataFrame = {
+    val spark = sel.sparkSession
+    import spark.implicits._
+    sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      .as[(Long, String, Double, String, String, String)]
+      .groupByKey(r => (r._2, r._4, r._5, r._6))
+      .flatMapGroups { (key: (String, String, String, String),
+                        it: Iterator[(Long, String, Double, String, String, String)]) =>
+        val (name, ln, lv, msg) = key
+        val pts = it.toVector.sortBy(r => (r._1, r._3))
+        if (pts.length < 2) Iterator.empty
+        else {
+          var l = pts(0)._3
+          var b = pts(1)._3 - pts(0)._3
+          val fits = Vector.newBuilder[(Long, String, Double, String, String, String)]
+          fits += ((pts(0)._1, name, l, ln, lv, msg))
+          pts.drop(1).foreach { p =>
+            fits += ((p._1, name, l + b, ln, lv, msg))
+            val lNew = Alpha * p._3 + OneMinusAlpha * (l + b)
+            val bNew = Beta * (lNew - l) + OneMinusBeta * b
+            l = lNew
+            b = bNew
+          }
+          val lastT = pts.last._1
+          fits.result().iterator ++ (1 to n).iterator.map { h =>
+            (lastT + h * bucketMs, name, l + h * b, ln, lv, msg)
+          }
+        }
+      }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+  }
 }

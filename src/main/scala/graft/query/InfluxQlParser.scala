@@ -435,7 +435,7 @@ object InfluxQlParser {
   private val TransformFns = Set(
     "derivative", "non_negative_derivative", "difference",
     "non_negative_difference", "moving_average", "cumulative_sum",
-    "holt_winters", "exponential_moving_average",
+    "holt_winters", "holt_winters_with_fit", "exponential_moving_average",
     "double_exponential_moving_average", "chande_momentum_oscillator",
     "kaufmans_efficiency_ratio", "relative_strength_index",
     "triple_exponential_moving_average", "triple_exponential_derivative",

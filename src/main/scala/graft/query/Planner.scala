@@ -472,9 +472,9 @@ object Planner {
         // derivative("v", 1s), cumulative_sum, moving_average): the same
         // per-series Tick windows, applied at point granularity
         f.transform.map { t =>
-          if (t.fn == "holt_winters")
+          if (t.fn.startsWith("holt_winters"))
             throw new IllegalArgumentException(
-              "holt_winters requires an aggregate and GROUP BY time")
+              s"${t.fn} requires an aggregate and GROUP BY time")
           applyTransform(rawOut, t, bucketMs)
         }.getOrElse(rawOut)
       } else if (f.func.isEmpty && f.transform.isDefined) {
@@ -740,6 +740,11 @@ object Planner {
     case "holt_winters" =>
       graft.operators.HoltWinters.forecast(sel,
         t.n.getOrElse(throw new IllegalArgumentException("holt_winters needs a forecast count")),
+        bucketMs)
+    case "holt_winters_with_fit" =>
+      graft.operators.HoltWinters.forecastWithFit(sel,
+        t.n.getOrElse(throw new IllegalArgumentException(
+          "holt_winters_with_fit needs a forecast count")),
         bucketMs)
     case "difference"  => graft.operators.Tick.difference(sel)
     case "non_negative_difference" =>

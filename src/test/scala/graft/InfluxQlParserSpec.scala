@@ -111,6 +111,9 @@ class InfluxQlParserSpec extends AnyFunSuite {
     val hw = parseOk("""SELECT holt_winters(mean("v"), 4) FROM "cpu" GROUP BY time(1h)""")
       .asInstanceOf[Ast.Select]
     assert(hw.fields.head.transform.contains(Ast.Transform("holt_winters", None, Some(4))))
+    val hwf = parseOk("""SELECT holt_winters_with_fit(mean("v"), 4) FROM "cpu" GROUP BY time(1h)""")
+      .asInstanceOf[Ast.Select]
+    assert(hwf.fields.head.transform.contains(Ast.Transform("holt_winters_with_fit", None, Some(4))))
     // unsupported outer function is a parse error, not a silent drop
     assert(InfluxQlParser.parse("""SELECT chande_momentum(mean("v"), 10) FROM "cpu"""").isLeft)
   }
