@@ -514,8 +514,27 @@ class GraftEngine(
     * index; the written relation stays partitioned by (measurement, hour)
     * like every other write. */
   def executeInto(db: String, s: Ast.Select): Long = {
-    val target = s.into.getOrElse(
-      throw new IllegalArgumentException("executeInto needs an INTO clause")).measurement
+    val intoRef = s.into.getOrElse(
+      throw new IllegalArgumentException("executeInto needs an INTO clause"))
+    if (intoRef.measurement == ":MEASUREMENT") {
+      // :MEASUREMENT backreference: each source measurement writes into
+      // its own same-named target. An rp prefix namespaces the target as
+      // "rp.m" (we store per-measurement directories, not retention
+      // policies — documented divergence; keeps the downsample separate
+      // from its source instead of merging into it).
+      val sources = s.from.regex match {
+        case Some(re) => Planner.regexMeasurements(catalog(db), re)
+        case None     => s.from.measurement +: s.fromMulti.map(_.measurement)
+      }
+      return sources.map { m =>
+        val target = intoRef.rp.fold(m)(rp => s"$rp.$m")
+        executeInto(db, s.copy(
+          into = Some(Ast.TableRef(None, None, target)),
+          from = s.from.copy(measurement = m, regex = None),
+          fromMulti = Nil))
+      }.sum
+    }
+    val target = intoRef.measurement
     val cat = catalog(db)
     val out = Planner.planSelectInto(spark, s.copy(into = None), cat, nowMs())
     // planner output is exploded per label pair with identical values per

@@ -108,7 +108,7 @@ object InfluxQlParser {
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         if (Set("<=", ">=", "!=", "<>", "=~", "!~", "::").contains(two)) { out += Op(two); i += 2 }
-        else if ("=<>(),.*-+".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
+        else if ("=<>(),.*-+:".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
         else return Left(s"unexpected char '$c' at $i")
       }
     }
@@ -256,9 +256,42 @@ object InfluxQlParser {
       }
     }
     val into: Option[Ast.TableRef] =
-      if (p.kw("INTO"))
-        parseTableRef(p) match { case Right(r) => Some(r); case Left(e) => return Left(e) }
-      else None
+      if (p.kw("INTO")) {
+        // :MEASUREMENT backreference (InfluxDB CQ fan-out form), with an
+        // optional "rp". / "db"."rp". prefix: INTO "two_weeks".:MEASUREMENT
+        // FROM /re/ writes each source into its same-named target
+        def colonAhead: Boolean = {
+          var k = 0
+          while (true) {
+            p.peekAt(k) match {
+              case Some(Ident(w, false)) if w.equalsIgnoreCase("FROM") => return false
+              case Some(Op(":"))                                       => return true
+              case Some(_)                                             => k += 1
+              case None                                                => return false
+            }
+          }
+          false
+        }
+        if (colonAhead) {
+          val prefix = ArrayBuffer.empty[String]
+          while (!p.op(":")) {
+            p.next() match {
+              case Ident(s, _) => prefix += s
+              case Op(".")     => // separator
+              case t           => return Left(s"bad INTO backref prefix at $t")
+            }
+          }
+          if (!p.kw("MEASUREMENT")) return Left("expected MEASUREMENT after : in INTO")
+          if (prefix.length > 2) return Left("INTO backref prefix is [db.]rp at most")
+          val (bdb, brp) = prefix.toSeq match {
+            case Seq(rp0)      => (None, Some(rp0))
+            case Seq(db0, rp0) => (Some(db0), Some(rp0))
+            case _             => (None, None)
+          }
+          Some(Ast.TableRef(bdb, brp, ":MEASUREMENT"))
+        } else
+          parseTableRef(p) match { case Right(r) => Some(r); case Left(e) => return Left(e) }
+      } else None
     if (!p.kw("FROM")) return Left("expected FROM")
     // FROM (SELECT …): recurse; outer `from` mirrors the innermost ref
     var fromSub: Option[Ast.Select] = None

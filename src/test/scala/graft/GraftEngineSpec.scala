@@ -513,6 +513,28 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(rej.contains(""""error":"INTO does not support FILL""""), rej)
   }
 
+  test("INTO :MEASUREMENT backref fans out over regex FROM, rp prefix namespaces") {
+    val e = newEngine()
+    e.write("dbbr",
+      """cpu,host=a u=10 1735689540000000000
+        |mem,host=a u=40 1735689545000000000
+        |disk,host=a u=70 1735689550000000000""".stripMargin)
+    val into = e.query("dbbr",
+      """SELECT mean("u") INTO "agg".:MEASUREMENT FROM /^(cpu|mem)$/""" +
+        """ WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(into.contains("[[0,2]]"), into) // one bucket-row per source
+    // each source landed in its own rp-prefixed target; disk untouched
+    val ms = e.query("dbbr", "SHOW MEASUREMENTS")
+    assert(ms.contains("agg.cpu") && ms.contains("agg.mem") && !ms.contains("agg.disk"), ms)
+    val back = e.query("dbbr",
+      """SELECT mean("mean") FROM "agg.cpu" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(back.contains("[1735689540000,10]"), back)
+    // bare backref without FROM regex targets the same-named measurement
+    val bare = e.query("dbbr",
+      """SELECT mean("u") INTO :MEASUREMENT FROM "disk" WHERE time > now() - 5m GROUP BY time(1m)""")
+    assert(bare.contains("[[0,1]]"), bare)
+  }
+
   test("RESAMPLE CQ: EVERY throttles the tick, FOR recomputes late data in place") {
     var now = NowMs
     val root = Files.createTempDirectory("graft-engine").toString

@@ -114,6 +114,14 @@ class InfluxQlParserSpec extends AnyFunSuite {
     val hwf = parseOk("""SELECT holt_winters_with_fit(mean("v"), 4) FROM "cpu" GROUP BY time(1h)""")
       .asInstanceOf[Ast.Select]
     assert(hwf.fields.head.transform.contains(Ast.Transform("holt_winters_with_fit", None, Some(4))))
+    // INTO :MEASUREMENT backref, bare and rp-/db-prefixed
+    val br = parseOk("""SELECT mean("v") INTO :MEASUREMENT FROM /cpu.*/ GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select]
+    assert(br.into.contains(Ast.TableRef(None, None, ":MEASUREMENT")))
+    val brp = parseOk("""SELECT mean("v") INTO "rp".:MEASUREMENT FROM "m" GROUP BY time(1m)""")
+      .asInstanceOf[Ast.Select]
+    assert(brp.into.contains(Ast.TableRef(None, Some("rp"), ":MEASUREMENT")))
+    assert(InfluxQlParser.parse("""SELECT mean("v") INTO :SERIES FROM "m"""").isLeft)
     // unsupported outer function is a parse error, not a silent drop
     assert(InfluxQlParser.parse("""SELECT chande_momentum(mean("v"), 10) FROM "cpu"""").isLeft)
   }
