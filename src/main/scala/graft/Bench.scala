@@ -79,7 +79,12 @@ object Bench {
       "olap_q15_top_supplier", "olap_q17_small_qty", "olap_q22_dormant",
       "dedup_passage", "events_anomaly_days", "ts_select_cast",
       "ts_select_fn_tema", "ts_select_fn_kama", "olap_q2_min_cost",
-      "olap_q9_profit", "olap_q21_waiting", "olap_q16_supplier_cnt")
+      "olap_q9_profit", "olap_q21_waiting", "olap_q16_supplier_cnt",
+      // round-4 additions
+      "events_topk_heap", "doc_bpe_pairs", "doc_source_cap",
+      "emb_bitext_mine", "sketch_hist_quantiles", "doc_lm_surprisal",
+      "ts_state_count", "ts_select_fn_holt_fit", "ts_select_math_trig",
+      "ts_select_fill_number", "ts_select_arith_fields")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
