@@ -1143,6 +1143,7 @@ object SparkEntry {
     "events_active_users" -> ((s, dir) => EventOps.activeUsers(EventsAdapter.events(s, dir))),
     "events_attribution" -> ((s, dir) => EventOps.attribution(EventsAdapter.events(s, dir))),
     "events_transitions" -> ((s, dir) => EventOps.transitions(EventsAdapter.events(s, dir))),
+    "events_markov" -> ((s, dir) => EventOps.markov(EventsAdapter.events(s, dir))),
     "events_power_users" -> ((s, dir) => EventOps.powerUsers(EventsAdapter.events(s, dir))),
     "events_streaks" -> ((s, dir) => EventOps.streaks(EventsAdapter.events(s, dir))),
     "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
@@ -1152,6 +1153,7 @@ object SparkEntry {
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
     "events_weekly_profile" -> ((s, dir) => EventOps.weeklyProfile(EventsAdapter.events(s, dir))),
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
+    "dedup_corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -2125,6 +2127,7 @@ object SparkEntry {
     "events_first_touch" -> EventOps.firstTouchOracle,
     "events_weekly_profile" -> EventOps.weeklyProfileOracle,
     "dedup_containment" -> Dedup.containmentOracle,
+    "dedup_corpus_report" -> Dedup.corpusReportOracle,
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "olap_q18_large_orders" ->
       """WITH big AS (
@@ -2325,6 +2328,7 @@ object SparkEntry {
     "events_active_users" -> EventOps.activeUsersOracle,
     "events_attribution" -> EventOps.attributionOracle,
     "events_transitions" -> EventOps.transitionsOracle,
+    "events_markov" -> EventOps.markovOracle,
     "events_power_users" -> EventOps.powerUsersOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,

@@ -621,6 +621,62 @@ object Dedup {
        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   }
 
+  // ---- corpus curation report --------------------------------------------
+
+  /** One-row corpus health summary — the numbers a curation run reports
+    * before/after each pass: doc and token totals, exact-duplicate
+    * surplus (docs beyond one keeper per distinct text), docs touched by
+    * a near-dup pair, short docs, and the integer mean quality score.
+    *
+    * Every column is a full-corpus aggregate with map-side partials; the
+    * near-dup count reuses [[jaccardPairs]] (blocking + exact verify),
+    * so the only non-linear stage is the same bounded shingle self-join
+    * the dedup passes already pay. Single-row cross-joins are
+    * 1×1 broadcast composition, not data joins. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val nt = size(tokens(col("text"))).cast("long")
+    val basic = docs.select(col("text"), nt.as("nt"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        (count(lit(1)) - count_distinct(col("text"))).as("exact_dup_extra"),
+        sum(when(col("nt") < 30, 1L).otherwise(0L)).as("short_docs"))
+    val neardup = jaccardPairs(docs)
+      .select(explode(array(col("i"), col("j"))).as("d"))
+      .agg(count_distinct(col("d")).as("neardup_docs"))
+    val quality = TextOps.qualityFp(docs)
+      .agg(expr("sum(quality_fp) div count(1)").as("mean_quality_fp"))
+    basic.crossJoin(neardup).crossJoin(quality)
+  }
+
+  val corpusReportOracle: String =
+    s"""WITH sh AS ($shingleRowsSql),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id i, b.doc_id j, count(*) n
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp),
+       |nd AS (SELECT count(DISTINCT d) AS neardup_docs
+       |       FROM (SELECT i AS d FROM pairs UNION SELECT j FROM pairs)),
+       |b AS (SELECT count(*) AS n_docs,
+       |             CAST(sum(len(${TextOps.tokensSql})) AS BIGINT) AS n_tokens,
+       |             count(*) - count(DISTINCT text) AS exact_dup_extra,
+       |             CAST(sum(CASE WHEN len(${TextOps.tokensSql}) < 30 THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS short_docs
+       |      FROM documents),
+       |q AS (SELECT CAST(sum(
+       |               (len(list_distinct(${TextOps.tokensSql})) * 1000 // len(${TextOps.tokensSql}))
+       |                 + (CASE WHEN len(${TextOps.tokensSql}) BETWEEN 30 AND 500 THEN 200 ELSE 0 END)
+       |                 - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 50) // count(*) AS BIGINT)
+       |               AS mean_quality_fp
+       |      FROM documents)
+       |SELECT n_docs, n_tokens, exact_dup_extra, short_docs, neardup_docs, mean_quality_fp
+       |FROM b, nd, q""".stripMargin
+
   /** Deterministic hash-split (train/valid/test 90/5/5 by content hash) —
     * the standard leakage-safe way to split a corpus: membership depends
     * only on the text, never on row order or partitioning. Output:

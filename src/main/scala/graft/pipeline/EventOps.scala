@@ -229,6 +229,35 @@ object EventOps {
       |FROM s WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
 
+  /** Markov next-event model over [[transitions]]: row-normalized
+    * transition probabilities in 1e6 fixed point (integer division, so
+    * both engines bucket identically). The normalizing row totals are a
+    * per-prev_type aggregate over the transition matrix — a relation
+    * bounded by event-type² regardless of stream size — broadcast back.
+    * Output (prev_type, next_type, n, prob_fp). */
+  def markov(events: DataFrame): DataFrame = {
+    val t = transitions(events)
+    val totals = t.groupBy("prev_type").agg(sum("n").as("tot"))
+    t.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div tot").as("prob_fp"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val markovOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type
+      |  FROM events),
+      |t AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, t.n,
+      |       CAST(t.n * 1000000 // tot.tot AS BIGINT) AS prob_fp
+      |FROM t JOIN tot USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
   // ---- first-touch attribution --------------------------------------------
 
   /** First-touch attribution: each purchase credits the user's EARLIEST

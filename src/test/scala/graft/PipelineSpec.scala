@@ -226,6 +226,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(margins.forall(_ >= 0) && margins.zip(margins.tail).forall { case (a, b) => a >= b })
   }
 
+  test("markov rows normalize: per-prev probabilities sum to 1e6 minus rounding") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val rows = EventOps.markov(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val s = g.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - g.length, s"prob sum $s")
+    }
+    // counts agree with the raw transition matrix
+    val t = EventOps.transitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows.forall { case (p, n, c, _) => t((p, n)) == c })
+  }
+
+  test("corpus report agrees with the individual dedup/quality operators") {
+    val r = Dedup.corpusReport(docs).collect().head
+    val (nDocs, nTokens, exactExtra, shortDocs, neardup, meanQ) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nDocs === docs.count())
+    assert(exactExtra === nDocs - Dedup.exact(docs).count())
+    val pairIds = Dedup.ngramJaccard(docs).collect()
+      .flatMap(row => Seq(row.getLong(0), row.getLong(1))).toSet
+    assert(neardup === pairIds.size.toLong)
+    assert(nTokens > nDocs && shortDocs <= nDocs && meanQ > 0)
+  }
+
   test("hot ngrams: df descending, within corpus doc count") {
     val n = docs.count()
     val rows = TextOps.hotNgrams(docs).collect()
