@@ -262,8 +262,13 @@ class GraftEngine(
             Seq(s"""{"statement_id":$id,"error":"${Response.jsonEscape(e.getMessage)}"}""")
           case scala.util.control.NonFatal(_) => bare
         }
-      case Ast.CreateDatabase(name) =>
-        createDatabase(name); bare
+      case Ast.CreateDatabase(name, rpDur, rpName) =>
+        createDatabase(name)
+        // WITH DURATION registers the initial retention policy (InfluxDB
+        // creates it as the default; enforceRetention then honors it)
+        rpDur.foreach(d =>
+          retentionPolicies.put((name, rpName.getOrElse("autogen")), (d, true)))
+        bare
       case Ast.DropMeasurement(m) =>
         dropMeasurement(db, m); bare
       case Ast.DropSeries(from, filters) =>

@@ -138,7 +138,13 @@ object Ast {
       fromMulti: Seq[TableRef] = Nil
   ) extends Statement
 
-  final case class CreateDatabase(db: String) extends Statement
+  /** CREATE DATABASE "db" [WITH [DURATION d] [REPLICATION n]
+    * [SHARD DURATION d] [NAME "rp"]] — the WITH clause registers the
+    * initial retention policy (REPLICATION and SHARD DURATION are
+    * accepted and ignored: single store, hour partitions). */
+  final case class CreateDatabase(db: String,
+                                  rpDurationMs: Option[Long] = None,
+                                  rpName: Option[String] = None) extends Statement
 
   /** CREATE CONTINUOUS QUERY "name" ON "db" [RESAMPLE [EVERY d] [FOR d]]
     * BEGIN select-into END (extension; InfluxDB's standing downsampling

@@ -1068,7 +1068,44 @@ object InfluxQlParser {
 
   private def parseCreate(p: P, raw: String): Either[String, Ast.Statement] = {
     p.kw("CREATE")
-    if (p.kw("DATABASE")) p.ident().map(Ast.CreateDatabase)
+    if (p.kw("DATABASE")) {
+      p.ident().flatMap { name =>
+        if (!p.kw("WITH")) Right(Ast.CreateDatabase(name))
+        else {
+          // WITH [DURATION d] [REPLICATION n] [SHARD DURATION d] [NAME "rp"]
+          // in any order; at least one clause (InfluxDB 1.x grammar)
+          var dur: Option[Long] = None
+          var rpn: Option[String] = None
+          var any = false
+          var progressed = true
+          while (progressed) {
+            progressed = false
+            if (p.kw("DURATION")) p.next() match {
+              case Dur(d) => dur = Some(TimeUnits.durationMs(d)); progressed = true
+              case t      => return Left(s"expected duration after DURATION, got $t")
+            }
+            else if (p.kw("REPLICATION")) p.next() match {
+              case Num(_) => progressed = true // accepted, ignored (single store)
+              case t      => return Left(s"expected number after REPLICATION, got $t")
+            }
+            else if (p.kw("SHARD")) {
+              if (!p.kw("DURATION")) return Left("expected DURATION after SHARD")
+              p.next() match {
+                case Dur(_) => progressed = true // accepted, ignored (hour partitions)
+                case t      => return Left(s"expected duration after SHARD DURATION, got $t")
+              }
+            }
+            else if (p.kw("NAME")) p.ident() match {
+              case Right(n) => rpn = Some(n); progressed = true
+              case Left(e)  => return Left(e)
+            }
+            if (progressed) any = true
+          }
+          if (!any) Left("WITH needs DURATION, REPLICATION, SHARD DURATION or NAME")
+          else Right(Ast.CreateDatabase(name, dur, rpn))
+        }
+      }
+    }
     else if (p.kw("USER")) {
       for {
         name <- p.ident()

@@ -169,6 +169,11 @@ class InfluxQlParserSpec extends AnyFunSuite {
 
   test("CREATE statements") {
     assert(parseOk("""CREATE DATABASE "fixtures"""") == Ast.CreateDatabase("fixtures"))
+    assert(parseOk("""CREATE DATABASE "d" WITH DURATION 3d REPLICATION 1 SHARD DURATION 1h NAME "rp"""")
+      === Ast.CreateDatabase("d", Some(3L * 86400000L), Some("rp")))
+    assert(parseOk("""CREATE DATABASE "d" WITH NAME "rp"""")
+      === Ast.CreateDatabase("d", None, Some("rp")))
+    assert(InfluxQlParser.parse("""CREATE DATABASE "d" WITH""").isLeft)
     assert(parseOk("""CREATE SUBSCRIPTION "sub1" ON "telegraf"."autogen" DESTINATIONS ANY 'http://localhost:9092'""") ==
       Ast.CreateSubscription("sub1", "telegraf", "autogen", "http://localhost:9092"))
   }
