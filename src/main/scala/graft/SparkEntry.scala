@@ -536,6 +536,8 @@ object SparkEntry {
       graft.operators.Tick.derivative(influx(s, dir, tagFilterQuery("1h"))))),
     "ts_moving_avg_1h" -> ((s, dir) => stable(
       graft.operators.Tick.movingAverage(influx(s, dir, tagFilterQuery("1h")), 3))),
+    "ts_increase_1h" -> ((s, dir) => stable(
+      graft.operators.Tick.increase(influx(s, dir, tagFilterQuery("1h"))))),
     "ts_state_count" -> ((s, dir) => stable(
       graft.operators.Tick.stateCount(influx(s, dir, tagFilterQuery("1h")), 25.0))),
     "ts_state_duration" -> ((s, dir) => stable(
@@ -1144,6 +1146,8 @@ object SparkEntry {
     "events_attribution" -> ((s, dir) => EventOps.attribution(EventsAdapter.events(s, dir))),
     "events_transitions" -> ((s, dir) => EventOps.transitions(EventsAdapter.events(s, dir))),
     "events_markov" -> ((s, dir) => EventOps.markov(EventsAdapter.events(s, dir))),
+    "events_type_correlation" -> ((s, dir) =>
+      EventOps.typeCorrelation(EventsAdapter.events(s, dir))),
     "events_power_users" -> ((s, dir) => EventOps.powerUsers(EventsAdapter.events(s, dir))),
     "events_streaks" -> ((s, dir) => EventOps.streaks(EventsAdapter.events(s, dir))),
     "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
@@ -1951,6 +1955,26 @@ object SparkEntry {
       "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
     "ts_moving_avg_1h" -> tickOracle(3600000L,
       "avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma", "ma"),
+    "ts_increase_1h" ->
+      // running sum of non-negative deltas; window over the lag-filtered
+      // rows in time order = the Spark two-pass form exactly
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
+         |    AND event_type = 'click' AND user_id = 17
+         |  GROUP BY 1),
+         |d AS (SELECT time_ms, raw - lag(raw) OVER (ORDER BY time_ms) AS dd FROM g),
+         |s AS (SELECT time_ms, sum(greatest(dd, 0)) OVER (
+         |        ORDER BY time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         |      FROM d WHERE dd IS NOT NULL),
+         |f AS (SELECT time_ms, CAST(floor(v * 100) AS BIGINT) AS value FROM s)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '17' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_state_count" -> stateOracle(
       "CAST(row_number() OVER (PARTITION BY grp ORDER BY time_ms) * 100 AS BIGINT)"),
     "ts_state_duration" -> stateOracle(
@@ -2329,6 +2353,7 @@ object SparkEntry {
     "events_attribution" -> EventOps.attributionOracle,
     "events_transitions" -> EventOps.transitionsOracle,
     "events_markov" -> EventOps.markovOracle,
+    "events_type_correlation" -> EventOps.typeCorrelationOracle,
     "events_power_users" -> EventOps.powerUsersOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,

@@ -50,6 +50,20 @@ object Tick {
     sel.withColumn("value",
       sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)))
 
+  /** Flux/Kapacitor `increase`: running total of the NON-NEGATIVE deltas
+    * per series — the counter-reset-tolerant form of cumulative change (a
+    * counter that resets to 0 contributes nothing instead of a huge
+    * negative step). First point drops (no predecessor). Two stacked
+    * passes over the SAME series window partitioning — lag then running
+    * sum, one shuffle. */
+  def increase(sel: DataFrame): DataFrame =
+    sel
+      .withColumn("__d", col("value") - lag("value", 1).over(w))
+      .filter(col("__d").isNotNull)
+      .withColumn("value",
+        sum(greatest(col("__d"), lit(0.0))).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__d")
+
   /** InfluxQL `exponential_moving_average(agg(field), N)`: EMA with
     * α = 2/(N+1), seeded by the first point (ema₀ = x₀) — one output per
     * input point. The recurrence is inherently sequential, so like

@@ -258,6 +258,62 @@ object EventOps {
       |FROM t JOIN tot USING (prev_type)
       |ORDER BY prev_type, next_type""".stripMargin
 
+  /** Cross-series Pearson correlation (the Flux `pearsonr`/`cov` shape):
+    * correlation of hourly mean values between every event-type pair.
+    * The raw stream collapses to (type × hour) QUANTIZED means first —
+    * map-side-combinable, bounded by types × hours regardless of event
+    * volume — and every later stage (self-join on hour, moment sums)
+    * runs on that bounded relation. Moments are exact int64 sums of the
+    * quantized values, so the one float expression at the end (fixed op
+    * order in both engines) is deterministic. Constant series drop
+    * (zero variance). Output (type_a, type_b, n, corr_fp). */
+  def typeCorrelation(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"),
+        expr("(ts_ns div 3600000000000) * 3600000").as("hour_ms"),
+        col("value"))
+      .groupBy("event_type", "hour_ms")
+      .agg(floor(avg("value") * 100).cast("long").as("v"))
+    val p = hourly.as("a").join(hourly.as("b"),
+        col("a.hour_ms") === col("b.hour_ms") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.v").as("x"), col("b.v").as("y"))
+    p.groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("dx") > 0 && col("dy") > 0)
+      .select(col("type_a"), col("type_b"), col("n"),
+        floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(col("dx").cast("double") * col("dy").cast("double")) * 1e6)
+          .cast("long").as("corr_fp"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val typeCorrelationOracle: String =
+    """WITH h AS (
+      |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+      |         CAST(floor(avg(value) * 100) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.v AS x, b.v AS y
+      |      FROM h a JOIN h b ON a.hour_ms = b.hour_ms AND a.event_type < b.event_type),
+      |s AS (SELECT type_a, type_b, count(*) AS n,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy
+      |      FROM p GROUP BY 1, 2)
+      |SELECT type_a, type_b, n,
+      |       CAST(floor((n * sxy - sx * sy) /
+      |              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |              * 1000000) AS BIGINT) AS corr_fp
+      |FROM s WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |ORDER BY type_a, type_b""".stripMargin
+
   // ---- first-touch attribution --------------------------------------------
 
   /** First-touch attribution: each purchase credits the user's EARLIEST

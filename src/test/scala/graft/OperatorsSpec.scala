@@ -158,6 +158,19 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("increase: counter resets contribute nothing, monotone output") {
+    import spark.implicits._
+    val sel = Seq(
+      (1000L, 10.0), (2000L, 15.0), (3000L, 2.0), // reset 15 -> 2 ignored
+      (4000L, 6.0), (5000L, 6.0))
+      .map { case (t, v) => (t, "value", v, "h", "a", "") }
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+    val out = Tick.increase(sel).orderBy("time_ms")
+      .select("time_ms", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // deltas: +5, -13(->0), +4, 0  => running 5, 5, 9, 9; first point drops
+    assert(out === Seq((2000L, 5.0), (3000L, 5.0), (4000L, 9.0), (5000L, 9.0)))
+  }
+
   test("stateCount/stateDuration: islands restart on exit, duration 0 at entry") {
     import spark.implicits._
     val sel = Seq(
