@@ -51,4 +51,20 @@ object StreamingJoin {
         unix_millis(col("effect_time")).as("effect_ts"),
         col("cause_value"), col("effect_value"))
   }
+
+  /** Stream-static enrichment: live points decorated with a static
+    * dimension (series metadata, device registry, …) keyed by `series`.
+    * The static side is broadcast to every executor — NO state store, no
+    * watermark requirement, each micro-batch is a map-side hash join
+    * (the dimension re-resolves per batch, so a replaced dimension
+    * table is picked up without restarting the query). Unmatched points
+    * pass through with null attributes (left join): an enrichment must
+    * never drop telemetry because the registry lags the fleet.
+    * Output (series, ts, value, <dim columns>), append-mode streamable. */
+  def enrich(points: Dataset[Point], dim: DataFrame): DataFrame = {
+    val d = broadcast(dim.withColumnRenamed("series", "d_series"))
+    points.toDF()
+      .join(d, col("series") === col("d_series"), "left")
+      .drop("d_series")
+  }
 }

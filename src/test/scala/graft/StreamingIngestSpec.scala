@@ -253,6 +253,27 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(got === Set(("u1", 10000L, 40000L, 5.0)), got)
   }
 
+  test("stream-static enrichment: broadcast dim decorates points, unmatched pass through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingJoin}
+    val in = MemoryStream[Point]
+    val dim = Seq(("cpu|a", "dc1", "m5"), ("cpu|b", "dc2", "m6"))
+      .toDF("series", "dc", "machine")
+    val q = StreamingJoin.enrich(in.toDS(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(Point("cpu|a", 1000L, 1.0), Point("cpu|z", 2000L, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .select("series", "dc", "machine").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    assert(got === Set(
+      ("cpu|a", Some("dc1"), Some("m5")),
+      ("cpu|z", None, None))) // registry lag must not drop telemetry
+  }
+
   test("streaming windowed HLL: close-once estimate, exact in the sparse regime") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
