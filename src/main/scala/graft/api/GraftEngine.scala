@@ -271,6 +271,8 @@ class GraftEngine(
         bare
       case Ast.DropMeasurement(m) =>
         dropMeasurement(db, m); bare
+      case Ast.DropShard(shardId) =>
+        dropShard(db, shardId); bare
       case Ast.DropSeries(from, filters) =>
         dropSeries(db, from.map(_.measurement), filters); bare
       case Ast.DropDatabase(name) =>
@@ -649,6 +651,26 @@ class GraftEngine(
       fs.delete(idx, true)
       fs.rename(tmp, idx)
     }
+    invalidateSeriesIndex(db)
+  }
+
+  /** DROP SHARD: delete hour partition `shardId` in every measurement of
+    * the db — the shard-group semantics behind SHOW SHARDS' id column
+    * (hour number = shard id, spanning measurements like an InfluxDB
+    * shard group spans an RP). Directory deletes only; series metadata
+    * stays, matching InfluxDB (shard removal is data expiry, not schema
+    * change). Unknown ids are a silent no-op like InfluxDB's. */
+  def dropShard(db: String, shardId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(samplesPath(db))
+    val fs = hadoopFs(base)
+    if (fs.exists(base))
+      fs.listStatus(base).foreach { mdir =>
+        if (mdir.getPath.getName.startsWith("measurement=")) {
+          val hdir = new Path(mdir.getPath, s"hour=$shardId")
+          if (fs.exists(hdir)) fs.delete(hdir, true)
+        }
+      }
     invalidateSeriesIndex(db)
   }
 

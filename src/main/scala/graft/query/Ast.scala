@@ -241,6 +241,11 @@ object Ast {
   /** SHOW USERS — lists the registered user registry (empty until
     * CREATE USER runs; the reference has no auth subsystem at all). */
   case object ShowUsers extends Statement
+  /** DROP SHARD <id> — honest: the id SHOW SHARDS reports IS the hour
+    * number (the hour partition is the shard, cflux.js:152), and like an
+    * InfluxDB shard group spans every measurement — dropping deletes
+    * that hour's partition dir in each (metadata-cost, no data read). */
+  final case class DropShard(id: Long) extends Statement
   /** CREATE USER "n" WITH PASSWORD 'p' [WITH ALL PRIVILEGES] — registry
     * entry only: the engine performs no authentication (documented;
     * the HTTP front accepts-and-ignores credentials like the v2 token),

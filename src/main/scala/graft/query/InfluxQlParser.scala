@@ -988,6 +988,10 @@ object InfluxQlParser {
   private def parseDrop(p: P, raw: String): Either[String, Ast.Statement] = {
     p.kw("DROP")
     if (p.kw("MEASUREMENT")) p.ident().map(Ast.DropMeasurement)
+    else if (p.kw("SHARD")) p.next() match {
+      case Num(s) => s.toLongOption.toRight(s"bad shard id $s").map(Ast.DropShard)
+      case t      => Left(s"expected shard id after DROP SHARD, got $t")
+    }
     else if (p.kw("SERIES")) {
       val from = if (p.kw("FROM")) parseTableRef(p).toOption else None
       parseTagConjuncts(p, "DROP SERIES").map(Ast.DropSeries(from, _))

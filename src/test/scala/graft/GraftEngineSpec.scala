@@ -771,6 +771,15 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(st.contains("""[2,2,3,"""), st) // 2 measurements, 2 series, 3 hour dirs
     val di = e.query("dbsh", "SHOW DIAGNOSTICS")
     assert(di.contains(""""sparkVersion""""), di)
+    // DROP SHARD 482135 removes that hour across BOTH measurements (the
+    // shard group spans the db); hour 482137 survives
+    e.query("dbsh", "DROP SHARD 482135")
+    val sh2 = e.query("dbsh", "SHOW SHARDS")
+    assert(!sh2.contains("482135") && sh2.contains("482137"), sh2)
+    // series metadata stays (shard removal is data expiry, not schema)
+    assert(e.query("dbsh", "SHOW MEASUREMENTS").contains("mem"))
+    // unknown id: silent no-op
+    assert(e.query("dbsh", "DROP SHARD 999999") === Response0)
   }
 
   test("user registry: CREATE/DROP USER, GRANT/REVOKE, SHOW USERS/GRANTS round-trip") {

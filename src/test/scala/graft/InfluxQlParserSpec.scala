@@ -199,7 +199,9 @@ class InfluxQlParserSpec extends AnyFunSuite {
   }
 
   test("unsupported statements degrade to Unsupported, not error") {
-    assert(parseOk("DROP SHARD 3").isInstanceOf[Ast.Unsupported])
+    assert(parseOk("DROP SHARD 3") === Ast.DropShard(3L))
+    assert(InfluxQlParser.parse("DROP SHARD x").isLeft)
+    assert(parseOk("DROP STATS FOR 'x'").isInstanceOf[Ast.Unsupported])
   }
 
   test("SHOW QUERIES and KILL QUERY parse; retention policy parses") {
