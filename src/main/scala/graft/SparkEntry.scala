@@ -301,6 +301,7 @@ object SparkEntry {
     //     A2 group, O1/O2 sort, U1 union via per-label explode) ---
     "ts_select_mean_1m" -> (tsSelect("mean", "1m") _),
     "ts_select_sum_1h" -> (tsSelect("sum", "1h") _),
+    "ts_select_mean_1w" -> (tsSelect("mean", "1w") _),
     "ts_select_count_10m" -> (tsSelect("count", "10m") _),
     "ts_select_max_1h" -> (tsSelect("max", "1h") _),
     "ts_select_min_1h" -> (tsSelect("min", "1h") _),
@@ -1299,6 +1300,7 @@ object SparkEntry {
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_mean_1m" -> tsSelectOracle("avg(value)", 60000L),
     "ts_select_sum_1h" -> tsSelectOracle("sum(value)", 3600000L),
+    "ts_select_mean_1w" -> tsSelectOracle("avg(value)", 7L * 86400000L),
     "ts_select_count_10m" -> tsSelectOracle("CAST(count(value) AS DOUBLE)", 600000L),
     "ts_select_max_1h" -> tsSelectOracle("max(value)", 3600000L),
     "ts_select_min_1h" -> tsSelectOracle("min(value)", 3600000L),

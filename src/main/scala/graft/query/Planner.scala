@@ -378,11 +378,13 @@ object Planner {
     val isRaw = fields.flatMap(leavesOf).forall(_.func.isEmpty) &&
       s.groupByTimeMs.isEmpty && s.fill.isEmpty
 
-    def planLeaf(f: Ast.Field): DataFrame = {
-      val series = seriesSide(cat.seriesIndex, s.from.measurement, f.name,
+    // Shared leaf plumbing: the time-filtered samples ⋈ series relation
+    // for one metric, with WHERE field-value conjuncts applied. Factored
+    // out of planLeaf so the aggregate-pivot fast path (several
+    // functions of the SAME metric in one grouped pass) reuses it.
+    def timedFor(metric: String): DataFrame = {
+      val series = seriesSide(cat.seriesIndex, s.from.measurement, metric,
         s.tagFilters, s.groupByTags, s.tagOrGroups)
-      val outName = f.alias.getOrElse(
-        f.transform.map(_.fn).getOrElse(f.func.getOrElse("mean")))
       val timed0 = samples
         // time filter FIRST: prunes hour partitions + parquet row groups
         // before the join (reference PREWHERE minute BETWEEN, cflux.js:765)
@@ -405,9 +407,9 @@ object Planner {
         case "!=" => df.filter(col("value") =!= ff.v)
         case o    => throw new IllegalArgumentException(s"bad field operator $o")
       }
-      val (own, cross) = s.fieldFilters.partition(_.name == f.name)
+      val (own, cross) = s.fieldFilters.partition(_.name == metric)
       val timed1 = own.foldLeft(timed0)(opFilter)
-      val timed = if (cross.isEmpty) timed1 else {
+      if (cross.isEmpty) timed1 else {
         // tagset key = hash of the full (sorted) tag arrays — the series
         // identity MINUS the field, shared by every field of one series.
         // The fingerprint→tagkey map is schema-sized → broadcast; the
@@ -434,6 +436,28 @@ object Planner {
           .join(qual, Seq("__tagkey", "timestamp_ms"), "left_semi")
           .drop("__tagkey")
       }
+    }
+
+    def bucketStart: Column = s.tz match {
+      case None =>
+        (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
+          + bucketOffMs).cast("long")
+      case Some(zone) =>
+        // tz('Zone'): floor on the LOCAL wall-clock epoch, then map the
+        // local bucket start back to a UTC instant — buckets align to
+        // the zone's calendar boundaries, DST-aware (JVM tzdata; the
+        // DuckDB oracle's IANA tables agree on post-1970 zones)
+        val localMs = unix_millis(
+          from_utc_timestamp(timestamp_millis(col("timestamp_ms")), zone))
+        val localBucket = (floor((localMs - bucketOffMs) / bucketMs) * bucketMs
+          + bucketOffMs).cast("long")
+        unix_millis(to_utc_timestamp(timestamp_millis(localBucket), zone))
+    }
+
+    def planLeaf(f: Ast.Field): DataFrame = {
+      val outName = f.alias.getOrElse(
+        f.transform.map(_.fn).getOrElse(f.func.getOrElse("mean")))
+      val timed = timedFor(f.name)
       // subquery-inner mode: the output name is the field's output name
       // (the field key the outer query will select)
       val nameOut = if (renameFields && !isRaw) lit(outName) else col("name")
@@ -444,21 +468,6 @@ object Planner {
           f.func.exists(Set("top", "bottom", "elapsed", "integral", "distinct", "mode", "sample")))
         throw new IllegalArgumentException(
           s"${f.transform.get.fn} cannot wrap selector ${f.func.get}")
-      def bucketStart: Column = s.tz match {
-        case None =>
-          (floor((col("timestamp_ms") - bucketOffMs) / bucketMs) * bucketMs
-            + bucketOffMs).cast("long")
-        case Some(zone) =>
-          // tz('Zone'): floor on the LOCAL wall-clock epoch, then map the
-          // local bucket start back to a UTC instant — buckets align to
-          // the zone's calendar boundaries, DST-aware (JVM tzdata; the
-          // DuckDB oracle's IANA tables agree on post-1970 zones)
-          val localMs = unix_millis(
-            from_utc_timestamp(timestamp_millis(col("timestamp_ms")), zone))
-          val localBucket = (floor((localMs - bucketOffMs) / bucketMs) * bucketMs
-            + bucketOffMs).cast("long")
-          unix_millis(to_utc_timestamp(timestamp_millis(localBucket), zone))
-      }
       def fpCol: Seq[Column] = if (keepFp) Seq(col("fingerprint")) else Nil
       if (isRaw) {
         // transform output is named after the transform (InfluxDB:
@@ -662,12 +671,37 @@ object Planner {
             throw new IllegalArgumentException(
               "cannot mix aggregated and raw fields in arithmetic")
           val outName = f.alias.getOrElse(f.name)
-          val keys = Seq("time_ms", "labelname", "labelvalue", "message")
-          val planned = leaves.zipWithIndex.map { case (lf, i) =>
-            planLeaf(lf).select(keys.map(col) :+ col("value").as(s"__v$i"): _*) }
-          val joined = planned.reduce(_.join(_, keys))
-          val vcols = leaves.zipWithIndex.map { case (lf, i) =>
-            (lf, col(s"__v$i")) }.toMap
+          // Aggregate-pivot fast path: every leaf is a plain aggregate of
+          // the SAME field → compute all of them in ONE grouped pass over
+          // one scan — no per-leaf re-plan, no pairing join at all. (The
+          // general path below scans per leaf and joins on (time, labels);
+          // at scale that is N scans of the same hour partitions plus an
+          // exchange the single groupBy never needs.) FILL falls back to
+          // the join path, whose per-leaf spine semantics are pinned.
+          val pivotAggs = Set("mean", "sum", "count", "min", "max",
+            "spread", "stddev", "median", "first", "last", "percentile")
+          val pivotable = s.fill.isEmpty &&
+            leaves.forall(lf => lf.transform.isEmpty &&
+              lf.func.exists(pivotAggs) && lf.name == leaves.head.name)
+          val (joined, vcols) =
+            if (pivotable) {
+              val gKeys = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
+                Seq(col("time_ms"), col("labelname"), col("labelvalue"), col("message"))
+              val aggCols = leaves.zipWithIndex.map { case (lf, i) =>
+                aggFor(lf.func, col("value"), col("timestamp_ms"), lf.arg)
+                  .cast("double").as(s"__v$i") }
+              val agged = timedFor(leaves.head.name)
+                .withColumn("time_ms", bucketStart)
+                .groupBy(gKeys: _*)
+                .agg(aggCols.head, aggCols.tail: _*)
+              (agged, leaves.zipWithIndex.map { case (lf, i) => (lf, col(s"__v$i")) }.toMap)
+            } else {
+              val keys = Seq("time_ms", "labelname", "labelvalue", "message")
+              val planned = leaves.zipWithIndex.map { case (lf, i) =>
+                planLeaf(lf).select(keys.map(col) :+ col("value").as(s"__v$i"): _*) }
+              (planned.reduce(_.join(_, keys)),
+                leaves.zipWithIndex.map { case (lf, i) => (lf, col(s"__v$i")) }.toMap)
+            }
           def ev(e: Ast.FExpr): Column = e match {
             case Ast.FLeaf(lf)       => vcols(lf)
             case Ast.FNum(v)         => lit(v)
