@@ -577,6 +577,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "ts_asof_tolerance" -> ((s, dir) => {
+      val ev = EventsAdapter.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev.filter(col("event_type") === "view")
+      graft.operators.AsOf
+        .latestPriorWithin(clicks, views, Seq("user_id"), "ts_ns", "value",
+          "prior_view", 3600L * 1000000000L) // 1h staleness bound
+        .select(col("event_id"), col("user_id"), col("ts_ms").as("time_ms"),
+          coalesce(floor(col("prior_view") * 100), lit(-100L)).cast("long")
+            .as("prior_view_cents"))
+        .orderBy("event_id")
+    }),
+
     // --- sessionization (inactivity-gap sessions over events) ---
     "ts_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.sessions(
@@ -2017,6 +2030,16 @@ object SparkEntry {
     "ts_asof_prior_view" ->
       """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS time_ms,
         |       CAST(coalesce(floor(v.value * 100), -100) AS BIGINT) AS prior_view_cents
+        |FROM events c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |WHERE c.event_type = 'click' ORDER BY c.event_id""".stripMargin,
+    "ts_asof_tolerance" ->
+      // ASOF with staleness bound: the matched prior view only counts
+      // within 1h of the click (the CASE nulls out stale matches)
+      """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS time_ms,
+        |       CAST(coalesce(CASE WHEN epoch_ns(c.ts) - epoch_ns(v.ts) <= 3600000000000
+        |                          THEN floor(v.value * 100) END, -100) AS BIGINT)
+        |         AS prior_view_cents
         |FROM events c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |WHERE c.event_type = 'click' ORDER BY c.event_id""".stripMargin,

@@ -39,4 +39,29 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__side", "__p")
   }
+
+  /** [[latestPrior]] with a staleness bound: the carried right row must
+    * be no older than `toleranceNs` before the left time, else the
+    * payload is null — ASOF JOIN's tolerance form (a quote older than
+    * the bound is no quote). Same single union + running-last pass; one
+    * extra running column (the prior row's time) decides the cutoff —
+    * still ONE shuffle, O(1) state per key. */
+  def latestPriorWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        timeCol: String, payloadCol: String, outCol: String,
+                        toleranceNs: Long): DataFrame = {
+    val r = right.select(
+      (keys.map(col) :+ col(timeCol) :+ col(payloadCol).as("__p") :+ lit(0).as("__side")): _*)
+    val l = left.withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("__pv", last("__p", ignoreNulls = true).over(w))
+      .withColumn("__pt",
+        last(when(col("__side") === 0, col(timeCol)), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn(outCol,
+        when(col(timeCol) - col("__pt") <= toleranceNs, col("__pv")))
+      .drop("__side", "__p", "__pv", "__pt")
+  }
 }

@@ -158,6 +158,17 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("asof tolerance: stale priors null out, fresh ones carry") {
+    import spark.implicits._
+    val left = Seq((1L, 1000L), (1L, 5000L)).toDF("k", "t")
+    val right = Seq((1L, 900L, 7.0)).toDF("k", "t", "v")
+    val out = AsOf.latestPriorWithin(left, right, Seq("k"), "t", "v", "prior", 500L)
+      .select("t", "prior").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(1000L) === Some(7.0)) // 100 <= 500: fresh
+    assert(out(5000L) === None)      // 4100 > 500: stale
+  }
+
   test("increase: counter resets contribute nothing, monotone output") {
     import spark.implicits._
     val sel = Seq(
