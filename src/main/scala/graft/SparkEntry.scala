@@ -1172,6 +1172,7 @@ object SparkEntry {
     "events_weekly_profile" -> ((s, dir) => EventOps.weeklyProfile(EventsAdapter.events(s, dir))),
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
     "dedup_corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
+    "dedup_simhash_eval" -> ((s, dir) => Dedup.simhashEval(docs(s, dir))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -2177,6 +2178,7 @@ object SparkEntry {
     "events_weekly_profile" -> EventOps.weeklyProfileOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "dedup_corpus_report" -> Dedup.corpusReportOracle,
+    "dedup_simhash_eval" -> Dedup.simhashEvalOracle,
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "olap_q18_large_orders" ->
       """WITH big AS (

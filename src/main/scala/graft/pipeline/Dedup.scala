@@ -621,6 +621,42 @@ object Dedup {
        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   }
 
+  // ---- detector evaluation -----------------------------------------------
+
+  /** Precision/recall of the SimHash near-dup detector against the
+    * exact-Jaccard truth set — the evaluation loop a curation pipeline
+    * runs before trusting an approximate detector at scale (the ANN
+    * recall report's dedup-side counterpart). Pair sets compose via
+    * semi/anti joins (no full materialization of either side beyond the
+    * pair relations the detectors already produce); fixed-point ratios
+    * in exact integer arithmetic. Output one row
+    * (tp, fp, fn, precision_fp, recall_fp). */
+  def simhashEval(docs: DataFrame): DataFrame = {
+    val truth = jaccardPairs(docs).select("i", "j")
+    val cand = simhash(docs).select("i", "j")
+    val tp = cand.join(truth, Seq("i", "j"), "left_semi").agg(count(lit(1)).as("tp"))
+    val fp = cand.join(truth, Seq("i", "j"), "left_anti").agg(count(lit(1)).as("fp"))
+    val fn = truth.join(cand, Seq("i", "j"), "left_anti").agg(count(lit(1)).as("fn"))
+    tp.crossJoin(fp).crossJoin(fn)
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_fp"),
+        expr("tp * 1000000 div (tp + fn)").as("recall_fp"))
+  }
+
+  lazy val simhashEvalOracle: String =
+    s"""WITH truth AS (SELECT i, j FROM ($ngramJaccardOracle)),
+       |cand AS (SELECT i, j FROM ($simhashOracle)),
+       |tp AS (SELECT count(*) AS tp FROM cand WHERE EXISTS
+       |        (SELECT 1 FROM truth t WHERE t.i = cand.i AND t.j = cand.j)),
+       |fp AS (SELECT count(*) AS fp FROM cand WHERE NOT EXISTS
+       |        (SELECT 1 FROM truth t WHERE t.i = cand.i AND t.j = cand.j)),
+       |fn AS (SELECT count(*) AS fn FROM truth WHERE NOT EXISTS
+       |        (SELECT 1 FROM cand c WHERE c.i = truth.i AND c.j = truth.j))
+       |SELECT tp, fp, fn,
+       |       tp * 1000000 // (tp + fp) AS precision_fp,
+       |       tp * 1000000 // (tp + fn) AS recall_fp
+       |FROM tp, fp, fn""".stripMargin
+
   // ---- corpus curation report --------------------------------------------
 
   /** One-row corpus health summary — the numbers a curation run reports
