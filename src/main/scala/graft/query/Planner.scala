@@ -115,9 +115,19 @@ object Planner {
   def seriesSide(seriesIndex: DataFrame, measurement: String, metric: String,
                  tagFilters: Seq[Ast.TagFilter],
                  groupTags: Seq[String] = Nil,
-                 tagOrGroups: Seq[Seq[Ast.TagFilter]] = Nil): DataFrame = {
+                 tagOrGroups: Seq[Seq[Ast.TagFilter]] = Nil): DataFrame =
+    seriesSideMulti(seriesIndex, measurement, Seq(metric), tagFilters,
+      groupTags, tagOrGroups)
+
+  /** [[seriesSide]] over a SET of metrics — the multi-metric pivot plans
+    * one samples scan for all of them; `name` in the group keys keeps
+    * the metrics separated downstream. */
+  def seriesSideMulti(seriesIndex: DataFrame, measurement: String, metrics: Seq[String],
+                      tagFilters: Seq[Ast.TagFilter],
+                      groupTags: Seq[String] = Nil,
+                      tagOrGroups: Seq[Seq[Ast.TagFilter]] = Nil): DataFrame = {
     val deduped = dedupIndex(seriesIndex)
-      .filter(col("measurement") === measurement && col("name") === metric)
+      .filter(col("measurement") === measurement && col("name").isin(metrics: _*))
     val anded = tagFilters.foldLeft(deduped)((df, tf) => df.filter(tagPred(tf)))
     // OR-groups: AND across groups, OR within one (each group one
     // predicate Column — still a plain pushable filter on the small
@@ -652,8 +662,58 @@ object Planner {
       }
     }
 
-    val perMetric = fields.map { f =>
-      f.expr match {
+    // Multi-metric aggregate pivot: several plain-aggregate projections
+    // (`SELECT mean("a"), count("b"), …`) share ONE samples scan and ONE
+    // grouped pass — `name` in the group keys keeps metrics separate, and
+    // every field's aggregate is a column of the same hash aggregate. The
+    // per-metric union model would otherwise scan the fact table once PER
+    // field. The aggregated relation is bounded by buckets × series, so
+    // it localCheckpoints once and each field's branch (rename → FILL →
+    // transform, identical to the single-metric tail) reads the cache.
+    // Field filters fall back to per-leaf plans (their own/cross split is
+    // per-metric); selectors and raw projections are never pivoted.
+    val multiPivotAggs = Set("mean", "sum", "count", "min", "max",
+      "spread", "stddev", "median", "first", "last", "percentile")
+    val multiPivotIdx: Map[Int, Ast.Field] =
+      if (isRaw || s.fieldFilters.nonEmpty) Map.empty
+      else fields.zipWithIndex.collect {
+        case (f, i) if f.expr.isEmpty && f.func.exists(multiPivotAggs) => (i, f)
+      }.toMap
+    val multiPivotBranches: Map[Int, DataFrame] =
+      if (multiPivotIdx.size < 2) Map.empty
+      else {
+        val pf = multiPivotIdx.toSeq.sortBy(_._1)
+        val metrics = pf.map(_._2.name).distinct
+        val series = seriesSideMulti(cat.seriesIndex, s.from.measurement, metrics,
+          s.tagFilters, s.groupByTags, s.tagOrGroups)
+        val timed = samples
+          .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
+          .join(broadcast(series), Seq("fingerprint"))
+        val gKeys = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
+          Seq(col("time_ms"), col("name"),
+            col("labelname"), col("labelvalue"), col("message"))
+        val aggCols = pf.map { case (i, f) =>
+          aggFor(f.func, col("value"), col("timestamp_ms"), f.arg)
+            .cast("double").as(s"__a$i") }
+        val agged = timed.withColumn("time_ms", bucketStart)
+          .groupBy(gKeys: _*).agg(aggCols.head, aggCols.tail: _*)
+          .localCheckpoint(false)
+        pf.map { case (i, f) =>
+          val outName = f.alias.getOrElse(
+            f.transform.map(_.fn).getOrElse(f.func.get))
+          val nameOut = if (renameFields) lit(outName) else col("name")
+          val fpCols = if (keepFp) Seq(col("fingerprint")) else Nil
+          val branch = agged.filter(col("name") === f.name)
+            .select(fpCols ++ Seq(col("time_ms"), nameOut.as("name"),
+              col(s"__a$i").as("value"),
+              col("labelname"), col("labelvalue"), col("message")): _*)
+          val filled = fillGaps(branch, s.fill, fromMs, toMs, bucketMs, bucketOffMs)
+          i -> f.transform.map(applyTransform(filled, _, bucketMs)).getOrElse(filled)
+        }.toMap
+      }
+
+    val perMetric = fields.zipWithIndex.map { case (f, fieldIdx) =>
+      multiPivotBranches.get(fieldIdx).getOrElse(f.expr match {
         case None => planLeaf(f)
         case Some(tree) =>
           // arithmetic projection (extension): plan every leaf metric with
@@ -743,7 +803,7 @@ object Planner {
           joined.select(col("time_ms"), lit(outName).as("name"),
             ev(tree).cast("double").as("value"),
             col("labelname"), col("labelvalue"), col("message"))
-      }
+      })
     }
 
     val unioned = perMetric.reduce(_ unionAll _) // U1 (cflux.js:772)
