@@ -86,7 +86,8 @@ object Bench {
       "ts_state_count", "ts_select_fn_holt_fit", "ts_select_math_trig",
       "ts_select_fill_number", "ts_select_arith_fields",
       "dedup_corpus_report", "events_markov", "events_type_correlation",
-      "ts_increase_1h", "ts_select_mean_1w", "ts_select_arith_1h")
+      "ts_increase_1h", "ts_select_mean_1w", "ts_select_arith_1h",
+      "dedup_simhash_eval", "ts_asof_tolerance")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
