@@ -475,12 +475,16 @@ object InfluxQlParser {
     "kaufmans_adaptive_moving_average")
 
   // transform(func("name")[, dur|n]) | func("name"[, num]) [AS a] | "name" | *
-  /** Unary math transformations (InfluxQL surface); `pow` takes a numeric
-    * second argument. Disjoint from aggregate and window-transform names,
-    * so atom dispatch is unambiguous. */
+  /** Unary math transformations (InfluxQL surface); `pow`/`atan2`/`log`
+    * take a numeric second argument (`log(field, b)` is log base b).
+    * Disjoint from aggregate and window-transform names, so atom dispatch
+    * is unambiguous. */
   private val MathFns = Set(
     "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10", "pow",
-    "sin", "cos", "tan", "asin", "acos", "atan", "atan2")
+    "log", "sin", "cos", "tan", "asin", "acos", "atan", "atan2")
+
+  /** Math functions whose second argument is required. */
+  private val MathFnsBinary = Set("pow", "atan2", "log")
 
   /** One projection: an arithmetic expression over field/aggregate leaves
     * with + - * / precedence and parens, or (the common case) a single
@@ -560,9 +564,9 @@ object InfluxQlParser {
             case Some(Num(s)) => p.next(); s.toDoubleOption
             case t            => return Left(s"bad math argument $t")
           } else None
-        if (fnL == "pow" && arg.isEmpty) Left("pow needs an exponent")
-        else if (fnL == "atan2" && arg.isEmpty) Left("atan2 needs a divisor")
-        else if (fnL != "pow" && fnL != "atan2" && arg.isDefined)
+        if (MathFnsBinary.contains(fnL) && arg.isEmpty)
+          Left(s"$fnL needs a second argument")
+        else if (!MathFnsBinary.contains(fnL) && arg.isDefined)
           Left(s"$fnL takes one argument")
         else if (!p.op(")")) Left(s"expected ) closing $fnL")
         else Right(Ast.FMath(fnL, x, arg))
