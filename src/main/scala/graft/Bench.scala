@@ -28,6 +28,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
     }
+    // A query that crashes must NOT report its time-to-crash as if it were a
+    // query time (round-3 postmortem): failures surface in an "errors" field
+    // and as -1 in the per-query map, and are excluded from the total.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min of two runs: this microVM throttles bursty CPU, and a single
       // sample can read 2-3x high through no fault of the plan — the min
@@ -39,8 +43,14 @@ object Bench {
       val t = (1 to 2).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          -1.0
+        }
       }.min
       name -> t
     }
@@ -90,8 +100,12 @@ object Bench {
       "dedup_simhash_eval", "ts_asof_tolerance")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errField =
+      if (errors.isEmpty) """"errors":0"""
+      else s""""errors":${errors.size},"error_queries":${errors.keys.map(k => s""""$k"""").mkString("[", ",", "]")}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$errField}""")
+    errors.foreach { case (k, v) => System.err.println(s"[bench] $k FAILED: $v") }
     spark.stop()
   }
 }

@@ -78,7 +78,7 @@ object SparkEntry {
   /** Single-series (both tags pinned) query — total inner order. */
   private def tagFilterQuery(bucket: String): String =
     s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-      s""" AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time($bucket)"""
+      s""" AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time($bucket)"""
 
   private def tsSelect(agg: String, bucket: String)(s: SparkSession, dir: String): DataFrame =
     stable(influx(s, dir,
@@ -116,7 +116,7 @@ object SparkEntry {
          |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1, 2, 3),
          |u AS (
          |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
@@ -138,7 +138,7 @@ object SparkEntry {
     }
   }
 
-  /** Oracle for top/bottom selectors over the click/user-17 series: N
+  /** Oracle for top/bottom selectors over the click/user-7 series: N
     * extreme points per bucket, ties broken by earlier timestamp, emitted
     * at the point's own timestamp. */
   private def selectorOracle(bucketMs: Long, n: Int, dir: String): String =
@@ -147,7 +147,7 @@ object SparkEntry {
        |         event_type, CAST(user_id AS VARCHAR) AS user_id
        |  FROM events
        |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-       |    AND event_type = 'click' AND user_id = 17),
+       |    AND event_type = 'click' AND user_id = 7),
        |r AS (SELECT *, row_number() OVER (PARTITION BY b ORDER BY value $dir, time_ms ASC) AS rn
        |      FROM p),
        |f AS (SELECT time_ms, CAST(floor(value * 100) AS BIGINT) AS value FROM r WHERE rn <= $n)
@@ -155,10 +155,10 @@ object SparkEntry {
        |       'click' AS labelvalue, '' AS message FROM f
        |UNION ALL
        |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-       |       '17' AS labelvalue, '' AS message FROM f
+       |       '7' AS labelvalue, '' AS message FROM f
        |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
 
-  /** Oracle for the raw (non-aggregated) SELECT: every click/user-17 sample
+  /** Oracle for the raw (non-aggregated) SELECT: every click/user-7 sample
     * at its own timestamp, exploded per label pair. */
   private def rawSelectOracle: String =
     s"""WITH g AS (
@@ -166,7 +166,7 @@ object SparkEntry {
        |         CAST(floor(value * 100) AS BIGINT) AS value
        |  FROM events
        |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-       |    AND event_type = 'click' AND user_id = 17)
+       |    AND event_type = 'click' AND user_id = 7)
        |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
        |       event_type AS labelvalue, '' AS message FROM g
        |UNION ALL
@@ -205,7 +205,7 @@ object SparkEntry {
        |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms, avg(value) AS raw
        |  FROM events
        |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-       |    AND event_type = 'click' AND user_id = 17
+       |    AND event_type = 'click' AND user_id = 7
        |  GROUP BY 1),
        |d AS (SELECT time_ms, $winSetup FROM g),
        |f AS (SELECT time_ms, CAST(floor(($winExpr) * 100) AS BIGINT) AS value
@@ -214,7 +214,7 @@ object SparkEntry {
        |       'click' AS labelvalue, '' AS message FROM f
        |UNION ALL
        |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-       |       '17' AS labelvalue, '' AS message FROM f
+       |       '7' AS labelvalue, '' AS message FROM f
        |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
 
   /** Oracle for the state-run entries (Flux stateCount/stateDuration over
@@ -225,7 +225,7 @@ object SparkEntry {
        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
        |  FROM events
        |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-       |    AND event_type = 'click' AND user_id = 17
+       |    AND event_type = 'click' AND user_id = 7
        |  GROUP BY 1),
        |c AS (SELECT time_ms, (raw > 25.0) AS ins,
        |             CASE WHEN lag(raw > 25.0) OVER (ORDER BY time_ms) IS NULL
@@ -238,7 +238,7 @@ object SparkEntry {
        |       'click' AS labelvalue, '' AS message FROM f
        |UNION ALL
        |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-       |       '17' AS labelvalue, '' AS message FROM f
+       |       '7' AS labelvalue, '' AS message FROM f
        |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
 
   /** Oracle for the FILL entries: bucket spine ⟕ per-bucket means, gaps
@@ -274,7 +274,7 @@ object SparkEntry {
        |  SELECT (epoch_ms(ts) // $bucketMs) * $bucketMs AS time_ms, avg(value) AS raw
        |  FROM events
        |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-       |    AND event_type = 'click' AND user_id = 17
+       |    AND event_type = 'click' AND user_id = 7
        |  GROUP BY 1),
        |j0 AS (SELECT s.time_ms, g.raw
        |      FROM generate_series($fromB, $toB, $bucketMs) s(time_ms)
@@ -285,7 +285,7 @@ object SparkEntry {
        |       'click' AS labelvalue, '' AS message FROM f
        |UNION ALL
        |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-       |       '17' AS labelvalue, '' AS message FROM f
+       |       '7' AS labelvalue, '' AS message FROM f
        |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
   }
 
@@ -317,19 +317,19 @@ object SparkEntry {
     // engine already infers, and the parser vetoes contradictions
     "ts_select_cast" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value"::field) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type"::tag = 'click' AND "user_id"::tag = '17' GROUP BY time(5m)"""))),
+        """ AND "event_type"::tag = 'click' AND "user_id"::tag = '7' GROUP BY time(5m)"""))),
 
     // --- SELECT-shape extensions beyond the reference: raw points, star
     //     expansion, point pagination (OFFSET), series pagination
     //     (SLIMIT/SOFFSET), regex measurement refs ---
     "ts_select_raw" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT "value" FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7'"""))),
     // regex field projection expands to the matching field keys ("value"
     // here — /^v/ excludes "props"), then follows the ordinary raw path
     "ts_select_regex_field" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT /^v/ FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7'"""))),
     "ts_select_mean_regex" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean(/^v/) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(2h)"""))),
     "ts_select_star_mean_2h" -> ((s, dir) => stable(influx(s, dir,
@@ -366,102 +366,102 @@ object SparkEntry {
     //     most-frequent value (ties → lowest) ---
     "ts_select_distinct" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT distinct("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(6h)"""))),
     "ts_select_mode" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mode("value") FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
 
     // --- honored ORDER BY time DESC (reference ignores ORDER BY) ---
     "ts_select_order_desc" -> ((s, dir) => stableDesc(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h) ORDER BY time DESC"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h) ORDER BY time DESC"""))),
 
     // --- top/bottom selectors: N extreme points per bucket at their own
     //     timestamps ---
     "ts_select_top" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT top("value", 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(6h)"""))),
     "ts_select_bottom" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT bottom("value", 2) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(6h)"""))),
 
     "ts_select_bucket_offset" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h, 30m)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h, 30m)"""))),
     "ts_select_count_distinct" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT count(distinct("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
     "mm_audio_windows" -> ((s, dir) =>
       Multimodal.windowAudio(Multimodal.mediaFromDocs(docs(s, dir)))),
     "ts_select_first_last" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT first("value"), last("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(6h)"""))),
     "ts_select_tz_day" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1d) tz('America/Chicago')"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1d) tz('America/Chicago')"""))),
     "ts_select_integral" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT integral("value", 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(6h)"""))),
     "ts_select_elapsed" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT elapsed("value", 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7'"""))),
 
     // --- function-of-function: window transforms parsed from the query
     //     text and applied by the planner (same semantics as the direct
     //     operators.Tick entries above) ---
     "ts_select_fn_derivative" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT derivative(mean("value"), 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_movavg" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_cumsum" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT cumulative_sum(mean("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_holt" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT holt_winters(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_holt_fit" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT holt_winters_with_fit(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_ema" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT exponential_moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_sample" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT sample("value", 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(6h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(6h)"""))),
     "ts_select_fn_nnd" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT non_negative_derivative(mean("value"), 1s) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_nndiff" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT non_negative_difference(mean("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     // two transforms of the same aggregate in ONE statement — pins that
     // the per-field pipelines compose through the union (each field runs
     // its own transform independently)
     "ts_select_multi_transform" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT difference(mean("value")), moving_average(mean("value"), 3) FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_dema" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT double_exponential_moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_cmo" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT chande_momentum_oscillator(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_ker" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT kaufmans_efficiency_ratio(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_rsi" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT relative_strength_index(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_tema" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT triple_exponential_moving_average(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_trix" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT triple_exponential_derivative(mean("value"), 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_fn_kama" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT kaufmans_adaptive_moving_average(mean("value"), 4) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h)"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h)"""))),
     "ts_select_top_tag" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT top("value", "event_type", 3) FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ GROUP BY time(6h)"""))),
@@ -473,7 +473,7 @@ object SparkEntry {
     // --- InfluxQL operator surface: arithmetic + math over fields/aggs ---
     "ts_select_raw_difference" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT difference("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        """ AND "event_type" = 'click' AND "user_id" = '17'"""))),
+        """ AND "event_type" = 'click' AND "user_id" = '7'"""))),
     "ts_select_tag_or" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT mean("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         s""" AND ("event_type" = 'click' OR "event_type" = 'view') GROUP BY time(1h)"""))),
@@ -489,10 +489,13 @@ object SparkEntry {
     "ts_select_math_trig" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT atan2(mean("value"), 30) AS "value" FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+    "ts_select_math_log" -> ((s, dir) => stable(influx(s, dir,
+      s"""SELECT log(mean("value"), 2) AS "value" FROM "events"""" +
+        s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
     "ts_select_arith_fields" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT "mean" + "spread" AS "value" FROM (SELECT mean("value"), spread("value")""" +
         s""" FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
-        s""" AND "event_type" = 'click' AND "user_id" = '17' GROUP BY time(1h))""" +
+        s""" AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h))""" +
         s""" WHERE time > $FromNs AND time < $ToNs"""))),
 
     // --- §3.1∘§3.2 end-to-end: line-protocol ingest feeding the SELECT
@@ -1256,7 +1259,7 @@ object SparkEntry {
          |         CAST(user_id AS VARCHAR) AS user_id, value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17),
+         |    AND event_type = 'click' AND user_id = 7),
          |d AS (
          |  SELECT time_ms, event_type, user_id,
          |         CAST(floor((value - lag(value) OVER (ORDER BY time_ms)) * 100) AS BIGINT) AS value
@@ -1274,6 +1277,7 @@ object SparkEntry {
     "ts_select_arith_1h" -> tsSelectOracle("avg(value) * 2 + 10", 3600000L),
     "ts_select_math_sqrt" -> tsSelectOracle("sqrt(avg(value))", 3600000L),
     "ts_select_math_trig" -> tsSelectOracle("atan2(avg(value), 30)", 3600000L),
+    "ts_select_math_log" -> tsSelectOracle("log2(avg(value))", 3600000L),
     "ts_select_arith_fields" ->
       s"""WITH g AS (
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
@@ -1281,7 +1285,7 @@ object SparkEntry {
          |         CAST(floor((avg(value) + (max(value) - min(value))) * 100) AS BIGINT) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1, 2, 3)
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       event_type AS labelvalue, '' AS message FROM g
@@ -1325,11 +1329,11 @@ object SparkEntry {
          |  SELECT DISTINCT (epoch_ms(ts) // 21600000) * 21600000 AS time_ms, value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17),
+         |    AND event_type = 'click' AND user_id = 7),
          |u AS (
          |  SELECT time_ms, value, 'event_type' AS labelname, 'click' AS labelvalue FROM d
          |  UNION ALL
-         |  SELECT time_ms, value, 'user_id' AS labelname, '17' AS labelvalue FROM d)
+         |  SELECT time_ms, value, 'user_id' AS labelname, '7' AS labelvalue FROM d)
          |SELECT time_ms, 'value' AS name, CAST(floor(value * 100) AS BIGINT) AS value,
          |       labelname, labelvalue, '' AS message
          |FROM u ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
@@ -1360,14 +1364,14 @@ object SparkEntry {
          |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1)
          |SELECT * FROM (
          |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |         'click' AS labelvalue, '' AS message FROM g
          |  UNION ALL
          |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |         '17' AS labelvalue, '' AS message FROM g)
+         |         '7' AS labelvalue, '' AS message FROM g)
          |ORDER BY time_ms DESC, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_tagfilter" -> tagFilterOracle(300000L, limit = None),
     "ts_select_cast" -> tagFilterOracle(300000L, limit = None),
@@ -1449,7 +1453,7 @@ object SparkEntry {
          |         CAST(floor(arg_max(value, epoch_ms(ts)) * 100) AS BIGINT) AS v_last
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |u AS (SELECT time_ms, v_first AS value FROM g
          |      UNION ALL SELECT time_ms, v_last FROM g)
@@ -1457,7 +1461,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM u
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM u
+         |       '7' AS labelvalue, '' AS message FROM u
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_tz_day" ->
       // local-midnight day buckets: UTC instant → Chicago wall clock →
@@ -1470,13 +1474,13 @@ object SparkEntry {
          |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1)
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       'click' AS labelvalue, '' AS message FROM g
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM g
+         |       '7' AS labelvalue, '' AS message FROM g
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_bucket_offset" ->
       s"""WITH g AS (
@@ -1484,20 +1488,20 @@ object SparkEntry {
          |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1)
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       'click' AS labelvalue, '' AS message FROM g
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM g
+         |       '7' AS labelvalue, '' AS message FROM g
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_integral" ->
       s"""WITH p AS (
          |  SELECT epoch_ms(ts) AS time_ms, value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17),
+         |    AND event_type = 'click' AND user_id = 7),
          |s AS (SELECT time_ms, value,
          |             lag(time_ms) OVER (ORDER BY time_ms, value) AS pt,
          |             lag(value) OVER (ORDER BY time_ms, value) AS pv
@@ -1526,14 +1530,14 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_elapsed" ->
       s"""WITH p AS (
          |  SELECT epoch_ms(ts) AS time_ms, value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17),
+         |    AND event_type = 'click' AND user_id = 7),
          |d AS (SELECT time_ms,
          |             lag(time_ms) OVER (ORDER BY time_ms, value) AS pt
          |      FROM p),
@@ -1544,7 +1548,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_derivative" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
@@ -1562,7 +1566,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |agg AS (SELECT max(time_ms) AS last_t,
          |               list(value ORDER BY time_ms, value) AS vs FROM g),
@@ -1581,7 +1585,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_holt_fit" ->
       // same recurrence as holt; fits are the one-step-ahead predictions
@@ -1591,7 +1595,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |agg AS (SELECT max(time_ms) AS last_t,
          |               list(time_ms ORDER BY time_ms, value) AS ts,
@@ -1616,7 +1620,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_ema" ->
       // EMA recurrence replayed by a recursive CTE (same shape as holt):
@@ -1626,7 +1630,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
@@ -1641,7 +1645,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_sample" ->
       // deterministic sample: N smallest md5(timestamp) per bucket —
@@ -1651,7 +1655,7 @@ object SparkEntry {
          |  SELECT epoch_ms(ts) AS time_ms, (epoch_ms(ts) // 21600000) AS b, value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17),
+         |    AND event_type = 'click' AND user_id = 7),
          |r AS (SELECT *, row_number() OVER (
          |        PARTITION BY b ORDER BY md5(CAST(time_ms AS VARCHAR)), time_ms) AS rn
          |      FROM p),
@@ -1660,7 +1664,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_nnd" -> tickOracle(3600000L,
       "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
@@ -1675,7 +1679,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |d AS (SELECT time_ms, raw - lag(raw) OVER (ORDER BY time_ms) AS v FROM g),
          |m AS (SELECT time_ms, avg(raw) OVER (ORDER BY time_ms
@@ -1688,7 +1692,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_dema" ->
       // two stacked EMA recurrences (recursive CTEs), DEMA = 2·e1 − e2;
@@ -1698,7 +1702,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
@@ -1720,7 +1724,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_tema" ->
       // three stacked EMA recurrences (recursive CTEs), TEMA = 3·e1 −
@@ -1731,7 +1735,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
@@ -1759,7 +1763,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_trix" ->
       // the same triple-EMA chain; TRIX = 100·(e3 − prev e3)/prev e3,
@@ -1768,7 +1772,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
@@ -1797,7 +1801,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_kama" ->
       // ER/sc per row from the explicit ascending lag-chain (the KER
@@ -1808,7 +1812,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |b AS (SELECT value AS x, time_ms,
          |             row_number() OVER (ORDER BY time_ms, value) AS i FROM g),
@@ -1839,7 +1843,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_top_tag" ->
       // 3-arg top: best point per (bucket, tag value), then the 3 tag
@@ -1871,7 +1875,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS value
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
@@ -1899,7 +1903,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_select_fn_ker" -> {
       // net change = the same lag-chain sum WITHOUT abs, identical fold
@@ -1910,7 +1914,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |d0 AS (SELECT time_ms, raw - lag(raw) OVER (ORDER BY time_ms) AS d FROM g),
          |dd AS (SELECT time_ms, d AS d0,
@@ -1928,7 +1932,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     },
     "ts_select_fn_cmo" -> {
@@ -1943,7 +1947,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |d0 AS (SELECT time_ms, raw - lag(raw) OVER (ORDER BY time_ms) AS d FROM g),
          |dd AS (SELECT time_ms, d AS d0,
@@ -1961,7 +1965,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     },
     "ts_difference_1h" -> tickOracle(3600000L,
@@ -1978,7 +1982,7 @@ object SparkEntry {
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, avg(value) AS raw
          |  FROM events
          |  WHERE epoch_ms(ts) >= ${FromNs / 1000000L + 1} AND epoch_ms(ts) <= ${ToNs / 1000000L - 1}
-         |    AND event_type = 'click' AND user_id = 17
+         |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
          |d AS (SELECT time_ms, raw - lag(raw) OVER (ORDER BY time_ms) AS dd FROM g),
          |s AS (SELECT time_ms, sum(greatest(dd, 0)) OVER (
@@ -1989,7 +1993,7 @@ object SparkEntry {
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
          |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
-         |       '17' AS labelvalue, '' AS message FROM f
+         |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "ts_state_count" -> stateOracle(
       "CAST(row_number() OVER (PARTITION BY grp ORDER BY time_ms) * 100 AS BIGINT)"),

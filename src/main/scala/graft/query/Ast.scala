@@ -47,9 +47,11 @@ object Ast {
   final case class FLeaf(field: Field) extends FExpr
   final case class FNum(v: Double) extends FExpr
   final case class FBin(op: String, l: FExpr, r: FExpr) extends FExpr
-  /** Unary math call: abs/ceil/floor/round/sqrt/exp/ln/log2/log10, plus
-    * pow(x, n). round is half-up (floor(x+0.5); InfluxDB rounds half away
-    * from zero — documented divergence at negative .5 boundaries). */
+  /** Unary math call: abs/ceil/floor/round/sqrt/exp/ln/log2/log10 and
+    * trig, plus the binary forms pow(x, n), atan2(x, d), log(x, b) —
+    * `arg` carries the second operand. round is half-up (floor(x+0.5);
+    * InfluxDB rounds half away from zero — documented divergence at
+    * negative .5 boundaries). */
   final case class FMath(fn: String, x: FExpr, arg: Option[Double] = None) extends FExpr
 
   object FExpr {

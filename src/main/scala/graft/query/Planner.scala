@@ -788,6 +788,10 @@ object Planner {
                 case "log10" => log10(v)
                 case "pow"   => pow(v, lit(arg.getOrElse(
                   throw new IllegalArgumentException("pow needs an exponent"))))
+                // log(field, b) = log base b (InfluxQL argument order is
+                // (field, base); Spark's functions.log is (base, col))
+                case "log"   => log(arg.getOrElse(
+                  throw new IllegalArgumentException("log needs a base")), v)
                 case "sin"   => sin(v)
                 case "cos"   => cos(v)
                 case "tan"   => tan(v)

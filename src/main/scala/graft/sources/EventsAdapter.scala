@@ -30,13 +30,28 @@ object EventsAdapter {
       lit(s"""{"__name__":"$FieldKey"}"""),
       lit("]"))
 
-  /** Read events with the ns-precision `ts` surfaced as BOTH `ts_ns` (long)
-    * and `ts_ms` (long). Spark 4 refuses parquet TIMESTAMP(NANOS) unless
-    * read as raw long (spark.sql.legacy.parquet.nanosAsLong). */
+  /** Read events with the `ts` column surfaced as BOTH `ts_ns` (long) and
+    * `ts_ms` (long), regardless of how the driver's testdata generator
+    * encoded it. Dispatching on the READ schema (not an assumed one) is what
+    * keeps a testdata regeneration from breaking the engine:
+    *  - parquet TIMESTAMP(NANOS): Spark 4 only reads it as a raw long
+    *    (spark.sql.legacy.parquet.nanosAsLong) — the long IS nanoseconds;
+    *  - parquet timestamp[us] adjusted-to-UTC → TimestampType: unix_micros;
+    *  - parquet timestamp[us] local → TimestampNTZType: cast to TimestampType
+    *    first (session tz is pinned UTC engine-wide, so this is lossless),
+    *    then unix_micros. A direct cast ntz→long is illegal in Spark 4. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_ns", col("ts").cast("long"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val tsNs: Column = raw.schema("ts").dataType match {
+      case LongType         => col("ts")
+      case TimestampType    => unix_micros(col("ts")) * lit(1000L)
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected long(ns)/timestamp/timestamp_ntz")
+    }
+    raw.withColumn("ts_ns", tsNs)
       .withColumn("ts_ms", expr("ts_ns div 1000000"))
   }
 

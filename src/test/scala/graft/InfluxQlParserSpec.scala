@@ -299,6 +299,11 @@ class InfluxQlParserSpec extends AnyFunSuite {
       .asInstanceOf[Ast.Select].fields.head.name === "sin")
     assert(InfluxQlParser.parse("""SELECT atan2(mean("u")) FROM "m"""").isLeft)
     assert(InfluxQlParser.parse("""SELECT sin(mean("u"), 2) FROM "m"""").isLeft)
+    // binary log: log(field, base) accepted, log(field) rejected
+    val lg = parseOk("""SELECT log("u", 2) FROM "m" WHERE time > now() - 1h""")
+      .asInstanceOf[Ast.Select].fields.head
+    assert(lg.expr.get === Ast.FMath("log", Ast.FLeaf(Ast.Field(None, "u", None)), Some(2.0)))
+    assert(InfluxQlParser.parse("""SELECT log("u") FROM "m"""").isLeft)
     // FILL numeric (incl. negative) and none parse through
     assert(parseOk("""SELECT mean("u") FROM "m" WHERE time > now() - 1h GROUP BY time(1m) FILL(-5)""")
       .asInstanceOf[Ast.Select].fill.contains("-5"))
