@@ -1208,7 +1208,8 @@ object SparkEntry {
     //     distinct, deterministic cross-engine (see pipeline.Sketches) ---
     "approx_distinct_hll" -> ((s, dir) =>
       Sketches.hllDistinctUsers(EventsAdapter.events(s, dir))),
-    "dedup_emb_cosine" -> ((s, dir) => Dedup.cosinePairs(emb(s, dir))),
+    "dedup_emb_cosine" -> ((s, dir) => Dedup.cosinePairsBanded(emb(s, dir))),
+    "dedup_emb_cosine_eval" -> ((s, dir) => Dedup.cosineBandedEval(emb(s, dir))),
 
     // --- LLM-pipeline: similarity search over embeddings ---
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(emb(s, dir))),
@@ -2404,7 +2405,8 @@ object SparkEntry {
     "emb_bitext_mine" -> Similarity.bitextMineOracle,
     "approx_distinct_hll" -> Sketches.hllDistinctUsersOracle,
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
-    "dedup_emb_cosine" -> Dedup.cosinePairsOracle,
+    "dedup_emb_cosine" -> Dedup.cosinePairsBandedOracle,
+    "dedup_emb_cosine_eval" -> Dedup.cosineBandedEvalOracle,
     "ann_brute_topk" -> Similarity.bruteTopKOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,
     "emb_centroids" -> Similarity.centroidsOracle,

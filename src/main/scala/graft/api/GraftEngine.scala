@@ -782,28 +782,35 @@ class GraftEngine(
       .getOrElse(index)
     val pred = filters.map(Planner.tagPred).reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val victims = scoped.filter(pred)
-      .select("fingerprint", "measurement").distinct().collect()
-    if (victims.isEmpty) return
-    victims.groupBy(_.getString(1)).foreach { case (m, rows) =>
-      val fps = rows.map(_.getLong(0)).toSeq
+    // Victim set stays a RELATION (broadcast anti-joined into each rewrite),
+    // never a driver-side literal list: at high series cardinality an
+    // `isin(fps…)` splice would explode the plan. Only the distinct
+    // measurement names — tag-cardinality-bounded — come to the driver,
+    // to enumerate the hour directories to rewrite.
+    val victimRel = scoped.filter(pred)
+      .select("fingerprint", "measurement").distinct().localCheckpoint(true)
+    val victimMeasurements =
+      victimRel.select("measurement").distinct().collect().map(_.getString(0))
+    if (victimMeasurements.isEmpty) return
+    victimMeasurements.foreach { m =>
+      val vfp = victimRel.filter(col("measurement") === m).select("fingerprint")
       val base = new Path(s"${samplesPath(db)}/measurement=$m")
       if (fs.exists(base)) fs.listStatus(base).foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("hour=")) {
           val tmp = new Path(st.getPath.getParent, "_tmp_" + name)
           spark.read.parquet(st.getPath.toString)
-            .filter(!col("fingerprint").isin(fps: _*))
+            .join(broadcast(vfp), Seq("fingerprint"), "left_anti")
             .write.mode("overwrite").parquet(tmp.toString)
           fs.delete(st.getPath, true)
           fs.rename(tmp, st.getPath)
         }
       }
     }
-    val fpAll = victims.map(_.getLong(0)).toSeq
     val tmp = new Path(seriesPath(db) + "_tmp")
     spark.read.parquet(seriesPath(db))
-      .filter(!col("fingerprint").isin(fpAll: _*))
+      .join(broadcast(victimRel.select("fingerprint").distinct()),
+        Seq("fingerprint"), "left_anti")
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(idx, true)
     fs.rename(tmp, idx)
@@ -881,8 +888,35 @@ class GraftEngine(
       case None => Some(("sub", "callback://", post))
     }
 
-  /** Default transport: fire-and-forget log line (the reference POSTs over
-    * HTTP with a 5 s timeout and ignores failures, cflux.js:272-273). */
-  private def transport(dest: String): String => Unit =
-    body => System.err.println(s"[graft] subscription forward ${body.length}B -> $dest")
+  /** Shared async client for subscription forwarding (5 s connect bound,
+    * matching the reference's axios timeout, cflux.js:272-273). */
+  private lazy val subscriptionClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  /** Default transport: re-POST the raw write body to the subscription
+    * destination, fire-and-forget (reference cflux.js:313-315 — a
+    * Kapacitor-style consumer receives the verbatim line protocol).
+    * Sends are async with a 5 s timeout; failures are logged and NEVER
+    * block or fail the triggering write (at-most-once, reference parity).
+    * Non-HTTP destinations degrade to the log-line stub. */
+  private def transport(dest: String): String => Unit = {
+    val uri = scala.util.Try(java.net.URI.create(dest)).toOption
+      .filter(u => u.getScheme == "http" || u.getScheme == "https")
+    uri match {
+      case Some(u) => body => {
+        val req = java.net.http.HttpRequest.newBuilder(u)
+          .timeout(java.time.Duration.ofSeconds(5))
+          .header("Content-Type", "text/plain; charset=utf-8")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        subscriptionClient
+          .sendAsync(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+          .whenComplete((_, err) => if (err != null) System.err.println(
+            s"[graft] subscription forward to $dest failed: ${err.getMessage}"))
+        ()
+      }
+      case None => body =>
+        System.err.println(s"[graft] subscription forward ${body.length}B -> $dest (non-http)")
+    }
+  }
 }

@@ -403,18 +403,28 @@ object TextOps {
     * score high — the same ordering a unigram LM's perplexity induces,
     * in exact integer arithmetic both engines reproduce bit-for-bit.
     *
-    * Shape: occurrence relation = one explode; the unigram table is
-    * vocabulary-bounded, so its global rank window and the join back
-    * are broadcast-sized while the corpus side never re-shuffles
-    * (rank join → per-doc hash aggregate, map-side partial). Ties in
-    * the count rank break on the lexicographically smaller token.
+    * Shape: occurrence relation = one explode; the vocabulary is CAPPED
+    * at the top-[[LmVocabCap]] tokens (like any real LM's fixed vocab),
+    * with out-of-vocabulary occurrences scored at rank V+1. The cap is
+    * what makes ranking scale-independent: top-V selection plans as
+    * TakeOrderedAndProject (distributed heap-select — no global sort, no
+    * unpartitioned window), the driver receives exactly min(V, vocab)
+    * rows already in rank order (bounded constant, like a broadcast
+    * variable), and the rank table broadcasts back into the occurrence
+    * join → per-doc hash aggregate, map-side partial. Ties in the count
+    * rank break on the lexicographically smaller token.
     * Output: (doc_id, n_tokens, surprisal_fp). */
   def lmSurprisal(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val ranked = occ.groupBy("token").agg(count(lit(1)).as("c"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
-    occ.join(broadcast(ranked.select("token", "rank")), "token")
+    val topV = occ.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(LmVocabCap)
+      .select("token").as[String].collect()
+    val rankTable = topV.zipWithIndex.toSeq
+      .map { case (t, i) => (t, (i + 1).toLong) }.toDF("token", "rank")
+    occ.join(broadcast(rankTable), Seq("token"), "left")
+      .withColumn("rank", coalesce(col("rank"), lit((LmVocabCap + 1).toLong)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("rank").as("rank_sum"))
       .select(col("doc_id"), col("n_tokens"),
@@ -422,16 +432,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed LM vocabulary size (BPE-ish). */
+  val LmVocabCap = 65536
+
   val lmSurprisalOracle: String =
     s"""WITH occ AS (
        |  SELECT doc_id, u.token
        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest(d.w) u(token)),
        |ranked AS (
        |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rank
-       |  FROM occ GROUP BY token)
+       |  FROM occ GROUP BY token QUALIFY rank <= $LmVocabCap)
        |SELECT doc_id, count(*) AS n_tokens,
-       |       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS surprisal_fp
-       |FROM occ JOIN ranked USING (token)
+       |       CAST(sum(coalesce(rank, ${LmVocabCap + 1})) * 1000 // count(*) AS BIGINT) AS surprisal_fp
+       |FROM occ LEFT JOIN ranked USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- operator: BPE pair statistics -------------------------------------

@@ -67,6 +67,33 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(got.get() === body)
   }
 
+  test("default transport POSTs the raw body over HTTP; a dead sink never blocks the write") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val sink = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    sink.createContext("/write", ex => {
+      received.put(new String(ex.getRequestBody.readAllBytes, "UTF-8"))
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    sink.start()
+    try {
+      val e = newEngine()
+      val port = sink.getAddress.getPort
+      e.query("db3h",
+        s"""CREATE SUBSCRIPTION "sub1" ON "db3h"."autogen" DESTINATIONS ANY 'http://127.0.0.1:$port/write'""")
+      val body = "cpu,host=a usage=6 1735689540000000000"
+      e.write("db3h", body)
+      assert(received.poll(5, java.util.concurrent.TimeUnit.SECONDS) === body)
+      // dead sink: write must complete (fire-and-forget, reference parity)
+      val e2 = newEngine()
+      e2.query("db3x",
+        """CREATE SUBSCRIPTION "sub2" ON "db3x"."autogen" DESTINATIONS ANY 'http://127.0.0.1:1/write'""")
+      e2.write("db3x", "cpu,host=a usage=7 1735689540000000000")
+      assert(e2.query("db3x", "SHOW MEASUREMENTS").contains("cpu"))
+    } finally sink.stop(0)
+  }
+
   test("metadata statements: SHOW DATABASES / FIELD KEYS / TAG VALUES / unsupported") {
     val e = newEngine()
     e.write("dbm", "cpu,host=a,region=eu usage=1,temp=2 1735689540000000000")

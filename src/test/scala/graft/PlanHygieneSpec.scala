@@ -107,6 +107,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       "the window must sit above the monthly aggregate, not over raw orders")
   }
 
+  test("embedding near-dup runs banded, not all-pairs: no cartesian/non-equi self-join") {
+    // round-3 verdict: the O(n²) `a.vec_id < b.vec_id` self-join must not
+    // plan for the operator entries; candidates come from the band
+    // equi-join (the `<` survives only as a post-join filter on it).
+    for (name <- Seq("dedup_emb_cosine", "emb_dup_clusters")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
+    }
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // AQE finalizes the physical plan only on execution — run the query,
     // then inspect the final adaptive plan for codegen stages
