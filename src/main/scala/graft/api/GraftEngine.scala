@@ -173,16 +173,18 @@ class GraftEngine(
 
   /** Chunked-response form (InfluxDB `chunked=true`): one complete
     * `{"results":[entry]}` document per results entry, for streaming as
-    * newline-delimited JSON. Chunk granularity is the entry — InfluxDB
-    * additionally splits long series by chunk_size; our entries are
-    * LIMIT-bounded at the API boundary (documented divergence). */
-  def queryChunks(db: String, q: String, epoch: Option[String]): Seq[String] = {
-    val es = queryEntries(db, q, epoch)
+    * newline-delimited JSON. With `chunk_size=N` a series longer than N
+    * points additionally splits into N-point chunks flagged
+    * `"partial":true` until its last (InfluxDB's per-series chunking). */
+  def queryChunks(db: String, q: String, epoch: Option[String],
+                  chunkSize: Option[Int] = None): Seq[String] = {
+    val es = queryEntries(db, q, epoch, chunkSize)
     if (es.isEmpty) Seq(Response.emptyResult)
     else es.map(e => s"""{"results":[$e]}""")
   }
 
-  private def queryEntries(db: String, q: String, epoch: Option[String]): Seq[String] = {
+  private def queryEntries(db: String, q: String, epoch: Option[String],
+                           chunkSize: Option[Int] = None): Seq[String] = {
     val timeScale: Long => Long = epoch match {
       case Some("s")         => _ / 1000L
       case Some("m")         => _ / 60000L
@@ -195,12 +197,13 @@ class GraftEngine(
       case Seq() => Seq(s"""{"statement_id":0}""")
       case Seq(Left(_)) => Seq(s"""{"statement_id":0}""") // single bad statement: reference shape
       case Seq(Right(single)) =>
-        statementEntries(db, single, 0, perMetricIds = true, timeScale)
+        statementEntries(db, single, 0, perMetricIds = true, timeScale, chunkSize)
       case stmts =>
         // batch: one entry per statement; a bad statement carries its own
         // error object without failing the rest (InfluxDB shape)
         stmts.zipWithIndex.flatMap {
-          case (Right(st), i) => statementEntries(db, st, i, perMetricIds = false, timeScale)
+          case (Right(st), i) =>
+            statementEntries(db, st, i, perMetricIds = false, timeScale, chunkSize)
           case (Left(err), i) =>
             Seq(s"""{"statement_id":$i,"error":"${Response.jsonEscape(err)}"}""")
         }
@@ -210,7 +213,8 @@ class GraftEngine(
   /** One statement → its results[] entries (side effects included). */
   private def statementEntries(db: String, stmt: Ast.Statement, id: Int,
                                perMetricIds: Boolean,
-                               timeScale: Long => Long = identity): Seq[String] = {
+                               timeScale: Long => Long = identity,
+                               chunkSize: Option[Int] = None): Seq[String] = {
     val bare = Seq(s"""{"statement_id":$id}""")
     stmt match {
       case s: Ast.Select if s.into.isDefined =>
@@ -254,7 +258,8 @@ class GraftEngine(
             case None =>
               Seq(s.from.measurement -> Planner.planSelect(spark, s, cat, nowMs()))
           }
-          if (per.isEmpty) bare else Response.selectEntries(per, id, perMetricIds, timeScale)
+          if (per.isEmpty) bare
+          else Response.selectEntries(per, id, perMetricIds, timeScale, chunkSize)
         }
         catch {
           case _: Planner.UnknownMeasurement => bare

@@ -107,10 +107,14 @@ final class GraftHttp(engine: GraftEngine, port: Int = 0,
     val q = p.getOrElse("q", fromBody.getOrElse("q", ""))
     val epoch = p.get("epoch").orElse(fromBody.get("epoch"))
     // chunked=true → newline-delimited JSON, one {"results":[...]} doc
-    // per results entry (InfluxDB chunked responses)
+    // per results entry; chunk_size=N additionally splits each series
+    // into N-point partial chunks (InfluxDB chunked responses)
     val chunked = p.get("chunked").orElse(fromBody.get("chunked")).contains("true")
+    val chunkSize = p.get("chunk_size").orElse(fromBody.get("chunk_size"))
+      .flatMap(_.toIntOption).filter(_ > 0)
     try {
-      if (chunked) respond(ex, 200, engine.queryChunks(db, q, epoch).mkString("\n") + "\n")
+      if (chunked) respond(ex, 200,
+        engine.queryChunks(db, q, epoch, chunkSize).mkString("\n") + "\n")
       else respond(ex, 200, engine.query(db, q, epoch))
     }
     catch { case scala.util.control.NonFatal(_) => respond(ex, 200, graft.query.Response.emptyResult) }

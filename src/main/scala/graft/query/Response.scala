@@ -62,21 +62,37 @@ object Response {
     * (InfluxDB's shape for multi-statement queries). */
   def selectEntries(per: Seq[(String, DataFrame)], baseId: Int,
                     perMetricIds: Boolean,
-                    timeScale: Long => Long = identity): Seq[String] = {
+                    timeScale: Long => Long = identity,
+                    chunkSize: Option[Int] = None): Seq[String] = {
     val pivoted = per.flatMap { case (m, df) => pivotSelect(df, m, timeScale) }
+    // chunk_size splitting (InfluxDB chunked responses): a series longer
+    // than N points spans several chunks, each a complete results document
+    // with "partial":true on every chunk but its last (series and
+    // statement level, InfluxDB's flags).
+    def entriesOf(id: Int, s: Series): Seq[String] = chunkSize match {
+      case Some(n) if n > 0 && s.values.size > n =>
+        val groups = s.values.grouped(n).toSeq
+        groups.zipWithIndex.map { case (vs, gi) =>
+          val partial = gi < groups.size - 1
+          val sj = seriesJson(s.copy(values = vs), partial)
+          if (partial) s"""{"statement_id":$id,"series":[$sj],"partial":true}"""
+          else s"""{"statement_id":$id,"series":[$sj]}"""
+        }
+      case _ => Seq(s"""{"statement_id":$id,"series":[${seriesJson(s)}]}""")
+    }
     if (perMetricIds) {
       val metricIdx = mutable.LinkedHashMap.empty[String, Int]
       pivoted.foreach { case (m, _) => metricIdx.getOrElseUpdate(m, metricIdx.size) }
-      pivoted.map { case (m, s) =>
-        s"""{"statement_id":${metricIdx(m)},"series":[${seriesJson(s)}]}"""
-      }
+      pivoted.flatMap { case (m, s) => entriesOf(metricIdx(m), s) }
+    } else if (chunkSize.exists(n => pivoted.exists(_._2.values.size > n))) {
+      pivoted.flatMap { case (_, s) => entriesOf(baseId, s) }
     } else Seq(entryJson(baseId, pivoted.map(_._2)))
   }
 
   /** One results[] entry: bare statement id when there are no series. */
   def entryJson(id: Int, series: Seq[Series]): String =
     if (series.isEmpty) s"""{"statement_id":$id}"""
-    else s"""{"statement_id":$id,"series":[${series.map(seriesJson).mkString(",")}]}"""
+    else s"""{"statement_id":$id,"series":[${series.map(seriesJson(_)).mkString(",")}]}"""
 
   /** SHOW-shaped DataFrame → one Series (columns + collected rows). */
   def showSeries(seriesName: String, df: DataFrame): Series = {
@@ -92,7 +108,7 @@ object Response {
 
   def emptyResult: String = """{"results":[{"statement_id":0}]}"""
 
-  private def seriesJson(s: Series): String = {
+  private def seriesJson(s: Series, partial: Boolean = false): String = {
     // empty name → nameless series (retention policies, cflux.js:425-444)
     val name = if (s.name.isEmpty) "" else s""""name":${q(s.name)},"""
     val tags =
@@ -100,11 +116,12 @@ object Response {
       else s.tags.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(""""tags":{""", ",", "},")
     val cols = s.columns.map(q).mkString("[", ",", "]")
     val vals = s.values.map(_.map(jval).mkString("[", ",", "]")).mkString("[", ",", "]")
-    s"""{$name$tags"columns":$cols,"values":$vals}"""
+    val part = if (partial) ""","partial":true""" else ""
+    s"""{$name$tags"columns":$cols,"values":$vals$part}"""
   }
 
   def resultsJson(series: Seq[Series]): String = {
-    val ss = series.map(seriesJson).mkString("[", ",", "]")
+    val ss = series.map(seriesJson(_)).mkString("[", ",", "]")
     s"""{"results":[{"statement_id":0,"series":$ss}]}"""
   }
 

@@ -56,6 +56,19 @@ object StreamingIngest {
               org.apache.spark.sql.types.LongType))))
     }
 
+  /** File-backed line source with the reference's count-based flush bound
+    * (5000 rows, cflux.js:109-118) approximated at the SOURCE: Spark has
+    * no count trigger, but `maxFilesPerTrigger` caps how much each
+    * micro-batch admits, which is where a rate bound belongs in a pull
+    * model (a Kafka source gets the same property from
+    * `maxOffsetsPerTrigger`). Combined with [[Config.triggerMs]] this
+    * reproduces the reference's rows-OR-time flush as files-OR-time. */
+  def fileLines(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Int = 16): Dataset[String] = {
+    import spark.implicits._
+    spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger).textFile(dir)
+  }
+
   /** Start the ingest stream over a streaming Dataset of line-protocol
     * lines (socket, file, Kafka, or MemoryStream in tests). */
   def start(lines: Dataset[String], cfg: Config): StreamingQuery =

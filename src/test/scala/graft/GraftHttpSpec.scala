@@ -93,6 +93,21 @@ class GraftHttpSpec extends AnyFunSuite {
       }
       assert(chunks(0).contains(""""measurements""""), chunks(0))
 
+      // chunk_size=N: a series longer than N points splits into N-point
+      // chunks, "partial":true on every chunk but the last (series AND
+      // statement level, InfluxDB's flags). 4 raw points, N=3 → 2 chunks.
+      val sel = java.net.URLEncoder.encode(
+        """SELECT "usage" FROM "cpu" WHERE time > now() - 10m""", "UTF-8")
+      val cs = send(HttpRequest.newBuilder(URI.create(
+        s"http://localhost:$port/query?db=httpdb&q=$sel&chunked=true&chunk_size=3")).build())
+      val parts = cs.body().split("\n").filter(_.contains(""""name":"cpu""""))
+      assert(parts.length === 2, cs.body())
+      assert(parts(0).contains(""""partial":true"""), parts(0))
+      assert(parts(0).endsWith("""],"partial":true}]}"""), parts(0))
+      assert(!parts(1).contains(""""partial""""), parts(1))
+      val nPoints = parts.map("""\[17\d+""".r.findAllIn(_).length).toSeq
+      assert(nPoints === Seq(3, 1), parts.mkString("\n"))
+
       // Accept-Encoding: gzip → compressed response body with the header
       val gzr = java.net.http.HttpClient.newHttpClient().send(
         HttpRequest.newBuilder(

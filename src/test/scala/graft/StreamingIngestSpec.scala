@@ -55,6 +55,28 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(seen.get() === 5)
   }
 
+  test("file source with maxFilesPerTrigger bounds each micro-batch (count-flush analogue)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-filesrc").toString
+    val (in, samples, series, ckpt) =
+      (s"$dir/in", s"$dir/samples", s"$dir/series", s"$dir/ckpt")
+    new java.io.File(in).mkdirs()
+    // two files, one point each; maxFilesPerTrigger=1 → two micro-batches
+    Files.writeString(java.nio.file.Path.of(in, "a.lp"),
+      "cpu,host=a usage=1 1735689600000000000\n")
+    Files.writeString(java.nio.file.Path.of(in, "b.lp"),
+      "cpu,host=b usage=2 1735689660000000000\n")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamingIngest.start(
+      StreamingIngest.fileLines(spark, in, maxFilesPerTrigger = 1),
+      StreamingIngest.Config(samples, series, ckpt, fixedNowMs = Some(NowMs),
+        onBatch = Some(b => if (b.count() > 0) batches.incrementAndGet())))
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.get() === 2) // the bound split the backlog
+    assert(spark.read.parquet(samples).count() === 2)
+  }
+
   test("streaming difference carries per-series state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
