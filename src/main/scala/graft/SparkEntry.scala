@@ -1216,6 +1216,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "emb_centroids" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
     "emb_knn_classify" -> ((s, dir) => Similarity.knnClassify(emb(s, dir))),
+    "emb_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
 
     // --- LLM-pipeline: multimodal binary columns (stubbed decode) ---
     "mm_decode_features" -> ((s, dir) =>
@@ -2411,6 +2412,7 @@ object SparkEntry {
     "ann_lsh_topk" -> Similarity.lshTopKOracle,
     "emb_centroids" -> Similarity.centroidsOracle,
     "emb_knn_classify" -> Similarity.knnClassifyOracle,
+    "emb_hard_negatives" -> Similarity.hardNegativesOracle,
     "ts_select_groupby_tag" ->
       s"""WITH g AS (
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms, event_type,

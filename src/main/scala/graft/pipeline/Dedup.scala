@@ -814,6 +814,7 @@ object Dedup {
       .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
     val banded = e.select(col("vec_id"),
       posexplode(array((0 until EmbBands).map(bandBucket): _*)).as(Seq("band", "bkt")))
+      .localCheckpoint(true) // 64 plane dots/vector — compute once, not per join side
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -605,6 +605,64 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the K most similar vectors whose LABEL differs — the
+    * "close but wrong" examples a contrastive loss learns most from.
+    * Margin = how much closer the hardest negative is than the FARTHEST
+    * top-K positive (positive-negative gap, fixed-point 1e6).
+    *
+    * Scale shape: identical to [[bruteTopK]] — queries broadcast into one
+    * corpus scan (swap in the LSH/IVF candidate stage for a 100 TB corpus;
+    * the label filter composes with any of them unchanged).
+    * Output (q_id, rank, neg_id, neg_label, cos_fp, margin_fp). */
+  def hardNegatives(emb: DataFrame, k: Int = 5): DataFrame = {
+    val e = normalized(emb)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("q_label"))
+    val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label"),
+        floor(dotCols(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("cos_fp"))
+    val wNeg = Window.partitionBy("q_id")
+      .orderBy(col("cos_fp").desc, col("neighbor_id"))
+    val negs = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(wNeg).cast("long"))
+      .filter(col("rank") <= k)
+    val posFloor = scored.filter(col("label") === col("q_label"))
+      .withColumn("prank", row_number().over(wNeg))
+      .filter(col("prank") <= k)
+      .groupBy("q_id").agg(min("cos_fp").as("pos_floor_fp"))
+    negs.join(broadcast(posFloor), Seq("q_id"), "left")
+      .select(col("q_id"), col("rank"), col("neighbor_id").as("neg_id"),
+        col("label").as("neg_label"), col("cos_fp"),
+        (col("cos_fp") - coalesce(col("pos_floor_fp"), lit(0L))).as("margin_fp"))
+      .orderBy("q_id", "rank")
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS neighbor_id,
+       |         c.label,
+       |         floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |negs AS (
+       |  SELECT q_id, neighbor_id AS neg_id, label AS neg_label, cos_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |  FROM scored WHERE label <> q_label),
+       |pos AS (
+       |  SELECT q_id, cos_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS prank
+       |  FROM scored WHERE label = q_label),
+       |pf AS (SELECT q_id, min(cos_fp) AS pos_floor_fp FROM pos WHERE prank <= 5 GROUP BY q_id)
+       |SELECT n.q_id, n.rank, n.neg_id, n.neg_label, n.cos_fp,
+       |       n.cos_fp - coalesce(pf.pos_floor_fp, 0) AS margin_fp
+       |FROM negs n LEFT JOIN pf ON pf.q_id = n.q_id
+       |WHERE n.rank <= 5 ORDER BY n.q_id, n.rank""".stripMargin
+
   val knnClassifyOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |scored AS (

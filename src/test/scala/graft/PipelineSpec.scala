@@ -72,6 +72,24 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getLong(2) >= Dedup.CosineThresholdFp)
     }
+    // banded path: exact subset of brute truth (precision 1.0 by construction)
+    val truth = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.cosinePairsBanded(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(banded.nonEmpty)
+    banded.foreach(p => assert(truth.contains(p)))
+  }
+
+  test("hard negatives: labels differ from the query's, ranked by cosine desc") {
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(emb).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      rs.foreach(r => assert(r.getInt(3) !== labels(q)))
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getLong(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
   }
 
   test("multimodal stub decode is deterministic and matches manual checksum") {
