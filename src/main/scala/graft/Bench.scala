@@ -99,7 +99,8 @@ object Bench {
       "ts_increase_1h", "ts_select_mean_1w", "ts_select_arith_1h",
       "dedup_simhash_eval", "ts_asof_tolerance",
       // round-4 (current) additions
-      "dedup_emb_cosine_eval", "ts_select_math_log", "emb_hard_negatives")
+      "dedup_emb_cosine_eval", "ts_select_math_log", "emb_hard_negatives",
+      "doc_pii_scrub")
     val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

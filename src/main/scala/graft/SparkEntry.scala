@@ -1152,6 +1152,7 @@ object SparkEntry {
     "doc_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
     "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
+    "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
     "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
 
@@ -2186,6 +2187,7 @@ object SparkEntry {
     "dedup_corpus_report" -> Dedup.corpusReportOracle,
     "dedup_simhash_eval" -> Dedup.simhashEvalOracle,
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
+    "doc_pii_scrub" -> TextOps.piiScrubOracle,
     "olap_q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS qty_fp

@@ -838,6 +838,55 @@ object TextOps {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---- operator: PII scrub ------------------------------------------------
+
+  /** Email / IPv4 / phone-shaped patterns, restricted to regex constructs
+    * (character classes, bounded repeats, alternation-free) whose
+    * semantics are identical in Java regex (Spark) and RE2 (DuckDB) —
+    * no backrefs, no lookaround. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PiiIpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val PiiPhoneRe = "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+
+  /** PII redaction (the C4/Dolma-style scrub every training corpus runs
+    * before release): count and replace email / IPv4 / phone-shaped spans
+    * with fixed placeholder tokens, and fingerprint the scrubbed text so
+    * downstream exact-dedup keys on the REDACTED content (two docs equal
+    * up to their PII must collapse). One projection pass, all codegen'd
+    * regex — no shuffle at all until a downstream op aggregates.
+    * Output: (doc_id, n_emails, n_ips, n_phones, scrubbed_hash, changed). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t0, PiiEmailRe, "<EMAIL>"),
+          PiiIpRe, "<IP>"),
+        PiiPhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t0, lit(PiiEmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t0, lit(PiiIpRe), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t0, lit(PiiPhoneRe), lit(0))).cast("long").as("n_phones"),
+      baseHash(scrubbed).as("scrubbed_hash"),
+      (scrubbed =!= t0).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubOracle: String = {
+    val scrub = s"""regexp_replace(regexp_replace(regexp_replace(text,
+       |  '$PiiEmailRe', '<EMAIL>', 'g'),
+       |  '$PiiIpRe', '<IP>', 'g'),
+       |  '$PiiPhoneRe', '<PHONE>', 'g')""".stripMargin
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(text, '$PiiEmailRe'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(text, '$PiiIpRe'))::BIGINT AS n_ips,
+       |       len(regexp_extract_all(text, '$PiiPhoneRe'))::BIGINT AS n_phones,
+       |       ${baseHashSql(scrub)} AS scrubbed_hash,
+       |       ($scrub <> text) AS changed
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val gopherFiltersOracle: String = {
     val inList = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH q AS (

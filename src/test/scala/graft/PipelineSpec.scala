@@ -80,6 +80,24 @@ class PipelineSpec extends AnyFunSuite {
     banded.foreach(p => assert(truth.contains(p)))
   }
 
+  test("PII scrub: redacts emails/IPs/phones, scrubbed twins collapse to one hash") {
+    import spark.implicits._
+    val pii = Seq(
+      (1L, "write to bob@example.com or 10.0.0.1 now"),
+      (2L, "write to eve@other.org or 192.168.1.254 now"),
+      (3L, "call 555-123-4567 twice 555-123-4567"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(pii).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1)._1 === 1L && out(1)._2 === 1L && out(1)._5)
+    assert(out(3)._3 === 2L && out(3)._5)
+    assert(out(4)._1 === 0L && out(4)._2 === 0L && out(4)._3 === 0L && !out(4)._5)
+    // docs 1 and 2 differ only in their PII → identical scrubbed hash
+    assert(out(1)._4 === out(2)._4)
+    assert(out(1)._4 !== out(4)._4)
+  }
+
   test("hard negatives: labels differ from the query's, ranked by cosine desc") {
     val labels = emb.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
