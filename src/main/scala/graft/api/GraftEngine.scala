@@ -333,7 +333,19 @@ class GraftEngine(
         subscriptions.put(sdb, (sid, dest, transport(dest)))
         bare
       case Ast.ShowSubscriptions =>
-        bare // static empty mock (cflux.js:835-844)
+        // honest listing of the live registry (the reference returns a
+        // static empty mock, cflux.js:835-844): one series per db,
+        // InfluxDB's columns. Mode is always ANY (parser accepts both
+        // keywords; fan-out posts to the single stored destination).
+        if (subscriptions.isEmpty) bare
+        else {
+          val series = subscriptions.toSeq.sortBy(_._1).map { case (sdb, (sid, dest, _)) =>
+            Response.Series(sdb, Map.empty,
+              Seq("retention_policy", "name", "mode", "destinations"),
+              Seq(Seq[Any]("autogen", sid, "ANY", s"""[$dest]""")))
+          }
+          Seq(Response.entryJson(id, series))
+        }
       case Ast.ShowQueries | Ast.KillQuery(_) =>
         bare // synchronous engine: the running-query registry is empty
       case Ast.ShowShards =>

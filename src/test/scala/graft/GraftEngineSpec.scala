@@ -65,6 +65,10 @@ class GraftEngineSpec extends AnyFunSuite {
     val body = "cpu,host=a usage=5 1735689540000000000"
     e.write("db3", body)
     assert(got.get() === body)
+    // SHOW SUBSCRIPTIONS lists the live registry (reference mocks empty)
+    val subs = e.query("db3", "SHOW SUBSCRIPTIONS")
+    assert(subs.contains(""""name":"db3"""") && subs.contains("sub0"), subs)
+    assert(subs.contains("http://sink"), subs)
   }
 
   test("default transport POSTs the raw body over HTTP; a dead sink never blocks the write") {

@@ -118,6 +118,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("LM surprisal: no window at all — broadcast rank table into a hash aggregate") {
+    val p = plan("doc_lm_surprisal")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // AQE finalizes the physical plan only on execution — run the query,
     // then inspect the final adaptive plan for codegen stages
