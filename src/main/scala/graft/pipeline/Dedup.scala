@@ -270,6 +270,24 @@ object Dedup {
     * This is the shape that survives 100 TB: per doc the band join ships
     * 8 fixed-width rows, never the shingle set; the verify join touches
     * only candidate pairs. */
+  /** MinHash band rows (doc_id, band, bv) for a (doc_id, text) relation —
+    * the shareable signature stage of [[minhashLsh]], exposed for
+    * incremental/streaming use (a stored band index IS a dedup state).
+    * One row per (doc, band): fixed-width, corpus-size-independent keys. */
+  def bandRows(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs).withColumn("hp", col("h") % P)
+    val sigCols = (0 until NumPerms).map { i =>
+      min((col("hp") * permA(i) + permB(i)) % P).as(s"sig$i")
+    }
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bv"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bv"))
+  }
+
   def minhashLsh(docs: DataFrame): DataFrame = {
     // shingles feed the signature build AND the verify self-join AND the
     // set-size counts — materialize once (6 consumers otherwise re-run

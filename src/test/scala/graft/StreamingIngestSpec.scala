@@ -77,6 +77,37 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(samples).count() === 2)
   }
 
+  test("streaming near-dup filter: band collisions reject within and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val cfg = graft.streaming.StreamingNearDedup.Config(
+      s"$dir/bands", s"$dir/accepted", s"$dir/ckpt")
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the cat watches the bird fly south for winter every year"
+    val other = "completely different content about spark streaming joins " +
+      "partitions shuffles aggregates windows watermarks and state stores here"
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDedup.start(
+      stream.toDS().toDF("doc_id", "text"), cfg)
+    // batch 1: base, its exact dup (within-batch), and an unrelated doc
+    stream.addData((1L, base), (2L, base), (3L, other))
+    q.processAllAvailable()
+    // batch 2: another copy of base (vs stored index) + a fresh doc
+    stream.addData((4L, base), (5L, base + " with a tiny suffix change"))
+    q.processAllAvailable()
+    q.stop()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().sorted
+    assert(accepted.contains(1L) && accepted.contains(3L), accepted.toSeq)
+    assert(!accepted.contains(2L), "within-batch dup must be rejected")
+    assert(!accepted.contains(4L), "cross-batch dup must be rejected")
+    // band index holds exactly the admitted docs × Bands rows
+    val bands = spark.read.parquet(s"$dir/bands")
+    assert(bands.select("doc_id").distinct().count() === accepted.length)
+    assert(bands.count() === accepted.length * graft.pipeline.Dedup.Bands)
+  }
+
   test("streaming difference carries per-series state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
