@@ -37,6 +37,14 @@ class TestdataContractSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType.getOrElse("click", 0L) > 0, s"user 7 lost click rows: $byType")
     assert(byType.getOrElse("view", 0L) > 0, s"user 7 lost view rows: $byType")
+    // every ts entry pins the [FromNs, ToNs) = [2024-01-01, 2025-01-01)
+    // query window — the generated data must still live inside it
+    val mm = ev.agg(
+      org.apache.spark.sql.functions.min("ts_ns"),
+      org.apache.spark.sql.functions.max("ts_ns")).collect()(0)
+    assert(mm.getLong(0) >= SparkEntry.FromNs && mm.getLong(1) <= SparkEntry.ToNs,
+      s"events time range [${mm.getLong(0)}, ${mm.getLong(1)}] drifted outside " +
+        s"the SparkEntry [FromNs, ToNs] query window — every ts entry would go empty")
   }
 
   test("documents: curation-pipeline columns") {
