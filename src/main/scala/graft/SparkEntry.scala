@@ -489,9 +489,13 @@ object SparkEntry {
     "ts_select_math_trig" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT atan2(mean("value"), 30) AS "value" FROM "events"""" +
         s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+    // log of a non-positive mean is NULL in Spark but an ERROR in DuckDB
+    // (surfaced at sf0.1 where an all-zero bucket exists): sentinel-fill
+    // the NULLs on the Spark side, CASE-guard + coalesce on the oracle
     "ts_select_math_log" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT log(mean("value"), 2) AS "value" FROM "events"""" +
-        s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)"""))),
+        s""" WHERE time > $FromNs AND time < $ToNs GROUP BY time(1h)""")
+      .na.fill(-999.0, Seq("value")))),
     "ts_select_arith_fields" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT "mean" + "spread" AS "value" FROM (SELECT mean("value"), spread("value")""" +
         s""" FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
@@ -1280,7 +1284,8 @@ object SparkEntry {
     "ts_select_arith_1h" -> tsSelectOracle("avg(value) * 2 + 10", 3600000L),
     "ts_select_math_sqrt" -> tsSelectOracle("sqrt(avg(value))", 3600000L),
     "ts_select_math_trig" -> tsSelectOracle("atan2(avg(value), 30)", 3600000L),
-    "ts_select_math_log" -> tsSelectOracle("log2(avg(value))", 3600000L),
+    "ts_select_math_log" -> tsSelectOracle(
+      "coalesce(CASE WHEN avg(value) > 0 THEN log2(avg(value)) END, -999)", 3600000L),
     "ts_select_arith_fields" ->
       s"""WITH g AS (
          |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
