@@ -787,7 +787,7 @@ object Dedup {
     * is 2^EmbBandBits = 256 (and grows with EmbBandBits, not with corpus
     * size) — the band self-join shuffles fixed-width (band, bucket) rows,
     * never vectors, and touches only same-bucket pairs. */
-  val EmbBands = 8
+  val EmbBands = 16
   val EmbBandBits = 8
 
   /** dot(v, plane_j) with the deterministic integer coefficient stream
@@ -813,11 +813,12 @@ object Dedup {
     *
     * Recall tracks the similarity regime: per-hyperplane collision is
     * p = 1 - angle/pi, so at a real near-dup threshold (cos 0.9, p~0.86)
-    * these parameters give 1-(1-p^8)^8 ~ 0.94 recall, while the testdata's
-    * deliberately low 0.45 threshold (p~0.65) yields ~0.23 — the eval
-    * entry keeps that trade measured instead of hidden. Band width stays
-    * at 8 bits because bucket fineness is what bounds per-bucket pair
-    * count at 100 TB; recall is bought with more bands, not wider buckets.
+    * these parameters give 1-(1-p^8)^16 ~ 0.997 recall, while the
+    * testdata's deliberately low 0.45 threshold (p~0.65) yields ~0.40 —
+    * the eval entry keeps that trade measured instead of hidden. Band
+    * width stays at 8 bits because bucket fineness is what bounds
+    * per-bucket pair count at 100 TB; recall is bought with more bands
+    * (16 here), never with wider buckets.
     *
     * Scale shape: the banded relation is EmbBands fixed-width rows per
     * vector; the candidate join is an equi-join on (band, bucket); the

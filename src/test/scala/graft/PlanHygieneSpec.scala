@@ -15,10 +15,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("column pruning: text ops read only (doc_id, text), not all 5 columns") {
+    // When another suite cached the table in this shared JVM, pruning
+    // happens at the InMemoryTableScan (the cache's own build FileScan
+    // legitimately reads every column); otherwise it must reach the
+    // parquet ReadSchema.
     val p = plan("doc_token_stats")
-    assert(p.contains("ReadSchema"))
-    assert(!p.contains("lang") && !p.contains("source"),
-      "unused document columns must be pruned from the scan")
+    val imts = p.linesIterator.filter(_.contains("InMemoryTableScan")).toSeq
+    val scans =
+      if (imts.nonEmpty) imts
+      else p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty, p)
+    scans.foreach { l =>
+      assert(!l.contains("lang") && !l.contains("source"),
+        s"unused document columns must be pruned from the scan: $l")
+    }
   }
 
   test("predicate pushdown: Q3's date filters reach the parquet scans") {
