@@ -280,13 +280,18 @@ object SparkEntry {
        |      FROM generate_series($fromB, $toB, $bucketMs) s(time_ms)
        |      LEFT JOIN g ON g.time_ms = s.time_ms),
        |j2 AS (SELECT j.time_ms, j.raw$linearWins FROM j0 j$linearWindowDefs),
-       |f AS (SELECT j.time_ms, CAST(floor(($fillExpr) * 100) AS BIGINT) AS value FROM j2 j)
+       |f AS (SELECT j.time_ms, CAST(floor(($fillExpr) * 100) AS BIGINT) AS value FROM j2 j
+       |      WHERE EXISTS (SELECT 1 FROM g))
        |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
        |       'click' AS labelvalue, '' AS message FROM f
        |UNION ALL
        |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
        |       '7' AS labelvalue, '' AS message FROM f
        |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    // the EXISTS guard keeps the spine data-conditional: an absent series
+    // (e.g. a testdata regeneration dropping the pinned user) yields an
+    // EMPTY result on both engines, matching InfluxDB's no-series answer,
+    // instead of a 17568-row oracle-only spine (round-4 postmortem)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
