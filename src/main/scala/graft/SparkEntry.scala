@@ -1584,7 +1584,7 @@ object SparkEntry {
          |agg AS (SELECT max(time_ms) AS last_t,
          |               list(value ORDER BY time_ms, value) AS vs FROM g),
          |r(i, l, b) AS (
-         |  SELECT 1, vs[1], vs[2] - vs[1] FROM agg
+         |  SELECT 1, vs[1], vs[2] - vs[1] FROM agg WHERE len(vs) > 0
          |  UNION ALL
          |  SELECT i + 1,
          |         0.5 * vs[i + 1] + 0.5 * (l + b),
@@ -1614,7 +1614,7 @@ object SparkEntry {
          |               list(time_ms ORDER BY time_ms, value) AS ts,
          |               list(value ORDER BY time_ms, value) AS vs FROM g),
          |r(i, l, b) AS (
-         |  SELECT 1, vs[1], vs[2] - vs[1] FROM agg
+         |  SELECT 1, vs[1], vs[2] - vs[1] FROM agg WHERE len(vs) > 0
          |  UNION ALL
          |  SELECT i + 1,
          |         0.5 * vs[i + 1] + 0.5 * (l + b),
@@ -1622,6 +1622,7 @@ object SparkEntry {
          |  FROM r, agg WHERE i + 1 <= len(vs)),
          |folded AS (SELECT last_t, l, b FROM r, agg WHERE i = len(vs)),
          |f AS (SELECT ts[1] AS time_ms, CAST(floor(vs[1] * 100) AS BIGINT) AS value FROM agg
+         |      WHERE len(vs) > 0
          |      UNION ALL
          |      SELECT ts[i + 1], CAST(floor((l + b) * 100) AS BIGINT)
          |      FROM r, agg WHERE i + 1 <= len(vs)
@@ -1648,7 +1649,7 @@ object SparkEntry {
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
          |r(i, e) AS (
-         |  SELECT 1, vs[1] FROM agg
+         |  SELECT 1, vs[1] FROM agg WHERE len(vs) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * vs[i + 1] + 0.5 * e
          |  FROM r, agg WHERE i + 1 <= len(vs)),
@@ -1720,13 +1721,13 @@ object SparkEntry {
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
          |r1(i, e) AS (
-         |  SELECT 1, vs[1] FROM agg
+         |  SELECT 1, vs[1] FROM agg WHERE len(vs) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * vs[i + 1] + 0.5 * e
          |  FROM r1, agg WHERE i + 1 <= len(vs)),
          |a1 AS (SELECT list(e ORDER BY i) AS es FROM r1),
          |r2(i, e2) AS (
-         |  SELECT 1, es[1] FROM a1
+         |  SELECT 1, es[1] FROM a1 WHERE len(es) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * es[i + 1] + 0.5 * e2
          |  FROM r2, a1 WHERE i + 1 <= len(es)),
@@ -1753,19 +1754,19 @@ object SparkEntry {
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
          |r1(i, e) AS (
-         |  SELECT 1, vs[1] FROM agg
+         |  SELECT 1, vs[1] FROM agg WHERE len(vs) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * vs[i + 1] + 0.5 * e
          |  FROM r1, agg WHERE i + 1 <= len(vs)),
          |a1 AS (SELECT list(e ORDER BY i) AS es FROM r1),
          |r2(i, e2) AS (
-         |  SELECT 1, es[1] FROM a1
+         |  SELECT 1, es[1] FROM a1 WHERE len(es) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * es[i + 1] + 0.5 * e2
          |  FROM r2, a1 WHERE i + 1 <= len(es)),
          |a2 AS (SELECT list(e2 ORDER BY i) AS fs FROM r2),
          |r3(i, e3) AS (
-         |  SELECT 1, fs[1] FROM a2
+         |  SELECT 1, fs[1] FROM a2 WHERE len(fs) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * fs[i + 1] + 0.5 * e3
          |  FROM r3, a2 WHERE i + 1 <= len(fs)),
@@ -1790,19 +1791,19 @@ object SparkEntry {
          |agg AS (SELECT list(value ORDER BY time_ms, value) AS vs,
          |               list(time_ms ORDER BY time_ms, value) AS tt FROM g),
          |r1(i, e) AS (
-         |  SELECT 1, vs[1] FROM agg
+         |  SELECT 1, vs[1] FROM agg WHERE len(vs) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * vs[i + 1] + 0.5 * e
          |  FROM r1, agg WHERE i + 1 <= len(vs)),
          |a1 AS (SELECT list(e ORDER BY i) AS es FROM r1),
          |r2(i, e2) AS (
-         |  SELECT 1, es[1] FROM a1
+         |  SELECT 1, es[1] FROM a1 WHERE len(es) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * es[i + 1] + 0.5 * e2
          |  FROM r2, a1 WHERE i + 1 <= len(es)),
          |a2 AS (SELECT list(e2 ORDER BY i) AS fs FROM r2),
          |r3(i, e3) AS (
-         |  SELECT 1, fs[1] FROM a2
+         |  SELECT 1, fs[1] FROM a2 WHERE len(fs) > 0
          |  UNION ALL
          |  SELECT i + 1, 0.5 * fs[i + 1] + 0.5 * e3
          |  FROM r3, a2 WHERE i + 1 <= len(fs)),
@@ -1846,7 +1847,7 @@ object SparkEntry {
          |agg AS (SELECT list(x ORDER BY i) AS xs, list(scr * scr ORDER BY i) AS ss,
          |               list(time_ms ORDER BY i) AS tt FROM sc),
          |r(j, k) AS (
-         |  SELECT 1, xs[1] FROM agg
+         |  SELECT 1, xs[1] FROM agg WHERE len(xs) > 0
          |  UNION ALL
          |  SELECT j + 1, k + ss[j + 1] * (xs[j + 1] - k)
          |  FROM r, agg WHERE j + 1 <= len(xs)),
