@@ -342,7 +342,8 @@ class GraftEngine(
           val series = subscriptions.toSeq.sortBy(_._1).map { case (sdb, (sid, dest, _)) =>
             Response.Series(sdb, Map.empty,
               Seq("retention_policy", "name", "mode", "destinations"),
-              Seq(Seq[Any]("autogen", sid, "ANY", s"""[$dest]""")))
+              // destinations is a real JSON array of strings (InfluxDB shape)
+              Seq(Seq[Any]("autogen", sid, "ANY", Seq(dest))))
           }
           Seq(Response.entryJson(id, series))
         }

@@ -60,10 +60,106 @@ case class DotF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane-LSH band buckets of a vector in ONE pass.
+  *
+  * Replaces `bands*bandBits` separate `aggregate(zip_with(...))` plane
+  * dots (each of which re-walks the vector and allocates an intermediate
+  * array) with a single scan holding `bands*bandBits` accumulators:
+  * plane j = b*bandBits + k has integer coefficient
+  * `coef(j,d) = ((1103515245*(j*64+d) + 12345) % 2001) - 1000`, and
+  * `bucket[b] = Σ_k (1<<k | dot(v, plane_{b*bandBits+k}) > 0)`.
+  *
+  * Bit-identity: each accumulator adds `v[d]*coef` in ascending-d order —
+  * the exact IEEE sequence of the declarative fold AND of the DuckDB
+  * oracle's `list_reduce`, so bucket values are unchanged. The LCG stream
+  * is shared with `Dedup.EmbBands` / `Similarity.NumPlanes` oracles.
+  */
+case class HyperplaneBuckets(child: Expression, bands: Int, bandBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets expects array<double>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  private def compute(v: ArrayData): Array[Long] = {
+    val dim = math.min(v.numElements(), 64)
+    val nPlanes = bands * bandBits
+    val acc = new Array[Double](nPlanes)
+    var d = 0
+    while (d < dim) {
+      val x = v.getDouble(d)
+      var j = 0
+      while (j < nPlanes) {
+        val c = ((1103515245L * (j.toLong * 64L + d) + 12345L) % 2001L) - 1000L
+        acc(j) += x * c.toDouble
+        j += 1
+      }
+      d += 1
+    }
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bkt = 0L
+      var k = 0
+      while (k < bandBits) {
+        if (acc(b * bandBits + k) > 0.0) bkt |= (1L << k)
+        k += 1
+      }
+      buckets(b) = bkt
+      b += 1
+    }
+    buckets
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val acc = ctx.freshName("acc")
+      val buckets = ctx.freshName("buckets")
+      s"""
+         |int graft_dim = java.lang.Math.min($v.numElements(), 64);
+         |int graft_np = ${bands * bandBits};
+         |double[] $acc = new double[graft_np];
+         |for (int graft_d = 0; graft_d < graft_dim; graft_d++) {
+         |  double graft_x = $v.getDouble(graft_d);
+         |  for (int graft_j = 0; graft_j < graft_np; graft_j++) {
+         |    long graft_c = ((1103515245L * ((long) graft_j * 64L + graft_d) + 12345L) % 2001L) - 1000L;
+         |    $acc[graft_j] += graft_x * (double) graft_c;
+         |  }
+         |}
+         |long[] $buckets = new long[$bands];
+         |for (int graft_b = 0; graft_b < $bands; graft_b++) {
+         |  long graft_bkt = 0L;
+         |  for (int graft_k = 0; graft_k < $bandBits; graft_k++) {
+         |    if ($acc[graft_b * $bandBits + graft_k] > 0.0) graft_bkt |= (1L << graft_k);
+         |  }
+         |  $buckets[graft_b] = graft_bkt;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 object VectorMath {
   /** Dot product of two array<double> columns (codegen'd). */
   def dotF64(a: Column, b: Column): Column =
     Bridge.column(DotF64(Bridge.expression(a), Bridge.expression(b)))
+
+  /** All `bands` hyperplane band buckets of an array<double> vector in one
+    * codegen'd pass (see [[HyperplaneBuckets]]). */
+  def hyperplaneBuckets(v: Column, bands: Int, bandBits: Int): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(v), bands, bandBits))
 
   /** Make `dot_f64(a, b)` callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -469,7 +469,17 @@ object Dedup {
     * they don't. */
   private val DriverEdgeLimit = 2000000
 
-  private[pipeline] def propagateClusters(pairsDf: DataFrame, nodes: DataFrame): DataFrame = {
+  /** Test hook: lowering this forces the distributed min-label loop (the
+    * branch that actually runs when a 100 TB edge set overflows the
+    * driver cap) so specs can diff it against the union-find fast path.
+    * Production code never writes it. */
+  private[graft] var driverEdgeLimit: Int = DriverEdgeLimit
+
+  /** Observability for specs: rounds the last distributed propagation ran
+    * (0 when the driver fast path was taken). */
+  private[graft] var lastPropagationRounds: Int = 0
+
+  private[graft] def propagateClusters(pairsDf: DataFrame, nodes: DataFrame): DataFrame = {
     val idName = nodes.columns.head
     val spark = pairsDf.sparkSession
     import spark.implicits._
@@ -479,8 +489,9 @@ object Dedup {
     // shuffles, and convergence-check jobs all disappear. Only when the
     // edge list overflows the cap does the distributed min-label loop
     // run (and then its per-round cost is justified by the data size).
-    val sample = pairsDf.limit(DriverEdgeLimit + 1).collect()
-    if (sample.length <= DriverEdgeLimit) {
+    val sample = pairsDf.limit(driverEdgeLimit + 1).collect()
+    if (sample.length <= driverEdgeLimit) {
+      lastPropagationRounds = 0
       // `limit` returned everything → `sample` IS the edge list
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -551,6 +562,7 @@ object Dedup {
       iter += 1
     }
     require(converged, s"label propagation did not converge in $iter rounds")
+    lastPropagationRounds = iter
     edges.unpersist(blocking = false)
     val connected = labels.toDF(idName, "cluster_id")
     val singletons = nodes
@@ -790,19 +802,14 @@ object Dedup {
   val EmbBands = 16
   val EmbBandBits = 8
 
-  /** dot(v, plane_j) with the deterministic integer coefficient stream
-    * shared with [[Similarity]]'s hyperplane LSH:
-    * coef(j,d) = ((1103515245*(j*64+d) + 12345) % 2001) - 1000. */
-  private def planeDot(j: Int): Column =
-    aggregate(
-      zip_with(col("v"), sequence(lit(j * 64L), lit(j * 64L + 63L)),
-        (x, idx) => x * ((lit(1103515245L) * idx + 12345L) % 2001L - 1000L).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def bandBucket(b: Int): Column =
-    (0 until EmbBandBits).map { k =>
-      when(planeDot(b * EmbBandBits + k) > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All EmbBands band buckets in ONE codegen'd vector pass (replaces 128
+    * per-plane `aggregate(zip_with(...))` dots — the 6× `emb_dup_clusters`
+    * regression of round 4). Same LCG coefficient stream
+    * `coef(j,d) = ((1103515245*(j*64+d) + 12345) % 2001) - 1000`, same
+    * ascending-d IEEE summation order → bit-identical buckets (the DuckDB
+    * `bandedCandSql` mirror below is unchanged). */
+  private def allBandBuckets: Column =
+    graft.functions.VectorMath.hyperplaneBuckets(col("v"), EmbBands, EmbBandBits)
 
   /** Embedding near-dup pairs, banded-LSH candidate generation + exact
     * cosine verify — the scale form of [[cosinePairs]]. Candidates are
@@ -832,7 +839,7 @@ object Dedup {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
     val banded = e.select(col("vec_id"),
-      posexplode(array((0 until EmbBands).map(bandBucket): _*)).as(Seq("band", "bkt")))
+      posexplode(allBandBuckets).as(Seq("band", "bkt")))
       .localCheckpoint(true) // 64 plane dots/vector — compute once, not per join side
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&

@@ -147,19 +147,11 @@ object Similarity {
 
   // ---- LSH-bucketed top-k ------------------------------------------------
 
-  /** Deterministic integer hyperplane coefficient for (plane j, dim d):
-    * LCG over the flattened index, mapped to [-1000, 1000]. The same
-    * closed form is inlined into the oracle SQL. */
-  private def planeCoefExpr(j: Int): Column =
-    // dot(v, plane_j) with coef = ((1103515245*(j*64+d) + 12345) % 2001) - 1000
-    aggregate(
-      zip_with(col("v"), sequence(lit(j * Dim), lit(j * Dim + Dim - 1)),
-        (x, idx) => x * ((lit(1103515245L) * idx + 12345L) % 2001L - 1000L).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
   private def bucketCol: Column =
-    (0 until NumPlanes).map(j => when(planeCoefExpr(j) > 0, 1L << j).otherwise(0L))
-      .reduce(_ + _).as("bucket")
+    // single band of NumPlanes sign-bits — one codegen'd vector pass
+    // (bit-identical to the per-plane fold; same LCG stream as the oracle)
+    graft.functions.VectorMath.hyperplaneBuckets(col("v"), 1, NumPlanes)
+      .getItem(0).as("bucket")
 
   /** ANN top-K via NumPlanes-bit hyperplane buckets: exact cosine re-rank
     * restricted to the query's bucket. Approximate by construction — the
@@ -615,7 +607,8 @@ object Similarity {
     * corpus scan (swap in the LSH/IVF candidate stage for a 100 TB corpus;
     * the label filter composes with any of them unchanged).
     * Output (q_id, rank, neg_id, neg_label, cos_fp, margin_fp). */
-  def hardNegatives(emb: DataFrame, k: Int = 5): DataFrame = {
+  val HardNegK = 5 // shared by the operator default AND its oracle SQL
+  def hardNegatives(emb: DataFrame, k: Int = HardNegK): DataFrame = {
     val e = normalized(emb)
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
     val q = e.filter(col("vec_id") < NumQueries)
@@ -657,11 +650,11 @@ object Similarity {
        |  SELECT q_id, cos_fp,
        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS prank
        |  FROM scored WHERE label = q_label),
-       |pf AS (SELECT q_id, min(cos_fp) AS pos_floor_fp FROM pos WHERE prank <= 5 GROUP BY q_id)
+       |pf AS (SELECT q_id, min(cos_fp) AS pos_floor_fp FROM pos WHERE prank <= $HardNegK GROUP BY q_id)
        |SELECT n.q_id, n.rank, n.neg_id, n.neg_label, n.cos_fp,
        |       n.cos_fp - coalesce(pf.pos_floor_fp, 0) AS margin_fp
        |FROM negs n LEFT JOIN pf ON pf.q_id = n.q_id
-       |WHERE n.rank <= 5 ORDER BY n.q_id, n.rank""".stripMargin
+       |WHERE n.rank <= $HardNegK ORDER BY n.q_id, n.rank""".stripMargin
 
   val knnClassifyOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -66,26 +66,44 @@ object Response {
                     chunkSize: Option[Int] = None): Seq[String] = {
     val pivoted = per.flatMap { case (m, df) => pivotSelect(df, m, timeScale) }
     // chunk_size splitting (InfluxDB chunked responses): a series longer
-    // than N points spans several chunks, each a complete results document
-    // with "partial":true on every chunk but its last (series and
-    // statement level, InfluxDB's flags).
-    def entriesOf(id: Int, s: Series): Seq[String] = chunkSize match {
+    // than N points spans several chunks. "partial":true at SERIES level on
+    // every chunk of that series but its last; at STATEMENT level on every
+    // chunk of the statement but the statement's FINAL chunk — the last
+    // chunk of a non-final series still carries the statement flag, because
+    // more chunks of the statement follow (InfluxDB's flags).
+    def seriesChunks(s: Series): Seq[String] = chunkSize match {
       case Some(n) if n > 0 && s.values.size > n =>
         val groups = s.values.grouped(n).toSeq
         groups.zipWithIndex.map { case (vs, gi) =>
-          val partial = gi < groups.size - 1
-          val sj = seriesJson(s.copy(values = vs), partial)
-          if (partial) s"""{"statement_id":$id,"series":[$sj],"partial":true}"""
-          else s"""{"statement_id":$id,"series":[$sj]}"""
+          seriesJson(s.copy(values = vs), partial = gi < groups.size - 1)
         }
-      case _ => Seq(s"""{"statement_id":$id,"series":[${seriesJson(s)}]}""")
+      case _ => Seq(seriesJson(s))
+    }
+    def statementEntries(id: Int, ss: Seq[Series]): Seq[String] = {
+      val chunks = ss.flatMap(seriesChunks)
+      chunks.zipWithIndex.map { case (sj, i) =>
+        if (i < chunks.size - 1) s"""{"statement_id":$id,"series":[$sj],"partial":true}"""
+        else s"""{"statement_id":$id,"series":[$sj]}"""
+      }
     }
     if (perMetricIds) {
       val metricIdx = mutable.LinkedHashMap.empty[String, Int]
       pivoted.foreach { case (m, _) => metricIdx.getOrElseUpdate(m, metricIdx.size) }
-      pivoted.flatMap { case (m, s) => entriesOf(metricIdx(m), s) }
-    } else if (chunkSize.exists(n => pivoted.exists(_._2.values.size > n))) {
-      pivoted.flatMap { case (_, s) => entriesOf(baseId, s) }
+      if (chunkSize.exists(n => n > 0 && pivoted.exists(_._2.values.size > n))) {
+        // group series by statement id (first-seen metric order) so the
+        // statement-level flag spans all of a statement's series
+        val byId = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Series]]
+        pivoted.foreach { case (m, s) =>
+          byId.getOrElseUpdate(metricIdx(m), mutable.ArrayBuffer.empty) += s
+        }
+        byId.toSeq.flatMap { case (id, ss) => statementEntries(id, ss.toSeq) }
+      } else
+        // unchunked reference quirk: one entry per (metric, series) pair
+        pivoted.map { case (m, s) =>
+          s"""{"statement_id":${metricIdx(m)},"series":[${seriesJson(s)}]}"""
+        }
+    } else if (chunkSize.exists(n => n > 0 && pivoted.exists(_._2.values.size > n))) {
+      statementEntries(baseId, pivoted.map(_._2))
     } else Seq(entryJson(baseId, pivoted.map(_._2)))
   }
 
@@ -128,6 +146,7 @@ object Response {
   private def jval(a: Any): String = a match {
     case null                => "null"
     case s: String           => q(s)
+    case xs: Seq[_]          => xs.map(jval).mkString("[", ",", "]")
     case b: Boolean          => b.toString
     case d: Double           => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString
     case n: Number           => n.toString

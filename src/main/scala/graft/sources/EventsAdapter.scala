@@ -42,6 +42,10 @@ object EventsAdapter {
     *    then unix_micros. A direct cast ntz→long is illegal in Spark 4. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin UTC here, not only in entrypoints: the TimestampNTZType branch
+    // below is lossless only under a UTC session tz, and tools/bench mains
+    // must not each have to remember it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     val tsNs: Column = raw.schema("ts").dataType match {

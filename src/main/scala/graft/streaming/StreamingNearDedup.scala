@@ -66,8 +66,12 @@ object StreamingNearDedup {
           .localCheckpoint(true) // consumed by both sinks below
         // accepted BEFORE bands: a crash between the writes replays the
         // batch un-indexed → re-admit → duplicate accepted row
-        // (at-least-once, T5 posture), never a silently dropped doc
-        batch.join(admitted.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        // (at-least-once, T5 posture), never a silently dropped doc.
+        // Admission is anti-join on the REJECTED set, not semi-join on the
+        // admitted band rows: docs too short to shingle (<3 tokens) emit no
+        // band rows, can't collide with anything, and must pass through.
+        val rejected = dupVsStored.union(dupWithin).distinct()
+        batch.join(rejected, Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(cfg.acceptedPath)
         admitted.write.mode("append").parquet(cfg.bandsPath)
       }

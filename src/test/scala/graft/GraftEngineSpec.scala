@@ -68,7 +68,8 @@ class GraftEngineSpec extends AnyFunSuite {
     // SHOW SUBSCRIPTIONS lists the live registry (reference mocks empty)
     val subs = e.query("db3", "SHOW SUBSCRIPTIONS")
     assert(subs.contains(""""name":"db3"""") && subs.contains("sub0"), subs)
-    assert(subs.contains("http://sink"), subs)
+    // destinations is a real JSON array of strings, not a quoted literal
+    assert(subs.contains("""["http://sink"]"""), subs)
   }
 
   test("default transport POSTs the raw body over HTTP; a dead sink never blocks the write") {

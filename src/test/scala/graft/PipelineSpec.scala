@@ -501,4 +501,35 @@ class PipelineSpec extends AnyFunSuite {
         s"$t day ${r.getAs[Long]("day_ms")}: |$x - $mu| <= 2*$sigma")
     }
   }
+
+  test("distributed min-label propagation is byte-identical to driver union-find") {
+    import spark.implicits._
+    // Synthetic graph exercising every shape the loop must get right:
+    // a 20-node chain (diameter 19 — forces many propagation rounds), a
+    // triangle with a redundant duplicate edge, a 2-node component with
+    // reversed id order in the edge list, and edge-free singleton nodes
+    // appended via the anti-join path.
+    val chain = (100L until 119L).map(i => (i, i + 1))
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 3L))
+    val pair = Seq((51L, 50L)) // j < i on purpose
+    val pairs = spark.createDataset(chain ++ triangle ++ pair).toDF("i", "j")
+    val nodes = spark.createDataset(
+      (1L to 3L) ++ (50L to 51L) ++ (100L to 119L) ++ Seq(900L, 901L)).toDF("doc_id")
+    def run(): Map[Long, Long] = Dedup.propagateClusters(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run()
+    assert(Dedup.lastPropagationRounds === 0, "fast path expected at default cap")
+    val saved = Dedup.driverEdgeLimit
+    val viaLoop = try { Dedup.driverEdgeLimit = 0; run() }
+      finally Dedup.driverEdgeLimit = saved
+    assert(viaLoop === viaDriver)
+    // min-label fixpoint: every component labeled by its minimum id
+    assert(viaLoop(119L) === 100L && viaLoop(3L) === 1L && viaLoop(51L) === 50L)
+    assert(viaLoop(900L) === 900L && viaLoop(901L) === 901L)
+    // convergence in ≤ diameter+1 rounds (chain diameter 19, +1 for the
+    // no-change detection round), nowhere near the 64-round backstop
+    assert(Dedup.lastPropagationRounds > 0, "distributed branch must have run")
+    assert(Dedup.lastPropagationRounds <= 20,
+      s"took ${Dedup.lastPropagationRounds} rounds for diameter 19")
+  }
 }

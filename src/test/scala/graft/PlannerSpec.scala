@@ -130,6 +130,30 @@ class PlannerSpec extends AnyFunSuite {
       s"""{"statement_id":0,"series":[{"name":"cpu","tags":{"host":"h1"},"columns":["time","usage_user"],"values":[[$m0,100]]}]}]}""")
   }
 
+  test("chunked statement-level partial spans ALL series of a statement") {
+    import spark.implicits._
+    // series (host=a): 3 points → 2 chunks at chunk_size=2; series (host=b): 1
+    val df = Seq(
+      (1000L, "usage", 1.0, "host", "a", ""),
+      (2000L, "usage", 2.0, "host", "a", ""),
+      (3000L, "usage", 3.0, "host", "a", ""),
+      (1000L, "usage", 9.0, "host", "b", ""))
+      .toDF("time_ms", "name", "value", "labelname", "labelvalue", "message")
+    val entries = Response.selectEntries(Seq("cpu" -> df), baseId = 0,
+      perMetricIds = true, chunkSize = Some(2))
+    assert(entries.size === 3, entries)
+    // chunk 0: mid-series → partial at BOTH series and statement level
+    assert(entries(0).contains(""""values":[[1000,1],[2000,2]],"partial":true}"""), entries(0))
+    assert(entries(0).endsWith("""],"partial":true}"""), entries(0))
+    // chunk 1: LAST chunk of series a but NOT of the statement → no series
+    // flag, statement flag present (InfluxDB keeps result-level partial
+    // until the statement's final chunk)
+    assert(entries(1).contains(""""values":[[3000,3]]}"""), entries(1))
+    assert(entries(1).endsWith("""],"partial":true}"""), entries(1))
+    // chunk 2: the statement's final chunk → no flags anywhere
+    assert(!entries(2).contains(""""partial""""), entries(2))
+  }
+
   test("golden JSON for SHOW MEASUREMENTS and empty result") {
     val json = Response.showJson("measurements", run("SHOW MEASUREMENTS"))
     // column is "name", matching cflux.js:654 / InfluxDB's response shape

@@ -93,8 +93,12 @@ class StreamingIngestSpec extends AnyFunSuite {
     // batch 1: base, its exact dup (within-batch), and an unrelated doc
     stream.addData((1L, base), (2L, base), (3L, other))
     q.processAllAvailable()
-    // batch 2: another copy of base (vs stored index) + a fresh doc
-    stream.addData((4L, base), (5L, base + " with a tiny suffix change"))
+    // batch 2: another copy of base (vs stored index), a fresh doc, and two
+    // docs too short to shingle (<3 tokens → zero band rows) — band-less
+    // docs can't collide with anything so they must be ADMITTED, not
+    // silently dropped (the at-least-once posture)
+    stream.addData((4L, base), (5L, base + " with a tiny suffix change"),
+      (6L, "hi"), (7L, "two words"))
     q.processAllAvailable()
     q.stop()
     val accepted = spark.read.parquet(s"$dir/accepted")
@@ -102,10 +106,14 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(accepted.contains(1L) && accepted.contains(3L), accepted.toSeq)
     assert(!accepted.contains(2L), "within-batch dup must be rejected")
     assert(!accepted.contains(4L), "cross-batch dup must be rejected")
-    // band index holds exactly the admitted docs × Bands rows
+    assert(accepted.contains(6L) && accepted.contains(7L),
+      s"short docs must pass through, got ${accepted.toSeq}")
+    // band index holds exactly the SHINGLED admitted docs × Bands rows
+    // (short docs contribute no band rows)
+    val shingled = accepted.filter(id => id != 6L && id != 7L)
     val bands = spark.read.parquet(s"$dir/bands")
-    assert(bands.select("doc_id").distinct().count() === accepted.length)
-    assert(bands.count() === accepted.length * graft.pipeline.Dedup.Bands)
+    assert(bands.select("doc_id").distinct().count() === shingled.length)
+    assert(bands.count() === shingled.length * graft.pipeline.Dedup.Bands)
   }
 
   test("streaming difference carries per-series state across micro-batches") {
