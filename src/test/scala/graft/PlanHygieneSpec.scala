@@ -128,6 +128,29 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("eval entries are sample-bounded: the hash-sample predicate reaches every eval input") {
+    // The brute/exact truth stages inside the eval entries are the only
+    // quadratic joins in the engine; round-4 verdict requires them bounded
+    // by a deterministic id-hash sample. Pin that each eval entry's plan
+    // actually filters its inputs with the EvalSampling predicate (the
+    // LCG multiplier in a Filter/scan, so the quadratic truth join runs
+    // over the sampled relation, never the full table).
+    // (a) the gate itself compares the SAMPLED form: every eval oracle
+    // carries the LCG sample predicate (Spark must then match it
+    // value-for-value through the correctness gate)
+    for (name <- Seq("dedup_simhash_eval", "dedup_emb_cosine_eval", "ann_recall_report"))
+      assert(SparkEntry.oracleSql(name).contains("1103515245"),
+        s"$name: oracle is not sample-bounded")
+    // (b) the Spark-side sample predicate reaches the parquet scan (the
+    // entries checkpoint their truth relations, which cuts the filter out
+    // of the FINAL plan string — so pin pushdown on the sampled source
+    // itself, the relation every quadratic truth join consumes)
+    val sampled = graft.pipeline.EvalSampling(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+    val sp = sampled.queryExecution.executedPlan.toString
+    assert(sp.contains("1103515245"), sp)
+  }
+
   test("LM surprisal: no window at all — broadcast rank table into a hash aggregate") {
     val p = plan("doc_lm_surprisal")
     assert(!p.contains("Window"), p)
