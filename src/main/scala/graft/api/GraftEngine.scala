@@ -177,22 +177,71 @@ class GraftEngine(
     * points additionally splits into N-point chunks flagged
     * `"partial":true` until its last (InfluxDB's per-series chunking). */
   def queryChunks(db: String, q: String, epoch: Option[String],
-                  chunkSize: Option[Int] = None): Seq[String] = {
-    val es = queryEntries(db, q, epoch, chunkSize)
-    if (es.isEmpty) Seq(Response.emptyResult)
-    else es.map(e => s"""{"results":[$e]}""")
+                  chunkSize: Option[Int] = None): Seq[String] =
+    queryChunkStream(db, q, epoch, chunkSize).toSeq
+
+  /** Streaming chunked response: SELECT statements pull rows through
+    * `toLocalIterator` and emit each chunk as it fills
+    * ([[Response.selectEntryStream]]) — driver memory bounded by chunk
+    * size, never the result size (the reference's row streaming,
+    * cflux.js:792-810). `chunked=true` without `chunk_size` uses
+    * InfluxDB's 10000-point default. Non-SELECT statements (SHOW/DDL) are
+    * cardinality-bounded and keep the eager path. */
+  def queryChunkStream(db: String, q: String, epoch: Option[String],
+                       chunkSize: Option[Int] = None): Iterator[String] = {
+    val n = chunkSize.getOrElse(Response.DefaultChunkSize)
+    val timeScale = epochScale(epoch)
+    def wrap(e: String) = s"""{"results":[$e]}"""
+    def stmtStream(st: Ast.Statement, id: Int, perMetricIds: Boolean): Iterator[String] =
+      st match {
+        case s: Ast.Select if s.into.isEmpty =>
+          try {
+            val per = selectPer(db, s)
+            if (per.isEmpty) Iterator(wrap(s"""{"statement_id":$id}"""))
+            else {
+              val chunks = Response
+                .selectEntryStream(per, id, perMetricIds, timeScale, n).map(wrap)
+              // an empty result still answers with a bare statement entry
+              if (chunks.hasNext) chunks
+              else Iterator(wrap(s"""{"statement_id":$id}"""))
+            }
+          } catch {
+            case _: Planner.UnknownMeasurement =>
+              Iterator(wrap(s"""{"statement_id":$id}"""))
+            case e: IllegalArgumentException => Iterator(wrap(
+              s"""{"statement_id":$id,"error":"${Response.jsonEscape(e.getMessage)}"}"""))
+            case scala.util.control.NonFatal(_) =>
+              Iterator(wrap(s"""{"statement_id":$id}"""))
+          }
+        case other =>
+          statementEntries(db, other, id, perMetricIds, timeScale, Some(n))
+            .iterator.map(wrap)
+      }
+    val out = InfluxQlParser.parseAllLenient(q) match {
+      case Seq() => Iterator(wrap(s"""{"statement_id":0}"""))
+      case Seq(Left(_)) => Iterator(wrap(s"""{"statement_id":0}"""))
+      case Seq(Right(single)) => stmtStream(single, 0, perMetricIds = true)
+      case stmts => stmts.zipWithIndex.iterator.flatMap {
+        case (Right(st), i) => stmtStream(st, i, perMetricIds = false)
+        case (Left(err), i) => Iterator(wrap(
+          s"""{"statement_id":$i,"error":"${Response.jsonEscape(err)}"}"""))
+      }
+    }
+    if (out.hasNext) out else Iterator(Response.emptyResult)
+  }
+
+  private def epochScale(epoch: Option[String]): Long => Long = epoch match {
+    case Some("s")         => _ / 1000L
+    case Some("m")         => _ / 60000L
+    case Some("h")         => _ / 3600000L
+    case Some("u" | "us")  => _ * 1000L
+    case Some("ns")        => _ * 1000000L
+    case _                 => identity
   }
 
   private def queryEntries(db: String, q: String, epoch: Option[String],
                            chunkSize: Option[Int] = None): Seq[String] = {
-    val timeScale: Long => Long = epoch match {
-      case Some("s")         => _ / 1000L
-      case Some("m")         => _ / 60000L
-      case Some("h")         => _ / 3600000L
-      case Some("u" | "us")  => _ * 1000L
-      case Some("ns")        => _ * 1000000L
-      case _                 => identity
-    }
+    val timeScale: Long => Long = epochScale(epoch)
     InfluxQlParser.parseAllLenient(q) match {
       case Seq() => Seq(s"""{"statement_id":0}""")
       case Seq(Left(_)) => Seq(s"""{"statement_id":0}""") // single bad statement: reference shape
@@ -207,6 +256,34 @@ class GraftEngine(
           case (Left(err), i) =>
             Seq(s"""{"statement_id":$i,"error":"${Response.jsonEscape(err)}"}""")
         }
+    }
+  }
+
+  /** Per-measurement planned DataFrames of a SELECT (shared by the eager
+    * and streaming response paths). */
+  private def selectPer(db: String, s: Ast.Select): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    val cat = catalog(db)
+    s.from.regex match {
+      case Some(pattern) =>
+        // regex FROM: plan per matched measurement so each series is
+        // named after its own measurement (InfluxDB shape)
+        Planner.regexMeasurements(cat, pattern).map { m =>
+          m -> Planner.planSelect(spark,
+            s.copy(from = s.from.copy(measurement = m, regex = None)), cat, nowMs())
+        }
+      case None if s.fromMulti.nonEmpty =>
+        // FROM "a", "b": plan per measurement so each one's series
+        // carry their own measurement name (InfluxDB shape); refs
+        // that don't exist contribute nothing instead of blanking
+        // the whole statement
+        (s.from +: s.fromMulti)
+          .filter(r => cat.measurements.contains(r.measurement))
+          .map { r =>
+            r.measurement -> Planner.planSelect(spark,
+              s.copy(from = r, fromMulti = Nil), cat, nowMs())
+          }
+      case None =>
+        Seq(s.from.measurement -> Planner.planSelect(spark, s, cat, nowMs()))
     }
   }
 
@@ -235,29 +312,7 @@ class GraftEngine(
         // moving_average without a window) DO surface as a per-statement
         // error object, like InfluxDB's.
         try {
-          val cat = catalog(db)
-          val per = s.from.regex match {
-            case Some(pattern) =>
-              // regex FROM: plan per matched measurement so each series is
-              // named after its own measurement (InfluxDB shape)
-              Planner.regexMeasurements(cat, pattern).map { m =>
-                m -> Planner.planSelect(spark,
-                  s.copy(from = s.from.copy(measurement = m, regex = None)), cat, nowMs())
-              }
-            case None if s.fromMulti.nonEmpty =>
-              // FROM "a", "b": plan per measurement so each one's series
-              // carry their own measurement name (InfluxDB shape); refs
-              // that don't exist contribute nothing instead of blanking
-              // the whole statement
-              (s.from +: s.fromMulti)
-                .filter(r => cat.measurements.contains(r.measurement))
-                .map { r =>
-                  r.measurement -> Planner.planSelect(spark,
-                    s.copy(from = r, fromMulti = Nil), cat, nowMs())
-                }
-            case None =>
-              Seq(s.from.measurement -> Planner.planSelect(spark, s, cat, nowMs()))
-          }
+          val per = selectPer(db, s)
           if (per.isEmpty) bare
           else Response.selectEntries(per, id, perMetricIds, timeScale, chunkSize)
         }

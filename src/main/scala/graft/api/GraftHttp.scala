@@ -113,12 +113,29 @@ final class GraftHttp(engine: GraftEngine, port: Int = 0,
     val chunkSize = p.get("chunk_size").orElse(fromBody.get("chunk_size"))
       .flatMap(_.toIntOption).filter(_ > 0)
     try {
-      if (chunked) respond(ex, 200,
-        engine.queryChunks(db, q, epoch, chunkSize).mkString("\n") + "\n")
+      if (chunked) respondStream(ex, engine.queryChunkStream(db, q, epoch, chunkSize))
       else respond(ex, 200, engine.query(db, q, epoch))
     }
     catch { case scala.util.control.NonFatal(_) => respond(ex, 200, graft.query.Response.emptyResult) }
   })
+
+  /** Newline-delimited streaming response (chunked transfer encoding):
+    * each results document is written as the engine produces it, so
+    * driver/server memory never holds the full result — the whole point
+    * of `chunked=true` (reference streams rows, cflux.js:792-810).
+    * Honors Accept-Encoding: gzip by wrapping the stream. */
+  private def respondStream(ex: HttpExchange, docs: Iterator[String]): Unit = {
+    val gz = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (gz) ex.getResponseHeaders.set("Content-Encoding", "gzip")
+    ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer encoding
+    val out =
+      if (gz) new java.util.zip.GZIPOutputStream(ex.getResponseBody)
+      else ex.getResponseBody
+    try docs.foreach { d => out.write((d + "\n").getBytes(StandardCharsets.UTF_8)) }
+    finally { out.close(); ex.close() }
+  }
 
   /** Bind and serve; returns the bound port (useful with port=0). */
   def start(): Int = { server.start(); server.getAddress.getPort }

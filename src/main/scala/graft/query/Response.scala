@@ -17,7 +17,10 @@ object Response {
 
   /** Pivot the planner's SELECT output (time_ms, name, value, labelname,
     * labelvalue, message). Call only at the API boundary, on a result that
-    * is already bounded (honored LIMIT / aggregated) — never mid-plan.
+    * is already bounded (honored LIMIT / aggregated) — never mid-plan. A
+    * single JSON document necessarily holds its whole result; unbounded
+    * raw SELECTs belong on the chunked path ([[selectEntryStream]]), which
+    * streams via toLocalIterator instead of collecting.
     *
     * Shape per cflux.js:815-832: series name = the MEASUREMENT, columns
     * ["time", metric], one series per (metric, tagKey, tagValue) — each an
@@ -106,6 +109,92 @@ object Response {
       statementEntries(baseId, pivoted.map(_._2))
     } else Seq(entryJson(baseId, pivoted.map(_._2)))
   }
+
+  /** InfluxDB's default chunk size when `chunked=true` arrives without an
+    * explicit `chunk_size`. */
+  val DefaultChunkSize = 10000
+
+  /** Streaming form of [[selectEntries]] for chunked responses: rows are
+    * pulled through `toLocalIterator` (one partition resident at a time,
+    * never a full `collect()`), accumulated into per-series buffers of at
+    * most `chunkSize` points, and emitted as complete results documents as
+    * they fill. Driver memory is bounded by (open series × chunkSize)
+    * points plus one held-back chunk per statement — independent of total
+    * result size, so a raw un-LIMITed SELECT streams instead of buffering
+    * (the reference's row streaming, cflux.js:792-810).
+    *
+    * Flag semantics match [[selectEntries]]: series-level "partial" on a
+    * chunk iff more points of THAT series follow (a full buffer is only
+    * emitted when its overflow point arrives, so the flag is never a
+    * guess); statement-level "partial" on every chunk but the statement's
+    * final one (one-chunk hold-back per statement id). Chunks of different
+    * series interleave in row order — protocol-legal, and the price of not
+    * buffering the result. */
+  def selectEntryStream(per: Seq[(String, DataFrame)], baseId: Int,
+                        perMetricIds: Boolean,
+                        timeScale: Long => Long = identity,
+                        chunkSize: Int = DefaultChunkSize): Iterator[String] =
+    new Iterator[String] {
+      import scala.jdk.CollectionConverters._
+      private val rows: Iterator[(String, Row)] = per.iterator.flatMap {
+        case (m, df) => df.toLocalIterator().asScala.map(r => (m, r))
+      }
+      private val metricIdx = mutable.LinkedHashMap.empty[String, Int]
+      // key: (measurement, metric, labelKey, labelValue); insertion-ordered
+      // so the end-of-stream flush preserves first-seen series order
+      private val buffers =
+        mutable.LinkedHashMap.empty[(String, String, String, String), mutable.ArrayBuffer[Seq[Any]]]
+      private val held = mutable.LinkedHashMap.empty[Int, String]
+      private val ready = mutable.Queue.empty[String]
+      private var flushed = false
+
+      private def stmtId(metric: String): Int =
+        if (perMetricIds) metricIdx.getOrElseUpdate(metric, metricIdx.size) else baseId
+
+      private def pushChunk(id: Int, sj: String): Unit = {
+        held.remove(id).foreach { prev =>
+          ready += s"""{"statement_id":$id,"series":[$prev],"partial":true}"""
+        }
+        held(id) = sj
+      }
+
+      private def advance(): Unit = {
+        while (ready.isEmpty && rows.hasNext) {
+          val (meas, r) = rows.next()
+          val name = r.getAs[String]("name")
+          val key = (meas, name, r.getAs[String]("labelname"), r.getAs[String]("labelvalue"))
+          val msg = r.getAs[String]("message")
+          val v: Any =
+            if (msg != null && msg.nonEmpty) msg
+            else if (r.isNullAt(r.fieldIndex("value"))) null
+            else r.getAs[Double]("value")
+          val buf = buffers.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+          if (buf.size >= chunkSize) {
+            // overflow point arrived → the buffered chunk is provably partial
+            pushChunk(stmtId(name), seriesJson(
+              Series(meas, Map(key._3 -> key._4), Seq("time", name), buf.toSeq),
+              partial = true))
+            buf.clear()
+          }
+          buf += Seq(timeScale(r.getAs[Long]("time_ms")), v)
+        }
+        if (ready.isEmpty && !rows.hasNext && !flushed) {
+          flushed = true
+          buffers.iterator.filter(_._2.nonEmpty).foreach {
+            case ((meas, name, lk, lv), buf) =>
+              pushChunk(stmtId(name),
+                seriesJson(Series(meas, Map(lk -> lv), Seq("time", name), buf.toSeq)))
+          }
+          held.foreach { case (id, sj) =>
+            ready += s"""{"statement_id":$id,"series":[$sj]}"""
+          }
+          held.clear()
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); ready.nonEmpty }
+      override def next(): String = { advance(); ready.dequeue() }
+    }
 
   /** One results[] entry: bare statement id when there are no series. */
   def entryJson(id: Int, series: Seq[Series]): String =

@@ -35,6 +35,35 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(json.contains("[1735689540000,30]"))
   }
 
+  test("streaming chunked SELECT: per-chunk emission, series + statement partial flags") {
+    val e = newEngine()
+    // two series: host=a with 5 raw points, host=b with 1
+    e.write("chdb", (1 to 5).map(i =>
+      s"cpu,host=a usage=$i 17356895${40 + i}000000000").mkString("\n") +
+      "\ncpu,host=b usage=9 1735689541000000000")
+    val q = """SELECT "usage" FROM "cpu" WHERE time > now() - 5m"""
+    val chunks = e.queryChunkStream("chdb", q, None, Some(2)).toSeq
+    // host=a: 5 points → chunks of 2,2,1; host=b: 1 point → 1 chunk = 4 docs
+    assert(chunks.size === 4, chunks)
+    chunks.foreach(c => assert(c.startsWith("""{"results":[""") && c.endsWith("]}"), c))
+    val aChunks = chunks.filter(_.contains(""""tags":{"host":"a"}"""))
+    val bChunks = chunks.filter(_.contains(""""tags":{"host":"b"}"""))
+    assert(aChunks.size === 3 && bChunks.size === 1)
+    // series-level flag sits INSIDE the series object, right after values
+    assert(aChunks(0).contains("""]],"partial":true}"""), aChunks(0))
+    assert(aChunks(1).contains("""]],"partial":true}"""), aChunks(1))
+    assert(!aChunks(2).contains("""]],"partial":true}"""), aChunks(2))
+    assert(!bChunks(0).contains("""]],"partial":true}"""), bChunks(0))
+    // statement-level: every doc but the statement's final one is partial
+    chunks.init.foreach(c => assert(c.endsWith("""],"partial":true}]}"""), c))
+    assert(!chunks.last.endsWith("""],"partial":true}]}"""), chunks.last)
+    // every point arrives exactly once across chunks
+    val pts = chunks.flatMap("""\[17356895\d\d000,(\d+)\]""".r.findAllMatchIn(_).map(_.group(1)))
+    assert(pts.sorted === Seq("1", "2", "3", "4", "5", "9"), pts)
+    // the eager wrapper sees the same documents
+    assert(e.queryChunks("chdb", q, None, Some(2)) === chunks)
+  }
+
   test("multi-measurement catalog: per-measurement isolation + SHOW MEASUREMENTS") {
     val e = newEngine()
     e.write("db1",
