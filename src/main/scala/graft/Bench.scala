@@ -14,9 +14,17 @@ object Bench {
     // dominated by Janino compilation of the generated stages, which a
     // long-lived cluster pays once — measure plan cost, not JIT.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-    }
+    // warmup failures are logged (first per query) — a query broken at
+    // warmup-SF only must not vanish silently (round-4 verdict item 6)
+    val warmFailed = scala.collection.mutable.Set[String]()
+    def warm(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String): Unit =
+      try { fn(spark, dir).count(); () } catch { case e: Throwable =>
+        if (warmFailed.add(name)) System.err.println(
+          s"[bench] warmup $name FAILED at $dir: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
+      }
+    SparkEntry.queries.foreach { case (name, fn) => warm(name, fn, warmDir) }
     // The heavy dedup queries get one untimed pass at the TARGET SF too:
     // AQE picks different physical joins at sf0.1 than sf0.001 (size
     // thresholds), so their codegen stages would otherwise Janino-compile
@@ -24,9 +32,7 @@ object Bench {
     // cluster pays, and what we want to measure.
     Seq("dedup_keep_best", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_clusters", "dedup_simhash").foreach { q =>
-      SparkEntry.queries.get(q).foreach { fn =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
+      SparkEntry.queries.get(q).foreach(fn => warm(q, fn, sfDir))
     }
     // A query that crashes must NOT report its time-to-crash as if it were a
     // query time (round-3 postmortem): failures surface in an "errors" field
@@ -54,6 +60,35 @@ object Bench {
       }.min
       name -> t
     }
+    // ---- engine-store partition pruning (round-4 verdict item 7) ----
+    // Every ts_* entry reads the in-memory adapter catalog; the layout a
+    // deployment actually queries is the hour-partitioned store the engine
+    // WRITES. Load the target SF's events once (untimed — a store ingests
+    // once, queries many times), then time a 1-hour-window query THROUGH
+    // the engine: partition pruning on hour= is what pays here.
+    val storeTime: Double =
+      try {
+        import spark.implicits._
+        val storeRoot = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
+        val engine = new graft.api.GraftEngine(spark, storeRoot, () => SparkEntry.NowMs)
+        engine.writeLines("bench", graft.sources.EventsAdapter.asLineProtocol(
+          graft.sources.EventsAdapter.events(spark, sfDir)).as[String])
+        // absolute 1-hour window inside the events range (the table spans
+        // Jan 2024): pruning must cut the ~720 hour= partitions to 1-2
+        val q = """SELECT mean("value") FROM "events" WHERE time >= '2024-01-15 00:00:00' AND time < '2024-01-15 01:00:00' GROUP BY time(5m)"""
+        engine.query("bench", q) // untimed Janino warmup
+        (1 to 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          engine.query("bench", q)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch { case e: Throwable =>
+        errors.getOrElseUpdate("store_hour_prune",
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        -1.0
+      }
+
     // The driver keeps only a bounded tail of stdout; a per-query map over
     // all ~80 entries overflows it and the JSON line gets truncated
     // (BENCH_r02 parsed:null). Report the headline subset — one per operator
@@ -101,9 +136,10 @@ object Bench {
       // round-4 (current) additions
       "dedup_emb_cosine_eval", "ts_select_math_log", "emb_hard_negatives",
       "doc_pii_scrub")
-    val qs = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
+      f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
+    val total = (results.values.filter(_ >= 0) ++
+      Some(storeTime).filter(_ >= 0)).sum
     val errField =
       if (errors.isEmpty) """"errors":0"""
       else s""""errors":${errors.size},"error_queries":${errors.keys.map(k => s""""$k"""").mkString("[", ",", "]")}"""

@@ -118,8 +118,19 @@ class GraftEngine(
     *                  one of ns (default), u/us, ms, s. */
   def write(db: String, body: String, precision: String = "ns"): Unit = {
     import spark.implicits._
-    createDatabase(db)
     subscriptions.get(db).foreach { case (_, _, post) => post(body) }
+    writeLines(db,
+      spark.createDataset(body.split("\n").toSeq.filter(_.nonEmpty)), precision)
+  }
+
+  /** Distributed bulk form of [[write]]: ingest an already-distributed
+    * Dataset of line-protocol strings — the 100 TB ingest shape (a crawl
+    * dump / Kafka topic maps to lines without ever materializing a body
+    * on the driver). Subscription fan-out is NOT invoked here: it
+    * forwards raw HTTP write bodies, which a bulk load doesn't have. */
+  def writeLines(db: String, lines: org.apache.spark.sql.Dataset[String],
+                 precision: String = "ns"): Unit = {
+    createDatabase(db)
     val toNs: Long = precision match {
       case "ns" => 1L
       case "u" | "us" => 1000L
@@ -127,7 +138,6 @@ class GraftEngine(
       case "s" => 1000000000L
       case other => throw new IllegalArgumentException(s"bad precision: $other")
     }
-    val lines = spark.createDataset(body.split("\n").toSeq.filter(_.nonEmpty))
     val batch = Ingest.fromLines(lines, nowMs(), tsToNs = toNs, materializeParsed = true)
     Ingest.writeSamples(batch.samples, samplesPath(db))
     val novel =

@@ -46,6 +46,22 @@ object Planner {
   }
 
   /** Resolve the four WHERE-time shapes of cflux.js:702-727 to [fromMs, toMs]. */
+  /** Time bounds over a samples relation: the timestamp_ms range PLUS the
+    * derived hour-bucket bounds. The hour predicate is what actually
+    * partition-prunes the engine's `hour=`-partitioned store — pruning
+    * needs a predicate on the partition column itself; timestamp_ms alone
+    * only buys row-group skipping after the file is listed. (Reference
+    * analogue: PREWHERE minute BETWEEN, cflux.js:765.) */
+  private def timeFiltered(samples: DataFrame, fromMs: Long, toMs: Long): DataFrame = {
+    val base = samples.filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
+    // subquery-inner relations have no hour column — only stored/adapter
+    // samples carry the partition key
+    if (samples.columns.contains("hour"))
+      base.filter(col("hour") >= graft.model.TimeUnits.msToHourBucket(fromMs) &&
+        col("hour") <= graft.model.TimeUnits.msToHourBucket(toMs))
+    else base
+  }
+
   def resolveTime(b: Ast.TimeBounds, nowMs: Long): (Long, Long) = {
     def eval(te: Ast.TimeExpr): Long = evalTime(te, nowMs)
     // fallback window = 300 s, matching cflux.js:719-726
@@ -397,8 +413,12 @@ object Planner {
         s.tagFilters, s.groupByTags, s.tagOrGroups)
       val timed0 = samples
         // time filter FIRST: prunes hour partitions + parquet row groups
-        // before the join (reference PREWHERE minute BETWEEN, cflux.js:765)
-        .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
+        // before the join (reference PREWHERE minute BETWEEN, cflux.js:765).
+        // The redundant hour-bucket bounds are what actually PRUNE a
+        // `hour=`-partitioned store: partition pruning needs a predicate
+        // on the partition column itself — timestamp_ms only buys
+        // row-group skipping after the file is already listed.
+        .transform(timeFiltered(_, fromMs, toMs))
         // ANY INNER JOIN USING(fingerprint) with broadcast series side (J1)
         .join(broadcast(series), Seq("fingerprint"))
       // WHERE field-value conjuncts apply to RAW points BEFORE any
@@ -434,7 +454,7 @@ object Planner {
           val fps = fpTag.filter(col("name") === fn)
             .select("fingerprint", "__tagkey")
           val q0 = samples
-            .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
+            .transform(timeFiltered(_, fromMs, toMs))
             .join(broadcast(fps), Seq("fingerprint"))
           ffs.foldLeft(q0)(opFilter)
             .select(col("__tagkey"), col("timestamp_ms"))
@@ -687,7 +707,7 @@ object Planner {
         val series = seriesSideMulti(cat.seriesIndex, s.from.measurement, metrics,
           s.tagFilters, s.groupByTags, s.tagOrGroups)
         val timed = samples
-          .filter(col("timestamp_ms") >= fromMs && col("timestamp_ms") <= toMs)
+          .transform(timeFiltered(_, fromMs, toMs))
           .join(broadcast(series), Seq("fingerprint"))
         val gKeys = (if (s.groupByTags.nonEmpty) Nil else Seq(col("fingerprint"))) ++
           Seq(col("time_ms"), col("name"),

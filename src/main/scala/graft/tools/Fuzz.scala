@@ -1,0 +1,188 @@
+package graft.tools
+
+import graft.SparkEntry.{FromNs, ToNs}
+import graft.query.{InfluxQlParser, Planner}
+import graft.sources.EventsAdapter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Differential InfluxQL fuzzing against the DuckDB oracle (round-4
+  * verdict item 3): the 89 curated `ts_*` entries exercise shapes the
+  * builder thought of; this generator sweeps the supported grammar
+  * cross-product — aggregate × bucket × tag predicate × time range
+  * (× LIMIT/OFFSET where the inner order is total) — emitting paired
+  * (InfluxQL, DuckDB SQL) cases the `check_oracle.py` harness compares
+  * value-for-value.
+  *
+  * Usage: `graft.tools.Fuzz <sfDir> <outDir> [nCases]` writes one parquet
+  * dir per case plus `oracle_sql.json`, the exact layout `Verify` emits,
+  * then `python3 tools/check_oracle.py <sfDir> <outDir>` gates it.
+  * `tools/fuzz_check.sh` wraps both. Case selection is a deterministic
+  * coprime stride over the full cross-product — the same `n` always
+  * replays the same cases.
+  */
+object Fuzz {
+
+  final case class FuzzCase(name: String, influxQl: String, oracleSql: String)
+
+  // aggregate functions with exact oracle formulas (quantized via
+  // floor(x*100) on both sides, like every ts_select entry)
+  private val Fns = Seq(
+    "mean" -> "avg(value)",
+    "sum" -> "sum(value)",
+    "min" -> "min(value)",
+    "max" -> "max(value)",
+    "count" -> "count(value)",
+    "spread" -> "max(value) - min(value)")
+
+  private val Buckets = Seq(
+    "1m" -> 60000L, "10m" -> 600000L, "30m" -> 1800000L,
+    "1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
+
+  // (influx fragment, duckdb fragment, singleSeries)
+  private val TagPreds = Seq(
+    ("", "", false),
+    (""" AND "event_type" = 'click'""", " AND event_type = 'click'", false),
+    (""" AND "user_id" = '7'""", " AND user_id = 7", false),
+    (""" AND "event_type" = 'click' AND "user_id" = '7'""",
+      " AND event_type = 'click' AND user_id = 7", true),
+    (""" AND "event_type" != 'click'""", " AND event_type <> 'click'", false),
+    (""" AND ("event_type" = 'click' OR "event_type" = 'view')""",
+      " AND (event_type = 'click' OR event_type = 'view')", false))
+
+  // strict ns bounds inside the events window (Jan 2024); resolveTime
+  // maps `time > X` to X/1e6 + 1 ms and `time < Y` to Y/1e6 - 1 ms
+  private val Ranges: Seq[(Long, Long)] = Seq(
+    (FromNs, ToNs),
+    (FromNs, FromNs + 7L * 86400000L * 1000000L),             // first week
+    (FromNs + 10L * 86400000L * 1000000L,
+      FromNs + 13L * 86400000L * 1000000L))                   // days 10-13
+
+  // LIMIT/OFFSET only where the inner order is total (single series)
+  private val Limits = Seq((50, 0), (100, 25), (7, 3))
+
+  /** Full cross-product, in a fixed order. */
+  def allCases: Vector[FuzzCase] = {
+    val base = for {
+      (fn, fnSql) <- Fns.toVector
+      (bName, bMs) <- Buckets
+      pi <- TagPreds.indices
+      ri <- Ranges.indices
+    } yield mk(fn, fnSql, bName, bMs, pi, ri, None)
+    val limited = for {
+      (fn, fnSql) <- Fns.toVector
+      (bName, bMs) <- Buckets
+      pi <- TagPreds.indices if TagPreds(pi)._3
+      ri <- Ranges.indices
+      lim <- Limits
+    } yield mk(fn, fnSql, bName, bMs, pi, ri, Some(lim))
+    base ++ limited
+  }
+
+  /** Deterministic n-case subset: coprime stride walk over [[allCases]]
+    * (stride 389 is prime and ≠ any divisor of realistic sizes). */
+  def cases(n: Int): Vector[FuzzCase] = {
+    val all = allCases
+    val stride = 389
+    require(all.size % stride != 0)
+    (0 until math.min(n, all.size)).map(i => all((i * stride) % all.size)).toVector
+      .distinct
+  }
+
+  private def mk(fn: String, fnSql: String, bName: String, bMs: Long,
+                 pi: Int, ri: Int, lim: Option[(Int, Int)]): FuzzCase = {
+    val (influxPred, sqlPred, _) = TagPreds(pi)
+    val (fromNs, toNs) = Ranges(ri)
+    val limClause = lim.map { case (n, o) =>
+      if (o == 0) s" LIMIT $n" else s" LIMIT $n OFFSET $o"
+    }.getOrElse("")
+    val q = s"""SELECT $fn("value") FROM "events" WHERE time > $fromNs AND time < $toNs$influxPred GROUP BY time($bName)$limClause"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val inner =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         CAST(floor(($fnSql) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs$sqlPred
+         |  GROUP BY 1, 2, 3),
+         |u AS (
+         |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |         event_type AS labelvalue, '' AS message FROM g
+         |  UNION ALL
+         |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |         user_id AS labelvalue, '' AS message FROM g)""".stripMargin
+    val sql = lim match {
+      case None =>
+        s"""$inner
+           |SELECT * FROM u
+           |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+      case Some((n, o)) =>
+        val off = if (o == 0) "" else s" OFFSET $o"
+        s"""$inner,
+           |l AS (SELECT * FROM u ORDER BY time_ms, name, labelname, labelvalue, message LIMIT $n$off)
+           |SELECT * FROM l
+           |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    }
+    val slug = s"${fn}_${bName}_p${pi}_r$ri" +
+      lim.map(l => s"_l${l._1}o${l._2}").getOrElse("")
+    FuzzCase(s"fuzz_$slug", q, sql)
+  }
+
+  /** Run a case through the real parse → plan path and quantize exactly
+    * like the `ts_select_*` entries (shared contract with the oracle). */
+  def run(spark: SparkSession, cat: graft.query.TsCatalog, c: FuzzCase): DataFrame = {
+    val stmt = InfluxQlParser.parse(c.influxQl)
+      .fold(e => sys.error(s"parse ${c.name}: $e"), identity)
+    Planner.plan(spark, stmt, cat, graft.SparkEntry.NowMs)
+      .withColumn("value", floor(col("value") * 100).cast("long"))
+      .orderBy("time_ms", "name", "labelname", "labelvalue", "message", "value")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 500
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cat0 = EventsAdapter.catalog(spark, sfDir)
+    // materialize the shared samples relation once — 500 plans would
+    // otherwise re-scan/re-derive the adapter lineage per case
+    val cat = cat0.copy(measurements =
+      cat0.measurements.map { case (k, v) => k -> v.localCheckpoint(true) })
+    val cs = cases(n)
+    var failed = 0
+    val sqlJson = new StringBuilder("{")
+    cs.zipWithIndex.foreach { case (c, i) =>
+      try {
+        run(spark, cat, c).write.mode("overwrite").parquet(s"$outDir/${c.name}")
+        if (sqlJson.length > 1) sqlJson.append(",")
+        sqlJson.append(s""""${c.name}":${jsonStr(c.oracleSql)}""")
+      } catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[fuzz] ${c.name} FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      if ((i + 1) % 50 == 0) System.err.println(s"[fuzz] ${i + 1}/${cs.size}")
+    }
+    sqlJson.append("}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "oracle_sql.json"),
+      sqlJson.toString.getBytes("UTF-8"))
+    System.err.println(s"[fuzz] ${cs.size - failed}/${cs.size} planned+dumped ok")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
