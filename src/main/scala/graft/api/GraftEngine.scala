@@ -68,8 +68,20 @@ class GraftEngine(
   private val seriesIndexCache =
     TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
-  private def invalidateSeriesIndex(db: String): Unit =
+  /** Per-db stored-samples relation, cached so repeated queries reuse one
+    * partition file listing (an hour-partitioned year is ~8.7k dirs — the
+    * listing, not the pruned read, dominated repeated narrow queries).
+    * Partition pruning happens per-query against the cached FileIndex;
+    * every write/drop invalidates alongside the series index. */
+  private val samplesRelCache =
+    TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** Invalidates BOTH per-db relation caches (every mutation site calls
+    * this: write, INTO, drops, retention enforcement). */
+  private def invalidateSeriesIndex(db: String): Unit = {
     seriesIndexCache.remove(db).foreach(_.unpersist(blocking = false))
+    samplesRelCache.remove(db)
+  }
 
   private def seriesIndexFinal(db: String): org.apache.spark.sql.DataFrame =
     seriesIndexCache.getOrElseUpdate(db, {
@@ -161,7 +173,8 @@ class GraftEngine(
     val measurements =
       if (measurementNames.isEmpty) Map.empty[String, org.apache.spark.sql.DataFrame]
       else {
-        val samples = spark.read.parquet(samplesPath(db))
+        val samples = samplesRelCache.getOrElseUpdate(db,
+          spark.read.parquet(samplesPath(db)))
         measurementNames.map(m => m -> samples.filter(col("measurement") === m)).toMap
       }
     TsCatalog(databases.keys.toSeq.sorted, measurements, seriesIndexFinal(db))
@@ -791,6 +804,8 @@ class GraftEngine(
         }
       }
     }
+    // rewritten files ≠ the cached FileIndex's listing — drop it
+    if (done > 0) invalidateSeriesIndex(db)
     done
   }
 
@@ -832,16 +847,18 @@ class GraftEngine(
       }.min
       val base = new Path(samplesPath(db))
       val fs = hadoopFs(base)
+      var dropped = false
       if (fs.exists(base)) fs.listStatus(base).foreach { mdir =>
         if (mdir.getPath.getName.startsWith("measurement="))
           fs.listStatus(mdir.getPath).foreach { st =>
             val name = st.getPath.getName
             if (name.startsWith("hour=")) {
               val hourEnd = name.stripPrefix("hour=").toLong * 3600000L + 3599999L
-              if (hourEnd < cutoff) fs.delete(st.getPath, true)
+              if (hourEnd < cutoff) { fs.delete(st.getPath, true); dropped = true }
             }
           }
       }
+      if (dropped) invalidateSeriesIndex(db)
     }
   }
 
@@ -930,6 +947,7 @@ class GraftEngine(
         }
       }
     }
+    invalidateSeriesIndex(db)
   }
 
   /** Export a measurement's stored points as InfluxDB line protocol —

@@ -76,7 +76,21 @@ object Fuzz {
       ri <- Ranges.indices
       lim <- Limits
     } yield mk(fn, fnSql, bName, bMs, pi, ri, Some(lim))
-    base ++ limited
+    // GROUP BY time(X), "event_type": label rows collapse to the grouped
+    // tag only; aggregation spans user_ids within each (bucket, type)
+    val grouped = for {
+      (fn, fnSql) <- Fns.toVector
+      (bName, bMs) <- Buckets
+      pi <- TagPreds.indices if !TagPreds(pi)._3
+      ri <- Ranges.indices
+    } yield mkGroupBy(fn, fnSql, bName, bMs, pi, ri)
+    // ORDER BY time DESC over the single-series predicate (total order)
+    val desc = for {
+      (fn, fnSql) <- Fns.toVector
+      (bName, bMs) <- Buckets
+      ri <- Ranges.indices
+    } yield mkDesc(fn, fnSql, bName, bMs, ri)
+    base ++ limited ++ grouped ++ desc
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -130,14 +144,65 @@ object Fuzz {
     FuzzCase(s"fuzz_$slug", q, sql)
   }
 
+  private def mkGroupBy(fn: String, fnSql: String, bName: String, bMs: Long,
+                        pi: Int, ri: Int): FuzzCase = {
+    val (influxPred, sqlPred, _) = TagPreds(pi)
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $fn("value") FROM "events" WHERE time > $fromNs AND time < $toNs$influxPred GROUP BY time($bName), "event_type""""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, event_type,
+         |         CAST(floor(($fnSql) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs$sqlPred
+         |  GROUP BY 1, 2)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM g
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${fn}_${bName}_p${pi}_r${ri}_gbtag", q, sql)
+  }
+
+  private def mkDesc(fn: String, fnSql: String, bName: String, bMs: Long,
+                     ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $fn("value") FROM "events" WHERE time > $fromNs AND time < $toNs AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time($bName) ORDER BY time DESC"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms,
+         |         CAST(floor(($fnSql) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |    AND event_type = 'click' AND user_id = 7
+         |  GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |         'click' AS labelvalue, '' AS message FROM g
+         |  UNION ALL
+         |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |         '7' AS labelvalue, '' AS message FROM g)
+         |ORDER BY time_ms DESC, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${fn}_${bName}_r${ri}_desc", q, sql)
+  }
+
+  /** Descending-time cases need the DESC-preserving quantize order. */
+  private def isDesc(c: FuzzCase): Boolean = c.name.endsWith("_desc")
+
   /** Run a case through the real parse → plan path and quantize exactly
     * like the `ts_select_*` entries (shared contract with the oracle). */
   def run(spark: SparkSession, cat: graft.query.TsCatalog, c: FuzzCase): DataFrame = {
     val stmt = InfluxQlParser.parse(c.influxQl)
       .fold(e => sys.error(s"parse ${c.name}: $e"), identity)
-    Planner.plan(spark, stmt, cat, graft.SparkEntry.NowMs)
+    val df = Planner.plan(spark, stmt, cat, graft.SparkEntry.NowMs)
       .withColumn("value", floor(col("value") * 100).cast("long"))
-      .orderBy("time_ms", "name", "labelname", "labelvalue", "message", "value")
+    if (isDesc(c))
+      df.orderBy(col("time_ms").desc, col("name"), col("labelname"),
+        col("labelvalue"), col("message"), col("value"))
+    else
+      df.orderBy("time_ms", "name", "labelname", "labelvalue", "message", "value")
   }
 
   def main(args: Array[String]): Unit = {
