@@ -90,7 +90,14 @@ object Fuzz {
       (bName, bMs) <- Buckets
       ri <- Ranges.indices
     } yield mkDesc(fn, fnSql, bName, bMs, ri)
-    base ++ limited ++ grouped ++ desc
+    // FILL modes over the single-series predicate; buckets >= 1h keep the
+    // query-range spine bounded (the spine spans the QUERY range)
+    val fills = for {
+      mode <- Vector("0", "-5", "previous", "linear")
+      (bName, bMs) <- Buckets if bMs >= 3600000L
+      ri <- Ranges.indices
+    } yield mkFill(mode, bName, bMs, ri)
+    base ++ limited ++ grouped ++ desc ++ fills
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -188,6 +195,56 @@ object Fuzz {
     FuzzCase(s"fuzz_${fn}_${bName}_r${ri}_desc", q, sql)
   }
 
+  private def mkFill(mode: String, bName: String, bMs: Long, ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT mean("value") FROM "events" WHERE time > $fromNs AND time < $toNs AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time($bName) FILL($mode)"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val fromB = Math.floorDiv(fromMs, bMs) * bMs
+    val toB = Math.floorDiv(toMs, bMs) * bMs
+    val fillExpr = mode match {
+      case "previous" =>
+        "coalesce(last_value(j.raw IGNORE NULLS) OVER " +
+          "(ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)"
+      case "linear" =>
+        """coalesce(CASE WHEN j.raw IS NOT NULL THEN j.raw
+          |  WHEN pv IS NOT NULL AND nv IS NOT NULL
+          |    THEN pv + (nv - pv) * ((j.time_ms - pt) / (nt - pt))
+          |  END, -1)""".stripMargin
+      case n => s"coalesce(j.raw, $n)"
+    }
+    val linearWins = if (mode != "linear") "" else
+      """,
+        |  last_value(j.raw IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN j.raw IS NOT NULL THEN j.time_ms END IGNORE NULLS) OVER wp AS pt,
+        |  first_value(j.raw IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN j.raw IS NOT NULL THEN j.time_ms END IGNORE NULLS) OVER wn AS nt""".stripMargin
+    val linearWindowDefs = if (mode != "linear") "" else
+      """
+        |      WINDOW wp AS (ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (ORDER BY j.time_ms ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |    AND event_type = 'click' AND user_id = 7
+         |  GROUP BY 1),
+         |j0 AS (SELECT s.time_ms, g.raw
+         |      FROM generate_series($fromB, $toB, $bMs) s(time_ms)
+         |      LEFT JOIN g ON g.time_ms = s.time_ms),
+         |j2 AS (SELECT j.time_ms, j.raw$linearWins FROM j0 j$linearWindowDefs),
+         |f AS (SELECT j.time_ms, CAST(floor(($fillExpr) * 100) AS BIGINT) AS value FROM j2 j
+         |      WHERE EXISTS (SELECT 1 FROM g))
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '7' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_fill${mode.replace("-", "m")}_${bName}_r$ri", q, sql)
+  }
+
   /** Descending-time cases need the DESC-preserving quantize order. */
   private def isDesc(c: FuzzCase): Boolean = c.name.endsWith("_desc")
 
@@ -196,8 +253,15 @@ object Fuzz {
   def run(spark: SparkSession, cat: graft.query.TsCatalog, c: FuzzCase): DataFrame = {
     val stmt = InfluxQlParser.parse(c.influxQl)
       .fold(e => sys.error(s"parse ${c.name}: $e"), identity)
-    val df = Planner.plan(spark, stmt, cat, graft.SparkEntry.NowMs)
-      .withColumn("value", floor(col("value") * 100).cast("long"))
+    val planned = Planner.plan(spark, stmt, cat, graft.SparkEntry.NowMs)
+    // fill(previous/linear) leave leading/trailing gaps NULL (InfluxDB
+    // semantics); the oracle encodes those nulls as -1 (hash-safe), the
+    // same contract as the curated ts_select_fill_* entries
+    val encoded =
+      if (c.name.startsWith("fuzz_fillprevious") || c.name.startsWith("fuzz_filllinear"))
+        planned.na.fill(-1.0, Seq("value"))
+      else planned
+    val df = encoded.withColumn("value", floor(col("value") * 100).cast("long"))
     if (isDesc(c))
       df.orderBy(col("time_ms").desc, col("name"), col("labelname"),
         col("labelvalue"), col("message"), col("value"))

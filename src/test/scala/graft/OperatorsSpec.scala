@@ -41,6 +41,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d === 23.0)
   }
 
+  test("parse_line: SQL-callable line-protocol parser matches the ingest parser") {
+    import spark.implicits._
+    // column API on a line exercising escapes, int suffix, bool, string
+    val line = """cpu\,a,host=h\ 1,dc=eu usage=1.5,count=3i,ok=true,msg="q\"x" 1735689540000000000"""
+    val r = Seq(line).toDF("l")
+      .select(graft.functions.ParseLine.parseLine(col("l")).as("p"))
+      .selectExpr("p.measurement", "p.tags", "p.floats", "p.strings", "p.ts_ns")
+      .collect()(0)
+    assert(r.getString(0) === "cpu,a")
+    assert(r.getMap[String, String](1) === Map("host" -> "h 1", "dc" -> "eu"))
+    // type policy: numerics (incl. i-suffix ints) → floats; booleans and
+    // quoted strings → the string pipeline — exactly LineProtocol.parse
+    assert(r.getMap[String, Double](2) === Map("usage" -> 1.5, "count" -> 3.0))
+    assert(r.getMap[String, String](3) === Map("ok" -> "true", "msg" -> "q\"x"))
+    assert(r.getLong(4) === 1735689540000000000L)
+    // SQL registration; no timestamp → null ts_ns; malformed → NULL row
+    graft.functions.ParseLine.register(spark)
+    val n = spark.sql(
+      "SELECT parse_line('m f=1') AS a, parse_line('garbage no fields') AS b")
+      .collect()(0)
+    assert(!n.isNullAt(0) && n.getStruct(0).isNullAt(4))
+    assert(n.isNullAt(1))
+  }
+
   test("dot_f64 column API matches declarative fold bit-for-bit") {
     import spark.implicits._
     val df = Seq((Seq(0.1, 0.2, 0.3), Seq(0.4, 0.5, 0.6))).toDF("a", "b")
@@ -50,6 +74,36 @@ class OperatorsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(java.lang.Double.doubleToLongBits(custom) ===
       java.lang.Double.doubleToLongBits(declarative))
+  }
+
+  test("hyperplane_buckets matches the per-plane declarative fold bit-for-bit") {
+    import spark.implicits._
+    val bands = 16; val bits = 8
+    // deterministic 64-dim vector with mixed signs and magnitudes
+    val v = (0 until 64).map(d => math.sin(d * 1.7) * (d % 7 - 3) * 0.31)
+    val df = Seq(Tuple1(v)).toDF("v")
+    val custom = df.select(VectorMath.hyperplaneBuckets(col("v"), bands, bits))
+      .collect()(0).getSeq[Long](0)
+    // the pre-round-5 formula: one aggregate(zip_with) fold per plane
+    def planeDot(j: Int) = aggregate(
+      zip_with(col("v"), sequence(lit(j * 64L), lit(j * 64L + 63L)),
+        (x, idx) => x * ((lit(1103515245L) * idx + 12345L) % 2001L - 1000L).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def bandBucket(b: Int) = (0 until bits).map { k =>
+      when(planeDot(b * bits + k) > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val declarative = df.select(array((0 until bands).map(bandBucket): _*))
+      .collect()(0).getSeq[Long](0)
+    assert(custom === declarative)
+    // SQL registration path agrees too
+    graft.functions.VectorMath.register(spark)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.Bridge.applyExtensionFunctions(ext, spark)
+    val viaSql = df.createOrReplaceTempView("hv")
+    val s = spark.sql(s"SELECT hyperplane_buckets(v, $bands, $bits) FROM hv")
+      .collect()(0).getSeq[Long](0)
+    assert(s === custom)
   }
 
   test("tick difference drops first row per series; moving average keeps it") {
