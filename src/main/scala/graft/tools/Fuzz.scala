@@ -97,7 +97,23 @@ object Fuzz {
       (bName, bMs) <- Buckets if bMs >= 3600000L
       ri <- Ranges.indices
     } yield mkFill(mode, bName, bMs, ri)
-    base ++ limited ++ grouped ++ desc ++ fills
+    // percentile(p): interpolated continuous quantile (quantile_cont)
+    val pcts = for {
+      p <- Vector(50, 90, 99)
+      (bName, bMs) <- Vector("10m" -> 600000L, "1h" -> 3600000L, "1d" -> 86400000L)
+      pi <- Vector(0, 1, 3)
+      ri <- Ranges.indices
+    } yield mk("percentile", s"quantile_cont(value, ${p / 100.0})",
+      bName, bMs, pi, ri, None, fnArg = Some(p))
+    // top/bottom selectors: N extreme POINTS per bucket at their own
+    // timestamps (single series — deterministic tie-break on time)
+    val sels = for {
+      (fn, dir) <- Vector("top" -> "DESC", "bottom" -> "ASC")
+      nSel <- Vector(1, 3)
+      (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
+      ri <- Ranges.indices
+    } yield mkSelector(fn, dir, nSel, bName, bMs, ri)
+    base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -111,13 +127,15 @@ object Fuzz {
   }
 
   private def mk(fn: String, fnSql: String, bName: String, bMs: Long,
-                 pi: Int, ri: Int, lim: Option[(Int, Int)]): FuzzCase = {
+                 pi: Int, ri: Int, lim: Option[(Int, Int)],
+                 fnArg: Option[Int] = None): FuzzCase = {
     val (influxPred, sqlPred, _) = TagPreds(pi)
     val (fromNs, toNs) = Ranges(ri)
     val limClause = lim.map { case (n, o) =>
       if (o == 0) s" LIMIT $n" else s" LIMIT $n OFFSET $o"
     }.getOrElse("")
-    val q = s"""SELECT $fn("value") FROM "events" WHERE time > $fromNs AND time < $toNs$influxPred GROUP BY time($bName)$limClause"""
+    val sel = fnArg.map(a => s"""$fn("value", $a)""").getOrElse(s"""$fn("value")""")
+    val q = s"""SELECT $sel FROM "events" WHERE time > $fromNs AND time < $toNs$influxPred GROUP BY time($bName)$limClause"""
     val fromMs = fromNs / 1000000L + 1
     val toMs = toNs / 1000000L - 1
     val inner =
@@ -146,9 +164,34 @@ object Fuzz {
            |SELECT * FROM l
            |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     }
-    val slug = s"${fn}_${bName}_p${pi}_r$ri" +
+    val slug = s"${fn}${fnArg.map(a => s"$a").getOrElse("")}_${bName}_p${pi}_r$ri" +
       lim.map(l => s"_l${l._1}o${l._2}").getOrElse("")
     FuzzCase(s"fuzz_$slug", q, sql)
+  }
+
+  private def mkSelector(fn: String, dir: String, nSel: Int,
+                         bName: String, bMs: Long, ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $fn("value", $nSel) FROM "events" WHERE time > $fromNs AND time < $toNs AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time($bName)"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH p AS (
+         |  SELECT epoch_ms(ts) AS time_ms, epoch_ms(ts) // $bMs AS b, value,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |    AND event_type = 'click' AND user_id = 7),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY b ORDER BY value $dir, time_ms ASC) AS rn
+         |      FROM p),
+         |f AS (SELECT time_ms, CAST(floor(value * 100) AS BIGINT) AS value FROM r WHERE rn <= $nSel)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '7' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${fn}${nSel}_${bName}_r${ri}_sel", q, sql)
   }
 
   private def mkGroupBy(fn: String, fnSql: String, bName: String, bMs: Long,
