@@ -1162,6 +1162,8 @@ object SparkEntry {
     "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
+    "doc_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir))),
+    "doc_winnowing" -> ((s, dir) => TextOps.winnowing(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
     "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
 
@@ -1179,6 +1181,7 @@ object SparkEntry {
     "events_streaks" -> ((s, dir) => EventOps.streaks(EventsAdapter.events(s, dir))),
     "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
     "events_anomaly_days" -> ((s, dir) => EventOps.anomalyDays(EventsAdapter.events(s, dir))),
+    "events_ab_lift" -> ((s, dir) => EventOps.abLift(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
@@ -1216,8 +1219,10 @@ object SparkEntry {
     "doc_fertility" -> ((s, dir) => TextOps.fertilityBySource(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     "dedup_passage" -> ((s, dir) => Dedup.passage(docs(s, dir))),
+    "doc_dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
+    "emb_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir))),
 
     // --- approximate aggregates (SURVEY §2.4 "not present" list): HLL
     //     distinct, deterministic cross-engine (see pipeline.Sketches) ---
@@ -2192,10 +2197,12 @@ object SparkEntry {
     "doc_fertility" -> TextOps.fertilityBySourceOracle,
     "dedup_incremental" -> Dedup.incrementalOracle,
     "dedup_passage" -> Dedup.passageOracle,
+    "doc_dup_spans" -> Dedup.dupSpansOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,
     "events_bursts" -> EventOps.burstsOracle,
     "events_anomaly_days" -> EventOps.anomalyDaysOracle,
+    "events_ab_lift" -> EventOps.abLiftOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
     "events_first_touch" -> EventOps.firstTouchOracle,
@@ -2205,6 +2212,8 @@ object SparkEntry {
     "dedup_simhash_eval" -> EvalSampling.sampleOracle(Dedup.simhashEvalOracle, "documents", "doc_id"),
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "doc_pii_scrub" -> TextOps.piiScrubOracle,
+    "doc_dsir_weights" -> TextOps.dsirWeightsOracle,
+    "doc_winnowing" -> TextOps.winnowingOracle,
     "olap_q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS qty_fp
@@ -2425,6 +2434,7 @@ object SparkEntry {
     "emb_bitext_mine" -> Similarity.bitextMineOracle,
     "approx_distinct_hll" -> Sketches.hllDistinctUsersOracle,
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
+    "emb_semdedup" -> Similarity.semDedupOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsBandedOracle,
     "dedup_emb_cosine_eval" -> EvalSampling.sampleOracle(Dedup.cosineBandedEvalOracle, "embeddings", "vec_id"),
     "ann_brute_topk" -> Similarity.bruteTopKOracle,

@@ -168,6 +168,77 @@ object Dedup {
        |FROM pd LEFT JOIN sh ON pd.doc_id = sh.doc_id
        |ORDER BY pd.doc_id""".stripMargin
 
+  // ---- exact duplicated-substring spans -----------------------------------
+
+  /** Duplicated-span window length, tokens. */
+  val SpanLen = 16
+
+  /** Exact duplicated-substring detection (the published "dedup exact
+    * substrings ≥ L tokens" recipe): stride-1 [[SpanLen]]-token window
+    * hashes; a window whose hash occurs ≥2 times anywhere in the corpus
+    * (cross-doc or a self-repeat) is duplicated; per doc, consecutive
+    * duplicated windows merge into maximal spans via gaps-and-islands,
+    * and the longest span is reported in tokens (run + SpanLen − 1).
+    * Complements [[passage]] (stride-8 shared-window FRACTION): this
+    * reports exact span GEOMETRY — the "how long is the longest copied
+    * run" signal used to decide span-removal vs doc-removal.
+    *
+    * Scale shape: stride-1 windows cost one row per token — the same
+    * linear blowup a suffix-array pass pays, map-side generated; the dup
+    * set is a map-side-combinable count ≥2; the islands window is
+    * per-doc (bounded by doc length), never global.
+    * Output (doc_id, n_windows, n_dup_windows, max_span_tokens). */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val wins = graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= SpanLen)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - SpanLen),
+          i => struct((i + 1).cast("long").as("pos"),
+            baseHash(concat_ws(" ", slice(col("w"), i + lit(1), lit(SpanLen)))).as("h")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+      .localCheckpoint(true) // feeds the dup set, the semi-join, and per-doc counts
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val dupPos = wins.join(dup, Seq("h"), "left_semi").select("doc_id", "pos")
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupPos.withColumn("grp", col("pos") - row_number().over(wn))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(max("run").as("max_run"), sum("run").as("n_dup_windows"))
+    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("max_run") + lit(SpanLen - 1), lit(0L)).as("max_span_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpansOracle: String =
+    s"""WITH wins AS (
+       |  SELECT doc_id, u.i + 1 AS pos,
+       |         ('0x' || substr(md5(array_to_string(w[i+1:i+$SpanLen], ' ')), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d,
+       |       unnest(range(0, len(w) - $SpanLen + 1)) u(i)
+       |  WHERE len(w) >= $SpanLen),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)),
+       |runs AS (SELECT doc_id, grp, count(*) AS run FROM (
+       |           SELECT doc_id, pos - row_number() OVER (
+       |                    PARTITION BY doc_id ORDER BY pos) AS grp
+       |           FROM dp) i GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, max(run) AS max_run,
+       |               CAST(sum(run) AS BIGINT) AS n_dup FROM runs GROUP BY 1),
+       |pd AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows,
+       |       COALESCE(agg.n_dup, 0) AS n_dup_windows,
+       |       COALESCE(agg.max_run + ${SpanLen - 1}, 0) AS max_span_tokens
+       |FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- incremental dedup --------------------------------------------------
 
   /** Incremental-ingest dedup: an incoming batch (odd doc_ids here — the

@@ -546,4 +546,71 @@ object EventOps {
       |WHERE (d.n_events * st.n_days - st.s) * (d.n_events * st.n_days - st.s)
       |      > 4 * (st.n_days * st.q - st.s * st.s)
       |ORDER BY event_type, day_ms""".stripMargin
+
+  // ---- A/B lift report ----------------------------------------------------
+
+  /** Deterministic A/B experiment readout: variant = user_id % 2 (the
+    * hash-bucket assignment every experimentation system uses — here the
+    * id itself, already uniform in the synthetic data), metric = per-user
+    * purchase revenue. Emits ONE row: per-variant user counts, ARPU in
+    * 1e6 fixed point, relative lift in per-mille, and a Welch-style
+    * two-sigma significance verdict.
+    *
+    * Determinism: per-user revenue is integer centi-units; variant
+    * aggregates (n, Σr, Σr²) are exact int64; the verdict and lift are
+    * scalar IEEE-double expressions over those integers, written
+    * token-identically in both engines — no float ever enters an
+    * aggregation, so summation order can't reach the result.
+    *
+    * Scale shape: collapse to per-user revenue first (map-side
+    * combinable, keyed on user_id), then a 2-row variant aggregate and a
+    * 1×1 join — nothing downstream of the first aggregate depends on
+    * event cardinality. Output (n_a, n_b, arpu_a_fp, arpu_b_fp, lift_pm,
+    * significant). */
+  def abLift(events: DataFrame): DataFrame = {
+    val perUser = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100)).cast("long").as("r"))
+      .withColumn("variant", expr("user_id % 2"))
+    val stats = perUser.groupBy("variant").agg(
+      count(lit(1)).as("n"), sum("r").as("s"),
+      sum(col("r") * col("r")).as("q"))
+    val a = stats.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = stats.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    a.crossJoin(b)
+      .withColumn("arpu_a_fp", expr("s_a * 1000000 div n_a"))
+      .withColumn("arpu_b_fp", expr("s_b * 1000000 div n_b"))
+      .withColumn("lift_pm", expr(
+        "cast(floor(cast(arpu_b_fp - arpu_a_fp as double) * 1000 / arpu_a_fp) as bigint)"))
+      .withColumn("significant", expr(
+        """(cast(s_b as double) / n_b - cast(s_a as double) / n_a)
+          | * (cast(s_b as double) / n_b - cast(s_a as double) / n_a)
+          | > 4 * (cast(n_a * q_a - s_a * s_a as double) / (n_a * n_a * (n_a - 1))
+          |      + cast(n_b * q_b - s_b * s_b as double) / (n_b * n_b * (n_b - 1)))""".stripMargin))
+      .select("n_a", "n_b", "arpu_a_fp", "arpu_b_fp", "lift_pm", "significant")
+  }
+
+  val abLiftOracle: String =
+    """WITH r AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS r
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |s AS (SELECT variant, count(*) AS n, CAST(sum(r) AS BIGINT) AS s,
+      |             CAST(sum(r * r) AS BIGINT) AS q
+      |      FROM r GROUP BY 1),
+      |a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM s WHERE variant = 0),
+      |b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM s WHERE variant = 1),
+      |m AS (SELECT n_a, n_b, s_a, s_b, q_a, q_b,
+      |             s_a * 1000000 // n_a AS arpu_a_fp,
+      |             s_b * 1000000 // n_b AS arpu_b_fp
+      |      FROM a, b)
+      |SELECT n_a, n_b, arpu_a_fp, arpu_b_fp,
+      |       CAST(floor(CAST(arpu_b_fp - arpu_a_fp AS DOUBLE) * 1000 / arpu_a_fp) AS BIGINT) AS lift_pm,
+      |       (CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+      |        * (CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+      |        > 4 * (CAST(n_a * q_a - s_a * s_a AS DOUBLE) / (n_a * n_a * (n_a - 1))
+      |             + CAST(n_b * q_b - s_b * s_b AS DOUBLE) / (n_b * n_b * (n_b - 1))) AS significant
+      |FROM m""".stripMargin
 }

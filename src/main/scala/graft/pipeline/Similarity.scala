@@ -204,8 +204,11 @@ object Similarity {
     *  - search: probes (queries × NProbe) broadcast into the member scan —
     *    only ~NProbe/IvfK of the corpus is scored per query.
     * Output (q_id, rank, neighbor_id, cos_fp). */
-  def ivfTopK(emb: DataFrame): DataFrame = {
-    val x = normalized(emb).withColumn("xq", quantCol)
+  /** Deterministic quantized k-means shared by [[ivfTopK]] and
+    * [[semDedup]]: init = first IvfK vectors, one recompute round.
+    * Returns (final centroids `(cid, c)`, final assignments
+    * `(vec_id, cid)`). */
+  private def ivfCluster(x: DataFrame): (DataFrame, DataFrame) = {
     val x0 = x.select("vec_id", "xq")
     def assign(cent: DataFrame): DataFrame =
       x0.join(broadcast(cent), lit(true))
@@ -225,7 +228,12 @@ object Similarity {
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
         s => s.getField("cp")).as("c"))
-    val a2 = assign(c1)
+    (c1, assign(c1))
+  }
+
+  def ivfTopK(emb: DataFrame): DataFrame = {
+    val x = normalized(emb).withColumn("xq", quantCol)
+    val (c1, a2) = ivfCluster(x)
     val q = x.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("xq").as("qq"))
@@ -248,7 +256,9 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  val ivfTopKOracle: String = {
+  /** Shared k-means CTE chain (e, x, c0..a2) — spliced into both the IVF
+    * and SemDeDup oracles so the clustering is textually identical. */
+  private val ivfClusterCtes: String = {
     val dSq = (xt: String, ct: String) =>
       s"""list_reduce(list_transform(range(1, ${Dim + 1}),
          |        d -> ($xt.xq[d] - $ct.c[d]) * ($xt.xq[d] - $ct.c[d])), (a, b) -> a + b)""".stripMargin
@@ -270,7 +280,14 @@ object Similarity {
        |a2 AS (SELECT vec_id, cid FROM (
        |         SELECT vec_id, cid,
        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |         FROM d2) t WHERE rn = 1),
+       |         FROM d2) t WHERE rn = 1)""".stripMargin
+  }
+
+  val ivfTopKOracle: String = {
+    val dSq = (xt: String, ct: String) =>
+      s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+         |        d -> ($xt.xq[d] - $ct.c[d]) * ($xt.xq[d] - $ct.c[d])), (a, b) -> a + b)""".stripMargin
+    s"""$ivfClusterCtes,
        |qd AS (SELECT x.vec_id AS q_id, c.cid, ${dSq("x", "c")} AS d
        |       FROM x, c1 c WHERE x.vec_id < $NumQueries),
        |probes AS (SELECT q_id, cid FROM (
@@ -291,6 +308,59 @@ object Similarity {
        |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
+
+  // ---- SemDeDup: semantic dedup within k-means clusters -------------------
+
+  /** Cosine at or above this (fixed-point 1e6) within a cluster marks the
+    * higher-id vector a semantic duplicate. */
+  val SemDedupTauFp = 950000L
+
+  /** SemDeDup-shaped semantic deduplication (public recipe: cluster the
+    * embedding space with k-means, then compare pairs ONLY within each
+    * cluster; pairs above a cosine threshold are semantic duplicates and
+    * all but one representative are pruned). Reuses the deterministic
+    * quantized k-means from [[ivfTopK]] — same centroids, same
+    * assignments — and keeps the LOWEST vec_id of each duplicate pair
+    * (deterministic representative).
+    *
+    * Scale shape: the global all-pairs problem never materializes — the
+    * only shuffle keys are `cid`, and the quadratic stage is confined to
+    * within-cluster pairs, bounded by (n/k)² per cluster; k scales with
+    * the corpus so n/k stays fixed (the published SemDeDup cost model).
+    * Contrast with [[Dedup.cosinePairsBanded]]: LSH bands find high-cosine
+    * near-exact pairs anywhere; SemDeDup prunes semantic redundancy
+    * around cluster modes.
+    *
+    * Output (vec_id, cid, keep) for every vector, ordered by vec_id. */
+  def semDedup(emb: DataFrame): DataFrame = {
+    val x = normalized(emb).withColumn("xq", quantCol)
+    val (_, a2) = ivfCluster(x)
+    val m = x.join(a2, "vec_id").select("vec_id", "cid", "v", "nrm")
+    val l = m.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val r = m.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dups = l.join(r, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(floor(dotCols(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
+        .cast("long") >= SemDedupTauFp)
+      .select(col("b_id").as("vec_id")).distinct()
+    m.select("vec_id", "cid")
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), coalesce(col("dup"), lit(false)) === false)
+      .toDF("vec_id", "cid", "keep")
+      .orderBy("vec_id")
+  }
+
+  val semDedupOracle: String =
+    s"""$ivfClusterCtes,
+       |m AS (SELECT e.vec_id, a2.cid, e.v FROM e JOIN a2 USING (vec_id)),
+       |dup AS (SELECT DISTINCT c.vec_id
+       |        FROM m q JOIN m c ON q.cid = c.cid AND q.vec_id < c.vec_id
+       |        WHERE floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT >= $SemDedupTauFp)
+       |SELECT m.vec_id, m.cid, d.vec_id IS NULL AS keep
+       |FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
 
   // ---- int8 quantization --------------------------------------------------
 

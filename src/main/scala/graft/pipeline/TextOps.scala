@@ -887,6 +887,160 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- operator: DSIR-shaped importance weights ---------------------------
+
+  /** Hashed feature buckets for importance weighting. Real DSIR uses ~10k;
+    * 256 keeps the weight relation oracle-friendly while preserving the
+    * shape (weights relation is O(buckets), never O(corpus)). */
+  val DsirBuckets = 256L
+
+  /** Data Selection via Importance Resampling (public recipe: score every
+    * raw document by how much its hashed n-gram feature distribution looks
+    * like a TARGET domain vs the RAW corpus, then sample by the ratio).
+    * Target stand-in: `lang = 'en'` docs. Weights use add-one-smoothed
+    * integer rates — w_b = floor((ct_b+1)·1e9/(Nt+B)) −
+    * floor((cr_b+1)·1e9/(Nr+B)) — so no log/libm reaches the score and
+    * both engines agree bit-for-bit; a doc's score is the sum of its
+    * bigrams' bucket weights (exactly the linear form log-ratio DSIR
+    * reduces to under hashing, with rates in place of log-rates).
+    *
+    * Scale shape: corpus explodes to (doc, bucket) counts — two stacked
+    * map-side-combinable aggregates; the weight relation is [[DsirBuckets]]
+    * rows, BROADCAST back; totals are one-row broadcasts. The raw corpus
+    * is scanned twice (target counts ride the same scan via a conditional
+    * aggregate), shuffled never beyond (doc_id, bucket).
+    * Output (doc_id, n_bigrams, score_fp). */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val bigr = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = graft.util.Spread(docs.select("doc_id", "lang", "text"))
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        explode(bigr).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        (baseHash(concat(lit("dsir:"), col("g"))) % DsirBuckets).as("b"))
+      .localCheckpoint(true) // feeds bucket counts, totals, and doc scores
+    val counts = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val weights = counts.join(broadcast(totals), lit(true))
+      .select(col("b"),
+        (expr(s"(ct + 1) * 1000000000 div (nt + $DsirBuckets)") -
+          expr(s"(cr + 1) * 1000000000 div (nr + $DsirBuckets)")).as("w_fp"))
+    val perDocBucket = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val scored = perDocBucket.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), sum(col("n") * col("w_fp")).as("score_fp"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang = 'en' AS tgt,
+       |         ${baseHashSql("'dsir:' || g")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |               list_transform(range(1, len($tokensSql)),
+       |                 i -> ($tokensSql)[i] || ' ' || ($tokensSql)[i+1]) AS gs
+       |        FROM documents) d, unnest(d.gs) u(g)),
+       |c AS (SELECT b, count(*) AS cr,
+       |             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |      FROM f GROUP BY 1),
+       |t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM c),
+       |wt AS (SELECT b, (ct + 1) * 1000000000 // (nt + $DsirBuckets)
+       |               - (cr + 1) * 1000000000 // (nr + $DsirBuckets) AS w_fp
+       |       FROM c, t),
+       |pdb AS (SELECT doc_id, b, count(*) AS n FROM f GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |              CAST(sum(n * w_fp) AS BIGINT) AS score_fp
+       |       FROM pdb JOIN wt USING (b) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(sc.score_fp, 0) AS score_fp
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- operator: winnowing fingerprints -----------------------------------
+
+  /** Winnowing guarantee window (selects one print per WinnowW consecutive
+    * k-gram hashes) and the hash-width reduction that keeps the composite
+    * (hash, pos) selection key inside int64. */
+  val WinnowW = 4
+  val WinnowHashBits = 40
+
+  /** Winnowing document fingerprints (the published local-fingerprinting
+    * recipe behind MOSS-style duplicate detection): per position, hash the
+    * word 3-gram, reduce to [[WinnowHashBits]] bits, and in every window
+    * of [[WinnowW]] consecutive k-grams select the minimum of the
+    * composite key k = h·4096 + pos (min hash, ties to the EARLIEST
+    * position — deterministic in both engines with one scalar min).
+    * Distinct selected keys are the doc's fingerprints; any shared
+    * substring of ≥ k + WinnowW − 1 tokens is guaranteed to share a
+    * print. Emitted per doc: k-gram count, print count, and the XOR of
+    * the print keys (order-independent exact checksum — the oracle
+    * verifies every print without shipping sets).
+    *
+    * Scale shape: one row per token map-side; the only window is per-doc
+    * over positions (bounded by doc length); the final per-doc aggregate
+    * is map-side combinable. Output (doc_id, n_kgrams, n_prints,
+    * print_xor). */
+  def winnowing(docs: DataFrame): DataFrame = {
+    val kg = graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_kgrams"),
+        explode_outer(when(size(col("sh")) >= 1, // sequence(1,0) would DESCEND
+          transform(sequence(lit(1), size(col("sh"))),
+            i => struct(i.cast("long").as("pos"),
+              ((baseHash(element_at(col("sh"), i)) % (1L << WinnowHashBits)) * 4096L
+                + i).as("k"))))).as("s"))
+      .select(col("doc_id"), col("n_kgrams"), col("s.pos").as("pos"), col("s.k").as("k"))
+    val wWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    // window BEFORE the position filter: the last full window still sees
+    // its 3 following k-grams (filtering first would truncate it)
+    val sel = kg.withColumn("selk", min("k").over(wWin))
+      .filter(col("pos") <= col("n_kgrams") - (WinnowW - 1))
+      .select("doc_id", "selk").distinct()
+    val prints = sel.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_prints"), expr("bit_xor(selk)").as("print_xor"))
+    docs.select("doc_id")
+      .join(kg.groupBy("doc_id").agg(max("n_kgrams").as("n_kgrams")), Seq("doc_id"), "left_outer")
+      .join(prints, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_kgrams"), lit(0L)).as("n_kgrams"),
+        coalesce(col("n_prints"), lit(0L)).as("n_prints"),
+        coalesce(col("print_xor"), lit(0L)).as("print_xor"))
+      .orderBy("doc_id")
+  }
+
+  val winnowingOracle: String =
+    s"""WITH sh AS (SELECT doc_id, ${shinglesSql(tokensSql)} AS s FROM documents),
+       |kg AS (
+       |  SELECT doc_id, len(s) AS n_kgrams, u.i AS pos,
+       |         (('0x' || substr(md5(s[u.i]), 1, 15))::BIGINT
+       |            % ${1L << WinnowHashBits}) * 4096 + u.i AS k
+       |  FROM sh, unnest(range(1, len(s) + 1)) u(i)),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, selk FROM (
+       |    SELECT doc_id, n_kgrams, pos,
+       |           min(k) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS selk
+       |    FROM kg) t
+       |  WHERE pos <= n_kgrams - ${WinnowW - 1}),
+       |pr AS (SELECT doc_id, count(*) AS n_prints,
+       |              CAST(bit_xor(selk) AS BIGINT) AS print_xor FROM sel GROUP BY 1),
+       |nk AS (SELECT doc_id, max(n_kgrams) AS n_kgrams FROM kg GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(nk.n_kgrams, 0) AS n_kgrams,
+       |       COALESCE(pr.n_prints, 0) AS n_prints,
+       |       COALESCE(pr.print_xor, 0) AS print_xor
+       |FROM documents d LEFT JOIN nk USING (doc_id) LEFT JOIN pr USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val gopherFiltersOracle: String = {
     val inList = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH q AS (

@@ -48,7 +48,37 @@ object Fuzz {
       " AND event_type = 'click' AND user_id = 7", true),
     (""" AND "event_type" != 'click'""", " AND event_type <> 'click'", false),
     (""" AND ("event_type" = 'click' OR "event_type" = 'view')""",
-      " AND (event_type = 'click' OR event_type = 'view')", false))
+      " AND (event_type = 'click' OR event_type = 'view')", false),
+    // regex matchers (unanchored, rlike ≡ regexp_matches)
+    (""" AND "event_type" =~ /^(cl|vi)/""",
+      " AND regexp_matches(event_type, '^(cl|vi)')", false),
+    (""" AND "event_type" !~ /^(cl|vi)/""",
+      " AND NOT regexp_matches(event_type, '^(cl|vi)')", false))
+
+  // arithmetic on an aggregate (aliased AS "value" — the parser keeps the
+  // alias, the oracle mirrors the expression inside the quantization)
+  private val Ariths = Seq(
+    ("arith0", """mean("value") * 2 + 10""", "(avg(value) * 2 + 10)"),
+    ("arith1", """mean("value") / 4""", "(avg(value) / 4)"),
+    ("arith2", """sum("value") - 100""", "(sum(value) - 100)"))
+
+  // outer transforms over the single-series bucketed mean:
+  // (slug, influx select, oracle window setup, oracle value expr)
+  private val Transforms = Seq(
+    ("deriv", """derivative(mean("value"), 1s)""",
+      "raw, lag(raw) OVER (ORDER BY time_ms) AS pr, lag(time_ms) OVER (ORDER BY time_ms) AS pt",
+      "CASE WHEN pr IS NOT NULL AND time_ms > pt THEN (raw - pr) / ((time_ms - pt) / 1000.0) END"),
+    ("diff", """difference(mean("value"))""",
+      "raw, lag(raw) OVER (ORDER BY time_ms) AS pr",
+      "CASE WHEN pr IS NOT NULL THEN raw - pr END"),
+    ("movavg3", """moving_average(mean("value"), 3)""",
+      "raw, avg(raw) OVER (ORDER BY time_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma",
+      "ma"),
+    ("cumsum", """cumulative_sum(mean("value"))""",
+      "raw, sum(raw) OVER (ORDER BY time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs",
+      "cs"))
+
+  private val SlimitParams = Seq((1, 0), (2, 1), (3, 0))
 
   // strict ns bounds inside the events window (Jan 2024); resolveTime
   // maps `time > X` to X/1e6 + 1 ms and `time < Y` to Y/1e6 - 1 ms
@@ -113,7 +143,28 @@ object Fuzz {
       (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
       ri <- Ranges.indices
     } yield mkSelector(fn, dir, nSel, bName, bMs, ri)
-    base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels
+    // arithmetic on aggregates: expression evaluated per bucket/series
+    val ariths = for {
+      (slug, sel, fnSql) <- Ariths.toVector
+      (bName, bMs) <- Buckets
+      pi <- Vector(0, 3)
+      ri <- Ranges.indices
+    } yield mk(slug, fnSql, bName, bMs, pi, ri, None, selRaw = Some(sel))
+    // outer transforms (derivative/difference/moving_average/cumulative_sum
+    // of the bucketed mean) over the single total-order series
+    val tfs = for {
+      t <- Transforms.toVector
+      (bName, bMs) <- Buckets if bMs >= 1800000L
+      ri <- Ranges.indices
+    } yield mkTransform(t, bName, bMs, ri)
+    // SLIMIT/SOFFSET over the full multi-series listing
+    val slims = for {
+      (sl, so) <- SlimitParams.toVector
+      (bName, bMs) <- Vector("6h" -> 21600000L, "1d" -> 86400000L)
+      ri <- Ranges.indices
+    } yield mkSlimit(sl, so, bName, bMs, ri)
+    base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
+      ariths ++ tfs ++ slims
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -128,13 +179,15 @@ object Fuzz {
 
   private def mk(fn: String, fnSql: String, bName: String, bMs: Long,
                  pi: Int, ri: Int, lim: Option[(Int, Int)],
-                 fnArg: Option[Int] = None): FuzzCase = {
+                 fnArg: Option[Int] = None,
+                 selRaw: Option[String] = None): FuzzCase = {
     val (influxPred, sqlPred, _) = TagPreds(pi)
     val (fromNs, toNs) = Ranges(ri)
     val limClause = lim.map { case (n, o) =>
       if (o == 0) s" LIMIT $n" else s" LIMIT $n OFFSET $o"
     }.getOrElse("")
-    val sel = fnArg.map(a => s"""$fn("value", $a)""").getOrElse(s"""$fn("value")""")
+    val sel = selRaw.map(s => s"""$s AS "value"""").getOrElse(
+      fnArg.map(a => s"""$fn("value", $a)""").getOrElse(s"""$fn("value")"""))
     val q = s"""SELECT $sel FROM "events" WHERE time > $fromNs AND time < $toNs$influxPred GROUP BY time($bName)$limClause"""
     val fromMs = fromNs / 1000000L + 1
     val toMs = toNs / 1000000L - 1
@@ -167,6 +220,60 @@ object Fuzz {
     val slug = s"${fn}${fnArg.map(a => s"$a").getOrElse("")}_${bName}_p${pi}_r$ri" +
       lim.map(l => s"_l${l._1}o${l._2}").getOrElse("")
     FuzzCase(s"fuzz_$slug", q, sql)
+  }
+
+  private def mkTransform(t: (String, String, String, String),
+                          bName: String, bMs: Long, ri: Int): FuzzCase = {
+    val (slug, sel, winSetup, winExpr) = t
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $sel FROM "events" WHERE time > $fromNs AND time < $toNs AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time($bName)"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |    AND event_type = 'click' AND user_id = 7
+         |  GROUP BY 1),
+         |d AS (SELECT time_ms, $winSetup FROM g),
+         |f AS (SELECT time_ms, CAST(floor(($winExpr) * 100) AS BIGINT) AS value
+         |      FROM d WHERE ($winExpr) IS NOT NULL)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '7' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${slug}_${bName}_r${ri}_tf", q, sql)
+  }
+
+  private def mkSlimit(sl: Int, so: Int, bName: String, bMs: Long,
+                       ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val soClause = if (so == 0) "" else s" SOFFSET $so"
+    val q = s"""SELECT mean("value") FROM "events" WHERE time > $fromNs AND time < $toNs GROUP BY time($bName) SLIMIT $sl$soClause"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         CAST(floor(avg(value) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |  GROUP BY 1, 2, 3),
+         |u AS (
+         |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |         event_type AS labelvalue, '' AS message FROM g
+         |  UNION ALL
+         |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |         user_id AS labelvalue, '' AS message FROM g),
+         |r AS (SELECT u.*, dense_rank() OVER (ORDER BY name, labelname, labelvalue) AS sr FROM u)
+         |SELECT time_ms, name, value, labelname, labelvalue, message FROM r
+         |WHERE sr > $so AND sr <= $so + $sl
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_slimit${sl}o${so}_${bName}_r$ri", q, sql)
   }
 
   private def mkSelector(fn: String, dir: String, nSel: Int,
@@ -316,6 +423,9 @@ object Fuzz {
     val sfDir = args(0)
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 500
+    // optional 4th arg: only run cases whose name contains the substring
+    // (targeted family sweeps while iterating on the generator)
+    val nameFilter = if (args.length > 3) Some(args(3)) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -327,7 +437,10 @@ object Fuzz {
     // otherwise re-scan/re-derive the adapter lineage per case
     val cat = cat0.copy(measurements =
       cat0.measurements.map { case (k, v) => k -> v.localCheckpoint(true) })
-    val cs = cases(n)
+    val cs = nameFilter match {
+      case Some(f) => allCases.filter(_.name.contains(f)).take(n)
+      case None => cases(n)
+    }
     var failed = 0
     val sqlJson = new StringBuilder("{")
     cs.zipWithIndex.foreach { case (c, i) =>

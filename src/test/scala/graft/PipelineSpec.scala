@@ -532,4 +532,134 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.lastPropagationRounds <= 20,
       s"took ${Dedup.lastPropagationRounds} rounds for diameter 19")
   }
+
+  test("semdedup: every pruned vector has a kept lower-id partner in its cluster") {
+    // sf0.001 may not carry a >=0.95-cosine pair; plant one: vec 9000 is
+    // an exact copy of vec 5 (cosine 1.0, same cluster by construction)
+    val planted = emb.filter(col("vec_id") === 5)
+      .withColumn("vec_id", lit(9000L))
+    val input = emb.unionByName(planted)
+    val out = Similarity.semDedup(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === input.count())
+    val byCluster = out.groupBy(_._2)
+    // cluster-minimum vec_id is always kept (nothing below it to prune it)
+    byCluster.foreach { case (_, vs) =>
+      val minId = vs.map(_._1).min
+      assert(vs.find(_._1 == minId).get._3, s"cluster min $minId must be kept")
+    }
+    // pruning is intra-cluster only and witnessed by a genuine cosine
+    val pruned = out.filter(!_._3)
+    assert(pruned.contains((9000L, out.find(_._1 == 5L).get._2, false)),
+      "the planted exact copy must be pruned into vec 5's cluster")
+    val vecs = input.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosFp(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    pruned.foreach { case (id, cid, _) =>
+      val witnesses = out.filter(v => v._2 == cid && v._1 < id)
+        .filter(v => cosFp(vecs(v._1), vecs(id)) >= Similarity.SemDedupTauFp)
+      assert(witnesses.nonEmpty, s"pruned $id has no high-cosine lower-id witness")
+    }
+  }
+
+  test("dup spans: bounds hold, exact-duplicate docs are one full span") {
+    // plant an exact duplicate (doc 10000 = doc 1's text) so the
+    // full-span property is exercised even at dup-free sf0.001
+    val planted = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(10000L))
+    val input = docs.unionByName(planted)
+    val out = Dedup.dupSpans(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out.length === input.count())
+    out.foreach { case (id, nw, nd, span) =>
+      assert(nd <= nw, s"doc $id: dup windows exceed windows")
+      if (nd == 0) assert(span === 0L)
+      else assert(span >= Dedup.SpanLen && span <= nw + Dedup.SpanLen - 1,
+        s"doc $id: span $span outside [${Dedup.SpanLen}, ${nw + Dedup.SpanLen - 1}]")
+    }
+    // a doc whose full text occurs twice in the corpus duplicates EVERY
+    // window, so its longest span covers the whole doc
+    import spark.implicits._
+    val twin = input.groupBy("text").count().filter(col("count") >= 2)
+      .join(input, "text").select("doc_id").as[Long].collect()
+    assert(twin.length >= 2)
+    val byId = out.map(t => t._1 -> t).toMap
+    twin.foreach { id =>
+      val (_, nw, nd, span) = byId(id)
+      if (nw > 0) {
+        assert(nd === nw, s"exact-dup doc $id: every window must be duplicated")
+        assert(span === nw + Dedup.SpanLen - 1)
+      }
+    }
+  }
+
+  test("dsir weights: target-language docs score higher on average") {
+    import spark.implicits._
+    val scored = TextOps.dsirWeights(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang") === "en", col("score_fp"), col("n_bigrams"))
+      .as[(Boolean, Long, Long)].collect()
+    val (en, rest) = scored.partition(_._1)
+    assert(en.nonEmpty && rest.nonEmpty)
+    // per-bigram normalized mean score: the en rate-vs-raw weights must
+    // separate the target domain from the remainder
+    def meanPerBigram(xs: Array[(Boolean, Long, Long)]): Double =
+      xs.map(x => x._2.toDouble / math.max(x._3, 1L)).sum / xs.length
+    assert(meanPerBigram(en) > meanPerBigram(rest),
+      s"en ${meanPerBigram(en)} !> rest ${meanPerBigram(rest)}")
+  }
+
+  test("winnowing: density bounds hold and exact-duplicate docs share fingerprints modulo position") {
+    val planted = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", lit(10001L))
+    val input = docs.unionByName(planted)
+    val out = TextOps.winnowing(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === input.count())
+    out.foreach { case (id, nk, np, _) =>
+      val windows = math.max(nk - (TextOps.WinnowW - 1), 0L)
+      assert(np <= windows, s"doc $id: more prints than windows")
+      if (windows > 0) {
+        assert(np >= 1, s"doc $id: winnowing must select at least one print")
+        // winnowing density: one print per window, each can repeat across
+        // at most WinnowW windows → at least ceil(windows / (2w)) with slack
+        assert(np.toDouble >= windows.toDouble / (4 * TextOps.WinnowW),
+          s"doc $id: print density $np/$windows below winnowing guarantee")
+      }
+    }
+    // identical texts → identical k-gram hash sequences → identical
+    // (count, positions) of selected prints → equal n_prints
+    import spark.implicits._
+    val twins = input.groupBy("text").count().filter(col("count") >= 2)
+      .join(input, "text").select(col("text"), col("doc_id")).as[(String, Long)]
+      .collect().groupBy(_._1).values.filter(_.length >= 2)
+    assert(twins.nonEmpty)
+    val byId = out.map(t => t._1 -> t).toMap
+    twins.foreach { g =>
+      val stats = g.map(x => byId(x._2)).map(t => (t._2, t._3, t._4))
+      assert(stats.distinct.length === 1,
+        s"duplicate docs ${g.map(_._2).mkString(",")} differ in fingerprints: $stats")
+    }
+  }
+
+  test("A/B lift report is internally consistent") {
+    val r = EventOps.abLift(graft.sources.EventsAdapter.events(spark, dir)).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    val (arpuA, arpuB) = (row.getLong(2), row.getLong(3))
+    val lift = row.getLong(4)
+    assert(na > 0 && nb > 0)
+    assert(arpuA > 0 && arpuB > 0)
+    assert(lift === math.floor((arpuB - arpuA).toDouble * 1000 / arpuA).toLong)
+    // variants partition the purchasing users
+    val purchasers = graft.sources.EventsAdapter.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(na + nb === purchasers)
+  }
 }
