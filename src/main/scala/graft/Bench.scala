@@ -135,7 +135,10 @@ object Bench {
       "dedup_simhash_eval", "ts_asof_tolerance",
       // round-4 (current) additions
       "dedup_emb_cosine_eval", "ts_select_math_log", "emb_hard_negatives",
-      "doc_pii_scrub")
+      "doc_pii_scrub",
+      // round-5 additions
+      "emb_semdedup", "doc_dup_spans", "doc_dsir_weights", "doc_winnowing",
+      "events_ab_lift", "olap_rollup_revenue")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++

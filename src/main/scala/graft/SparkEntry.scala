@@ -717,6 +717,23 @@ object SparkEntry {
       monthly.withColumn("cum_rev_fp", sum("rev_fp").over(w))
         .orderBy("o_orderpriority", "ym")
     }),
+    "olap_rollup_revenue" -> ((s, dir) => {
+      // multi-level report totals in ONE pass: ROLLUP (year, priority)
+      // emits per-(year, priority), per-year subtotal, and grand total
+      // from a single Expand + hash aggregate — no per-level re-scan,
+      // the 100 TB shape for report cubes. grouping_id disambiguates the
+      // rolled-up NULL keys; keys sentinel-coalesced for hash-safe output.
+      import org.apache.spark.sql.functions.{grouping_id => gid}
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderpriority"))
+        .agg(gid().cast("long").as("lvl"), // must be computed IN the agg
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_fp"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("yr"), lit(-1L)).as("yr"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("lvl"), col("rev_fp"), col("n_orders"))
+        .orderBy("lvl", "yr", "priority")
+    }),
     "sketch_cms_heavy" -> ((s, dir) =>
       Sketches.cmsHeavyUsers(EventsAdapter.events(s, dir))),
     "sketch_hist_quantiles" -> ((s, dir) =>
@@ -2141,6 +2158,17 @@ object SparkEntry {
         |       CAST(sum(rev_fp) OVER (PARTITION BY o_orderpriority ORDER BY ym
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_fp
         |FROM m ORDER BY o_orderpriority, ym""".stripMargin,
+    "olap_rollup_revenue" ->
+      """WITH b AS (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice
+        |           FROM orders)
+        |SELECT COALESCE(yr, -1) AS yr,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(GROUPING(yr) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_fp,
+        |       count(*) AS n_orders
+        |FROM b
+        |GROUP BY ROLLUP (yr, o_orderpriority)
+        |ORDER BY lvl, yr, priority""".stripMargin,
     "sketch_cms_heavy" -> Sketches.cmsHeavyUsersOracle,
     "sketch_hist_quantiles" -> Sketches.histQuantilesOracle,
     "events_topk_heap" ->

@@ -335,7 +335,10 @@ object Similarity {
   def semDedup(emb: DataFrame): DataFrame = {
     val x = normalized(emb).withColumn("xq", quantCol)
     val (_, a2) = ivfCluster(x)
+    // materialize the clustered relation once: it feeds both pair sides
+    // and the verdict join, and carries the whole k-means lineage
     val m = x.join(a2, "vec_id").select("vec_id", "cid", "v", "nrm")
+      .localCheckpoint(true)
     val l = m.select(col("cid"), col("vec_id").as("a_id"),
       col("v").as("av"), col("nrm").as("an"))
     val r = m.select(col("cid"), col("vec_id").as("b_id"),

@@ -195,6 +195,39 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("semdedup: pairs come from a cid equi-join, never a global cross") {
+    val p = plan("emb_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loops are the k-means centroid broadcasts (8-row
+    // side); the quadratic pair stage must plan as a hash/merge join on
+    // the cluster id
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("dsir weights: bucket-weight relation broadcasts; corpus side never re-shuffles past (doc, bucket)") {
+    val p = plan("doc_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dup spans and winnowing: every window is per-doc, never unpartitioned") {
+    for (name <- Seq("doc_dup_spans", "doc_winnowing")) {
+      val p = plan(name)
+      val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(winLines.nonEmpty, s"$name: expected a per-doc window\n$p")
+      winLines.foreach(l => assert(l.contains("doc_id"),
+        s"$name: window must partition by doc_id: $l"))
+    }
+  }
+
+  test("rollup: one Expand + aggregate pass, no per-level union of scans") {
+    val p = plan("olap_rollup_revenue")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"rollup must read orders exactly once\n$p")
+    assert(!p.contains("Union"), p)
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // AQE finalizes the physical plan only on execution — run the query,
     // then inspect the final adaptive plan for codegen stages
