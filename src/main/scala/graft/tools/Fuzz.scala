@@ -163,8 +163,16 @@ object Fuzz {
       (bName, bMs) <- Vector("6h" -> 21600000L, "1d" -> 86400000L)
       ri <- Ranges.indices
     } yield mkSlimit(sl, so, bName, bMs, ri)
+    // FILL × GROUP BY tag: per-series spines — every grouped tag value
+    // gets its own gap-filled bucket sequence (the combination the
+    // curated single-series fill entries never exercise)
+    val fillGbs = for {
+      mode <- Vector("0", "-5", "previous", "linear")
+      (bName, bMs) <- Buckets if bMs >= 3600000L
+      ri <- Ranges.indices
+    } yield mkFillGb(mode, bName, bMs, ri)
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
-      ariths ++ tfs ++ slims
+      ariths ++ tfs ++ slims ++ fillGbs
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -393,6 +401,55 @@ object Fuzz {
          |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     FuzzCase(s"fuzz_fill${mode.replace("-", "m")}_${bName}_r$ri", q, sql)
+  }
+
+  private def mkFillGb(mode: String, bName: String, bMs: Long, ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT mean("value") FROM "events" WHERE time > $fromNs AND time < $toNs GROUP BY time($bName), "event_type" FILL($mode)"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val fromB = Math.floorDiv(fromMs, bMs) * bMs
+    val toB = Math.floorDiv(toMs, bMs) * bMs
+    val fillExpr = mode match {
+      case "previous" =>
+        "coalesce(last_value(j.raw IGNORE NULLS) OVER " +
+          "(PARTITION BY j.event_type ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)"
+      case "linear" =>
+        """coalesce(CASE WHEN j.raw IS NOT NULL THEN j.raw
+          |  WHEN pv IS NOT NULL AND nv IS NOT NULL
+          |    THEN pv + (nv - pv) * ((j.time_ms - pt) / (nt - pt))
+          |  END, -1)""".stripMargin
+      case n => s"coalesce(j.raw, $n)"
+    }
+    val linearWins = if (mode != "linear") "" else
+      """,
+        |  last_value(j.raw IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN j.raw IS NOT NULL THEN j.time_ms END IGNORE NULLS) OVER wp AS pt,
+        |  first_value(j.raw IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN j.raw IS NOT NULL THEN j.time_ms END IGNORE NULLS) OVER wn AS nt""".stripMargin
+    val linearWindowDefs = if (mode != "linear") "" else
+      """
+        |      WINDOW wp AS (PARTITION BY j.event_type ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY j.event_type ORDER BY j.time_ms ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, event_type, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |  GROUP BY 1, 2),
+         |ty AS (SELECT DISTINCT event_type FROM g),
+         |sp AS (SELECT ty.event_type, s.time_ms
+         |       FROM ty, generate_series($fromB, $toB, $bMs) s(time_ms)),
+         |j0 AS (SELECT sp.event_type, sp.time_ms, g.raw
+         |       FROM sp LEFT JOIN g
+         |         ON g.event_type = sp.event_type AND g.time_ms = sp.time_ms),
+         |j2 AS (SELECT j.event_type, j.time_ms, j.raw$linearWins FROM j0 j$linearWindowDefs),
+         |f AS (SELECT j.event_type, j.time_ms,
+         |             CAST(floor(($fillExpr) * 100) AS BIGINT) AS value FROM j2 j)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_fill${mode.replace("-", "m")}_${bName}_r${ri}_gb", q, sql)
   }
 
   /** Descending-time cases need the DESC-preserving quantize order. */
