@@ -138,7 +138,7 @@ object Bench {
       "doc_pii_scrub",
       // round-5 additions
       "emb_semdedup", "doc_dup_spans", "doc_dsir_weights", "doc_winnowing",
-      "events_ab_lift", "olap_rollup_revenue")
+      "events_ab_lift", "olap_rollup_revenue", "emb_knn_graph")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++

@@ -1240,6 +1240,7 @@ object SparkEntry {
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "emb_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir))),
+    "emb_knn_graph" -> ((s, dir) => Dedup.knnGraph(emb(s, dir))),
 
     // --- approximate aggregates (SURVEY §2.4 "not present" list): HLL
     //     distinct, deterministic cross-engine (see pipeline.Sketches) ---
@@ -2463,6 +2464,7 @@ object SparkEntry {
     "approx_distinct_hll" -> Sketches.hllDistinctUsersOracle,
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "emb_semdedup" -> Similarity.semDedupOracle,
+    "emb_knn_graph" -> Dedup.knnGraphOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsBandedOracle,
     "dedup_emb_cosine_eval" -> EvalSampling.sampleOracle(Dedup.cosineBandedEvalOracle, "embeddings", "vec_id"),
     "ann_brute_topk" -> Similarity.bruteTopKOracle,

@@ -957,6 +957,64 @@ object Dedup {
        |WHERE floor($pairDotSql / (${pairNrmSql("av")} * ${pairNrmSql("bv")}) * 1e6) >= $CosineThresholdFp
        |ORDER BY i, j""".stripMargin
 
+  // ---- kNN similarity-join graph -----------------------------------------
+
+  /** Neighbors kept per vector in the kNN graph. */
+  val KnnGraphK = 3
+
+  /** Approximate kNN-graph construction — the all-vectors similarity JOIN
+    * (every vector gets its top-K most-similar neighbors), the input
+    * relation semantic-clustering and graph-based dedup pipelines build
+    * first. Candidates come from the same banded hyperplane-LSH relation
+    * as [[cosinePairsBanded]] (no all-pairs join anywhere); each unordered
+    * collision feeds both directions, exact cosine scores candidates
+    * only, and a per-vector top-K window ranks them. Vectors with no band
+    * collision have no neighbors at this recall setting and are absent —
+    * the measured approximation (see [[cosineBandedEval]]).
+    *
+    * Scale shape: band join shuffles fixed-width (band, bucket) rows;
+    * score joins are equi-joins on vec_id; the window partitions by
+    * vec_id over candidate lists bounded by band-bucket occupancy.
+    * Output (vec_id, rank, neighbor_id, cos_fp). */
+  def knnGraph(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorMath.dotF64
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
+    val banded = e.select(col("vec_id"),
+      posexplode(allBandBuckets).as(Seq("band", "bkt")))
+      .localCheckpoint(true)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    val directed = cand.union(cand.select(col("j").as("i"), col("i").as("j")))
+    val scored = directed
+      .join(e.select(col("vec_id").as("i"), col("v").as("av"), col("nrm").as("an")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("v").as("bv"), col("nrm").as("bn")), Seq("j"))
+      .select(col("i").as("vec_id"), col("j").as("neighbor_id"),
+        floor(dotF64(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
+          .cast("long").as("cos_fp"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_fp").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnGraphK)
+      .select("vec_id", "rank", "neighbor_id", "cos_fp")
+      .orderBy("vec_id", "rank")
+  }
+
+  val knnGraphOracle: String =
+    s"""WITH $bandedCandSql,
+       |dir AS (SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand),
+       |scored AS (
+       |  SELECT d.i AS vec_id, d.j AS neighbor_id,
+       |         floor($pairDotSql / (${pairNrmSql("av")} * ${pairNrmSql("bv")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM dir d JOIN ev av ON av.vec_id = d.i JOIN ev bv ON bv.vec_id = d.j),
+       |r AS (SELECT vec_id, neighbor_id, cos_fp,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT vec_id, rank, neighbor_id, cos_fp FROM r WHERE rank <= $KnnGraphK
+       |ORDER BY vec_id, rank""".stripMargin
+
   /** Banded-vs-brute evaluation: banded pairs are an exact subset of the
     * brute truth (candidates are verified with the same threshold), so
     * precision is 1.0 and the one number that matters is recall. The brute

@@ -646,6 +646,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph: ranking laws hold and identical vectors are guaranteed mutual neighbors") {
+    // identical vectors share EVERY band bucket, so the planted copy is a
+    // guaranteed candidate — the one recall property banding promises
+    val planted = emb.filter(col("vec_id") === 5)
+      .withColumn("vec_id", lit(9001L))
+    val input = emb.unionByName(planted)
+    val out = Dedup.knnGraph(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byV = out.groupBy(_._1)
+    byV.foreach { case (v, rs) =>
+      assert(rs.length <= Dedup.KnnGraphK)
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length), s"ranks not contiguous for $v")
+      val ordered = rs.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        s"cosines not descending for $v")
+      assert(!rs.exists(_._3 == v), s"self edge at $v")
+    }
+    val copied = byV(9001L).sortBy(_._2)
+    assert(copied.head._4 === 1000000L, "planted copy's best neighbor must be exact")
+    assert(byV(9001L).exists(_._3 == 5L) || copied.head._4 == 1000000L)
+    assert(byV(5L).head._4 === 1000000L || byV(5L).exists(_._3 == 9001L))
+  }
+
   test("A/B lift report is internally consistent") {
     val r = EventOps.abLift(graft.sources.EventsAdapter.events(spark, dir)).collect()
     assert(r.length === 1)
