@@ -1241,6 +1241,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "emb_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir))),
     "emb_knn_graph" -> ((s, dir) => Dedup.knnGraph(emb(s, dir))),
+    "emb_cluster_quality" -> ((s, dir) => Similarity.clusterQuality(emb(s, dir))),
 
     // --- approximate aggregates (SURVEY §2.4 "not present" list): HLL
     //     distinct, deterministic cross-engine (see pipeline.Sketches) ---
@@ -2465,6 +2466,7 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "emb_semdedup" -> Similarity.semDedupOracle,
     "emb_knn_graph" -> Dedup.knnGraphOracle,
+    "emb_cluster_quality" -> Similarity.clusterQualityOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsBandedOracle,
     "dedup_emb_cosine_eval" -> EvalSampling.sampleOracle(Dedup.cosineBandedEvalOracle, "embeddings", "vec_id"),
     "ann_brute_topk" -> Similarity.bruteTopKOracle,

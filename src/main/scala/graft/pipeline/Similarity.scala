@@ -365,6 +365,52 @@ object Similarity {
        |FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id
        |ORDER BY m.vec_id""".stripMargin
 
+  // ---- cluster quality report ---------------------------------------------
+
+  /** Per-cluster health readout over the shared deterministic k-means
+    * ([[ivfCluster]]): member count plus mean/min/max cosine of members to
+    * their own centroid — the "is this clustering tight enough to prune
+    * against" check run before [[semDedup]] and before trusting
+    * [[ivfTopK]]'s probe routing. Centroids are the integer fp-1e6
+    * vectors, so the cosine kernel sees exact inputs in both engines; the
+    * mean divides via an explicit floor over doubles (sum is exact
+    * < 2^53), keeping negative sums engine-identical.
+    *
+    * Scale shape: one broadcast of IvfK centroids into the member scan,
+    * then a map-side-combinable per-cid aggregate — nothing scales past
+    * (clusters × stats). Output (cid, n_vectors, mean_cos_fp,
+    * min_cos_fp, max_cos_fp). */
+  def clusterQuality(emb: DataFrame): DataFrame = {
+    val x = normalized(emb).withColumn("xq", quantCol)
+    val (c1, a2) = ivfCluster(x)
+    val cD = transform(col("c"), y => y.cast("double"))
+    val cosFp = floor(dotCols(col("v"), cD) /
+      (col("nrm") * sqrt(dotCols(cD, cD))) * 1e6).cast("long")
+    x.join(a2, "vec_id").join(broadcast(c1), Seq("cid"))
+      .select(col("cid"), cosFp.as("cos_fp"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        floor(sum("cos_fp") / count(lit(1))).cast("long").as("mean_cos_fp"),
+        min("cos_fp").as("min_cos_fp"), max("cos_fp").as("max_cos_fp"))
+      .orderBy("cid")
+  }
+
+  val clusterQualityOracle: String = {
+    val cDot = "list_reduce(list_transform(range(1, 65), d -> m.v[d] * m.c[d]), (x, y) -> x + y)"
+    val cNrm = "sqrt(list_reduce(list_transform(range(1, 65), d -> (m.c[d] * m.c[d])::DOUBLE), (x, y) -> x + y))"
+    val vNrm = "sqrt(list_reduce(list_transform(range(1, 65), d -> m.v[d] * m.v[d]), (x, y) -> x + y))"
+    s"""$ivfClusterCtes,
+       |m AS (SELECT e.vec_id, a2.cid, e.v, c1.c
+       |      FROM e JOIN a2 USING (vec_id) JOIN c1 USING (cid)),
+       |s AS (SELECT cid,
+       |             floor($cDot / ($vNrm * $cNrm) * 1e6)::BIGINT AS cos_fp
+       |      FROM m)
+       |SELECT cid, count(*) AS n_vectors,
+       |       CAST(floor(CAST(sum(cos_fp) AS BIGINT)::DOUBLE / count(*)) AS BIGINT) AS mean_cos_fp,
+       |       min(cos_fp) AS min_cos_fp, max(cos_fp) AS max_cos_fp
+       |FROM s GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   // ---- int8 quantization --------------------------------------------------
 
   /** Symmetric int8 quantization per vector: scale = max|v|/127,

@@ -228,6 +228,45 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Union"), p)
   }
 
+  test("AQE splits a skewed join partition at runtime; result stays exact") {
+    // The 100 TB skew story: a hot key (90% of one side) must not pin a
+    // single reducer. With broadcast disabled (forcing the shuffle join)
+    // and spec-scale skew thresholds, AQE's skew-join rule must split the
+    // oversized partition — visible as skew=true on the sort-merge join —
+    // and the join result must be byte-identical to the unskewed plan.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100).as("k"),
+        rpad(col("id").cast("string"), 64, "x").as("payload"))
+      val right = spark.range(0, 100).select(col("id").as("k"), (col("id") * 7).as("rv"))
+      val agg = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"),
+          sum(col("rv")).as("rvsum"))
+      val row = agg.collect().head
+      assert(row.getLong(0) === 200000L, "every left row joins exactly once")
+      assert(row.getLong(1) === 200000L * 64)
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the skewed join side as split:\n$p")
+    } finally restore()
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // AQE finalizes the physical plan only on execution — run the query,
     // then inspect the final adaptive plan for codegen stages
