@@ -1199,6 +1199,7 @@ object SparkEntry {
     "events_bursts" -> ((s, dir) => EventOps.bursts(EventsAdapter.events(s, dir))),
     "events_anomaly_days" -> ((s, dir) => EventOps.anomalyDays(EventsAdapter.events(s, dir))),
     "events_ab_lift" -> ((s, dir) => EventOps.abLift(EventsAdapter.events(s, dir))),
+    "events_ltv_cohort" -> ((s, dir) => EventOps.ltvCohort(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
@@ -2233,6 +2234,7 @@ object SparkEntry {
     "events_bursts" -> EventOps.burstsOracle,
     "events_anomaly_days" -> EventOps.anomalyDaysOracle,
     "events_ab_lift" -> EventOps.abLiftOracle,
+    "events_ltv_cohort" -> EventOps.ltvCohortOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
     "events_first_touch" -> EventOps.firstTouchOracle,

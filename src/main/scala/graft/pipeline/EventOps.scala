@@ -547,6 +547,63 @@ object EventOps {
       |      > 4 * (st.n_days * st.q - st.s * st.s)
       |ORDER BY event_type, day_ms""".stripMargin
 
+  // ---- cohort LTV triangle ------------------------------------------------
+
+  /** Lifetime-value triangle: cohort = a user's FIRST-ever activity week
+    * (any event type), each later week contributes that cohort's purchase
+    * revenue at its week offset, and a per-cohort cumulative sum yields
+    * LTV; normalized per cohort member (the marketing-payback readout
+    * product analytics stores ship next to [[retention]]).
+    *
+    * Shape: per-user first-week and per-(user, week) revenue both collapse
+    * map-side on user_id; the triangle is (cohorts × offsets) rows, so the
+    * cumulative window runs on the collapsed relation and the cohort-size
+    * join is a broadcast. Revenue is exact centi-integer; per-user LTV is
+    * a positive integer floor division (identical in both engines).
+    * Output (cohort_week, week_offset, rev_fp, n_buyers, cohort_size,
+    * cum_rev_fp, ltv_per_user_fp). */
+  def ltvCohort(events: DataFrame): DataFrame = {
+    val wk = events.select(col("user_id"),
+      expr(s"ts_ns div 1000000 div $WeekMs").as("week"),
+      col("event_type"), col("value"))
+    val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val cohortSize = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val rev = wk.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("week"), floor(col("value") * 100).cast("long").as("r"))
+    val tri = rev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum("r").as("rev_fp"), countDistinct("user_id").as("n_buyers"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tri.withColumn("cum_rev_fp", sum("rev_fp").over(w))
+      .join(broadcast(cohortSize), Seq("cohort_week"))
+      .withColumn("ltv_per_user_fp", expr("cum_rev_fp * 1000 div cohort_size"))
+      .select("cohort_week", "week_offset", "rev_fp", "n_buyers",
+        "cohort_size", "cum_rev_fp", "ltv_per_user_fp")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val ltvCohortOracle: String =
+    s"""WITH wk AS (SELECT user_id, epoch_ms(ts) // $WeekMs AS week, event_type, value
+       |            FROM events),
+       |c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+       |cs AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
+       |r AS (SELECT user_id, week, CAST(floor(value * 100) AS BIGINT) AS r
+       |      FROM wk WHERE event_type = 'purchase'),
+       |t AS (SELECT c.cohort_week, r.week - c.cohort_week AS week_offset,
+       |             CAST(sum(r.r) AS BIGINT) AS rev_fp,
+       |             count(DISTINCT r.user_id) AS n_buyers
+       |      FROM r JOIN c USING (user_id) GROUP BY 1, 2),
+       |x AS (SELECT t.*, CAST(sum(rev_fp) OVER (
+       |               PARTITION BY cohort_week ORDER BY week_offset
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_fp
+       |      FROM t)
+       |SELECT x.cohort_week, x.week_offset, x.rev_fp, x.n_buyers, cs.cohort_size,
+       |       x.cum_rev_fp, x.cum_rev_fp * 1000 // cs.cohort_size AS ltv_per_user_fp
+       |FROM x JOIN cs USING (cohort_week)
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   // ---- A/B lift report ----------------------------------------------------
 
   /** Deterministic A/B experiment readout: variant = user_id % 2 (the

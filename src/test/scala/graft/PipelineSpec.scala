@@ -669,6 +669,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(byV(5L).head._4 === 1000000L || byV(5L).exists(_._3 == 9001L))
   }
 
+  test("LTV triangle: cumulative revenue is nondecreasing and per-user LTV consistent") {
+    val out = EventOps.ltvCohort(graft.sources.EventsAdapter.events(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (cw, rows) =>
+      val byOff = rows.sortBy(_._2)
+      assert(byOff.forall(_._2 >= 0), s"cohort $cw: negative offset")
+      val cums = byOff.map(_._6)
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+        s"cohort $cw: cumulative revenue must be nondecreasing")
+      // cum at each offset = running sum of rev
+      assert(byOff.map(_._3).scanLeft(0L)(_ + _).tail.toSeq === cums.toSeq)
+      byOff.foreach { r =>
+        assert(r._4 <= r._5, "buyers cannot exceed cohort size")
+        assert(r._7 === r._6 * 1000 / r._5)
+      }
+    }
+  }
+
   test("A/B lift report is internally consistent") {
     val r = EventOps.abLift(graft.sources.EventsAdapter.events(spark, dir)).collect()
     assert(r.length === 1)
