@@ -228,6 +228,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Union"), p)
   }
 
+  test("knn graph: banded candidates only — no cartesian/non-equi self-join") {
+    val p = plan("emb_knn_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("LTV triangle: cumulative window after the (cohort, offset) collapse; cohort sizes broadcast") {
+    val p = plan("events_ltv_cohort")
+    assert(p.contains("Window ["), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("AQE splits a skewed join partition at runtime; result stays exact") {
     // The 100 TB skew story: a hot key (90% of one side) must not pin a
     // single reducer. With broadcast disabled (forcing the shuffle join)
