@@ -171,8 +171,15 @@ object Fuzz {
       (bName, bMs) <- Buckets if bMs >= 3600000L
       ri <- Ranges.indices
     } yield mkFillGb(mode, bName, bMs, ri)
+    // outer transforms × GROUP BY tag: the per-series window must
+    // partition by the grouped tag value, never run globally
+    val tfGbs = for {
+      t <- Transforms.toVector
+      (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
+      ri <- Ranges.indices
+    } yield mkTransformGb(t, bName, bMs, ri)
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
-      ariths ++ tfs ++ slims ++ fillGbs
+      ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -230,6 +237,21 @@ object Fuzz {
     FuzzCase(s"fuzz_$slug", q, sql)
   }
 
+  /** Sequential-fold value expression for the accumulating transforms:
+    * DuckDB's windowed SUM/AVG may associate pairwise (segment tree),
+    * while Spark's running frames accumulate sequentially — an explicit
+    * `list_reduce` over the ordered prefix pins the fold order (the same
+    * ulp divergence the curated entries avoid by convention; surfaced by
+    * the cumsum × GROUP-BY-tag cases). deriv/diff use lag only (exact
+    * subtraction of identical doubles) and keep plain windows. */
+  private def foldExpr(slug: String): Option[String] = slug match {
+    case "cumsum" => Some("list_reduce(l.vs[1:r.rn], (a, b) -> a + b)")
+    case "movavg3" => Some(
+      "list_reduce(l.vs[(CASE WHEN r.rn >= 3 THEN r.rn - 2 ELSE 1 END):r.rn], (a, b) -> a + b)" +
+        " / (CASE WHEN r.rn >= 3 THEN 3 ELSE r.rn END)")
+    case _ => None
+  }
+
   private def mkTransform(t: (String, String, String, String),
                           bName: String, bMs: Long, ri: Int): FuzzCase = {
     val (slug, sel, winSetup, winExpr) = t
@@ -237,16 +259,26 @@ object Fuzz {
     val q = s"""SELECT $sel FROM "events" WHERE time > $fromNs AND time < $toNs AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time($bName)"""
     val fromMs = fromNs / 1000000L + 1
     val toMs = toNs / 1000000L - 1
-    val sql =
+    val g =
       s"""WITH g AS (
          |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, avg(value) AS raw
          |  FROM events
          |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
          |    AND event_type = 'click' AND user_id = 7
-         |  GROUP BY 1),
-         |d AS (SELECT time_ms, $winSetup FROM g),
-         |f AS (SELECT time_ms, CAST(floor(($winExpr) * 100) AS BIGINT) AS value
-         |      FROM d WHERE ($winExpr) IS NOT NULL)
+         |  GROUP BY 1)""".stripMargin
+    val fCte = foldExpr(slug) match {
+      case Some(e) =>
+        s"""r AS (SELECT time_ms, row_number() OVER (ORDER BY time_ms) AS rn FROM g),
+           |l AS (SELECT list(raw ORDER BY time_ms) AS vs FROM g),
+           |f AS (SELECT r.time_ms, CAST(floor(($e) * 100) AS BIGINT) AS value FROM r, l)""".stripMargin
+      case None =>
+        s"""d AS (SELECT time_ms, $winSetup FROM g),
+           |f AS (SELECT time_ms, CAST(floor(($winExpr) * 100) AS BIGINT) AS value
+           |      FROM d WHERE ($winExpr) IS NOT NULL)""".stripMargin
+    }
+    val sql =
+      s"""$g,
+         |$fCte
          |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
          |       'click' AS labelvalue, '' AS message FROM f
          |UNION ALL
@@ -254,6 +286,45 @@ object Fuzz {
          |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     FuzzCase(s"fuzz_${slug}_${bName}_r${ri}_tf", q, sql)
+  }
+
+  private def mkTransformGb(t: (String, String, String, String),
+                            bName: String, bMs: Long, ri: Int): FuzzCase = {
+    val (slug, sel, winSetup0, winExpr) = t
+    // the single-series window setups gain a per-type partition
+    val winSetup = winSetup0.replace("OVER (ORDER BY time_ms",
+      "OVER (PARTITION BY event_type ORDER BY time_ms")
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $sel FROM "events" WHERE time > $fromNs AND time < $toNs GROUP BY time($bName), "event_type""""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val g =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, event_type, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |  GROUP BY 1, 2)""".stripMargin
+    val fCte = foldExpr(slug) match {
+      case Some(e) =>
+        s"""r AS (SELECT time_ms, event_type,
+           |             row_number() OVER (PARTITION BY event_type ORDER BY time_ms) AS rn FROM g),
+           |l AS (SELECT event_type, list(raw ORDER BY time_ms) AS vs FROM g GROUP BY 1),
+           |f AS (SELECT r.time_ms, r.event_type,
+           |             CAST(floor(($e) * 100) AS BIGINT) AS value
+           |      FROM r JOIN l USING (event_type))""".stripMargin
+      case None =>
+        s"""d AS (SELECT time_ms, event_type, $winSetup FROM g),
+           |f AS (SELECT time_ms, event_type,
+           |             CAST(floor(($winExpr) * 100) AS BIGINT) AS value
+           |      FROM d WHERE ($winExpr) IS NOT NULL)""".stripMargin
+    }
+    val sql =
+      s"""$g,
+         |$fCte
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${slug}_${bName}_r${ri}_tfgb", q, sql)
   }
 
   private def mkSlimit(sl: Int, so: Int, bName: String, bMs: Long,
