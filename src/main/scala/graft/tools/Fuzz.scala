@@ -178,8 +178,14 @@ object Fuzz {
       (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
       ri <- Ranges.indices
     } yield mkTransformGb(t, bName, bMs, ri)
+    // percentile × GROUP BY tag: interpolated quantile per (bucket, type)
+    val pctGbs = for {
+      p <- Vector(50, 90, 99)
+      (bName, bMs) <- Vector("1h" -> 3600000L, "1d" -> 86400000L)
+      ri <- Ranges.indices
+    } yield mkPctGb(p, bName, bMs, ri)
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
-      ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs
+      ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ pctGbs
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -325,6 +331,24 @@ object Fuzz {
          |       event_type AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     FuzzCase(s"fuzz_${slug}_${bName}_r${ri}_tfgb", q, sql)
+  }
+
+  private def mkPctGb(p: Int, bName: String, bMs: Long, ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT percentile("value", $p) FROM "events" WHERE time > $fromNs AND time < $toNs GROUP BY time($bName), "event_type""""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, event_type,
+         |         CAST(floor((quantile_cont(value, ${p / 100.0})) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |  GROUP BY 1, 2)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM g
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_percentile${p}_${bName}_r${ri}_pgb", q, sql)
   }
 
   private def mkSlimit(sl: Int, so: Int, bName: String, bMs: Long,
