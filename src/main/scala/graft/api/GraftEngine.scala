@@ -535,12 +535,10 @@ class GraftEngine(
         }
       case Ast.Unsupported(_) =>
         bare // cflux.js:846-852
-      case Ast.ShowLimited(inner, lim, off) =>
-        // pagination rides the SAME Catalyst plan as the listing —
-        // offset/limit are plan nodes, not a driver-side slice
-        val df0 = Planner.plan(spark, inner, catalog(db), nowMs())
-        val df1 = off.map(df0.offset).getOrElse(df0)
-        val df = lim.map(df1.limit).getOrElse(df1)
+      case Ast.ShowLimited(inner, _, _) =>
+        // pagination planning lives in Planner.plan (shared with every
+        // caller); only the response series name needs the inner statement
+        val df = Planner.plan(spark, stmt, catalog(db), nowMs())
         Seq(Response.entryJson(id, Seq(Response.showSeries(showName(inner), df))))
       case other =>
         val df = Planner.plan(spark, other, catalog(db), nowMs())

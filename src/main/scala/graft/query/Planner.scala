@@ -162,6 +162,12 @@ object Planner {
   def plan(spark: SparkSession, stmt: Ast.Statement, cat: TsCatalog, nowMs: Long): DataFrame =
     stmt match {
       case s: Ast.Select            => planSelect(spark, s, cat, nowMs)
+      case Ast.ShowLimited(inner, lim, off) =>
+        // pagination rides the SAME Catalyst plan as the listing —
+        // offset/limit are plan nodes, not a driver-side slice
+        val df0 = plan(spark, inner, cat, nowMs)
+        val df1 = off.map(df0.offset).getOrElse(df0)
+        lim.map(df1.limit).getOrElse(df1)
       case Ast.ShowDatabases        => spark.createDataFrame(
         spark.sparkContext.parallelize(cat.databases.map(org.apache.spark.sql.Row(_))),
         org.apache.spark.sql.types.StructType(Seq(

@@ -80,6 +80,46 @@ object Fuzz {
 
   private val SlimitParams = Seq((1, 0), (2, 1), (3, 0))
 
+  // ordered/positional aggregates the base family doesn't cover:
+  // first/last = value at the bucket's earliest/latest point (ms
+  // timestamps are unique within a series — no arg ties), interpolated
+  // median (same contract as the percentile family), sample stddev.
+  // stddev of a single-point group is NULL in BOTH engines (Spark since
+  // the non-legacy statistical aggregates; DuckDB always) — but NULL sorts
+  // first in Spark and last in DuckDB, so run() sentinel-encodes it as
+  // -999 and the oracle coalesces to the same value before quantization.
+  private val ExtraFns = Seq(
+    "first" -> "arg_min(value, epoch_ms(ts))",
+    "last" -> "arg_max(value, epoch_ms(ts))",
+    "median" -> "quantile_cont(value, 0.5)",
+    "stddev" -> "coalesce(stddev_samp(value), -999.0)")
+
+  // math function applied to the bucketed mean (per-row, no association
+  // risk; events values are non-negative so sqrt is real everywhere).
+  // round mirrors the planner's floor(v + 0.5) definition exactly.
+  private val MathFns = Seq(
+    ("msqrt", """sqrt(mean("value"))""", "sqrt(avg(value))"),
+    ("mabs", """abs(mean("value"))""", "abs(avg(value))"),
+    ("mpow2", """pow(mean("value"), 2)""", "pow(avg(value), 2)"),
+    ("mround", """round(mean("value"))""", "floor(avg(value) + 0.5)"))
+
+  // GROUP BY time(bucket, offset): phase-shifted bucket boundaries
+  // (epoch_ms is always > offset here, so floor division stays positive)
+  private val BucketOffsets = Seq(
+    ("1h", "30m", 3600000L, 1800000L),
+    ("1h", "15m", 3600000L, 900000L),
+    ("6h", "1h", 21600000L, 3600000L),
+    ("1d", "6h", 86400000L, 21600000L),
+    ("10m", "5m", 600000L, 300000L))
+
+  // two aggregates of the same field in ONE statement — both project
+  // under the source field's name ('value'), two rows per (bucket, label)
+  private val MultiPairs = Seq(
+    ("mean", "avg(value)", "max", "max(value)"),
+    ("min", "min(value)", "sum", "sum(value)"),
+    ("count", "count(value)", "spread", "max(value) - min(value)"),
+    ("first", "arg_min(value, epoch_ms(ts))", "last", "arg_max(value, epoch_ms(ts))"))
+
   // strict ns bounds inside the events window (Jan 2024); resolveTime
   // maps `time > X` to X/1e6 + 1 ms and `time < Y` to Y/1e6 - 1 ms
   private val Ranges: Seq[(Long, Long)] = Seq(
@@ -184,8 +224,47 @@ object Fuzz {
       (bName, bMs) <- Vector("1h" -> 3600000L, "1d" -> 86400000L)
       ri <- Ranges.indices
     } yield mkPctGb(p, bName, bMs, ri)
+    // ordered/positional aggregates + stddev (sentinel NULL contract)
+    val extras = for {
+      (fn, fnSql) <- ExtraFns.toVector
+      (bName, bMs) <- Buckets
+      pi <- Vector(0, 1, 3)
+      ri <- Ranges.indices
+    } yield mk(fn, fnSql, bName, bMs, pi, ri, None)
+    // math-of-aggregate: per-row function over the bucketed mean
+    val maths = for {
+      (slug, sel, fnSql) <- MathFns.toVector
+      (bName, bMs) <- Buckets
+      pi <- Vector(0, 3)
+      ri <- Ranges.indices
+    } yield mk(slug, fnSql, bName, bMs, pi, ri, None, selRaw = Some(sel))
+    // phase-shifted buckets: GROUP BY time(X, offset)
+    val offsets = for {
+      (fn, fnSql) <- Vector("mean" -> "avg(value)", "count" -> "count(value)")
+      (bName, oName, bMs, oMs) <- BucketOffsets.toVector
+      pi <- Vector(0, 3)
+      ri <- Ranges.indices
+    } yield mkOffset(fn, fnSql, bName, oName, bMs, oMs, pi, ri)
+    // subquery re-aggregation: outer fn over the inner 1h bucketed mean.
+    // Order-insensitive outer fns only: sum/mean of inner doubles diverge
+    // ±1 ulp from the oracle because neither engine pins the accumulation
+    // order of a re-aggregation (measured: 26/240 cells at sf0.01).
+    val subqs = for {
+      (ofn, ofnSql) <- Vector("max" -> "max(value)", "min" -> "min(value)",
+        "count" -> "count(value)")
+      (obName, obMs) <- Vector("6h" -> 21600000L, "1d" -> 86400000L)
+      ri <- Ranges.indices
+    } yield mkSubq(ofn, ofnSql, obName, obMs, ri)
+    // two aggregates of the same field in one statement
+    val multis = for {
+      (f1, s1, f2, s2) <- MultiPairs.toVector
+      (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
+      pi <- Vector(0, 3)
+      ri <- Ranges.indices
+    } yield mkMulti(f1, s1, f2, s2, bName, bMs, pi, ri)
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
-      ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ pctGbs
+      ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ pctGbs ++
+      extras ++ maths ++ offsets ++ subqs ++ multis ++ showCases
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -241,6 +320,163 @@ object Fuzz {
     val slug = s"${fn}${fnArg.map(a => s"$a").getOrElse("")}_${bName}_p${pi}_r$ri" +
       lim.map(l => s"_l${l._1}o${l._2}").getOrElse("")
     FuzzCase(s"fuzz_$slug", q, sql)
+  }
+
+  /** SHOW metadata listings: TAG VALUES (KEY =/IN/=~) × WHERE scoping ×
+    * LIMIT/OFFSET pagination, TAG KEYS and SERIES with WHERE filters —
+    * the planner's SHOW dispatch fuzzed like the SELECT surface. String
+    * results: run() skips the fixed-point quantization for `_show` cases
+    * and orders by every column (name-sorted, the checker's row order). */
+  private def mkShow(slug: String, influxQl: String, oracleSql: String): FuzzCase =
+    FuzzCase(s"fuzz_${slug}_show", influxQl, oracleSql)
+
+  private def showCases: Vector[FuzzCase] = {
+    // WHERE scopes: (slug, influx clause, duckdb predicate)
+    val wheres = Vector(
+      ("w0", "", ""),
+      ("w1", """ WHERE "event_type" = 'click'""", " WHERE event_type = 'click'"),
+      ("w2", """ WHERE "user_id" = '7'""", " WHERE user_id = 7"))
+    val limits = Vector(("l0", "", ""), ("l1", " LIMIT 5", " LIMIT 5"),
+      ("l2", " LIMIT 3 OFFSET 2", " LIMIT 3 OFFSET 2"))
+    // tag-values key selections: (slug, WITH KEY clause, oracle key rows)
+    val keySels = Vector(
+      ("ket", """WITH KEY = "event_type"""",
+        "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events%W"),
+      ("kuid", """WITH KEY = "user_id"""",
+        "SELECT DISTINCT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value FROM events%W"),
+      ("kin", """WITH KEY IN ("event_type", "user_id")""",
+        "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events%W" +
+          " UNION SELECT DISTINCT 'user_id', CAST(user_id AS VARCHAR) FROM events%W"),
+      ("kre", """WITH KEY =~ /user/""",
+        "SELECT DISTINCT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value FROM events%W"))
+    val tagValues = for {
+      (ks, withKey, oracleBase) <- keySels
+      (ws, wInflux, wSql) <- wheres
+      (ls, lInflux, lSql) <- limits
+    } yield {
+      val q = s"""SHOW TAG VALUES FROM "events" $withKey$wInflux$lInflux"""
+      val inner = oracleBase.replace("%W", wSql)
+      val sql =
+        if (lSql.isEmpty) s"SELECT * FROM ($inner) ORDER BY key, value"
+        else s"SELECT * FROM (SELECT * FROM ($inner) ORDER BY key, value$lSql) ORDER BY key, value"
+      mkShow(s"tv_${ks}_${ws}_$ls", q, sql)
+    }
+    val tagKeys = for ((ws, wInflux, wSql) <- wheres) yield mkShow(s"tk_$ws",
+      s"""SHOW TAG KEYS FROM "events"$wInflux""",
+      // both tag keys appear on every series; WHERE scoping never empties
+      // a key at these SFs (each scope matches at least one series)
+      s"SELECT 'event_type' AS tagKey WHERE EXISTS (SELECT 1 FROM events$wSql) " +
+        s"UNION ALL SELECT 'user_id' WHERE EXISTS (SELECT 1 FROM events$wSql) ORDER BY tagKey")
+    val series = for {
+      (ws, wInflux, wSql) <- wheres
+      (ls, lInflux, lSql) <- limits
+    } yield {
+      val inner = "SELECT DISTINCT 'events,event_type=' || event_type || " +
+        s"',user_id=' || CAST(user_id AS VARCHAR) AS key FROM events$wSql"
+      val sql =
+        if (lSql.isEmpty) s"SELECT * FROM ($inner) ORDER BY key"
+        else s"SELECT * FROM (SELECT * FROM ($inner) ORDER BY key$lSql) ORDER BY key"
+      mkShow(s"se_${ws}_$ls", s"""SHOW SERIES FROM "events"$wInflux$lInflux""", sql)
+    }
+    tagValues ++ tagKeys ++ series
+  }
+
+  /** GROUP BY time(bucket, offset): bucket boundaries shifted by the
+    * offset — `((ms - off) // bucket) * bucket + off` on both sides. */
+  private def mkOffset(fn: String, fnSql: String, bName: String, oName: String,
+                       bMs: Long, oMs: Long, pi: Int, ri: Int): FuzzCase = {
+    val (influxPred, sqlPred, _) = TagPreds(pi)
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $fn("value") FROM "events" WHERE time > $fromNs AND time < $toNs$influxPred GROUP BY time($bName, $oName)"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH g AS (
+         |  SELECT ((epoch_ms(ts) - $oMs) // $bMs) * $bMs + $oMs AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         CAST(floor(($fnSql) * 100) AS BIGINT) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs$sqlPred
+         |  GROUP BY 1, 2, 3),
+         |u AS (
+         |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |         event_type AS labelvalue, '' AS message FROM g
+         |  UNION ALL
+         |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |         user_id AS labelvalue, '' AS message FROM g)
+         |SELECT * FROM u
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${fn}_${bName}o${oName}_p${pi}_r${ri}_boff", q, sql)
+  }
+
+  /** Subquery re-aggregation: `SELECT ofn("mean") FROM (SELECT mean(...)
+    * GROUP BY time(1h)) GROUP BY time(obName)` — the inner per-series
+    * bucketed mean becomes the outer's input field (named `mean`), and the
+    * outer aggregates each (name, label) row stream independently. */
+  private def mkSubq(ofn: String, ofnSql: String, obName: String, obMs: Long,
+                     ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $ofn("mean") FROM (SELECT mean("value") FROM "events"""" +
+      s""" WHERE time > $fromNs AND time < $toNs GROUP BY time(1h))""" +
+      s""" WHERE time > $fromNs AND time < $toNs GROUP BY time($obName)"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         avg(value) AS value
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |  GROUP BY 1, 2, 3),
+         |u AS (
+         |  SELECT time_ms, 'mean' AS name, value, 'event_type' AS labelname,
+         |         event_type AS labelvalue, '' AS message FROM g
+         |  UNION ALL
+         |  SELECT time_ms, 'mean' AS name, value, 'user_id' AS labelname,
+         |         user_id AS labelvalue, '' AS message FROM g),
+         |o AS (
+         |  SELECT (time_ms // $obMs) * $obMs AS time_ms, name, labelname,
+         |         labelvalue, message,
+         |         CAST(floor(($ofnSql) * 100) AS BIGINT) AS value
+         |  FROM u
+         |  WHERE time_ms >= $fromMs AND time_ms <= $toMs
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT time_ms, name, value, labelname, labelvalue, message FROM o
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${ofn}_${obName}_r${ri}_subq", q, sql)
+  }
+
+  /** Two aggregates of the same field in one statement: both project under
+    * the source field name, two value rows per (bucket, label) — the same
+    * row-model contract the curated ts_select_first_last entry pins. */
+  private def mkMulti(f1: String, s1: String, f2: String, s2: String,
+                      bName: String, bMs: Long, pi: Int, ri: Int): FuzzCase = {
+    val (influxPred, sqlPred, _) = TagPreds(pi)
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $f1("value"), $f2("value") FROM "events" WHERE time > $fromNs AND time < $toNs$influxPred GROUP BY time($bName)"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |         CAST(floor(($s1) * 100) AS BIGINT) AS v1,
+         |         CAST(floor(($s2) * 100) AS BIGINT) AS v2
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs$sqlPred
+         |  GROUP BY 1, 2, 3),
+         |p AS (SELECT time_ms, event_type, user_id, v1 AS value FROM g
+         |      UNION ALL SELECT time_ms, event_type, user_id, v2 FROM g),
+         |u AS (
+         |  SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |         event_type AS labelvalue, '' AS message FROM p
+         |  UNION ALL
+         |  SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |         user_id AS labelvalue, '' AS message FROM p)
+         |SELECT * FROM u
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${f1}_${f2}_${bName}_p${pi}_r${ri}_mf", q, sql)
   }
 
   /** Sequential-fold value expression for the accumulating transforms:
@@ -556,12 +792,23 @@ object Fuzz {
     val stmt = InfluxQlParser.parse(c.influxQl)
       .fold(e => sys.error(s"parse ${c.name}: $e"), identity)
     val planned = Planner.plan(spark, stmt, cat, graft.SparkEntry.NowMs)
+    // SHOW listings: string results, no fixed-point value column — order
+    // by every column in checker (name-sorted) order and return as-is
+    if (c.name.endsWith("_show"))
+      return planned.orderBy(planned.columns.sorted.map(col).toIndexedSeq: _*)
     // fill(previous/linear) leave leading/trailing gaps NULL (InfluxDB
     // semantics); the oracle encodes those nulls as -1 (hash-safe), the
     // same contract as the curated ts_select_fill_* entries
     val encoded =
       if (c.name.startsWith("fuzz_fillprevious") || c.name.startsWith("fuzz_filllinear"))
         planned.na.fill(-1.0, Seq("value"))
+      else if (c.name.startsWith("fuzz_stddev"))
+        // single-point buckets: NULL in both engines, but NULL sorts first
+        // in Spark and last in DuckDB — sentinel before quantization (the
+        // oracle coalesces stddev_samp to the same -999)
+        planned.withColumn("value",
+          when(col("value").isNull || isnan(col("value")), lit(-999.0))
+            .otherwise(col("value")))
       else planned
     val df = encoded.withColumn("value", floor(col("value") * 100).cast("long"))
     if (isDesc(c))
@@ -576,15 +823,35 @@ object Fuzz {
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 500
     // optional 4th arg: only run cases whose name contains the substring
-    // (targeted family sweeps while iterating on the generator)
-    val nameFilter = if (args.length > 3) Some(args(3)) else None
+    // (targeted family sweeps while iterating on the generator);
+    // "store" / "store:<substring>" instead routes the cases through the
+    // REAL engine store — events rendered as line protocol, ingested via
+    // the distributed writeLines path into the hour-partitioned parquet
+    // layout, then queried through GraftEngine.catalog — so the whole
+    // grammar space differentially verifies ingest∘store∘query (the
+    // oracle still reads the raw parquet: a value that doesn't round-trip
+    // bit-exactly through render→parse→store fails its case)
+    val rawFilter = if (args.length > 3) Some(args(3)) else None
+    val (storeMode, nameFilter) = rawFilter match {
+      case Some("store") => (true, None)
+      case Some(f) if f.startsWith("store:") => (true, Some(f.stripPrefix("store:")))
+      case other => (false, other)
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cat0 = EventsAdapter.catalog(spark, sfDir)
+    val cat0 =
+      if (storeMode) {
+        import spark.implicits._
+        val root = java.nio.file.Files.createTempDirectory("fuzz_store").toString
+        val eng = new graft.api.GraftEngine(spark, root, () => graft.SparkEntry.NowMs)
+        eng.writeLines("fuzzdb",
+          EventsAdapter.asLineProtocol(EventsAdapter.events(spark, sfDir)).as[String])
+        eng.catalog("fuzzdb")
+      } else EventsAdapter.catalog(spark, sfDir)
     // materialize the shared samples relation once — 500 plans would
     // otherwise re-scan/re-derive the adapter lineage per case
     val cat = cat0.copy(measurements =

@@ -21,10 +21,13 @@ class FuzzSpec extends AnyFunSuite {
     assert(Fuzz.allCases.map(_.name).distinct.size == Fuzz.allCases.size)
   }
 
-  test("every generated InfluxQL parses into a Select AST") {
+  test("every generated InfluxQL parses into its statement AST") {
     Fuzz.allCases.foreach { c =>
       graft.query.InfluxQlParser.parse(c.influxQl) match {
         case Right(_: graft.query.Ast.Select) => ()
+        case Right(other) if c.name.endsWith("_show") =>
+          assert(other.getClass.getSimpleName.startsWith("Show"),
+            s"${c.name}: expected a SHOW statement, got $other")
         case other => fail(s"${c.name}: $other for ${c.influxQl}")
       }
     }

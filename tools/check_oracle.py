@@ -7,7 +7,7 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, tol1=False):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -34,6 +34,24 @@ def main(sf_dir, out_dir):
             failures += 1; continue
         # compare as strings (hash-like strictness)
         mism = (got.astype(str).values != want.astype(str).values)
+        if mism.any() and tol1:
+            # store-mode sweep: float aggregates may differ by one
+            # fixed-point ulp because the hour-partitioned store changes
+            # Spark's accumulation order (values round-trip bit-exactly;
+            # the fold order is what moves). Accept |a-b| <= 1 in the
+            # quantized value column ONLY; everything else stays exact.
+            ok = True
+            for r, c in zip(*mism.nonzero()):
+                if got.columns[c] != "value":
+                    ok = False; break
+                try:
+                    if abs(int(got.iat[r, c]) - int(want.iat[r, c])) > 1:
+                        ok = False; break
+                except (TypeError, ValueError):
+                    ok = False; break
+            if ok:
+                print(f"[OK~1] {name}: {len(got)} rows ({mism.sum()} value cells within ±1)")
+                continue
         if mism.any():
             idx = list(zip(*mism.nonzero()))[:5]
             print(f"[HASH] {name}: {mism.sum()} cell mismatches, first at {idx}")
@@ -44,4 +62,4 @@ def main(sf_dir, out_dir):
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], tol1="--tol1" in sys.argv[3:])
