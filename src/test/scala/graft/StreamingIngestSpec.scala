@@ -406,4 +406,49 @@ class StreamingIngestSpec extends AnyFunSuite {
     val got = spark.table("dedup").as[StreamDoc].collect().map(_.docId).toSet
     assert(got === Set(1L, 2L, 5L), got)
   }
+
+  test("streaming-ingested store answers the fuzz grammar like the adapter path") {
+    // the composition test: events → line protocol → micro-batched
+    // StreamingIngest → hour-partitioned store → Planner must equal the
+    // adapter-catalog path for a stride sample of the differential-fuzz
+    // space. Restricted to order-insensitive families (count/min/max/
+    // spread/first/last/median/percentile/top/bottom + SHOW): sum/mean
+    // over the partitioned store may shift one fixed-point ulp because
+    // the accumulation order changes (same bound the store-mode fuzz
+    // sweep documents in tools/check_oracle.py --tol1).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-stream-diff").toString
+    val (samples, series, ckpt) = (s"$dir/samples", s"$dir/series", s"$dir/ckpt")
+    val lines = graft.sources.EventsAdapter.asLineProtocol(
+      graft.sources.EventsAdapter.events(spark, sfDir)).as[String].collect().toSeq
+
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.start(stream.toDS(), StreamingIngest.Config(
+      samples, series, ckpt, fixedNowMs = Some(NowMs)))
+    // three micro-batches, last chunk delivered first (T3: order-free)
+    val chunks = lines.grouped((lines.size + 2) / 3).toSeq
+    (chunks.last +: chunks.init).foreach { c => stream.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val streamCat = graft.query.TsCatalog(Seq("graft"),
+      Map(graft.sources.EventsAdapter.Measurement ->
+        spark.read.parquet(samples)
+          .filter(col("measurement") === graft.sources.EventsAdapter.Measurement)),
+      graft.ingest.Ingest.readSeriesIndexFinal(spark, series))
+    val batchCat = graft.sources.EventsAdapter.catalog(spark, sfDir)
+
+    val exactFns = Set("count", "min", "max", "spread", "first", "last",
+      "median", "percentile", "top", "bottom")
+    val eligible = graft.tools.Fuzz.allCases.filter(c =>
+      exactFns.exists(p => c.name.startsWith(s"fuzz_${p}")) || c.name.endsWith("_show"))
+    val sample = eligible.indices.filter(_ % 29 == 0).map(eligible)
+    assert(sample.size >= 20, s"sample too small: ${sample.size}")
+    sample.foreach { c =>
+      val a = graft.tools.Fuzz.run(spark, streamCat, c).collect().toSeq
+      val b = graft.tools.Fuzz.run(spark, batchCat, c).collect().toSeq
+      assert(a == b, s"${c.name}: streaming-store result diverges from adapter")
+    }
+  }
 }
