@@ -1206,6 +1206,7 @@ object SparkEntry {
     "events_weekly_profile" -> ((s, dir) => EventOps.weeklyProfile(EventsAdapter.events(s, dir))),
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
     "dedup_corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
+    "dedup_source_overlap" -> ((s, dir) => Dedup.crossSourceOverlap(docs(s, dir))),
     // eval entries run on a deterministic ~50% hash sample: the exact/brute
     // truth relations they compare against are the only quadratic stages in
     // the engine, so the eval form is estimate-on-sample (EvalSampling)
@@ -2241,6 +2242,7 @@ object SparkEntry {
     "events_weekly_profile" -> EventOps.weeklyProfileOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "dedup_corpus_report" -> Dedup.corpusReportOracle,
+    "dedup_source_overlap" -> Dedup.crossSourceOverlapOracle,
     "dedup_simhash_eval" -> EvalSampling.sampleOracle(Dedup.simhashEvalOracle, "documents", "doc_id"),
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "doc_pii_scrub" -> TextOps.piiScrubOracle,

@@ -817,6 +817,56 @@ object Dedup {
        |SELECT n_docs, n_tokens, exact_dup_extra, short_docs, neardup_docs, mean_quality_fp
        |FROM b, nd, q""".stripMargin
 
+  /** Pairwise shingle-set Jaccard BETWEEN SOURCES — the corpus-analysis
+    * view of duplication: which sources mirror each other (syndication,
+    * scrapes of the same site, republication). 100 TB shape: the relation
+    * is distinct (source, shingle) — vocabulary-bounded, not doc-bounded —
+    * and intersections come from a per-shingle source-set explode (fanout
+    * ≤ |sources|² per shingle, with |sources| a catalog-sized dimension),
+    * never a shingle self-join. Output (s1, s2, inter, jac_fp). */
+  def crossSourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = graft.util.Spread(docs.select("source", "text"))
+      .select(col("source"),
+        explode(array_distinct(
+          transform(shingles(tokens(col("text"))), s => baseHash(s)))).as("h"))
+      .distinct()
+      .localCheckpoint(true) // feeds the pair explode AND the per-source counts
+    val cnt = sh.groupBy("source").agg(count(lit(1)).as("c"))
+    val inter = sh.groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), " +
+          "y -> struct(x AS s1, y AS s2))))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(cnt.as("ca")), col("s1") === col("ca.source"))
+      .join(broadcast(cnt.as("cb")), col("s2") === col("cb.source"))
+      .select(col("s1"), col("s2"), col("inter"),
+        expr("inter * 1000000 div (ca.c + cb.c - inter)").as("jac_fp"))
+      .orderBy("s1", "s2")
+  }
+
+  val crossSourceOverlapOracle: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, u.h
+       |  FROM (SELECT source, list_transform(${TextOps.shinglesSql(TextOps.tokensSql)},
+       |                                      s -> ${TextOps.baseHashSql("s")}) AS hs
+       |        FROM documents) d,
+       |       unnest(d.hs) u(h)),
+       |cnt AS (SELECT source, count(*) AS c FROM sh GROUP BY source),
+       |inter AS (
+       |  SELECT a.source s1, b.source s2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, inter,
+       |       CAST(inter * 1000000 // (ca.c + cb.c - inter) AS BIGINT) AS jac_fp
+       |FROM inter
+       |JOIN cnt ca ON s1 = ca.source
+       |JOIN cnt cb ON s2 = cb.source
+       |ORDER BY s1, s2""".stripMargin
+
   /** Deterministic hash-split (train/valid/test 90/5/5 by content hash) —
     * the standard leakage-safe way to split a corpus: membership depends
     * only on the text, never on row order or partitioning. Output:

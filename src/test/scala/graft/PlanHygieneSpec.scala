@@ -292,4 +292,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(finalPlan("dedup_exact").contains("*("))
     assert(finalPlan("doc_quality").contains("*("))
   }
+
+  test("cross-source overlap: pair counts from the source-set explode, no shingle self-join") {
+    // intersections must come from the per-shingle collect_set explode
+    // (fanout ≤ |sources|²), never an h=h shingle self-join; the only
+    // joins are the two broadcast per-source count lookups.
+    val p = plan("dedup_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+  }
 }
