@@ -139,7 +139,8 @@ object Bench {
       // round-5 additions
       "emb_semdedup", "doc_dup_spans", "doc_dsir_weights", "doc_winnowing",
       "events_ab_lift", "olap_rollup_revenue", "emb_knn_graph",
-      "emb_cluster_quality", "events_ltv_cohort", "dedup_source_overlap")
+      "emb_cluster_quality", "events_ltv_cohort", "dedup_source_overlap",
+      "emb_gram_matrix")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++

@@ -1207,6 +1207,7 @@ object SparkEntry {
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
     "dedup_corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
     "dedup_source_overlap" -> ((s, dir) => Dedup.crossSourceOverlap(docs(s, dir))),
+    "emb_gram_matrix" -> ((s, dir) => Similarity.gramMatrix(emb(s, dir))),
     // eval entries run on a deterministic ~50% hash sample: the exact/brute
     // truth relations they compare against are the only quadratic stages in
     // the engine, so the eval form is estimate-on-sample (EvalSampling)
@@ -2243,6 +2244,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.containmentOracle,
     "dedup_corpus_report" -> Dedup.corpusReportOracle,
     "dedup_source_overlap" -> Dedup.crossSourceOverlapOracle,
+    "emb_gram_matrix" -> Similarity.gramMatrixOracle,
     "dedup_simhash_eval" -> EvalSampling.sampleOracle(Dedup.simhashEvalOracle, "documents", "doc_id"),
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
     "doc_pii_scrub" -> TextOps.piiScrubOracle,

@@ -933,4 +933,106 @@ object Similarity {
        |  FROM rer)
        |SELECT q_id, rank, neighbor_id, hamming, cos_fp FROM ranked
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // ---- Gram matrix (covariance prep: PCA / whitening / spectral stats) ----
+
+  /** Component quantization for the Gram accumulation: floor(x * 1000).
+    * Products and sums of int64 are ASSOCIATIVE — the aggregate is exact
+    * under any partition/merge order (the repo-wide fixed-point contract,
+    * applied before the sum instead of after). Magnitudes: |q| ≤ ~1e4,
+    * so q_i·q_j ≤ 1e8 and 1e9 vectors stay below 2^63. */
+  val GramScaleFp = 1000L
+
+  /** Upper-triangle Gram matrix Σ_v q(v)·q(v)ᵀ over the embedding column —
+    * the one-pass, map-side-combinable covariance input (PCA/whitening
+    * run driver-side on the d×d result, which is dimension-sized, not
+    * data-sized). Built as a typed
+    * [[org.apache.spark.sql.expressions.Aggregator]]:
+    * each task accumulates a d(d+1)/2 long buffer, the exchange carries
+    * one buffer per task — shuffle volume independent of row count.
+    * Output: (i, j, g) with 0 ≤ i ≤ j < d, g exact int64. */
+  def gramMatrix(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = Dim
+    val q = emb.select(
+      expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $GramScaleFp) as bigint))")
+        .as("q")).as[Array[Long]]
+    val flat = q.select(new GramAggregator(d).toColumn.name("g"))
+    // k → (i, j): f(i) = i(2d - i + 1)/2 is the row offset; the inner
+    // discriminant (2d+1)² − 8·f(i) = (2(d−i)+1)² is a perfect square, so
+    // the double sqrt is exact at every boundary
+    flat.select(posexplode(col("g")).as(Seq("k", "g")))
+      .withColumn("i", expr(
+        s"cast(floor((${2 * d + 1} - sqrt(cast(${(2 * d + 1) * (2 * d + 1)} - 8 * k as double))) / 2) as bigint)"))
+      .withColumn("j", expr(s"k - (i * ${2 * d} - i * i + i) div 2 + i"))
+      .select("i", "j", "g")
+      .orderBy("i", "j")
+  }
+
+  val gramMatrixOracle: String =
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $GramScaleFp) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |idx AS (SELECT CAST(i AS BIGINT) AS i FROM range($Dim) t(i))
+       |SELECT a.i, b.i AS j, CAST(sum(q.q[a.i + 1] * q.q[b.i + 1]) AS BIGINT) AS g
+       |FROM q, idx a, idx b
+       |WHERE b.i >= a.i
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Top principal eigenvalue/vector of the (centered-free) Gram matrix by
+    * fixed-iteration power method — driver-side on the d×d result (the
+    * correct locus: the matrix is dimension-sized). Deterministic: fixed
+    * uniform start vector, fixed 500 iterations, no convergence test —
+    * convergence rate is (λ₂/λ₁)^k, so a narrow eigengap leaves a small
+    * residual rather than a wrong direction.
+    * Returns (eigenvalue, eigenvector) in un-quantized double units. */
+  def gramTopEigen(gram: Array[Array[Double]]): (Double, Array[Double]) = {
+    val d = gram.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    var it = 0
+    while (it < 500) {
+      val w = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += gram(i)(j) * v(j); j += 1 }
+        s
+      })
+      val n = math.sqrt(w.map(x => x * x).sum)
+      if (n > 0) { v = w.map(_ / n); lambda = n }
+      it += 1
+    }
+    (lambda, v)
+  }
+}
+
+/** Map-side-combining upper-triangle Gram accumulator: buffer is the
+  * flattened d(d+1)/2 triangle, reduce is the outer-product row update,
+  * merge is elementwise add — all int64, exact in any order. */
+final class GramAggregator(d: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Array[Long], Array[Long], Array[Long]] {
+  override def zero: Array[Long] = new Array[Long](d * (d + 1) / 2)
+  override def reduce(acc: Array[Long], q: Array[Long]): Array[Long] = {
+    var k = 0
+    var i = 0
+    while (i < d) {
+      val qi = q(i)
+      var j = i
+      while (j < d) { acc(k) += qi * q(j); k += 1; j += 1 }
+      i += 1
+    }
+    acc
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var k = 0
+    while (k < a.length) { a(k) += b(k); k += 1 }
+    a
+  }
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

@@ -21,6 +21,11 @@ object InfluxQlParser {
   final case class Op(s: String) extends Tok // = < > <= >= ( ) , . * - + ::
   final case class Re(s: String) extends Tok // /regex/ measurement ref
   case object Semi extends Tok // statement separator
+  /** Sentinel returned by [[P.next]] past the end of input: every `next()`
+    * match has a catch-all that turns an unexpected token into Left, so
+    * exhaustion reports "got End" instead of throwing (negative-fuzz
+    * contract: parse is TOTAL — malformed input is a Left, never a throw). */
+  case object End extends Tok
 
   /** Unquoted keywords after which a '/' opens a regex literal (the
     * positions InfluxQL's grammar allows one: measurement refs and tag
@@ -120,7 +125,9 @@ object InfluxQlParser {
     var pos = 0
     def peek: Option[Tok] = if (pos < ts.length) Some(ts(pos)) else None
     def peekAt(k: Int): Option[Tok] = if (pos + k < ts.length) Some(ts(pos + k)) else None
-    def next(): Tok = { val t = ts(pos); pos += 1; t }
+    def next(): Tok =
+      if (pos < ts.length) { val t = ts(pos); pos += 1; t }
+      else { pos += 1; End }
     def done: Boolean = pos >= ts.length
     def kw(s: String): Boolean = peek match {
       case Some(Ident(x, false)) if x.equalsIgnoreCase(s) => pos += 1; true
@@ -183,7 +190,15 @@ object InfluxQlParser {
     out.result()
   }
 
-  private def parseTokens(ts: Vector[Tok], raw: String): Either[String, Ast.Statement] = {
+  private def parseTokens(ts: Vector[Tok], raw: String): Either[String, Ast.Statement] =
+    // total-function boundary: a parser defect on adversarial input must
+    // surface as Left, never escape as a throw (NegativeFuzzSpec contract)
+    try parseTokensUnsafe(ts, raw)
+    catch { case scala.util.control.NonFatal(e) =>
+      Left(s"parse error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  private def parseTokensUnsafe(ts: Vector[Tok], raw: String): Either[String, Ast.Statement] = {
     val p = new P(ts)
     p.peek match {
       case Some(Ident(k, false)) if k.equalsIgnoreCase("SELECT") => parseSelect(p)

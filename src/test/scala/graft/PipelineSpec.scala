@@ -705,4 +705,29 @@ class PipelineSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(na + nb === purchasers)
   }
+
+  test("gram matrix: symmetric PSD structure; power iteration finds a real eigenpair") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tri = Similarity.gramMatrix(emb).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
+    val d = Similarity.Dim
+    assert(tri.size === d * (d + 1) / 2)
+    // diagonal entries are sums of squares — nonnegative
+    (0 until d).foreach(i => assert(tri((i, i)) >= 0L, s"diag $i"))
+    // reconstruct dense (un-quantize) and check the power-iteration
+    // eigenpair satisfies G v ≈ λ v (relative residual bound reflects the
+    // fixed 500 iterations: a narrow λ₂/λ₁ gap converges geometrically,
+    // not exactly — 1e-6 is what 500 rounds guarantee on this spectrum)
+    val s = Similarity.GramScaleFp.toDouble
+    val g = Array.tabulate(d, d)((i, j) =>
+      tri(if (i <= j) (i, j) else (j, i)) / (s * s))
+    val (lambda, v) = Similarity.gramTopEigen(g)
+    assert(lambda > 0.0)
+    val res = (0 until d).map { i =>
+      val gv = (0 until d).map(j => g(i)(j) * v(j)).sum
+      math.abs(gv - lambda * v(i))
+    }.max
+    assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
+  }
 }
