@@ -921,4 +921,38 @@ class GraftEngineSpec extends AnyFunSuite {
     // export of a measurement with no data is empty, not an error
     assert(e.exportLineProtocol("dbx", "cpu").count() === 4)
   }
+
+  test("concurrent writers on separate dbs with interleaved readers stay isolated") {
+    // the engine's shared state is all TrieMap-keyed by db (plus the two
+    // per-db relation caches); concurrent clients on DIFFERENT dbs must
+    // never observe each other's rows or corrupt each other's indexes.
+    // (Same-db write∥read is a documented non-goal: parquet appends and
+    // in-flight file listings race at the storage layer, as they do in
+    // any file-backed store without snapshot isolation.)
+    val e = newEngine()
+    val dbs = (0 until 4).map(i => s"cdb$i")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = dbs.zipWithIndex.map { case (db, i) =>
+      new Thread(() => {
+        try {
+          (0 until 3).foreach { b =>
+            e.write(db, (0 until 10).map(k =>
+              s"m$i,host=h$i v=${i * 100 + b * 10 + k}.0 ${1735689600000000000L + b * 1000000000L + k * 1000000L}")
+              .mkString("\n"))
+            // interleaved read on own db between writes
+            val j = e.query(db, s"""SELECT count("v") FROM "m$i"""")
+            assert(j.contains(""""results""""), j)
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent failures: ${errs.size}: ${Option(errs.peek()).map(_.toString)}")
+    // every db sees exactly its own 30 rows, and only its own measurement
+    dbs.zipWithIndex.foreach { case (db, i) =>
+      val cat = e.catalog(db)
+      assert(cat.measurements.keySet === Set(s"m$i"), db)
+      assert(cat.measurements(s"m$i").count() === 30L, db)
+    }
+  }
 }
