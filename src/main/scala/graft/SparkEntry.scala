@@ -1181,6 +1181,8 @@ object SparkEntry {
     "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
     "doc_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir))),
     "doc_winnowing" -> ((s, dir) => TextOps.winnowing(docs(s, dir))),
+    "doc_quality_classifier" -> ((s, dir) => TextOps.qualityClassifier(docs(s, dir))),
+    "doc_cdc_chunks" -> ((s, dir) => TextOps.cdcChunks(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
     "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
 
@@ -2250,6 +2252,8 @@ object SparkEntry {
     "doc_pii_scrub" -> TextOps.piiScrubOracle,
     "doc_dsir_weights" -> TextOps.dsirWeightsOracle,
     "doc_winnowing" -> TextOps.winnowingOracle,
+    "doc_quality_classifier" -> TextOps.qualityClassifierOracle,
+    "doc_cdc_chunks" -> TextOps.cdcChunksOracle,
     "olap_q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS qty_fp

@@ -1041,6 +1041,152 @@ object TextOps {
        |FROM documents d LEFT JOIN nk USING (doc_id) LEFT JOIN pr USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- operator: linear quality classifier ------------------------------
+
+  /** Decision threshold for [[qualityClassifier]] (≈ the sf0.01 score
+    * median, so both classes are populated at every test SF). */
+  val QualityKeepThreshold = 1600L
+
+  /** fastText/CCNet-style model-based quality gate: a fixed-weight linear
+    * classifier over the deterministic per-doc features (type-token
+    * ratio, stopword rate, mean word length, length band) with an
+    * integer decision threshold. The published recipe trains a linear
+    * text classifier and keeps docs above a score cut; here the learned
+    * weights are replaced by pinned integer weights so both engines
+    * score bit-identically — the SCORING plan (the part that runs over
+    * 100 TB) is the real one: a pure per-row projection, no shuffle,
+    * whole-stage codegen, no UDFs.
+    *
+    * score = 2·ttr‰ + 3·stop‰ + 500·len_ok − |mwl×100 − 450|,
+    * keep ⇔ score ≥ [[QualityKeepThreshold]]. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    docs.select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        size(filter(w, x => Stopwords.map(x === _).reduce(_ || _)))
+          .cast("long").as("en_hits"),
+        // sum of word lengths via the space-free text length (one pass)
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("sum_wl"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("n_distinct * 1000 div n_tokens").as("ttr_pm"),
+        expr("en_hits * 1000 div n_tokens").as("stop_pm"),
+        expr("sum_wl * 100 div n_tokens").as("mwl_c"),
+        when(col("n_tokens").between(20, 800), 1L).otherwise(0L).as("len_ok"))
+      .withColumn("score_fp",
+        col("ttr_pm") * 2 + col("stop_pm") * 3 + col("len_ok") * 500 -
+          abs(col("mwl_c") - 450))
+      .withColumn("keep", col("score_fp") >= QualityKeepThreshold)
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierOracle: String = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         len($tokensSql) AS n_tokens,
+       |         len(list_distinct($tokensSql)) AS n_distinct,
+       |         len(list_filter($tokensSql, x -> x IN ($inList))) AS en_hits,
+       |         length(replace(text, ' ', '')) AS sum_wl
+       |  FROM documents),
+       |f AS (SELECT doc_id, n_tokens,
+       |             n_distinct * 1000 // n_tokens AS ttr_pm,
+       |             en_hits * 1000 // n_tokens AS stop_pm,
+       |             sum_wl * 100 // n_tokens AS mwl_c,
+       |             CASE WHEN n_tokens BETWEEN 20 AND 800
+       |                  THEN 1::BIGINT ELSE 0::BIGINT END AS len_ok
+       |      FROM q)
+       |SELECT doc_id, n_tokens, ttr_pm, stop_pm, mwl_c, len_ok,
+       |       ttr_pm * 2 + stop_pm * 3 + len_ok * 500
+       |         - abs(mwl_c - 450) AS score_fp,
+       |       (ttr_pm * 2 + stop_pm * 3 + len_ok * 500 - abs(mwl_c - 450))
+       |         >= $QualityKeepThreshold AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- operator: content-defined chunking -------------------------------
+
+  /** A boundary opens before token i when the 2-gram hash ≡ 0 mod this
+    * (expected chunk length ≈ 8 tokens — the CDC "average chunk size"). */
+  val CdcMod = 8L
+
+  /** Content-defined chunking (Rabin/Gear/FastCDC shape): chunk
+    * boundaries are decided by CONTENT (a rolling 2-token-gram hash
+    * hitting 0 mod [[CdcMod]]), not position, so an insertion early in a
+    * doc re-chunks only its neighborhood — the storage-dedup property
+    * fixed-stride windows ([[graft.pipeline.Dedup.passage]]) lack. Each
+    * chunk is hashed and counted corpus-wide; a doc's dup_pm is the
+    * per-mille of its chunks seen elsewhere (mirrors, boilerplate,
+    * quotations at chunk granularity).
+    *
+    * Scale: one posexplode (linear in tokens), per-doc windows only
+    * (bounded by doc length, never corpus size), then a map-side-combined
+    * groupBy on chunk hash. The chunk relation is ≈ tokens/[[CdcMod]]
+    * rows — smaller than the token relation it came from. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("tok"))
+    val chunks = toks
+      .withColumn("bnd",
+        when(pmod(baseHash(concat_ws(" ", lag("tok", 1).over(wn), col("tok"))),
+            lit(CdcMod)) === 0 && col("pos") > 1, 1L).otherwise(0L))
+      .withColumn("chunk", sum("bnd").over(wn))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("c_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("ctext"))
+      .select(col("doc_id"), col("c_tokens"), baseHash(col("ctext")).as("h"))
+      .localCheckpoint(true) // feeds the dup set, the semi-join, and per-doc counts
+    val dup = chunks.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val dupPerDoc = chunks.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+    chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("c_tokens").as("n_tokens"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        expr("n_tokens div n_chunks").as("mean_chunk_tokens"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        expr("coalesce(n_dup_chunks, 0) * 1000 div n_chunks").as("dup_pm"))
+      .orderBy("doc_id")
+  }
+
+  val cdcChunksOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, u.i + 1 AS pos, w[u.i+1] AS tok
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d,
+       |       unnest(range(0, len(w))) u(i)),
+       |f AS (
+       |  SELECT doc_id, pos, tok,
+       |         CASE WHEN pos > 1
+       |               AND (('0x' || substr(md5(lag(tok) OVER dw || ' ' || tok),
+       |                     1, 15))::BIGINT) % $CdcMod = 0
+       |              THEN 1 ELSE 0 END AS bnd
+       |  FROM t WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |c AS (SELECT doc_id, pos, tok,
+       |             sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+       |      FROM f),
+       |ch AS (SELECT doc_id, chunk, count(*) AS c_tokens,
+       |              ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)),
+       |               1, 15))::BIGINT AS h
+       |       FROM c GROUP BY 1, 2),
+       |dup AS (SELECT h FROM ch GROUP BY h HAVING count(*) >= 2),
+       |dpd AS (SELECT doc_id, count(*) AS n_dup_chunks FROM ch
+       |        WHERE h IN (SELECT h FROM dup) GROUP BY 1),
+       |pd AS (SELECT doc_id, count(*) AS n_chunks,
+       |              CAST(sum(c_tokens) AS BIGINT) AS n_tokens
+       |       FROM ch GROUP BY 1)
+       |SELECT pd.doc_id, pd.n_chunks,
+       |       pd.n_tokens // pd.n_chunks AS mean_chunk_tokens,
+       |       COALESCE(dpd.n_dup_chunks, 0) AS n_dup_chunks,
+       |       COALESCE(dpd.n_dup_chunks, 0) * 1000 // pd.n_chunks AS dup_pm
+       |FROM pd LEFT JOIN dpd USING (doc_id)
+       |ORDER BY pd.doc_id""".stripMargin
+
   val gopherFiltersOracle: String = {
     val inList = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH q AS (

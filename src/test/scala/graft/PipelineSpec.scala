@@ -730,4 +730,51 @@ class PipelineSpec extends AnyFunSuite {
     }.max
     assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
   }
+
+  test("cdc chunks: edit locality — a one-token insertion re-chunks only its neighborhood") {
+    import spark.implicits._
+    // the CDC property fixed-stride windows lack: chunk identities after
+    // an early edit are UNCHANGED once the next content boundary passes
+    val base = docs.orderBy("doc_id").select("text").as[String].head()
+    val edited = {
+      val w = base.split(" ")
+      (w.take(3) ++ Array("INSERTED") ++ w.drop(3)).mkString(" ")
+    }
+    def chunkHashes(text: String): Seq[Long] = {
+      // per-chunk identities via the same boundary rule, computed locally
+      val toks = text.split(" ")
+      val bnd = (1 until toks.length).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${toks(i - 1)} ${toks(i)}".getBytes("UTF-8"))
+          .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+        // 60-bit hex-prefix hash: first 15 hex chars = top 60 bits of md5
+        if (h % TextOps.CdcMod == 0) 1 else 0
+      }
+      val cuts = 0 +: (1 until toks.length).filter(i => bnd(i - 1) == 1) :+ toks.length
+      cuts.sliding(2).map(c => toks.slice(c(0), c(1)).mkString(" ").hashCode.toLong).toSeq
+    }
+    val (a, b) = (chunkHashes(base), chunkHashes(edited))
+    // suffix chunks (after the edit's chunk) are identical
+    val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(common >= a.length - 3,
+      s"edit should disturb at most its neighborhood: ${a.length} vs common suffix $common")
+    // and the Spark operator agrees with itself: deterministic across runs
+    val two = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val r1 = TextOps.cdcChunks(two).collect().map(_.toSeq)
+    val r2 = TextOps.cdcChunks(two).collect().map(_.toSeq)
+    assert(r1.toSeq === r2.toSeq)
+  }
+
+  test("quality classifier: verdict consistent with its own score and threshold") {
+    val out = TextOps.qualityClassifier(docs).collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val score = r.getLong(6)
+      val keep = r.getBoolean(7)
+      assert(keep === (score >= TextOps.QualityKeepThreshold))
+    }
+    // both classes populated at test SF (threshold sits near the median)
+    assert(out.count(_.getBoolean(7)) > 0)
+    assert(out.count(!_.getBoolean(7)) > 0)
+  }
 }
