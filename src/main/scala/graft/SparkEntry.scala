@@ -1235,6 +1235,7 @@ object SparkEntry {
     "emb_bitext_mine" -> ((s, dir) => Similarity.bitextMine(emb(s, dir))),
     "emb_binary_quant" -> ((s, dir) => Similarity.binaryQuantize(emb(s, dir))),
     "emb_outliers" -> ((s, dir) => Similarity.centroidOutliers(emb(s, dir))),
+    "emb_centroid_classify" -> ((s, dir) => Similarity.centroidClassify(emb(s, dir))),
     "ann_recall_report" -> ((s, dir) =>
       Similarity.annRecall(EvalSampling(emb(s, dir), "vec_id"))),
     "doc_length_quantiles" -> ((s, dir) => TextOps.lengthQuantiles(docs(s, dir))),
@@ -2227,6 +2228,7 @@ object SparkEntry {
     "ann_pq_topk" -> Similarity.pqTopKOracle,
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,
     "emb_outliers" -> Similarity.centroidOutliersOracle,
+    "emb_centroid_classify" -> Similarity.centroidClassifyOracle,
     "ann_recall_report" -> EvalSampling.sampleOracle(Similarity.annRecallOracle, "embeddings", "vec_id"),
     "doc_length_quantiles" -> TextOps.lengthQuantilesOracle,
     "doc_fertility" -> TextOps.fertilityBySourceOracle,

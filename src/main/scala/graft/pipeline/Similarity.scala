@@ -704,6 +704,69 @@ object Similarity {
        |WHERE rank <= $OutlierK ORDER BY label, rank""".stripMargin
   }
 
+  /** Nearest-centroid classification + confusion matrix — the
+    * linear-time domain/topic classifier (Rocchio): each vector is
+    * assigned the label of its most-cosine-similar label centroid, and
+    * the output is the (true label, predicted label, n) confusion
+    * relation. Complements [[knnClassify]]: the centroid model is
+    * O(corpus × labels) instead of O(corpus × corpus-candidates), which
+    * is the shape a 100 TB corpus actually classifies under.
+    *
+    * Determinism: centroids are re-assembled from their fixed-point
+    * components (same contract as [[centroidOutliers]]); argmax runs on
+    * the quantized cos_fp with smaller-label tie-break, expressed as
+    * max(struct(cos_fp, −label)) so the per-vector decision is a
+    * map-side-combinable hash aggregate, not a window sort. Scale: the
+    * centroid relation is label-cardinality-sized → broadcast; the
+    * corpus streams once through a ×labels projection; the confusion
+    * output is labels²-bounded. */
+  def centroidClassify(emb: DataFrame): DataFrame = {
+    val cvec = centroids(emb).groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_fp")))),
+        s => s.getField("mean_fp").cast("double") / 1e6).as("c"))
+      .withColumnRenamed("label", "c_label")
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    e.crossJoin(broadcast(cvec))
+      .select(col("vec_id"), col("label"),
+        struct(
+          floor(dotCols(col("v"), col("c")) / (norm(col("v")) * norm(col("c"))) * 1e6)
+            .cast("long").as("cos_fp"),
+          (-col("c_label")).as("neg_label")).as("cand"))
+      .groupBy("vec_id", "label")
+      .agg(max(col("cand")).as("best"))
+      .groupBy(col("label"), (-col("best.neg_label")).cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+  }
+
+  val centroidClassifyOracle: String = {
+    val dotVC = s"list_reduce(list_transform(range(1, ${Dim + 1}), d -> e.v[d] * cv.c[d]), (x, y) -> x + y)"
+    val nrmV = s"sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), d -> e.v[d] * e.v[d]), (x, y) -> x + y))"
+    val nrmC = s"sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), d -> cv.c[d] * cv.c[d]), (x, y) -> x + y))"
+    s"""WITH cent AS (
+       |  SELECT label, t.pos,
+       |         CAST(floor(avg(embedding[t.pos]::DOUBLE) * 1e6) AS BIGINT) AS mean_fp
+       |  FROM embeddings, range(1, ${Dim + 1}) t(pos)
+       |  GROUP BY 1, 2),
+       |cv AS (SELECT label AS c_label, list(mean_fp::DOUBLE / 1e6 ORDER BY pos) AS c
+       |       FROM cent GROUP BY label),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (
+       |  SELECT e.vec_id, e.label, cv.c_label,
+       |         floor($dotVC / ($nrmV * $nrmC) * 1e6)::BIGINT AS cos_fp
+       |  FROM e CROSS JOIN cv),
+       |p AS (
+       |  SELECT vec_id, label, c_label AS pred_label,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos_fp DESC, c_label) AS rn
+       |  FROM s)
+       |SELECT label, CAST(pred_label AS BIGINT) AS pred_label, count(*) AS n
+       |FROM p WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin
+  }
+
   /** kNN label vote: predict each query vector's label from its 5 exact
     * nearest neighbors (majority, ties broken by smaller label).
     * Composition of [[bruteTopK]] + a broadcast label join + a windowed

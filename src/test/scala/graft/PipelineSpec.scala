@@ -731,6 +731,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
   }
 
+  test("centroid classify: confusion matrix partitions the corpus and beats chance") {
+    val conf = Similarity.centroidClassify(emb).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(conf.values.sum === emb.count())
+    val correct = conf.collect { case ((t, p), n) if t.toLong == p => n }.sum
+    val labels = emb.select("label").distinct().count()
+    // nearest-own-centroid must beat the 1/labels chance rate by a wide margin
+    assert(correct * labels > conf.values.sum,
+      s"accuracy ${correct}/${conf.values.sum} not above chance (1/$labels)")
+  }
+
   test("cdc chunks: edit locality — a one-token insertion re-chunks only its neighborhood") {
     import spark.implicits._
     // the CDC property fixed-stride windows lack: chunk identities after
