@@ -1193,6 +1193,7 @@ object SparkEntry {
     "events_active_users" -> ((s, dir) => EventOps.activeUsers(EventsAdapter.events(s, dir))),
     "events_attribution" -> ((s, dir) => EventOps.attribution(EventsAdapter.events(s, dir))),
     "events_transitions" -> ((s, dir) => EventOps.transitions(EventsAdapter.events(s, dir))),
+    "events_top_paths" -> ((s, dir) => EventOps.topPaths(EventsAdapter.events(s, dir))),
     "events_markov" -> ((s, dir) => EventOps.markov(EventsAdapter.events(s, dir))),
     "events_type_correlation" -> ((s, dir) =>
       EventOps.typeCorrelation(EventsAdapter.events(s, dir))),
@@ -2455,6 +2456,7 @@ object SparkEntry {
     "events_active_users" -> EventOps.activeUsersOracle,
     "events_attribution" -> EventOps.attributionOracle,
     "events_transitions" -> EventOps.transitionsOracle,
+    "events_top_paths" -> EventOps.topPathsOracle,
     "events_markov" -> EventOps.markovOracle,
     "events_type_correlation" -> EventOps.typeCorrelationOracle,
     "events_power_users" -> EventOps.powerUsersOracle,

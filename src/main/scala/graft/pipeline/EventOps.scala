@@ -670,4 +670,59 @@ object EventOps {
       |        > 4 * (CAST(n_a * q_a - s_a * s_a AS DOUBLE) / (n_a * n_a * (n_a - 1))
       |             + CAST(n_b * q_b - s_b * s_b AS DOUBLE) / (n_b * n_b * (n_b - 1))) AS significant
       |FROM m""".stripMargin
+
+  // ---- operator: session path mining --------------------------------------
+
+  /** Paths longer than this are truncated (the classic "first K steps"
+    * path report — unbounded paths explode the distinct-path space). */
+  val PathMaxLen = 8
+
+  /** Paths reported. */
+  val PathTopN = 20
+
+  /** Session path mining: the most frequent within-session event-type
+    * sequences (the product-analytics "top user journeys" report —
+    * [[transitions]]' bigram model widened to whole ordered paths).
+    * Sessions come from [[graft.operators.Sessionize]] (30 min gap);
+    * each session's path is its first [[PathMaxLen]] event types in
+    * (ts_ns, event_id) order joined with '>', counted corpus-wide, top
+    * [[PathTopN]] by (count desc, path asc).
+    *
+    * Scale: the per-session collect_list is bounded by session length
+    * (behavioral, not corpus-sized); distinct paths are capped by the
+    * event-type^[[PathMaxLen]] space but in practice follow a Zipf head;
+    * the final top-N is a TakeOrdered, never a global sort. */
+  def topPaths(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val assigned = graft.operators.Sessionize.assign(
+      events.select(col("user_id"), col("ts_ms"), col("ts_ns"),
+        col("event_id"), col("event_type")),
+      Seq("user_id"), "ts_ms", gapMs)
+    assigned.groupBy("user_id", "session_idx")
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type")), 1, PathMaxLen), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopN)
+  }
+
+  val topPathsOracle: String =
+    s"""WITH x AS (SELECT user_id, event_id, event_type,
+       |                  epoch_ms(ts) AS t, epoch_ns(ts) AS tn FROM events),
+       |s AS (SELECT user_id, event_id, event_type, t, tn,
+       |             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+       |                  THEN 1 ELSE 0 END AS ns
+       |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+       |i AS (SELECT user_id, event_id, event_type, tn,
+       |             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t
+       |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |      FROM s),
+       |p AS (SELECT user_id, session_idx,
+       |             array_to_string(
+       |               (list(event_type ORDER BY tn, event_id))[1:$PathMaxLen],
+       |               '>') AS path
+       |      FROM i GROUP BY 1, 2)
+       |SELECT path, count(*) AS n FROM p
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopN""".stripMargin
 }

@@ -731,6 +731,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
   }
 
+  test("top paths: truncation bound, ranking order, and alphabet hold") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val out = EventOps.topPaths(ev).collect()
+    assert(out.length === EventOps.PathTopN)
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    out.foreach { r =>
+      val segs = r.getString(0).split(">")
+      assert(segs.length <= EventOps.PathMaxLen)
+      segs.foreach(t => assert(types.contains(t), s"unknown type $t"))
+    }
+    val ns = out.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    // the histogram counts sessions: its full sum can't exceed session count
+    val nSessions = graft.operators.Sessionize.sessions(
+      ev.select(col("user_id"), col("ts_ms")), Seq("user_id"), "ts_ms", 1800000L).count()
+    assert(ns.sum <= nSessions)
+  }
+
   test("centroid classify: confusion matrix partitions the corpus and beats chance") {
     val conf = Similarity.centroidClassify(emb).collect()
       .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
