@@ -1237,6 +1237,7 @@ object SparkEntry {
     "emb_binary_quant" -> ((s, dir) => Similarity.binaryQuantize(emb(s, dir))),
     "emb_outliers" -> ((s, dir) => Similarity.centroidOutliers(emb(s, dir))),
     "emb_centroid_classify" -> ((s, dir) => Similarity.centroidClassify(emb(s, dir))),
+    "emb_pagerank" -> ((s, dir) => Dedup.knnPagerank(emb(s, dir))),
     "ann_recall_report" -> ((s, dir) =>
       Similarity.annRecall(EvalSampling(emb(s, dir), "vec_id"))),
     "doc_length_quantiles" -> ((s, dir) => TextOps.lengthQuantiles(docs(s, dir))),
@@ -2230,6 +2231,7 @@ object SparkEntry {
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,
     "emb_outliers" -> Similarity.centroidOutliersOracle,
     "emb_centroid_classify" -> Similarity.centroidClassifyOracle,
+    "emb_pagerank" -> Dedup.knnPagerankOracle,
     "ann_recall_report" -> EvalSampling.sampleOracle(Similarity.annRecallOracle, "embeddings", "vec_id"),
     "doc_length_quantiles" -> TextOps.lengthQuantilesOracle,
     "doc_fertility" -> TextOps.fertilityBySourceOracle,

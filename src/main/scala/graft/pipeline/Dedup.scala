@@ -1065,6 +1065,83 @@ object Dedup {
        |SELECT vec_id, rank, neighbor_id, cos_fp FROM r WHERE rank <= $KnnGraphK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** PageRank damping numerator (d = 85/100) and fixed-point scale. */
+  val PrDamp = 85L
+  val PrScale = 1000000000L
+
+  /** PageRank iterations — fixed so both engines run the identical
+    * unrolled computation (convergence rank-stabilizes in a handful of
+    * rounds on a K-out-regular graph; the ENTRY pins the count, it is
+    * not an until-convergence loop). */
+  val PrIters = 5
+
+  /** PageRank over the [[knnGraph]] — graph-based centrality on the
+    * similarity graph (the authority signal graph-dedup / representative
+    * selection ranks by: a vector many near-dups point at is the
+    * cluster's natural exemplar). The iterative-relational pattern at
+    * 100 TB: scores and edges stay distributed; each round is one
+    * equi-join + map-side-combinable sum, localCheckpoint'd so lineage
+    * stays flat (same discipline as [[propagateClusters]]' distributed
+    * branch).
+    *
+    * Determinism: all arithmetic is int64 fixed-point ([[PrScale]]) —
+    * per-edge contribution is `score div out_degree` (exact), sums are
+    * integer (order-free), damping is `85·x div 100`. Nodes without
+    * out-edges (no banded candidates) drop their mass — documented sink
+    * semantics, identical in both engines. Output (vec_id, pr_fp). */
+  def knnPagerank(emb: DataFrame): DataFrame = {
+    val edges = knnGraph(emb).select(col("vec_id").as("i"), col("neighbor_id").as("j"))
+      .localCheckpoint(true)
+    val vecs = emb.select("vec_id").localCheckpoint(true)
+    val n = vecs.count()
+    val base = PrScale / n
+    val deg = edges.groupBy("i").agg(count(lit(1)).as("d"))
+    var pr = vecs.select(col("vec_id"), lit(base).as("s"))
+    for (_ <- 1 to PrIters) {
+      val inc = pr.join(deg, pr("vec_id") === deg("i"))
+        .select(col("i"), expr("s div d").as("c"))
+        .join(edges, Seq("i"))
+        .groupBy(col("j").as("vec_id"))
+        .agg(sum("c").as("m"))
+      pr = vecs.join(inc, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          (lit((100L - PrDamp) * base / 100L) +
+            expr(s"$PrDamp * coalesce(m, 0L) div 100")).as("s"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("vec_id"), col("s").as("pr_fp")).orderBy("vec_id")
+  }
+
+  val knnPagerankOracle: String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.vec_id,
+         |         (15 * (SELECT $PrScale // n FROM nn))::BIGINT // 100
+         |           + ($PrDamp * COALESCE(inc.m, 0)) // 100 AS s
+         |  FROM embeddings v LEFT JOIN (
+         |    SELECT e.j AS vec_id, CAST(sum(p.s // d.d) AS BIGINT) AS m
+         |    FROM pr${k - 1} p
+         |    JOIN deg d ON d.i = p.vec_id
+         |    JOIN edges e ON e.i = p.vec_id
+         |    GROUP BY e.j) inc USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bandedCandSql,
+       |dir AS (SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand),
+       |scored AS (
+       |  SELECT d.i AS vec_id, d.j AS neighbor_id,
+       |         floor($pairDotSql / (${pairNrmSql("av")} * ${pairNrmSql("bv")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM dir d JOIN ev av ON av.vec_id = d.i JOIN ev bv ON bv.vec_id = d.j),
+       |r AS (SELECT vec_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |      FROM scored),
+       |edges AS (SELECT vec_id AS i, neighbor_id AS j FROM r WHERE rank <= $KnnGraphK),
+       |deg AS (SELECT i, count(*) AS d FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |pr0 AS (SELECT vec_id, (SELECT $PrScale // n FROM nn)::BIGINT AS s FROM embeddings),
+       |$iterCtes
+       |SELECT vec_id, CAST(s AS BIGINT) AS pr_fp FROM pr$PrIters ORDER BY vec_id""".stripMargin
+  }
+
   /** Banded-vs-brute evaluation: banded pairs are an exact subset of the
     * brute truth (candidates are verified with the same threshold), so
     * precision is 1.0 and the one number that matters is recall. The brute

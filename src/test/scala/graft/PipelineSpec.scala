@@ -731,6 +731,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
   }
 
+  test("pagerank: teleport floor, mass bound, and isolated-node minimum hold") {
+    val pr = Dedup.knnPagerank(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = emb.count()
+    val base = Dedup.PrScale / n
+    val floorScore = (100L - Dedup.PrDamp) * base / 100L
+    assert(pr.size === n)
+    pr.values.foreach(s => assert(s >= floorScore, s"below teleport floor: $s"))
+    // integer floors only ever LOSE mass: total never exceeds the scale
+    assert(pr.values.sum <= Dedup.PrScale)
+    // a node nobody points at sits exactly on the teleport floor
+    val pointedAt = Dedup.knnGraph(emb).select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val isolated = pr.keySet -- pointedAt
+    isolated.foreach(v => assert(pr(v) === floorScore, s"isolated $v above floor"))
+    // and somebody with in-links must sit above it (the graph is non-trivial)
+    assert(pr.values.exists(_ > floorScore))
+  }
+
   test("top paths: truncation bound, ranking order, and alphabet hold") {
     val ev = graft.sources.EventsAdapter.events(spark, dir)
     val out = EventOps.topPaths(ev).collect()
