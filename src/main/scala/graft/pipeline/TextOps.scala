@@ -910,7 +910,12 @@ object TextOps {
     * is scanned twice (target counts ride the same scan via a conditional
     * aggregate), shuffled never beyond (doc_id, bucket).
     * Output (doc_id, n_bigrams, score_fp). */
-  def dsirWeights(docs: DataFrame): DataFrame = {
+  def dsirWeights(docs: DataFrame): DataFrame =
+    dsirScored(docs).orderBy("doc_id")
+
+  /** [[dsirWeights]] without the presentation sort, for composition
+    * ([[dsirResample]] re-ranks by selection key). */
+  private[pipeline] def dsirScored(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
     val bigr = when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1),
@@ -938,8 +943,49 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("score_fp"), lit(0L)).as("score_fp"))
-      .orderBy("doc_id")
   }
+
+  /** Docs drawn by [[dsirResample]]. */
+  val DsirSampleN = 100
+
+  /** Hash-jitter range for the Gumbel-top-k analogue — sized to the
+    * per-bigram score IQR (~1e5 at the test SFs) so selection genuinely
+    * RESAMPLES (high-scoring docs are likely, not guaranteed), matching
+    * DSIR's temperature-noised draw rather than a plain top-k. */
+  val DsirJitter = 200000L
+
+  /** The DSIR SELECTION step over [[dsirWeights]]' scores: deterministic
+    * Gumbel-top-k — each doc's key is its per-bigram importance score
+    * plus hash noise (`baseHash("dsir-sel:"+doc_id) mod [[DsirJitter]]`),
+    * and the sample is the top [[DsirSampleN]] keys. The published
+    * recipe draws with probability ∝ exp(score/τ) via Gumbel noise;
+    * the hash plays the Gumbel role so both engines draw the identical
+    * sample. Integer `div` truncates toward zero in BOTH engines (Spark
+    * `div`, DuckDB `//`) — scores go negative, so that agreement is
+    * load-bearing. Scale: a per-row projection over the weights output
+    * plus one TakeOrdered — no new shuffle. */
+  def dsirResample(docs: DataFrame): DataFrame =
+    dsirScored(docs)
+      .select(col("doc_id"), col("score_fp"),
+        (when(col("n_bigrams") === 0, 0L)
+          .otherwise(expr("score_fp div n_bigrams")) +
+          pmod(baseHash(concat(lit("dsir-sel:"), col("doc_id").cast("string"))),
+            lit(DsirJitter))).as("key_fp"))
+      .orderBy(col("key_fp").desc, col("doc_id"))
+      .limit(DsirSampleN)
+
+  // lazy: refers to dsirWeightsOracle, which initializes below it
+  lazy val dsirResampleOracle: String =
+    s"""WITH dw AS ($dsirWeightsOracle),
+       |sel AS (
+       |  SELECT doc_id, score_fp,
+       |         (CASE WHEN n_bigrams = 0 THEN 0
+       |               ELSE score_fp // n_bigrams END)
+       |           + ${baseHashSql("'dsir-sel:' || doc_id::VARCHAR")} % $DsirJitter
+       |           AS key_fp
+       |  FROM dw)
+       |SELECT doc_id, score_fp, key_fp FROM sel
+       |ORDER BY key_fp DESC, doc_id LIMIT $DsirSampleN""".stripMargin
 
   val dsirWeightsOracle: String =
     s"""WITH f AS (

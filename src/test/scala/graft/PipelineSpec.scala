@@ -731,6 +731,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
   }
 
+  test("dsir resample: sample is target-shifted but genuinely noised (not plain top-k)") {
+    val weights = TextOps.dsirWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (doc_id, n_bigrams, score_fp)
+    val sample = TextOps.dsirResample(docs).collect().map(_.getLong(0)).toSet
+    assert(sample.size === TextOps.DsirSampleN)
+    val norm = weights.map { case (id, nb, s) => id -> (if (nb == 0) 0L else s / nb) }.toMap
+    // importance resampling must shift the sample toward the target domain
+    val sampleMean = sample.toSeq.map(norm).sum.toDouble / sample.size
+    val corpusMean = norm.values.sum.toDouble / norm.size
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean not above corpus $corpusMean")
+    // ...but the hash jitter must make it a DRAW, not argmax: the plain
+    // top-N by score and the resample must disagree on some members
+    val plainTop = norm.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(TextOps.DsirSampleN).map(_._1).toSet
+    assert((sample -- plainTop).nonEmpty, "resample degenerated to plain top-k")
+  }
+
   test("pagerank: teleport floor, mass bound, and isolated-node minimum hold") {
     val pr = Dedup.knnPagerank(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val n = emb.count()
