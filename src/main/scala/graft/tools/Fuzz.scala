@@ -120,6 +120,14 @@ object Fuzz {
     ("count", "count(value)", "spread", "max(value) - min(value)"),
     ("first", "arg_min(value, epoch_ms(ts))", "last", "arg_max(value, epoch_ms(ts))"))
 
+  // field-VALUE predicates (WHERE value > X): the parser's FieldConj
+  // path — points are filtered BEFORE aggregation in both engines.
+  // (influx fragment, duckdb fragment)
+  private val FieldPreds = Seq(
+    (""" AND "value" > 50""", " AND value > 50"),
+    (""" AND "value" <= 30""", " AND value <= 30"),
+    (""" AND "value" > 20 AND "value" < 80""", " AND value > 20 AND value < 80"))
+
   // strict ns bounds inside the events window (Jan 2024); resolveTime
   // maps `time > X` to X/1e6 + 1 ms and `time < Y` to Y/1e6 - 1 ms
   private val Ranges: Seq[(Long, Long)] = Seq(
@@ -262,9 +270,19 @@ object Fuzz {
       pi <- Vector(0, 3)
       ri <- Ranges.indices
     } yield mkMulti(f1, s1, f2, s2, bName, bMs, pi, ri)
+    // field-value predicates (WHERE value > X), alone and composed with
+    // a tag predicate — the FieldConj parse/plan path the curated
+    // entries and every family above leave untouched
+    val fields = for {
+      (fn, fnSql) <- Fns.toVector
+      fi <- FieldPreds.indices
+      (bName, bMs) <- Vector("10m" -> 600000L, "1h" -> 3600000L, "1d" -> 86400000L)
+      pi <- Vector(0, 3)
+      ri <- Vector(0, 1)
+    } yield mk(fn, fnSql, bName, bMs, pi, ri, None, fi = Some(fi))
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
       ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ pctGbs ++
-      extras ++ maths ++ offsets ++ subqs ++ multis ++ showCases
+      extras ++ maths ++ offsets ++ subqs ++ multis ++ fields ++ showCases
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -280,8 +298,13 @@ object Fuzz {
   private def mk(fn: String, fnSql: String, bName: String, bMs: Long,
                  pi: Int, ri: Int, lim: Option[(Int, Int)],
                  fnArg: Option[Int] = None,
-                 selRaw: Option[String] = None): FuzzCase = {
-    val (influxPred, sqlPred, _) = TagPreds(pi)
+                 selRaw: Option[String] = None,
+                 fi: Option[Int] = None): FuzzCase = {
+    val (influxPred0, sqlPred0, _) = TagPreds(pi)
+    val (influxPred, sqlPred) = fi match {
+      case Some(f) => (influxPred0 + FieldPreds(f)._1, sqlPred0 + FieldPreds(f)._2)
+      case None    => (influxPred0, sqlPred0)
+    }
     val (fromNs, toNs) = Ranges(ri)
     val limClause = lim.map { case (n, o) =>
       if (o == 0) s" LIMIT $n" else s" LIMIT $n OFFSET $o"
@@ -318,6 +341,7 @@ object Fuzz {
            |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     }
     val slug = s"${fn}${fnArg.map(a => s"$a").getOrElse("")}_${bName}_p${pi}_r$ri" +
+      fi.map(f => s"_f$f").getOrElse("") +
       lim.map(l => s"_l${l._1}o${l._2}").getOrElse("")
     FuzzCase(s"fuzz_$slug", q, sql)
   }
