@@ -1274,6 +1274,8 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_image_tiles" -> ((s, dir) =>
       Multimodal.tileImages(Multimodal.mediaFromDocs(docs(s, dir)))),
+    "mm_aspect_plan" -> ((s, dir) =>
+      Multimodal.aspectPlan(Multimodal.mediaFromDocs(docs(s, dir)))),
 
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
@@ -2504,6 +2506,7 @@ object SparkEntry {
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin,
     "mm_decode_features" -> Multimodal.extractFeaturesOracle,
     "mm_frame_sample" -> Multimodal.sampleFramesOracle,
-    "mm_image_tiles" -> Multimodal.tileImagesOracle
+    "mm_image_tiles" -> Multimodal.tileImagesOracle,
+    "mm_aspect_plan" -> Multimodal.aspectPlanOracle
   )
 }

@@ -200,4 +200,73 @@ object Multimodal {
        |SELECT media_id, tiles_x, tiles_y, tiles_x * tiles_y AS n_tiles,
        |       tiles_x * $TileSize - w AS pad_w, tiles_y * $TileSize - h AS pad_h
        |FROM g ORDER BY media_id""".stripMargin
+
+  /** Aspect-ratio buckets for [[aspectPlan]]: (w, h) training shapes,
+    * square + landscape/portrait pairs + wide/tall extremes (the
+    * multi-aspect batching sets NaViT/SDXL-style trainers publish). */
+  val AspectBuckets: Seq[(Int, Int)] =
+    Seq((256, 256), (320, 192), (192, 320), (384, 128), (128, 384))
+
+  /** Aspect-ratio bucketed resize planning: assign every image to the
+    * [[AspectBuckets]] shape with the closest aspect ratio (integer
+    * cross-multiplied distance |w·bh − h·bw|, first-bucket tie-break),
+    * compute the fit-inside resize (preserving aspect, per-mille scale),
+    * and report per-bucket load + mean padding waste — the batching
+    * plan multi-aspect trainers need before packing batches of one
+    * shape each.
+    *
+    * The bucket argmin is `array_min` over a 5-struct literal array —
+    * a pure per-row projection (no explode, no window); only the
+    * metadata columns are touched, so the binary payload stays
+    * unscanned (column pruning, same contract as [[tileImages]]).
+    * Output (bucket_w, bucket_h, n, mean_pad_pm), bucket-bounded. */
+  def aspectPlan(media: DataFrame): DataFrame = {
+    val cand = array(AspectBuckets.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(
+        abs(col("width").cast("long") * bh - col("height").cast("long") * bw).as("d"),
+        lit(i).as("i"), lit(bw).as("bw"), lit(bh).as("bh"))
+    }: _*)
+    media.select(col("media_id"),
+        col("width").cast("long").as("w"), col("height").cast("long").as("h"),
+        array_min(cand).as("b"))
+      .select(col("media_id"), col("w"), col("h"),
+        col("b.bw").cast("long").as("bucket_w"),
+        col("b.bh").cast("long").as("bucket_h"))
+      .withColumn("scale_pm",
+        least(expr("bucket_w * 1000 div w"), expr("bucket_h * 1000 div h")))
+      .withColumn("pad_pm",
+        expr("""1000 - (w * scale_pm div 1000) * (h * scale_pm div 1000)
+               |* 1000 div (bucket_w * bucket_h)""".stripMargin))
+      .groupBy("bucket_w", "bucket_h")
+      .agg(count(lit(1)).as("n"), expr("sum(pad_pm) div count(1)").as("mean_pad_pm"))
+      .orderBy("bucket_w", "bucket_h")
+  }
+
+  val aspectPlanOracle: String = {
+    val vals = AspectBuckets.zipWithIndex
+      .map { case ((bw, bh), i) => s"($i, $bw, $bh)" }.mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         (n_chars % 640 + 1)::BIGINT AS w,
+       |         (n_chars * 7 % 480 + 1)::BIGINT AS h
+       |  FROM documents),
+       |b(i, bw, bh) AS (VALUES $vals),
+       |s AS (
+       |  SELECT media_id, w, h, bw, bh,
+       |         row_number() OVER (PARTITION BY media_id
+       |                            ORDER BY abs(w * bh - h * bw), i) AS rn
+       |  FROM m, b),
+       |sel AS (
+       |  SELECT media_id, w, h, bw::BIGINT AS bucket_w, bh::BIGINT AS bucket_h,
+       |         LEAST(bw * 1000 // w, bh * 1000 // h) AS scale_pm
+       |  FROM s WHERE rn = 1),
+       |p AS (
+       |  SELECT bucket_w, bucket_h,
+       |         1000 - (w * scale_pm // 1000) * (h * scale_pm // 1000)
+       |           * 1000 // (bucket_w * bucket_h) AS pad_pm
+       |  FROM sel)
+       |SELECT bucket_w, bucket_h, count(*) AS n,
+       |       CAST(sum(pad_pm) // count(*) AS BIGINT) AS mean_pad_pm
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -31,6 +31,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("aspect plan: metadata-only — the payload/text column never reaches the scan") {
+    // the multimodal batching claim: width/height metadata drive the
+    // whole plan, the opaque blob (derived from `text`) is pruned out
+    val p = plan("mm_aspect_plan")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") || l.contains("InMemoryTableScan")).toSeq
+    assert(scans.nonEmpty, p)
+    scans.foreach(l => assert(!l.contains("text"),
+      s"payload source column must be pruned from the scan: $l"))
+  }
+
   test("predicate pushdown: Q3's date filters reach the parquet scans") {
     val p = plan("olap_q3_topn")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
