@@ -1195,6 +1195,7 @@ object SparkEntry {
     "events_attribution" -> ((s, dir) => EventOps.attribution(EventsAdapter.events(s, dir))),
     "events_transitions" -> ((s, dir) => EventOps.transitions(EventsAdapter.events(s, dir))),
     "events_top_paths" -> ((s, dir) => EventOps.topPaths(EventsAdapter.events(s, dir))),
+    "events_assoc_lift" -> ((s, dir) => EventOps.assocLift(EventsAdapter.events(s, dir))),
     "events_markov" -> ((s, dir) => EventOps.markov(EventsAdapter.events(s, dir))),
     "events_type_correlation" -> ((s, dir) =>
       EventOps.typeCorrelation(EventsAdapter.events(s, dir))),
@@ -2463,6 +2464,7 @@ object SparkEntry {
     "events_attribution" -> EventOps.attributionOracle,
     "events_transitions" -> EventOps.transitionsOracle,
     "events_top_paths" -> EventOps.topPathsOracle,
+    "events_assoc_lift" -> EventOps.assocLiftOracle,
     "events_markov" -> EventOps.markovOracle,
     "events_type_correlation" -> EventOps.typeCorrelationOracle,
     "events_power_users" -> EventOps.powerUsersOracle,

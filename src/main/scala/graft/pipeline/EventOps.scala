@@ -671,6 +671,53 @@ object EventOps {
       |             + CAST(n_b * q_b - s_b * s_b AS DOUBLE) / (n_b * n_b * (n_b - 1))) AS significant
       |FROM m""".stripMargin
 
+  // ---- operator: event-type association lift ------------------------------
+
+  /** Market-basket association over event types: for every unordered
+    * type pair, the number of users who did BOTH and the lift
+    * (P(a∧b) / (P(a)·P(b)), user-based, 1e6 fixed-point) — the
+    * co-engagement matrix behind "users who X also Y". Everything
+    * collapses to the (user, type) distinct relation FIRST (bounded by
+    * users × types, not events); the pair join is per-user and
+    * co-partitioned on user_id; per-type totals are a types-bounded
+    * broadcast. Output (type_a, type_b, n_both, lift_fp), types²-bounded.
+    *
+    * lift_fp = n_both · n_users · 1e6 div (n_a · n_b) — all-integer,
+    * >1e6 means positive association. */
+  def assocLift(events: DataFrame): DataFrame = {
+    val ut = events.select("user_id", "event_type").distinct()
+      .localCheckpoint(true) // feeds totals, both sides of the pair join
+    val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val nUsers = ut.select("user_id").distinct().count()
+    val pairs = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        expr(s"n_both * $nUsers * 1000000 div (n_a * n_b)").as("lift_fp"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val assocLiftOracle: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |t AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |nu AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+      |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |             count(*) AS n_both
+      |      FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |                         AND x.event_type < y.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |       n_both * (SELECT nu FROM nu) * 1000000
+      |         // (ta.n * tb.n) AS lift_fp
+      |FROM p JOIN t ta ON ta.event_type = type_a
+      |       JOIN t tb ON tb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   // ---- operator: session path mining --------------------------------------
 
   /** Paths longer than this are truncated (the classic "first K steps"

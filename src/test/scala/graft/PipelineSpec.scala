@@ -731,6 +731,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
   }
 
+  test("assoc lift: bounds and the lift identity hold") {
+    val ev = graft.sources.EventsAdapter.events(spark, dir)
+    val ut = ev.select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nUsers = ut.map(_._1).distinct.length
+    val perType = ut.groupBy(_._2).view.mapValues(_.length).toMap
+    val out = EventOps.assocLift(ev).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, both, lift) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(a < b, "unordered pairs, canonical order")
+      assert(both <= math.min(perType(a), perType(b)))
+      assert(lift === both * nUsers * 1000000L / (perType(a).toLong * perType(b)))
+    }
+  }
+
   test("dsir resample: sample is target-shifted but genuinely noised (not plain top-k)") {
     val weights = TextOps.dsirWeights(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (doc_id, n_bigrams, score_fp)
