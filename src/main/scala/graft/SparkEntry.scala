@@ -1184,6 +1184,7 @@ object SparkEntry {
     "doc_quality_classifier" -> ((s, dir) => TextOps.qualityClassifier(docs(s, dir))),
     "doc_cdc_chunks" -> ((s, dir) => TextOps.cdcChunks(docs(s, dir))),
     "doc_dsir_resample" -> ((s, dir) => TextOps.dsirResample(docs(s, dir))),
+    "doc_corpus_zipf" -> ((s, dir) => TextOps.corpusZipf(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
     "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
 
@@ -2264,6 +2265,7 @@ object SparkEntry {
     "doc_quality_classifier" -> TextOps.qualityClassifierOracle,
     "doc_cdc_chunks" -> TextOps.cdcChunksOracle,
     "doc_dsir_resample" -> TextOps.dsirResampleOracle,
+    "doc_corpus_zipf" -> TextOps.corpusZipfOracle,
     "olap_q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS qty_fp

@@ -1087,6 +1087,52 @@ object TextOps {
        |FROM documents d LEFT JOIN nk USING (doc_id) LEFT JOIN pr USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- operator: corpus Zipf profile ------------------------------------
+
+  /** Ranks reported by [[corpusZipf]]. */
+  val ZipfTopN = 50
+
+  /** Corpus rank-frequency (Zipf) profile: every token's corpus
+    * frequency, rank, share, and cumulative share — the
+    * head-concentration report that decides stopword cutoffs and flags
+    * degenerate corpora (a handful of tokens carrying most of the mass).
+    * Two stacked map-side aggregates collapse the corpus to its
+    * vocabulary; the rank/cumulative windows run on that bounded
+    * relation only (the [[lmSurprisal]] discipline). Output
+    * (rank, token, tf, share_pm, cum_pm), top [[ZipfTopN]] ranks. */
+  def corpusZipf(docs: DataFrame): DataFrame = {
+    val tf = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum("tf").as("total"))
+    val w = Window.orderBy(col("tf").desc, col("token"))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tf", sum("tf").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rank") <= ZipfTopN)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("tf"),
+        expr("tf * 1000 div total").as("share_pm"),
+        expr("cum_tf * 1000 div total").as("cum_pm"))
+      .orderBy("rank")
+  }
+
+  val corpusZipfOracle: String =
+    s"""WITH tf AS (
+       |  SELECT u.token, count(*) AS tf
+       |  FROM (SELECT $tokensSql AS w FROM documents) d, unnest(d.w) u(token)
+       |  GROUP BY 1),
+       |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+       |r AS (
+       |  SELECT token, tf,
+       |         row_number() OVER (ORDER BY tf DESC, token) AS rank,
+       |         CAST(sum(tf) OVER (ORDER BY tf DESC, token
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tf
+       |  FROM tf)
+       |SELECT rank, token, tf,
+       |       tf * 1000 // (SELECT total FROM t) AS share_pm,
+       |       cum_tf * 1000 // (SELECT total FROM t) AS cum_pm
+       |FROM r WHERE rank <= $ZipfTopN ORDER BY rank""".stripMargin
+
   // ---- operator: linear quality classifier ------------------------------
 
   /** Decision threshold for [[qualityClassifier]] (≈ the sf0.01 score
