@@ -359,7 +359,11 @@ object Dedup {
       .select(col("doc_id"), col("e.band"), col("e.bv"))
   }
 
-  def minhashLsh(docs: DataFrame): DataFrame = {
+  /** Shared MinHash pipeline: materialized shingle rows, 32-column
+    * signature relation, banded candidate pairs. Consumed by
+    * [[minhashLsh]] (threshold verify) and [[minhashEstEval]]
+    * (estimate-vs-exact report). */
+  private def minhashParts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // shingles feed the signature build AND the verify self-join AND the
     // set-size counts — materialize once (6 consumers otherwise re-run
     // the tokenize+hash+explode lineage; this one call took 13 s/query
@@ -383,6 +387,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
+    (sh, sig, cand)
+  }
+
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val (sh, _, cand) = minhashParts(docs)
     // exact-Jaccard verify restricted to candidates
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
@@ -428,6 +437,82 @@ object Dedup {
        |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
        |WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp
        |ORDER BY i, j""".stripMargin
+  }
+
+  /** MinHash estimator accuracy report: for every banded candidate pair,
+    * the SIGNATURE-based Jaccard estimate (matching components / 32)
+    * next to the exact shingle Jaccard and the absolute error — the
+    * sketch-accuracy eval that justifies trusting bare signatures when
+    * the shingle sets are too big to re-intersect ([[simhashEval]]'s
+    * MinHash counterpart, but candidates-only by construction: no brute
+    * truth relation, so no sample bound needed). Output
+    * (i, j, est_fp, jac_fp, err_fp). */
+  def minhashEstEval(docs: DataFrame): DataFrame = {
+    val (sh, sig, cand) = minhashParts(docs)
+    val matches = (0 until NumPerms).map(i =>
+      when(col(s"a.sig$i") === col(s"b.sig$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sig.as("a"), col("i") === col("a.doc_id"))
+      .join(sig.as("b"), col("j") === col("b.doc_id"))
+      .select(col("i"), col("j"),
+        // 1e6/32 is exact — a multiplication, identical in the oracle
+        (matches * lit(1000000L / NumPerms)).as("est_fp"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val exact = cand
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"),
+        expr("inter * 1000000 div (ca.c + cb.c - inter)").as("jac_fp"))
+    est.join(exact, Seq("i", "j"), "left_outer")
+      .select(col("i"), col("j"), col("est_fp"),
+        coalesce(col("jac_fp"), lit(0L)).as("jac_fp"),
+        abs(col("est_fp") - coalesce(col("jac_fp"), lit(0L))).as("err_fp"))
+      .orderBy("i", "j")
+  }
+
+  val minhashEstEvalOracle: String = {
+    val sigExprs = (0 until NumPerms)
+      .map(i => s"min((hp * ${permA(i)} + ${permB(i)}) % $P) AS sig$i").mkString(",\n       ")
+    val bandCase = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}").mkString(", ")
+      s"WHEN $b THEN concat_ws('_', $rows)"
+    }.mkString(" ")
+    val matchSum = (0 until NumPerms)
+      .map(i => s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS ($shingleRowsSql),
+       |hs AS (SELECT doc_id, h % $P AS hp FROM sh),
+       |sig AS (SELECT doc_id,
+       |       $sigExprs
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, t.band, CASE t.band $bandCase END AS bv
+       |  FROM sig, range(${Bands}) t(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id i, y.doc_id j
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT c.i, c.j, ($matchSum) * ${1000000L / NumPerms} AS est_fp
+       |  FROM cand c JOIN sig a ON a.doc_id = c.i JOIN sig b ON b.doc_id = c.j),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |ex AS (
+       |  SELECT t.i, t.j, t.n * 1000000 // (ca.c + cb.c - t.n) AS jac_fp
+       |  FROM (SELECT c.i, c.j, count(*) n
+       |        FROM cand c
+       |        JOIN sh sa ON sa.doc_id = c.i
+       |        JOIN sh sb ON sb.doc_id = c.j AND sb.h = sa.h
+       |        GROUP BY 1, 2) t
+       |  JOIN cnt ca ON ca.doc_id = t.i JOIN cnt cb ON cb.doc_id = t.j)
+       |SELECT est.i, est.j, est.est_fp,
+       |       COALESCE(ex.jac_fp, 0) AS jac_fp,
+       |       abs(est.est_fp - COALESCE(ex.jac_fp, 0)) AS err_fp
+       |FROM est LEFT JOIN ex ON ex.i = est.i AND ex.j = est.j
+       |ORDER BY est.i, est.j""".stripMargin
   }
 
   // ---- SimHash -----------------------------------------------------------

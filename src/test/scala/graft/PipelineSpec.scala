@@ -731,6 +731,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
   }
 
+  test("minhash estimate eval: identical sets estimate exactly; error is sketch-bounded") {
+    val out = Dedup.minhashEstEval(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (i, j, est, jac, err) =>
+      assert(i < j)
+      assert(est >= 0L && est <= 1000000L)
+      assert(err === math.abs(est - jac))
+      // identical shingle sets → identical signatures, estimate is exact
+      if (jac == 1000000L) assert(est === 1000000L, s"($i,$j)")
+    }
+    // 32 permutations → std ≈ sqrt(J(1-J)/32) ≤ 0.09; mean |err| across
+    // candidate pairs must stay well inside a few stds
+    val meanErr = out.map(_._5).sum / out.length
+    assert(meanErr < 250000L, s"mean err $meanErr")
+  }
+
   test("assoc lift: bounds and the lift identity hold") {
     val ev = graft.sources.EventsAdapter.events(spark, dir)
     val ut = ev.select("user_id", "event_type").distinct().collect()
