@@ -11,6 +11,11 @@ final case class WindowDistinct(windowStart: Long, estDistinct: Long)
 final case class WindowHeavyHitter(windowStart: Long, series: String,
                                    estCount: Long, maxErr: Long)
 
+/** One quantile report for a closed tumbling window: each quantile is a
+  * bin UPPER edge — est ≥ true, error bounded by one bin width. */
+final case class WindowQuantiles(windowStart: Long, n: Long,
+                                 p50: Double, p90: Double, p99: Double)
+
 /** Streaming windowed HyperLogLog: approximate distinct `series` per
   * tumbling event-time window, emitted ONCE when the window closes —
   * the streaming face of `pipeline.Sketches.hllDistinctUsers`.
@@ -97,6 +102,72 @@ object StreamingSketch {
             }
             state.update(regs)
             // close once the event-time watermark passes the window end
+            state.setTimeoutTimestamp(windowStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Histogram bins for [[windowedQuantiles]] — the per-window state is
+    * exactly this many longs. */
+  val QBins = 64
+
+  /** Streaming windowed quantile sketch: per tumbling event-time window,
+    * a fixed-bin histogram over the value domain `[lo, hi)` (clamped),
+    * closed watermark-style like [[windowedDistinct]] — the streaming
+    * face of `pipeline.Sketches.histQuantiles`. Bin counts are a
+    * MERGEABLE sketch: addition folds out-of-order batches losslessly,
+    * so the reported quantiles depend only on the window's value
+    * multiset, never on arrival order. On close, emit
+    * (n, p50, p90, p99) where each quantile is the UPPER EDGE of the
+    * bin containing rank ceil(q·n) — deterministic, one-sided (est ≥
+    * true), max error one bin width. State is
+    * O(open windows × [[QBins]] longs) at any stream rate. */
+  def windowedQuantiles(points: Dataset[Point], windowMs: Long,
+                        latenessMs: Long, lo: Double, hi: Double): Dataset[WindowQuantiles] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // primitives only in the closure (a local def would lift onto this
+    // module and drag the non-serializable object into the task)
+    val width = (hi - lo) / QBins
+    val bins = QBins
+    val lo0 = lo
+    points
+      .withColumnRenamed("ts", "tsMs")
+      .selectExpr("series", "tsMs", "value", "timestamp_millis(tsMs) AS eventTime")
+      .withWatermark("eventTime", s"$latenessMs milliseconds")
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey { case (_, ts, _, _) => ts - Math.floorMod(ts, windowMs) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (windowStart: Long, it: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            val n = counts.sum
+            def quantile(q: Double): Double = {
+              val rank = math.max(math.ceil(q * n).toLong, 1L)
+              var cum = 0L
+              var b = 0
+              var out = lo0 + bins * width
+              var found = false
+              while (b < bins && !found) {
+                cum += counts(b)
+                if (cum >= rank) { out = lo0 + (b + 1) * width; found = true }
+                b += 1
+              }
+              out
+            }
+            state.remove()
+            Iterator.single(WindowQuantiles(windowStart, n,
+              quantile(0.5), quantile(0.9), quantile(0.99)))
+          } else {
+            val counts = if (state.exists) state.get else new Array[Long](bins)
+            it.foreach { case (_, _, v, _) =>
+              val b0 = math.floor((v - lo0) / width).toInt
+              val b = if (b0 < 0) 0 else if (b0 >= bins) bins - 1 else b0
+              counts(b) += 1
+            }
+            state.update(counts)
             state.setTimeoutTimestamp(windowStart + windowMs)
             Iterator.empty
           }

@@ -359,6 +359,43 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(WindowDistinct(0L, 3L)), got.toSeq)
   }
 
+  test("streaming windowed quantiles: order-insensitive, one-bin-width bound, close-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingSketch, WindowQuantiles}
+    val in = MemoryStream[Point]
+    // domain [0, 64) with 64 bins → bin width 1.0, quantile = ceil(v)+edge
+    // 10 s lateness: the second batch is intentionally out-of-order
+    // behind the first batch's max event time
+    val q = StreamingSketch.windowedQuantiles(in.toDS(), 60000L, 10000L, 0.0, 64.0)
+      .writeStream.format("memory").queryName("wq")
+      .outputMode("append").start()
+    // window [0, 60s): values 1..10, delivered out of order across batches
+    in.addData(Point("s", 5000L, 7.0), Point("s", 1000L, 1.0),
+               Point("s", 4000L, 10.0), Point("s", 2000L, 3.0), Point("s", 3000L, 5.0))
+    q.processAllAvailable()
+    in.addData(Point("s", 1500L, 2.0), Point("s", 2500L, 4.0),
+               Point("s", 3500L, 6.0), Point("s", 4500L, 8.0), Point("s", 5500L, 9.0))
+    q.processAllAvailable()
+    // advance the watermark far past the window end → close once
+    in.addData(Point("s", 300000L, 1.0))
+    q.processAllAvailable()
+    in.addData(Point("s", 400000L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wq").as[WindowQuantiles].collect()
+      .filter(_.windowStart == 0L)
+    assert(got.length === 1, got.toSeq)
+    val r = got.head
+    assert(r.n === 10L)
+    // values 1..10, width-1 bins: value v lands in bin floor(v) with upper
+    // edge floor(v)+1; rank ceil(.5*10)=5 → value 5 → 6.0, rank 9 → 9 →
+    // 10.0, rank ceil(.99*10)=10 → 10 → 11.0
+    assert(r.p50 === 6.0 && r.p90 === 10.0 && r.p99 === 11.0, r)
+    // one-bin-width bound vs the true order statistics (5, 9, 10)
+    assert(r.p50 - 5.0 <= 1.0 && r.p90 - 9.0 <= 1.0 && r.p99 - 10.0 <= 1.0)
+  }
+
   test("streaming heavy hitters: bounds hold, heavy series guaranteed, close-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
