@@ -140,7 +140,12 @@ object Bench {
       "emb_semdedup", "doc_dup_spans", "doc_dsir_weights", "doc_winnowing",
       "events_ab_lift", "olap_rollup_revenue", "emb_knn_graph",
       "emb_cluster_quality", "events_ltv_cohort", "dedup_source_overlap",
-      "emb_gram_matrix")
+      "emb_gram_matrix",
+      // round-5 (current session) additions
+      "doc_quality_classifier", "doc_cdc_chunks", "emb_centroid_classify",
+      "events_top_paths", "emb_pagerank", "doc_dsir_resample",
+      "mm_aspect_plan", "events_assoc_lift", "doc_corpus_zipf",
+      "dedup_minhash_est_eval")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++
