@@ -270,6 +270,20 @@ object Fuzz {
       pi <- Vector(0, 3)
       ri <- Ranges.indices
     } yield mkMulti(f1, s1, f2, s2, bName, bMs, pi, ri)
+    // elapsed/integral over the single total-order series: elapsed's
+    // truncated point deltas x unit, and integral's bucket-CLIPPED
+    // trapezoids (interpolated endpoints) x bucket x unit — the
+    // hairiest planner arithmetic, previously covered by ONE curated
+    // case each
+    val elapseds = for {
+      unitMs <- Vector(1000L, 30000L)
+      ri <- Ranges.indices
+    } yield mkElapsed(unitMs, ri)
+    val integrals = for {
+      (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
+      unitMs <- Vector(1000L, 60000L)
+      ri <- Ranges.indices
+    } yield mkIntegral(bName, bMs, unitMs, ri)
     // field-value predicates (WHERE value > X), alone and composed with
     // a tag predicate — the FieldConj parse/plan path the curated
     // entries and every family above leave untouched
@@ -282,7 +296,8 @@ object Fuzz {
     } yield mk(fn, fnSql, bName, bMs, pi, ri, None, fi = Some(fi))
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
       ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ pctGbs ++
-      extras ++ maths ++ offsets ++ subqs ++ multis ++ fields ++ showCases
+      extras ++ maths ++ offsets ++ subqs ++ multis ++ fields ++
+      elapseds ++ integrals ++ showCases
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -344,6 +359,82 @@ object Fuzz {
       fi.map(f => s"_f$f").getOrElse("") +
       lim.map(l => s"_l${l._1}o${l._2}").getOrElse("")
     FuzzCase(s"fuzz_$slug", q, sql)
+  }
+
+  private def durName(ms: Long): String =
+    if (ms % 60000L == 0) s"${ms / 60000L}m" else s"${ms / 1000L}s"
+
+  /** elapsed(value, unit) over the single total-order series: truncated
+    * per-point time deltas (planner path: per-series lag window). */
+  private def mkElapsed(unitMs: Long, ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val (fromMs, toMs) = (fromNs / 1000000L + 1, toNs / 1000000L - 1)
+    val q = s"""SELECT elapsed("value", ${durName(unitMs)}) FROM "events" WHERE time > $fromNs AND time < $toNs AND "event_type" = 'click' AND "user_id" = '7'"""
+    val sql =
+      s"""WITH p AS (
+         |  SELECT epoch_ms(ts) AS time_ms, value FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |    AND event_type = 'click' AND user_id = 7),
+         |d AS (SELECT time_ms,
+         |             lag(time_ms) OVER (ORDER BY time_ms, value) AS pt
+         |      FROM p),
+         |f AS (SELECT time_ms,
+         |             CAST(floor(floor((time_ms - pt) / $unitMs.0) * 100) AS BIGINT) AS value
+         |      FROM d WHERE pt IS NOT NULL)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '7' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_elapsed_${durName(unitMs)}_r$ri", q, sql)
+  }
+
+  /** integral(value, unit) GROUP BY time(bucket): trapezoid area with
+    * segments CLIPPED at bucket boundaries (interpolated endpoints),
+    * each piece floor-quantized to 1e6 fixed point BEFORE the sum —
+    * the curated ts_select_integral template generalized over
+    * bucket × unit × range. */
+  private def mkIntegral(bName: String, bMs: Long, unitMs: Long, ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val (fromMs, toMs) = (fromNs / 1000000L + 1, toNs / 1000000L - 1)
+    val q = s"""SELECT integral("value", ${durName(unitMs)}) FROM "events" WHERE time > $fromNs AND time < $toNs AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time($bName)"""
+    val sql =
+      s"""WITH p AS (
+         |  SELECT epoch_ms(ts) AS time_ms, value FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |    AND event_type = 'click' AND user_id = 7),
+         |s AS (SELECT time_ms, value,
+         |             lag(time_ms) OVER (ORDER BY time_ms, value) AS pt,
+         |             lag(value) OVER (ORDER BY time_ms, value) AS pv
+         |      FROM p),
+         |seg AS (SELECT * FROM s WHERE pt IS NOT NULL AND time_ms > pt),
+         |pieces AS (
+         |  SELECT t.b,
+         |         greatest(s2.pt, t.b) AS ss,
+         |         least(s2.time_ms, t.b + $bMs) AS ee,
+         |         s2.pv + (s2.value - s2.pv) *
+         |           ((greatest(s2.pt, t.b) - s2.pt) / (s2.time_ms - s2.pt)) AS vs,
+         |         s2.pv + (s2.value - s2.pv) *
+         |           ((least(s2.time_ms, t.b + $bMs) - s2.pt) / (s2.time_ms - s2.pt)) AS ve
+         |  FROM seg s2
+         |  JOIN generate_series(${(fromMs / bMs) * bMs},
+         |                       ${(toMs / bMs) * bMs},
+         |                       $bMs) t(b)
+         |    ON t.b >= (s2.pt // $bMs) * $bMs
+         |   AND t.b <= ((s2.time_ms - 1) // $bMs) * $bMs),
+         |areas AS (SELECT b AS time_ms,
+         |                 CAST(floor((vs + ve) / 2.0 * ((ee - ss) / $unitMs.0) * 1e6) AS BIGINT) AS a
+         |          FROM pieces),
+         |g AS (SELECT time_ms, CAST(sum(a) AS BIGINT) AS sfp FROM areas GROUP BY 1),
+         |f AS (SELECT time_ms, CAST(floor((sfp / 1e6) * 100) AS BIGINT) AS value FROM g)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '7' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_integral_${bName}_${durName(unitMs)}_r$ri", q, sql)
   }
 
   /** SHOW metadata listings: TAG VALUES (KEY =/IN/=~) × WHERE scoping ×
