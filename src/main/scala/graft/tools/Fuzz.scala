@@ -270,6 +270,13 @@ object Fuzz {
       pi <- Vector(0, 3)
       ri <- Ranges.indices
     } yield mkMulti(f1, s1, f2, s2, bName, bMs, pi, ri)
+    // selectors × GROUP BY tag: extreme points per (bucket, tag value)
+    val selGbs = for {
+      (fn, dir) <- Vector("top" -> "DESC", "bottom" -> "ASC")
+      nSel <- Vector(1, 3)
+      (bName, bMs) <- Vector("6h" -> 21600000L, "1d" -> 86400000L)
+      ri <- Vector(0, 1)
+    } yield mkSelectorGb(fn, dir, nSel, bName, bMs, ri)
     // elapsed/integral over the single total-order series: elapsed's
     // truncated point deltas x unit, and integral's bucket-CLIPPED
     // trapezoids (interpolated endpoints) x bucket x unit — the
@@ -297,7 +304,7 @@ object Fuzz {
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
       ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ pctGbs ++
       extras ++ maths ++ offsets ++ subqs ++ multis ++ fields ++
-      elapseds ++ integrals ++ showCases
+      selGbs ++ elapseds ++ integrals ++ showCases
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -753,6 +760,34 @@ object Fuzz {
          |       '7' AS labelvalue, '' AS message FROM f
          |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
     FuzzCase(s"fuzz_${fn}${nSel}_${bName}_r${ri}_sel", q, sql)
+  }
+
+  /** top/bottom × GROUP BY tag: N extreme points per (bucket, tag value),
+    * competing ACROSS the series that share the tag value — the grouped
+    * selector window must partition on (bucket, tag), never globally and
+    * never per-fingerprint. Ties beyond (value, time) are unobservable:
+    * the emitted row is (time, value, tag) only. */
+  private def mkSelectorGb(fn: String, dir: String, nSel: Int,
+                           bName: String, bMs: Long, ri: Int): FuzzCase = {
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $fn("value", $nSel) FROM "events" WHERE time > $fromNs AND time < $toNs GROUP BY time($bName), "event_type""""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val sql =
+      s"""WITH p AS (
+         |  SELECT epoch_ms(ts) AS time_ms, epoch_ms(ts) // $bMs AS b, value, event_type
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY b, event_type
+         |                                   ORDER BY value $dir, time_ms ASC) AS rn
+         |      FROM p),
+         |f AS (SELECT time_ms, event_type,
+         |             CAST(floor(value * 100) AS BIGINT) AS value
+         |      FROM r WHERE rn <= $nSel)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${fn}${nSel}_${bName}_r${ri}_selgb", q, sql)
   }
 
   private def mkGroupBy(fn: String, fnSql: String, bName: String, bMs: Long,

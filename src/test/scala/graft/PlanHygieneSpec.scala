@@ -42,6 +42,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"payload source column must be pruned from the scan: $l"))
   }
 
+  test("pagerank: every iteration joins hash/broadcast — no cartesian, no nested loop") {
+    val p = plan("emb_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("predicate pushdown: Q3's date filters reach the parquet scans") {
     val p = plan("olap_q3_topn")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
