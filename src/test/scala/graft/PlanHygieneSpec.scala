@@ -42,6 +42,23 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"payload source column must be pruned from the scan: $l"))
   }
 
+  test("session-5 entries: top-N stays TakeOrdered, pair joins stay equi, no cartesians") {
+    // top paths: final top-20 must be a TakeOrdered, not a global sort
+    val tp = plan("events_top_paths")
+    assert(tp.contains("TakeOrderedAndProject"), tp)
+    // association lift: the per-user pair join is an equi self-join on
+    // user_id over the collapsed (user, type) relation — no cartesian
+    val al = plan("events_assoc_lift")
+    assert(!al.contains("CartesianProduct"), al)
+    // minhash estimator eval rides the banded candidates — never an
+    // all-pairs or non-equi signature self-join
+    val me = plan("dedup_minhash_est_eval")
+    assert(!me.contains("CartesianProduct"), me)
+    // dsir resample: selection is a TakeOrdered over the scored relation
+    val dr = plan("doc_dsir_resample")
+    assert(dr.contains("TakeOrderedAndProject"), dr)
+  }
+
   test("pagerank: every iteration joins hash/broadcast — no cartesian, no nested loop") {
     val p = plan("emb_pagerank")
     assert(!p.contains("CartesianProduct"), p)
