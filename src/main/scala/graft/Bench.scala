@@ -145,7 +145,8 @@ object Bench {
       "doc_quality_classifier", "doc_cdc_chunks", "emb_centroid_classify",
       "events_top_paths", "emb_pagerank", "doc_dsir_resample",
       "mm_aspect_plan", "events_assoc_lift", "doc_corpus_zipf",
-      "dedup_minhash_est_eval", "ann_ranking_metrics")
+      "dedup_minhash_est_eval", "ann_ranking_metrics", "emb_prototype_prune",
+      "ann_mmr_rerank")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++

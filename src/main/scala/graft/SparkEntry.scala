@@ -1255,6 +1255,8 @@ object SparkEntry {
     "emb_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir))),
     "emb_knn_graph" -> ((s, dir) => Dedup.knnGraph(emb(s, dir))),
     "emb_cluster_quality" -> ((s, dir) => Similarity.clusterQuality(emb(s, dir))),
+    "emb_prototype_prune" -> ((s, dir) => Similarity.prototypePrune(emb(s, dir))),
+    "ann_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(emb(s, dir))),
 
     // --- approximate aggregates (SURVEY §2.4 "not present" list): HLL
     //     distinct, deterministic cross-engine (see pipeline.Sketches) ---
@@ -2495,6 +2497,8 @@ object SparkEntry {
     "emb_semdedup" -> Similarity.semDedupOracle,
     "emb_knn_graph" -> Dedup.knnGraphOracle,
     "emb_cluster_quality" -> Similarity.clusterQualityOracle,
+    "emb_prototype_prune" -> Similarity.prototypePruneOracle,
+    "ann_mmr_rerank" -> Similarity.mmrRerankOracle,
     "dedup_emb_cosine" -> Dedup.cosinePairsBandedOracle,
     "dedup_emb_cosine_eval" -> EvalSampling.sampleOracle(Dedup.cosineBandedEvalOracle, "embeddings", "vec_id"),
     "ann_brute_topk" -> Similarity.bruteTopKOracle,

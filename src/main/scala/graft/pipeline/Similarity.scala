@@ -84,6 +84,121 @@ object Similarity {
        |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ---- MMR diversified re-ranking -----------------------------------------
+
+  val MmrCand = 20    // candidate pool per query (brute top-C baseline)
+  val MmrPick = 5     // diversified results returned per query
+  val MmrLambda10 = 7L // λ in tenths: score = 7·relevance − 3·max-sim-to-selected
+
+  /** Maximal-marginal-relevance re-ranking (the classic Carbonell &
+    * Goldstein recipe): from each query's top-[[MmrCand]] cosine
+    * candidates, greedily select [[MmrPick]] results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    * diversification pass that keeps a retrieval batch from returning
+    * five copies of the same near-duplicate passage. All scores are
+    * int64 fixed-point (cosines quantized to 1e6 BEFORE the λ-blend,
+    * λ = [[MmrLambda10]]/10 applied as integer multipliers), ties broken
+    * by candidate id, so the greedy trajectory is engine-exact.
+    *
+    * Scale shape: the candidate stage is the brute queries×corpus
+    * broadcast scan (swap in any `*TopK` index relation at corpus
+    * scale); everything after is bounded by queries × MmrCand² — the
+    * pairwise-sim relation and the [[MmrPick]] unrolled greedy joins
+    * never touch the corpus again. Each greedy round localCheckpoints
+    * the (queries × picks)-row selection so the final plan stays flat.
+    * Output (q_id, pick, cand_id, score_fp) ordered by (q_id, pick). */
+  def mmrRerank(emb: DataFrame): DataFrame = {
+    val e = normalized(emb)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        floor(dotCols(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("rel_fp"))
+    val wc = Window.partitionBy("q_id").orderBy(col("rel_fp").desc, col("cand_id"))
+    val cand = scored.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= MmrCand).select("q_id", "cand_id", "rel_fp")
+      .localCheckpoint(true)
+    val cv = cand.join(e, cand("cand_id") === e("vec_id"))
+      .select(col("q_id"), col("cand_id"), col("v"), col("nrm"))
+    val a = cv.select(col("q_id"), col("cand_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = cv.select(col("q_id"), col("cand_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val sims = a.join(b, Seq("q_id")).filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        floor(dotCols(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
+          .cast("long").as("sim_fp"))
+      .localCheckpoint(true)
+    // pick 1: pure relevance (argmax via struct-max, ties → lowest id)
+    var sel = cand.groupBy("q_id")
+      .agg(max(struct((col("rel_fp") * MmrLambda10).as("s"),
+        (-col("cand_id")).as("nid"))).as("m"))
+      .select(col("q_id"), (-col("m.nid")).as("cand_id"),
+        lit(1L).as("pick"), col("m.s").as("score_fp"))
+      .localCheckpoint(true)
+    for (k <- 2 to MmrPick) {
+      val maxsim = sims
+        .join(sel.select(col("q_id"), col("cand_id").as("b_id")), Seq("q_id", "b_id"))
+        .groupBy("q_id", "a_id").agg(max("sim_fp").as("maxsim"))
+        .withColumnRenamed("a_id", "cand_id")
+      val next = cand
+        .join(sel.select("q_id", "cand_id"), Seq("q_id", "cand_id"), "left_anti")
+        .join(maxsim, Seq("q_id", "cand_id"))
+        .groupBy("q_id")
+        .agg(max(struct(
+          (col("rel_fp") * MmrLambda10 - col("maxsim") * (10L - MmrLambda10)).as("s"),
+          (-col("cand_id")).as("nid"))).as("m"))
+        .select(col("q_id"), (-col("m.nid")).as("cand_id"),
+          lit(k.toLong).as("pick"), col("m.s").as("score_fp"))
+      sel = sel.unionByName(next).localCheckpoint(true)
+    }
+    sel.select("q_id", "pick", "cand_id", "score_fp").orderBy("q_id", "pick")
+  }
+
+  val mmrRerankOracle: String = {
+    def dotAb(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), d -> $x.v[d] * $y.v[d]), (p, r) -> p + r)"
+    val mu = 10L - MmrLambda10
+    val steps = (2 to MmrPick).map { k =>
+      s"""ms$k AS (SELECT s.q_id, s.a_id, max(s.sim_fp) AS maxsim
+         |        FROM sim s JOIN sel${k - 1} p ON p.q_id = s.q_id AND p.cand_id = s.b_id
+         |        GROUP BY 1, 2),
+         |pk$k AS (SELECT q_id, cand_id, score_fp FROM (
+         |         SELECT c.q_id, c.cand_id,
+         |                c.rel_fp * $MmrLambda10 - m.maxsim * $mu AS score_fp,
+         |                row_number() OVER (PARTITION BY c.q_id
+         |                  ORDER BY c.rel_fp * $MmrLambda10 - m.maxsim * $mu DESC,
+         |                           c.cand_id) AS rn
+         |         FROM cand c JOIN ms$k m ON m.q_id = c.q_id AND m.a_id = c.cand_id
+         |         WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+         |                           WHERE x.q_id = c.q_id AND x.cand_id = c.cand_id)) t
+         |         WHERE rn = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL
+         |          SELECT q_id, cand_id, CAST($k AS BIGINT) AS pick, score_fp FROM pk$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |         floor(${dotAb("q", "c")} / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS rel_fp
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |cand AS (SELECT q_id, cand_id, rel_fp FROM (
+       |           SELECT q_id, cand_id, rel_fp,
+       |                  row_number() OVER (PARTITION BY q_id ORDER BY rel_fp DESC, cand_id) AS rn
+       |           FROM scored) t WHERE rn <= $MmrCand),
+       |cv AS (SELECT c.q_id, c.cand_id, e.v FROM cand c JOIN e ON e.vec_id = c.cand_id),
+       |sim AS (SELECT a.q_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |               floor(${dotAb("a", "b")} / (${nrmSql("a")} * ${nrmSql("b")}) * 1e6)::BIGINT AS sim_fp
+       |        FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.cand_id <> b.cand_id),
+       |sel1 AS (SELECT q_id, cand_id, CAST(1 AS BIGINT) AS pick,
+       |                rel_fp * $MmrLambda10 AS score_fp FROM (
+       |           SELECT q_id, cand_id, rel_fp,
+       |                  row_number() OVER (PARTITION BY q_id ORDER BY rel_fp DESC, cand_id) AS rn
+       |           FROM cand) t WHERE rn = 1),
+       |$steps
+       |SELECT q_id, pick, cand_id, score_fp FROM sel$MmrPick ORDER BY q_id, pick""".stripMargin
+  }
+
   // ---- margin-based bitext mining ----------------------------------------
 
   /** Mined pairs reported (highest-margin page). */
@@ -409,6 +524,64 @@ object Similarity {
        |       CAST(floor(CAST(sum(cos_fp) AS BIGINT)::DOUBLE / count(*)) AS BIGINT) AS mean_cos_fp,
        |       min(cos_fp) AS min_cos_fp, max(cos_fp) AS max_cos_fp
        |FROM s GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  // ---- prototype-based data pruning ---------------------------------------
+
+  /** Per-mille of each cluster's MOST prototypical members to drop. */
+  val PrunePermille = 250L
+
+  /** Cluster-prototypicality data pruning (published recipe: score every
+    * example by cosine to its k-means cluster centroid, then PRUNE the
+    * most prototypical — easiest — fraction, keeping the hard examples
+    * that carry training signal on large corpora). Reuses the shared
+    * deterministic quantized k-means ([[ivfCluster]]) and the exact
+    * member-to-centroid cosine kernel from [[clusterQuality]]; the drop
+    * count per cluster is floor(n · PrunePermille / 1000), rank ties
+    * broken by vec_id, so the keep set is engine-independent.
+    *
+    * Scale shape: one broadcast of IvfK centroids into the member scan,
+    * then a single window partitioned by `cid` — per-cluster sort bounded
+    * by n/k members, shuffle keys are cluster ids only (the same cost
+    * envelope as [[semDedup]], without the pair stage).
+    * Output (vec_id, cid, cos_fp, proto_rank, keep) ordered by vec_id. */
+  def prototypePrune(emb: DataFrame): DataFrame = {
+    val x = normalized(emb).withColumn("xq", quantCol)
+    val (c1, a2) = ivfCluster(x)
+    val cD = transform(col("c"), y => y.cast("double"))
+    val cosFp = floor(dotCols(col("v"), cD) /
+      (col("nrm") * sqrt(dotCols(cD, cD))) * 1e6).cast("long")
+    val scored = x.join(a2, "vec_id").join(broadcast(c1), Seq("cid"))
+      .select(col("vec_id"), col("cid"), cosFp.as("cos_fp"))
+    val wr = Window.partitionBy("cid").orderBy(col("cos_fp").desc, col("vec_id"))
+    val wn = Window.partitionBy("cid")
+    scored
+      .withColumn("proto_rank", row_number().over(wr).cast("long"))
+      .withColumn("drop_n",
+        floor(count(lit(1)).over(wn) * PrunePermille / 1000.0).cast("long"))
+      .select(col("vec_id"), col("cid"), col("cos_fp"), col("proto_rank"),
+        (col("proto_rank") > col("drop_n")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val prototypePruneOracle: String = {
+    val cDot = "list_reduce(list_transform(range(1, 65), d -> m.v[d] * m.c[d]), (x, y) -> x + y)"
+    val cNrm = "sqrt(list_reduce(list_transform(range(1, 65), d -> (m.c[d] * m.c[d])::DOUBLE), (x, y) -> x + y))"
+    val vNrm = "sqrt(list_reduce(list_transform(range(1, 65), d -> m.v[d] * m.v[d]), (x, y) -> x + y))"
+    s"""$ivfClusterCtes,
+       |m AS (SELECT e.vec_id, a2.cid, e.v, c1.c
+       |      FROM e JOIN a2 USING (vec_id) JOIN c1 USING (cid)),
+       |s AS (SELECT vec_id, cid,
+       |             floor($cDot / ($vNrm * $cNrm) * 1e6)::BIGINT AS cos_fp
+       |      FROM m),
+       |r AS (SELECT vec_id, cid, cos_fp,
+       |             row_number() OVER (PARTITION BY cid
+       |                                ORDER BY cos_fp DESC, vec_id) AS proto_rank,
+       |             count(*) OVER (PARTITION BY cid) AS n
+       |      FROM s)
+       |SELECT vec_id, cid, cos_fp, proto_rank,
+       |       proto_rank > CAST(floor(n * $PrunePermille / 1000.0) AS BIGINT) AS keep
+       |FROM r ORDER BY vec_id""".stripMargin
   }
 
   // ---- int8 quantization --------------------------------------------------

@@ -894,4 +894,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count(_.getBoolean(7)) > 0)
     assert(out.count(!_.getBoolean(7)) > 0)
   }
+
+  test("prototype prune: drops exactly the most-prototypical quarter of each cluster") {
+    val out = Similarity.prototypePrune(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.length === emb.count())
+    // clusters agree with the shared k-means (same lineage as clusterQuality)
+    val quality = Similarity.clusterQuality(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).foreach { case (cid, vs) =>
+      assert(quality(cid) === vs.length.toLong, s"cluster $cid size mismatch")
+      val dropN = vs.length * Similarity.PrunePermille / 1000
+      val (dropped, kept) = vs.partition(!_._5)
+      assert(dropped.length.toLong === dropN, s"cluster $cid drop count")
+      // every dropped member is at least as prototypical as every kept one
+      if (dropped.nonEmpty && kept.nonEmpty)
+        assert(dropped.map(_._3).min >= kept.map(_._3).max,
+          s"cluster $cid: a kept member outranks a dropped one")
+      // ranks are a permutation of 1..n within the cluster
+      assert(vs.map(_._4).sorted.toSeq === (1L to vs.length.toLong))
+    }
+  }
+
+  test("mmr rerank: matches an independent local greedy trajectory exactly") {
+    val out = Similarity.mmrRerank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosFp(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    val lam = Similarity.MmrLambda10
+    val expected = (0L until Similarity.NumQueries.toLong).flatMap { qid =>
+      val rel = vecs.keys.filter(_ != qid).toSeq
+        .map(c => c -> cosFp(vecs(qid), vecs(c)))
+        .sortBy { case (c, r) => (-r, c) }.take(Similarity.MmrCand).toMap
+      var selected = Vector.empty[(Long, Long)] // (cand, score)
+      for (_ <- 1 to Similarity.MmrPick) {
+        val pool = rel.keySet -- selected.map(_._1)
+        val best = pool.map { c =>
+          val maxsim =
+            if (selected.isEmpty) 0L
+            else selected.map(s => cosFp(vecs(c), vecs(s._1))).max
+          val score = if (selected.isEmpty) rel(c) * lam
+                      else rel(c) * lam - maxsim * (10L - lam)
+          (c, score)
+        }.minBy { case (c, s) => (-s, c) }
+        selected :+= best
+      }
+      selected.zipWithIndex.map { case ((c, s), i) => (qid, i + 1L, c, s) }
+    }
+    assert(out.toSeq === expected)
+  }
 }
