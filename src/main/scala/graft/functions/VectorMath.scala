@@ -66,13 +66,25 @@ case class DotF64(left: Expression, right: Expression)
   * dots (each of which re-walks the vector and allocates an intermediate
   * array) with a single scan holding `bands*bandBits` accumulators:
   * plane j = b*bandBits + k has integer coefficient
-  * `coef(j,d) = ((1103515245*(j*64+d) + 12345) % 2001) - 1000`, and
+  * `x = (2654435761·(j*64+d+1)) mod 2147483647;
+  *  coef = ((x²+x) mod 2147483647) mod 2001 − 1000`, and
   * `bucket[b] = Σ_k (1<<k | dot(v, plane_{b*bandBits+k}) > 0)`.
+  *
+  * The quadratic re-mix matters: the previous LINEAR stream
+  * `(1103515245·k+12345) mod 2001` is an arithmetic progression, so
+  * every plane was a phase-shift of one progression — pairwise plane
+  * |cos| up to 0.83, and at 1M vectors the correlated sign-bits
+  * concentrated band buckets onto a handful of values (0.35% of the
+  * corpus in ONE 23-bit bucket; the candidate join's payload shuffle
+  * wrote ~70 GB before dying). The squared-mod-P scramble decorrelates
+  * planes (max |cos| 0.30, bucket occupancy ≈ uniform) while staying
+  * expressible in BIGINT-safe DuckDB SQL (x² < 2^62).
   *
   * Bit-identity: each accumulator adds `v[d]*coef` in ascending-d order —
   * the exact IEEE sequence of the declarative fold AND of the DuckDB
-  * oracle's `list_reduce`, so bucket values are unchanged. The LCG stream
-  * is shared with `Dedup.EmbBands` / `Similarity.NumPlanes` oracles.
+  * oracle's `list_reduce`, so bucket values are engine-identical. The
+  * stream is shared with `Dedup.EmbBands` / `Similarity.NumPlanes`
+  * oracles.
   */
 case class HyperplaneBuckets(child: Expression, bands: Int, bandBits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -95,7 +107,8 @@ case class HyperplaneBuckets(child: Expression, bands: Int, bandBits: Int)
       val x = v.getDouble(d)
       var j = 0
       while (j < nPlanes) {
-        val c = ((1103515245L * (j.toLong * 64L + d) + 12345L) % 2001L) - 1000L
+        val x0 = (2654435761L * (j.toLong * 64L + d + 1L)) % 2147483647L
+        val c = ((x0 * x0 + x0) % 2147483647L) % 2001L - 1000L
         acc(j) += x * c.toDouble
         j += 1
       }
@@ -131,7 +144,8 @@ case class HyperplaneBuckets(child: Expression, bands: Int, bandBits: Int)
          |for (int graft_d = 0; graft_d < graft_dim; graft_d++) {
          |  double graft_x = $v.getDouble(graft_d);
          |  for (int graft_j = 0; graft_j < graft_np; graft_j++) {
-         |    long graft_c = ((1103515245L * ((long) graft_j * 64L + graft_d) + 12345L) % 2001L) - 1000L;
+         |    long graft_x0 = (2654435761L * ((long) graft_j * 64L + graft_d + 1L)) % 2147483647L;
+         |    long graft_c = ((graft_x0 * graft_x0 + graft_x0) % 2147483647L) % 2001L - 1000L;
          |    $acc[graft_j] += graft_x * (double) graft_c;
          |  }
          |}

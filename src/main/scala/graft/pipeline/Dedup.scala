@@ -321,17 +321,84 @@ object Dedup {
        |   OR n * 1000000 // cb.c >= $ContainmentThresholdFp
        |ORDER BY i, j""".stripMargin
 
+  // ---- soft deduplication (frequency reweighting) --------------------------
+
+  /** Soft-dedup frequency reweighting (the published alternative to hard
+    * removal: keep every document but DOWN-WEIGHT redundant ones in the
+    * training sampler, so boilerplate stops dominating the loss without
+    * discarding the rare content embedded inside near-duplicates). A
+    * doc's commonness is the mean corpus document-frequency of its
+    * 3-shingles — a doc copied k times has commonness ≈ k — and its
+    * sampling weight is the integer inverse in per-mille:
+    * weight_pm = 1e9 div mean_freq_fp (unique doc → 1000, a
+    * 10×-duplicated doc → ~100). Docs too short to shingle carry no
+    * redundancy signal and keep full weight.
+    *
+    * Scale shape: the shingle relation is linear in corpus tokens, the
+    * document-frequency relation is vocabulary-bounded with a map-side-
+    * combinable count, and the per-doc collapse is one groupBy — NO pair
+    * relation anywhere, the property that makes soft dedup attractive at
+    * corpus scale (no candidate join at all, unlike every hard-dedup
+    * operator above). All arithmetic is integer division, engine-exact.
+    * Output (doc_id, n_shingles, mean_freq_fp, weight_pm) per doc. */
+  def softDedupWeights(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("s"))
+      .withColumn("mean_freq_fp", expr("s * 1000000 div n_shingles"))
+      .withColumn("weight_pm", expr("1000000000 div mean_freq_fp"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("mean_freq_fp"), lit(0L)).as("mean_freq_fp"),
+        coalesce(col("weight_pm"), lit(1000L)).as("weight_pm"))
+      .orderBy("doc_id")
+  }
+
+  val softDedupWeightsOracle: String =
+    s"""WITH sh AS ($shingleRowsSql),
+       |freq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+       |d AS (SELECT doc_id, count(*) AS n_shingles,
+       |             CAST(sum(df) AS BIGINT) AS s
+       |      FROM sh JOIN freq USING (h) GROUP BY doc_id),
+       |m AS (SELECT doc_id, n_shingles, s * 1000000 // n_shingles AS mean_freq_fp
+       |      FROM d)
+       |SELECT doc_id,
+       |       coalesce(n_shingles, 0) AS n_shingles,
+       |       coalesce(mean_freq_fp, 0) AS mean_freq_fp,
+       |       coalesce(1000000000 // mean_freq_fp, 1000) AS weight_pm
+       |FROM documents LEFT JOIN m USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   val NumPerms = 32
   val Bands = 8
   val RowsPerBand = NumPerms / Bands
 
-  /** Universal-hash permutation coefficients, mod Mersenne prime P.
-    * Deterministic (Knuth multiplicative seeds) so the same literals are
-    * spliced into both the Spark plan and the DuckDB oracle. */
-  def permA(i: Int): Long = (2654435761L * (i + 1)) % P match { case 0 => 1; case a => a }
-  def permB(i: Int): Long = (40503L * (i + 1) + 7) % P
+  /** Universal-hash permutation coefficients, mod Mersenne prime P,
+    * drawn from a splitmix64 mixing stream. The previous Knuth
+    * multiplicative family (a_i = c·(i+1) mod P) was LINEARLY DEPENDENT
+    * across i (a_2 = 2·a_1, a_3 = 3·a_1, …), which correlates the
+    * per-permutation argmin shingle: whole signature prefixes collapse
+    * onto the corpus's highest-df shingles, and the band join's bucket
+    * occupancy degenerates — measured by the 1M-doc scale probe as 73M
+    * candidate pairs for ~20k true near-dups (invisible at the 5k-doc
+    * oracle SF; verify filters the false candidates, so only candidate
+    * VOLUME, not correctness, was affected). Mixed coefficients restore
+    * min-wise independence (same probe: candidates track true pairs).
+    * Still deterministic: the literals are generated once here and
+    * spliced into BOTH the Spark plan and the DuckDB oracle. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def permA(i: Int): Long = java.lang.Math.floorMod(mix64(i + 1L), P - 1) + 1
+  def permB(i: Int): Long = java.lang.Math.floorMod(mix64(0x5DEECE66DL + i), P)
 
   /** MinHash+LSH near-dup pairs: 32-perm signatures, 8 bands x 4 rows
     * (s-curve threshold ~0.59), banded candidate join, exact-Jaccard
@@ -363,7 +430,7 @@ object Dedup {
     * signature relation, banded candidate pairs. Consumed by
     * [[minhashLsh]] (threshold verify) and [[minhashEstEval]]
     * (estimate-vs-exact report). */
-  private def minhashParts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def minhashParts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // shingles feed the signature build AND the verify self-join AND the
     // set-size counts — materialize once (6 consumers otherwise re-run
     // the tokenize+hash+explode lineage; this one call took 13 s/query
@@ -1010,10 +1077,11 @@ object Dedup {
 
   /** All EmbBands band buckets in ONE codegen'd vector pass (replaces 128
     * per-plane `aggregate(zip_with(...))` dots — the 6× `emb_dup_clusters`
-    * regression of round 4). Same LCG coefficient stream
-    * `coef(j,d) = ((1103515245*(j*64+d) + 12345) % 2001) - 1000`, same
-    * ascending-d IEEE summation order → bit-identical buckets (the DuckDB
-    * `bandedCandSql` mirror below is unchanged). */
+    * regression of round 4). Same quadratic-mixed coefficient stream as
+    * VectorMath.HyperplaneBuckets (decorrelated planes — the round-5
+    * scale probe found the old linear stream concentrating buckets),
+    * same ascending-d IEEE summation order → bit-identical buckets with
+    * the DuckDB `bandedCandSql` mirror below. */
   private def allBandBuckets: Column =
     graft.functions.VectorMath.hyperplaneBuckets(col("v"), EmbBands, EmbBandBits)
 
@@ -1026,27 +1094,54 @@ object Dedup {
     *
     * Recall tracks the similarity regime: per-hyperplane collision is
     * p = 1 - angle/pi, so at a real near-dup threshold (cos 0.9, p~0.86)
-    * these parameters give 1-(1-p^8)^16 ~ 0.997 recall, while the
+    * the default parameters give 1-(1-p^8)^16 ~ 0.997 recall, while the
     * testdata's deliberately low 0.45 threshold (p~0.65) yields ~0.40 —
-    * the eval entry keeps that trade measured instead of hidden. Band
-    * width stays at 8 bits because bucket fineness is what bounds
-    * per-bucket pair count at 100 TB; recall is bought with more bands
-    * (16 here), never with wider buckets.
+    * the eval entry keeps that trade measured instead of hidden.
+    *
+    * Band width must SCALE with the corpus: with b band bits there are
+    * 2^b buckets per band, so expected occupancy is n/2^b and the
+    * candidate join emits Θ(bands · n²/2^b) pairs — at a FIXED width the
+    * pair count grows quadratically in n (measured: the 8-bit default
+    * that's instant on 5k vectors degenerates to ~10^10 candidates on 1M
+    * random vectors). Size bandBits ≈ log2(n / targetOccupancy) so
+    * occupancy stays O(1) and the join stays linear; recall lost to
+    * narrower buckets is bought back with MORE BANDS, never wider
+    * buckets. The 8-bit default anchors the sf-scale DuckDB oracle;
+    * scale callers pass bandBits explicitly ([[bandBitsFor]]).
     *
     * Scale shape: the banded relation is EmbBands fixed-width rows per
     * vector; the candidate join is an equi-join on (band, bucket); the
     * verify joins are equi-joins on vec_id. No non-equi self-join
     * anywhere (pinned in PlanHygieneSpec). */
   def cosinePairsBanded(emb: DataFrame): DataFrame =
-    cosinePairsBandedUnsorted(emb).orderBy("i", "j")
+    cosinePairsBandedUnsorted(emb, EmbBandBits).orderBy("i", "j")
 
-  private def cosinePairsBandedUnsorted(emb: DataFrame): DataFrame = {
+  def cosinePairsBanded(emb: DataFrame, bandBits: Int): DataFrame =
+    cosinePairsBandedUnsorted(emb, bandBits).orderBy("i", "j")
+
+  /** Band width for an n-vector corpus, sized so FALSE-candidate volume
+    * stays O(n): random sign-agreement per band is ~n²·bands/2^bits
+    * pairs, so bits ≈ log2(n·bands) keeps it ≈ n/2 (measured at 1M
+    * vectors: occupancy-4 sizing still emitted 30M candidates whose
+    * 512-byte vector payloads wrote ~50 GB of verify-join shuffle; this
+    * sizing cuts candidates to ~n). The trade is recall at LOW cosine
+    * thresholds (per-band survival p^bits falls with width) — exact and
+    * very-near duplicates (p≈1) survive any width, and lower-threshold
+    * semantic near-dup mining at corpus scale belongs to the more-bands
+    * config or the k-means path ([[graft.pipeline.Similarity.semDedup]])
+    * instead of wider buckets. Floored at the oracle-anchored default. */
+  def bandBitsFor(n: Long): Int =
+    math.max(EmbBandBits,
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 3)
+
+  private def cosinePairsBandedUnsorted(emb: DataFrame, bandBits: Int): DataFrame = {
     import graft.functions.VectorMath.dotF64
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
     val banded = e.select(col("vec_id"),
-      posexplode(allBandBuckets).as(Seq("band", "bkt")))
-      .localCheckpoint(true) // 64 plane dots/vector — compute once, not per join side
+      posexplode(graft.functions.VectorMath.hyperplaneBuckets(
+        col("v"), EmbBands, bandBits)).as(Seq("band", "bkt")))
+      .localCheckpoint(true) // plane dots — compute once, not per join side
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1061,15 +1156,17 @@ object Dedup {
       .filter(col("cos_fp") >= CosineThresholdFp)
   }
 
-  /** DuckDB mirror of the banded candidate stage: same LCG coefficients,
-    * same band layout, nested list_reduce folds in array order. */
+  /** DuckDB mirror of the banded candidate stage: same quadratic-mixed
+    * coefficient stream (see VectorMath.HyperplaneBuckets — the linear
+    * stream correlated planes and concentrated buckets at scale), same
+    * band layout, nested list_reduce folds in array order. */
   private val bandedCandSql: String =
     s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |bands AS (
        |  SELECT vec_id, band,
        |         list_reduce(list_transform(range(0, $EmbBandBits), k ->
        |           CASE WHEN list_reduce(list_transform(range(0, 64),
-       |                  d -> v[d+1] * (((1103515245 * ((band*$EmbBandBits+k)*64 + d) + 12345) % 2001) - 1000)),
+       |                  d -> v[d+1] * ((((((2654435761 * ((band*$EmbBandBits+k)*64 + d + 1)) % 2147483647) * ((2654435761 * ((band*$EmbBandBits+k)*64 + d + 1)) % 2147483647) + ((2654435761 * ((band*$EmbBandBits+k)*64 + d + 1)) % 2147483647)) % 2147483647) % 2001) - 1000)),
        |                (x, y) -> x + y) > 0
        |                THEN (1::BIGINT << k) ELSE 0::BIGINT END),
        |           (a, b) -> a + b) AS bkt
@@ -1234,7 +1331,7 @@ object Dedup {
     * entries run the banded path. */
   def cosineBandedEval(emb: DataFrame): DataFrame = {
     val t = cosinePairsUnsorted(emb).agg(count(lit(1)).cast("long").as("n_truth"))
-    val c = cosinePairsBandedUnsorted(emb).agg(count(lit(1)).cast("long").as("n_banded"))
+    val c = cosinePairsBandedUnsorted(emb, EmbBandBits).agg(count(lit(1)).cast("long").as("n_banded"))
     t.crossJoin(c).select(col("n_truth"), col("n_banded"),
       floor(col("n_banded") * 1e6 / col("n_truth")).cast("long").as("recall_fp"))
   }
@@ -1277,7 +1374,7 @@ object Dedup {
     * all-pairs join rides into the clustering at scale.
     * Output (vec_id, cluster_id, n_members). */
   def semanticClusters(emb: DataFrame): DataFrame =
-    propagateClusters(cosinePairsBandedUnsorted(emb).select("i", "j"), emb.select("vec_id"))
+    propagateClusters(cosinePairsBandedUnsorted(emb, EmbBandBits).select("i", "j"), emb.select("vec_id"))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
       .orderBy("vec_id")

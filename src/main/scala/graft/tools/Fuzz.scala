@@ -301,10 +301,24 @@ object Fuzz {
       pi <- Vector(0, 3)
       ri <- Vector(0, 1)
     } yield mk(fn, fnSql, bName, bMs, pi, ri, None, fi = Some(fi))
+    // mode: frequency-ranked point value with the lowest-value tie-break
+    val modes = for {
+      (bName, bMs) <- Buckets.toVector if bMs >= 600000L
+      pi <- Vector(0, 1, 3)
+      ri <- Ranges.indices
+    } yield mkMode(bName, bMs, pi, ri)
+    // count(distinct(value)): the distinct-shape aggregate the base
+    // family's plain aggregates never exercise
+    val cdists = for {
+      (bName, bMs) <- Buckets.toVector
+      pi <- Vector(0, 1, 3)
+      ri <- Ranges.indices
+    } yield mk("count_distinct", "count(DISTINCT value)", bName, bMs, pi, ri,
+      None, selRaw = Some("""count(distinct("value"))"""))
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
       ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ pctGbs ++
       extras ++ maths ++ offsets ++ subqs ++ multis ++ fields ++
-      selGbs ++ elapseds ++ integrals ++ showCases
+      selGbs ++ elapseds ++ integrals ++ modes ++ cdists ++ showCases
   }
 
   /** Deterministic n-case subset: coprime stride walk over [[allCases]]
@@ -366,6 +380,39 @@ object Fuzz {
       fi.map(f => s"_f$f").getOrElse("") +
       lim.map(l => s"_l${l._1}o${l._2}").getOrElse("")
     FuzzCase(s"fuzz_$slug", q, sql)
+  }
+
+  /** mode(value): most frequent point value per (bucket, series); ties
+    * break to the LOWEST value (InfluxDB semantics) — DuckDB's own
+    * mode() aggregate leaves ties unspecified, so the oracle ranks
+    * (count DESC, value ASC) explicitly like the curated entry. */
+  private def mkMode(bName: String, bMs: Long, pi: Int, ri: Int): FuzzCase = {
+    val (influxPred, sqlPred, _) = TagPreds(pi)
+    val (fromNs, toNs) = Ranges(ri)
+    val (fromMs, toMs) = (fromNs / 1000000L + 1, toNs / 1000000L - 1)
+    val q = s"""SELECT mode("value") FROM "events" WHERE time > $fromNs AND time < $toNs$influxPred GROUP BY time($bName)"""
+    val sql =
+      s"""WITH c AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms,
+         |         event_type, CAST(user_id AS VARCHAR) AS user_id, value, count(*) AS n
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs$sqlPred
+         |  GROUP BY 1, 2, 3, 4),
+         |m AS (
+         |  SELECT time_ms, event_type, user_id, value,
+         |         row_number() OVER (PARTITION BY time_ms, event_type, user_id
+         |                            ORDER BY n DESC, value ASC) AS rn
+         |  FROM c),
+         |sel AS (
+         |  SELECT time_ms, event_type, user_id,
+         |         CAST(floor(value * 100) AS BIGINT) AS value FROM m WHERE rn = 1)
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       event_type AS labelvalue, '' AS message FROM sel
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       user_id AS labelvalue, '' AS message FROM sel
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_mode_${bName}_p${pi}_r$ri", q, sql)
   }
 
   private def durName(ms: Long): String =

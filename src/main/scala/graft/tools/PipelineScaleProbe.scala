@@ -1,0 +1,115 @@
+package graft.tools
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-pipeline scale probe beyond the driver testdata (dev tool):
+  * the largest generated documents table is 5k rows, so the measured
+  * scaling evidence for the dedup family stops far short of corpus
+  * scale. This probe synthesizes documents/embeddings of ARBITRARY
+  * row count with the sf-testdata shape AND a CONSTANT planted-dup
+  * rate (1% near-dups with one mutated token, 1% exact dups — per
+  * 100 docs, independent of n), so the candidate-pair workload grows
+  * linearly with the corpus the way a real crawl's does — replicating
+  * testdata rows would instead inflate pairs quadratically and fake a
+  * super-linear signal. NOT for correctness (the DuckDB gate only
+  * runs on driver testdata); it times the same operators at 1×/10×
+  * and prints per-operator ratios. Sub-linear-to-linear ratios are
+  * the evidence the banded/blocked shapes (shingle blocks, minhash
+  * bands, simhash bands, hyperplane buckets, per-doc windows) survive
+  * data growth; anything clearly super-linear is a regression.
+  *
+  * usage: PipelineScaleProbe [baseRows] [factor] [op-substring]
+  * (default 100k × 10, all ops)
+  */
+object PipelineScaleProbe {
+
+  private val TokensPerDoc = 40
+
+  /** sf-shaped documents: ~40-token texts; doc_id%100==1 is a near-dup
+    * of doc_id-1 (last token mutated), doc_id%100==51 an exact dup.
+    * The vocabulary SCALES with the corpus (max(30, n/10) hash-derived
+    * words — Heaps-law-ish), so per-shingle document frequency stays
+    * O(1) as n grows, the regime a real crawl sits in. (A FIXED tiny
+    * vocabulary makes shingle df grow linearly with n and stresses
+    * every blocked join quadratically — that degenerate regime is what
+    * exposed the correlated-permutation minhash bug and the fixed-width
+    * hyperplane-band blow-up; see MinhashProfile's fixedVocab mode.) */
+  private def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocabSize = math.max(30L, n / 10L)
+    val isNear = pmod(col("doc_id"), lit(100L)) === 1L
+    val isExact = pmod(col("doc_id"), lit(100L)) === 51L
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("base",
+        when(isNear || isExact, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("toks", transform(sequence(lit(1), lit(TokensPerDoc)),
+        i => concat(lit("w"), pmod(xxhash64(col("base"), i), lit(vocabSize)))))
+      .withColumn("toks", when(isNear,
+          concat(slice(col("toks"), 1, TokensPerDoc - 1), array(lit("mutant"))))
+        .otherwise(col("toks")))
+      .withColumn("text", array_join(col("toks"), " "))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        element_at(array(lit("web"), lit("books"), lit("code")),
+          (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("source"),
+        length(col("text")).as("n_chars"))
+  }
+
+  /** sf-shaped embeddings: 64-dim floats in [-1, 1] from a hash stream;
+    * vec_id%100==1 is an exact copy of vec_id-1 (cosine 1.0). */
+  private def synthEmb(spark: SparkSession, n: Long): DataFrame = {
+    val isDup = pmod(col("vec_id"), lit(100L)) === 1L
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("base", when(isDup, col("vec_id") - 1).otherwise(col("vec_id")))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          d => ((pmod(xxhash64(col("base"), d), lit(2001L)) - 1000L) / 1000.0)
+            .cast("float")).as("embedding"),
+        pmod(col("vec_id"), lit(8L)).cast("int").as("label"))
+  }
+
+  private def time(body: => Long): (Double, Long) = {
+    var rows = body // untimed warmup (Janino + shuffle files)
+    val t = (1 to 2).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      rows = body
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    (t, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0).toLong else 100000L
+    val factor = if (args.length > 1) args(1).toLong else 10L
+    val opFilter = if (args.length > 2) Some(args(2)) else None
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ops: Seq[(String, Long => Long)] = Seq(
+      "dedup_exact" -> (n => Dedup.exact(synthDocs(spark, n)).count()),
+      "minhash_lsh" -> (n => Dedup.minhashLsh(synthDocs(spark, n)).count()),
+      "simhash" -> (n => Dedup.simhash(synthDocs(spark, n)).count()),
+      "dup_spans" -> (n => Dedup.dupSpans(synthDocs(spark, n)).count()),
+      // band width sized to the corpus (log2(n/occupancy)): the fixed
+      // oracle-scale 8-bit default degenerates quadratically here —
+      // ~10^10 candidate pairs at 1M random vectors (measured; that run
+      // was killed, and the scaling law is now documented on the operator)
+      "emb_banded" -> (n =>
+        Dedup.cosinePairsBanded(synthEmb(spark, n), Dedup.bandBitsFor(n)).count()))
+
+    val rows = ops.filter(o => opFilter.forall(o._1.contains)).map { case (name, op) =>
+      val (ts, rs) = time(op(base))
+      val (tb, rb) = time(op(base * factor))
+      println(f"[probe] $name%-12s ${base}%8d rows ${ts}%7.2fs ($rs%d pairs)   " +
+        f"${base * factor}%9d rows ${tb}%7.2fs ($rb%d pairs)   x${tb / ts}%.2f")
+      (ts, tb)
+    }
+    val (sSum, bSum) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    println(f"[probe] TOTAL ${sSum}%7.2fs -> ${bSum}%7.2fs  x${bSum / sSum}%.2f for x$factor data")
+    spark.stop()
+  }
+}

@@ -84,10 +84,14 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq(Tuple1(v)).toDF("v")
     val custom = df.select(VectorMath.hyperplaneBuckets(col("v"), bands, bits))
       .collect()(0).getSeq[Long](0)
-    // the pre-round-5 formula: one aggregate(zip_with) fold per plane
+    // the declarative mirror: one aggregate(zip_with) fold per plane,
+    // same quadratic-mixed coefficient stream as the codegen'd expression
     def planeDot(j: Int) = aggregate(
-      zip_with(col("v"), sequence(lit(j * 64L), lit(j * 64L + 63L)),
-        (x, idx) => x * ((lit(1103515245L) * idx + 12345L) % 2001L - 1000L).cast("double")),
+      zip_with(col("v"), sequence(lit(j * 64L + 1L), lit(j * 64L + 64L)),
+        (x, idx) => {
+          val x0 = (lit(2654435761L) * idx) % 2147483647L
+          x * ((x0 * x0 + x0) % 2147483647L % 2001L - 1000L).cast("double")
+        }),
       lit(0.0), (acc, x) => acc + x)
     def bandBucket(b: Int) = (0 until bits).map { k =>
       when(planeDot(b * bits + k) > 0, lit(1L << k)).otherwise(lit(0L))
