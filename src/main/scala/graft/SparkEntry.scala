@@ -1155,6 +1155,7 @@ object SparkEntry {
     }),
     "emb_matryoshka" -> ((s, dir) => Similarity.matryoshka(emb(s, dir))),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
+    "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
     "olap_top_users_per_type" -> ((s, dir) => {
       val totals = EventsAdapter.events(s, dir)
         .groupBy("event_type", "user_id")
@@ -1186,6 +1187,7 @@ object SparkEntry {
     "doc_dsir_resample" -> ((s, dir) => TextOps.dsirResample(docs(s, dir))),
     "doc_corpus_zipf" -> ((s, dir) => TextOps.corpusZipf(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
+    "doc_unimax_alloc" -> ((s, dir) => TextOps.unimaxAlloc(docs(s, dir))),
     "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
 
     // --- LLM-pipeline: event analytics ---
@@ -1212,6 +1214,7 @@ object SparkEntry {
     "events_weekly_profile" -> ((s, dir) => EventOps.weeklyProfile(EventsAdapter.events(s, dir))),
     "dedup_containment" -> ((s, dir) => Dedup.containment(docs(s, dir))),
     "dedup_corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
+    "dedup_soft_weights" -> ((s, dir) => Dedup.softDedupWeights(docs(s, dir))),
     "dedup_source_overlap" -> ((s, dir) => Dedup.crossSourceOverlap(docs(s, dir))),
     "emb_gram_matrix" -> ((s, dir) => Similarity.gramMatrix(emb(s, dir))),
     // eval entries run on a deterministic ~50% hash sample: the exact/brute
@@ -1282,6 +1285,8 @@ object SparkEntry {
       Multimodal.tileImages(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_aspect_plan" -> ((s, dir) =>
       Multimodal.aspectPlan(Multimodal.mediaFromDocs(docs(s, dir)))),
+    "mm_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(Multimodal.mediaFromDocs(docs(s, dir)))),
 
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
@@ -2234,9 +2239,11 @@ object SparkEntry {
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "doc_mixture_weights" -> TextOps.mixtureWeightsOracle,
+    "doc_unimax_alloc" -> TextOps.unimaxAllocOracle,
     "doc_curation_pipeline" -> TextOps.curationPipelineOracle,
     "emb_matryoshka" -> Similarity.matryoshkaOracle,
     "ann_pq_topk" -> Similarity.pqTopKOracle,
+    "ann_ivfpq_topk" -> Similarity.ivfpqTopKOracle,
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,
     "emb_outliers" -> Similarity.centroidOutliersOracle,
     "emb_centroid_classify" -> Similarity.centroidClassifyOracle,
@@ -2261,6 +2268,7 @@ object SparkEntry {
     "events_weekly_profile" -> EventOps.weeklyProfileOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "dedup_corpus_report" -> Dedup.corpusReportOracle,
+    "dedup_soft_weights" -> Dedup.softDedupWeightsOracle,
     "dedup_source_overlap" -> Dedup.crossSourceOverlapOracle,
     "emb_gram_matrix" -> Similarity.gramMatrixOracle,
     "dedup_simhash_eval" -> EvalSampling.sampleOracle(Dedup.simhashEvalOracle, "documents", "doc_id"),
@@ -2519,6 +2527,7 @@ object SparkEntry {
     "mm_decode_features" -> Multimodal.extractFeaturesOracle,
     "mm_frame_sample" -> Multimodal.sampleFramesOracle,
     "mm_image_tiles" -> Multimodal.tileImagesOracle,
-    "mm_aspect_plan" -> Multimodal.aspectPlanOracle
+    "mm_aspect_plan" -> Multimodal.aspectPlanOracle,
+    "mm_scene_cuts" -> Multimodal.sceneCutsOracle
   )
 }

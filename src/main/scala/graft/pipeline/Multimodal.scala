@@ -19,6 +19,10 @@ case class MediaFrames(media_id: Long, n_frames: Long, resized_w: Int,
 case class MediaWindows(media_id: Long, n_samples: Long, n_windows: Long,
                         energy_checksum: Long)
 
+/** Scene-cut output: cut/shot statistics over 16-byte "frames". */
+case class MediaCuts(media_id: Long, n_frames: Long, n_cuts: Long,
+                     n_shots: Long, longest_shot: Long, mean_diff: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition in batches.
   *
@@ -269,4 +273,82 @@ object Multimodal {
        |       CAST(sum(pad_pm) // count(*) AS BIGINT) AS mean_pad_pm
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Frame-pair L1 distance above this is a scene cut (stub byte scale:
+    * 16 bytes/frame of ASCII ⇒ pair diffs center ~450, Q3 ≈ 520 — this
+    * sits at the upper quartile so cuts are the exception, not the rule). */
+  val CutThreshold = 500L
+
+  /** STUB scene-cut detector — the video-curation plumbing: consecutive
+    * full 16-byte "frames" compared by L1 byte distance; a pair whose
+    * distance exceeds [[CutThreshold]] is a cut, and the cut positions
+    * partition the clip into shots (cut count, shot count, longest
+    * shot, mean inter-frame distance). The per-frame-pair L1 kernel is
+    * where a real decoder's histogram/SSIM difference drops in — batch
+    * shape (one partition iterator, one imperative pass per blob, no
+    * shuffle) is the production form, like [[sampleFrames]]. Shot
+    * statistics are what a video-pretraining curator filters on
+    * (static clips: 1 shot; slideshows: shots ≈ frames). Output
+    * (media_id, n_frames, n_cuts, n_shots, longest_shot, mean_diff). */
+  def sceneCuts(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      val nf = m.payload.length / 16
+      var cuts = 0L
+      var diffSum = 0L
+      var longest = 0L
+      var shotStart = 0
+      var f = 1
+      while (f < nf) {
+        var d = 0L
+        var i = 0
+        while (i < 16) {
+          d += math.abs((m.payload(f * 16 + i) & 0xff) - (m.payload((f - 1) * 16 + i) & 0xff))
+          i += 1
+        }
+        diffSum += d
+        if (d > CutThreshold) {
+          cuts += 1
+          if (f - shotStart > longest) longest = f - shotStart
+          shotStart = f
+        }
+        f += 1
+      }
+      if (nf - shotStart > longest) longest = nf.toLong - shotStart
+      MediaCuts(m.media_id, nf.toLong, cuts,
+        if (nf > 0) cuts + 1 else 0L, longest,
+        if (nf > 1) diffSum / (nf - 1) else 0L)
+    }).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB twin of [[sceneCuts]] ∘ [[mediaFromDocs]]: frame-pair L1
+    * over ord(text[...]), cut list → boundary list → max gap. */
+  val sceneCutsOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) // 16 AS nf FROM documents),
+       |fd AS (
+       |  SELECT doc_id, nf,
+       |         list_transform(range(1, nf), f ->
+       |           list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+       |             i -> abs(ord(text[f * 16 + i + 1]) - ord(text[(f - 1) * 16 + i + 1]))::BIGINT)),
+       |             (a, b) -> a + b)) AS diffs
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, nf, diffs,
+       |         list_filter(range(1, nf), f -> diffs[f] > $CutThreshold) AS cutpos
+       |  FROM fd),
+       |b AS (
+       |  SELECT doc_id, nf, diffs, cutpos,
+       |         list_concat(list_concat([0::BIGINT],
+       |           list_transform(cutpos, x -> x::BIGINT)), [nf::BIGINT]) AS bounds
+       |  FROM c)
+       |SELECT doc_id AS media_id, nf::BIGINT AS n_frames,
+       |       len(cutpos)::BIGINT AS n_cuts,
+       |       (CASE WHEN nf > 0 THEN len(cutpos) + 1 ELSE 0 END)::BIGINT AS n_shots,
+       |       coalesce(list_max(list_transform(range(1, len(bounds)),
+       |         i -> bounds[i + 1] - bounds[i])), 0)::BIGINT AS longest_shot,
+       |       (CASE WHEN nf > 1 THEN
+       |          list_reduce(list_prepend(0::BIGINT, diffs), (a, b) -> a + b) // (nf - 1)
+       |        ELSE 0 END)::BIGINT AS mean_diff
+       |FROM b ORDER BY media_id""".stripMargin
 }

@@ -719,6 +719,146 @@ object Similarity {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- IVF-PQ (IVFADC): coarse cells + residual product codes ------------
+
+  /** IVF-PQ ANN top-K — the inverted-file-with-ADC structure (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011; FAISS `IVFPQ`): the coarse k-means cells of
+    * [[ivfCluster]] prune the corpus, and each member is stored as PqM
+    * product codes of its RESIDUAL (xq − cell centroid) against ONE
+    * shared residual codebook — residuals concentrate around 0 across
+    * cells, so one codebook serves all of them (the paper's key
+    * observation). A query probes its NProbe nearest cells, forms its
+    * own residual PER CELL, builds the (cell, subspace, code) ADC
+    * distance table, and scores members by summed table lookups.
+    *
+    * The 100 TB shape this adds over [[ivfTopK]] + [[pqTopK]] alone:
+    * the scan is restricted to probed cells (IVF pruning) AND touches
+    * only PqM-byte codes (PQ compression) — the combination is what
+    * production ANN indexes actually ship. Broadcast sides: centroids
+    * (IvfK), codebooks (PqM·PqK), ADC table (queries·NProbe·PqM·PqK ≈
+    * 13k rows). All arithmetic exact int64; the one float division
+    * (centroid/codebook means) is exact under 2^53 as in [[ivfTopK]].
+    * Output (q_id, rank, neighbor_id, adc_fp). */
+  def ivfpqTopK(emb: DataFrame): DataFrame = {
+    val x = normalized(emb).withColumn("xq", quantCol)
+    val (cent, asg) = ivfCluster(x)
+    // residual per vector, then PqM subspace slices (3 consumers:
+    // codebook init, both assignment passes, codebook recompute)
+    val subs = x.join(asg, "vec_id").join(broadcast(cent), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("xq"), col("c"), (a, b) => a - b).as("r"))
+      .select(col("vec_id"), col("cid"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
+      .select(col("vec_id"), col("cid"), col("m"),
+        expr(s"slice(r, m * $PqSub + 1, $PqSub)").as("sub"))
+      .localCheckpoint(true)
+    def assign(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), Seq("m"))
+        .groupBy("vec_id", "m")
+        .agg(min("cid").as("cid"),
+          min(struct(distSq(col("sub"), col("c")).as("d"), col("cbid"))).as("mm"))
+        .select(col("vec_id"), col("cid"), col("m"), col("mm.cbid").as("cbid"))
+    val cb0 = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cbid"), col("sub").as("c"))
+    val a1 = assign(cb0)
+    val cb1 = subs.join(a1.select("vec_id", "m", "cbid"), Seq("vec_id", "m"))
+      .select(col("m"), col("cbid"), col("sub"),
+        explode(sequence(lit(1), lit(PqSub))).as("pos"))
+      .withColumn("comp", element_at(col("sub"), col("pos")))
+      .groupBy("m", "cbid", "pos")
+      .agg(floor(sum("comp") / count(lit(1))).cast("long").as("cp"))
+      .groupBy("m", "cbid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
+        s => s.getField("cp")).as("c"))
+      .localCheckpoint(true) // consumed by assignment + the ADC table
+    val codes = assign(cb1)
+    // query side: NProbe nearest cells, one residual per probed cell
+    val q = x.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("xq").as("qq"))
+    val qc = q.join(broadcast(cent), lit(true))
+      .select(col("q_id"), col("cid"), col("c"), col("qq"),
+        distSq(col("qq"), col("c")).as("d"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d"), col("cid"))
+    val dtab = qc.withColumn("rn", row_number().over(wp)).filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("cid"),
+        zip_with(col("qq"), col("c"), (a, b) => a - b).as("qr"))
+      .select(col("q_id"), col("cid"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qr"))
+      .select(col("q_id"), col("cid"), col("m"),
+        expr(s"slice(qr, m * $PqSub + 1, $PqSub)").as("qsub"))
+      .join(broadcast(cb1), Seq("m"))
+      .select(col("q_id"), col("cid"), col("m"), col("cbid"),
+        distSq(col("qsub"), col("c")).as("d"))
+    val scored = codes.join(broadcast(dtab), Seq("cid", "m", "cbid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d").as("adc_fp"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_fp"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor_id", "adc_fp")
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfpqTopKOracle: String = {
+    val dSq = (st: String, ct: String) =>
+      s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+         |        d -> ($st.sub[d] - $ct.c[d]) * ($st.sub[d] - $ct.c[d])), (a, b) -> a + b)""".stripMargin
+    s"""$ivfClusterCtes,
+       |rx AS (SELECT x.vec_id, a2.cid,
+       |              list_transform(range(1, ${Dim + 1}), d -> x.xq[d] - c1.c[d]) AS r
+       |       FROM x JOIN a2 USING (vec_id) JOIN c1 ON c1.cid = a2.cid),
+       |psubs AS (SELECT vec_id, cid, t.m,
+       |                 r[t.m * $PqSub + 1 : t.m * $PqSub + $PqSub] AS sub
+       |          FROM rx, range(0, $PqM) t(m)),
+       |pcb0 AS (SELECT m, vec_id AS cbid, sub AS c FROM psubs WHERE vec_id < $PqK),
+       |pd1 AS (SELECT s.vec_id, s.m, c.cbid, ${dSq("s", "c")} AS d
+       |        FROM psubs s JOIN pcb0 c ON c.m = s.m),
+       |pa1 AS (SELECT vec_id, m, cbid FROM (
+       |          SELECT vec_id, m, cbid,
+       |                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cbid) AS rn
+       |          FROM pd1) t WHERE rn = 1),
+       |pcp AS (SELECT pa1.m, pa1.cbid, t.pos,
+       |               CAST(floor(sum(s.sub[t.pos])::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS cp
+       |        FROM psubs s JOIN pa1 ON pa1.vec_id = s.vec_id AND pa1.m = s.m,
+       |             range(1, ${PqSub + 1}) t(pos)
+       |        GROUP BY 1, 2, 3),
+       |pcb1 AS (SELECT m, cbid, list(cp ORDER BY pos) AS c FROM pcp GROUP BY 1, 2),
+       |pd2 AS (SELECT s.vec_id, s.cid, s.m, c.cbid, ${dSq("s", "c")} AS d
+       |        FROM psubs s JOIN pcb1 c ON c.m = s.m),
+       |pcodes AS (SELECT vec_id, cid, m, cbid FROM (
+       |             SELECT vec_id, cid, m, cbid,
+       |                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cbid) AS rn
+       |             FROM pd2) t WHERE rn = 1),
+       |qd AS (SELECT x.vec_id AS q_id, c.cid,
+       |              list_reduce(list_transform(range(1, ${Dim + 1}),
+       |                d -> (x.xq[d] - c.c[d]) * (x.xq[d] - c.c[d])), (a, b) -> a + b) AS d
+       |       FROM x, c1 c WHERE x.vec_id < $NumQueries),
+       |probes AS (SELECT q_id, cid FROM (
+       |             SELECT q_id, cid,
+       |                    row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |             FROM qd) t WHERE rn <= $NProbe),
+       |qr AS (SELECT p.q_id, p.cid,
+       |              list_transform(range(1, ${Dim + 1}), d -> x.xq[d] - c1.c[d]) AS r
+       |       FROM probes p JOIN x ON x.vec_id = p.q_id JOIN c1 ON c1.cid = p.cid),
+       |qsub AS (SELECT q_id, cid, t.m,
+       |                r[t.m * $PqSub + 1 : t.m * $PqSub + $PqSub] AS sub
+       |         FROM qr, range(0, $PqM) t(m)),
+       |dtab AS (SELECT s.q_id, s.cid, s.m, c.cbid, ${dSq("s", "c")} AS d
+       |         FROM qsub s JOIN pcb1 c ON c.m = s.m),
+       |scored AS (SELECT dt.q_id, k.vec_id AS neighbor_id, CAST(sum(dt.d) AS BIGINT) AS adc_fp
+       |           FROM pcodes k
+       |           JOIN dtab dt ON dt.cid = k.cid AND dt.m = k.m AND dt.cbid = k.cbid
+       |           WHERE dt.q_id != k.vec_id GROUP BY 1, 2),
+       |rk AS (SELECT q_id, neighbor_id, adc_fp,
+       |              row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY adc_fp, neighbor_id) AS rank
+       |       FROM scored)
+       |SELECT q_id, rank, neighbor_id, adc_fp FROM rk
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- matryoshka truncation ---------------------------------------------
 
   /** Matryoshka dimensionality reduction: keep the first 16 components,
@@ -792,6 +932,7 @@ object Similarity {
     Seq(
       "hamming" -> hammingTopK(emb),
       "ivf" -> ivfTopK(emb),
+      "ivfpq" -> ivfpqTopK(emb),
       "lsh" -> lshTopK(emb),
       "pq" -> pqTopK(emb)
     ).map { case (name, df) =>
@@ -815,6 +956,8 @@ object Similarity {
        |${block("hamming", hammingTopKOracle)}
        |UNION ALL
        |${block("ivf", ivfTopKOracle)}
+       |UNION ALL
+       |${block("ivfpq", ivfpqTopKOracle)}
        |UNION ALL
        |${block("lsh", lshTopKOracle)}
        |UNION ALL
@@ -860,6 +1003,7 @@ object Similarity {
       "brute" -> bruteTopK(emb),
       "hamming" -> hammingTopK(emb),
       "ivf" -> ivfTopK(emb),
+      "ivfpq" -> ivfpqTopK(emb),
       "lsh" -> lshTopK(emb),
       "pq" -> pqTopK(emb)
     ).map { case (n, df) => metricsFor(n, df) }
@@ -888,6 +1032,8 @@ object Similarity {
        |${block("hamming", hammingTopKOracle)}
        |UNION ALL
        |${block("ivf", ivfTopKOracle)}
+       |UNION ALL
+       |${block("ivfpq", ivfpqTopKOracle)}
        |UNION ALL
        |${block("lsh", lshTopKOracle)}
        |UNION ALL
@@ -1111,7 +1257,7 @@ object Similarity {
   val lshTopKOracle: String = {
     val planeDot = (t: String, j: Int) =>
       s"""list_reduce(list_transform(range(0, $Dim),
-         |      d -> $t.v[d+1] * (((1103515245 * (${j * Dim} + d) + 12345) % 2001) - 1000)),
+         |      d -> $t.v[d+1] * ((((((2654435761 * (${j * Dim} + d + 1)) % 2147483647) * ((2654435761 * (${j * Dim} + d + 1)) % 2147483647) + ((2654435761 * (${j * Dim} + d + 1)) % 2147483647)) % 2147483647) % 2001) - 1000)),
          |    (x, y) -> x + y)""".stripMargin
     val bucket = (t: String) => (0 until NumPlanes)
       .map(j => s"(CASE WHEN ${planeDot(t, j)} > 0 THEN ${1L << j} ELSE 0 END)")

@@ -1295,4 +1295,85 @@ object TextOps {
        |         AND (stop_hits >= $GopherMinStops) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  // ---- operator: UniMax language-balanced sampling -----------------------
+
+  /** No language is repeated for more than this many epochs. */
+  val UniMaxEpochCap = 3L
+
+  /** Training token budget as a multiple of the corpus token count. */
+  val UniMaxBudgetX = 2L
+
+  /** UniMax language-balanced sampling (Chung et al., ICLR 2023):
+    * allocate a training token budget across languages so that no
+    * language exceeds [[UniMaxEpochCap]] epochs of its own corpus and
+    * the rest of the budget is spread as evenly as possible — the
+    * fairness rule that replaced temperature sampling for massively
+    * multilingual pretraining. The paper states it as a sequential
+    * greedy loop over languages sorted by size; the same allocation has
+    * a closed waterfilling form, computed here with window functions:
+    * with per-language cap `cap_i = n_tokens_i · EpochCap` sorted
+    * ascending, language k is FULLY FUNDED iff
+    * `prefix_k + (nlang−k)·cap_k ≤ budget` (that test is monotone in k),
+    * and every unfunded language gets the equal share of what the funded
+    * prefix left behind: `L = (budget − prefix_K) div (nlang − K)`.
+    *
+    * Scale shape: the only corpus-sized work is the per-language token
+    * count (map-side combinable groupBy); everything after operates on
+    * |languages| rows, so the single-partition analytic window is
+    * bounded by language cardinality (~10²), not data. All integer
+    * arithmetic (floor division), engine-exact. Output per language:
+    * (lang, n_tokens, cap_tokens, alloc_tokens, epochs_pm) where
+    * epochs_pm is the resulting per-mille epoch count — ≤ EpochCap·1000
+    * by construction, weakly DECREASING in corpus size. */
+  def unimaxAlloc(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * UniMaxEpochCap)
+    val tot = perLang.agg(
+      count(lit(1)).as("nlang"),
+      (sum("n_tokens") * UniMaxBudgetX).as("budget"))
+    val w = Window.orderBy("cap_tokens", "lang")
+    val ranked = perLang.crossJoin(tot)
+      .withColumn("k", row_number().over(w))
+      .withColumn("prefix", sum("cap_tokens").over(w))
+      .withColumn("funded",
+        (col("prefix") + (col("nlang") - col("k")) * col("cap_tokens")) <= col("budget"))
+    val funded = ranked.agg(
+      coalesce(sum(when(col("funded"), col("cap_tokens"))), lit(0L)).as("prefix_k"),
+      coalesce(sum(when(col("funded"), 1L).otherwise(0L)), lit(0L)).as("kk"))
+    ranked.crossJoin(funded)
+      .withColumn("alloc_tokens",
+        when(col("funded"), col("cap_tokens")).otherwise(
+          expr("(budget - prefix_k) div greatest(nlang - kk, 1)")))
+      .withColumn("epochs_pm", expr("alloc_tokens * 1000 div n_tokens"))
+      .select("lang", "n_tokens", "cap_tokens", "alloc_tokens", "epochs_pm")
+      .orderBy("lang")
+  }
+
+  val unimaxAllocOracle: String =
+    s"""WITH pl AS (
+       |  SELECT lang, CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |c AS (SELECT lang, n_tokens, n_tokens * $UniMaxEpochCap AS cap_tokens FROM pl),
+       |t AS (SELECT count(*) AS nlang,
+       |             CAST(sum(n_tokens) * $UniMaxBudgetX AS BIGINT) AS budget FROM c),
+       |r AS (SELECT c.*, t.nlang, t.budget,
+       |             row_number() OVER (ORDER BY cap_tokens, lang) AS k,
+       |             sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+       |               ROWS UNBOUNDED PRECEDING) AS prefix
+       |      FROM c CROSS JOIN t),
+       |f AS (SELECT *,
+       |             prefix + (nlang - k) * cap_tokens <= budget AS funded FROM r),
+       |s AS (SELECT coalesce(sum(cap_tokens) FILTER (WHERE funded), 0) AS prefix_k,
+       |             coalesce(count(*) FILTER (WHERE funded), 0) AS kk FROM f)
+       |SELECT lang, n_tokens, cap_tokens,
+       |       CAST(CASE WHEN funded THEN cap_tokens
+       |            ELSE (budget - prefix_k) // greatest(nlang - kk, 1) END AS BIGINT)
+       |         AS alloc_tokens,
+       |       CAST(CASE WHEN funded THEN cap_tokens
+       |            ELSE (budget - prefix_k) // greatest(nlang - kk, 1) END
+       |         * 1000 // n_tokens AS BIGINT) AS epochs_pm
+       |FROM f CROSS JOIN s ORDER BY lang""".stripMargin
 }

@@ -916,6 +916,79 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("scene cuts: shot laws hold and a planted hard cut is detected") {
+    import spark.implicits._
+    // two "clips": constant frames (no cuts) and constant-then-jump
+    val calm = Array.fill(160)('a'.toByte)
+    val jump = Array.fill(80)(' '.toByte) ++ Array.fill(80)('~'.toByte)
+    val media = Seq(
+      MediaRow(1L, "video", calm, 64, 48),
+      MediaRow(2L, "video", jump, 64, 48)).toDF()
+    val byId = Multimodal.sceneCuts(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (nf1, c1, s1, l1, d1) = byId(1L)
+    assert(nf1 === 10L && c1 === 0L && s1 === 1L && l1 === 10L && d1 === 0L)
+    val (nf2, c2, s2, l2, _) = byId(2L)
+    // one hard cut at the ' '→'~' boundary: 16 * |126-32| = 1504 > 500
+    assert(nf2 === 10L && c2 === 1L && s2 === 2L && l2 === 5L)
+    // laws on the corpus-derived table: shots = cuts+1, longest ≤ frames
+    Multimodal.sceneCuts(Multimodal.mediaFromDocs(docs)).collect().foreach { r =>
+      val (nf, nc, ns, ls) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ns === (if (nf > 0) nc + 1 else 0L))
+      assert(ls <= nf && (nf == 0 || ls >= (nf + ns - 1) / ns))
+    }
+  }
+
+  test("unimax: allocation laws hold (caps, budget, monotone epochs)") {
+    val out = TextOps.unimaxAlloc(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val budget = out.map(_._2).sum * TextOps.UniMaxBudgetX
+    out.foreach { case (_, nt, cap, alloc, epm) =>
+      assert(cap === nt * TextOps.UniMaxEpochCap)
+      assert(alloc >= 0L && alloc <= cap, "no language exceeds its epoch cap")
+      assert(epm === alloc * 1000L / nt)
+      assert(epm <= TextOps.UniMaxEpochCap * 1000L)
+    }
+    assert(out.map(_._4).sum <= budget, "allocation never exceeds the budget")
+    // waterfilling signature: epochs are weakly decreasing in corpus size
+    val bySize = out.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array((_, _, _, _, e1), (_, _, _, _, e2)) => assert(e1 >= e2)
+      case _ =>
+    }
+    // unfunded languages share one level: their allocs are all equal
+    val unfunded = out.filter(t => t._4 < t._3)
+    assert(unfunded.map(_._4).distinct.length <= 1, "one waterfilling level")
+  }
+
+  test("soft dedup: weight laws hold and exact duplicates share depressed weights") {
+    // sf0.001 plants near-dups but no exact dup; plant one (doc 9000
+    // copies doc 0's text) so the twin-weight law is exercised
+    val planted = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(9000L))
+    val input = docs.unionByName(planted)
+    val out = Dedup.softDedupWeights(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === input.count())
+    out.foreach { case (_, nSh, meanFp, wPm) =>
+      if (nSh == 0L) { assert(meanFp === 0L && wPm === 1000L) }
+      else {
+        assert(meanFp >= 1000000L, "mean document frequency is at least 1")
+        assert(wPm >= 1L && wPm <= 1000L)
+        assert(wPm === 1000000000L / meanFp)
+      }
+    }
+    // exact twins have identical shingle sets → identical weights, cut
+    // at least 2x; some unduplicated doc always outweighs every twin
+    // (the testdata's 30-word vocab collides shingles across docs, so
+    // nobody reaches the theoretical 1000 — anti-monotonicity is the law)
+    val w = out.map(t => t._1 -> t._4).toMap
+    assert(w(0L) === w(9000L), "exact twins must share a weight")
+    assert(w(0L) <= 500L, "a doc with one exact twin is cut at least 2x")
+    assert(out.map(_._4).max > 500L, "an unduplicated doc outweighs the twins")
+  }
+
   test("mmr rerank: matches an independent local greedy trajectory exactly") {
     val out = Similarity.mmrRerank(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -110,6 +110,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ivfpq ANN: codebooks/ADC table broadcast; no cartesian anywhere") {
+    val p = plan("ann_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("Q18: the HAVING-survivor side broadcasts; top-100 is TakeOrdered") {
     val p = plan("olap_q18_large_orders")
     assert(p.contains("BroadcastHashJoin"), p)
