@@ -1216,6 +1216,7 @@ object SparkEntry {
     "dedup_corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
     "dedup_soft_weights" -> ((s, dir) => Dedup.softDedupWeights(docs(s, dir))),
     "dedup_source_overlap" -> ((s, dir) => Dedup.crossSourceOverlap(docs(s, dir))),
+    "sketch_theta_overlap" -> ((s, dir) => Sketches.thetaSourceOps(docs(s, dir))),
     "emb_gram_matrix" -> ((s, dir) => Similarity.gramMatrix(emb(s, dir))),
     // eval entries run on a deterministic ~50% hash sample: the exact/brute
     // truth relations they compare against are the only quadratic stages in
@@ -2270,6 +2271,7 @@ object SparkEntry {
     "dedup_corpus_report" -> Dedup.corpusReportOracle,
     "dedup_soft_weights" -> Dedup.softDedupWeightsOracle,
     "dedup_source_overlap" -> Dedup.crossSourceOverlapOracle,
+    "sketch_theta_overlap" -> Sketches.thetaSourceOpsOracle,
     "emb_gram_matrix" -> Similarity.gramMatrixOracle,
     "dedup_simhash_eval" -> EvalSampling.sampleOracle(Dedup.simhashEvalOracle, "documents", "doc_id"),
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,

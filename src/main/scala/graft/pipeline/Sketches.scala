@@ -436,4 +436,164 @@ object Sketches {
        |SELECT type_a, type_b, est_fp, exact_fp
        |FROM est JOIN exact USING (type_a, type_b)
        |ORDER BY type_a, type_b""".stripMargin
+
+  // ---- theta/KMV set algebra across sources ------------------------------
+
+  /** Hash-space size of [[TextOps.baseHash]] (60 bits). */
+  val ThetaM: Long = 1L << 60
+
+  /** Overflow guard for the KMV estimator: `(k−1)·(M div h_k)` with h_k
+    * floored here stays ≤ 63·2^48 ≈ 1.7e16, inside int64. The floor
+    * only binds when the true distinct count approaches M/4096·k ≈
+    * 1.8e16 elements — far beyond any corpus. */
+  val ThetaMinHk = 4096L
+
+  /** Theta/KMV set algebra over source pairs — the sketch-union algebra
+    * the theta-sketch family is built for (KMV distinct estimates:
+    * Beyer et al., SIGMOD 2007; set operations on theta sketches:
+    * Dasgupta et al.): per source, the [[KmvK]] smallest 60-bit shingle
+    * hashes form the sketch; a pair's UNION sketch is bottom-K of the
+    * merged sketches, giving |A∪B| ≈ (k−1)·M/h_k, the Jaccard from the
+    * union sketch's both-sides fraction, |A∩B| = J·|A∪B|, and
+    * |A\B| = |A| − |A∩B| — every set operation computed from bounded
+    * sketches, never from the corpus. A sketch with fewer than K rows
+    * IS its set, so its count is exact (the standard KMV small-set
+    * rule); estimator arithmetic is all integer with the [[ThetaMinHk]]
+    * overflow floor, engine-exact. Exact union/intersection per pair
+    * come from one pass over a source-bitmask histogram (no pair×corpus
+    * join) to keep the estimates honest at oracle SF.
+    *
+    * Scale shape: the corpus-sized work is shingle → distinct (source,
+    * hash) → per-source two-phase bottom-K (the salt pre-pass bounds
+    * every sort partition); everything pairwise operates on ≤ K rows
+    * per sketch across |sources|² pairs. The exact side is one
+    * map-side-combinable mask aggregate. Output per (src_a < src_b):
+    * (union_est, inter_est, diff_a_est, union_exact, inter_exact). */
+  def thetaSourceOps(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("source"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
+      .select(col("source"), baseHash(col("s")).as("h"))
+      .distinct()
+    // two-phase bottom-K per source (same skew discipline as kmvJaccard)
+    val wLocal = Window.partitionBy("source", "salt").orderBy("h")
+    val wK = Window.partitionBy("source").orderBy("h")
+    val sk = sh.withColumn("salt", pmod(col("h"), lit(64)))
+      .withColumn("rk", row_number().over(wLocal)).filter(col("rk") <= KmvK)
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= KmvK)
+      .select("source", "h")
+      .localCheckpoint(true) // feeds per-source stats + every pair union
+    def kmvEst(cnt: String, hk: String) = expr(
+      s"IF($cnt < $KmvK, $cnt, ${KmvK - 1} * (${ThetaM}L div greatest($hk, ${ThetaMinHk}L)))")
+    val perSrc = sk.groupBy("source")
+      .agg(count(lit(1)).as("cnt"), max("h").as("hk"))
+      .withColumn("a_est", kmvEst("cnt", "hk"))
+    val srcs = sk.select(col("source").as("t")).distinct()
+    val pairs = srcs.as("x").join(srcs.as("y"), col("x.t") < col("y.t"))
+      .select(col("x.t").as("src_a"), col("y.t").as("src_b"))
+    val members = pairs
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("src_a"), col("src_b"))).as("source"))
+      .join(sk, "source")
+      .groupBy("src_a", "src_b", "h")
+      .agg(
+        max(when(col("source") === col("src_a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("source") === col("src_b"), 1L).otherwise(0L)).as("in_b"))
+    val wU = Window.partitionBy("src_a", "src_b").orderBy("h")
+    val est = members.withColumn("rk", row_number().over(wU))
+      .filter(col("rk") <= KmvK)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("ucnt"), max("h").as("uhk"),
+        sum(col("in_a") * col("in_b")).as("matches"))
+      .withColumn("union_est", kmvEst("ucnt", "uhk"))
+      .withColumn("inter_est", expr("matches * union_est div ucnt"))
+      .join(broadcast(perSrc.select(col("source").as("src_a"), col("a_est"))), Seq("src_a"))
+      .withColumn("diff_a_est", greatest(col("a_est") - col("inter_est"), lit(0L)))
+    // exact side: 20-ish sources → one bitmask histogram pass
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val srcNames = docs.select(col("source")).distinct()
+      .orderBy("source").collect().map(_.getString(0))
+    require(srcNames.length <= 60, "bitmask exact side assumes ≤60 sources")
+    val rowBit = srcNames.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
+      acc.bitwiseOR(when(col("source") === t, lit(1L << i)).otherwise(0L))
+    }
+    val masks = sh.select(col("h"), rowBit.as("b"))
+      .groupBy("h").agg(expr("bit_or(b)").as("m0"))
+      .groupBy("m0").agg(count(lit(1)).as("n"))
+    val pairsLocal = for {
+      (ta, ia) <- srcNames.zipWithIndex.toSeq
+      (tb, ib) <- srcNames.zipWithIndex.toSeq if ta < tb
+    } yield (ta, tb, 1L << ia, 1L << ib)
+    val exact = broadcast(pairsLocal.toDF("pa", "pb", "ba", "bb")).crossJoin(masks)
+      .groupBy("pa", "pb")
+      .agg(
+        expr("sum(IF((m0 & (ba | bb)) != 0, n, CAST(0 AS BIGINT)))").as("union_exact"),
+        expr("sum(IF((m0 & (ba | bb)) = (ba | bb), n, CAST(0 AS BIGINT)))").as("inter_exact"))
+      .select(col("pa").as("src_a"), col("pb").as("src_b"),
+        col("union_exact"), col("inter_exact"))
+    est.join(exact, Seq("src_a", "src_b"))
+      .select("src_a", "src_b", "union_est", "inter_est", "diff_a_est",
+        "union_exact", "inter_exact")
+      .orderBy("src_a", "src_b")
+  }
+
+  val thetaSourceOpsOracle: String = {
+    val estSql = (cnt: String, hk: String) =>
+      s"CASE WHEN $cnt < $KmvK THEN $cnt ELSE ${KmvK - 1} * ($ThetaM // greatest($hk, $ThetaMinHk)) END"
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, ${baseHashSql("s")} AS h
+       |  FROM (SELECT source, unnest(${TextOps.shinglesSql(TextOps.tokensSql)}) AS s
+       |        FROM documents)),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |    FROM sh) WHERE rk <= $KmvK),
+       |ps AS (
+       |  SELECT source, count(*) AS cnt, max(h) AS hk,
+       |         ${estSql("count(*)", "max(h)")} AS a_est
+       |  FROM sk GROUP BY source),
+       |t AS (SELECT DISTINCT source AS ty FROM sk),
+       |pairs AS (SELECT x.ty AS src_a, y.ty AS src_b FROM t x JOIN t y ON x.ty < y.ty),
+       |members AS (
+       |  SELECT p.src_a, p.src_b, s.h,
+       |         max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+       |  GROUP BY 1, 2, 3),
+       |u AS (
+       |  SELECT src_a, src_b, h, in_a, in_b,
+       |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+       |  FROM members),
+       |agg AS (
+       |  SELECT src_a, src_b, count(*) AS ucnt, max(h) AS uhk,
+       |         sum(in_a * in_b) AS matches
+       |  FROM u WHERE rk <= $KmvK GROUP BY 1, 2),
+       |est AS (
+       |  SELECT a.src_a, a.src_b,
+       |         ${estSql("a.ucnt", "a.uhk")} AS union_est,
+       |         CAST(a.matches * ${estSql("a.ucnt", "a.uhk")} // a.ucnt AS BIGINT) AS inter_est,
+       |         p.a_est
+       |  FROM agg a JOIN ps p ON p.source = a.src_a),
+       |srcbits AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS bit
+       |            FROM (SELECT DISTINCT source FROM documents)),
+       |um AS (
+       |  SELECT sh.h, CAST(sum(DISTINCT (1::BIGINT << b.bit)) AS BIGINT) AS m0
+       |  FROM sh JOIN srcbits b USING (source) GROUP BY sh.h),
+       |exact AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(sum(CASE WHEN (m.m0 & ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)))
+       |                       != 0 THEN 1 ELSE 0 END) AS BIGINT) AS union_exact,
+       |         CAST(sum(CASE WHEN (m.m0 & ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)))
+       |                       = ((1::BIGINT << a.bit) | (1::BIGINT << b.bit))
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact
+       |  FROM srcbits a JOIN srcbits b ON a.source < b.source CROSS JOIN um m
+       |  GROUP BY 1, 2)
+       |SELECT e.src_a, e.src_b,
+       |       CAST(e.union_est AS BIGINT) AS union_est, e.inter_est,
+       |       CAST(greatest(e.a_est - e.inter_est, 0) AS BIGINT) AS diff_a_est,
+       |       x.union_exact, x.inter_exact
+       |FROM est e JOIN exact x USING (src_a, src_b)
+       |ORDER BY src_a, src_b""".stripMargin
+  }
 }

@@ -916,6 +916,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("theta overlap: small-set rule is exact; set-algebra laws hold") {
+    import spark.implicits._
+    // sub-K sketches: estimator must degrade to the exact values
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "sa"),
+      (2L, "alpha beta gamma delta epsilon zeta", "sb"), // identical to sa
+      (3L, "one two three four five six seven", "sc"))
+      .toDF("doc_id", "text", "source")
+    // distinct 3-shingle counts per source: sa/sb 4 (identical text), sc 5
+    val nA = Map("sa" -> 4L, "sb" -> 4L, "sc" -> 5L)
+    Sketches.thetaSourceOps(tiny).collect().foreach { r =>
+      val (ue, ie, da, ux, ix) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(ue === ux, "sub-K union estimate is exact")
+      assert(ie === ix, "sub-K intersection estimate is exact")
+      assert(da === nA(r.getString(0)) - ix, "sub-K A-minus-B estimate is exact")
+    }
+    val ab = Sketches.thetaSourceOps(tiny).collect()
+      .find(r => r.getString(0) == "sa" && r.getString(1) == "sb").get
+    assert(ab.getLong(3) === ab.getLong(5), "identical sources: inter == union")
+    // corpus laws: inter ≤ union on both the est and exact sides
+    Sketches.thetaSourceOps(docs).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "inter_est <= union_est")
+      assert(r.getLong(6) <= r.getLong(5), "inter_exact <= union_exact")
+      assert(r.getLong(4) >= 0L)
+    }
+  }
+
   test("scene cuts: shot laws hold and a planted hard cut is detected") {
     import spark.implicits._
     // two "clips": constant frames (no cuts) and constant-then-jump
