@@ -1188,6 +1188,7 @@ object SparkEntry {
     "doc_corpus_zipf" -> ((s, dir) => TextOps.corpusZipf(docs(s, dir))),
     "doc_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(docs(s, dir))),
     "doc_unimax_alloc" -> ((s, dir) => TextOps.unimaxAlloc(docs(s, dir))),
+    "doc_ccnet_buckets" -> ((s, dir) => TextOps.ccnetBuckets(docs(s, dir))),
     "doc_curation_pipeline" -> ((s, dir) => TextOps.curationPipeline(docs(s, dir))),
 
     // --- LLM-pipeline: event analytics ---
@@ -2241,6 +2242,7 @@ object SparkEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "doc_mixture_weights" -> TextOps.mixtureWeightsOracle,
     "doc_unimax_alloc" -> TextOps.unimaxAllocOracle,
+    "doc_ccnet_buckets" -> TextOps.ccnetBucketsOracle,
     "doc_curation_pipeline" -> TextOps.curationPipelineOracle,
     "emb_matryoshka" -> Similarity.matryoshkaOracle,
     "ann_pq_topk" -> Similarity.pqTopKOracle,

@@ -414,7 +414,12 @@ object TextOps {
     * join → per-doc hash aggregate, map-side partial. Ties in the count
     * rank break on the lexicographically smaller token.
     * Output: (doc_id, n_tokens, surprisal_fp). */
-  def lmSurprisal(docs: DataFrame): DataFrame = {
+  def lmSurprisal(docs: DataFrame): DataFrame =
+    lmSurprisalCore(docs).orderBy("doc_id")
+
+  /** [[lmSurprisal]] without the presentation sort ([[ccnetBuckets]]
+    * consumes it mid-pipeline). */
+  private def lmSurprisalCore(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -429,7 +434,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), sum("rank").as("rank_sum"))
       .select(col("doc_id"), col("n_tokens"),
         expr("rank_sum * 1000 div n_tokens").as("surprisal_fp"))
-      .orderBy("doc_id")
   }
 
   /** Fixed LM vocabulary size (BPE-ish). */
@@ -446,6 +450,76 @@ object TextOps {
        |       CAST(sum(coalesce(rank, ${LmVocabCap + 1})) * 1000 // count(*) AS BIGINT) AS surprisal_fp
        |FROM occ LEFT JOIN ranked USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- operator: CCNet perplexity buckets --------------------------------
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
+    * language, split the corpus into head/middle/tail TERCILES of LM
+    * surprisal ([[lmSurprisal]]'s vocab-rank proxy stands in for the
+    * KenLM perplexity) — the published curation recipe keeps head and
+    * middle for pretraining and drops or downsamples tail.
+    *
+    * Threshold discipline at scale: terciles are exact but computed
+    * from the per-(lang, value) HISTOGRAM — cumulative counts over
+    * DISTINCT surprisal values, so the analytic window is bounded by
+    * value cardinality, never by document count (same shape as
+    * [[Sketches.histQuantiles]]); a doc-partitioned rank window would
+    * re-sort whole languages. A value v is inside tercile 1 iff
+    * 3·cum(v) ≥ n (integer form of cum ≥ n/3) — ties land whole value
+    * groups in one bucket, deterministic in both engines. The two
+    * thresholds per language then broadcast into one corpus pass.
+    * Output (lang, bucket, n_docs, mean_surprisal_fp). */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val s = lmSurprisalCore(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    val hist = s.groupBy("lang", "surprisal_fp").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("lang").orderBy("surprisal_fp")
+    val cum = hist.withColumn("cum", sum("c").over(wcum))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    val th = cum.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("n"), col("surprisal_fp"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("surprisal_fp"))).as("t2"))
+    s.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("surprisal_fp") <= col("t1"), lit("head"))
+          .when(col("surprisal_fp") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(surprisal_fp) div count(1)").as("mean_surprisal_fp"))
+      .orderBy("lang", "bucket")
+  }
+
+  val ccnetBucketsOracle: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, u.token
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest(d.w) u(token)),
+       |ranked AS (
+       |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+       |  FROM occ GROUP BY token QUALIFY rank <= $LmVocabCap),
+       |sdoc AS (
+       |  SELECT doc_id,
+       |         CAST(sum(coalesce(rank, ${LmVocabCap + 1})) * 1000 // count(*) AS BIGINT)
+       |           AS surprisal_fp
+       |  FROM occ LEFT JOIN ranked USING (token) GROUP BY doc_id),
+       |sl AS (SELECT d.lang, s.doc_id, s.surprisal_fp
+       |       FROM sdoc s JOIN documents d USING (doc_id)),
+       |hist AS (SELECT lang, surprisal_fp, count(*) AS c FROM sl GROUP BY 1, 2),
+       |cum AS (SELECT lang, surprisal_fp,
+       |               sum(c) OVER (PARTITION BY lang ORDER BY surprisal_fp) AS cum,
+       |               sum(c) OVER (PARTITION BY lang) AS n
+       |        FROM hist),
+       |th AS (SELECT lang,
+       |              min(CASE WHEN cum * 3 >= n THEN surprisal_fp END) AS t1,
+       |              min(CASE WHEN cum * 3 >= n * 2 THEN surprisal_fp END) AS t2
+       |       FROM cum GROUP BY lang)
+       |SELECT sl.lang,
+       |       CASE WHEN surprisal_fp <= t1 THEN 'head'
+       |            WHEN surprisal_fp <= t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |       count(*) AS n_docs,
+       |       CAST(sum(surprisal_fp) // count(*) AS BIGINT) AS mean_surprisal_fp
+       |FROM sl JOIN th USING (lang)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- operator: BPE pair statistics -------------------------------------
 

@@ -916,6 +916,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnet buckets: tercile laws and monotone surprisal per language") {
+    val out = TextOps.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byLang = out.groupBy(_._1)
+    val langTotals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      val n = langTotals(lang)
+      assert(rows.map(_._3).sum === n, "every doc lands in exactly one bucket")
+      val m = rows.map(t => t._2 -> t._3).toMap
+      // cum-threshold rule: tercile prefixes are at least their share
+      assert(m.getOrElse("head", 0L) * 3 >= n)
+      assert((m.getOrElse("head", 0L) + m.getOrElse("middle", 0L)) * 3 >= 2 * n)
+      // surprisal is monotone across buckets where all three exist
+      for {
+        h <- rows.find(_._2 == "head"); mi <- rows.find(_._2 == "middle")
+        t <- rows.find(_._2 == "tail")
+      } { assert(h._4 <= mi._4 && mi._4 <= t._4) }
+    }
+  }
+
   test("theta overlap: small-set rule is exact; set-algebra laws hold") {
     import spark.implicits._
     // sub-K sketches: estimator must degrade to the exact values
