@@ -734,7 +734,7 @@ class PipelineSpec extends AnyFunSuite {
   test("ranking metrics: bounds hold and brute dominates or ties every ANN method") {
     val rows = Similarity.rankingMetrics(emb).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(rows.keySet === Set("brute", "hamming", "ivf", "lsh", "pq"))
+    assert(rows.keySet === Set("brute", "hamming", "ivf", "ivfpq", "lsh", "pq"))
     rows.values.foreach { case (mrr, hit, prec) =>
       assert(mrr >= 0L && mrr <= 1000000L)
       assert(hit >= 0L && hit <= 1000L)
