@@ -895,8 +895,8 @@ object Dedup {
     val fn = truth.join(cand, Seq("i", "j"), "left_anti").agg(count(lit(1)).as("fn"))
     tp.crossJoin(fp).crossJoin(fn)
       .select(col("tp"), col("fp"), col("fn"),
-        expr("tp * 1000000 div (tp + fp)").as("precision_fp"),
-        expr("tp * 1000000 div (tp + fn)").as("recall_fp"))
+        expr("tp * 1000000 div greatest(tp + fp, 1)").as("precision_fp"),
+        expr("tp * 1000000 div greatest(tp + fn, 1)").as("recall_fp"))
   }
 
   lazy val simhashEvalOracle: String =
@@ -909,8 +909,8 @@ object Dedup {
        |fn AS (SELECT count(*) AS fn FROM truth WHERE NOT EXISTS
        |        (SELECT 1 FROM cand c WHERE c.i = truth.i AND c.j = truth.j))
        |SELECT tp, fp, fn,
-       |       tp * 1000000 // (tp + fp) AS precision_fp,
-       |       tp * 1000000 // (tp + fn) AS recall_fp
+       |       tp * 1000000 // greatest(tp + fp, 1) AS precision_fp,
+       |       tp * 1000000 // greatest(tp + fn, 1) AS recall_fp
        |FROM tp, fp, fn""".stripMargin
 
   // ---- corpus curation report --------------------------------------------
@@ -1276,7 +1276,7 @@ object Dedup {
       .localCheckpoint(true)
     val vecs = emb.select("vec_id").localCheckpoint(true)
     val n = vecs.count()
-    val base = PrScale / n
+    val base = PrScale / math.max(n, 1L) // total on an empty corpus
     val deg = edges.groupBy("i").agg(count(lit(1)).as("d"))
     var pr = vecs.select(col("vec_id"), lit(base).as("s"))
     for (_ <- 1 to PrIters) {
@@ -1333,7 +1333,8 @@ object Dedup {
     val t = cosinePairsUnsorted(emb).agg(count(lit(1)).cast("long").as("n_truth"))
     val c = cosinePairsBandedUnsorted(emb, EmbBandBits).agg(count(lit(1)).cast("long").as("n_banded"))
     t.crossJoin(c).select(col("n_truth"), col("n_banded"),
-      floor(col("n_banded") * 1e6 / col("n_truth")).cast("long").as("recall_fp"))
+      floor(col("n_banded") * 1e6 / greatest(col("n_truth"), lit(1L)))
+        .cast("long").as("recall_fp"))
   }
 
   val cosineBandedEvalOracle: String = {
@@ -1351,7 +1352,7 @@ object Dedup {
        |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
        |       (SELECT count(*) FROM banded)::BIGINT AS n_banded,
        |       floor((SELECT count(*) FROM banded) * 1e6 /
-       |             (SELECT count(*) FROM truth))::BIGINT AS recall_fp""".stripMargin
+       |             greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_fp""".stripMargin
   }
 
   /** DuckDB mirror: sequential left-fold sums (list_reduce) match Spark's

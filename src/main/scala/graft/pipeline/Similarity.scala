@@ -941,14 +941,14 @@ object Similarity {
         .agg(count(lit(1)).as("hits"))
         .crossJoin(tot)
         .select(lit(name).as("method"),
-          expr("hits * 1000000 div n_truth").as("recall_fp"))
+          expr("hits * 1000000 div greatest(n_truth, 1)").as("recall_fp"))
     }.reduce(_ unionByName _).orderBy("method")
   }
 
   def annRecallOracle: String = {
     def block(name: String, oracle: String) =
       s"""SELECT '$name' AS method,
-         |       CAST(count(*) * 1000000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_fp
+         |       CAST(count(*) * 1000000 // greatest((SELECT count(*) FROM truth), 1) AS BIGINT) AS recall_fp
          |FROM (SELECT * FROM ($oracle) g
          |      WHERE EXISTS (SELECT 1 FROM truth t
          |                    WHERE t.q_id = g.q_id AND t.neighbor_id = g.neighbor_id)) m""".stripMargin

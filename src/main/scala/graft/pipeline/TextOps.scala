@@ -801,7 +801,7 @@ object TextOps {
   def mixtureWeights(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("weight_fp", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
-    val total = counts.agg(sum("weight_fp")).head().getLong(0)
+    val total = counts.agg(coalesce(sum("weight_fp"), lit(0L))).head().getLong(0)
     counts
       .withColumn("target_docs", expr(s"weight_fp * $MixTargetDocs div ${math.max(total, 1L)}"))
       .orderBy("source")

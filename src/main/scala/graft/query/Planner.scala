@@ -292,6 +292,20 @@ object Planner {
     planSelectImpl(spark, s, cat, nowMs, renameFields = true, keepFp = true)
   }
 
+  /** The SELECT output relation with zero rows — the empty-store /
+    * unmatched-projection result ([[planSelectImpl]]'s normal output
+    * columns; fingerprint first when the INTO path asked for it). */
+  private def emptySelectResult(spark: SparkSession, keepFp: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = Seq(
+      StructField("time_ms", LongType), StructField("name", StringType),
+      StructField("value", DoubleType), StructField("labelname", StringType),
+      StructField("labelvalue", StringType), StructField("message", StringType))
+    val fields = if (keepFp) StructField("fingerprint", LongType) +: base else base
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields))
+  }
+
   /** Synthetic fingerprint for a subquery's per-(label pair) series. */
   private def subFingerprint: Column =
     xxhash64(concat_ws("\u0000", col("name"), col("labelname"), col("labelvalue")))
@@ -385,8 +399,12 @@ object Planner {
           .filter(col("measurement") === s.from.measurement)
           .select("name").distinct().orderBy("name")
           .collect().map(_.getString(0)).toSeq
-        if (names.isEmpty) throw new UnknownMeasurement(
-          s"no fields for measurement ${s.from.measurement}")
+        if (names.isEmpty)
+          // a store with no series for the measurement: InfluxDB returns
+          // an empty statement result for star/regex projections, not an
+          // error — total on empty input (the literal-field path below
+          // yields the same empty relation through the normal plan)
+          return emptySelectResult(spark, keepFp)
         val expanded = s.fields.flatMap { f =>
           if (f.name == "*") names.map(n => f.copy(name = n, alias = None))
           else f.nameRegex match {
@@ -397,8 +415,10 @@ object Planner {
             case None => Seq(f)
           }
         }
-        if (expanded.isEmpty) throw new UnknownMeasurement(
-          s"no fields match the regex projection on ${s.from.measurement}")
+        if (expanded.isEmpty)
+          // regex projection matching no field keys: empty result, like
+          // InfluxDB (an unmatched /re/ SELECT is not an error)
+          return emptySelectResult(spark, keepFp)
         expanded
       } else s.fields
 
