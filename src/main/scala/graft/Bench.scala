@@ -148,7 +148,7 @@ object Bench {
       "dedup_minhash_est_eval", "ann_ranking_metrics", "emb_prototype_prune",
       "ann_mmr_rerank", "dedup_soft_weights", "doc_unimax_alloc",
       "ann_ivfpq_topk", "mm_scene_cuts", "sketch_theta_overlap",
-      "doc_ccnet_buckets")
+      "doc_ccnet_buckets", "events_survival_km")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++

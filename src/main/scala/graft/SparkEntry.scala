@@ -1209,6 +1209,7 @@ object SparkEntry {
     "events_anomaly_days" -> ((s, dir) => EventOps.anomalyDays(EventsAdapter.events(s, dir))),
     "events_ab_lift" -> ((s, dir) => EventOps.abLift(EventsAdapter.events(s, dir))),
     "events_ltv_cohort" -> ((s, dir) => EventOps.ltvCohort(EventsAdapter.events(s, dir))),
+    "events_survival_km" -> ((s, dir) => EventOps.survivalKm(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
@@ -2265,6 +2266,7 @@ object SparkEntry {
     "events_anomaly_days" -> EventOps.anomalyDaysOracle,
     "events_ab_lift" -> EventOps.abLiftOracle,
     "events_ltv_cohort" -> EventOps.ltvCohortOracle,
+    "events_survival_km" -> EventOps.survivalKmOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
     "events_first_touch" -> EventOps.firstTouchOracle,

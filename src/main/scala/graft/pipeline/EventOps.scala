@@ -772,4 +772,98 @@ object EventOps {
        |      FROM i GROUP BY 1, 2)
        |SELECT path, count(*) AS n FROM p
        |GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopN""".stripMargin
+
+  // ---- operator: Kaplan-Meier survival (user lifetime) -------------------
+
+  /** Kaplan-Meier survival over inter-event WAITING TIMES, by the type
+    * of the preceding event — the product-limit estimator (Kaplan &
+    * Meier 1958) applied to "how long until this user's next event
+    * after a view / click / purchase …", the waiting-time question
+    * behind re-engagement and notification timing. Each consecutive
+    * event pair of a user contributes a complete (uncensored) gap in
+    * hours; each user's OPEN gap (last event → corpus horizon) is
+    * right-censored — dropping it would bias the curve optimistic,
+    * which is the defect naive next-event analyses have. Per preceding
+    * type and gap t: at_risk = gaps ≥ t, deaths = complete gaps = t,
+    * and S(t) multiplies (at_risk−deaths)/at_risk over t' ≤ t as an
+    * integer fixed-point fold (floor at each step, seed 1e6), so both
+    * engines walk the exact same value sequence.
+    *
+    * Scale shape: corpus-sized work is one lag window on the event
+    * store's natural (user_id) key (ordered by ts, event_id — total
+    * order, so the gap attribution is deterministic); everything after
+    * lives on the (type, gap) histogram — value-bounded at ≤ hours in
+    * the observation window per type — including the O(k²) per-type
+    * prefix folds. at_risk < 2^31 is assumed by the oracle's
+    * packed-BIGINT fold encoding. Output (prev_type, gap_hours,
+    * at_risk, deaths, censored, surv_fp). */
+  def survivalKm(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("user_id"), col("event_id"), col("event_type"),
+      expr("ts_ns div 3600000000000").as("th"))
+    val horizon = ev.agg(max("th").as("h"))
+    val w = Window.partitionBy("user_id").orderBy("th", "event_id")
+    val gaps = ev.withColumn("nth", lead("th", 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type").as("ptype"),
+        coalesce(col("nth") - col("th"), col("h") - col("th")).as("gap"),
+        when(col("nth").isNull, 1L).otherwise(0L).as("cen"))
+    val g = gaps.groupBy("ptype", "gap")
+      .agg(sum(expr("1 - cen")).as("d"), sum("cen").as("c"))
+    val r = g
+      .withColumn("cum", sum(col("d") + col("c"))
+        .over(Window.partitionBy("ptype").orderBy("gap")))
+      .withColumn("n", sum(col("d") + col("c")).over(Window.partitionBy("ptype")))
+      .withColumn("at_risk", col("n") - col("cum") + col("d") + col("c"))
+    val arr = r.groupBy("ptype").agg(
+      sort_array(collect_list(struct(col("gap"), col("at_risk"), col("d"), col("c")))).as("a"))
+    arr.select(col("ptype").as("prev_type"), col("a"),
+        posexplode(col("a")).as(Seq("i", "x")))
+      .select(col("prev_type"),
+        col("x.gap").as("gap_hours"), col("x.at_risk").as("at_risk"),
+        col("x.d").as("deaths"), col("x.c").as("censored"),
+        expr("""aggregate(slice(a, 1, i + 1), 1000000L,
+               |(s, e) -> s * (e.at_risk - e.d) div e.at_risk)""".stripMargin)
+          .as("surv_fp"))
+      .orderBy("prev_type", "gap_hours")
+  }
+
+  val survivalKmOracle: String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type,
+       |                   epoch_ms(ts) // 3600000 AS th FROM events),
+       |h AS (SELECT max(th) AS h FROM ev),
+       |gaps AS (SELECT event_type AS ptype,
+       |                coalesce(lead(th) OVER (PARTITION BY user_id
+       |                                        ORDER BY th, event_id) - th,
+       |                         (SELECT h FROM h) - th) AS gap,
+       |                CASE WHEN lead(th) OVER (PARTITION BY user_id
+       |                                         ORDER BY th, event_id) IS NULL
+       |                     THEN 1 ELSE 0 END AS cen
+       |         FROM ev),
+       |g AS (SELECT ptype, gap, CAST(sum(1 - cen) AS BIGINT) AS d,
+       |             CAST(sum(cen) AS BIGINT) AS c
+       |      FROM gaps GROUP BY 1, 2),
+       |r AS (SELECT ptype, gap, d, c,
+       |             CAST(sum(d + c) OVER (PARTITION BY ptype ORDER BY gap
+       |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |             CAST(sum(d + c) OVER (PARTITION BY ptype) AS BIGINT) AS n
+       |      FROM g),
+       |rr AS (SELECT ptype, gap, d, c, n - cum + d + c AS at_risk FROM r),
+       |arr AS (SELECT ptype,
+       |               list(struct_pack(gap := gap, at_risk := at_risk, d := d, c := c)
+       |                    ORDER BY gap) AS a
+       |        FROM rr GROUP BY ptype),
+       |f AS (SELECT ptype,
+       |             unnest(list_transform(range(1, len(a) + 1), i -> struct_pack(
+       |               gap := a[i].gap, at_risk := a[i].at_risk,
+       |               d := a[i].d, c := a[i].c,
+       |               surv := list_reduce(
+       |                 list_prepend(1000000::BIGINT,
+       |                   list_transform(a[1:i],
+       |                     x -> (x.at_risk - x.d) * 2147483648 + x.at_risk)),
+       |                 (s, e) -> s * (e // 2147483648) // (e % 2147483648))))) AS o
+       |      FROM arr)
+       |SELECT ptype AS prev_type, o.gap AS gap_hours, o.at_risk AS at_risk,
+       |       o.d AS deaths, o.c AS censored, o.surv AS surv_fp
+       |FROM f ORDER BY prev_type, gap_hours""".stripMargin
 }

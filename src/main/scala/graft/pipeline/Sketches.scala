@@ -475,6 +475,7 @@ object Sketches {
         explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
       .select(col("source"), baseHash(col("s")).as("h"))
       .distinct()
+      .localCheckpoint(true) // shingle+hash+distinct feeds sketches AND masks
     // two-phase bottom-K per source (same skew discipline as kmvJaccard)
     val wLocal = Window.partitionBy("source", "salt").orderBy("h")
     val wK = Window.partitionBy("source").orderBy("h")

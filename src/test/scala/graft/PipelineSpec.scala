@@ -916,6 +916,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("survival km: planted case matches hand-computed product-limit") {
+    import spark.implicits._
+    val h = 3600000000000L
+    // u1 events at hours 0 and 10 (complete gap 10); u2 at hour 0 only.
+    // horizon = 10 → open gaps: u1 censored at 0, u2 censored at 10.
+    val ev = Seq(
+      (1L, 1L, "a", 0L * h), (1L, 2L, "a", 10L * h), (2L, 3L, "a", 0L * h))
+      .toDF("user_id", "event_id", "event_type", "ts_ns")
+    val out = EventOps.survivalKm(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // gap 0: at_risk 3, 0 deaths, 1 censored, S=1.0
+    // gap 10: at_risk 2, 1 death, 1 censored, S=0.5
+    assert(out.toSeq === Seq((0L, 3L, 0L, 1L, 1000000L), (10L, 2L, 1L, 1L, 500000L)))
+  }
+
+  test("survival km: monotone curve and at-risk accounting on real events") {
+    val out = EventOps.survivalKm(graft.sources.EventsAdapter.events(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // survival and at-risk are weakly decreasing in the gap
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 >= b._6 && a._3 >= b._3)
+        case _ =>
+      }
+      // the first at-risk count is the type's total gap count
+      assert(sorted.head._3 === rows.map(r => r._4 + r._5).sum)
+      sorted.foreach { r => assert(r._6 >= 0L && r._6 <= 1000000L) }
+    }
+  }
+
   test("ccnet buckets: tercile laws and monotone surprisal per language") {
     val out = TextOps.ccnetBuckets(docs).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
