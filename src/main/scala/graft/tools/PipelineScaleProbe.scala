@@ -49,11 +49,24 @@ object PipelineScaleProbe {
           concat(slice(col("toks"), 1, TokensPerDoc - 1), array(lit("mutant"))))
         .otherwise(col("toks")))
       .withColumn("text", array_join(col("toks"), " "))
-      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+      .select(col("doc_id"), col("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")),
+          (pmod(col("doc_id"), lit(5L)) + 1).cast("int")).as("lang"),
         element_at(array(lit("web"), lit("books"), lit("code")),
           (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("source"),
         length(col("text")).as("n_chars"))
   }
+
+  /** sf-shaped events: ~20 events/user over a 30-day window. */
+  private def synthEvents(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") / 20L).cast("long").as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"),
+        lit("signup"), lit("error")), (pmod(xxhash64(col("id")), lit(5L)) + 1)
+        .cast("int")).as("event_type"),
+      (pmod(xxhash64(col("id"), lit(7L)), lit(30L * 86400000000000L)))
+        .as("ts_ns"))
 
   /** sf-shaped embeddings: 64-dim floats in [-1, 1] from a hash stream;
     * vec_id%100==1 is an exact copy of vec_id-1 (cosine 1.0). */
@@ -99,7 +112,16 @@ object PipelineScaleProbe {
       // ~10^10 candidate pairs at 1M random vectors (measured; that run
       // was killed, and the scaling law is now documented on the operator)
       "emb_banded" -> (n =>
-        Dedup.cosinePairsBanded(synthEmb(spark, n), Dedup.bandBitsFor(n)).count()))
+        Dedup.cosinePairsBanded(synthEmb(spark, n), Dedup.bandBitsFor(n)).count()),
+      // round-5 session additions: histogram/sketch-shaped operators whose
+      // claim is sub-linear pairwise work — measure it, don't assert it
+      "soft_weights" -> (n => Dedup.softDedupWeights(synthDocs(spark, n)).count()),
+      "theta_overlap" -> (n =>
+        graft.pipeline.Sketches.thetaSourceOps(synthDocs(spark, n)).count()),
+      "unimax" -> (n => graft.pipeline.TextOps.unimaxAlloc(synthDocs(spark, n)).count()),
+      "ccnet" -> (n => graft.pipeline.TextOps.ccnetBuckets(synthDocs(spark, n)).count()),
+      "survival_km" -> (n =>
+        graft.pipeline.EventOps.survivalKm(synthEvents(spark, n)).count()))
 
     val rows = ops.filter(o => opFilter.forall(o._1.contains)).map { case (name, op) =>
       val (ts, rs) = time(op(base))
