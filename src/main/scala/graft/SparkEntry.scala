@@ -1210,6 +1210,7 @@ object SparkEntry {
     "events_ab_lift" -> ((s, dir) => EventOps.abLift(EventsAdapter.events(s, dir))),
     "events_ltv_cohort" -> ((s, dir) => EventOps.ltvCohort(EventsAdapter.events(s, dir))),
     "events_survival_km" -> ((s, dir) => EventOps.survivalKm(EventsAdapter.events(s, dir))),
+    "events_cusum" -> ((s, dir) => EventOps.cusumChangepoint(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
@@ -2267,6 +2268,7 @@ object SparkEntry {
     "events_ab_lift" -> EventOps.abLiftOracle,
     "events_ltv_cohort" -> EventOps.ltvCohortOracle,
     "events_survival_km" -> EventOps.survivalKmOracle,
+    "events_cusum" -> EventOps.cusumChangepointOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
     "events_first_touch" -> EventOps.firstTouchOracle,

@@ -866,4 +866,78 @@ object EventOps {
        |SELECT ptype AS prev_type, o.gap AS gap_hours, o.at_risk AS at_risk,
        |       o.d AS deaths, o.c AS censored, o.surv AS surv_fp
        |FROM f ORDER BY prev_type, gap_hours""".stripMargin
+
+  // ---- CUSUM changepoint on daily volumes ---------------------------------
+
+  /** CUSUM changepoint detection per event type (Page 1954 cumulative
+    * sums, in the Taylor change-point form: the argmax of |S_i| over the
+    * centered cumulative sum locates the most likely level shift in the
+    * daily-volume series — the drift monitor a pipeline runs over its
+    * ingest counters).
+    *
+    * Integer-exact throughout: with x_i the day-i count, n days and
+    * S = Σx, the centered cumsum n·(cum_i − i·x̄) = n·cum_i − i·S needs
+    * no division, so the argmax is bit-identical in both engines; the
+    * before/after means only get fixed-pointed (×100 integer division)
+    * at output. Ties on |dev| break to the EARLIEST day.
+    *
+    * Scale shape: the raw stream collapses map-side to (type, day)
+    * counts, so the per-type ordered window runs over day cardinality
+    * (bounded by calendar span, never by event volume), types fan out
+    * across partitions. The final day of each series has dev = 0 by
+    * construction and can only win the argmax in a constant series,
+    * where the earliest-day tie-break elects day 1 — mean_after then
+    * covers n−1 days, so the division is always defined for n ≥ 2;
+    * single-day types report mean_after_fp = −1.
+    * Output (event_type, cp_day_ms, dev_abs, mean_before_fp,
+    * mean_after_fp). */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("event_type"), expr("ts_ms div 86400000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val scanned = daily
+      .withColumn("cum", sum("x").over(wOrd))
+      .withColumn("i", count(lit(1)).over(wOrd))
+      .withColumn("s", sum("x").over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("dev", abs(col("n") * col("cum") - col("i") * col("s")))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("dev").desc, col("d"))
+    scanned
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        (col("d") * 86400000L).as("cp_day_ms"),
+        col("dev").as("dev_abs"),
+        expr("(100 * cum) div i").as("mean_before_fp"),
+        coalesce(expr("CASE WHEN n > i THEN (100 * (s - cum)) div (n - i) END"),
+          lit(-1L)).as("mean_after_fp"))
+      .orderBy("event_type")
+  }
+
+  val cusumChangepointOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS d, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT event_type, d, x,
+      |         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |         CAST(count(*) OVER (PARTITION BY event_type ORDER BY d
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS i,
+      |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM daily),
+      |dv AS (SELECT *, abs(n * cum - i * s) AS dev FROM sc),
+      |pk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                                    ORDER BY dev DESC, d) AS rk FROM dv)
+      |SELECT event_type, d * 86400000 AS cp_day_ms, dev AS dev_abs,
+      |       (100 * cum) // i AS mean_before_fp,
+      |       coalesce(CASE WHEN n > i THEN (100 * (s - cum)) // (n - i) END, -1)
+      |         AS mean_after_fp
+      |FROM pk WHERE rk = 1 ORDER BY event_type""".stripMargin
 }

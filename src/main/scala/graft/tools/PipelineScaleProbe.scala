@@ -123,7 +123,8 @@ object PipelineScaleProbe {
       "survival_km" -> (n =>
         graft.pipeline.EventOps.survivalKm(synthEvents(spark, n)).count()))
 
-    val rows = ops.filter(o => opFilter.forall(o._1.contains)).map { case (name, op) =>
+    val rows = ops.filter(o =>
+      opFilter.forall(_.split(",").exists(o._1.contains))).map { case (name, op) =>
       val (ts, rs) = time(op(base))
       val (tb, rb) = time(op(base * factor))
       println(f"[probe] $name%-12s ${base}%8d rows ${ts}%7.2fs ($rs%d pairs)   " +

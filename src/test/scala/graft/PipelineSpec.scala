@@ -931,6 +931,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0L, 3L, 0L, 1L, 1000000L), (10L, 2L, 1L, 1L, 500000L)))
   }
 
+  test("cusum changepoint: planted level shift located; constant and single-day edges") {
+    import spark.implicits._
+    val day = 86400000L
+    // "shift": 2/day for days 0-9 then 6/day for days 10-19 → argmax |dev|
+    // lands on the LAST low day (d=9); "flat": constant 3/day, all dev 0,
+    // earliest-day tie-break elects d=0; "one": single day, no after-side.
+    val ev = (
+      (for (d <- 0 until 20; k <- 0 until (if (d < 10) 2 else 6)) yield ("shift", d * day + k)) ++
+      (for (d <- 0 until 5; k <- 0 until 3) yield ("flat", d * day + k)) ++
+      Seq(("one", 0L))).toDF("event_type", "ts_ms")
+    val out = EventOps.cusumChangepoint(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("shift") === ((9L * day, 400L, 200L, 600L)))
+    assert(out("flat") === ((0L, 0L, 300L, 300L)))
+    assert(out("one") === ((0L, 0L, 100L, -1L)))
+  }
+
   test("survival km: monotone curve and at-risk accounting on real events") {
     val out = EventOps.survivalKm(graft.sources.EventsAdapter.events(spark, dir)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
