@@ -1257,6 +1257,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     "dedup_passage" -> ((s, dir) => Dedup.passage(docs(s, dir))),
     "doc_dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir))),
+    "doc_line_dedup" -> ((s, dir) => Dedup.lineDedup(docs(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "emb_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir))),
@@ -2261,6 +2262,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalOracle,
     "dedup_passage" -> Dedup.passageOracle,
     "doc_dup_spans" -> Dedup.dupSpansOracle,
+    "doc_line_dedup" -> Dedup.lineDedupOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,
     "events_bursts" -> EventOps.burstsOracle,

@@ -168,6 +168,78 @@ object Dedup {
        |FROM pd LEFT JOIN sh ON pd.doc_id = sh.doc_id
        |ORDER BY pd.doc_id""".stripMargin
 
+  // ---- C4-style duplicated-segment removal (text rewrite) -----------------
+
+  /** Non-overlapping segment width for [[lineDedup]], tokens. */
+  private val SegTokens = 10
+
+  /** C4-style corpus-level duplicate-segment REMOVAL (Raffel et al. 2020
+    * §2.2 dedup "three-sentence spans occurring more than once keep one
+    * occurrence"): the rewrite complement of [[passage]]/[[dupSpans]],
+    * which only MEASURE duplication. Text partitions into non-overlapping
+    * [[SegTokens]]-token segments (trailing remainder included, so the
+    * rejoin of all segments reproduces the input exactly); a segment
+    * whose hash occurs ≥2 times anywhere in the corpus keeps only its
+    * canonical occurrence — the (doc_id, idx)-least one — and every other
+    * copy is dropped; the document is reassembled from its kept segments
+    * in order. A fully-boilerplate doc survives with clean_text = ''
+    * (downstream length filters decide its fate — this operator never
+    * drops rows).
+    *
+    * Scale shape: the segment relation is n_tokens/10 rows; both the
+    * occurrence-count and canonical-pick come from ONE window shuffle on
+    * the segment hash (group size = duplicate multiplicity — viral
+    * boilerplate is the only skew, salt it at 100 TB); reassembly is a
+    * map-side-combinable collect per doc_id. All built-ins, codegen'd.
+    * Output (doc_id, n_segs, n_dropped, clean_text, clean_hash). */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val segs = graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ceil(size(col("w")) / lit(SegTokens.toDouble)).cast("long") - 1)).as("idx"),
+        col("w"))
+      .select(col("doc_id"), col("idx"),
+        concat_ws(" ",
+          slice(col("w"), (col("idx") * SegTokens + 1).cast("int"), lit(SegTokens))).as("seg"))
+      .withColumn("h", baseHash(col("seg")))
+    val wh = Window.partitionBy("h")
+    val whOrd = Window.partitionBy("h").orderBy("doc_id", "idx")
+    segs
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .withColumn("rn", row_number().over(whOrd))
+      .withColumn("dropped", col("cnt") >= 2 && col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("dropped"), struct(col("idx"), col("seg"))))),
+          x => x("seg")), " ").as("clean_text"))
+      .withColumn("clean_hash", baseHash(col("clean_text")))
+      .orderBy("doc_id")
+  }
+
+  val lineDedupOracle: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |s AS (SELECT doc_id, t.i AS idx,
+       |             array_to_string(w[(t.i*$SegTokens+1):((t.i+1)*$SegTokens)], ' ') AS seg
+       |      FROM d, unnest(range(0, CAST(ceil(len(w) / ${SegTokens}.0) AS BIGINT))) t(i)),
+       |h AS (SELECT doc_id, idx, seg, ${baseHashSql("seg")} AS hh FROM s),
+       |k AS (SELECT doc_id, idx, seg,
+       |             count(*) OVER (PARTITION BY hh) AS cnt,
+       |             row_number() OVER (PARTITION BY hh ORDER BY doc_id, idx) AS rn
+       |      FROM h),
+       |a AS (SELECT doc_id, count(*) AS n_segs,
+       |             CAST(sum(CASE WHEN cnt >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS n_dropped,
+       |             coalesce(string_agg(CASE WHEN NOT (cnt >= 2 AND rn > 1) THEN seg END,
+       |                                 ' ' ORDER BY idx), '') AS clean_text
+       |      FROM k GROUP BY doc_id)
+       |SELECT doc_id, n_segs, n_dropped, clean_text,
+       |       ${baseHashSql("clean_text")} AS clean_hash
+       |FROM a ORDER BY doc_id""".stripMargin
+
   // ---- exact duplicated-substring spans -----------------------------------
 
   /** Duplicated-span window length, tokens. */

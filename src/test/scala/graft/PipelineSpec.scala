@@ -931,6 +931,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0L, 3L, 0L, 1L, 1000000L), (10L, 2L, 1L, 1L, 500000L)))
   }
 
+  test("line dedup: canonical copy kept, later copies removed, clean rejoin exact") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one full segment
+    val tail1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val tail2 = (1 to 10).map(i => s"y$i").mkString(" ")
+    val in = Seq(
+      (1L, s"$boiler $tail1"), // canonical holder of the boiler segment
+      (2L, s"$boiler $tail2"), // later copy → boiler removed
+      (3L, "unique words only here")) // untouched, rejoin must be exact
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(in).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 0L, s"$boiler $tail1")))
+    assert(out(2L) === ((2L, 1L, tail2)))
+    assert(out(3L) === ((1L, 0L, "unique words only here")))
+    // law on real data: n_dropped = 0 ⇒ the rewrite is the identity
+    val real = Dedup.lineDedup(docs)
+    val broken = real.filter(col("n_dropped") === 0)
+      .join(docs, "doc_id")
+      .filter(col("clean_text") =!= col("text"))
+    assert(broken.count() === 0)
+    // and some corpus duplication actually exists (testdata plants near-dups)
+    assert(real.agg(sum("n_dropped")).head.getLong(0) > 0)
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
