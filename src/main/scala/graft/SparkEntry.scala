@@ -1262,6 +1262,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "emb_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir))),
     "emb_knn_graph" -> ((s, dir) => Dedup.knnGraph(emb(s, dir))),
+    "emb_knn_triangles" -> ((s, dir) => Dedup.knnTriangles(emb(s, dir))),
     "emb_cluster_quality" -> ((s, dir) => Similarity.clusterQuality(emb(s, dir))),
     "emb_prototype_prune" -> ((s, dir) => Similarity.prototypePrune(emb(s, dir))),
     "ann_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(emb(s, dir))),
@@ -2514,6 +2515,7 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "emb_semdedup" -> Similarity.semDedupOracle,
     "emb_knn_graph" -> Dedup.knnGraphOracle,
+    "emb_knn_triangles" -> Dedup.knnTrianglesOracle,
     "emb_cluster_quality" -> Similarity.clusterQualityOracle,
     "emb_prototype_prune" -> Similarity.prototypePruneOracle,
     "ann_mmr_rerank" -> Similarity.mmrRerankOracle,

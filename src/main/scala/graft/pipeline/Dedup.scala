@@ -1306,8 +1306,10 @@ object Dedup {
       .orderBy("vec_id", "rank")
   }
 
-  val knnGraphOracle: String =
-    s"""WITH $bandedCandSql,
+  /** Shared CTE chain ending in `r` = the ranked kNN edge list; consumed
+    * by [[knnGraphOracle]] and [[knnTrianglesOracle]]. */
+  private val knnEdgesCte: String =
+    s"""$bandedCandSql,
        |dir AS (SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand),
        |scored AS (
        |  SELECT d.i AS vec_id, d.j AS neighbor_id,
@@ -1315,9 +1317,68 @@ object Dedup {
        |  FROM dir d JOIN ev av ON av.vec_id = d.i JOIN ev bv ON bv.vec_id = d.j),
        |r AS (SELECT vec_id, neighbor_id, cos_fp,
        |             row_number() OVER (PARTITION BY vec_id ORDER BY cos_fp DESC, neighbor_id) AS rank
-       |      FROM scored)
+       |      FROM scored)""".stripMargin
+
+  val knnGraphOracle: String =
+    s"""WITH $knnEdgesCte
        |SELECT vec_id, rank, neighbor_id, cos_fp FROM r WHERE rank <= $KnnGraphK
        |ORDER BY vec_id, rank""".stripMargin
+
+  /** Triangle count and local clustering coefficient over the symmetrized
+    * [[knnGraph]] edge set — the corpus-structure readout an embedding
+    * pipeline runs to tell tight semantic clusters (cc → 1) from hub-and-
+    * spoke noise (cc → 0) before trusting kNN labels or SemDeDup radii
+    * (Watts–Strogatz local coefficient, computed exactly).
+    *
+    * Scale shape: the undirected edge relation is ≤ n·K rows; triangle
+    * enumeration is two self-joins on single vertex keys with every
+    * wedge (x<y<z ordered, so each triangle counts ONCE) checked by a
+    * semi-join — per-vertex fan-out is bounded by the graph degree (≤ 2K
+    * here), so no quadratic stage exists at any corpus size. cc_fp is
+    * integer fixed-point: 2e6·tri / (deg·(deg−1)).
+    * Output (vec_id, deg, n_tri, cc_fp). */
+  def knnTriangles(emb: DataFrame): DataFrame = {
+    val edges = knnGraph(emb)
+      .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees + both sides of the wedge join
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(edges.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+    val triPerV = tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerV, Seq("v"), "left_outer")
+      .select(col("v").as("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_fp",
+        expr("IF(deg >= 2, 2000000 * n_tri div (deg * (deg - 1)), CAST(0 AS BIGINT))"))
+      .orderBy("vec_id")
+  }
+
+  val knnTrianglesOracle: String =
+    s"""WITH $knnEdgesCte,
+       |g AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= $KnnGraphK),
+       |e AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |                      greatest(vec_id, neighbor_id) AS b FROM g),
+       |deg AS (SELECT v, count(*) AS deg
+       |        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |        WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |tv AS (SELECT v, count(*) AS n_tri
+       |       FROM (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+       |             UNION ALL SELECT z AS v FROM tri) GROUP BY 1)
+       |SELECT deg.v AS vec_id, deg.deg AS deg,
+       |       coalesce(tv.n_tri, 0) AS n_tri,
+       |       CASE WHEN deg.deg >= 2
+       |            THEN 2000000 * coalesce(tv.n_tri, 0) // (deg.deg * (deg.deg - 1))
+       |            ELSE 0 END AS cc_fp
+       |FROM deg LEFT JOIN tv ON deg.v = tv.v
+       |ORDER BY vec_id""".stripMargin
 
   /** PageRank damping numerator (d = 85/100) and fixed-point scale. */
   val PrDamp = 85L

@@ -956,6 +956,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(real.agg(sum("n_dropped")).head.getLong(0) > 0)
   }
 
+  test("knn triangles: identical vectors form a complete graph with cc = 1; laws on real data") {
+    import spark.implicits._
+    // 4 identical vectors → K4: deg 3, 3 triangles per vertex, cc = 1.0
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val in = (0L to 3L).map(id => (id, v)).toDF("vec_id", "embedding")
+    val k4 = Dedup.knnTriangles(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(k4.toSeq === (0L to 3L).map(id => (id, 3L, 3L, 1000000L)))
+    // laws on real embeddings: cc ∈ [0, 1e6] and n_tri ≤ C(deg, 2)
+    val real = Dedup.knnTriangles(emb).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (deg, tri, cc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cc >= 0L && cc <= 1000000L)
+      assert(tri <= deg * (deg - 1) / 2)
+    }
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
