@@ -897,6 +897,69 @@ object Similarity {
        |         (a, b) -> a + b) AS m_checksum
        |FROM n ORDER BY vec_id""".stripMargin
 
+  // ---- Johnson-Lindenstrauss random projection ---------------------------
+
+  /** Target dimensionality for [[rpProject]]. */
+  val RpK = 16
+
+  /** ±1 sign matrix (RpK × Dim) from one LCG stream; the SAME Scala
+    * values are interpolated into the oracle SQL, so both engines apply
+    * the identical projection. */
+  private val rpSigns: Array[Array[Int]] = {
+    var s = 0x9E3779B97F4A7C15L
+    Array.fill(RpK, Dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (((s >>> 33) & 1L) == 0L) 1 else -1
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection (Achlioptas 2003 database-
+    * friendly ±1 form): Dim → [[RpK]] via a fixed sign matrix — the
+    * cheap dimensionality-reduction step a 100 TB pipeline runs before
+    * clustering or coarse ANN when trained projections aren't worth the
+    * pass. With ±1 entries, E[‖y‖²/K] = ‖x‖², so the per-vector
+    * distortion readout dist_fp = 1e4·‖y‖²/(K·‖x‖²) concentrates at
+    * 10000 — emitted per row so the tail (the vectors JL treats worst)
+    * is directly visible, not averaged away.
+    *
+    * Scale shape: one codegen'd map pass, no shuffle at all (16 dotF64
+    * folds against literal arrays); zero vectors report dist_fp = −1
+    * instead of dividing. Output (vec_id, y0_fp..y3_fp, dist_fp). */
+  def rpProject(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ys = (0 until RpK).map { j =>
+      dotCols(col("v"), array(rpSigns(j).map(s => lit(s.toDouble)): _*)).as(s"y$j")
+    }
+    val proj = e.select(col("vec_id") +: ys :+ dotCols(col("v"), col("v")).as("x2"): _*)
+    val yss = expr((0 until RpK).map(j => s"y$j * y$j").mkString(" + "))
+    proj
+      .withColumn("dist_fp",
+        when(col("x2") === 0.0, lit(-1L)).otherwise(
+          floor(lit(10000.0) * yss / (lit(RpK.toDouble) * col("x2"))).cast("long")))
+      .select(col("vec_id") +:
+        (0 until 4).map(j => floor(col(s"y$j") * 100).cast("long").as(s"y${j}_fp")) :+
+        col("dist_fp"): _*)
+      .orderBy("vec_id")
+  }
+
+  val rpProjectOracle: String = {
+    def signList(j: Int) = rpSigns(j).mkString("[", ", ", "]")
+    def yj(j: Int) =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), d -> (${signList(j)}[d]) * v[d]), (x, y) -> x + y) AS y$j"
+    val yss = (0 until RpK).map(j => s"y$j * y$j").mkString(" + ")
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id,
+       |  ${(0 until RpK).map(yj).mkString(",\n|  ")},
+       |  list_reduce(list_transform(range(1, ${Dim + 1}), d -> v[d] * v[d]), (x, y) -> x + y) AS x2
+       |FROM ev)
+       |SELECT vec_id,
+       |  ${(0 until 4).map(j => s"floor(y$j * 100)::BIGINT AS y${j}_fp").mkString(",\n|  ")},
+       |  CASE WHEN x2 = 0 THEN -1
+       |       ELSE floor((10000.0::DOUBLE * ($yss)) / (${RpK}.0::DOUBLE * x2))::BIGINT
+       |  END AS dist_fp
+       |FROM p ORDER BY vec_id""".stripMargin
+  }
+
   // ---- label centroids & kNN classification ------------------------------
 
   /** Per-label centroid, emitted as exploded (label, pos, mean_fp) rows —

@@ -974,6 +974,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rp project: one-hot vectors have exact unit distortion; corpus mean concentrates") {
+    import spark.implicits._
+    // e_k projects to the k-th sign column: ‖y‖² = RpK exactly → dist_fp = 10000
+    val oneHots = (0 until 3).map { k =>
+      (k.toLong, Array.tabulate(64)(i => if (i == k * 7) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val oh = Similarity.rpProject(oneHots).collect()
+    assert(oh.map(_.getLong(5)).toSeq === Seq(10000L, 10000L, 10000L))
+    // zero vector: no division, dist_fp = -1
+    val z = Seq((9L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.rpProject(z).head.getLong(5) === -1L)
+    // JL concentration on real embeddings: E[dist] = 10000, k=16 keeps the
+    // mean of 500 draws well inside ±10%
+    val dist = Similarity.rpProject(emb).collect().map(_.getLong(5))
+    val mean = dist.sum.toDouble / dist.length
+    assert(mean > 9000 && mean < 11000, s"mean distortion $mean")
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
