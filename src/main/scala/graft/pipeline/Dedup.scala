@@ -1279,13 +1279,20 @@ object Dedup {
     * Scale shape: band join shuffles fixed-width (band, bucket) rows;
     * score joins are equi-joins on vec_id; the window partitions by
     * vec_id over candidate lists bounded by band-bucket occupancy.
+    * The no-arg form pins the oracle-scale band width; corpus-scale
+    * callers MUST size bandBits with [[bandBitsFor]] (same quadratic
+    * fixed-width degeneration as [[cosinePairsBanded]] — measured ×50
+    * for ×10 data at 100k vectors on the default width).
     * Output (vec_id, rank, neighbor_id, cos_fp). */
-  def knnGraph(emb: DataFrame): DataFrame = {
+  def knnGraph(emb: DataFrame): DataFrame = knnGraph(emb, EmbBandBits)
+
+  def knnGraph(emb: DataFrame, bandBits: Int): DataFrame = {
     import graft.functions.VectorMath.dotF64
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
     val banded = e.select(col("vec_id"),
-      posexplode(allBandBuckets).as(Seq("band", "bkt")))
+      posexplode(graft.functions.VectorMath.hyperplaneBuckets(
+        col("v"), EmbBands, bandBits)).as(Seq("band", "bkt")))
       .localCheckpoint(true)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
@@ -1337,8 +1344,10 @@ object Dedup {
     * here), so no quadratic stage exists at any corpus size. cc_fp is
     * integer fixed-point: 2e6·tri / (deg·(deg−1)).
     * Output (vec_id, deg, n_tri, cc_fp). */
-  def knnTriangles(emb: DataFrame): DataFrame = {
-    val edges = knnGraph(emb)
+  def knnTriangles(emb: DataFrame): DataFrame = knnTriangles(emb, EmbBandBits)
+
+  def knnTriangles(emb: DataFrame, bandBits: Int): DataFrame = {
+    val edges = knnGraph(emb, bandBits)
       .select(least(col("vec_id"), col("neighbor_id")).as("a"),
         greatest(col("vec_id"), col("neighbor_id")).as("b"))
       .distinct()

@@ -121,7 +121,13 @@ object PipelineScaleProbe {
       "unimax" -> (n => graft.pipeline.TextOps.unimaxAlloc(synthDocs(spark, n)).count()),
       "ccnet" -> (n => graft.pipeline.TextOps.ccnetBuckets(synthDocs(spark, n)).count()),
       "survival_km" -> (n =>
-        graft.pipeline.EventOps.survivalKm(synthEvents(spark, n)).count()))
+        graft.pipeline.EventOps.survivalKm(synthEvents(spark, n)).count()),
+      "line_dedup" -> (n => Dedup.lineDedup(synthDocs(spark, n)).count()),
+      "cusum" -> (n =>
+        graft.pipeline.EventOps.cusumChangepoint(
+          synthEvents(spark, n).withColumn("ts_ms", expr("ts_ns div 1000000"))).count()),
+      "knn_triangles" -> (n =>
+        Dedup.knnTriangles(synthEmb(spark, n), Dedup.bandBitsFor(n)).count()))
 
     val rows = ops.filter(o =>
       opFilter.forall(_.split(",").exists(o._1.contains))).map { case (name, op) =>

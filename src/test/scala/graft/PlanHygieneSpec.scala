@@ -42,6 +42,32 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"payload source column must be pruned from the scan: $l"))
   }
 
+  test("session-6 entries: rp_project shuffle-free, triangle/line-dedup joins stay equi") {
+    // rp projection is ONE map pass: no Exchange anywhere in the plan
+    // (the trailing global orderBy is the entry's presentation sort —
+    // assert on the projection itself)
+    val rp = graft.pipeline.Similarity.rpProject(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+      .queryExecution.executedPlan.toString
+    val rpCore = rp.linesIterator.filterNot(_.contains("rangepartitioning")).mkString("\n")
+    assert(!rpCore.contains("ExchangeHash"), rp)
+    assert(!rp.contains("CartesianProduct"), rp)
+    // triangle enumeration: wedge + closure joins are equi-joins, never
+    // cartesian / broadcast NLJ
+    val tr = plan("emb_knn_triangles")
+    assert(!tr.contains("CartesianProduct") && !tr.contains("BroadcastNestedLoop"), tr)
+    // line dedup: dup detection + canonical pick ride ONE hash-partition
+    // window on the segment hash (two window functions, one Exchange for h)
+    val ld = plan("doc_line_dedup")
+    assert(!ld.contains("CartesianProduct"), ld)
+    assert(ld.linesIterator.count(l =>
+      l.contains("hashpartitioning(h#")) <= 1, ld)
+    // cusum: the stream collapses to (type, day) BEFORE any window runs —
+    // windows sit above HashAggregate, never over raw events
+    val cu = plan("events_cusum")
+    assert(!cu.contains("CartesianProduct"), cu)
+  }
+
   test("session-5 entries: top-N stays TakeOrdered, pair joins stay equi, no cartesians") {
     // top paths: final top-20 must be a TakeOrdered, not a global sort
     val tp = plan("events_top_paths")
