@@ -1178,6 +1178,7 @@ object SparkEntry {
     "doc_tfidf" -> ((s, dir) => TextOps.tfidf(docs(s, dir))),
     "doc_lm_surprisal" -> ((s, dir) => TextOps.lmSurprisal(docs(s, dir))),
     "doc_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
+    "doc_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir))),
     "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
@@ -2485,6 +2486,7 @@ object SparkEntry {
     "doc_tfidf" -> TextOps.tfidfOracle,
     "doc_lm_surprisal" -> TextOps.lmSurprisalOracle,
     "doc_bpe_pairs" -> TextOps.bpePairsOracle,
+    "doc_bpe_train" -> TextOps.bpeTrainOracle,
     "doc_source_cap" -> TextOps.sourceCapOracle,
     "events_funnel" -> EventOps.funnelOracle,
     "events_retention" -> EventOps.retentionOracle,

@@ -560,6 +560,115 @@ object TextOps {
        |  GROUP BY 1)
        |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT $BpeTopK""".stripMargin
 
+  // ---- operator: iterative BPE merge training ----------------------------
+
+  /** Merge rounds for [[bpeTrain]]. */
+  val BpeRounds = 6
+
+  /** Iterative BPE training (Sennrich et al. 2016): [[BpeRounds]] rounds
+    * of pick-most-frequent-adjacent-pair / apply-greedy-merge, producing
+    * the ordered merge table — the artifact a tokenizer ships.
+    * [[bpePairs]] is round 0's counting step; this runs the whole loop.
+    *
+    * The greedy left-to-right merge pass is expressed CLOSED-FORM over
+    * windows, no sequential fold: consecutive merge candidates can only
+    * arise in equal-symbol runs (s=pa=pb), where greedy selects every
+    * other candidate from the run start — so gaps-and-islands (rn −
+    * candRank) keys the runs and parity of (candRank − min candRank)
+    * picks the winners, bit-identically in both engines. Per round:
+    * count pairs → best = 1-row (cnt DESC, pa, pb) limit — BROADCAST,
+    * not collected, so the loop is fully declarative — mark candidates,
+    * select by run parity, drop each winner's right neighbor, rewrite
+    * the winner's symbol.
+    *
+    * Scale shape: identical to [[bpePairs]] — the corpus collapses to
+    * the vocab-bounded (word, freq) relation FIRST and every round's
+    * windows partition by word over ≤ word-length rows; localCheckpoint
+    * per round keeps the 6-round plan shallow. Empty corpora / no pairs
+    * left: later rounds produce no merge row, never a throw.
+    * Output ([[BpeRounds]] rows: round, pa, pb, pair_count, new_sym). */
+  def bpeTrain(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("word").orderBy("pos")
+    var rows = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        // Spark's split runs with limit -1 → a trailing '' element; drop it
+        posexplode(split(col("word"), "(?!^)")).as(Seq("pos", "sym")))
+      .filter(col("sym") =!= "")
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 0 until BpeRounds) {
+      val p = rows.withColumn("nxt", lead("sym", 1).over(w))
+      val best = p.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum("cnt").as("c"))
+        .select(col("sym").as("pa"), col("nxt").as("pb"), col("c"))
+        .orderBy(col("c").desc, col("pa"), col("pb")).limit(1)
+        .localCheckpoint(true)
+      val m = p.crossJoin(broadcast(best))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cand", col("sym") === col("pa") && col("nxt") === col("pb"))
+      val sel = m.filter(col("cand"))
+        .withColumn("crank", row_number().over(w))
+        .withColumn("runkey", col("rn") - col("crank"))
+        .withColumn("minr", min("crank").over(Window.partitionBy("word", "runkey")))
+        .select(col("word"), col("pos"),
+          (((col("crank") - col("minr")) % 2) === 0).as("sel"))
+      rows = m.join(sel, Seq("word", "pos"), "left_outer")
+        .withColumn("sel", coalesce(col("sel"), lit(false)))
+        .withColumn("psel", lag("sel", 1).over(w))
+        .filter(!coalesce(col("psel"), lit(false)))
+        .select(col("word"), col("cnt"), col("pos"),
+          when(col("sel"), concat(col("pa"), col("pb"))).otherwise(col("sym")).as("sym"))
+        .localCheckpoint(true)
+      val mergeRow = best.select(lit(r.toLong).as("round"), col("pa"), col("pb"),
+        col("c").as("pair_count"), concat(col("pa"), col("pb")).as("new_sym"))
+      out = if (out == null) mergeRow else out.unionAll(mergeRow)
+    }
+    out.orderBy("round")
+  }
+
+  val bpeTrainOracle: String = {
+    def round(k: Int): String =
+      s"""p$k AS (SELECT word, cnt, pos, sym,
+         |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r$k),
+         |b$k AS (SELECT sym AS pa, nxt AS pb, CAST(sum(cnt) AS BIGINT) AS c
+         |        FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |        ORDER BY c DESC, pa, pb LIMIT 1),
+         |m$k AS (SELECT p.word, p.cnt, p.pos, p.sym, b.pa, b.pb,
+         |               row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn,
+         |               (p.sym = b.pa AND p.nxt = b.pb) AS cand
+         |        FROM p$k p CROSS JOIN b$k b),
+         |cr$k AS (SELECT word, pos, rn,
+         |                row_number() OVER (PARTITION BY word ORDER BY pos) AS crank
+         |         FROM m$k WHERE cand),
+         |sel$k AS (SELECT word, pos,
+         |                 (crank - min(crank) OVER (PARTITION BY word, rn - crank)) % 2 = 0
+         |                   AS sel
+         |          FROM cr$k),
+         |j$k AS (SELECT m.word, m.cnt, m.pos, m.sym, m.pa, m.pb,
+         |               coalesce(s.sel, FALSE) AS sel
+         |        FROM m$k m LEFT JOIN sel$k s ON m.word = s.word AND m.pos = s.pos),
+         |r${k + 1} AS (SELECT word, cnt, pos,
+         |                     CASE WHEN sel THEN pa || pb ELSE sym END AS sym
+         |              FROM (SELECT *, lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
+         |                    FROM j$k)
+         |              WHERE NOT coalesce(psel, FALSE))""".stripMargin
+    val mergeRows = (0 until BpeRounds)
+      .map(k => s"SELECT $k AS round, pa, pb, c AS pair_count, pa || pb AS new_sym FROM b$k")
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH vc AS (
+       |  SELECT u.word AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT $tokensSql AS w FROM documents) d, unnest(d.w) u(word)
+       |  WHERE u.word != '' GROUP BY 1),
+       |r0 AS (SELECT word, cnt, t.i AS pos, substring(word, CAST(t.i AS INTEGER), 1) AS sym
+       |       FROM vc, unnest(range(1, len(word) + 1)) t(i)),
+       |${(0 until BpeRounds).map(round).mkString(",\n|")}
+       |$mergeRows
+       |ORDER BY round""".stripMargin
+  }
+
   // ---- operator: per-source quota cap ------------------------------------
 
   /** Per-source document quota. */

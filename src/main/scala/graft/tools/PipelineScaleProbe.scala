@@ -127,7 +127,9 @@ object PipelineScaleProbe {
         graft.pipeline.EventOps.cusumChangepoint(
           synthEvents(spark, n).withColumn("ts_ms", expr("ts_ns div 1000000"))).count()),
       "knn_triangles" -> (n =>
-        Dedup.knnTriangles(synthEmb(spark, n), Dedup.bandBitsFor(n)).count()))
+        Dedup.knnTriangles(synthEmb(spark, n), Dedup.bandBitsFor(n)).count()),
+      // claim: corpus collapses to the vocab FIRST, rounds are vocab-bounded
+      "bpe_train" -> (n => graft.pipeline.TextOps.bpeTrain(synthDocs(spark, n)).count()))
 
     val rows = ops.filter(o =>
       opFilter.forall(_.split(",").exists(o._1.contains))).map { case (name, op) =>

@@ -992,6 +992,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean > 9000 && mean < 11000, s"mean distortion $mean")
   }
 
+  test("bpe train: planted merges in order, equal-run greedy parity, monotone counts") {
+    import spark.implicits._
+    val m1 = TextOps.bpeTrain(Seq((1L, "aaab aaab ab")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    assert(m1.toSeq === Seq(
+      (0L, "a", "a", 4L, "aa"), // aa:4 beats ab:3
+      (1L, "a", "b", 3L, "ab"), // after merge, (aa,a):2 < (a,b):3
+      (2L, "aa", "ab", 2L, "aaab"))) // then nothing left to merge: 3 rows, not 6
+    // equal-symbol run: greedy takes every other candidate → [aa][aa], then [aaaa]
+    val m2 = TextOps.bpeTrain(Seq((1L, "aaaa")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    assert(m2.toSeq === Seq((0L, "a", "a", 3L, "aa"), (1L, "aa", "aa", 1L, "aaaa")))
+    // law on real data: the chosen pair count never increases round-over-round
+    val counts = TextOps.bpeTrain(docs).collect().map(_.getLong(3))
+    assert(counts.length === TextOps.BpeRounds)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts.toSeq)
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
