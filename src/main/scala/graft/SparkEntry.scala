@@ -1295,6 +1295,10 @@ object SparkEntry {
       Multimodal.aspectPlan(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_scene_cuts" -> ((s, dir) =>
       Multimodal.sceneCuts(Multimodal.mediaFromDocs(docs(s, dir)))),
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.phashes(Multimodal.mediaFromDocs(docs(s, dir))).orderBy("media_id")),
+    "mm_phash_dup" -> ((s, dir) =>
+      Multimodal.phashDup(Multimodal.mediaFromDocs(docs(s, dir)))),
 
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
@@ -2544,6 +2548,8 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.sampleFramesOracle,
     "mm_image_tiles" -> Multimodal.tileImagesOracle,
     "mm_aspect_plan" -> Multimodal.aspectPlanOracle,
-    "mm_scene_cuts" -> Multimodal.sceneCutsOracle
+    "mm_scene_cuts" -> Multimodal.sceneCutsOracle,
+    "mm_phash" -> Multimodal.phashesOracle,
+    "mm_phash_dup" -> Multimodal.phashDupOracle
   )
 }

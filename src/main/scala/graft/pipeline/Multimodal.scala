@@ -351,4 +351,109 @@ object Multimodal {
        |          list_reduce(list_prepend(0::BIGINT, diffs), (a, b) -> a + b) // (nf - 1)
        |        ELSE 0 END)::BIGINT AS mean_diff
        |FROM b ORDER BY media_id""".stripMargin
+
+  // ---- perceptual-hash near-duplicate detection ---------------------------
+
+  /** Max Hamming distance for a [[phashDup]] near-dup pair. */
+  val PhashMaxHamming = 3
+
+  /** Perceptual-hash near-dup detection over the media column — the
+    * image-dedup recipe (aHash family): a 64-bit content hash from the
+    * decoded blob, then banded Hamming matching, so re-encoded /
+    * slightly-perturbed copies collide while distinct media don't.
+    * The hash itself is the DECODE-stage stub (the real aHash — resize
+    * to 8×8, threshold against the mean — drops into the same per-blob
+    * map): the payload splits into 64 contiguous cells and bit_j is
+    * "cell-j mean byte > global mean byte", compared integer-exactly as
+    * sum_j·n > S·len_j (no division anywhere).
+    *
+    * Scale shape: hashing is embarrassingly parallel (mapPartitions, no
+    * shuffle); matching shuffles 4 fixed-width (band, key16) rows per
+    * blob — the simhash banded discipline (same 4-band /
+    * Hamming≤[[PhashMaxHamming]] layout as Dedup.simhash), never an
+    * all-pairs join; ≤3 flipped bits cannot touch all 4 bands, so every
+    * threshold pair shares a clean band and recall on the threshold set
+    * is exactly 1 by pigeonhole. Exact bit_count verify on candidates
+    * only. Output (id_a, id_b, hamming). */
+  /** Per-blob 64-bit perceptual hash (the decode-stage stub of
+    * [[phashDup]], exposed as its own relation — the stored artifact an
+    * incremental media-dedup pipeline indexes). Output (media_id, phash). */
+  def phashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      val n = m.payload.length
+      var tot = 0L
+      var i = 0
+      while (i < n) { tot += (m.payload(i) & 0xff); i += 1 }
+      var h = 0L
+      var j = 0
+      while (j < 64) {
+        val cs = j.toLong * n / 64
+        val ce = (j + 1).toLong * n / 64
+        var s = 0L
+        var p = cs
+        while (p < ce) { s += (m.payload(p.toInt) & 0xff); p += 1 }
+        if (ce > cs && s * n > tot * (ce - cs)) h |= (1L << j)
+        j += 1
+      }
+      (m.media_id, h)
+    }).toDF("media_id", "phash")
+  }
+
+  def phashDup(media: DataFrame): DataFrame = {
+    val bands = phashes(media)
+      .select(col("media_id"), col("phash"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("key", expr("(phash >> (16 * b)) & 65535"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle mirror of the hash: the payload is the UTF-8 text bytes and
+    * testdata is ASCII, so ord(one-char substr) IS the byte value. */
+  private val phashCte: String =
+    s"""m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+       |tot AS (SELECT media_id, text, n,
+       |               list_reduce(list_prepend(0::BIGINT, list_transform(range(1, n + 1),
+       |                 i -> ord(substr(text, CAST(i AS INTEGER), 1))::BIGINT)),
+       |                 (a, b) -> a + b) AS s
+       |        FROM m),
+       |bits AS (SELECT media_id, t.j,
+       |                CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(
+       |                    range((t.j * n) // 64 + 1, ((t.j + 1) * n) // 64 + 1),
+       |                    i -> ord(substr(text, CAST(i AS INTEGER), 1))::BIGINT)),
+       |                    (a, b) -> a + b) * n
+       |                  > s * ((((t.j + 1) * n) // 64) - ((t.j * n) // 64))
+       |                  AND (((t.j + 1) * n) // 64) > ((t.j * n) // 64)
+       |                THEN CASE WHEN t.j = 63 THEN -9223372036854775807 - 1
+       |                          ELSE 1::BIGINT << CAST(t.j AS INTEGER) END
+       |                ELSE 0::BIGINT END AS bit
+       |         FROM tot, range(0, 64) t(j)),
+       |ph AS (SELECT media_id, CAST(bit_or(bit) AS BIGINT) AS phash FROM bits GROUP BY 1)""".stripMargin
+
+  val phashesOracle: String =
+    s"""WITH $phashCte
+       |SELECT media_id, phash FROM ph ORDER BY media_id""".stripMargin
+
+  val phashDupOracle: String =
+    s"""WITH $phashCte,
+       |bands AS (SELECT media_id, phash, t.b,
+       |                 (phash >> CAST(16 * t.b AS INTEGER)) & 65535 AS key
+       |          FROM ph, range(0, 4) t(b)),
+       |cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+       |                x.phash AS ha, y.phash AS hb
+       |         FROM bands x JOIN bands y
+       |           ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 }

@@ -1010,6 +1010,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts.toSeq)
   }
 
+  test("phash dup: near-identical payloads pair within Hamming 3, inverted payloads don't") {
+    import spark.implicits._
+    // 640 bytes = 64 cells of 10; alternating loud/quiet cells → phash 0x5555…
+    val base = Array.tabulate(640)(i => if ((i / 10) % 2 == 0) 200.toByte else 10.toByte)
+    val nearCopy = base.clone(); (0 until 10).foreach(i => nearCopy(i) = 10.toByte) // 1 cell flips
+    val inverted = Array.tabulate(640)(i => if ((i / 10) % 2 == 0) 10.toByte else 200.toByte)
+    val df = Seq((1L, "image", base, 8, 8), (2L, "image", nearCopy, 8, 8),
+      (3L, "image", inverted, 8, 8)).toDF("media_id", "kind", "payload", "width", "height")
+    val ph = Multimodal.phashes(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) === 0x5555555555555555L)
+    assert(ph(3L) === (ph(1L) ^ -1L)) // exact inverse
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(2L)) === 1)
+    // only the (base, nearCopy) pair survives; the inverse shares no band
+    val pairs = Multimodal.phashDup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1L)))
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
