@@ -1249,6 +1249,7 @@ object SparkEntry {
     "emb_binary_quant" -> ((s, dir) => Similarity.binaryQuantize(emb(s, dir))),
     "emb_outliers" -> ((s, dir) => Similarity.centroidOutliers(emb(s, dir))),
     "emb_centroid_classify" -> ((s, dir) => Similarity.centroidClassify(emb(s, dir))),
+    "emb_calibration" -> ((s, dir) => Similarity.centroidCalibration(emb(s, dir))),
     "emb_pagerank" -> ((s, dir) => Dedup.knnPagerank(emb(s, dir))),
     "dedup_minhash_est_eval" -> ((s, dir) => Dedup.minhashEstEval(docs(s, dir))),
     "ann_ranking_metrics" -> ((s, dir) => Similarity.rankingMetrics(emb(s, dir))),
@@ -2261,6 +2262,7 @@ object SparkEntry {
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,
     "emb_outliers" -> Similarity.centroidOutliersOracle,
     "emb_centroid_classify" -> Similarity.centroidClassifyOracle,
+    "emb_calibration" -> Similarity.centroidCalibrationOracle,
     "emb_pagerank" -> Dedup.knnPagerankOracle,
     "dedup_minhash_est_eval" -> Dedup.minhashEstEvalOracle,
     "ann_ranking_metrics" -> Similarity.rankingMetricsOracle,

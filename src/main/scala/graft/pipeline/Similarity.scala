@@ -1175,7 +1175,11 @@ object Similarity {
     * centroid relation is label-cardinality-sized → broadcast; the
     * corpus streams once through a ×labels projection; the confusion
     * output is labels²-bounded. */
-  def centroidClassify(emb: DataFrame): DataFrame = {
+  /** Per-vector nearest-centroid prediction with its score — the shared
+    * core of [[centroidClassify]] (confusion matrix) and
+    * [[centroidCalibration]] (reliability diagram).
+    * Ties on cos_fp break to the LOWEST label (max of (cos, −label)). */
+  private def centroidScored(emb: DataFrame): DataFrame = {
     val cvec = centroids(emb).groupBy("label")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mean_fp")))),
@@ -1191,16 +1195,48 @@ object Similarity {
           (-col("c_label")).as("neg_label")).as("cand"))
       .groupBy("vec_id", "label")
       .agg(max(col("cand")).as("best"))
-      .groupBy(col("label"), (-col("best.neg_label")).cast("long").as("pred_label"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("label", "pred_label")
+      .select(col("vec_id"), col("label"),
+        (-col("best.neg_label")).cast("long").as("pred_label"),
+        col("best.cos_fp").as("cos_fp"))
   }
 
-  val centroidClassifyOracle: String = {
+  def centroidClassify(emb: DataFrame): DataFrame =
+    centroidScored(emb)
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+
+  /** Reliability diagram / calibration readout for the nearest-centroid
+    * classifier (the ECE binning of Guo et al. 2017): confidence = the
+    * winning cosine mapped to [0, 1] (fixed-point 1e4), bucketed into
+    * ten bins; each bin reports its size, accuracy, mean confidence and
+    * |confidence − accuracy| gap — the per-bin terms of expected
+    * calibration error, emitted unaggregated so the miscalibrated
+    * REGION is visible, not just the scalar. All integer arithmetic
+    * after the shared scored relation; one shuffle on the 10-row bin
+    * key. Output (bin, n, n_correct, mean_conf_fp, acc_fp, gap_fp). */
+  def centroidCalibration(emb: DataFrame): DataFrame =
+    centroidScored(emb)
+      .withColumn("conf_fp", expr("(cos_fp + 1000000) div 200"))
+      .withColumn("bin", least(expr("conf_fp div 1000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+        sum("conf_fp").as("sc"))
+      .select(col("bin"), col("n"), col("n_correct"),
+        expr("sc div n").as("mean_conf_fp"),
+        expr("n_correct * 10000 div n").as("acc_fp"))
+      .withColumn("gap_fp", abs(col("mean_conf_fp") - col("acc_fp")))
+      .orderBy("bin")
+
+  /** Shared CTE chain ending in the per-vector winner relation `w`
+    * (vec_id, label, pred_label, cos_fp) — the oracle mirror of
+    * [[centroidScored]]. */
+  private val centroidScoredCte: String = {
     val dotVC = s"list_reduce(list_transform(range(1, ${Dim + 1}), d -> e.v[d] * cv.c[d]), (x, y) -> x + y)"
     val nrmV = s"sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), d -> e.v[d] * e.v[d]), (x, y) -> x + y))"
     val nrmC = s"sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), d -> cv.c[d] * cv.c[d]), (x, y) -> x + y))"
-    s"""WITH cent AS (
+    s"""cent AS (
        |  SELECT label, t.pos,
        |         CAST(floor(avg(embedding[t.pos]::DOUBLE) * 1e6) AS BIGINT) AS mean_fp
        |  FROM embeddings, range(1, ${Dim + 1}) t(pos)
@@ -1213,14 +1249,31 @@ object Similarity {
        |         floor($dotVC / ($nrmV * $nrmC) * 1e6)::BIGINT AS cos_fp
        |  FROM e CROSS JOIN cv),
        |p AS (
-       |  SELECT vec_id, label, c_label AS pred_label,
+       |  SELECT vec_id, label, c_label AS pred_label, cos_fp,
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY cos_fp DESC, c_label) AS rn
-       |  FROM s)
-       |SELECT label, CAST(pred_label AS BIGINT) AS pred_label, count(*) AS n
-       |FROM p WHERE rn = 1
-       |GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin
+       |  FROM s),
+       |w AS (SELECT vec_id, label, CAST(pred_label AS BIGINT) AS pred_label, cos_fp
+       |      FROM p WHERE rn = 1)""".stripMargin
   }
+
+  val centroidClassifyOracle: String =
+    s"""WITH $centroidScoredCte
+       |SELECT label, pred_label, count(*) AS n
+       |FROM w GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin
+
+  val centroidCalibrationOracle: String =
+    s"""WITH $centroidScoredCte,
+       |cf AS (SELECT label, pred_label, (cos_fp + 1000000) // 200 AS conf_fp FROM w),
+       |b AS (SELECT least(conf_fp // 1000, 9) AS bin, count(*) AS n,
+       |             CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS n_correct,
+       |             CAST(sum(conf_fp) AS BIGINT) AS sc
+       |      FROM cf GROUP BY 1)
+       |SELECT bin, n, n_correct, sc // n AS mean_conf_fp,
+       |       n_correct * 10000 // n AS acc_fp,
+       |       abs(sc // n - n_correct * 10000 // n) AS gap_fp
+       |FROM b ORDER BY bin""".stripMargin
 
   /** kNN label vote: predict each query vector's label from its 5 exact
     * nearest neighbors (majority, ties broken by smaller label).

@@ -1028,6 +1028,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1L)))
   }
 
+  test("calibration: perfect clusters land in bin 9 with zero gap; confident errors open it") {
+    import spark.implicits._
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e1 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    // two pure clusters: every vector IS its centroid → conf 1.0, all correct
+    val pure = Seq((0L, e0, 1), (1L, e0, 1), (2L, e1, 2), (3L, e1, 2))
+      .toDF("vec_id", "embedding", "label")
+    val pb = Similarity.centroidCalibration(pure).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(pb.toSeq === Seq((9L, 4L, 4L, 10000L, 10000L, 0L)))
+    // same vector under two labels: both centroids coincide, tie-break picks
+    // label 1 → one confident hit, one confident miss → gap 5000 in bin 9
+    val conf = Seq((0L, e0, 1), (1L, e0, 2)).toDF("vec_id", "embedding", "label")
+    val cb = Similarity.centroidCalibration(conf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(cb.toSeq === Seq((9L, 2L, 1L, 10000L, 5000L, 5000L)))
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
