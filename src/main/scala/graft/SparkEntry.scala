@@ -1179,6 +1179,8 @@ object SparkEntry {
     "doc_lm_surprisal" -> ((s, dir) => TextOps.lmSurprisal(docs(s, dir))),
     "doc_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
     "doc_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir))),
+    "doc_snapshot_diff" -> ((s, dir) =>
+      TextOps.snapshotDiff(TextOps.snapshotOld(docs(s, dir)), docs(s, dir))),
     "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
@@ -2493,6 +2495,7 @@ object SparkEntry {
     "doc_lm_surprisal" -> TextOps.lmSurprisalOracle,
     "doc_bpe_pairs" -> TextOps.bpePairsOracle,
     "doc_bpe_train" -> TextOps.bpeTrainOracle,
+    "doc_snapshot_diff" -> TextOps.snapshotDiffOracle,
     "doc_source_cap" -> TextOps.sourceCapOracle,
     "events_funnel" -> EventOps.funnelOracle,
     "events_retention" -> EventOps.retentionOracle,

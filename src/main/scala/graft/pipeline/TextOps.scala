@@ -560,6 +560,70 @@ object TextOps {
        |  GROUP BY 1)
        |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT $BpeTopK""".stripMargin
 
+  // ---- operator: corpus snapshot diff ------------------------------------
+
+  /** Snapshot-over-snapshot corpus diff — the dataset-changelog readout
+    * (what a dataset card's "changes since v1" table is built from):
+    * per (source, status ∈ added/removed/changed/unchanged), document
+    * count and net token delta. Membership keys on doc_id; "changed"
+    * means same id, different text hash.
+    *
+    * Scale shape: each snapshot collapses to (doc_id, src, hash, tokens)
+    * map-side — the full texts never meet — then ONE full-outer
+    * equi-join on doc_id and a tiny grouped aggregate. Id-partitioned
+    * snapshots co-locate for free at 100 TB (bucketed stores skip the
+    * shuffle entirely). Output (source, status, n_docs, token_delta). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def collapse(d: DataFrame, p: String) = d.select(col("doc_id"),
+      col("source").as(s"${p}_src"), baseHash(col("text")).as(s"${p}_h"),
+      size(tokens(col("text"))).cast("long").as(s"${p}_t"))
+    collapse(oldDocs, "o").join(collapse(newDocs, "n"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("n_src"), col("o_src")).as("source"),
+        when(col("o_h").isNull, "added")
+          .when(col("n_h").isNull, "removed")
+          .when(col("o_h") =!= col("n_h"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("n_t"), lit(0L)) - coalesce(col("o_t"), lit(0L))).as("dt"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum("dt").as("token_delta"))
+      .orderBy("source", "status")
+  }
+
+  /** The entry's synthetic "previous snapshot", derived deterministically
+    * from the one documents table: ids ≡0 (mod 7) are absent from old
+    * (→ added), ids ≡1 (mod 5) carry a drifted text (→ changed), and a
+    * shifted copy of ids ≡2 (mod 7) exists only in old (→ removed). */
+  def snapshotOld(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" drifted"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 2)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+
+  val snapshotDiffOracle: String =
+    s"""WITH old AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 1 THEN text || ' drifted' ELSE text END AS text,
+       |         source
+       |  FROM documents WHERE doc_id % 7 != 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 2),
+       |nw AS (SELECT doc_id, text, source FROM documents),
+       |o AS (SELECT doc_id, source AS o_src, ${baseHashSql("text")} AS o_h,
+       |             len($tokensSql) AS o_t FROM old),
+       |n AS (SELECT doc_id, source AS n_src, ${baseHashSql("text")} AS n_h,
+       |             len($tokensSql) AS n_t FROM nw),
+       |j AS (SELECT coalesce(n_src, o_src) AS source,
+       |             CASE WHEN o_h IS NULL THEN 'added'
+       |                  WHEN n_h IS NULL THEN 'removed'
+       |                  WHEN o_h != n_h THEN 'changed'
+       |                  ELSE 'unchanged' END AS status,
+       |             coalesce(n_t, 0) - coalesce(o_t, 0) AS dt
+       |      FROM o FULL OUTER JOIN n USING (doc_id))
+       |SELECT source, status, count(*) AS n_docs, CAST(sum(dt) AS BIGINT) AS token_delta
+       |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
   // ---- operator: iterative BPE merge training ----------------------------
 
   /** Merge rounds for [[bpeTrain]]. */

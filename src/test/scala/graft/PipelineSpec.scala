@@ -1046,6 +1046,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(cb.toSeq === Seq((9L, 2L, 1L, 10000L, 5000L, 5000L)))
   }
 
+  test("snapshot diff: planted add/remove/change/unchange with exact token deltas") {
+    import spark.implicits._
+    val old = Seq((1L, "a b", "s"), (2L, "c", "s"), (3L, "x", "s"))
+      .toDF("doc_id", "text", "source")
+    val nw = Seq((2L, "c", "s"), (3L, "x y z", "s"), (4L, "q", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.snapshotDiff(old, nw).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("s", "added", 1L, 1L), ("s", "changed", 1L, 2L),
+      ("s", "removed", 1L, -2L), ("s", "unchanged", 1L, 0L)))
+    // conservation law on the real entry derivation: sum over statuses of
+    // token_delta = new total - old total
+    val docs01 = docs
+    val diff = TextOps.snapshotDiff(TextOps.snapshotOld(docs01), docs01)
+    val lhs = diff.agg(sum("token_delta")).head.getLong(0)
+    val tok = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(size(split(col("text"), " ")).cast("long").as("t"))
+        .agg(sum("t")).head.getLong(0)
+    assert(lhs === tok(docs01) - tok(TextOps.snapshotOld(docs01)))
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
