@@ -148,7 +148,11 @@ object Bench {
       "dedup_minhash_est_eval", "ann_ranking_metrics", "emb_prototype_prune",
       "ann_mmr_rerank", "dedup_soft_weights", "doc_unimax_alloc",
       "ann_ivfpq_topk", "mm_scene_cuts", "sketch_theta_overlap",
-      "doc_ccnet_buckets", "events_survival_km")
+      "doc_ccnet_buckets", "events_survival_km",
+      // round-5 session-4 additions
+      "events_cusum", "doc_line_dedup", "emb_knn_triangles",
+      "emb_rp_project", "doc_bpe_train", "mm_phash", "mm_phash_dup",
+      "emb_calibration", "doc_snapshot_diff", "events_window_funnel")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++

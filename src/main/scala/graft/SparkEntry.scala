@@ -1215,6 +1215,7 @@ object SparkEntry {
     "events_ltv_cohort" -> ((s, dir) => EventOps.ltvCohort(EventsAdapter.events(s, dir))),
     "events_survival_km" -> ((s, dir) => EventOps.survivalKm(EventsAdapter.events(s, dir))),
     "events_cusum" -> ((s, dir) => EventOps.cusumChangepoint(EventsAdapter.events(s, dir))),
+    "events_window_funnel" -> ((s, dir) => EventOps.windowFunnel(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
@@ -2283,6 +2284,7 @@ object SparkEntry {
     "events_ltv_cohort" -> EventOps.ltvCohortOracle,
     "events_survival_km" -> EventOps.survivalKmOracle,
     "events_cusum" -> EventOps.cusumChangepointOracle,
+    "events_window_funnel" -> EventOps.windowFunnelOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
     "events_first_touch" -> EventOps.firstTouchOracle,

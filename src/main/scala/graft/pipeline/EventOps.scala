@@ -867,6 +867,75 @@ object EventOps {
        |       o.d AS deaths, o.c AS censored, o.surv AS surv_fp
        |FROM f ORDER BY prev_type, gap_hours""".stripMargin
 
+  // ---- windowed funnel ----------------------------------------------------
+
+  /** Conversion window for [[windowFunnel]], ms (3 days). */
+  val FunnelWindowMs = 3L * 86400000L
+
+  /** Windowed funnel (ClickHouse `windowFunnel` semantics): the deepest
+    * signup→view→click→purchase chain a user completes with every step
+    * inside `windowMs` of the FIRST step — the time-bounded variant of
+    * [[funnel]], which admits conversions years apart. EVERY signup is a
+    * candidate entry point (not just the user's first): the chain from
+    * each t1 takes the EARLIEST qualifying event per step, which is
+    * optimal (each minimal t_i only relaxes the constraint on t_{i+1}),
+    * so the per-user level is exact, and t2<t3<t4 makes the window test
+    * monotone — check t4 first, fall through. Users' best level over all
+    * entry points, histogrammed.
+    *
+    * Shape: every stage keys on user_id (the store's natural partition
+    * key); per-stage fan-out is bounded by per-user event counts, the
+    * level relation is (user, t1) rows, and the histogram is 4 rows.
+    * Output (level, n_users). */
+  def windowFunnel(events: DataFrame, windowMs: Long = FunnelWindowMs): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000000").as("ts_ms"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ms").as("t1"))
+    val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("ts_ms") > col("t1"))
+      .groupBy("user_id", "t1").agg(min("ts_ms").as("t2"))
+    val s3 = e.filter(col("event_type") === "click").join(s2, "user_id")
+      .filter(col("ts_ms") > col("t2"))
+      .groupBy("user_id", "t1").agg(min("ts_ms").as("t3"))
+    val s4 = e.filter(col("event_type") === "purchase").join(s3, "user_id")
+      .filter(col("ts_ms") > col("t3"))
+      .groupBy("user_id", "t1").agg(min("ts_ms").as("t4"))
+    val lvl = s1
+      .join(s2, Seq("user_id", "t1"), "left_outer")
+      .join(s3.select("user_id", "t1", "t3"), Seq("user_id", "t1"), "left_outer")
+      .join(s4.select("user_id", "t1", "t4"), Seq("user_id", "t1"), "left_outer")
+      .select(col("user_id"),
+        when(col("t4") - col("t1") <= windowMs, 4L)
+          .when(col("t3") - col("t1") <= windowMs, 3L)
+          .when(col("t2") - col("t1") <= windowMs, 2L)
+          .otherwise(1L).as("lvl"))
+    lvl.groupBy("user_id").agg(max("lvl").as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
+
+  val windowFunnelOracle: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+       |s1 AS (SELECT user_id, ts_ms AS t1 FROM e WHERE event_type = 'signup'),
+       |s2 AS (SELECT e.user_id, t1, min(ts_ms) AS t2 FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'view' AND ts_ms > t1 GROUP BY 1, 2),
+       |s3 AS (SELECT e.user_id, t1, min(ts_ms) AS t3 FROM e JOIN s2 USING (user_id)
+       |       WHERE event_type = 'click' AND ts_ms > t2 GROUP BY 1, 2),
+       |s4 AS (SELECT e.user_id, t1, min(ts_ms) AS t4 FROM e JOIN s3 USING (user_id)
+       |       WHERE event_type = 'purchase' AND ts_ms > t3 GROUP BY 1, 2),
+       |lv AS (SELECT s1.user_id,
+       |              CASE WHEN t4 - t1 <= $FunnelWindowMs THEN 4
+       |                   WHEN t3 - t1 <= $FunnelWindowMs THEN 3
+       |                   WHEN t2 - t1 <= $FunnelWindowMs THEN 2
+       |                   ELSE 1 END AS lvl
+       |       FROM s1
+       |       LEFT JOIN s2 USING (user_id, t1)
+       |       LEFT JOIN s3 USING (user_id, t1)
+       |       LEFT JOIN s4 USING (user_id, t1)),
+       |ul AS (SELECT user_id, max(lvl) AS level FROM lv GROUP BY 1)
+       |SELECT level, count(*) AS n_users FROM ul GROUP BY 1 ORDER BY level""".stripMargin
+
   // ---- CUSUM changepoint on daily volumes ---------------------------------
 
   /** CUSUM changepoint detection per event type (Page 1954 cumulative

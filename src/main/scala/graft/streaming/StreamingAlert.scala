@@ -78,6 +78,62 @@ object StreamingAlert {
         deadmanGroup(timeoutMs))
   }
 
+  /** Running per-series statistics for [[drift]]: Welford count/mean/M2
+    * plus the breach flag for transition semantics. */
+  final case class DriftState(n: Long, mean: Double, m2: Double, breached: Boolean)
+
+  /** A drift event: `level` ∈ high | low | ok, `z_x100` the z-score at
+    * the transition (×100 fixed point), `mean` the pre-update baseline. */
+  final case class DriftEvent(series: String, ts: Long, value: Double,
+                              mean: Double, z_x100: Long, level: String)
+
+  /** Streaming drift / level-shift detector — the online counterpart of
+    * the batch CUSUM entry (`events_cusum`): per series, Welford running
+    * mean/variance learned across micro-batches; a point whose |z| vs
+    * the learned baseline exceeds `zMax` (after `warmup` observations)
+    * emits one high/low transition, and the return to baseline emits
+    * one ok — Kapacitor's sigma() alert semantics. The shifted level is
+    * always LEARNED (the outlier updates the stats too), so a sustained
+    * shift is absorbed into the new baseline and the detector re-arms
+    * rather than alerting forever.
+    *
+    * State is three doubles + a flag per series — bounded by series
+    * cardinality at any stream rate; batch-internal points evaluate in
+    * (ts, value) order so replays are deterministic. */
+  def drift(points: Dataset[Point], zMax: Double = 4.0,
+            warmup: Int = 20): Dataset[DriftEvent] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        driftGroup(zMax, warmup))
+  }
+
+  private def driftGroup(zMax: Double, warmup: Int)(
+      series: String, it: Iterator[Point],
+      state: GroupState[DriftState]): Iterator[DriftEvent] = {
+    val sorted = it.toSeq.sortBy(p => (p.ts, p.value))
+    var st = if (state.exists) state.get else DriftState(0L, 0.0, 0.0, breached = false)
+    val out = Seq.newBuilder[DriftEvent]
+    sorted.foreach { p =>
+      val sigma = if (st.n >= 2) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+      val z = if (sigma > 0) (p.value - st.mean) / sigma else 0.0
+      val nowBreach = st.n >= warmup && math.abs(z) > zMax
+      if (nowBreach && !st.breached)
+        out += DriftEvent(series, p.ts, p.value, st.mean, (z * 100).toLong,
+          if (z > 0) "high" else "low")
+      else if (!nowBreach && st.breached)
+        out += DriftEvent(series, p.ts, p.value, st.mean, (z * 100).toLong, "ok")
+      val n1 = st.n + 1
+      val d = p.value - st.mean
+      val mean1 = st.mean + d / n1
+      st = DriftState(n1, mean1, st.m2 + d * (p.value - mean1), nowBreach)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   private def deadmanGroup(timeoutMs: Long)(
       series: String, it: Iterator[(String, Long, Double, java.sql.Timestamp)],
       state: GroupState[Long]): Iterator[DeadmanEvent] = {

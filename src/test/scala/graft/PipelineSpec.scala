@@ -1068,6 +1068,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(lhs === tok(docs01) - tok(TextOps.snapshotOld(docs01)))
   }
 
+  test("window funnel: level capped by the 3-day window, best entry point wins") {
+    import spark.implicits._
+    val d = 86400000L
+    def ev(u: Long, t: String, ms: Long) = (u, t, ms * 1000000L)
+    val events = Seq(
+      // u1: full chain inside 3 days → level 4
+      ev(1, "signup", 0), ev(1, "view", 1), ev(1, "click", 2), ev(1, "purchase", d),
+      // u2: first signup's view lands at 4d (outside) → level 1 from t1=0,
+      // but a second signup at 3.5d reaches click inside the window → 3
+      ev(2, "signup", 0), ev(2, "signup", 7 * d / 2), ev(2, "view", 4 * d),
+      ev(2, "click", 4 * d + 1),
+      // u3: view inside, click at 5d outside → level 2
+      ev(3, "signup", 0), ev(3, "view", 1), ev(3, "click", 5 * d), ev(3, "purchase", 6 * d),
+      // u4: never signs up → absent from the histogram
+      ev(4, "view", 0), ev(4, "purchase", 1))
+      .toDF("user_id", "event_type", "ts_ns")
+    val out = EventOps.windowFunnel(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L

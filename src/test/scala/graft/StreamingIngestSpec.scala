@@ -287,6 +287,33 @@ class StreamingIngestSpec extends AnyFunSuite {
       ("s1", 2L, "crit"), ("s1", 4L, "ok"), ("s1", 5L, "crit"), ("s2", 1L, "crit")), got)
   }
 
+  test("streaming drift alert: silent warmup, one transition per shift, absorbs and re-arms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Point, StreamingAlert}
+    val in = MemoryStream[Point]
+    val q = StreamingAlert.drift(in.toDS(), zMax = 4.0, warmup = 20)
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    // batch 1: 24 warmup points oscillating 10 ± 0.5 → no events
+    in.addData((1 to 24).map(i => Point("s1", i.toLong, if (i % 2 == 0) 10.5 else 9.5)): _*)
+    q.processAllAvailable()
+    assert(spark.table("drift").count() === 0)
+    // batch 2 (state carries): level shifts to 100 and STAYS there; the
+    // first shifted point breaches, then the baseline absorbs the new
+    // level and the detector re-arms with one ok — exactly 2 events.
+    // A stable series never alerts.
+    in.addData((25 to 60).map(i => Point("s1", i.toLong, 100.0)) ++
+      (1 to 40).map(i => Point("s2", i.toLong, 5.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drift").as[StreamingAlert.DriftEvent].collect()
+      .sortBy(_.ts).map(e => (e.series, e.ts, e.level))
+    assert(got.head === (("s1", 25L, "high")), got.toSeq)
+    assert(got.count(_._3 == "high") === 1, got.toSeq)
+    assert(got.count(_._3 == "ok") === 1, got.toSeq)
+    assert(got.forall(_._1 == "s1"), got.toSeq)
+  }
+
   test("stream-stream interval join: pairs within the bound, state evicted by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
