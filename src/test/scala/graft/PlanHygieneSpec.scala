@@ -66,6 +66,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     // windows sit above HashAggregate, never over raw events
     val cu = plan("events_cusum")
     assert(!cu.contains("CartesianProduct"), cu)
+    // window funnel: stage chain is equi-joins only, and the shared s2
+    // stage materializes ONCE (ReusedExchange in the FINAL adaptive
+    // plan — AQE applies reuse at runtime, so execute first)
+    val wfDf = SparkEntry.queries("events_window_funnel")(spark, dir)
+    wfDf.collect()
+    val wf = wfDf.queryExecution.executedPlan.toString
+    assert(!wf.contains("CartesianProduct") && !wf.contains("BroadcastNestedLoop"), wf)
+    assert(wf.contains("ReusedExchange"), wf)
   }
 
   test("session-5 entries: top-N stays TakeOrdered, pair joins stay equi, no cartesians") {
