@@ -1181,6 +1181,7 @@ object SparkEntry {
     "doc_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir))),
     "doc_snapshot_diff" -> ((s, dir) =>
       TextOps.snapshotDiff(TextOps.snapshotOld(docs(s, dir)), docs(s, dir))),
+    "doc_bigram_lm" -> ((s, dir) => TextOps.bigramLm(docs(s, dir))),
     "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
@@ -2498,6 +2499,7 @@ object SparkEntry {
     "doc_bpe_pairs" -> TextOps.bpePairsOracle,
     "doc_bpe_train" -> TextOps.bpeTrainOracle,
     "doc_snapshot_diff" -> TextOps.snapshotDiffOracle,
+    "doc_bigram_lm" -> TextOps.bigramLmOracle,
     "doc_source_cap" -> TextOps.sourceCapOracle,
     "events_funnel" -> EventOps.funnelOracle,
     "events_retention" -> EventOps.retentionOracle,

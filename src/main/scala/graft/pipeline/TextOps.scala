@@ -451,6 +451,61 @@ object TextOps {
        |FROM occ LEFT JOIN ranked USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- operator: bigram LM fluency scoring -------------------------------
+
+  /** Add-one-smoothed corpus bigram LM scoring — the CONTEXT upgrade of
+    * [[lmSurprisal]]'s unigram rank proxy (the KenLM role in the CCNet
+    * recipe, trained and applied in one pass over the corpus itself):
+    * per doc, the mean inverse conditional probability of its bigrams,
+    * P(b|a) = (c(a,b)+1)/(c(a·)+V), scored as the exact integer fixed
+    * point floor(1e6·(c(a·)+V)/(c(a,b)+1)) per bigram. No
+    * transcendental enters — JVM and DuckDB libm `log`s can differ in
+    * the last ulp, while 1/P in integer arithmetic is bit-identical and
+    * induces the same fluency ordering. Fluent in-domain docs score low
+    * (their bigrams are corpus-frequent); garbled or out-of-domain docs
+    * score high (unseen bigrams hit the (c1+V)·1e6 ceiling). The 1e6
+    * scale bounds c1 ≤ ~9e12 before BIGINT overflow — at larger corpora
+    * drop the scale a decade per count decade.
+    *
+    * Scale shape: the bigram relation is one explode; both count
+    * relations are distinct-bigram-bounded hash aggregates with
+    * map-side combine; the scalar V broadcasts; the final score is an
+    * order-free integer sum per doc. Docs under 2 tokens have no
+    * bigrams and are absent. Output (doc_id, n_bigrams, mean_invp_fp). */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS a, w[i+1] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val c2 = bi.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("a").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct("t").as("v"))
+    bi.join(c2, Seq("a", "b")).join(c1, Seq("a")).crossJoin(broadcast(v))
+      .withColumn("invp", expr("(c1 + v) * 1000000 div (c2 + 1)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("invp").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("mean_invp_fp"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmOracle: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |bi AS (SELECT doc_id, w[t.i + 1] AS a, w[t.i + 2] AS b
+       |       FROM d, unnest(range(0, len(w) - 1)) t(i)
+       |       WHERE len(w) >= 2),
+       |c2 AS (SELECT a, b, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT a, count(*) AS c1 FROM bi GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT t) AS v
+       |       FROM (SELECT unnest(w) AS t FROM d)),
+       |s AS (SELECT doc_id, (c1 + v) * 1000000 // (c2 + 1) AS invp
+       |      FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN vv)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(invp) // count(*) AS BIGINT) AS mean_invp_fp
+       |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ---- operator: CCNet perplexity buckets --------------------------------
 
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per

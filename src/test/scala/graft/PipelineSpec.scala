@@ -1089,6 +1089,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("bigram lm: hand-computed smoothed scores, rare bigrams score highest") {
+    import spark.implicits._
+    // V = 5 tokens (solo counts toward V but has no bigrams → absent row)
+    val in = Seq((1L, "a b a b"), (2L, "a b"), (3L, "q z"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLm(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // c2(a,b)=3 c2(b,a)=1 c2(q,z)=1; c1(a)=3 c1(b)=1 c1(q)=1
+    // invp(a,b) = (3+5)e6//4 = 2e6; invp(b,a) = invp(q,z) = (1+5)e6//2 = 3e6
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2333333L), (2L, 1L, 2000000L), (3L, 1L, 3000000L)))
+    // law on real data: c2 ≤ c1 forces every score above the 1e6 unit —
+    // mean inverse probability can never dip below certainty
+    val real = TextOps.bigramLm(docs).collect().map(_.getLong(2))
+    assert(real.nonEmpty && real.forall(_ >= 1000000L))
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
