@@ -374,7 +374,13 @@ object Multimodal {
     * all-pairs join; ≤3 flipped bits cannot touch all 4 bands, so every
     * threshold pair shares a clean band and recall on the threshold set
     * is exactly 1 by pigeonhole. Exact bit_count verify on candidates
-    * only. Output (id_a, id_b, hamming). */
+    * only. CAVEAT (the generic LSH skew law, measured by the scale
+    * probe): a near-CONSTANT corpus — every blob statistically alike,
+    * e.g. same-template thumbnails — collapses into a handful of
+    * buckets and the candidate join degenerates quadratically; salt or
+    * pre-dedup exact phash values first (group by phash, join
+    * representatives) when duplicate multiplicity is high.
+    * Output (id_a, id_b, hamming). */
   /** Per-blob 64-bit perceptual hash (the decode-stage stub of
     * [[phashDup]], exposed as its own relation — the stored artifact an
     * incremental media-dedup pipeline indexes). Output (media_id, phash). */

@@ -129,7 +129,20 @@ object PipelineScaleProbe {
       "knn_triangles" -> (n =>
         Dedup.knnTriangles(synthEmb(spark, n), Dedup.bandBitsFor(n)).count()),
       // claim: corpus collapses to the vocab FIRST, rounds are vocab-bounded
-      "bpe_train" -> (n => graft.pipeline.TextOps.bpeTrain(synthDocs(spark, n)).count()))
+      "bpe_train" -> (n => graft.pipeline.TextOps.bpeTrain(synthDocs(spark, n)).count()),
+      "bigram_lm" -> (n => graft.pipeline.TextOps.bigramLm(synthDocs(spark, n)).count()),
+      "window_funnel" -> (n =>
+        graft.pipeline.EventOps.windowFunnel(synthEvents(spark, n)).count()),
+      // diverse payloads (hash hex), NOT synthDocs: near-constant word-soup
+      // corpora collapse every doc into a handful of phash buckets and the
+      // band join degenerates quadratically — the generic LSH skew law;
+      // real media bytes are high-entropy, which this models
+      "phash_dup" -> (n => graft.pipeline.Multimodal.phashDup(
+        spark.range(n).select(
+          col("id").as("media_id"), lit("image").as("kind"),
+          encode(concat((0 until 8).map(k =>
+            hex(xxhash64(col("id"), lit(k)))): _*), "UTF-8").as("payload"),
+          lit(64).as("width"), lit(64).as("height"))).count()))
 
     val rows = ops.filter(o =>
       opFilter.forall(_.split(",").exists(o._1.contains))).map { case (name, op) =>
