@@ -451,6 +451,59 @@ object TextOps {
        |FROM occ LEFT JOIN ranked USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- operator: per-source quality percentile normalization -------------
+
+  /** Per-source percentile normalization of the quality score — the
+    * domain-relative thresholding step (an ABSOLUTE quality cut keeps
+    * boilerplate from clean domains and drops the best docs of noisy
+    * ones; curation recipes threshold WITHIN the domain). pct_fp =
+    * 1e4 · (#same-source docs with strictly lower score) / n_source;
+    * score-tied docs share a percentile, integer-exact.
+    *
+    * Scale shape: the corpus collapses to the (source, score) HISTOGRAM
+    * before any window runs (the [[ccnetBuckets]] discipline — the
+    * cumulative window is value-cardinality-bounded, never
+    * doc-partitioned), and one equi-join on (source, score) carries the
+    * percentile back to docs. Output (doc_id, source, quality_fp,
+    * pct_fp). */
+  def qualityNormalized(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityFp(docs).select("doc_id", "quality_fp")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val hist = q.groupBy("source", "quality_fp").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("source").orderBy("quality_fp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("lt", coalesce(sum("c").over(wc), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    q.join(cum.select("source", "quality_fp", "lt", "n"), Seq("source", "quality_fp"))
+      .select(col("doc_id"), col("source"), col("quality_fp"),
+        expr("lt * 10000 div n").as("pct_fp"))
+      .orderBy("doc_id")
+  }
+
+  val qualityNormalizedOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |         len($tokensSql) AS n_tokens,
+       |         len(list_distinct($tokensSql)) AS n_distinct,
+       |         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+       |  FROM documents),
+       |q AS (SELECT doc_id, source,
+       |             (n_distinct * 1000 // n_tokens)
+       |               + (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 200 ELSE 0 END)
+       |               - n_punct * 50 AS quality_fp
+       |      FROM b),
+       |h AS (SELECT source, quality_fp, count(*) AS c FROM q GROUP BY 1, 2),
+       |cum AS (SELECT source, quality_fp,
+       |               coalesce(CAST(sum(c) OVER (PARTITION BY source ORDER BY quality_fp
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS lt,
+       |               CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |        FROM h)
+       |SELECT q.doc_id, q.source, q.quality_fp, lt * 10000 // n AS pct_fp
+       |FROM q JOIN cum USING (source, quality_fp)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- operator: bigram LM fluency scoring -------------------------------
 
   /** Add-one-smoothed corpus bigram LM scoring — the CONTEXT upgrade of

@@ -1106,6 +1106,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(real.nonEmpty && real.forall(_ >= 1000000L))
   }
 
+  test("quality normalization: per-source percentile laws on real docs") {
+    val out = TextOps.qualityNormalized(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      // the worst doc of every source sits at percentile 0; nothing exceeds (n-1)/n
+      assert(rows.map(_._3).min === 0L, src)
+      assert(rows.map(_._3).max <= (n - 1) * 10000 / n, src)
+      // monotone within source: higher score never gets a lower percentile,
+      // and tied scores share one percentile
+      val byScore = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+      byScore.values.foreach(p => assert(p.length === 1, src))
+      val sorted = byScore.toSeq.sortBy(_._1)
+      sorted.map(_._2.head).zip(sorted.tail.map(_._2.head))
+        .foreach { case (a, b) => assert(a <= b, src) }
+    }
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
