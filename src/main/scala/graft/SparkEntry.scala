@@ -1179,6 +1179,7 @@ object SparkEntry {
     "doc_lm_surprisal" -> ((s, dir) => TextOps.lmSurprisal(docs(s, dir))),
     "doc_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
     "doc_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir))),
+    "doc_bpe_compression" -> ((s, dir) => TextOps.bpeCompression(docs(s, dir))),
     "doc_snapshot_diff" -> ((s, dir) =>
       TextOps.snapshotDiff(TextOps.snapshotOld(docs(s, dir)), docs(s, dir))),
     "doc_bigram_lm" -> ((s, dir) => TextOps.bigramLm(docs(s, dir))),
@@ -2499,6 +2500,7 @@ object SparkEntry {
     "doc_lm_surprisal" -> TextOps.lmSurprisalOracle,
     "doc_bpe_pairs" -> TextOps.bpePairsOracle,
     "doc_bpe_train" -> TextOps.bpeTrainOracle,
+    "doc_bpe_compression" -> TextOps.bpeCompressionOracle,
     "doc_snapshot_diff" -> TextOps.snapshotDiffOracle,
     "doc_bigram_lm" -> TextOps.bigramLmOracle,
     "doc_quality_normalized" -> TextOps.qualityNormalizedOracle,

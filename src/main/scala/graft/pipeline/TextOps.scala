@@ -759,7 +759,17 @@ object TextOps {
     * per round keeps the 6-round plan shallow. Empty corpora / no pairs
     * left: later rounds produce no merge row, never a throw.
     * Output ([[BpeRounds]] rows: round, pa, pb, pair_count, new_sym). */
-  def bpeTrain(docs: DataFrame): DataFrame = {
+  def bpeTrain(docs: DataFrame): DataFrame = bpeCore(docs)._1
+
+  /** Compression trajectory of [[bpeTrain]]: total corpus symbol count
+    * (occurrence-weighted) before any merge (round 0) and after each of
+    * the [[BpeRounds]] merges — the tokens-per-corpus curve that decides
+    * how many merges a tokenizer budget buys. Same loop, same scale
+    * shape; each total is one sum over the vocab-bounded symbol
+    * relation. Output (round, total_symbols). */
+  def bpeCompression(docs: DataFrame): DataFrame = bpeCore(docs)._2
+
+  private def bpeCore(docs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("word").orderBy("pos")
     var rows = docs.select(explode(tokens(col("text"))).as("word"))
@@ -770,6 +780,9 @@ object TextOps {
         posexplode(split(col("word"), "(?!^)")).as(Seq("pos", "sym")))
       .filter(col("sym") =!= "")
       .localCheckpoint(true)
+    def total(r: Int) = rows.agg(coalesce(sum("cnt"), lit(0L)).as("total_symbols"))
+      .select(lit(r.toLong).as("round"), col("total_symbols"))
+    var totals = total(0)
     var out: DataFrame = null
     for (r <- 0 until BpeRounds) {
       val p = rows.withColumn("nxt", lead("sym", 1).over(w))
@@ -778,7 +791,9 @@ object TextOps {
         .select(col("sym").as("pa"), col("nxt").as("pb"), col("c"))
         .orderBy(col("c").desc, col("pa"), col("pb")).limit(1)
         .localCheckpoint(true)
-      val m = p.crossJoin(broadcast(best))
+      // LEFT join on true, not crossJoin: an exhausted corpus (no pairs →
+      // empty best) must pass through unchanged, not vanish
+      val m = p.join(broadcast(best), lit(true), "left_outer")
         .withColumn("rn", row_number().over(w))
         .withColumn("cand", col("sym") === col("pa") && col("nxt") === col("pb"))
       val sel = m.filter(col("cand"))
@@ -797,21 +812,36 @@ object TextOps {
       val mergeRow = best.select(lit(r.toLong).as("round"), col("pa"), col("pb"),
         col("c").as("pair_count"), concat(col("pa"), col("pb")).as("new_sym"))
       out = if (out == null) mergeRow else out.unionAll(mergeRow)
+      totals = totals.unionAll(total(r + 1))
     }
-    out.orderBy("round")
+    (out.orderBy("round"), totals.orderBy("round"))
   }
 
-  val bpeTrainOracle: String = {
-    def round(k: Int): String =
-      s"""p$k AS (SELECT word, cnt, pos, sym,
+  /** Shared oracle pieces: the vocab/char base CTEs and one merge-round
+    * block; consumed by [[bpeTrainOracle]] and [[bpeCompressionOracle]]. */
+  private val bpeBaseCte: String =
+    s"""vc AS (
+       |  SELECT u.word AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT $tokensSql AS w FROM documents) d, unnest(d.w) u(word)
+       |  WHERE u.word != '' GROUP BY 1),
+       |r0 AS (SELECT word, cnt, t.i AS pos, substring(word, CAST(t.i AS INTEGER), 1) AS sym
+       |       FROM vc, unnest(range(1, len(word) + 1)) t(i))""".stripMargin
+
+  // p/r CTEs are MATERIALIZED: DuckDB inlines CTEs by default and p$k is
+  // referenced twice per round (pair counting + candidate marking), so an
+  // inlined 6-round chain re-evaluates early rounds 2^k times — the train
+  // oracle crawled and the compression oracle (7 UNION readers of r0..r6)
+  // effectively never finished before the hint
+  private def bpeRoundCte(k: Int): String =
+      s"""p$k AS MATERIALIZED (SELECT word, cnt, pos, sym,
          |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r$k),
          |b$k AS (SELECT sym AS pa, nxt AS pb, CAST(sum(cnt) AS BIGINT) AS c
          |        FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
          |        ORDER BY c DESC, pa, pb LIMIT 1),
-         |m$k AS (SELECT p.word, p.cnt, p.pos, p.sym, b.pa, b.pb,
+         |m$k AS MATERIALIZED (SELECT p.word, p.cnt, p.pos, p.sym, b.pa, b.pb,
          |               row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn,
          |               (p.sym = b.pa AND p.nxt = b.pb) AS cand
-         |        FROM p$k p CROSS JOIN b$k b),
+         |        FROM p$k p LEFT JOIN b$k b ON TRUE),
          |cr$k AS (SELECT word, pos, rn,
          |                row_number() OVER (PARTITION BY word ORDER BY pos) AS crank
          |         FROM m$k WHERE cand),
@@ -822,22 +852,28 @@ object TextOps {
          |j$k AS (SELECT m.word, m.cnt, m.pos, m.sym, m.pa, m.pb,
          |               coalesce(s.sel, FALSE) AS sel
          |        FROM m$k m LEFT JOIN sel$k s ON m.word = s.word AND m.pos = s.pos),
-         |r${k + 1} AS (SELECT word, cnt, pos,
+         |r${k + 1} AS MATERIALIZED (SELECT word, cnt, pos,
          |                     CASE WHEN sel THEN pa || pb ELSE sym END AS sym
          |              FROM (SELECT *, lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
          |                    FROM j$k)
          |              WHERE NOT coalesce(psel, FALSE))""".stripMargin
+  val bpeTrainOracle: String = {
     val mergeRows = (0 until BpeRounds)
       .map(k => s"SELECT $k AS round, pa, pb, c AS pair_count, pa || pb AS new_sym FROM b$k")
       .mkString("\n|UNION ALL\n|")
-    s"""WITH vc AS (
-       |  SELECT u.word AS word, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT $tokensSql AS w FROM documents) d, unnest(d.w) u(word)
-       |  WHERE u.word != '' GROUP BY 1),
-       |r0 AS (SELECT word, cnt, t.i AS pos, substring(word, CAST(t.i AS INTEGER), 1) AS sym
-       |       FROM vc, unnest(range(1, len(word) + 1)) t(i)),
-       |${(0 until BpeRounds).map(round).mkString(",\n|")}
+    s"""WITH $bpeBaseCte,
+       |${(0 until BpeRounds).map(bpeRoundCte).mkString(",\n|")}
        |$mergeRows
+       |ORDER BY round""".stripMargin
+  }
+
+  val bpeCompressionOracle: String = {
+    val totalRows = (0 to BpeRounds)
+      .map(k => s"SELECT $k AS round, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total_symbols FROM r$k")
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH $bpeBaseCte,
+       |${(0 until BpeRounds).map(bpeRoundCte).mkString(",\n|")}
+       |$totalRows
        |ORDER BY round""".stripMargin
   }
 

@@ -1010,6 +1010,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts.toSeq)
   }
 
+  test("bpe compression: totals shrink by the merge count, exhausted corpus passes through") {
+    import spark.implicits._
+    // "aaaa": 4 chars → [aa,aa] (2) → [aaaa] (1); merges exhaust, totals HOLD at 1
+    val t = TextOps.bpeCompression(Seq((1L, "aaaa")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(t.toSeq === Seq((0L, 4L), (1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L)))
+    // law on real data: each round shrinks the total by EXACTLY the number
+    // of merge applications, which is at most that round's pair count
+    val totals = TextOps.bpeCompression(docs).collect().map(_.getLong(1))
+    val merges = TextOps.bpeTrain(docs).collect().map(_.getLong(3))
+    totals.zip(totals.tail).zip(merges).foreach { case ((before, after), cnt) =>
+      assert(after < before && before - after <= cnt, (before, after, cnt))
+    }
+  }
+
   test("phash dup: near-identical payloads pair within Hamming 3, inverted payloads don't") {
     import spark.implicits._
     // 640 bytes = 64 cells of 10; alternating loud/quiet cells → phash 0x5555…
