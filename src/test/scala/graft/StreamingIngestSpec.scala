@@ -314,6 +314,35 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(got.forall(_._1 == "s1"), got.toSeq)
   }
 
+  test("streaming window funnel: differential parity with the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{FunnelEvent, StreamingFunnel}
+    import graft.pipeline.EventOps
+    val events = graft.sources.EventsAdapter.events(spark, "/root/testdata/sf0.001")
+    val rows = events
+      .selectExpr("user_id", "event_type", "ts_ns div 1000000 AS ts_ms")
+      .as[(Long, String, Long)].collect()
+      .map(t => FunnelEvent(t._1, t._2, t._3)).sortBy(e => (e.ts_ms, e.event_type))
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.funnel(in.toDS(), EventOps.FunnelWindowMs)
+      .writeStream.format("memory").queryName("sfunnel").outputMode("append").start()
+    // two in-order batches so cross-batch frontier state is exercised
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sfunnel").as[graft.streaming.FunnelLevel].collect()
+      .groupBy(_.user_id).view.mapValues(_.map(_.level).max).toMap
+    val streamHist = streamed.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batchHist = EventOps.windowFunnel(events).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(streamHist === batchHist, s"stream=$streamHist batch=$batchHist")
+    // transitions emit once per (user, level)
+    val t = spark.table("sfunnel").as[graft.streaming.FunnelLevel].collect()
+    assert(t.groupBy(e => (e.user_id, e.level)).values.forall(_.length == 1))
+  }
+
   test("stream-stream interval join: pairs within the bound, state evicted by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
