@@ -1219,6 +1219,7 @@ object SparkEntry {
     "events_survival_km" -> ((s, dir) => EventOps.survivalKm(EventsAdapter.events(s, dir))),
     "events_cusum" -> ((s, dir) => EventOps.cusumChangepoint(EventsAdapter.events(s, dir))),
     "events_window_funnel" -> ((s, dir) => EventOps.windowFunnel(EventsAdapter.events(s, dir))),
+    "events_mad_outliers" -> ((s, dir) => EventOps.madOutliers(EventsAdapter.events(s, dir))),
     "events_time_to_convert" -> ((s, dir) => EventOps.timeToConvert(EventsAdapter.events(s, dir))),
     "events_rfm" -> ((s, dir) => EventOps.rfm(EventsAdapter.events(s, dir))),
     "events_first_touch" -> ((s, dir) => EventOps.firstTouch(EventsAdapter.events(s, dir))),
@@ -2288,6 +2289,7 @@ object SparkEntry {
     "events_survival_km" -> EventOps.survivalKmOracle,
     "events_cusum" -> EventOps.cusumChangepointOracle,
     "events_window_funnel" -> EventOps.windowFunnelOracle,
+    "events_mad_outliers" -> EventOps.madOutliersOracle,
     "events_time_to_convert" -> EventOps.timeToConvertOracle,
     "events_rfm" -> EventOps.rfmOracle,
     "events_first_touch" -> EventOps.firstTouchOracle,

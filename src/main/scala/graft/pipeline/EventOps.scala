@@ -867,6 +867,67 @@ object EventOps {
        |       o.d AS deaths, o.c AS censored, o.surv AS surv_fp
        |FROM f ORDER BY prev_type, gap_hours""".stripMargin
 
+  // ---- robust (MAD) outlier days ------------------------------------------
+
+  /** Robust daily-volume outliers via median absolute deviation — the
+    * heavy-tail-safe complement of [[anomalyDays]]' 2σ rule (one viral
+    * day inflates a standard deviation enough to hide a second one; the
+    * median/MAD pair is 50%-breakdown robust). Integer-exact: median =
+    * the lower order statistic at rank (n+1) div 2 (well-defined under
+    * ties regardless of tie order), MAD likewise over |x − med|, flag =
+    * dev > 3·MAD with no consistency constant (documented integer
+    * rule). A zero MAD (half the days identical) flags every deviating
+    * day — the intended alarm for frozen counters.
+    *
+    * Scale shape: the stream collapses map-side to (type, day) counts;
+    * both order-statistic windows run over calendar-bounded day
+    * cardinality; medians broadcast back. Output (event_type, day_ms,
+    * n_events, med, mad). */
+  def madOutliers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("event_type"), expr("ts_ms div 86400000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("x"))
+    val wN = Window.partitionBy("event_type")
+    def lowerMedian(df: DataFrame, valueCol: String, outName: String) = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(valueCol)))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col(valueCol).as(outName))
+    val med = lowerMedian(daily, "x", "med")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dev") > lit(3) * col("mad"))
+      .select(col("event_type"), (col("d") * 86400000L).as("day_ms"),
+        col("x").as("n_events"), col("med"), col("mad"))
+      .orderBy("event_type", "day_ms")
+  }
+
+  val madOutliersOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS d, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |mr AS (SELECT event_type, x,
+      |              row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+      |              count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM daily),
+      |med AS (SELECT event_type, x AS med FROM mr WHERE rn = (n + 1) // 2),
+      |dv AS (SELECT d.event_type, d.d, d.x, m.med, abs(d.x - m.med) AS dev
+      |       FROM daily d JOIN med m USING (event_type)),
+      |dr AS (SELECT event_type, dev,
+      |              row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+      |              count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM dv),
+      |mad AS (SELECT event_type, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+      |SELECT dv.event_type, dv.d * 86400000 AS day_ms, dv.x AS n_events,
+      |       dv.med AS med, mad.mad AS mad
+      |FROM dv JOIN mad USING (event_type)
+      |WHERE dv.dev > 3 * mad.mad
+      |ORDER BY event_type, day_ms""".stripMargin
+
   // ---- windowed funnel ----------------------------------------------------
 
   /** Conversion window for [[windowFunnel]], ms (3 days). */

@@ -1140,6 +1140,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mad outliers: robust to the outlier itself, zero-MAD flags frozen counters") {
+    import spark.implicits._
+    val day = 86400000L
+    def evs(t: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, d) => (0 until c).map(k => (t, d * day + k)) }
+    // "t": six flat days then one 10x spike → med 10, MAD 0, spike flagged;
+    // "u": jittered days + one spike → med 10, MAD 1 — the spike does NOT
+    // drag the scale (the 2σ rule's failure mode)
+    val ev = (evs("t", Seq(10, 10, 10, 10, 10, 10, 100)) ++
+      evs("u", Seq(8, 10, 12, 9, 11, 10, 30))).toDF("event_type", "ts_ms")
+    val out = EventOps.madOutliers(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("t", 6 * day, 100L, 10L, 0L), ("u", 6 * day, 30L, 10L, 1L)))
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L

@@ -343,6 +343,31 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(t.groupBy(e => (e.user_id, e.level)).values.forall(_.length == 1))
   }
 
+  test("streaming funnel: frontier state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{FunnelEvent, StreamingFunnel}
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val h = 3600000L
+    val in = MemoryStream[FunnelEvent]
+    def start() = StreamingFunnel.funnel(in.toDS(), 3L * 86400000L)
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").outputMode("append").start()
+    // run 1: chain reaches level 2, then the query dies
+    val q1 = start()
+    in.addData(FunnelEvent(1L, "signup", 0L), FunnelEvent(1L, "view", h))
+    q1.processAllAvailable(); q1.stop()
+    // run 2, same checkpoint: the click/purchase can only complete the
+    // chain if the (start, reach) frontier was recovered from state
+    val q2 = start()
+    in.addData(FunnelEvent(1L, "click", 2 * h), FunnelEvent(1L, "purchase", 3 * h))
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .as[graft.streaming.FunnelLevel].collect().sortBy(_.level)
+      .map(e => (e.level, e.ts_ms))
+    assert(got.toSeq === Seq((1, 0L), (2, h), (3, 2 * h), (4, 3 * h)))
+  }
+
   test("stream-stream interval join: pairs within the bound, state evicted by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
