@@ -1184,6 +1184,7 @@ object SparkEntry {
       TextOps.snapshotDiff(TextOps.snapshotOld(docs(s, dir)), docs(s, dir))),
     "doc_bigram_lm" -> ((s, dir) => TextOps.bigramLm(docs(s, dir))),
     "doc_quality_normalized" -> ((s, dir) => TextOps.qualityNormalized(docs(s, dir))),
+    "doc_shard_plan" -> ((s, dir) => TextOps.shardPlan(docs(s, dir))),
     "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
@@ -2506,6 +2507,7 @@ object SparkEntry {
     "doc_snapshot_diff" -> TextOps.snapshotDiffOracle,
     "doc_bigram_lm" -> TextOps.bigramLmOracle,
     "doc_quality_normalized" -> TextOps.qualityNormalizedOracle,
+    "doc_shard_plan" -> TextOps.shardPlanOracle,
     "doc_source_cap" -> TextOps.sourceCapOracle,
     "events_funnel" -> EventOps.funnelOracle,
     "events_retention" -> EventOps.retentionOracle,

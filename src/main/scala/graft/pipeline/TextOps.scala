@@ -451,6 +451,53 @@ object TextOps {
        |FROM occ LEFT JOIN ranked USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- operator: training shard manifest ----------------------------------
+
+  /** Shards for [[shardPlan]]. */
+  val ShardCount = 16
+
+  /** Deterministic training-shard manifest: every doc lands in
+    * hash(doc_id) mod [[ShardCount]] — the seeded global shuffle a
+    * training run needs (any worker can recompute any doc's shard with
+    * no coordination state, and re-runs produce byte-identical shards).
+    * Per shard: doc count, token count, an order-free id checksum (the
+    * manifest line a loader validates against), and the token-count
+    * deviation from the ideal per-mille — the balance readout that
+    * decides whether hash sharding suffices or size-aware packing
+    * ([[packBins]]) is needed.
+    *
+    * Scale shape: one map pass + one 16-group aggregate with map-side
+    * combine; nothing else. Output (shard, n_docs, n_tokens,
+    * id_checksum, dev_pm). */
+  def shardPlan(docs: DataFrame): DataFrame = {
+    val shard = pmod(baseHash(concat(lit("shard_"), col("doc_id"))), lit(ShardCount.toLong))
+    val agg = docs
+      .select(shard.as("shard"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+        sum("doc_id").as("id_checksum"))
+    val tot = agg.agg(sum("n_tokens").as("tot")).select(col("tot"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("dev_pm",
+        expr(s"(n_tokens * $ShardCount - tot) * 1000 div tot"))
+      .select("shard", "n_docs", "n_tokens", "id_checksum", "dev_pm")
+      .orderBy("shard")
+  }
+
+  val shardPlanOracle: String =
+    s"""WITH s AS (
+       |  SELECT ${baseHashSql("'shard_' || doc_id")} % $ShardCount AS shard,
+       |         doc_id, len($tokensSql) AS t
+       |  FROM documents),
+       |a AS (SELECT shard, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+       |             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |      FROM s GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM a)
+       |SELECT shard, n_docs, n_tokens, id_checksum,
+       |       (n_tokens * $ShardCount - tot) * 1000 // tot AS dev_pm
+       |FROM a CROSS JOIN tt ORDER BY shard""".stripMargin
+
   // ---- operator: per-source quality percentile normalization -------------
 
   /** Per-source percentile normalization of the quality score — the

@@ -1156,6 +1156,22 @@ class PipelineSpec extends AnyFunSuite {
       ("t", 6 * day, 100L, 10L, 0L), ("u", 6 * day, 30L, 10L, 1L)))
   }
 
+  test("shard plan: total coverage, determinism, hash balance within bounds") {
+    val a = TextOps.shardPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val b = TextOps.shardPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(a.toSeq === b.toSeq) // byte-identical re-runs: the manifest contract
+    assert(a.map(_._2).sum === docs.count()) // every doc lands in exactly one shard
+    val n = docs.count()
+    val ids = docs.agg(sum("doc_id")).head.getLong(0)
+    assert(a.map(_._4).sum === ids) // checksums partition the id space
+    // dev_pm sums to ~0 and hash balance keeps every shard within ±50%
+    // at 500 docs (loose: binomial spread at small n)
+    a.foreach { case (_, _, _, _, dev) => assert(math.abs(dev) < 500, a.toSeq) }
+    assert(n > 0)
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
