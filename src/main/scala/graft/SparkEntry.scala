@@ -1155,6 +1155,7 @@ object SparkEntry {
     }),
     "emb_matryoshka" -> ((s, dir) => Similarity.matryoshka(emb(s, dir))),
     "emb_rp_project" -> ((s, dir) => Similarity.rpProject(emb(s, dir))),
+    "ann_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(emb(s, dir))),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
     "olap_top_users_per_type" -> ((s, dir) => {
@@ -2265,6 +2266,7 @@ object SparkEntry {
     "doc_curation_pipeline" -> TextOps.curationPipelineOracle,
     "emb_matryoshka" -> Similarity.matryoshkaOracle,
     "emb_rp_project" -> Similarity.rpProjectOracle,
+    "ann_filtered_topk" -> Similarity.filteredTopKOracle,
     "ann_pq_topk" -> Similarity.pqTopKOracle,
     "ann_ivfpq_topk" -> Similarity.ivfpqTopKOracle,
     "emb_binary_quant" -> Similarity.binaryQuantizeOracle,

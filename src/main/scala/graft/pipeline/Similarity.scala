@@ -84,6 +84,52 @@ object Similarity {
        |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ---- filtered ANN -------------------------------------------------------
+
+  /** Metadata-filtered exact top-K: each query's neighbors restricted
+    * to its OWN label — the "filtered vector search" shape every
+    * retrieval deployment needs (tenant/language/visibility scoping).
+    * This is the PRE-filter strategy: the predicate lands before
+    * scoring, so each query scans only its label's stratum — the right
+    * plan whenever the filter is selective (post-filtering a top-K
+    * retrieved without the predicate silently returns < K results
+    * exactly when the filter matters most). At corpus scale the label
+    * is a partition/bucket key and the scan prunes to matching
+    * partitions; the scoring join stays the broadcast-queries shape of
+    * [[bruteTopK]] with an extra label equi-key.
+    * Output (q_id, rank, neighbor_id, cos_fp). */
+  def filteredTopK(emb: DataFrame): DataFrame = {
+    val e = normalized(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val scored = e.join(broadcast(q),
+        col("label") === col("q_label") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        floor(dotCols(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("cos_fp"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_fp").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor_id", "cos_fp")
+      .orderBy("q_id", "rank")
+  }
+
+  val filteredTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id
+       |                   AND c.label = q.label),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos_fp,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // ---- MMR diversified re-ranking -----------------------------------------
 
   val MmrCand = 20    // candidate pool per query (brute top-C baseline)

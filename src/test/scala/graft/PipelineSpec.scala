@@ -1172,6 +1172,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("filtered topk: every neighbor shares the query's label; agrees with post-filtered brute") {
+    import spark.implicits._
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.filteredTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, _, n, _) => assert(labels(q) === labels(n)) }
+    // pre-filter ≡ post-filter-then-rerank on the full brute ordering: for
+    // each query, the filtered top-K must be the first K same-label entries
+    // of the unfiltered ranking (restricted to what brute's top-K window
+    // exposes — so compare on the intersection)
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bruteFiltered = brute.filter { case (q, _, n, _) => labels(q) == labels(n) }
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4))).toMap
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val got = rows.sortBy(_._2).map(x => (x._3, x._4))
+      val expectPrefix = bruteFiltered.getOrElse(q, Array.empty[(Long, Long)])
+      assert(got.take(expectPrefix.length).toSeq === expectPrefix.toSeq, q)
+    }
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
