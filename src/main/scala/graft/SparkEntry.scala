@@ -1186,6 +1186,7 @@ object SparkEntry {
     "doc_bigram_lm" -> ((s, dir) => TextOps.bigramLm(docs(s, dir))),
     "doc_quality_normalized" -> ((s, dir) => TextOps.qualityNormalized(docs(s, dir))),
     "doc_shard_plan" -> ((s, dir) => TextOps.shardPlan(docs(s, dir))),
+    "doc_bm25_topk" -> ((s, dir) => TextOps.bm25TopK(docs(s, dir))),
     "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
     "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
@@ -2510,6 +2511,7 @@ object SparkEntry {
     "doc_bigram_lm" -> TextOps.bigramLmOracle,
     "doc_quality_normalized" -> TextOps.qualityNormalizedOracle,
     "doc_shard_plan" -> TextOps.shardPlanOracle,
+    "doc_bm25_topk" -> TextOps.bm25TopKOracle,
     "doc_source_cap" -> TextOps.sourceCapOracle,
     "events_funnel" -> EventOps.funnelOracle,
     "events_retention" -> EventOps.retentionOracle,

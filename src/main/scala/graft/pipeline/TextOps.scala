@@ -451,6 +451,74 @@ object TextOps {
        |FROM occ LEFT JOIN ranked USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- operator: BM25 ranked retrieval ------------------------------------
+
+  /** Fixed query terms for [[bm25TopK]] (common corpus vocabulary). */
+  val Bm25Query: Seq[String] = Seq("data", "table", "query", "value", "spark")
+  val Bm25TopN = 15
+
+  /** BM25-shaped ranked retrieval for a fixed query — the text-search
+    * face the engine otherwise lacks (tfidf builds doc vectors; this
+    * answers a query). Robertson/Spärck Jones BM25 with k1 = 1.2,
+    * b = 0.75 and the RATIONAL idf surrogate (N−df+0.5)/(df+0.5) — the
+    * odds ratio WITHOUT the log, deliberately: libm logs differ in the
+    * last ulp across engines, the rational form is monotone in true idf
+    * and every remaining operation (±,×,÷ on doubles) is IEEE-exact, so
+    * both engines produce bit-identical scores. Per-term weights
+    * quantize to 1e6 fixed point BEFORE the per-doc sum, making the sum
+    * order-free integer arithmetic.
+    *
+    * Scale shape: the token stream filters to query terms immediately
+    * (≤ |query| rows per doc), df/corpus stats are tiny broadcasts, and
+    * the final top-N plans as TakeOrdered — no global sort. Output
+    * (rank, doc_id, score_fp). */
+  def bm25TopK(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    val qtoks = toks.filter(col("t").isin(Bm25Query: _*))
+    val df = qtoks.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val tf = qtoks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val avgdl = col("sdl").cast("double") / col("n")
+    val den = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)
+    val w = tf.join(broadcast(df), "t").join(dl, "doc_id").crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        floor(idf * (col("tf") * lit(2.2)) / den * lit(1e6)).cast("long").as("w"))
+    w.groupBy("doc_id").agg(sum("w").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id")).limit(Bm25TopN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "score_fp")
+      .orderBy("rank")
+  }
+
+  val bm25TopKOracle: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+       |dfr AS (SELECT t, count(DISTINCT doc_id) AS df FROM tk
+       |        WHERE t IN ($terms) GROUP BY 1),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk
+       |       WHERE t IN ($terms) GROUP BY 1, 2),
+       |w AS (SELECT tf.doc_id,
+       |             floor(((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+       |                   * (tf * 2.2::DOUBLE)
+       |                   / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+       |                        + 0.75::DOUBLE * dl / (sdl::DOUBLE / n)))
+       |                   * 1e6)::BIGINT AS w
+       |      FROM tf JOIN dfr USING (t) JOIN dl USING (doc_id) CROSS JOIN st),
+       |sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_fp FROM w GROUP BY 1),
+       |r AS (SELECT doc_id, score_fp,
+       |             row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank
+       |      FROM sc)
+       |SELECT rank, doc_id, score_fp FROM r WHERE rank <= $Bm25TopN
+       |ORDER BY rank""".stripMargin
+  }
+
   // ---- operator: training shard manifest ----------------------------------
 
   /** Shards for [[shardPlan]]. */

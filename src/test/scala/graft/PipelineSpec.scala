@@ -1195,6 +1195,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: tf, idf and length-normalization orderings on a planted corpus") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "data data data table"), // high tf + a second query term
+      (2L, "data xx xx xx"), // tf 1, same length as d1
+      (3L, "xx yy zz ww"), // no query terms → absent
+      (4L, "data xx xx xx xx xx xx xx")) // tf 1 but twice as long → below d2
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 4L)) // rank order
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L)) // contiguous ranks
+    assert(out.forall(_._3 > 0))
+    // real corpus: exactly TopN rows, strictly ordered
+    val real = TextOps.bm25TopK(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(real.length === TextOps.Bm25TopN)
+    real.zip(real.tail).foreach { case ((_, a), (_, b)) => assert(a >= b) }
+  }
+
   test("cusum changepoint: planted level shift located; constant and single-day edges") {
     import spark.implicits._
     val day = 86400000L
