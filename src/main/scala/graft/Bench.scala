@@ -154,7 +154,8 @@ object Bench {
       "emb_rp_project", "doc_bpe_train", "mm_phash", "mm_phash_dup",
       "emb_calibration", "doc_snapshot_diff", "events_window_funnel",
       "doc_bigram_lm", "doc_quality_normalized", "doc_bpe_compression",
-      "events_mad_outliers", "doc_shard_plan", "ann_filtered_topk")
+      "events_mad_outliers", "doc_shard_plan", "ann_filtered_topk",
+      "doc_bm25_topk")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++
