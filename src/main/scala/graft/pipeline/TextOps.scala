@@ -472,11 +472,11 @@ object TextOps {
     * (≤ |query| rows per doc), df/corpus stats are tiny broadcasts, and
     * the final top-N plans as TakeOrdered — no global sort. Output
     * (rank, doc_id, score_fp). */
-  def bm25TopK(docs: DataFrame): DataFrame = {
+  def bm25TopK(docs: DataFrame, query: Seq[String] = Bm25Query): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
-    val qtoks = toks.filter(col("t").isin(Bm25Query: _*))
+    val qtoks = toks.filter(col("t").isin(query: _*))
     val df = qtoks.select("doc_id", "t").distinct()
       .groupBy("t").agg(count(lit(1)).as("df"))
     val tf = qtoks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))

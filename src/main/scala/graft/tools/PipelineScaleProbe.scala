@@ -133,6 +133,13 @@ object PipelineScaleProbe {
       "bigram_lm" -> (n => graft.pipeline.TextOps.bigramLm(synthDocs(spark, n)).count()),
       "window_funnel" -> (n =>
         graft.pipeline.EventOps.windowFunnel(synthEvents(spark, n)).count()),
+      // synth vocab is w<N> — pass a matching query so scoring is exercised
+      "bm25" -> (n => graft.pipeline.TextOps.bm25TopK(synthDocs(spark, n),
+        Seq("w1", "w2", "w3", "w4", "w5")).count()),
+      "shard_plan" -> (n => graft.pipeline.TextOps.shardPlan(synthDocs(spark, n)).count()),
+      "mad_outliers" -> (n =>
+        graft.pipeline.EventOps.madOutliers(
+          synthEvents(spark, n).withColumn("ts_ms", expr("ts_ns div 1000000"))).count()),
       // diverse payloads (hash hex), NOT synthDocs: near-constant word-soup
       // corpora collapse every doc into a handful of phash buckets and the
       // band join degenerates quadratically — the generic LSH skew law;
