@@ -459,23 +459,30 @@ object Sketches {
     * sketches, never from the corpus. A sketch with fewer than K rows
     * IS its set, so its count is exact (the standard KMV small-set
     * rule); estimator arithmetic is all integer with the [[ThetaMinHk]]
-    * overflow floor, engine-exact. Exact union/intersection per pair
+    * overflow floor, engine-exact. The exact honesty columns per pair
     * come from one pass over a source-bitmask histogram (no pair×corpus
-    * join) to keep the estimates honest at oracle SF.
+    * join) computed on the [[EvalSampling]] doc-id subset — the sketch
+    * side reads the full corpus (that's the operator), but the exact
+    * ground truth it's audited against is the sample-bounded form every
+    * eval entry uses (a 100 TB run dials the sample down; exact-on-
+    * full-corpus is exactly what sketches exist to avoid).
     *
     * Scale shape: the corpus-sized work is shingle → distinct (source,
     * hash) → per-source two-phase bottom-K (the salt pre-pass bounds
     * every sort partition); everything pairwise operates on ≤ K rows
     * per sketch across |sources|² pairs. The exact side is one
-    * map-side-combinable mask aggregate. Output per (src_a < src_b):
-    * (union_est, inter_est, diff_a_est, union_exact, inter_exact). */
+    * map-side-combinable mask aggregate over the sample; source
+    * cardinality beyond 60 spills into additional mask words (the
+    * bitmask is chunked, not a `require`). Output per (src_a < src_b):
+    * (union_est, inter_est, diff_a_est, union_exact_s, inter_exact_s). */
   def thetaSourceOps(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col("source"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
-      .select(col("source"), baseHash(col("s")).as("h"))
-      .distinct()
-      .localCheckpoint(true) // shingle+hash+distinct feeds sketches AND masks
+    def shingleHashes(d: DataFrame): DataFrame =
+      d.select(col("source"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
+        .select(col("source"), baseHash(col("s")).as("h"))
+        .distinct()
+    val sh = shingleHashes(docs) // corpus-sized: sketch side only, single consumer
     // two-phase bottom-K per source (same skew discipline as kmvJaccard)
     val wLocal = Window.partitionBy("source", "salt").orderBy("h")
     val wK = Window.partitionBy("source").orderBy("h")
@@ -510,32 +517,46 @@ object Sketches {
       .withColumn("inter_est", expr("matches * union_est div ucnt"))
       .join(broadcast(perSrc.select(col("source").as("src_a"), col("a_est"))), Seq("src_a"))
       .withColumn("diff_a_est", greatest(col("a_est") - col("inter_est"), lit(0L)))
-    // exact side: 20-ish sources → one bitmask histogram pass
+    // exact honesty side: sampled corpus → one bitmask histogram pass.
+    // Sources get (word, bit) slots 60 per int64 mask word, so source
+    // cardinality beyond 60 degrades into more mask columns, not a crash.
     val spark = docs.sparkSession
     import spark.implicits._
     val srcNames = docs.select(col("source")).distinct()
       .orderBy("source").collect().map(_.getString(0))
-    require(srcNames.length <= 60, "bitmask exact side assumes ≤60 sources")
-    val rowBit = srcNames.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
-      acc.bitwiseOR(when(col("source") === t, lit(1L << i)).otherwise(0L))
-    }
-    val masks = sh.select(col("h"), rowBit.as("b"))
-      .groupBy("h").agg(expr("bit_or(b)").as("m0"))
-      .groupBy("m0").agg(count(lit(1)).as("n"))
+    val nWords = math.max(1, (srcNames.length + 59) / 60)
+    def wordExpr(w: Int) = srcNames.zipWithIndex
+      .filter(_._2 / 60 == w)
+      .foldLeft(lit(0L)) { case (acc, (t, i)) =>
+        acc.bitwiseOR(when(col("source") === t, lit(1L << (i % 60))).otherwise(0L))
+      }
+    val shS = shingleHashes(EvalSampling(docs, "doc_id"))
+    val wordAggs = (0 until nWords).map(w => expr(s"bit_or(b$w)").as(s"m$w"))
+    val masks = shS
+      .select(col("h") +: (0 until nWords).map(w => wordExpr(w).as(s"b$w")): _*)
+      .groupBy("h").agg(wordAggs.head, wordAggs.tail: _*)
+      .groupBy((0 until nWords).map(w => col(s"m$w")): _*)
+      .agg(count(lit(1)).as("n"))
     val pairsLocal = for {
       (ta, ia) <- srcNames.zipWithIndex.toSeq
       (tb, ib) <- srcNames.zipWithIndex.toSeq if ta < tb
-    } yield (ta, tb, 1L << ia, 1L << ib)
-    val exact = broadcast(pairsLocal.toDF("pa", "pb", "ba", "bb")).crossJoin(masks)
+    } yield (ta, tb, ia / 60, 1L << (ia % 60), ib / 60, 1L << (ib % 60))
+    val maskArr = array((0 until nWords).map(w => col(s"m$w")): _*)
+    val exact = broadcast(pairsLocal.toDF("pa", "pb", "wa", "ba", "wb", "bb"))
+      .crossJoin(masks)
+      .withColumn("hit_a",
+        element_at(maskArr, col("wa") + 1).bitwiseAND(col("ba")) =!= 0L)
+      .withColumn("hit_b",
+        element_at(maskArr, col("wb") + 1).bitwiseAND(col("bb")) =!= 0L)
       .groupBy("pa", "pb")
       .agg(
-        expr("sum(IF((m0 & (ba | bb)) != 0, n, CAST(0 AS BIGINT)))").as("union_exact"),
-        expr("sum(IF((m0 & (ba | bb)) = (ba | bb), n, CAST(0 AS BIGINT)))").as("inter_exact"))
+        sum(when(col("hit_a") || col("hit_b"), col("n")).otherwise(0L)).as("union_exact_s"),
+        sum(when(col("hit_a") && col("hit_b"), col("n")).otherwise(0L)).as("inter_exact_s"))
       .select(col("pa").as("src_a"), col("pb").as("src_b"),
-        col("union_exact"), col("inter_exact"))
+        col("union_exact_s"), col("inter_exact_s"))
     est.join(exact, Seq("src_a", "src_b"))
       .select("src_a", "src_b", "union_est", "inter_est", "diff_a_est",
-        "union_exact", "inter_exact")
+        "union_exact_s", "inter_exact_s")
       .orderBy("src_a", "src_b")
   }
 
@@ -576,24 +597,29 @@ object Sketches {
        |         CAST(a.matches * ${estSql("a.ucnt", "a.uhk")} // a.ucnt AS BIGINT) AS inter_est,
        |         p.a_est
        |  FROM agg a JOIN ps p ON p.source = a.src_a),
+       |shs AS (
+       |  SELECT DISTINCT source, ${baseHashSql("s")} AS h
+       |  FROM (SELECT source, unnest(${TextOps.shinglesSql(TextOps.tokensSql)}) AS s
+       |        FROM (SELECT * FROM documents
+       |              WHERE ${EvalSampling.sqlPred("doc_id")}))),
        |srcbits AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS bit
        |            FROM (SELECT DISTINCT source FROM documents)),
        |um AS (
-       |  SELECT sh.h, CAST(sum(DISTINCT (1::BIGINT << b.bit)) AS BIGINT) AS m0
-       |  FROM sh JOIN srcbits b USING (source) GROUP BY sh.h),
+       |  SELECT shs.h, CAST(sum(DISTINCT (1::BIGINT << b.bit)) AS BIGINT) AS m0
+       |  FROM shs JOIN srcbits b USING (source) GROUP BY shs.h),
        |exact AS (
        |  SELECT a.source AS src_a, b.source AS src_b,
        |         CAST(sum(CASE WHEN (m.m0 & ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)))
-       |                       != 0 THEN 1 ELSE 0 END) AS BIGINT) AS union_exact,
+       |                       != 0 THEN 1 ELSE 0 END) AS BIGINT) AS union_exact_s,
        |         CAST(sum(CASE WHEN (m.m0 & ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)))
        |                       = ((1::BIGINT << a.bit) | (1::BIGINT << b.bit))
-       |                  THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact_s
        |  FROM srcbits a JOIN srcbits b ON a.source < b.source CROSS JOIN um m
        |  GROUP BY 1, 2)
        |SELECT e.src_a, e.src_b,
        |       CAST(e.union_est AS BIGINT) AS union_est, e.inter_est,
        |       CAST(greatest(e.a_est - e.inter_est, 0) AS BIGINT) AS diff_a_est,
-       |       x.union_exact, x.inter_exact
+       |       x.union_exact_s, x.inter_exact_s
        |FROM est e JOIN exact x USING (src_a, src_b)
        |ORDER BY src_a, src_b""".stripMargin
   }

@@ -474,7 +474,7 @@ object Planner {
         val fpTag = dedupIndex(cat.seriesIndex)
           .filter(col("measurement") === s.from.measurement)
           .select(col("fingerprint"), col("name"),
-            xxhash64(concat_ws(" ",
+            xxhash64(concat_ws("\u0000",
               concat(col("labelname"), col("labelvalue")))).as("__tagkey"))
         val qual = cross.groupBy(_.name).map { case (fn, ffs) =>
           val fps = fpTag.filter(col("name") === fn)
