@@ -84,9 +84,9 @@ object Dedup {
   private def jaccardPairs(docs: DataFrame): DataFrame = {
     // materialize the shingle relation once: it feeds the self-join
     // (twice) and the count side — without this, the tokenize + md5 +
-    // explode lineage recomputes per consumer. At 100 TB the same
-    // relation would be a checkpoint/persisted table.
-    val sh = shingleRows(docs).localCheckpoint(true)
+    // explode lineage recomputes per consumer. Corpus-scale, so it
+    // takes the spill-safe Materialize.corpus policy (DISK_ONLY).
+    val sh = shingleRows(docs).transform(graft.util.Materialize.corpus)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -138,7 +138,7 @@ object Dedup {
         explode(transform(
           sequence(lit(0), size(col("w")) - PassageLen, lit(PassageStride)),
           i => baseHash(concat_ws(" ", slice(col("w"), i + lit(1), lit(PassageLen)))))).as("h"))
-      .localCheckpoint(true) // feeds the dup set, the semi-join, and per-doc counts
+      .transform(graft.util.Materialize.corpus) // feeds the dup set, the semi-join, and per-doc counts
     val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("h")
     val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
@@ -269,7 +269,7 @@ object Dedup {
           i => struct((i + 1).cast("long").as("pos"),
             baseHash(concat_ws(" ", slice(col("w"), i + lit(1), lit(SpanLen)))).as("h")))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
-      .localCheckpoint(true) // feeds the dup set, the semi-join, and per-doc counts
+      .transform(graft.util.Materialize.corpus) // feeds the dup set, the semi-join, and per-doc counts
     val dup = wins.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("h")
     val dupPos = wins.join(dup, Seq("h"), "left_semi").select("doc_id", "pos")
@@ -361,7 +361,7 @@ object Dedup {
     * (one intersection aggregation serves both directions).
     * Output (i, j, cont_i_fp, cont_j_fp). */
   def containment(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs).localCheckpoint(true)
+    val sh = shingleRows(docs).transform(graft.util.Materialize.corpus)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -507,14 +507,14 @@ object Dedup {
     // set-size counts — materialize once (6 consumers otherwise re-run
     // the tokenize+hash+explode lineage; this one call took 13 s/query
     // at sf0.1 before, 6x the materialized cost)
-    val sh = shingleRows(docs).withColumn("hp", col("h") % P).localCheckpoint(true)
+    val sh = shingleRows(docs).withColumn("hp", col("h") % P).transform(graft.util.Materialize.corpus)
     val sigCols = (0 until NumPerms).map { i =>
       // hp (< P < 2^31) keeps hp * permA inside signed-64 range
       min((col("hp") * permA(i) + permB(i)) % P).as(s"sig$i")
     }
     // signatures are consumed by both sides of the band self-join
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .localCheckpoint(true)
+      .transform(graft.util.Materialize.corpus)
     val bandStructs = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bv"))
@@ -680,7 +680,7 @@ object Dedup {
     val sims = bits.groupBy("doc_id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 AS bigint), b)"))
         .otherwise(0L)).as("sim"))
-      .localCheckpoint(true)
+      .transform(graft.util.Materialize.corpus)
     val bandStructs = (0 until SimBands).map { b =>
       struct(lit(b).as("band"),
         expr(s"(sim >> ${b * SimBandBits}) & ${(1L << SimBandBits) - 1}").as("bv"))
@@ -1054,7 +1054,7 @@ object Dedup {
         explode(array_distinct(
           transform(shingles(tokens(col("text"))), s => baseHash(s)))).as("h"))
       .distinct()
-      .localCheckpoint(true) // feeds the pair explode AND the per-source counts
+      .transform(graft.util.Materialize.corpus) // feeds the pair explode AND the per-source counts
     val cnt = sh.groupBy("source").agg(count(lit(1)).as("c"))
     val inter = sh.groupBy("h")
       .agg(sort_array(collect_set(col("source"))).as("ss"))
@@ -1213,7 +1213,7 @@ object Dedup {
     val banded = e.select(col("vec_id"),
       posexplode(graft.functions.VectorMath.hyperplaneBuckets(
         col("v"), EmbBands, bandBits)).as(Seq("band", "bkt")))
-      .localCheckpoint(true) // plane dots — compute once, not per join side
+      .transform(graft.util.Materialize.corpus) // plane dots — compute once, not per join side
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1293,7 +1293,7 @@ object Dedup {
     val banded = e.select(col("vec_id"),
       posexplode(graft.functions.VectorMath.hyperplaneBuckets(
         col("v"), EmbBands, bandBits)).as(Seq("band", "bkt")))
-      .localCheckpoint(true)
+      .transform(graft.util.Materialize.corpus)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1351,7 +1351,7 @@ object Dedup {
       .select(least(col("vec_id"), col("neighbor_id")).as("a"),
         greatest(col("vec_id"), col("neighbor_id")).as("b"))
       .distinct()
-      .localCheckpoint(true) // feeds degrees + both sides of the wedge join
+      .transform(graft.util.Materialize.corpus) // feeds degrees + both sides of the wedge join
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val tri = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
@@ -1415,8 +1415,8 @@ object Dedup {
     * semantics, identical in both engines. Output (vec_id, pr_fp). */
   def knnPagerank(emb: DataFrame): DataFrame = {
     val edges = knnGraph(emb).select(col("vec_id").as("i"), col("neighbor_id").as("j"))
-      .localCheckpoint(true)
-    val vecs = emb.select("vec_id").localCheckpoint(true)
+      .transform(graft.util.Materialize.corpus)
+    val vecs = emb.select("vec_id").transform(graft.util.Materialize.corpus)
     val n = vecs.count()
     val base = PrScale / math.max(n, 1L) // total on an empty corpus
     val deg = edges.groupBy("i").agg(count(lit(1)).as("d"))
@@ -1431,7 +1431,7 @@ object Dedup {
         .select(col("vec_id"),
           (lit((100L - PrDamp) * base / 100L) +
             expr(s"$PrDamp * coalesce(m, 0L) div 100")).as("s"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // loop state: cut lineage per iteration (Materialize.bounded class)
     }
     pr.select(col("vec_id"), col("s").as("pr_fp")).orderBy("vec_id")
   }

@@ -686,7 +686,7 @@ object EventOps {
     * >1e6 means positive association. */
   def assocLift(events: DataFrame): DataFrame = {
     val ut = events.select("user_id", "event_type").distinct()
-      .localCheckpoint(true) // feeds totals, both sides of the pair join
+      .transform(graft.util.Materialize.corpus) // feeds totals, both sides of the pair join
     val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
     val nUsers = ut.select("user_id").distinct().count()
     val pairs = ut.as("x").join(ut.as("y"),

@@ -499,7 +499,7 @@ object Similarity {
     // materialize the clustered relation once: it feeds both pair sides
     // and the verdict join, and carries the whole k-means lineage
     val m = x.join(a2, "vec_id").select("vec_id", "cid", "v", "nrm")
-      .localCheckpoint(true)
+      .transform(graft.util.Materialize.corpus)
     val l = m.select(col("cid"), col("vec_id").as("a_id"),
       col("v").as("av"), col("nrm").as("an"))
     val r = m.select(col("cid"), col("vec_id").as("b_id"),
@@ -687,7 +687,7 @@ object Similarity {
         explode(sequence(lit(0), lit(PqM - 1))).as("m"))
       .select(col("vec_id"), col("m"),
         slice(col("xq"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
-      .localCheckpoint(true) // feeds codebook build, assignment, queries
+      .transform(graft.util.Materialize.corpus) // feeds codebook build, assignment, queries
     def assign(cb: DataFrame): DataFrame =
       subs.join(broadcast(cb), Seq("m"))
         .groupBy("vec_id", "m")
@@ -798,7 +798,7 @@ object Similarity {
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
       .select(col("vec_id"), col("cid"), col("m"),
         expr(s"slice(r, m * $PqSub + 1, $PqSub)").as("sub"))
-      .localCheckpoint(true)
+      .transform(graft.util.Materialize.corpus)
     def assign(cb: DataFrame): DataFrame =
       subs.join(broadcast(cb), Seq("m"))
         .groupBy("vec_id", "m")
