@@ -228,7 +228,9 @@ object TextOps {
       // materialized once: phase 1 collects per-partition totals and
       // phase 2 re-reads the same rows — and partition ids MUST come from
       // one physical materialization anyway (a recompute could range-
-      // sample differently and shift doc→pid assignment between phases)
+      // sample differently and shift doc→pid assignment between phases).
+      // The documented Materialize exception: corpus-sized but MUST NOT
+      // be recomputable — at 100 TB this is a reliable checkpoint.
       .localCheckpoint(true)
     // phase 1: one total per partition (tiny), prefix-scanned on the driver
     val totals = toks.groupBy("pid").agg(sum("n").as("tot"))
@@ -1079,7 +1081,7 @@ object TextOps {
     val grams = graft.util.Spread(docs.select("doc_id", "text"))
       .select(col("doc_id"),
         explode(transform(kgrams(tokens(col("text")), DecontamK), g => baseHash(g))).as("h"))
-      .localCheckpoint(true)
+      .transform(graft.util.Materialize.corpus)
     val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
       .select("h").distinct()
     grams.filter(col("doc_id") % BenchMod =!= 0)
@@ -1432,7 +1434,7 @@ object TextOps {
         explode(bigr).as("g"))
       .select(col("doc_id"), col("tgt"),
         (baseHash(concat(lit("dsir:"), col("g"))) % DsirBuckets).as("b"))
-      .localCheckpoint(true) // feeds bucket counts, totals, and doc scores
+      .transform(graft.util.Materialize.corpus) // feeds bucket counts, totals, and doc scores
     val counts = feats.groupBy("b").agg(
       count(lit(1)).as("cr"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
@@ -1703,6 +1705,192 @@ object TextOps {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ---- operator: trained quality classifier (distributed GD) -------------
+
+  /** Gradient-descent iterations for [[qualityTrain]] — fixed, so both
+    * engines unroll the identical recurrence. */
+  val QtIters = 8
+
+  /** Learning-rate numerator: w ← w − (QtLrNum·Σgrad) div n. */
+  val QtLrNum = 2L
+
+  /** Hard-sigmoid divisor. Weights carry a 1e6 fixed-point scale and
+    * features a 1e3 (per-mille) scale, so z_fp = Σ w·x is real-z × 4e9/4;
+    * σ(z) ≈ 0.5 + z/4 near 0 gives p_pm = 500 + z_fp div 4e6. */
+  val QtSigDiv = 4000000L
+
+  /** Per-doc training features + label for [[qualityTrain]]: the same
+    * deterministic signals [[qualityClassifier]] scores with, all scaled
+    * to per-mille so one learning rate fits every dimension —
+    * x0 bias, x1 type-token ratio, x2 stopword rate, x3 length band,
+    * x4 closeness of mean word length to the English-prose center.
+    * The label is the INDEPENDENT [[gopherFilters]] verdict (distinct-
+    * stopword presence + a different length band), i.e. the classifier
+    * learns to imitate the rule battery from softer signals — the
+    * standard way a fastText-style quality model is bootstrapped when no
+    * human labels exist. One narrow projection per row, no shuffle. */
+  private[graft] def qtFeatures(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    docs.select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        size(filter(w, x => Stopwords.map(x === _).reduce(_ || _)))
+          .cast("long").as("en_hits"),
+        size(array_intersect(array_distinct(w), array(Stopwords.map(lit): _*)))
+          .cast("long").as("stop_hits"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("sum_wl"))
+      .select(col("doc_id"),
+        lit(1000L).as("x0"),
+        expr("n_distinct * 1000 div n_tokens").as("x1"),
+        expr("en_hits * 1000 div n_tokens").as("x2"),
+        when(col("n_tokens").between(20, 800), 1000L).otherwise(0L).as("x3"),
+        greatest(lit(0L),
+          lit(1000L) - abs(expr("sum_wl * 100 div n_tokens") - 450)).as("x4"),
+        when(col("n_tokens").between(GopherMinTokens, GopherMaxTokens) &&
+            expr("sum_wl * 1000 div n_tokens")
+              .between(GopherMinMeanWl, GopherMaxMeanWl) &&
+            col("stop_hits") >= GopherMinStops, 1000L).otherwise(0L).as("y"))
+  }
+
+  /** SQL of the hard-sigmoid p_pm given weight columns w0..w4 against
+    * feature columns x0..x4 (shared by the train and score oracles). */
+  private def qtPSql(q: String = "") =
+    s"LEAST(1000, GREATEST(0, 500 + (${(0 to 4).map(k => s"${q}x$k * w$k").mkString(" + ")}) // $QtSigDiv))"
+
+  /** The GD recurrence over a materialized feature relation. Every
+    * gradient step is ONE map-side-combinable DataFrame aggregate (five
+    * sums + a correctness count) — the corpus never moves, only six
+    * int64s come back to the driver per iteration, which is the textbook
+    * distributed-LR shape (features persisted once, [[QtIters]]+1 scan
+    * passes). All arithmetic is int64 with truncating division (Spark
+    * `div` ≡ Scala `/` ≡ DuckDB `//`), so the oracle replays the weight
+    * trajectory bit-exactly. Returns (weights after t updates,
+    * n_correct at those weights) for t = 0..[[QtIters]]. */
+  private def qtTrain(f: DataFrame): (IndexedSeq[Array[Long]], IndexedSeq[Long]) = {
+    val n = math.max(f.count(), 1L)
+    var w = Array.fill(5)(0L)
+    val ws = IndexedSeq.newBuilder[Array[Long]]
+    val cs = IndexedSeq.newBuilder[Long]
+    ws += w.clone()
+    def pExpr = s"least(1000L, greatest(0L, 500L + (${
+      (0 to 4).map(k => s"x$k * ${w(k)}L").mkString(" + ")}) div $QtSigDiv))"
+    def ncCol = sum(expr(s"CASE WHEN ($pExpr >= 500) = (y = 1000) THEN 1L ELSE 0L END")).as("nc")
+    for (_ <- 1 to QtIters) {
+      val aggs = (0 to 4).map(k => sum(expr(s"($pExpr - y) * x$k")).as(s"g$k")) :+ ncCol
+      val r = f.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cs += (if (r.isNullAt(5)) 0L else r.getLong(5))
+      w = Array.tabulate(5) { k =>
+        val g = if (r.isNullAt(k)) 0L else r.getLong(k)
+        w(k) - QtLrNum * g / n
+      }
+      ws += w.clone()
+    }
+    val last = f.agg(ncCol).collect()(0)
+    cs += (if (last.isNullAt(0)) 0L else last.getLong(0))
+    (ws.result(), cs.result())
+  }
+
+  /** Train the quality classifier: distributed logistic regression
+    * (hard-sigmoid, fixed-point) over [[qtFeatures]], labels from the
+    * Gopher rule battery. Output one row per iteration 0..[[QtIters]]:
+    * (iter, w0_fp..w4_fp, n_correct) — the full weight trajectory plus
+    * training accuracy, so convergence is part of the verified result,
+    * not a side effect. */
+  def qualityTrain(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = qtFeatures(docs).transform(graft.util.Materialize.corpus)
+    val (ws, cs) = qtTrain(f)
+    ws.indices.map { t =>
+      (t.toLong, ws(t)(0), ws(t)(1), ws(t)(2), ws(t)(3), ws(t)(4), cs(t))
+    }.toDF("iter", "w0_fp", "w1_fp", "w2_fp", "w3_fp", "w4_fp", "n_correct")
+      .orderBy("iter")
+  }
+
+  /** Score every doc with the TRAINED weights (the consuming half of
+    * [[qualityTrain]]): train to w_[[QtIters]], then one shuffle-free
+    * per-row projection — the shape that actually runs over 100 TB once
+    * the 9-row model is fit. Output (doc_id, z_fp, p_pm, keep). */
+  def qualityTrainedScores(docs: DataFrame): DataFrame = {
+    val f = qtFeatures(docs).transform(graft.util.Materialize.corpus)
+    val w = qtTrain(f)._1.last
+    val z = (0 to 4).map(k => s"x$k * ${w(k)}L").mkString(" + ")
+    f.select(col("doc_id"), expr(s"$z").as("z_fp"),
+        expr(s"least(1000L, greatest(0L, 500L + ($z) div $QtSigDiv))").as("p_pm"))
+      .withColumn("keep", col("p_pm") >= 500)
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle CTE chain: feats → w0 (zeros) → p1/g1 → w1 → … .
+    * p{t} evaluates the hard sigmoid at w{t−1}; g{t} aggregates its
+    * gradient + correctness; w{t} applies the update. `upTo` controls
+    * how many p/g stages exist (train needs one past the last w for the
+    * final accuracy row; score stops at w_QtIters). */
+  private def qtOracleCtes(upTo: Int): String = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val feats =
+      s"""q AS (
+         |  SELECT doc_id,
+         |         len($tokensSql) AS n_tokens,
+         |         len(list_distinct($tokensSql)) AS n_distinct,
+         |         len(list_filter($tokensSql, x -> x IN ($inList))) AS en_hits,
+         |         len(list_filter(list_distinct($tokensSql), x -> x IN ($inList))) AS stop_hits,
+         |         length(replace(text, ' ', '')) AS sum_wl
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id,
+         |         1000::BIGINT AS x0,
+         |         n_distinct * 1000 // n_tokens AS x1,
+         |         en_hits * 1000 // n_tokens AS x2,
+         |         CASE WHEN n_tokens BETWEEN 20 AND 800
+         |              THEN 1000::BIGINT ELSE 0::BIGINT END AS x3,
+         |         GREATEST(0::BIGINT, 1000 - abs(sum_wl * 100 // n_tokens - 450)) AS x4,
+         |         CASE WHEN n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens
+         |               AND sum_wl * 1000 // n_tokens
+         |                   BETWEEN $GopherMinMeanWl AND $GopherMaxMeanWl
+         |               AND stop_hits >= $GopherMinStops
+         |              THEN 1000::BIGINT ELSE 0::BIGINT END AS y
+         |  FROM q),
+         |nn AS (SELECT GREATEST(count(*), 1)::BIGINT AS n FROM feats),
+         |w0 AS (SELECT ${(0 to 4).map(k => s"0::BIGINT AS w$k").mkString(", ")})""".stripMargin
+    val iters = (1 to upTo).map { t =>
+      val wNext =
+        if (t <= QtIters)
+          s""",
+             |w$t AS (SELECT ${(0 to 4).map(k =>
+                s"CAST(w.w$k - ($QtLrNum * COALESCE(g.g$k, 0)) // n.n AS BIGINT) AS w$k").mkString(", ")}
+             |        FROM w${t - 1} w, g$t g, nn n)""".stripMargin
+        else ""
+      s"""p$t AS (SELECT f.*, ${qtPSql("f.")} AS p FROM feats f, w${t - 1}),
+         |g$t AS (SELECT ${(0 to 4).map(k => s"sum((p - y) * x$k) AS g$k").mkString(", ")},
+         |               COALESCE(sum(CASE WHEN (p >= 500) = (y = 1000)
+         |                                 THEN 1 ELSE 0 END), 0)::BIGINT AS nc
+         |        FROM p$t)$wNext""".stripMargin
+    }
+    (feats +: iters).mkString(",\n")
+  }
+
+  val qualityTrainOracle: String = {
+    val rows = (0 to QtIters).map { t =>
+      s"""SELECT $t::BIGINT AS iter, ${(0 to 4).map(k => s"w$k AS w${k}_fp").mkString(", ")},
+         |       (SELECT nc FROM g${t + 1}) AS n_correct FROM w$t""".stripMargin
+    }
+    s"""WITH ${qtOracleCtes(QtIters + 1)}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY iter""".stripMargin
+  }
+
+  val qualityTrainedScoresOracle: String = {
+    val z = (0 to 4).map(k => s"f.x$k * w.w$k").mkString(" + ")
+    s"""WITH ${qtOracleCtes(QtIters)}
+       |SELECT f.doc_id, CAST($z AS BIGINT) AS z_fp,
+       |       CAST(LEAST(1000, GREATEST(0, 500 + ($z) // $QtSigDiv)) AS BIGINT) AS p_pm,
+       |       LEAST(1000, GREATEST(0, 500 + ($z) // $QtSigDiv)) >= 500 AS keep
+       |FROM feats f, w$QtIters w
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   // ---- operator: content-defined chunking -------------------------------
 
   /** A boundary opens before token i when the 2-gram hash ≡ 0 mod this
@@ -1738,7 +1926,7 @@ object TextOps {
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             s => s.getField("tok")), " ").as("ctext"))
       .select(col("doc_id"), col("c_tokens"), baseHash(col("ctext")).as("h"))
-      .localCheckpoint(true) // feeds the dup set, the semi-join, and per-doc counts
+      .transform(graft.util.Materialize.corpus) // feeds the dup set, the semi-join, and per-doc counts
     val dup = chunks.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("h")
     val dupPerDoc = chunks.join(dup, Seq("h"), "left_semi")
