@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Ingest
-import graft.pipeline.{Dedup, EvalSampling, EventOps, Multimodal, Similarity, Sketches, TextOps}
+import graft.pipeline.{Dedup, EvalSampling, EventOps, Multimodal, Similarity, Sketches, TextOps, UrlOps}
 import graft.query.{InfluxQlParser, Planner, TsCatalog}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1193,6 +1193,11 @@ object SparkEntry {
     "doc_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir))),
     "doc_winnowing" -> ((s, dir) => TextOps.winnowing(docs(s, dir))),
     "doc_quality_classifier" -> ((s, dir) => TextOps.qualityClassifier(docs(s, dir))),
+    "doc_quality_train" -> ((s, dir) => TextOps.qualityTrain(docs(s, dir))),
+    "doc_quality_trained_scores" -> ((s, dir) => TextOps.qualityTrainedScores(docs(s, dir))),
+    "doc_url_canon" -> ((s, dir) => UrlOps.urlCanon(docs(s, dir))),
+    "doc_url_dedup" -> ((s, dir) => UrlOps.urlDedup(docs(s, dir))),
+    "doc_url_host_stats" -> ((s, dir) => UrlOps.hostStats(docs(s, dir))),
     "doc_cdc_chunks" -> ((s, dir) => TextOps.cdcChunks(docs(s, dir))),
     "doc_dsir_resample" -> ((s, dir) => TextOps.dsirResample(docs(s, dir))),
     "doc_corpus_zipf" -> ((s, dir) => TextOps.corpusZipf(docs(s, dir))),
@@ -1262,7 +1267,8 @@ object SparkEntry {
     "emb_calibration" -> ((s, dir) => Similarity.centroidCalibration(emb(s, dir))),
     "emb_pagerank" -> ((s, dir) => Dedup.knnPagerank(emb(s, dir))),
     "dedup_minhash_est_eval" -> ((s, dir) => Dedup.minhashEstEval(docs(s, dir))),
-    "ann_ranking_metrics" -> ((s, dir) => Similarity.rankingMetrics(emb(s, dir))),
+    "ann_ranking_metrics" -> ((s, dir) =>
+      Similarity.rankingMetrics(EvalSampling(emb(s, dir), "vec_id"))),
     "ann_recall_report" -> ((s, dir) =>
       Similarity.annRecall(EvalSampling(emb(s, dir), "vec_id"))),
     "doc_length_quantiles" -> ((s, dir) => TextOps.lengthQuantiles(docs(s, dir))),
@@ -2276,7 +2282,8 @@ object SparkEntry {
     "emb_calibration" -> Similarity.centroidCalibrationOracle,
     "emb_pagerank" -> Dedup.knnPagerankOracle,
     "dedup_minhash_est_eval" -> Dedup.minhashEstEvalOracle,
-    "ann_ranking_metrics" -> Similarity.rankingMetricsOracle,
+    "ann_ranking_metrics" ->
+      EvalSampling.sampleOracle(Similarity.rankingMetricsOracle, "embeddings", "vec_id"),
     "ann_recall_report" -> EvalSampling.sampleOracle(Similarity.annRecallOracle, "embeddings", "vec_id"),
     "doc_length_quantiles" -> TextOps.lengthQuantilesOracle,
     "doc_fertility" -> TextOps.fertilityBySourceOracle,
@@ -2310,6 +2317,11 @@ object SparkEntry {
     "doc_dsir_weights" -> TextOps.dsirWeightsOracle,
     "doc_winnowing" -> TextOps.winnowingOracle,
     "doc_quality_classifier" -> TextOps.qualityClassifierOracle,
+    "doc_quality_train" -> TextOps.qualityTrainOracle,
+    "doc_quality_trained_scores" -> TextOps.qualityTrainedScoresOracle,
+    "doc_url_canon" -> UrlOps.urlCanonOracle,
+    "doc_url_dedup" -> UrlOps.urlDedupOracle,
+    "doc_url_host_stats" -> UrlOps.hostStatsOracle,
     "doc_cdc_chunks" -> TextOps.cdcChunksOracle,
     "doc_dsir_resample" -> TextOps.dsirResampleOracle,
     "doc_corpus_zipf" -> TextOps.corpusZipfOracle,

@@ -1273,11 +1273,14 @@ class PipelineSpec extends AnyFunSuite {
 
   test("theta overlap: small-set rule is exact; set-algebra laws hold") {
     import spark.implicits._
-    // sub-K sketches: estimator must degrade to the exact values
+    // sub-K sketches: estimator must degrade to the exact values.
+    // doc_ids 0/3/4 all fall INSIDE the EvalSampling hash-sample (45/33/31
+    // < Pct), so the sampled exact side sees the whole tiny corpus and the
+    // sub-K exactness law is still a valid check.
     val tiny = Seq(
-      (1L, "alpha beta gamma delta epsilon zeta", "sa"),
-      (2L, "alpha beta gamma delta epsilon zeta", "sb"), // identical to sa
-      (3L, "one two three four five six seven", "sc"))
+      (0L, "alpha beta gamma delta epsilon zeta", "sa"),
+      (3L, "alpha beta gamma delta epsilon zeta", "sb"), // identical to sa
+      (4L, "one two three four five six seven", "sc"))
       .toDF("doc_id", "text", "source")
     // distinct 3-shingle counts per source: sa/sb 4 (identical text), sc 5
     val nA = Map("sa" -> 4L, "sb" -> 4L, "sc" -> 5L)
@@ -1297,6 +1300,35 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(6) <= r.getLong(5), "inter_exact <= union_exact")
       assert(r.getLong(4) >= 0L)
     }
+  }
+
+  test("theta overlap: >60 sources spill into chunked mask words, no crash") {
+    import spark.implicits._
+    // 64 distinct sources → 2 mask words (the old require(<=60) path died
+    // here); each doc sub-K and in-sample (ids drawn from the hash-sample
+    // members ≤ 400), so estimator == sampled-exact still holds. Sources
+    // s00 and s63 share identical text across the word boundary: their
+    // pair must report inter == union on both sides.
+    val inSample = Seq(0, 3, 4, 7, 8, 11, 12, 13, 14, 17, 18, 21, 22, 25, 26,
+      27, 28, 31, 32, 35, 36, 37, 40, 41, 42, 43, 46, 47, 50, 51, 54, 55, 56,
+      57, 60, 61, 64, 65, 68, 69, 71, 75, 76, 79, 80, 83, 84, 85, 86, 89, 90,
+      93, 94, 97, 98, 100, 103, 104, 107, 108, 109, 112, 113, 114)
+    val wide = inSample.zipWithIndex.map { case (id, i) =>
+      val text = if (i == 0 || i == 63) "alpha beta gamma delta epsilon"
+                 else s"w${i}a w${i}b w${i}c w${i}d w${i}e"
+      (id.toLong, text, f"s$i%02d")
+    }.toDF("doc_id", "text", "source")
+    val rows = Sketches.thetaSourceOps(wide).collect()
+    assert(rows.length === 64 * 63 / 2)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "inter_est <= union_est")
+      assert(r.getLong(6) <= r.getLong(5), "inter_exact_s <= union_exact_s")
+      assert(r.getLong(2) === r.getLong(5), "sub-K in-sample: est == exact")
+      assert(r.getLong(3) === r.getLong(6), "sub-K in-sample: est == exact")
+    }
+    val twin = rows.find(r => r.getString(0) == "s00" && r.getString(1) == "s63").get
+    assert(twin.getLong(3) === twin.getLong(2), "identical cross-word sources")
+    assert(twin.getLong(3) > 0L)
   }
 
   test("scene cuts: shot laws hold and a planted hard cut is detected") {
@@ -1403,5 +1435,106 @@ class PipelineSpec extends AnyFunSuite {
       selected.zipWithIndex.map { case ((c, s), i) => (qid, i + 1L, c, s) }
     }
     assert(out.toSeq === expected)
+  }
+
+  test("quality train: zero init, exact GD replay of iteration 1, accuracy bounds") {
+    import spark.implicits._
+    val out = TextOps.qualityTrain(docs).collect()
+    assert(out.length === TextOps.QtIters + 1)
+    val n = docs.count()
+    // iter 0: untrained weights are all zero; p=500 everywhere predicts
+    // keep for every doc, so n_correct(0) = number of gopher-keep docs
+    val r0 = out.head
+    assert((1 to 5).forall(k => r0.getLong(k) === 0L))
+    val gopherKeeps = TextOps.gopherFilters(docs).filter(col("keep")).count()
+    assert(r0.getLong(6) === gopherKeeps)
+    out.foreach(r => assert(r.getLong(6) >= 0L && r.getLong(6) <= n))
+    // replay iteration 1 by hand from the feature relation: with w=0,
+    // p=500 for every row, so grad_k = sum((500 - y) * x_k) and
+    // w_k(1) = -2*grad_k / n (truncating division, matching Spark div)
+    val f = TextOps.qtFeatures(docs).collect()
+    for (k <- 0 to 4) {
+      val g = f.map(r => (500L - r.getLong(6)) * r.getLong(1 + k)).sum
+      assert(out(1).getLong(1 + k) === -(TextOps.QtLrNum * g / n),
+        s"iter-1 weight w$k mismatch")
+    }
+    // training moved the weights off zero
+    assert((1 to 5).exists(k => out.last.getLong(k) !== 0L))
+  }
+
+  test("quality trained scores: z/p consistency and keep threshold") {
+    val w = TextOps.qualityTrain(docs).collect().last
+    val weights = (1 to 5).map(w.getLong)
+    val feats = TextOps.qtFeatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 5).map(k => r.getLong(k))).toMap
+    val out = TextOps.qualityTrainedScores(docs).collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val z = weights.zip(feats(r.getLong(0))).map { case (a, b) => a * b }.sum
+      assert(r.getLong(1) === z, s"z_fp mismatch for doc ${r.getLong(0)}")
+      val p = math.min(1000L, math.max(0L, 500L + z / TextOps.QtSigDiv))
+      assert(r.getLong(2) === p)
+      assert(r.getBoolean(3) === (p >= 500L))
+    }
+    // the trained model separates: both classes appear on real testdata
+    assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)))
+  }
+
+  test("url canonicalization: every normalization rule, row-exact") {
+    import spark.implicits._
+    val cases = Seq(
+      // (raw, expected canonical)
+      ("https://site1.example.com/p/2", "https://site1.example.com/p/2"),
+      ("HTTPS://WWW.SITE1.EXAMPLE.COM/p/2/", "https://site1.example.com/p/2"),
+      ("https://site1.example.com:443/p/2?utm_source=a&utm_campaign=b",
+        "https://site1.example.com/p/2"),
+      ("http://www.site1.example.com:80/p/2#frag", "https://site1.example.com/p/2"),
+      // real params survive, sorted; tracking stripped mid-list
+      ("https://h.com/x?b=2&utm_medium=m&a=1", "https://h.com/x?a=1&b=2"),
+      // params are name-matched, not substring: ?xutm_a=1 survives
+      ("https://h.com/x?xutm_a=1", "https://h.com/x?xutm_a=1"),
+      ("https://h.com/x?fbclid=abc&gclid=1", "https://h.com/x"),
+      // bare utm_* with no '=' is still tracking
+      ("https://h.com/x?utm_source", "https://h.com/x"),
+      // path case is PRESERVED (paths are case-sensitive)
+      ("https://H.com/P/Q", "https://h.com/P/Q"),
+      // non-default port survives
+      ("https://h.com:8443/x", "https://h.com:8443/x"),
+      // www-only strip is a prefix rule: wwwx stays
+      ("https://wwwx.h.com/x", "https://wwwx.h.com/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalize(col("url")).as("c")).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((raw, want), have) =>
+      assert(have === want, s"canonicalize($raw)")
+    }
+  }
+
+  test("url dedup + host stats: group structure of the synthetic urls") {
+    val ded = UrlOps.urlDedup(docs).collect()
+    val n = docs.count()
+    // doc_ids are dense 0..n-1 → full groups of 4 split 3+1; count totals
+    assert(ded.map(_.getLong(2)).sum === n)
+    val full = ded.filter(_.getLong(2) === 3L)
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      // keeper of the 3-way group is the variant-0 doc: 4*g
+      assert(r.getLong(1) % 4 === 0L)
+      // its canonical url carries no query string
+      assert(!r.getString(0).contains("?"))
+    }
+    // the ?a=1&b=2 singletons: params sorted, tracking stripped
+    val single = ded.filter(_.getString(0).contains("?"))
+    single.foreach { r =>
+      assert(r.getString(0).endsWith("?a=1&b=2"))
+      assert(r.getLong(1) % 4 === 3L)
+    }
+    val hs = UrlOps.hostStats(docs).collect()
+    assert(hs.map(_.getLong(1)).sum === n)
+    hs.foreach { r =>
+      assert(r.getString(0).startsWith("site") &&
+        r.getString(0).endsWith(".example.com"))
+      // every host's page count is ≤ its doc count and ≥ doc count / 4
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) * 4 >= r.getLong(1))
+    }
   }
 }

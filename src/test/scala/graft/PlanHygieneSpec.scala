@@ -250,7 +250,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // (a) the gate itself compares the SAMPLED form: every eval oracle
     // carries the LCG sample predicate (Spark must then match it
     // value-for-value through the correctness gate)
-    for (name <- Seq("dedup_simhash_eval", "dedup_emb_cosine_eval", "ann_recall_report"))
+    for (name <- Seq("dedup_simhash_eval", "dedup_emb_cosine_eval", "ann_recall_report",
+                     "ann_ranking_metrics", "sketch_theta_overlap"))
       assert(SparkEntry.oracleSql(name).contains("1103515245"),
         s"$name: oracle is not sample-bounded")
     // (b) the Spark-side sample predicate reaches the parquet scan (the
@@ -376,5 +377,24 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+  }
+
+  test("round-6 entries: url dedup is one hash aggregate; trained scores stay shuffle-free") {
+    // urlDedup: projection -> ONE hash aggregate (partial+final = one
+    // Exchange on canon_url) -> presentation sort. No join, no window.
+    val ud = plan("doc_url_dedup")
+    assert(!ud.contains("CartesianProduct") && !ud.contains("Join"), ud)
+    assert(!ud.contains("Window"), ud)
+    val udExch = ud.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning"))
+    assert(udExch <= 1, s"urlDedup must shuffle once (the aggregate): $ud")
+    // urlCanon: pure per-row projection — nothing but the presentation
+    // sort's range exchange
+    val uc = plan("doc_url_canon")
+    assert(!uc.contains("hashpartitioning") && !uc.contains("Join"), uc)
+    // trained scores: the per-doc scoring pass is a projection over the
+    // persisted feature relation — no join/window in the scoring plan
+    val ts = plan("doc_quality_trained_scores")
+    assert(!ts.contains("Join") && !ts.contains("Window") &&
+      !ts.contains("CartesianProduct"), ts)
   }
 }
