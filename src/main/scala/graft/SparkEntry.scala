@@ -1316,6 +1316,8 @@ object SparkEntry {
       Multimodal.phashes(Multimodal.mediaFromDocs(docs(s, dir))).orderBy("media_id")),
     "mm_phash_dup" -> ((s, dir) =>
       Multimodal.phashDup(Multimodal.mediaFromDocs(docs(s, dir)))),
+    "mm_bmp_roundtrip" -> ((s, dir) => Multimodal.bmpRoundtrip(docs(s, dir))),
+    "mm_wav_roundtrip" -> ((s, dir) => Multimodal.wavRoundtrip(docs(s, dir))),
 
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
@@ -2583,6 +2585,8 @@ object SparkEntry {
     "mm_aspect_plan" -> Multimodal.aspectPlanOracle,
     "mm_scene_cuts" -> Multimodal.sceneCutsOracle,
     "mm_phash" -> Multimodal.phashesOracle,
-    "mm_phash_dup" -> Multimodal.phashDupOracle
+    "mm_phash_dup" -> Multimodal.phashDupOracle,
+    "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,
+    "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle
   )
 }

@@ -1537,4 +1537,83 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) * 4 >= r.getLong(1))
     }
   }
+
+  test("bmp codec: top-down decode, padding, corruption rejection") {
+    // hand-built 2x2 top-down BMP (negative height): pixel (x,y) with
+    // r=10x+y marker values; decode must land them at top-left order
+    val w = 2; val h = 2
+    val rowBytes = (w * 3 + 3) / 4 * 4 // 8: exercises 2 pad bytes
+    val buf = new Array[Byte](54 + rowBytes * h)
+    buf(0) = 'B'; buf(1) = 'M'
+    def le32(off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte; buf(off + 1) = ((v >> 8) & 0xff).toByte
+      buf(off + 2) = ((v >> 16) & 0xff).toByte; buf(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte; buf(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    le32(2, buf.length); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, -h) // NEGATIVE height: top-down storage
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = y * w + x
+      val off = 54 + y * rowBytes + x * 3 // top-down: file row == logical row
+      buf(off) = (3 * k).toByte // B
+      buf(off + 1) = (2 * k).toByte // G
+      buf(off + 2) = (1 * k).toByte // R
+    }
+    val f = Multimodal.decodeBmp(7L, buf)
+    assert(f.ok && f.width === 2 && f.height === 2 && f.n_pixels === 4L)
+    assert(f.sum_r === (0 + 1 + 2 + 3))
+    assert(f.sum_g === (0 + 2 + 4 + 6))
+    assert(f.sum_b === (0 + 3 + 6 + 9))
+    // pos checksum in logical top-left order: sum over k of luma(k)*(k+1)
+    val want = (0 until 4).map(k => (299L * k + 587L * 2 * k + 114L * 3 * k) * (k + 1)).sum
+    assert(f.pos_checksum === want)
+    // the SAME pixel rule encoded bottom-up by encodeBmp decodes identically
+    val enc = Multimodal.encodeBmp(7L, "abcdefghijkl", 2, 2)
+    val dec = Multimodal.decodeBmp(7L, enc)
+    assert(dec.ok && dec.sum_r === "adgj".map(_.toLong).sum)
+    assert(dec.sum_g === "behk".map(_.toLong).sum)
+    assert(dec.sum_b === "cfil".map(_.toLong).sum)
+    // corruption: bad magic, wrong bpp, truncated data all reject cleanly
+    val badMagic = enc.clone(); badMagic(0) = 'X'
+    assert(!Multimodal.decodeBmp(1L, badMagic).ok)
+    val bad16 = enc.clone(); bad16(28) = 16
+    assert(!Multimodal.decodeBmp(1L, bad16).ok)
+    assert(!Multimodal.decodeBmp(1L, enc.take(60)).ok)
+  }
+
+  test("wav codec: chunk walking, odd-size pad rule, sign extension, rejection") {
+    // encodeWav places a LIST chunk before data - decode must walk past it
+    val enc = Multimodal.encodeWav("abc", 4)
+    val f = Multimodal.decodeWav(3L, enc)
+    assert(f.ok && f.n_channels === 1 && f.sample_rate === 8000 && f.n_samples === 4L)
+    // samples: (ord('a'|'b'|'c'|'a') - 96) * 128 = (1,2,3,1)*128
+    assert(f.sum_abs === (1 + 2 + 3 + 1) * 128L)
+    assert(f.peak === 3 * 128L)
+    assert(f.pos_checksum === (1 * 1 + 2 * 2 + 3 * 3 + 1 * 4) * 128L)
+    // negative samples sign-extend: ord(' ')=32 -> (32-96)*128 = -8192
+    val neg = Multimodal.decodeWav(4L, Multimodal.encodeWav(" ", 1))
+    assert(neg.ok && neg.sum_abs === 8192L && neg.pos_checksum === -8192L)
+    // hand-built file with an ODD-size junk chunk before fmt: the RIFF
+    // pad byte must be skipped or fmt parses one byte off
+    val inner = Multimodal.encodeWav("ab", 2)
+    val junkSz = 3 // odd
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(inner, 0, 12) // RIFF....WAVE
+    out.write("junk".getBytes("US-ASCII"))
+    out.write(Array[Byte](junkSz.toByte, 0, 0, 0))
+    out.write(Array[Byte](9, 9, 9, 0)) // 3 junk bytes + 1 pad byte
+    out.write(inner, 12, inner.length - 12) // fmt + LIST + data
+    val padded = out.toByteArray
+    // fix the RIFF size field
+    padded(4) = ((padded.length - 8) & 0xff).toByte
+    val g = Multimodal.decodeWav(5L, padded)
+    assert(g.ok && g.n_samples === 2L, g.toString)
+    // rejection: non-PCM format code, missing data chunk, truncation
+    val badFmt = enc.clone(); badFmt(20) = 3
+    assert(!Multimodal.decodeWav(1L, badFmt).ok)
+    assert(!Multimodal.decodeWav(1L, enc.take(40)).ok)
+  }
 }
