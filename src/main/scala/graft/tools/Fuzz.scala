@@ -76,7 +76,11 @@ object Fuzz {
       "ma"),
     ("cumsum", """cumulative_sum(mean("value"))""",
       "raw, sum(raw) OVER (ORDER BY time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs",
-      "cs"))
+      "cs"),
+    // EMA with N=3 → α = 0.5 exactly: the fold 0.5*b + 0.5*a is the
+    // identical IEEE op sequence as Tick.exponentialMovingAverage's
+    // alpha*x + oneMinus*e (window fields unused — foldExpr drives it)
+    ("ema3", """exponential_moving_average(mean("value"), 3)""", "raw", "raw"))
 
   private val SlimitParams = Seq((1, 0), (2, 1), (3, 0))
 
@@ -226,6 +230,13 @@ object Fuzz {
       (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
       ri <- Ranges.indices
     } yield mkTransformGb(t, bName, bMs, ri)
+    // transforms × FILL(number): gap-filled spine feeding the transform
+    val tfFills = for {
+      t <- Transforms.toVector
+      mode <- Vector("0", "-5")
+      (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
+      ri <- Ranges.indices
+    } yield mkTransformFill(t, mode, bName, bMs, ri)
     // percentile × GROUP BY tag: interpolated quantile per (bucket, type)
     val pctGbs = for {
       p <- Vector(50, 90, 99)
@@ -316,7 +327,7 @@ object Fuzz {
     } yield mk("count_distinct", "count(DISTINCT value)", bName, bMs, pi, ri,
       None, selRaw = Some("""count(distinct("value"))"""))
     base ++ limited ++ grouped ++ desc ++ fills ++ pcts ++ sels ++
-      ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ pctGbs ++
+      ariths ++ tfs ++ slims ++ fillGbs ++ tfGbs ++ tfFills ++ pctGbs ++
       extras ++ maths ++ offsets ++ subqs ++ multis ++ fields ++
       selGbs ++ elapseds ++ integrals ++ modes ++ cdists ++ showCases
   }
@@ -660,7 +671,54 @@ object Fuzz {
     case "movavg3" => Some(
       "list_reduce(l.vs[(CASE WHEN r.rn >= 3 THEN r.rn - 2 ELSE 1 END):r.rn], (a, b) -> a + b)" +
         " / (CASE WHEN r.rn >= 3 THEN 3 ELSE r.rn END)")
+    case "ema3" => Some("list_reduce(l.vs[1:r.rn], (a, b) -> 0.5 * b + 0.5 * a)")
     case _ => None
+  }
+
+  /** Transform × FILL(number): the composition the planner runs as
+    * fillGaps THEN applyTransform — the gap-filled spine (constant plugs,
+    * so no null contract) feeds the windowed/folded transform. The
+    * highest-state-space planner path (round-5 verdict item 7). */
+  private def mkTransformFill(t: (String, String, String, String), mode: String,
+                              bName: String, bMs: Long, ri: Int): FuzzCase = {
+    val (slug, sel, winSetup, winExpr) = t
+    val (fromNs, toNs) = Ranges(ri)
+    val q = s"""SELECT $sel FROM "events" WHERE time > $fromNs AND time < $toNs AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time($bName) FILL($mode)"""
+    val fromMs = fromNs / 1000000L + 1
+    val toMs = toNs / 1000000L - 1
+    val fromB = Math.floorDiv(fromMs, bMs) * bMs
+    val toB = Math.floorDiv(toMs, bMs) * bMs
+    val g =
+      s"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, avg(value) AS raw
+         |  FROM events
+         |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
+         |    AND event_type = 'click' AND user_id = 7
+         |  GROUP BY 1),
+         |sp AS (SELECT s.time_ms, coalesce(g.raw, $mode) AS raw
+         |       FROM generate_series($fromB, $toB, $bMs) s(time_ms)
+         |       LEFT JOIN g ON g.time_ms = s.time_ms
+         |       WHERE EXISTS (SELECT 1 FROM g))""".stripMargin
+    val fCte = foldExpr(slug) match {
+      case Some(e) =>
+        s"""r AS (SELECT time_ms, row_number() OVER (ORDER BY time_ms) AS rn FROM sp),
+           |l AS (SELECT list(raw ORDER BY time_ms) AS vs FROM sp),
+           |f AS (SELECT r.time_ms, CAST(floor(($e) * 100) AS BIGINT) AS value FROM r, l)""".stripMargin
+      case None =>
+        s"""d AS (SELECT time_ms, $winSetup FROM sp),
+           |f AS (SELECT time_ms, CAST(floor(($winExpr) * 100) AS BIGINT) AS value
+           |      FROM d WHERE ($winExpr) IS NOT NULL)""".stripMargin
+    }
+    val sql =
+      s"""$g,
+         |$fCte
+         |SELECT time_ms, 'value' AS name, value, 'event_type' AS labelname,
+         |       'click' AS labelvalue, '' AS message FROM f
+         |UNION ALL
+         |SELECT time_ms, 'value' AS name, value, 'user_id' AS labelname,
+         |       '7' AS labelvalue, '' AS message FROM f
+         |ORDER BY time_ms, name, labelname, labelvalue, message, value""".stripMargin
+    FuzzCase(s"fuzz_${slug}_fill${mode.replace("-", "m")}_${bName}_r${ri}_tff", q, sql)
   }
 
   private def mkTransform(t: (String, String, String, String),

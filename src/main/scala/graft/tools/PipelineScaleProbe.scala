@@ -140,6 +140,19 @@ object PipelineScaleProbe {
       "mad_outliers" -> (n =>
         graft.pipeline.EventOps.madOutliers(
           synthEvents(spark, n).withColumn("ts_ms", expr("ts_ns div 1000000"))).count()),
+      // round-6: the ANN index builds (fixed NumQueries, corpus-sized
+      // index side) — codebook-training assignment passes are the most
+      // likely super-linear suspects, so measure them a decade up
+      "ann_ivf" -> (n =>
+        graft.pipeline.Similarity.ivfTopK(synthEmb(spark, n)).count()),
+      "ann_pq" -> (n =>
+        graft.pipeline.Similarity.pqTopK(synthEmb(spark, n)).count()),
+      "ann_ivfpq" -> (n =>
+        graft.pipeline.Similarity.ivfpqTopK(synthEmb(spark, n)).count()),
+      "ann_lsh" -> (n =>
+        graft.pipeline.Similarity.lshTopK(synthEmb(spark, n)).count()),
+      "ann_hamming" -> (n =>
+        graft.pipeline.Similarity.hammingTopK(synthEmb(spark, n)).count()),
       // diverse payloads (hash hex), NOT synthDocs: near-constant word-soup
       // corpora collapse every doc into a handful of phash buckets and the
       // band join degenerates quadratically — the generic LSH skew law;
