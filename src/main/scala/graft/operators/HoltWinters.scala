@@ -32,6 +32,10 @@ object HoltWinters {
     val spark = sel.sparkSession
     import spark.implicits._
     sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      // fill(null/previous/linear) compositions inject null gap rows; the
+      // typed decode below is primitive-Double and must never see them
+      // (InfluxDB moving averages skip missing points)
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
       .as[(Long, String, Double, String, String, String)]
       .groupByKey(r => (r._2, r._4, r._5, r._6))
       .flatMapGroups { (key: (String, String, String, String),
@@ -70,6 +74,10 @@ object HoltWinters {
     val spark = sel.sparkSession
     import spark.implicits._
     sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      // fill(null/previous/linear) compositions inject null gap rows; the
+      // typed decode below is primitive-Double and must never see them
+      // (InfluxDB moving averages skip missing points)
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
       .as[(Long, String, Double, String, String, String)]
       .groupByKey(r => (r._2, r._4, r._5, r._6))
       .flatMapGroups { (key: (String, String, String, String),

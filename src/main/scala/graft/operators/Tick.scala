@@ -81,6 +81,10 @@ object Tick {
     val alpha = 2.0 / (n + 1)
     val oneMinus = 1.0 - alpha
     sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      // fill(null/previous/linear) compositions inject null gap rows; the
+      // typed decode below is primitive-Double and must never see them
+      // (InfluxDB moving averages skip missing points)
+      .filter(col("value").isNotNull)
       .as[(Long, String, Double, String, String, String)]
       .groupByKey(r => (r._2, r._4, r._5, r._6))
       .flatMapGroups { (key: (String, String, String, String),
@@ -110,6 +114,10 @@ object Tick {
     val alpha = 2.0 / (n + 1)
     val oneMinus = 1.0 - alpha
     sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      // fill(null/previous/linear) compositions inject null gap rows; the
+      // typed decode below is primitive-Double and must never see them
+      // (InfluxDB moving averages skip missing points)
+      .filter(col("value").isNotNull)
       .as[(Long, String, Double, String, String, String)]
       .groupByKey(r => (r._2, r._4, r._5, r._6))
       .flatMapGroups { (key: (String, String, String, String),
@@ -141,6 +149,10 @@ object Tick {
     val spark = sel.sparkSession
     import spark.implicits._
     sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      // fill(null/previous/linear) compositions inject null gap rows; the
+      // typed decode below is primitive-Double and must never see them
+      // (InfluxDB moving averages skip missing points)
+      .filter(col("value").isNotNull)
       .as[(Long, String, Double, String, String, String)]
       .groupByKey(r => (r._2, r._4, r._5, r._6))
       .flatMapGroups { (key: (String, String, String, String),
@@ -223,6 +235,10 @@ object Tick {
     val alpha = 2.0 / (n + 1)
     val oneMinus = 1.0 - alpha
     sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      // fill(null/previous/linear) compositions inject null gap rows; the
+      // typed decode below is primitive-Double and must never see them
+      // (InfluxDB moving averages skip missing points)
+      .filter(col("value").isNotNull)
       .as[(Long, String, Double, String, String, String)]
       .groupByKey(r => (r._2, r._4, r._5, r._6))
       .flatMapGroups { (key: (String, String, String, String),
@@ -256,6 +272,10 @@ object Tick {
     val alpha = 2.0 / (n + 1)
     val oneMinus = 1.0 - alpha
     sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      // fill(null/previous/linear) compositions inject null gap rows; the
+      // typed decode below is primitive-Double and must never see them
+      // (InfluxDB moving averages skip missing points)
+      .filter(col("value").isNotNull)
       .as[(Long, String, Double, String, String, String)]
       .groupByKey(r => (r._2, r._4, r._5, r._6))
       .flatMapGroups { (key: (String, String, String, String),
@@ -298,6 +318,10 @@ object Tick {
     val fast = 2.0 / 3.0   // 2/(2+1)
     val slow = 2.0 / 31.0  // 2/(30+1)
     sel.select("time_ms", "name", "value", "labelname", "labelvalue", "message")
+      // fill(null/previous/linear) compositions inject null gap rows; the
+      // typed decode below is primitive-Double and must never see them
+      // (InfluxDB moving averages skip missing points)
+      .filter(col("value").isNotNull)
       .as[(Long, String, Double, String, String, String)]
       .groupByKey(r => (r._2, r._4, r._5, r._6))
       .flatMapGroups { (key: (String, String, String, String),

@@ -160,4 +160,28 @@ class PlannerSpec extends AnyFunSuite {
     assert(json == """{"results":[{"statement_id":0,"series":[{"name":"measurements","columns":["name"],"values":[["cpu"],["mem"],["syslog"]]}]}]}""")
     assert(Response.emptyResult == """{"results":[{"statement_id":0}]}""")
   }
+
+  test("typed transforms over gap-filled spines never see null rows") {
+    // range opens 150s before the first point, so the FILL spine carries
+    // leading NULL buckets. The typed transforms (EMA family, KAMA, RSI,
+    // holt_winters) decode value into a primitive Double and previously
+    // crashed on those rows ("Null value appeared in non-nullable field");
+    // they now skip missing points (InfluxDB moving-average semantics).
+    val q = s"""SELECT exponential_moving_average(mean("usage_user"), 3) FROM "cpu" WHERE time > ${ns(-150)} AND time < ${ns(80)} AND "cpu" = 'cpu0' AND "host" = 'h1' GROUP BY time(1m) FILL(previous)"""
+    val rows = run(q)
+      .select("time_ms", "value").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    // two real buckets: mean(10,20)=15 at t0's minute, 40 at the next;
+    // EMA(3): seed 15, then 0.5*40 + 0.5*15 = 27.5 — leading null
+    // buckets contribute nothing
+    assert(rows.map(_._2).toSeq === Seq(15.0, 27.5))
+    // holt_winters over the same gap-filled spine is also total
+    val hw = s"""SELECT holt_winters(mean("usage_user"), 2) FROM "cpu" WHERE time > ${ns(-150)} AND time < ${ns(80)} AND "cpu" = 'cpu0' AND "host" = 'h1' GROUP BY time(1m) FILL(previous)"""
+    assert(run(hw).collect().nonEmpty)
+    // and a window-based transform keeps its drop-null contract
+    val df = s"""SELECT difference(mean("usage_user")) FROM "cpu" WHERE time > ${ns(-150)} AND time < ${ns(80)} AND "cpu" = 'cpu0' AND "host" = 'h1' GROUP BY time(1m) FILL(previous)"""
+    val diffs = run(df)
+      .select("value").distinct().collect().map(_.getDouble(0))
+    assert(diffs.toSeq === Seq(25.0)) // 40 - 15; null-lag rows dropped
+  }
 }
