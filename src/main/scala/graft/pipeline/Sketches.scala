@@ -477,12 +477,16 @@ object Sketches {
     * (union_est, inter_est, diff_a_est, union_exact_s, inter_exact_s). */
   def thetaSourceOps(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def shingleHashes(d: DataFrame): DataFrame =
-      d.select(col("source"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
-        .select(col("source"), baseHash(col("s")).as("h"))
-        .distinct()
-    val sh = shingleHashes(docs) // corpus-sized: sketch side only, single consumer
+    // ONE tokenize+hash pass carries doc_id so the full sketch side and
+    // the sampled exact side both derive from the same materialized
+    // relation (a second tokenize pass for the sample measured +40% on
+    // this entry at sf0.1 — the explode+md5 is the dominant cost)
+    val shDoc = docs.select(col("doc_id"), col("source"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
+      .select(col("doc_id"), col("source"), baseHash(col("s")).as("h"))
+      .distinct()
+      .transform(graft.util.Materialize.corpus)
+    val sh = shDoc.select("source", "h").distinct()
     // two-phase bottom-K per source (same skew discipline as kmvJaccard)
     val wLocal = Window.partitionBy("source", "salt").orderBy("h")
     val wK = Window.partitionBy("source").orderBy("h")
@@ -530,7 +534,8 @@ object Sketches {
       .foldLeft(lit(0L)) { case (acc, (t, i)) =>
         acc.bitwiseOR(when(col("source") === t, lit(1L << (i % 60))).otherwise(0L))
       }
-    val shS = shingleHashes(EvalSampling(docs, "doc_id"))
+    val shS = shDoc.filter(expr(EvalSampling.sqlPred("doc_id")))
+      .select("source", "h").distinct()
     val wordAggs = (0 until nWords).map(w => expr(s"bit_or(b$w)").as(s"m$w"))
     val masks = shS
       .select(col("h") +: (0 until nWords).map(w => wordExpr(w).as(s"b$w")): _*)
