@@ -230,10 +230,13 @@ object Fuzz {
       (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
       ri <- Ranges.indices
     } yield mkTransformGb(t, bName, bMs, ri)
-    // transforms × FILL(number): gap-filled spine feeding the transform
+    // transforms × FILL: numeric modes with every transform; the
+    // null-leaving modes (previous/linear) with the lag-based transforms
+    // whose null outputs both engines drop identically
     val tfFills = for {
       t <- Transforms.toVector
-      mode <- Vector("0", "-5")
+      mode <- Vector("0", "-5", "previous", "linear")
+      if mode == "0" || mode == "-5" || t._1 == "diff" || t._1 == "deriv"
       (bName, bMs) <- Vector("1h" -> 3600000L, "6h" -> 21600000L, "1d" -> 86400000L)
       ri <- Ranges.indices
     } yield mkTransformFill(t, mode, bName, bMs, ri)
@@ -675,10 +678,14 @@ object Fuzz {
     case _ => None
   }
 
-  /** Transform × FILL(number): the composition the planner runs as
-    * fillGaps THEN applyTransform — the gap-filled spine (constant plugs,
-    * so no null contract) feeds the windowed/folded transform. The
-    * highest-state-space planner path (round-5 verdict item 7). */
+  /** Transform × FILL: the composition the planner runs as fillGaps
+    * THEN applyTransform. Numeric modes plug every gap (no null
+    * contract); previous/linear leave leading(/trailing) gaps NULL, so
+    * the transform's null semantics are part of the differential
+    * surface — lag propagates NULL, windowed avg/sum ignore NULLs,
+    * identically in both engines; rows whose transformed value is still
+    * NULL take the -1 sentinel (run() na.fills, the oracle coalesces).
+    * The highest-state-space planner path (round-5 verdict item 7). */
   private def mkTransformFill(t: (String, String, String, String), mode: String,
                               bName: String, bMs: Long, ri: Int): FuzzCase = {
     val (slug, sel, winSetup, winExpr) = t
@@ -688,6 +695,27 @@ object Fuzz {
     val toMs = toNs / 1000000L - 1
     val fromB = Math.floorDiv(fromMs, bMs) * bMs
     val toB = Math.floorDiv(toMs, bMs) * bMs
+    val fillExpr = mode match {
+      case "previous" =>
+        "last_value(j.raw IGNORE NULLS) OVER " +
+          "(ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      case "linear" =>
+        """CASE WHEN j.raw IS NOT NULL THEN j.raw
+          |  WHEN pv IS NOT NULL AND nv IS NOT NULL
+          |    THEN pv + (nv - pv) * ((j.time_ms - pt) / (nt - pt))
+          |  END""".stripMargin
+      case n => s"coalesce(j.raw, $n)"
+    }
+    val linearWins = if (mode != "linear") "" else
+      """,
+        |  last_value(j.raw IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN j.raw IS NOT NULL THEN j.time_ms END IGNORE NULLS) OVER wp AS pt,
+        |  first_value(j.raw IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN j.raw IS NOT NULL THEN j.time_ms END IGNORE NULLS) OVER wn AS nt""".stripMargin
+    val linearWindowDefs = if (mode != "linear") "" else
+      """
+        |      WINDOW wp AS (ORDER BY j.time_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (ORDER BY j.time_ms ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
     val g =
       s"""WITH g AS (
          |  SELECT (epoch_ms(ts) // $bMs) * $bMs AS time_ms, avg(value) AS raw
@@ -695,10 +723,19 @@ object Fuzz {
          |  WHERE epoch_ms(ts) >= $fromMs AND epoch_ms(ts) <= $toMs
          |    AND event_type = 'click' AND user_id = 7
          |  GROUP BY 1),
-         |sp AS (SELECT s.time_ms, coalesce(g.raw, $mode) AS raw
+         |j0 AS (SELECT s.time_ms, g.raw
          |       FROM generate_series($fromB, $toB, $bMs) s(time_ms)
          |       LEFT JOIN g ON g.time_ms = s.time_ms
-         |       WHERE EXISTS (SELECT 1 FROM g))""".stripMargin
+         |       WHERE EXISTS (SELECT 1 FROM g)),
+         |j2 AS (SELECT j.time_ms, j.raw$linearWins FROM j0 j$linearWindowDefs),
+         |sp AS (SELECT j.time_ms, $fillExpr AS raw FROM j2 j)""".stripMargin
+    // null-leaving modes (previous/linear) are generated ONLY with the
+    // lag-based transforms (diff/deriv): their null outputs are DROPPED
+    // by both engines (Kapacitor semantics ≡ the NOT-NULL filter), so no
+    // sentinel is needed. The fold-replayed transforms (cumsum/movavg/
+    // ema) can't compose with nulls differentially — Spark's windowed
+    // sum/avg IGNORE nulls while an ordered list_reduce propagates them,
+    // so those combinations are excluded at the family comprehension.
     val fCte = foldExpr(slug) match {
       case Some(e) =>
         s"""r AS (SELECT time_ms, row_number() OVER (ORDER BY time_ms) AS rn FROM sp),
