@@ -1198,6 +1198,8 @@ object SparkEntry {
     "doc_url_canon" -> ((s, dir) => UrlOps.urlCanon(docs(s, dir))),
     "doc_url_dedup" -> ((s, dir) => UrlOps.urlDedup(docs(s, dir))),
     "doc_url_host_stats" -> ((s, dir) => UrlOps.hostStats(docs(s, dir))),
+    "doc_curation_full" -> ((s, dir) => TextOps.curationFull(docs(s, dir))),
+    "doc_url_host_budget" -> ((s, dir) => UrlOps.hostQualityBudget(docs(s, dir))),
     "doc_cdc_chunks" -> ((s, dir) => TextOps.cdcChunks(docs(s, dir))),
     "doc_dsir_resample" -> ((s, dir) => TextOps.dsirResample(docs(s, dir))),
     "doc_corpus_zipf" -> ((s, dir) => TextOps.corpusZipf(docs(s, dir))),
@@ -2324,6 +2326,8 @@ object SparkEntry {
     "doc_url_canon" -> UrlOps.urlCanonOracle,
     "doc_url_dedup" -> UrlOps.urlDedupOracle,
     "doc_url_host_stats" -> UrlOps.hostStatsOracle,
+    "doc_curation_full" -> TextOps.curationFullOracle,
+    "doc_url_host_budget" -> UrlOps.hostQualityBudgetOracle,
     "doc_cdc_chunks" -> TextOps.cdcChunksOracle,
     "doc_dsir_resample" -> TextOps.dsirResampleOracle,
     "doc_corpus_zipf" -> TextOps.corpusZipfOracle,

@@ -1346,6 +1346,63 @@ object TextOps {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** The FULL curation stack as one verified composition — the round-6
+    * superset of [[curationPipeline]], staged the way a crawl actually
+    * gets cleaned: (1) URL-level dedup (first-crawled doc per canonical
+    * URL, [[UrlOps]]), (2) Gopher rule battery, (3) the TRAINED quality
+    * classifier (the GD model from [[qualityTrain]], fit over the full
+    * corpus and applied as a per-row keep), (4) exact content dedup
+    * among survivors, (5) leakage-safe hash split. Stage 2 rides free:
+    * the training features' label column IS the Gopher verdict, so one
+    * feature relation serves stages 2 AND 3 in both engines. Everything
+    * after training is one Catalyst plan — three left-semi joins on
+    * doc_id, two hash aggregates, no window. Output
+    * (split, n_docs, docid_sum). */
+  def curationFull(docs: DataFrame): DataFrame = {
+    val f = qtFeatures(docs).transform(graft.util.Materialize.corpus)
+    val w = qtTrain(f)._1.last
+    val z = (0 to 4).map(k => s"x$k * ${w(k)}L").mkString(" + ")
+    val survivors = f
+      .filter(col("y") === 1000L && // Gopher battery (stage 2)
+        expr(s"least(1000L, greatest(0L, 500L + ($z) div $QtSigDiv)) >= 500"))
+      .select("doc_id")
+    val urlKeep = UrlOps.urlsFromDocs(docs)
+      .select(UrlOps.canonicalize(col("url")).as("canon"), col("doc_id"))
+      .groupBy("canon").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept = docs
+      .join(urlKeep, Seq("doc_id"), "left_semi")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), baseHash(col("text")).as("h"))
+    kept.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .withColumn("bucket", col("h") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("docid_sum"))
+      .orderBy("split")
+  }
+
+  // lazy: declared before the Qt* constants it reads (object init order)
+  lazy val curationFullOracle: String =
+    s"""WITH ${qtOracleCtes(QtIters)},
+       |u AS (SELECT doc_id, ${UrlOps.urlSql} AS url FROM documents),
+       |uc AS (SELECT doc_id, ${UrlOps.canonSql("url")} AS canon FROM u),
+       |uk AS (SELECT min(doc_id) AS doc_id FROM uc GROUP BY canon),
+       |ck AS (SELECT f.doc_id FROM feats f, w$QtIters w
+       |       WHERE f.y = 1000
+       |         AND ${qtPSql("f.")} >= 500),
+       |kd AS (SELECT d.doc_id, ${baseHashSql("text")} AS h
+       |       FROM documents d JOIN uk USING (doc_id) JOIN ck USING (doc_id)),
+       |dd AS (SELECT h, min(doc_id) AS doc_id FROM kd GROUP BY h),
+       |s AS (SELECT doc_id, CASE WHEN h % 100 < 90 THEN 'train'
+       |                          WHEN h % 100 < 95 THEN 'valid'
+       |                          ELSE 'test' END AS split FROM dd)
+       |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS docid_sum
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   // ---- operator: PII scrub ------------------------------------------------
 
   /** Email / IPv4 / phone-shaped patterns, restricted to regex constructs

@@ -48,7 +48,7 @@ object UrlOps {
   // NOTE: no line here may BEGIN with "||" — these fragments are
   // re-interpolated into templates that run stripMargin again, which
   // would eat the first pipe. Operators trail the line instead.
-  private val urlSql: String =
+  private[pipeline] val urlSql: String =
     """CASE doc_id % 4
       |  WHEN 0 THEN 'https://site' || ((doc_id // 4) % 50)::VARCHAR ||
       |              '.example.com/p/' || (doc_id // 200)::VARCHAR
@@ -93,7 +93,7 @@ object UrlOps {
     s"""regexp_replace(regexp_replace(
        |  lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
        |  '^www\\.', ''), ':(80|443)$$', '')""".stripMargin
-  private def canonSql(u: String) =
+  private[pipeline] def canonSql(u: String) =
     s"""'https://' || ${hostSql(u)} ||
        |regexp_replace(regexp_extract(regexp_replace($u, '#.*$$', ''),
        |  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/$$', '') ||
@@ -156,4 +156,62 @@ object UrlOps {
        |SELECT host, count(*)::BIGINT AS n_docs,
        |       count(DISTINCT canon_url)::BIGINT AS n_pages
        |FROM c GROUP BY host ORDER BY host""".stripMargin
+
+  /** Per-host quality rollup → crawl budget shares (the CCNet-style
+    * domain statistics a crawler's scheduler consumes): each host's
+    * docs are scored by the fixed-weight quality classifier, clamped at
+    * zero (a host full of junk earns no budget, not negative budget),
+    * and the host's budget share is its clamped score mass in ppm of
+    * the corpus total. One projection + one hash aggregate + a 1-row
+    * broadcast total — no window, no join against anything corpus-sized.
+    * Output (host, n_docs, mean_score_fp, budget_ppm). */
+  def hostQualityBudget(docs: DataFrame): DataFrame = {
+    val scored = TextOps.qualityClassifier(docs)
+      .select(col("doc_id"), greatest(col("score_fp"), lit(0L)).as("s"))
+    val hosts = urlsFromDocs(docs)
+      .select(col("doc_id"), hostOf(col("url")).as("host"))
+    val per = hosts.join(scored, Seq("doc_id"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum("s").as("smass"))
+    val tot = per.agg(sum("smass").as("stot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("host"), col("n_docs"),
+        expr("smass div n_docs").as("mean_score_fp"),
+        expr("CASE WHEN stot > 0 THEN smass * 1000000 div stot ELSE 0 END")
+          .as("budget_ppm"))
+      .orderBy("host")
+  }
+
+  // lazy: TextOps.qualityClassifierOracle is an object val that may not
+  // be initialized yet when UrlOps loads (cross-object init order)
+  lazy val hostQualityBudgetOracle: String = {
+    val inList = graft.pipeline.TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       |         len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS en_hits,
+       |         length(replace(text, ' ', '')) AS sum_wl
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |             n_distinct * 1000 // n_tokens AS ttr_pm,
+       |             en_hits * 1000 // n_tokens AS stop_pm,
+       |             sum_wl * 100 // n_tokens AS mwl_c,
+       |             CASE WHEN n_tokens BETWEEN 20 AND 800
+       |                  THEN 1::BIGINT ELSE 0::BIGINT END AS len_ok
+       |      FROM q),
+       |sc AS (SELECT doc_id,
+       |              GREATEST(ttr_pm * 2 + stop_pm * 3 + len_ok * 500
+       |                - abs(mwl_c - 450), 0::BIGINT) AS s
+       |       FROM f),
+       |u AS (SELECT doc_id, $urlSql AS url FROM documents),
+       |h AS (SELECT doc_id, ${hostSql("url")} AS host FROM u),
+       |per AS (SELECT host, count(*)::BIGINT AS n_docs, sum(sc.s) AS smass
+       |        FROM h JOIN sc USING (doc_id) GROUP BY host),
+       |tot AS (SELECT sum(smass) AS stot FROM per)
+       |SELECT host, n_docs, CAST(smass // n_docs AS BIGINT) AS mean_score_fp,
+       |       CAST(CASE WHEN stot > 0 THEN smass * 1000000 // stot
+       |                 ELSE 0 END AS BIGINT) AS budget_ppm
+       |FROM per, tot ORDER BY host""".stripMargin
+  }
 }

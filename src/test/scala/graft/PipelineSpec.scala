@@ -1616,4 +1616,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Multimodal.decodeWav(1L, badFmt).ok)
     assert(!Multimodal.decodeWav(1L, enc.take(40)).ok)
   }
+
+  test("curation full: stage containment and ordered split report") {
+    val out = TextOps.curationFull(docs).collect()
+    val total = out.map(_.getLong(1)).sum
+    // survivors passed every stage: bounded by each stage's own keep count
+    val urlKeep = UrlOps.urlDedup(docs).count()
+    val gopherKeep = TextOps.gopherFilters(docs).filter(col("keep")).count()
+    val clsKeep = TextOps.qualityTrainedScores(docs).filter(col("keep")).count()
+    assert(total <= urlKeep && total <= gopherKeep && total <= clsKeep)
+    assert(total > 0, s"stacked filters killed the whole sf0.001 corpus " +
+      s"(url=$urlKeep gopher=$gopherKeep cls=$clsKeep)")
+    assert(out.map(_.getString(0)).toSeq === out.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("host quality budget: shares sum to ~1e6, mass conservation, clamping") {
+    val out = UrlOps.hostQualityBudget(docs).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    val shares = out.map(_.getLong(3))
+    shares.foreach(s => assert(s >= 0L && s <= 1000000L))
+    // truncating division loses < 1 ppm per host
+    val tot = shares.sum
+    assert(tot <= 1000000L && tot > 1000000L - out.length)
+    out.foreach(r => assert(r.getLong(2) >= 0L, "clamped mean can't be negative"))
+  }
 }
