@@ -116,6 +116,44 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(bands.count() === shingled.length * graft.pipeline.Dedup.Bands)
   }
 
+  test("streaming url dedup: canonical collisions reject within and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-urldedup").toString
+    val cfg = graft.streaming.StreamingUrlDedup.Config(
+      s"$dir/canon", s"$dir/accepted", s"$dir/ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingUrlDedup.start(
+      stream.toDS().toDF("doc_id", "url"), cfg)
+    // batch 1: three VARIANTS of one page (case, www, port, utm, slash)
+    // plus a distinct page — first-crawled (smallest id) wins the group
+    stream.addData(
+      (1L, "https://site.example.com/a"),
+      (2L, "HTTPS://WWW.SITE.EXAMPLE.COM/a/"),
+      (3L, "http://site.example.com:80/a?utm_source=x"),
+      (4L, "https://other.example.com/b"))
+    q.processAllAvailable()
+    // batch 2: yet another variant of the stored page (must reject), a
+    // same-HOST different-path url (must admit — host is not the key),
+    // and a real-params url whose params only SORT (distinct canonical)
+    stream.addData(
+      (5L, "https://site.example.com:443/a#frag"),
+      (6L, "https://site.example.com/c"),
+      (7L, "https://site.example.com/a?b=2&a=1"))
+    q.processAllAvailable()
+    q.stop()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(accepted === Seq(1L, 4L, 6L, 7L), accepted)
+    // the stored index carries exactly one row per admitted canonical page
+    val canon = spark.read.parquet(s"$dir/canon").as[String].collect().sorted.toSeq
+    assert(canon === Seq(
+      "https://other.example.com/b",
+      "https://site.example.com/a",
+      "https://site.example.com/a?a=1&b=2",
+      "https://site.example.com/c"), canon)
+  }
+
   test("streaming difference carries per-series state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
