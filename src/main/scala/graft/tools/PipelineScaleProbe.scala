@@ -140,6 +140,15 @@ object PipelineScaleProbe {
       "mad_outliers" -> (n =>
         graft.pipeline.EventOps.madOutliers(
           synthEvents(spark, n).withColumn("ts_ms", expr("ts_ns div 1000000"))).count()),
+      // round-6: URL dedup (one hash aggregate) and the trained quality
+      // classifier (9 full-corpus aggregate passes + scoring) — the GD
+      // loop is the main fixed-pass-count suspect at scale
+      "url_dedup" -> (n =>
+        graft.pipeline.UrlOps.urlDedup(synthDocs(spark, n)).count()),
+      "quality_train" -> (n =>
+        graft.pipeline.TextOps.qualityTrainedScores(synthDocs(spark, n)).count()),
+      "curation_full" -> (n =>
+        graft.pipeline.TextOps.curationFull(synthDocs(spark, n)).count()),
       // round-6: the ANN index builds (fixed NumQueries, corpus-sized
       // index side) — codebook-training assignment passes are the most
       // likely super-linear suspects, so measure them a decade up
