@@ -1200,6 +1200,7 @@ object SparkEntry {
     "doc_url_host_stats" -> ((s, dir) => UrlOps.hostStats(docs(s, dir))),
     "doc_curation_full" -> ((s, dir) => TextOps.curationFull(docs(s, dir))),
     "doc_url_host_budget" -> ((s, dir) => UrlOps.hostQualityBudget(docs(s, dir))),
+    "emb_semantic_decontaminate" -> ((s, dir) => Dedup.semanticDecontaminate(emb(s, dir))),
     "doc_cdc_chunks" -> ((s, dir) => TextOps.cdcChunks(docs(s, dir))),
     "doc_dsir_resample" -> ((s, dir) => TextOps.dsirResample(docs(s, dir))),
     "doc_corpus_zipf" -> ((s, dir) => TextOps.corpusZipf(docs(s, dir))),
@@ -2328,6 +2329,7 @@ object SparkEntry {
     "doc_url_host_stats" -> UrlOps.hostStatsOracle,
     "doc_curation_full" -> TextOps.curationFullOracle,
     "doc_url_host_budget" -> UrlOps.hostQualityBudgetOracle,
+    "emb_semantic_decontaminate" -> Dedup.semanticDecontaminateOracle,
     "doc_cdc_chunks" -> TextOps.cdcChunksOracle,
     "doc_dsir_resample" -> TextOps.dsirResampleOracle,
     "doc_corpus_zipf" -> TextOps.corpusZipfOracle,

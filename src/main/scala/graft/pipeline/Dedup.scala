@@ -1228,11 +1228,11 @@ object Dedup {
       .filter(col("cos_fp") >= CosineThresholdFp)
   }
 
-  /** DuckDB mirror of the banded candidate stage: same quadratic-mixed
+  /** DuckDB mirror of the banded relation: same quadratic-mixed
     * coefficient stream (see VectorMath.HyperplaneBuckets — the linear
     * stream correlated planes and concentrated buckets at scale), same
     * band layout, nested list_reduce folds in array order. */
-  private val bandedCandSql: String =
+  private val bandsCteSql: String =
     s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |bands AS (
        |  SELECT vec_id, band,
@@ -1242,11 +1242,76 @@ object Dedup {
        |                (x, y) -> x + y) > 0
        |                THEN (1::BIGINT << k) ELSE 0::BIGINT END),
        |           (a, b) -> a + b) AS bkt
-       |  FROM ev, (SELECT unnest(range(0, $EmbBands)) AS band) bs),
+       |  FROM ev, (SELECT unnest(range(0, $EmbBands)) AS band) bs)""".stripMargin
+
+  /** [[bandsCteSql]] + the self-join candidate stage. */
+  private val bandedCandSql: String =
+    s"""$bandsCteSql,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Benchmark-vector modulus for [[semanticDecontaminate]] (the
+    * embedding-space mirror of TextOps.decontaminate's BenchMod: every
+    * 10th vec_id is "the benchmark split"). */
+  val SemBenchMod = 10L
+
+  /** Semantic decontamination: flag TRAIN vectors whose cosine to ANY
+    * benchmark vector reaches [[CosineThresholdFp]] — the
+    * embedding-space complement of the 13-gram `doc_decontaminate`
+    * (n-gram overlap misses paraphrased leakage; embedding similarity
+    * catches it). Same banded-LSH discipline as [[cosinePairsBanded]],
+    * but the candidate stage is a CROSS-side equi-join on
+    * (band, bucket): train rows probe benchmark rows only, so candidate
+    * volume is Θ(bands · n_train · n_bench / 2^bits), never all-pairs —
+    * and at 100 TB the bench side is tiny (a benchmark suite), making
+    * the probe effectively a broadcast-scale lookup. Exact-cosine
+    * verify on candidates only. Output one row per CONTAMINATED train
+    * vector: (vec_id, n_bench_hits, max_cos_fp). */
+  def semanticDecontaminate(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorMath.dotF64
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
+    val banded = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorMath.hyperplaneBuckets(
+          col("v"), EmbBands, EmbBandBits)).as(Seq("band", "bkt")))
+      .transform(graft.util.Materialize.corpus) // consumed by both join sides
+    val isBench = col("vec_id") % SemBenchMod === 0L
+    val cand = banded.filter(!isBench).as("t")
+      .join(banded.filter(isBench).as("b"),
+        col("t.band") === col("b.band") && col("t.bkt") === col("b.bkt"))
+      .select(col("t.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("i"), col("v").as("av"), col("nrm").as("an")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("v").as("bv"), col("nrm").as("bn")), Seq("j"))
+      .select(col("i"),
+        floor(dotF64(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
+          .cast("long").as("cos_fp"))
+      .filter(col("cos_fp") >= CosineThresholdFp)
+      .groupBy("i")
+      .agg(count(lit(1)).as("n_bench_hits"), max("cos_fp").as("max_cos_fp"))
+      .select(col("i").as("vec_id"), col("n_bench_hits"), col("max_cos_fp"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDecontaminateOracle: String =
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT t.vec_id AS i, b.vec_id AS j
+       |  FROM bands t JOIN bands b ON t.band = b.band AND t.bkt = b.bkt
+       |  WHERE t.vec_id % $SemBenchMod != 0 AND b.vec_id % $SemBenchMod = 0),
+       |hits AS (
+       |  SELECT cand.i,
+       |         floor(list_reduce(list_transform(range(1, 65), d -> av.v[d] * bv.v[d]), (x, y) -> x + y)
+       |           / (sqrt(list_reduce(list_transform(range(1, 65), d -> av.v[d] * av.v[d]), (x, y) -> x + y))
+       |              * sqrt(list_reduce(list_transform(range(1, 65), d -> bv.v[d] * bv.v[d]), (x, y) -> x + y)))
+       |           * 1e6)::BIGINT AS cos_fp
+       |  FROM cand JOIN ev av ON av.vec_id = cand.i JOIN ev bv ON bv.vec_id = cand.j)
+       |SELECT i AS vec_id, count(*)::BIGINT AS n_bench_hits, max(cos_fp) AS max_cos_fp
+       |FROM hits WHERE cos_fp >= $CosineThresholdFp
+       |GROUP BY i ORDER BY vec_id""".stripMargin
 
   private val pairDotSql =
     "list_reduce(list_transform(range(1, 65), d -> av.v[d] * bv.v[d]), (x, y) -> x + y)"

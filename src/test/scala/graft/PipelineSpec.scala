@@ -1641,4 +1641,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(tot <= 1000000L && tot > 1000000L - out.length)
     out.foreach(r => assert(r.getLong(2) >= 0L, "clamped mean can't be negative"))
   }
+
+  test("semantic decontamination: planted bench copy flagged, clean train not") {
+    import spark.implicits._
+    // pseudo-random 64-dim vectors; ids 0/10/20 are the benchmark split
+    // (vec_id % 10 == 0), id 7 is an exact copy of bench vector 10 (the
+    // planted paraphrase-leak analogue), the rest are independent
+    def vec(seed: Long): Array[Float] = (1 to 64).map(d =>
+      (((seed * 2654435761L + d * 40503L) % 2001L) - 1000L) / 1000.0f).toArray
+    val rows = Seq((0L, vec(0)), (10L, vec(10)), (20L, vec(20)),
+      (7L, vec(10)), (8L, vec(8)), (13L, vec(13)))
+    val out = Dedup.semanticDecontaminate(rows.toDF("vec_id", "embedding")).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId.contains(7L), s"planted leak must be flagged: ${out.toSeq}")
+    assert(byId(7L).getLong(2) >= 999000L, "exact copy scores cosine ~1")
+    assert(!byId.contains(10L) && !byId.contains(20L) && !byId.contains(0L),
+      "benchmark-side vectors are never flagged as contaminated train docs")
+  }
 }

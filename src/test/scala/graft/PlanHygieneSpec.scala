@@ -397,4 +397,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!ts.contains("Join") && !ts.contains("Window") &&
       !ts.contains("CartesianProduct"), ts)
   }
+
+  test("semantic decontamination: cross-side candidates stay equi, no cartesian") {
+    val p = plan("emb_semantic_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
