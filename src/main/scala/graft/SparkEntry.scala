@@ -1321,6 +1321,7 @@ object SparkEntry {
       Multimodal.phashDup(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_bmp_roundtrip" -> ((s, dir) => Multimodal.bmpRoundtrip(docs(s, dir))),
     "mm_wav_roundtrip" -> ((s, dir) => Multimodal.wavRoundtrip(docs(s, dir))),
+    "mm_bmp_resize" -> ((s, dir) => Multimodal.bmpResize(docs(s, dir))),
 
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
@@ -2593,6 +2594,7 @@ object SparkEntry {
     "mm_phash" -> Multimodal.phashesOracle,
     "mm_phash_dup" -> Multimodal.phashDupOracle,
     "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,
-    "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle
+    "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle,
+    "mm_bmp_resize" -> Multimodal.bmpResizeOracle
   )
 }

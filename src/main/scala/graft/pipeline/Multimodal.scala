@@ -703,6 +703,140 @@ object Multimodal {
     WavFeature(mediaId, ok = true, channels, rate, n.toLong, sumAbs, peak, chk)
   }
 
+  /** Decode a BMP to its pixel array in logical top-left row-major
+    * order (r,g,b interleaved) — the pixel-level face of [[decodeBmp]],
+    * for transforms that need actual pixels (resize). */
+  private[graft] def decodeBmpPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val off0 = getLE32(p, 10)
+    val w = getLE32(p, 18)
+    val hRaw = getLE32(p, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || getLE16(p, 28) != 24 || getLE32(p, 30) != 0) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (off0 < 54 || off0.toLong + rowBytes.toLong * h > p.length) return None
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val o = off0 + fileRow * rowBytes + x * 3
+        val k = (y * w + x) * 3
+        px(k) = p(o + 2) & 0xff // R
+        px(k + 1) = p(o + 1) & 0xff // G
+        px(k + 2) = p(o) & 0xff // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** REAL image resize: decode the BMP, nearest-neighbor downsample to
+    * (⌈w/2⌉, ⌈h/2⌉) on the ACTUAL pixels (src(x2,y2) = pixel at
+    * (x2·w div w2, y2·h div h2) — the standard floor NN map), re-encode
+    * the result as a real BMP and decode THAT for the output features —
+    * so the entry proves decode → transform → encode → decode end to
+    * end, not just a feature pass. Same mapPartitions batch shape as
+    * every decoder here; no shuffle. Output
+    * (media_id, ok, width, height, n_pixels, sum_r, sum_g, sum_b,
+    * pos_checksum) of the RESIZED image. */
+  def bmpResize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val w = 4 + (nc % 5).toInt
+        val h = 3 + (nc % 4).toInt
+        decodeBmpPixels(encodeBmp(id, text, w, h)) match {
+          case None => BmpFeature(id, ok = false, 0, 0, 0L, 0L, 0L, 0L, 0L)
+          case Some((w0, h0, px)) =>
+            val w2 = (w0 + 1) / 2
+            val h2 = (h0 + 1) / 2
+            // nearest-neighbor resample on the decoded pixels, then
+            // rebuild a REAL BMP from them via a pixel-source encoder
+            val out = new Array[Int](w2 * h2 * 3)
+            var y2 = 0
+            while (y2 < h2) {
+              var x2 = 0
+              while (x2 < w2) {
+                val sx = x2 * w0 / w2
+                val sy = y2 * h0 / h2
+                val s = (sy * w0 + sx) * 3
+                val d = (y2 * w2 + x2) * 3
+                out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+                x2 += 1
+              }
+              y2 += 1
+            }
+            decodeBmp(id, encodeBmpPixels(out, w2, h2))
+        }
+      }).toDF().orderBy("media_id")
+  }
+
+  /** Assemble a real 24-bpp BMP from an rgb pixel array (top-left
+    * row-major) — the encode half [[bmpResize]] uses for its output. */
+  private[graft] def encodeBmpPixels(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = new Array[Byte](54 + dataSize)
+    buf(0) = 'B'; buf(1) = 'M'
+    putLE32(buf, 2, buf.length); putLE32(buf, 10, 54)
+    putLE32(buf, 14, 40); putLE32(buf, 18, w); putLE32(buf, 22, h)
+    putLE16(buf, 26, 1); putLE16(buf, 28, 24)
+    putLE32(buf, 30, 0); putLE32(buf, 34, dataSize)
+    var y = 0
+    while (y < h) {
+      val fileRow = h - 1 - y
+      var x = 0
+      while (x < w) {
+        val k = (y * w + x) * 3
+        val off = 54 + fileRow * rowBytes + x * 3
+        buf(off) = px(k + 2).toByte // B
+        buf(off + 1) = px(k + 1).toByte // G
+        buf(off + 2) = px(k).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    buf
+  }
+
+  /** DuckDB twin of [[bmpResize]]: the NN map replayed on the source
+    * pixel rule — src(x2,y2) = text channels of pixel
+    * (x2·w // w2, y2·h // h2). */
+  val bmpResizeOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
+      |         (4 + n_chars % 5 + 1) // 2 AS w2, (3 + n_chars % 4 + 1) // 2 AS h2
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w2, h2, w2 * h2 AS npix,
+      |         list_transform(range(0, w2 * h2), k2 ->
+      |           ((k2 % w2) * w // w2) + ((k2 // w2) * h // h2) * w) AS src,
+      |         text, len
+      |  FROM d),
+      |px AS (
+      |  SELECT doc_id, w2, h2, npix,
+      |         list_transform(src, k -> ord(text[CAST((3 * k) % len AS INTEGER) + 1])::BIGINT) AS rs,
+      |         list_transform(src, k -> ord(text[CAST((3 * k + 1) % len AS INTEGER) + 1])::BIGINT) AS gs,
+      |         list_transform(src, k -> ord(text[CAST((3 * k + 2) % len AS INTEGER) + 1])::BIGINT) AS bs
+      |  FROM f)
+      |SELECT doc_id AS media_id, TRUE AS ok, w2::INTEGER AS width,
+      |       h2::INTEGER AS height, npix::BIGINT AS n_pixels,
+      |       list_reduce(list_prepend(0::BIGINT, rs), (a, b) -> a + b) AS sum_r,
+      |       list_reduce(list_prepend(0::BIGINT, gs), (a, b) -> a + b) AS sum_g,
+      |       list_reduce(list_prepend(0::BIGINT, bs), (a, b) -> a + b) AS sum_b,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, npix),
+      |         k -> (299 * rs[CAST(k AS INTEGER) + 1] + 587 * gs[CAST(k AS INTEGER) + 1]
+      |               + 114 * bs[CAST(k AS INTEGER) + 1]) * (k + 1))),
+      |         (a, b) -> a + b) AS pos_checksum
+      |FROM px ORDER BY media_id""".stripMargin
+
   /** WAV round-trip: encode a real PCM16 file per doc (sample count
     * 16 + n_chars % 33), decode with [[decodeWav]], emit features. */
   def wavRoundtrip(docs: DataFrame): DataFrame = {

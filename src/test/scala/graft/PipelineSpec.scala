@@ -1658,4 +1658,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(!byId.contains(10L) && !byId.contains(20L) && !byId.contains(0L),
       "benchmark-side vectors are never flagged as contaminated train docs")
   }
+
+  test("bmp resize: nearest-neighbor map on real pixels, re-encode identity") {
+    // 2x2 -> 1x1: NN keeps the top-left pixel only
+    val enc = Multimodal.encodeBmp(1L, "abcdefghijkl", 2, 2)
+    val Some((w0, h0, px)) = Multimodal.decodeBmpPixels(enc)
+    assert((w0, h0) === (2, 2))
+    assert(px.take(3).toSeq === Seq('a'.toInt, 'b'.toInt, 'c'.toInt))
+    // encode-from-pixels o decode-to-pixels is the identity (padding,
+    // row flip, BGR order all cancel)
+    val Some((_, _, px2)) =
+      Multimodal.decodeBmpPixels(Multimodal.encodeBmpPixels(px, w0, h0))
+    assert(px2.toSeq === px.toSeq)
+    // 4x3 -> 2x2 NN map: resized (x2,y2) = source (x2*4/2, y2*3/2)
+    val src = Array.tabulate(4 * 3 * 3)(i => (i / 3) % 251)
+    val Some((_, _, dec)) =
+      Multimodal.decodeBmpPixels(Multimodal.encodeBmpPixels(src, 4, 3))
+    assert(dec.toSeq === src.toSeq)
+    for ((x2, y2) <- Seq((0, 0), (1, 0), (0, 1), (1, 1))) {
+      val (sx, sy) = (x2 * 4 / 2, y2 * 3 / 2)
+      assert(src((sy * 4 + sx) * 3) === ((sy * 4 + sx) % 251))
+    }
+  }
 }
