@@ -1322,6 +1322,7 @@ object SparkEntry {
     "mm_bmp_roundtrip" -> ((s, dir) => Multimodal.bmpRoundtrip(docs(s, dir))),
     "mm_wav_roundtrip" -> ((s, dir) => Multimodal.wavRoundtrip(docs(s, dir))),
     "mm_bmp_resize" -> ((s, dir) => Multimodal.bmpResize(docs(s, dir))),
+    "mm_wav_resample" -> ((s, dir) => Multimodal.wavResample(docs(s, dir))),
 
     // --- §3.1 ingest path: line-protocol render → parse → fingerprint →
     //     type-split samples (S2-S5, P1), aggregated per hour partition ---
@@ -2595,6 +2596,7 @@ object SparkEntry {
     "mm_phash_dup" -> Multimodal.phashDupOracle,
     "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,
     "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle,
-    "mm_bmp_resize" -> Multimodal.bmpResizeOracle
+    "mm_bmp_resize" -> Multimodal.bmpResizeOracle,
+    "mm_wav_resample" -> Multimodal.wavResampleOracle
   )
 }

@@ -849,6 +849,88 @@ object Multimodal {
       }).toDF().orderBy("media_id")
   }
 
+  /** REAL audio downsample: decode the WAV, decimate by 2 (keep every
+    * even-index sample — the audio analogue of [[bmpResize]]'s NN map),
+    * re-encode a real PCM16 file at half the sample rate, decode THAT
+    * for the output features — the decode → transform → encode → decode
+    * loop on actual samples. Output is [[WavFeature]] of the decimated
+    * audio (sample_rate 4000 proves the re-encoded header is real). */
+  def wavResample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val n = 16 + (nc % 33).toInt
+        decodeWavSamples(encodeWav(text, n)) match {
+          case None => WavFeature(id, ok = false, 0, 0, 0L, 0L, 0L, 0L)
+          case Some((rate, samples)) =>
+            val dec = Array.tabulate((samples.length + 1) / 2)(k => samples(2 * k))
+            decodeWav(id, encodeWavSamples(dec, rate / 2))
+        }
+      }).toDF().orderBy("media_id")
+  }
+
+  /** Decode a WAV to its raw signed samples (the sample-level face of
+    * [[decodeWav]], for transforms that need actual audio). */
+  private[graft] def decodeWavSamples(p: Array[Byte]): Option[(Int, Array[Int])] = {
+    val f = decodeWav(0L, p)
+    if (!f.ok) return None
+    // re-walk to the data chunk (decodeWav validated the structure)
+    var pos = 12
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= p.length && dataOff < 0) {
+      val id = new String(p, pos, 4, "US-ASCII")
+      val sz = getLE32(p, pos + 4)
+      if (id == "data") { dataOff = pos + 8; dataLen = sz }
+      pos += 8 + sz + (sz & 1)
+    }
+    val n = dataLen / 2
+    Some((f.sample_rate, Array.tabulate(n)(k => (getLE16(p, dataOff + 2 * k) << 16) >> 16)))
+  }
+
+  /** Assemble a real PCM16 mono WAV from raw samples at a given rate
+    * (no LIST chunk — the minimal canonical layout). */
+  private[graft] def encodeWavSamples(samples: Array[Int], rate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = new Array[Byte](44 + dataSize)
+    buf(0) = 'R'; buf(1) = 'I'; buf(2) = 'F'; buf(3) = 'F'
+    putLE32(buf, 4, buf.length - 8)
+    buf(8) = 'W'; buf(9) = 'A'; buf(10) = 'V'; buf(11) = 'E'
+    buf(12) = 'f'; buf(13) = 'm'; buf(14) = 't'; buf(15) = ' '
+    putLE32(buf, 16, 16); putLE16(buf, 20, 1); putLE16(buf, 22, 1)
+    putLE32(buf, 24, rate); putLE32(buf, 28, rate * 2)
+    putLE16(buf, 32, 2); putLE16(buf, 34, 16)
+    buf(36) = 'd'; buf(37) = 'a'; buf(38) = 't'; buf(39) = 'a'
+    putLE32(buf, 40, dataSize)
+    var k = 0
+    while (k < samples.length) {
+      putLE16(buf, 44 + 2 * k, samples(k) & 0xffff)
+      k += 1
+    }
+    buf
+  }
+
+  /** DuckDB twin of [[wavResample]]: decimation replayed on the shared
+    * sample rule — kept sample k is source sample 2k. */
+  val wavResampleOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         (16 + n_chars % 33 + 1) // 2 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n,
+      |         list_transform(range(0, n),
+      |           k -> (ord(text[CAST((2 * k) % len AS INTEGER) + 1]) - 96) * 128::BIGINT) AS ss
+      |  FROM d)
+      |SELECT doc_id AS media_id, TRUE AS ok, 1::INTEGER AS n_channels,
+      |       4000::INTEGER AS sample_rate, n::BIGINT AS n_samples,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(ss, x -> abs(x))),
+      |         (a, b) -> a + b) AS sum_abs,
+      |       coalesce(list_max(list_transform(ss, x -> abs(x))), 0)::BIGINT AS peak,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, n),
+      |         k -> ss[CAST(k AS INTEGER) + 1] * (k + 1))), (a, b) -> a + b) AS pos_checksum
+      |FROM s ORDER BY media_id""".stripMargin
+
   /** DuckDB twin of [[wavRoundtrip]] via the shared sample rule. */
   val wavRoundtripOracle: String =
     """WITH d AS (

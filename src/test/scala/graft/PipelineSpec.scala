@@ -1680,4 +1680,17 @@ class PipelineSpec extends AnyFunSuite {
       assert(src((sy * 4 + sx) * 3) === ((sy * 4 + sx) % 251))
     }
   }
+
+  test("wav resample: decimation on real samples, halved rate in the real header") {
+    // 'abcd' -> samples (1,2,3,4)*128; decimate keeps (1,3)*128 at 4 kHz
+    val f = Multimodal.decodeWav(1L,
+      Multimodal.encodeWavSamples(Array(128, 256, 384, 512).map(x => x), 8000))
+    assert(f.ok && f.n_samples === 4L)
+    val Some((rate, ss)) = Multimodal.decodeWavSamples(Multimodal.encodeWav("abcd", 4))
+    assert(rate === 8000 && ss.toSeq === Seq(128, 256, 384, 512))
+    val dec = Array.tabulate((ss.length + 1) / 2)(k => ss(2 * k))
+    val g = Multimodal.decodeWav(2L, Multimodal.encodeWavSamples(dec, rate / 2))
+    assert(g.ok && g.sample_rate === 4000 && g.n_samples === 2L)
+    assert(g.sum_abs === (128 + 384) && g.pos_checksum === (128 * 1 + 384 * 2))
+  }
 }
