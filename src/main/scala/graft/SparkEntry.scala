@@ -1181,6 +1181,11 @@ object SparkEntry {
     "doc_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
     "doc_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir))),
     "doc_bpe_compression" -> ((s, dir) => TextOps.bpeCompression(docs(s, dir))),
+    // tokenizer APPLICATION: encode the corpus with the trained merges —
+    // shares the memoized training pass with the two entries above
+    "doc_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(docs(s, dir))),
+    "doc_pack_bins_bpe" -> ((s, dir) => TextOps.packBinsBpe(docs(s, dir))),
+    "doc_shard_plan_bpe" -> ((s, dir) => TextOps.shardPlanBpe(docs(s, dir))),
     "doc_snapshot_diff" -> ((s, dir) =>
       TextOps.snapshotDiff(TextOps.snapshotOld(docs(s, dir)), docs(s, dir))),
     "doc_bigram_lm" -> ((s, dir) => TextOps.bigramLm(docs(s, dir))),
@@ -2529,6 +2534,9 @@ object SparkEntry {
     "doc_bpe_pairs" -> TextOps.bpePairsOracle,
     "doc_bpe_train" -> TextOps.bpeTrainOracle,
     "doc_bpe_compression" -> TextOps.bpeCompressionOracle,
+    "doc_bpe_encode" -> TextOps.bpeEncodeOracle,
+    "doc_pack_bins_bpe" -> TextOps.packBinsBpeOracle,
+    "doc_shard_plan_bpe" -> TextOps.shardPlanBpeOracle,
     "doc_snapshot_diff" -> TextOps.snapshotDiffOracle,
     "doc_bigram_lm" -> TextOps.bigramLmOracle,
     "doc_quality_normalized" -> TextOps.qualityNormalizedOracle,

@@ -85,7 +85,8 @@ object Dedup {
     // materialize the shingle relation once: it feeds the self-join
     // (twice) and the count side — without this, the tokenize + md5 +
     // explode lineage recomputes per consumer. Corpus-scale, so it
-    // takes the spill-safe Materialize.corpus policy (DISK_ONLY).
+    // takes the spill-safe Materialize.corpus policy (MEMORY_AND_DISK,
+    // evictable, spills).
     val sh = shingleRows(docs).transform(graft.util.Materialize.corpus)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = sh.as("a").join(sh.as("b"),

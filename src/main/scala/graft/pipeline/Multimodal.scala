@@ -509,7 +509,15 @@ object Multimodal {
 
   /** Pixel-channel rule shared by encoder and oracle: pixel k (row-major
     * from the top-left) takes (r,g,b) from text bytes (3k, 3k+1, 3k+2)
-    * mod len. ASCII testdata ⇒ ord(char) == byte. */
+    * mod len; empty text yields byte 0 (the oracles mirror this with an
+    * explicit len=0 guard — DuckDB's `x % 0` is NULL, not 0).
+    *
+    * PRECONDITION (documented, oracle-shared): text is ASCII — here
+    * `charAt & 0xff` is the UTF-16 code unit masked to a byte, while the
+    * DuckDB twins use `ord()` (a CODEPOINT); the two agree exactly on
+    * codepoints < 128 and diverge beyond. The synthetic documents table
+    * is ASCII by construction (TESTDATA.md); a non-ASCII corpus would
+    * need bytes-of-encode(text) on both sides instead. */
   private def pixelByte(text: String, i: Int): Int =
     if (text.isEmpty) 0 else text.charAt(i % text.length) & 0xff
 
@@ -556,9 +564,13 @@ object Multimodal {
     val h = math.abs(hRaw)
     val bpp = getLE16(p, 28)
     val compression = getLE32(p, 30)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return bad
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (off0 < 54 || off0.toLong + rowBytes.toLong * h > p.length) return bad
+    // hRaw == Int.MinValue would survive math.abs still negative
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return bad
+    // row stride in Long: w near Int.MaxValue overflows (w*3+3) in Int,
+    // which would defeat the Long bounds check below
+    val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+    if (off0 < 54 || off0.toLong + rowBytesL * h > p.length) return bad
+    val rowBytes = rowBytesL.toInt // ≤ p.length after the check above
     var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
     var y = 0
     while (y < h) {
@@ -604,11 +616,11 @@ object Multimodal {
       |f AS (
       |  SELECT doc_id, w, h, w * h AS npix,
       |         list_transform(range(0, w * h),
-      |           k -> ord(text[CAST((3 * k) % len AS INTEGER) + 1])::BIGINT) AS rs,
+      |           k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k) % len AS INTEGER) + 1]) END)::BIGINT) AS rs,
       |         list_transform(range(0, w * h),
-      |           k -> ord(text[CAST((3 * k + 1) % len AS INTEGER) + 1])::BIGINT) AS gs,
+      |           k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k + 1) % len AS INTEGER) + 1]) END)::BIGINT) AS gs,
       |         list_transform(range(0, w * h),
-      |           k -> ord(text[CAST((3 * k + 2) % len AS INTEGER) + 1])::BIGINT) AS bs
+      |           k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k + 2) % len AS INTEGER) + 1]) END)::BIGINT) AS bs
       |  FROM d)
       |SELECT doc_id AS media_id, TRUE AS ok, w::INTEGER AS width,
       |       h::INTEGER AS height, npix::BIGINT AS n_pixels,
@@ -673,7 +685,10 @@ object Multimodal {
     while (pos + 8 <= p.length && (dataOff < 0 || !fmtOk)) {
       val id = new String(p, pos, 4, "US-ASCII")
       val sz = getLE32(p, pos + 4)
-      if (sz < 0 || pos + 8 + sz > p.length) return bad
+      // size/offset arithmetic in Long: a hostile chunk size near
+      // Int.MaxValue overflows `pos + 8 + sz` negative in Int and would
+      // sail past this check into the sample loop
+      if (sz < 0 || pos.toLong + 8L + sz.toLong > p.length) return bad
       id match {
         case "fmt " =>
           if (sz < 16) return bad
@@ -713,9 +728,13 @@ object Multimodal {
     val hRaw = getLE32(p, 22)
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    if (w <= 0 || h == 0 || getLE16(p, 28) != 24 || getLE32(p, 30) != 0) return None
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (off0 < 54 || off0.toLong + rowBytes.toLong * h > p.length) return None
+    // h <= 0 also rejects hRaw == Int.MinValue (abs stays negative);
+    // Long stride defeats w*3 Int overflow on hostile widths, and once
+    // rowBytesL*h ≤ p.length holds, w*h*3 ≤ p.length fits an Int array
+    if (w <= 0 || h <= 0 || getLE16(p, 28) != 24 || getLE32(p, 30) != 0) return None
+    val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+    if (off0 < 54 || off0.toLong + rowBytesL * h > p.length) return None
+    val rowBytes = rowBytesL.toInt
     val px = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
@@ -822,9 +841,9 @@ object Multimodal {
       |  FROM d),
       |px AS (
       |  SELECT doc_id, w2, h2, npix,
-      |         list_transform(src, k -> ord(text[CAST((3 * k) % len AS INTEGER) + 1])::BIGINT) AS rs,
-      |         list_transform(src, k -> ord(text[CAST((3 * k + 1) % len AS INTEGER) + 1])::BIGINT) AS gs,
-      |         list_transform(src, k -> ord(text[CAST((3 * k + 2) % len AS INTEGER) + 1])::BIGINT) AS bs
+      |         list_transform(src, k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k) % len AS INTEGER) + 1]) END)::BIGINT) AS rs,
+      |         list_transform(src, k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k + 1) % len AS INTEGER) + 1]) END)::BIGINT) AS gs,
+      |         list_transform(src, k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k + 2) % len AS INTEGER) + 1]) END)::BIGINT) AS bs
       |  FROM f)
       |SELECT doc_id AS media_id, TRUE AS ok, w2::INTEGER AS width,
       |       h2::INTEGER AS height, npix::BIGINT AS n_pixels,
@@ -920,7 +939,7 @@ object Multimodal {
       |s AS (
       |  SELECT doc_id, n,
       |         list_transform(range(0, n),
-      |           k -> (ord(text[CAST((2 * k) % len AS INTEGER) + 1]) - 96) * 128::BIGINT) AS ss
+      |           k -> ((CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((2 * k) % len AS INTEGER) + 1]) END) - 96) * 128::BIGINT) AS ss
       |  FROM d)
       |SELECT doc_id AS media_id, TRUE AS ok, 1::INTEGER AS n_channels,
       |       4000::INTEGER AS sample_rate, n::BIGINT AS n_samples,
@@ -939,7 +958,7 @@ object Multimodal {
       |s AS (
       |  SELECT doc_id, n,
       |         list_transform(range(0, n),
-      |           k -> (ord(text[CAST(k % len AS INTEGER) + 1]) - 96) * 128::BIGINT) AS ss
+      |           k -> ((CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST(k % len AS INTEGER) + 1]) END) - 96) * 128::BIGINT) AS ss
       |  FROM d)
       |SELECT doc_id AS media_id, TRUE AS ok, 1::INTEGER AS n_channels,
       |       8000::INTEGER AS sample_rate, n::BIGINT AS n_samples,

@@ -607,20 +607,23 @@ object Sketches {
        |  FROM (SELECT source, unnest(${TextOps.shinglesSql(TextOps.tokensSql)}) AS s
        |        FROM (SELECT * FROM documents
        |              WHERE ${EvalSampling.sqlPred("doc_id")}))),
-       |srcbits AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS bit
-       |            FROM (SELECT DISTINCT source FROM documents)),
-       |um AS (
-       |  SELECT shs.h, CAST(sum(DISTINCT (1::BIGINT << b.bit)) AS BIGINT) AS m0
-       |  FROM shs JOIN srcbits b USING (source) GROUP BY shs.h),
+       |mex AS (
+       |  -- exact side WITHOUT the Spark bitmask encoding: the mask is a
+       |  -- Spark scale shape (60-bit word chunking, Sketches.scala), not a
+       |  -- semantic; the oracle states the RESULT directly so it carries
+       |  -- no source-cardinality bound at all (the old single-int64 m0
+       |  -- broke silently past 63 sources — the asymmetry the Spark-side
+       |  -- chunking fix removed)
+       |  SELECT p.src_a, p.src_b, s.h,
+       |         max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN shs s ON s.source IN (p.src_a, p.src_b)
+       |  GROUP BY 1, 2, 3),
        |exact AS (
-       |  SELECT a.source AS src_a, b.source AS src_b,
-       |         CAST(sum(CASE WHEN (m.m0 & ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)))
-       |                       != 0 THEN 1 ELSE 0 END) AS BIGINT) AS union_exact_s,
-       |         CAST(sum(CASE WHEN (m.m0 & ((1::BIGINT << a.bit) | (1::BIGINT << b.bit)))
-       |                       = ((1::BIGINT << a.bit) | (1::BIGINT << b.bit))
-       |                  THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact_s
-       |  FROM srcbits a JOIN srcbits b ON a.source < b.source CROSS JOIN um m
-       |  GROUP BY 1, 2)
+       |  SELECT src_a, src_b,
+       |         count(*)::BIGINT AS union_exact_s,
+       |         CAST(sum(in_a * in_b) AS BIGINT) AS inter_exact_s
+       |  FROM mex GROUP BY 1, 2)
        |SELECT e.src_a, e.src_b,
        |       CAST(e.union_est AS BIGINT) AS union_est, e.inter_est,
        |       CAST(greatest(e.a_est - e.inter_est, 0) AS BIGINT) AS diff_a_est,

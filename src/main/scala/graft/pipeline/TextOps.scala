@@ -219,38 +219,57 @@ object TextOps {
     * by doc_id, per-partition running sums in parallel, then add each
     * partition's broadcast prefix offset (the driver touches one row per
     * partition, nothing else). Output per bin: (bin, n_docs, n_tokens). */
-  def packBins(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+  def packBins(docs: DataFrame): DataFrame =
+    packBinsOn(docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n")))
+
+  /** Core of [[packBins]] over an explicit (doc_id, n) token-count
+    * relation — lets the caller choose the token accounting (whitespace
+    * counts here, TRAINED-tokenizer counts in [[packBinsBpe]]). */
+  private[pipeline] def packBinsOn(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val toks = graft.util.Materialize.pinned(counts
+      .select(col("doc_id"), col("n"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-      // materialized once: phase 1 collects per-partition totals and
-      // phase 2 re-reads the same rows — and partition ids MUST come from
-      // one physical materialization anyway (a recompute could range-
-      // sample differently and shift doc→pid assignment between phases).
-      // The documented Materialize exception: corpus-sized but MUST NOT
-      // be recomputable — at 100 TB this is a reliable checkpoint.
-      .localCheckpoint(true)
+      .withColumn("pid", spark_partition_id()))
+    // materialized once (Materialize.pinned = RELIABLE checkpoint):
+    // phase 1 collects per-partition totals and phase 2 re-reads the
+    // same rows — and partition ids MUST come from one physical
+    // materialization (a recompute could range-sample differently and
+    // shift doc→pid assignment between phases), so recompute-on-loss is
+    // not acceptable here; re-read-from-checkpoint is.
     // phase 1: one total per partition (tiny), prefix-scanned on the driver
     val totals = toks.groupBy("pid").agg(sum("n").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // offset(pid) = sum of all partitions strictly before pid
-    val offsetOf = totals.map(_._1)
-      .zip(totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot }).toMap
-    val offsetCol = totals.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("pid") === pid, lit(offsetOf(pid))).otherwise(acc)
-    }
+    // offset(pid) = sum of all partitions strictly before pid — carried
+    // back as a BROADCAST 2-column join, not a when()-chain expression:
+    // a chain is O(partitions) generated code and blows janino's method
+    // limits at real cluster partition counts
+    val offsets = totals.map(_._1)
+      .zip(totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot })
+      .toSeq.toDF("pid", "off")
     // phase 2: per-partition running sum (parallel) + partition offset
     val w = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
-      .withColumn("before", coalesce(sum("n").over(w), lit(0L)) + offsetCol)
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("before", coalesce(sum("n").over(w), lit(0L)) + col("off"))
       .withColumn("bin", expr(s"before div $PackTarget"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
       .orderBy("bin")
   }
+
+  /** [[packBins]] fed by TRAINED-tokenizer counts ([[bpeEncode]]) — the
+    * accounting a training run actually bins by (round-6 verdict item 1:
+    * whitespace counts drift from what the loader sees; bin boundaries
+    * must come from the tokenizer that will cut sequences). Shares the
+    * memoized training pass with every other bpe entry. */
+  def packBinsBpe(docs: DataFrame): DataFrame =
+    packBinsOn(bpeEncode(docs)
+      .select(col("doc_id"), col("n_tokens_bpe").as("n")))
 
   val packBinsOracle: String =
     s"""WITH d AS (SELECT doc_id, len($tokensSql) AS n FROM documents),
@@ -539,11 +558,23 @@ object TextOps {
     * Scale shape: one map pass + one 16-group aggregate with map-side
     * combine; nothing else. Output (shard, n_docs, n_tokens,
     * id_checksum, dev_pm). */
-  def shardPlan(docs: DataFrame): DataFrame = {
+  def shardPlan(docs: DataFrame): DataFrame =
+    shardPlanOn(docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("t")))
+
+  /** [[shardPlan]] fed by TRAINED-tokenizer counts ([[bpeEncode]]) —
+    * shard balance measured in the tokens a training run actually
+    * consumes. Shares the memoized training pass. */
+  def shardPlanBpe(docs: DataFrame): DataFrame =
+    shardPlanOn(bpeEncode(docs)
+      .select(col("doc_id"), col("n_tokens_bpe").as("t")))
+
+  /** Core of [[shardPlan]] over an explicit (doc_id, t) token-count
+    * relation — same parametric-accounting seam as `packBinsOn`. */
+  private[pipeline] def shardPlanOn(counts: DataFrame): DataFrame = {
     val shard = pmod(baseHash(concat(lit("shard_"), col("doc_id"))), lit(ShardCount.toLong))
-    val agg = docs
-      .select(shard.as("shard"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("t"))
+    val agg = counts
+      .select(shard.as("shard"), col("doc_id"), col("t"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
         sum("doc_id").as("id_checksum"))
@@ -878,6 +909,12 @@ object TextOps {
     * Output ([[BpeRounds]] rows: round, pa, pb, pair_count, new_sym). */
   def bpeTrain(docs: DataFrame): DataFrame = bpeCore(docs)._1
 
+  /** Token-id rule shared by [[bpeEncode]] and its oracle: token id =
+    * baseHash(symbol) mod this prime — deterministic, needs no global
+    * vocabulary numbering pass, and keeps the per-doc position-weighted
+    * checksum far from int64 overflow (id < 2^20, rank ≤ word length). */
+  val TokenIdMod = 1000003L
+
   /** Compression trajectory of [[bpeTrain]]: total corpus symbol count
     * (occurrence-weighted) before any merge (round 0) and after each of
     * the [[BpeRounds]] merges — the tokens-per-corpus curve that decides
@@ -886,7 +923,18 @@ object TextOps {
     * relation. Output (round, total_symbols). */
   def bpeCompression(docs: DataFrame): DataFrame = bpeCore(docs)._2
 
-  private def bpeCore(docs: DataFrame): (DataFrame, DataFrame) = {
+  /** Memoized per (session, input plan): the trained merge table, the
+    * compression trajectory, and the final encoded VOCABULARY relation
+    * (word, cnt, pos, sym) all come from one training pass shared by
+    * every bpe_* / *_bpe entry in a run (Bench builds it once in its
+    * timed shared_build phase; Verify's first consumer builds lazily). */
+  private def bpeCore(docs: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    graft.util.Memo((docs.sparkSession, "TextOps.bpeCore", docs.semanticHash())) {
+      bpeCoreBuild(docs)
+    }
+
+  /** Eagerly builds + materializes the [[bpeCore]] triple. */
+  private def bpeCoreBuild(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("word").orderBy("pos")
     var rows = docs.select(explode(tokens(col("text"))).as("word"))
@@ -931,7 +979,51 @@ object TextOps {
       out = if (out == null) mergeRow else out.unionAll(mergeRow)
       totals = totals.unionAll(total(r + 1))
     }
-    (out.orderBy("round"), totals.orderBy("round"))
+    // rows is the post-merge encoded vocabulary — [[bpeEncode]]'s input
+    (graft.util.Materialize.bounded(out.orderBy("round")),
+      graft.util.Materialize.bounded(totals.orderBy("round")),
+      rows)
+  }
+
+  /** TOKENIZER APPLICATION — encode the corpus with the TRAINED merges
+    * (the actual output artifact of a training-data pipeline; round-6
+    * verdict item 1). The greedy merge loop already ran on the
+    * vocabulary inside [[bpeCore]], so encoding never touches the merge
+    * table directly: the final (word → symbol sequence) relation IS the
+    * compiled tokenizer, and applying it to the corpus is one explode +
+    * one equi-join on `word` + one per-doc aggregate. Per doc: the
+    * trained-token count and a position-weighted checksum of the token
+    * ids (id = baseHash(sym) mod [[TokenIdMod]], weighted by the
+    * symbol's rank within its word) — strong enough that any wrong
+    * merge, order, or id flips the hash.
+    *
+    * Scale shape: merge application is vocabulary-bounded (never a
+    * corpus-sized windowed pass); the corpus side is exactly the
+    * [[shardPlan]] shape — explode, hash join on word (vocab side
+    * shuffles once; at 100 TB it exceeds broadcast but stays ~1e4×
+    * smaller than the corpus), one map-side-combinable aggregate.
+    * Zero-token docs keep a (0, 0) row — total over the corpus.
+    * Output (doc_id, n_tokens_bpe, token_checksum). */
+  def bpeEncode(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fin = bpeCore(docs)._3
+    val wEnc = fin
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("word").orderBy("pos")).cast("long"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_syms"),
+        sum((baseHash(col("sym")) % TokenIdMod) * col("rn")).as("wsum"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(wEnc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n_syms").as("nt"), sum("wsum").as("chk"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens_bpe"),
+        coalesce(col("chk"), lit(0L)).as("token_checksum"))
+      .orderBy("doc_id")
   }
 
   /** Shared oracle pieces: the vocab/char base CTEs and one merge-round
@@ -993,6 +1085,65 @@ object TextOps {
        |$totalRows
        |ORDER BY round""".stripMargin
   }
+
+  /** Shared CTE block: the full training chain + per-doc TRAINED token
+    * counts (pd: doc_id → nt, chk). Consumed by [[bpeEncodeOracle]],
+    * [[packBinsBpeOracle]], [[shardPlanBpeOracle]]. */
+  private val bpeCountCtes: String =
+    s"""$bpeBaseCte,
+       |${(0 until BpeRounds).map(bpeRoundCte).mkString(",\n|")},
+       |we AS (
+       |  SELECT word, count(*)::BIGINT AS n_syms,
+       |         CAST(sum((${baseHashSql("sym")} % $TokenIdMod) * rn) AS BIGINT) AS wsum
+       |  FROM (SELECT word, sym,
+       |               row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+       |        FROM r$BpeRounds) t
+       |  GROUP BY word),
+       |dtk AS (
+       |  SELECT doc_id, u.word AS word
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) dd, unnest(dd.w) u(word)
+       |  WHERE u.word != ''),
+       |pd AS (
+       |  SELECT doc_id, CAST(sum(we.n_syms) AS BIGINT) AS nt,
+       |         CAST(sum(we.wsum) AS BIGINT) AS chk
+       |  FROM dtk JOIN we USING (word) GROUP BY doc_id)""".stripMargin
+
+  val bpeEncodeOracle: String =
+    s"""WITH $bpeCountCtes
+       |SELECT d.doc_id, coalesce(pd.nt, 0)::BIGINT AS n_tokens_bpe,
+       |       coalesce(pd.chk, 0)::BIGINT AS token_checksum
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // lazy: PackTarget/ShardCount are declared earlier in the file but
+  // these compose bpeCountCtes which itself reads later-declared vals —
+  // lazy sidesteps the object-init-order trap entirely (see gotchas)
+  lazy val packBinsBpeOracle: String =
+    s"""WITH $bpeCountCtes,
+       |d AS (SELECT doc.doc_id, coalesce(pd.nt, 0)::BIGINT AS n
+       |      FROM documents doc LEFT JOIN pd USING (doc_id)),
+       |c AS (SELECT doc_id, n,
+       |             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+       |      FROM d)
+       |SELECT below // $PackTarget AS bin, count(*) AS n_docs,
+       |       CAST(sum(n) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+
+  lazy val shardPlanBpeOracle: String =
+    s"""WITH $bpeCountCtes,
+       |nn AS (SELECT doc.doc_id, coalesce(pd.nt, 0)::BIGINT AS t
+       |       FROM documents doc LEFT JOIN pd USING (doc_id)),
+       |s AS (SELECT ${baseHashSql("'shard_' || doc_id")} % $ShardCount AS shard,
+       |             doc_id, t
+       |      FROM nn),
+       |a AS (SELECT shard, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+       |             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |      FROM s GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM a)
+       |SELECT shard, n_docs, n_tokens, id_checksum,
+       |       (n_tokens * $ShardCount - tot) * 1000 // tot AS dev_pm
+       |FROM a CROSS JOIN tt ORDER BY shard""".stripMargin
 
   // ---- operator: per-source quota cap ------------------------------------
 

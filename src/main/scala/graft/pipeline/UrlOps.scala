@@ -121,22 +121,23 @@ object UrlOps {
 
   /** URL-level dedup: one hash aggregate on the canonical URL. Keeps
     * the smallest doc_id (first-crawled wins — the standard crawl
-    * policy) and reports the dup count; a 100 TB run broadcast-joins
-    * the keeper set back against the corpus, so the per-doc keep flag
-    * is deliberately NOT computed here (that join is the consumer's
+    * policy) and reports the GROUP size (keeper included — `n_docs`,
+    * not a duplicate count); a 100 TB run broadcast-joins the keeper
+    * set back against the corpus, so the per-doc keep flag is
+    * deliberately NOT computed here (that join is the consumer's
     * choice, not the operator's). Output (canon_url, keep_doc_id,
-    * n_dups). */
+    * n_docs). */
   def urlDedup(docs: DataFrame): DataFrame =
     urlsFromDocs(docs)
       .select(canonicalize(col("url")).as("canon_url"), col("doc_id"))
       .groupBy("canon_url")
-      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_docs"))
       .orderBy("canon_url")
 
   val urlDedupOracle: String =
     s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
        |c AS (SELECT doc_id, ${canonSql("url")} AS canon_url FROM u)
-       |SELECT canon_url, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_dups
+       |SELECT canon_url, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_docs
        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
 
   /** Host-level aggregation (crawl budgeting / per-host caps): docs and
@@ -174,11 +175,20 @@ object UrlOps {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("s").as("smass"))
     val tot = per.agg(sum("smass").as("stot"))
+    // budget share without the smass*1e6 intermediate: at 100 TB smass is
+    // ~5.5e3 per doc × ~1e10 docs/host ≈ 5.5e13, so smass*1e6 overflows
+    // int64 (DuckDB would silently promote to HUGEINT — engines diverge
+    // exactly at scale). When stot ≥ 1e6, divide by the pre-scaled total
+    // instead: ppm = smass div (stot div 1e6) — relative error ≤ 1e-6 of
+    // the share (one ulp of the divisor), overflow-free to the full int64
+    // range; below 1e6 the exact product fits (< 1e12) and is used as-is.
+    // The oracle mirrors the same two-branch rule, bit-for-bit.
     per.crossJoin(broadcast(tot))
       .select(col("host"), col("n_docs"),
         expr("smass div n_docs").as("mean_score_fp"),
-        expr("CASE WHEN stot > 0 THEN smass * 1000000 div stot ELSE 0 END")
-          .as("budget_ppm"))
+        expr("""CASE WHEN stot >= 1000000 THEN smass div (stot div 1000000)
+                     WHEN stot > 0 THEN smass * 1000000 div stot
+                     ELSE 0 END""").as("budget_ppm"))
       .orderBy("host")
   }
 
@@ -210,7 +220,8 @@ object UrlOps {
        |        FROM h JOIN sc USING (doc_id) GROUP BY host),
        |tot AS (SELECT sum(smass) AS stot FROM per)
        |SELECT host, n_docs, CAST(smass // n_docs AS BIGINT) AS mean_score_fp,
-       |       CAST(CASE WHEN stot > 0 THEN smass * 1000000 // stot
+       |       CAST(CASE WHEN stot >= 1000000 THEN smass // (stot // 1000000)
+       |                 WHEN stot > 0 THEN smass * 1000000 // stot
        |                 ELSE 0 END AS BIGINT) AS budget_ppm
        |FROM per, tot ORDER BY host""".stripMargin
   }

@@ -9,9 +9,9 @@ import org.apache.spark.storage.StorageLevel
   *
   *  - [[corpus]] — relations whose row count scales with the corpus
   *    (shingle rows, minhash signatures, banded candidates, subvector
-  *    explodes, token windows). These are `persist(DISK_ONLY)`:
-  *    blocks spill to disk instead of pinning executor memory, they are
-  *    evictable, and — unlike a local checkpoint — the lineage survives,
+  *    explodes, token windows). These are `persist(MEMORY_AND_DISK)`:
+  *    blocks are evictable and spill to disk under pressure instead of
+  *    pinning executor memory, and — unlike a local checkpoint — the lineage survives,
   *    so a lost executor recomputes its blocks instead of failing the
   *    job. That is the only acceptable shape at 100 TB, where a shingle
   *    relation is ~10× the corpus and "keep it in executor memory" is
@@ -30,12 +30,10 @@ import org.apache.spark.storage.StorageLevel
   *    (planning time, lineage depth), so loop states trade fault
   *    tolerance for a truncated plan and a fixed, small iteration count.
   *
-  * One deliberate exception documented at its site: `TextOps.packDocs`
-  * phase-1/phase-2 prefix sums require the SAME physical
-  * materialization (a recompute may range-sample differently and shift
-  * doc→partition assignment between phases), so it keeps
-  * `localCheckpoint` even though it is corpus-sized; the 100 TB form is
-  * a reliable checkpoint, not a persist.
+  * A third class, [[pinned]], covers corpus-sized relations that must
+  * not be RECOMPUTABLE (recompute would change the answer, not just
+  * cost time — `TextOps.packBins`' partition-id-keyed phases): a
+  * reliable checkpoint to the checkpoint directory.
   */
 object Materialize {
   /** Storage policy for corpus-scale relations. MEMORY_AND_DISK: blocks
@@ -54,4 +52,27 @@ object Materialize {
   /** Structurally-bounded intermediate (or per-iteration loop state
     * that needs its lineage cut): eager local checkpoint. */
   def bounded(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Corpus-sized relation that must NOT be recomputable — the one
+    * class the other two policies can't serve (e.g. `packBins`' phases
+    * read `spark_partition_id()` twice and a recompute could
+    * range-sample differently, silently shifting doc→pid assignment
+    * between phases). RELIABLE checkpoint: rows go to the checkpoint
+    * directory (HDFS/object store on a real cluster — set
+    * `sparkContext.setCheckpointDir` in the deployment; local tmp as
+    * the local-mode fallback), consumers re-read files, nothing pins
+    * executor memory, and an executor loss re-reads instead of
+    * recomputing-differently. Strictly better than the old
+    * `localCheckpoint(true)` exception at 100 TB, where pinning a
+    * corpus-sized relation in non-evictable executor memory is not a
+    * plan. */
+  def pinned(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-ckpt-${sc.applicationId}")
+      sc.setCheckpointDir(dir.getAbsolutePath)
+    }
+    df.checkpoint(eager = true)
+  }
 }

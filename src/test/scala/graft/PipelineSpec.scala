@@ -1025,6 +1025,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode: corpus totals equal compression's final row; trained counts feed pack/shard") {
+    import spark.implicits._
+    // the round-6 verdict's pinned law: encode(merges(corpus)) token
+    // counts must tie EXACTLY to the compression trajectory's last row —
+    // sum over docs of n_syms(word occurrences) IS the occurrence-
+    // weighted symbol total after the final merge round
+    val enc = TextOps.bpeEncode(docs).collect()
+    val encTotal = enc.map(_.getLong(1)).sum
+    val lastTraj = TextOps.bpeCompression(docs).collect().last.getLong(1)
+    assert(encTotal === lastTraj, s"encode total $encTotal != trajectory $lastTraj")
+    // total over the corpus: one row per doc, checksums non-trivial
+    assert(enc.length === docs.count())
+    assert(enc.count(_.getLong(2) != 0L) === enc.length)
+    // a merge that fires must COMPRESS the planted word: "aaab aaab ab"
+    // trains ('a','a') first, so "aaab" encodes to fewer symbols than chars
+    val tiny = Seq((1L, "aaab aaab ab"), (2L, "")).toDF("doc_id", "text")
+    val tEnc = TextOps.bpeEncode(tiny).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tEnc.length === 2)
+    val (_, n1, c1) = tEnc(0)
+    assert(n1 < "aaabaaabab".length && n1 > 0, tEnc.toSeq)
+    assert(c1 != 0L)
+    assert(tEnc(1) === ((2L, 0L, 0L))) // zero-token doc keeps a (0,0) row
+    // the rewire: pack/shard fed by TRAINED counts conserve the encode total
+    val packed = TextOps.packBinsBpe(docs).collect()
+    assert(packed.map(_.getLong(2)).sum === encTotal)
+    assert(packed.map(_.getLong(1)).sum === docs.count())
+    val shards = TextOps.shardPlanBpe(docs).collect()
+    assert(shards.map(_.getLong(2)).sum === encTotal)
+  }
+
   test("phash dup: near-identical payloads pair within Hamming 3, inverted payloads don't") {
     import spark.implicits._
     // 640 bytes = 64 cells of 10; alternating loud/quiet cells → phash 0x5555…

@@ -368,6 +368,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(finalPlan("doc_quality").contains("*("))
   }
 
+  test("pack bins: partition offsets ride a broadcast join, never an O(partitions) expression") {
+    // round-6 verdict item 3: the per-partition prefix offset must come
+    // back as a 2-column broadcast join on pid — a when()-chain is
+    // O(partitions) generated code and blows janino's method limits at
+    // real cluster partition counts
+    val p = plan("doc_pack_bins")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"offset carry must be a broadcast join: $p")
+    assert(!p.contains("CASE WHEN (pid"),
+      s"no per-partition CASE chain may appear in the plan: $p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cross-source overlap: pair counts from the source-set explode, no shingle self-join") {
     // intersections must come from the per-shingle collect_set explode
     // (fanout ≤ |sources|²), never an h=h shingle self-join; the only
