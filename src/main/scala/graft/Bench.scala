@@ -38,6 +38,26 @@ object Bench {
     // query time (round-3 postmortem): failures surface in an "errors" field
     // and as -1 in the per-query map, and are excluded from the total.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // ---- shared-artifact build phase (round-7) ----
+    // Trained structures consumed by multiple entries (ANN method top-Ks,
+    // the full-corpus IVF clustering, the BPE merge table) build exactly
+    // once per run, TIMED here and counted once in the total — the
+    // consuming entries below then measure steady-state cost against the
+    // shared artifact instead of re-paying (or min-of-2-erasing) the
+    // training inside whichever entry happens to run first. Single run,
+    // no min-of-2: a build happens once per deployment, cache-cold.
+    val sharedTimes: Seq[(String, Double)] = SparkEntry.sharedBuilds.map {
+      case (name, fn) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val t = try { fn(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          -1.0
+        }
+        name -> t
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min of two runs: this microVM throttles bursty CPU, and a single
       // sample can read 2-3x high through no fault of the plan — the min
@@ -156,9 +176,11 @@ object Bench {
       "doc_bigram_lm", "doc_quality_normalized", "doc_bpe_compression",
       "events_mad_outliers", "doc_shard_plan", "ann_filtered_topk",
       "doc_bm25_topk")
-    val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) :+
+    val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) ++
+      sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" } :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++
+      sharedTimes.map(_._2).filter(_ >= 0) ++
       Some(storeTime).filter(_ >= 0)).sum
     val errField =
       if (errors.isEmpty) """"errors":0"""
@@ -168,7 +190,7 @@ object Bench {
     // the last 73 of 239 timings), so the COMPLETE per-query record — every
     // entry, not the headline subset — is additionally written as a repo
     // artifact (round-5 verdict item 1). Path overridable for local runs.
-    val fullQs = (results.toSeq :+ ("store_hour_prune" -> storeTime))
+    val fullQs = (results.toSeq ++ sharedTimes :+ ("store_hour_prune" -> storeTime))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -30,6 +30,23 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Shared-artifact builders — trained structures consumed by MULTIPLE
+    * entries in one run (the ANN method top-Ks both eval reports read,
+    * the full-corpus IVF clustering behind ivf/ivfpq/semdedup, the BPE
+    * merge table behind every bpe-family entry). Bench times each ONCE
+    * in its shared_build phase so the training cost is counted exactly
+    * once and entries then measure steady-state plan cost; Verify needs
+    * no special handling (the first consuming entry builds lazily
+    * through the same memo). */
+  val sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "shared_bpe_train" ->
+      ((s, dir) => { TextOps.bpeTrain(docs(s, dir)).count(); () }),
+    "shared_ivf_cluster" ->
+      ((s, dir) => Similarity.buildIvfIndex(emb(s, dir))),
+    "shared_ann_eval_topks" ->
+      ((s, dir) => Similarity.methodTopKs(EvalSampling(emb(s, dir), "vec_id"))
+        .foreach(_._2.count())))
+
   private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame =
     influxCat(spark, EventsAdapter.catalog(spark, sfDir), q)
 
@@ -1275,6 +1292,7 @@ object SparkEntry {
     "emb_calibration" -> ((s, dir) => Similarity.centroidCalibration(emb(s, dir))),
     "emb_pagerank" -> ((s, dir) => Dedup.knnPagerank(emb(s, dir))),
     "dedup_minhash_est_eval" -> ((s, dir) => Dedup.minhashEstEval(docs(s, dir))),
+    "ann_graph_topk" -> ((s, dir) => Similarity.graphTopK(emb(s, dir))),
     "ann_ranking_metrics" -> ((s, dir) =>
       Similarity.rankingMetrics(EvalSampling(emb(s, dir), "vec_id"))),
     "ann_recall_report" -> ((s, dir) =>
@@ -1284,6 +1302,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     "dedup_passage" -> ((s, dir) => Dedup.passage(docs(s, dir))),
     "doc_dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir))),
+    // variable-length exact span EXTENTS over the span-planted corpus
+    "doc_dup_spans_var" -> ((s, dir) => Dedup.dupSpansVar(docs(s, dir))),
     "doc_line_dedup" -> ((s, dir) => Dedup.lineDedup(docs(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -1312,14 +1332,16 @@ object SparkEntry {
     // --- LLM-pipeline: multimodal binary columns (stubbed decode) ---
     "mm_decode_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))),
+    // frame sampling + scene cuts run on REAL videos: length-prefixed
+    // containers of real BMP frames, decoded pixel-by-pixel (round-7)
     "mm_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.mediaFromDocs(docs(s, dir)))),
+      Multimodal.sampleFrames(Multimodal.videoFromDocs(docs(s, dir)))),
     "mm_image_tiles" -> ((s, dir) =>
       Multimodal.tileImages(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_aspect_plan" -> ((s, dir) =>
       Multimodal.aspectPlan(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_scene_cuts" -> ((s, dir) =>
-      Multimodal.sceneCuts(Multimodal.mediaFromDocs(docs(s, dir)))),
+      Multimodal.sceneCuts(Multimodal.videoFromDocs(docs(s, dir)))),
     "mm_phash" -> ((s, dir) =>
       Multimodal.phashes(Multimodal.mediaFromDocs(docs(s, dir))).orderBy("media_id")),
     "mm_phash_dup" -> ((s, dir) =>
@@ -2294,6 +2316,7 @@ object SparkEntry {
     "emb_calibration" -> Similarity.centroidCalibrationOracle,
     "emb_pagerank" -> Dedup.knnPagerankOracle,
     "dedup_minhash_est_eval" -> Dedup.minhashEstEvalOracle,
+    "ann_graph_topk" -> Similarity.graphTopKOracle,
     "ann_ranking_metrics" ->
       EvalSampling.sampleOracle(Similarity.rankingMetricsOracle, "embeddings", "vec_id"),
     "ann_recall_report" -> EvalSampling.sampleOracle(Similarity.annRecallOracle, "embeddings", "vec_id"),
@@ -2302,6 +2325,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalOracle,
     "dedup_passage" -> Dedup.passageOracle,
     "doc_dup_spans" -> Dedup.dupSpansOracle,
+    "doc_dup_spans_var" -> Dedup.dupSpansVarOracle,
     "doc_line_dedup" -> Dedup.lineDedupOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,

@@ -312,6 +312,96 @@ object Dedup {
        |FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN agg USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- variable-length duplicated-span extents ----------------------------
+
+  /** Planted duplicate spans for [[dupSpansVar]]'s differential gate:
+    * (doc_id modulus, span length in tokens). Three lengths bracket the
+    * window size (just above, 2×, 4×) so the extent merge is verified
+    * at genuinely different span geometries. */
+  val SpanPlants: Seq[(Long, Int)] = Seq((97L, 18), (89L, 32), (83L, 64))
+
+  private def spanSnippet(len: Int): String =
+    (0 until len).map(i => s"xdup${len}w$i").mkString(" ")
+
+  /** Deterministic span planter: docs whose id hits a [[SpanPlants]]
+    * modulus get that plant's snippet appended — every planted
+    * occurrence is byte-identical across its docs, and the snippet
+    * tokens (xdup…) occur nowhere in natural text, so each plant is a
+    * clean duplicated span of a KNOWN length at a KNOWN position. */
+  def plantSpans(docs: DataFrame): DataFrame = {
+    val planted = SpanPlants.foldLeft(col("text")) { case (acc, (m, len)) =>
+      when(col("doc_id") % m === 0,
+        concat(acc, lit(" " + spanSnippet(len)))).otherwise(acc)
+    }
+    docs.select(col("doc_id"), planted.as("text"))
+  }
+
+  /** VARIABLE-LENGTH exact duplicated-span extents — the full output of
+    * the published suffix-array dedup recipe (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * exact (start, end) token ranges of every maximal substring of
+    * length ≥ [[SpanLen]] that occurs more than once in the corpus —
+    * the ranges a span-REMOVAL pass cuts, where [[dupSpans]] only
+    * reports per-doc geometry statistics.
+    *
+    * Form: the two-pass extend-merge over matched windows — a
+    * duplicated substring of length L contributes exactly L−[[SpanLen]]+1
+    * duplicated stride-1 windows, so merging consecutive duplicated
+    * window positions (gaps-and-islands) recovers the exact extent
+    * [min pos, min pos + run + SpanLen − 2] of length run+SpanLen−1 for
+    * ANY L ≥ SpanLen — no binary lifting needed, and the row count
+    * stays linear in tokens (the suffix-array cost class, in Spark's
+    * shuffle model). Runs over the [[plantSpans]]-planted corpus so the
+    * differential gate verifies exact extents at three span lengths.
+    * Output (doc_id, span_start, span_end, span_tokens) per maximal
+    * span, ordered. */
+  def dupSpansVar(docs: DataFrame): DataFrame = {
+    val wins = graft.util.Spread(plantSpans(docs))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= SpanLen)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - SpanLen),
+          i => struct((i + 1).cast("long").as("pos"),
+            baseHash(concat_ws(" ", slice(col("w"), i + lit(1), lit(SpanLen)))).as("h")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+      .transform(graft.util.Materialize.corpus) // dup set + semi-join probe
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    wins.join(dup, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("grp", col("pos") - row_number().over(wn))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("span_start"),
+        (col("span_start") + col("run") + lit(SpanLen - 2)).as("span_end"),
+        (col("run") + lit(SpanLen - 1)).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dupSpansVarOracle: String = {
+    val plantedText = SpanPlants.foldLeft("text") { case (acc, (m, len)) =>
+      s"(CASE WHEN doc_id % $m = 0 THEN $acc || ' ${spanSnippet(len)}' ELSE $acc END)"
+    }
+    s"""WITH base AS (SELECT doc_id, $plantedText AS text FROM documents),
+       |wins AS (
+       |  SELECT doc_id, u.i + 1 AS pos,
+       |         ('0x' || substr(md5(array_to_string(w[i+1:i+$SpanLen], ' ')), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM base) d,
+       |       unnest(range(0, len(w) - $SpanLen + 1)) u(i)
+       |  WHERE len(w) >= $SpanLen),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)),
+       |runs AS (SELECT doc_id, grp, min(pos) AS span_start, count(*) AS run FROM (
+       |           SELECT doc_id, pos, pos - row_number() OVER (
+       |                    PARTITION BY doc_id ORDER BY pos) AS grp
+       |           FROM dp) i GROUP BY 1, 2)
+       |SELECT doc_id, span_start,
+       |       span_start + run + ${SpanLen - 2} AS span_end,
+       |       run + ${SpanLen - 1} AS span_tokens
+       |FROM runs ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // ---- incremental dedup --------------------------------------------------
 
   /** Incremental-ingest dedup: an incoming batch (odd doc_ids here — the
@@ -1352,7 +1442,20 @@ object Dedup {
     * Output (vec_id, rank, neighbor_id, cos_fp). */
   def knnGraph(emb: DataFrame): DataFrame = knnGraph(emb, EmbBandBits)
 
-  def knnGraph(emb: DataFrame, bandBits: Int): DataFrame = {
+  def knnGraph(emb: DataFrame, bandBits: Int): DataFrame =
+    // memoized per (session, input plan, band width): the edge list feeds
+    // emb_knn_graph, emb_knn_triangles, emb_pagerank, AND ann_graph_topk
+    // in one run — n·K rows (corpus-scaled) → evictable spill-safe
+    // persist, forced so consumers read blocks instead of re-running the
+    // band join (Bench builds it once in its shared_build phase).
+    graft.util.Memo(
+      (emb.sparkSession, "Dedup.knnGraph", emb.semanticHash(), bandBits)) {
+      val g = graft.util.Materialize.corpus(knnGraphBuild(emb, bandBits))
+      g.count()
+      g
+    }
+
+  private def knnGraphBuild(emb: DataFrame, bandBits: Int): DataFrame = {
     import graft.functions.VectorMath.dotF64
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
@@ -1380,8 +1483,10 @@ object Dedup {
   }
 
   /** Shared CTE chain ending in `r` = the ranked kNN edge list; consumed
-    * by [[knnGraphOracle]] and [[knnTrianglesOracle]]. */
-  private val knnEdgesCte: String =
+    * by [[knnGraphOracle]], [[knnTrianglesOracle]], and
+    * Similarity.graphTopKOracle (CTE names: ev, bands, cand, dir,
+    * scored, r — splice-safe alongside non-clashing names). */
+  private[pipeline] val knnEdgesCte: String =
     s"""$bandedCandSql,
        |dir AS (SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand),
        |scored AS (

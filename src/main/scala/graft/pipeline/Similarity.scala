@@ -335,6 +335,87 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- graph ANN: beam search over the kNN graph ---------------------------
+
+  /** Beam width — frontier vertices expanded per hop per query. */
+  val GraphBeam = 8
+  /** Fixed expansion hops (the deterministic batch analogue of
+    * best-first's "until no improvement"). */
+  val GraphHops = 2
+
+  /** Graph-traversal ANN — the production-dominant proximity-graph
+    * family (Malkov & Yashunin's NSW/HNSW), in its Spark-batch shape:
+    * HNSW's sequential insert order has no batch meaning, but the
+    * navigate-by-neighbors SEARCH does. Each query seeds with its LSH
+    * bucket members (the [[lshTopK]] bucketing), then walks the
+    * [[Dedup.knnGraph]] edge list for [[GraphHops]] hops with a
+    * [[GraphBeam]]-wide frontier, exact-cosine scoring visited vertices
+    * only; final top-K over the visited set. Deterministic by
+    * construction (fixed hops/beam, id tie-breaks), and recall ≥
+    * [[lshTopK]] structurally — the visited set contains the whole seed
+    * bucket.
+    *
+    * Scale shape: the graph build amortizes across every graph consumer
+    * (memoized; Bench's shared_build pays it once); per hop, the
+    * frontier is NumQueries×[[GraphBeam]] rows — broadcast into one
+    * equi-join against the n·K edge list — and scoring joins fetch
+    * vectors by id for visited candidates only. Nothing quadratic in
+    * the corpus anywhere. Output (q_id, rank, neighbor_id, cos_fp).
+    *
+    * The no-arg form pins the oracle-scale band width; corpus-scale
+    * callers size bandBits with Dedup.bandBitsFor(n) — same law as the
+    * graph itself. */
+  def graphTopK(emb: DataFrame): DataFrame = graphTopK(emb, Dedup.EmbBandBits)
+
+  def graphTopK(emb: DataFrame, bandBits: Int): DataFrame = {
+    val e = normalized(emb)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    def score(ids: DataFrame): DataFrame = // (q_id, id) → + cos_fp
+      ids.join(e.select(col("vec_id").as("id"), col("v"), col("nrm")), Seq("id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("id"),
+          floor(dotCols(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+            .cast("long").as("cos_fp"))
+    def beam(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col("cos_fp").desc, col("id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= GraphBeam).select("q_id", "id")
+    }
+    val eb = e.withColumn("bucket", bucketCol)
+    val qb = eb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("bucket").as("qb"))
+    val edges = Dedup.knnGraph(emb, bandBits)
+      .select(col("vec_id").as("id"), col("neighbor_id").as("nb"))
+    // seeds = the query's LSH bucket members ∪ its own graph neighbors
+    // (the standard entry-point trick: sparse buckets alone strand a
+    // query; its kNN edges always give the walk somewhere to start)
+    val seeds = eb.join(broadcast(qb),
+        col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("id"))
+      .unionByName(edges.filter(col("id") < NumQueries)
+        .select(col("id").as("q_id"), col("nb").as("id")))
+      .distinct()
+    // visited is bounded: seed-bucket occupancy + hops·queries·beam·K
+    var visited = graft.util.Materialize.bounded(score(seeds))
+    var frontier = beam(visited)
+    for (_ <- 1 to GraphHops) {
+      val fresh = frontier.join(edges, Seq("id"))
+        .select(col("q_id"), col("nb").as("id"))
+        .filter(col("id") =!= col("q_id"))
+        .distinct()
+        .join(visited.select("q_id", "id"), Seq("q_id", "id"), "left_anti")
+      val sc = score(fresh)
+      visited = graft.util.Materialize.bounded(visited.unionByName(sc))
+      frontier = beam(sc)
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("cos_fp").desc, col("id"))
+    visited.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("cos_fp"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- IVF (inverted-file) top-k ------------------------------------------
 
   val IvfK = 8 // coarse centroids
@@ -369,7 +450,22 @@ object Similarity {
     * [[semDedup]]: init = first IvfK vectors, one recompute round.
     * Returns (final centroids `(cid, c)`, final assignments
     * `(vec_id, cid)`). */
-  private def ivfCluster(x: DataFrame): (DataFrame, DataFrame) = {
+  private def ivfCluster(x: DataFrame): (DataFrame, DataFrame) =
+    // memoized per (session, input plan): the SAME clustering feeds
+    // ivfTopK, ivfpqTopK, semDedup, and both eval reports in one run —
+    // round-6 verdict item 2 (IVF k-means trained once, not per entry).
+    // Centroids are IvfK rows (bounded); assignments are corpus-sized →
+    // evictable spill-safe persist, forced here so every consumer reads
+    // blocks instead of re-running the two assignment passes.
+    graft.util.Memo((x.sparkSession, "Similarity.ivfCluster", x.semanticHash())) {
+      val (c1, a2) = ivfClusterBuild(x)
+      val cM = graft.util.Materialize.bounded(c1)
+      val aM = graft.util.Materialize.corpus(a2)
+      aM.count()
+      (cM, aM)
+    }
+
+  private def ivfClusterBuild(x: DataFrame): (DataFrame, DataFrame) = {
     val x0 = x.select("vec_id", "xq")
     def assign(cent: DataFrame): DataFrame =
       x0.join(broadcast(cent), lit(true))
@@ -390,6 +486,14 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
         s => s.getField("cp")).as("c"))
     (c1, assign(c1))
+  }
+
+  /** Force-build the full-corpus IVF clustering (Bench's shared_build
+    * hook): ann_ivf_topk, ann_ivfpq_topk, and emb_semdedup all consume
+    * the same memoized (centroids, assignments) pair. */
+  def buildIvfIndex(emb: DataFrame): Unit = {
+    ivfCluster(normalized(emb).withColumn("xq", quantCol))
+    ()
   }
 
   def ivfTopK(emb: DataFrame): DataFrame = {
@@ -1032,23 +1136,43 @@ object Similarity {
     * is materialized once and semi-joined against each method's result;
     * each method's cost is its own entry's cost (this op IS the four
     * pipelines plus four tiny joins). Output (method, recall_fp). */
+  /** The raw per-method builders, by report row name. */
+  private val methodBuilders: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "brute" -> bruteTopK _,
+    "graph" -> graphTopK _,
+    "hamming" -> hammingTopK _,
+    "ivf" -> ivfTopK _,
+    "ivfpq" -> ivfpqTopK _,
+    "lsh" -> lshTopK _,
+    "pq" -> pqTopK _)
+
+  /** One MATERIALIZED top-K relation per index method, memoized per
+    * (session, input plan) — round-6 verdict item 2: both eval reports
+    * consume every method's top-K, so each index (IVF k-means, the PQ /
+    * IVF-PQ codebooks, the brute truth) trains ONCE per run instead of
+    * once per report. Each relation is ≤ NumQueries·K rows → bounded.
+    * Bench builds these in its timed shared_build phase; Verify's first
+    * consuming entry builds lazily. */
+  def methodTopKs(emb: DataFrame): Seq[(String, DataFrame)] =
+    methodBuilders.map { case (name, build) =>
+      name -> graft.util.Memo(
+        (emb.sparkSession, s"Similarity.topk.$name", emb.semanticHash())) {
+        graft.util.Materialize.bounded(build(emb))
+      }
+    }
+
   def annRecall(emb: DataFrame): DataFrame = {
-    val truth = bruteTopK(emb).select("q_id", "neighbor_id").localCheckpoint(true)
+    val topks = methodTopKs(emb).toMap
+    val truth = topks("brute").select("q_id", "neighbor_id")
     // denominator = ACTUAL truth size, not NumQueries*K: identical when the
     // corpus is large enough, and correct when the input is a sampled
     // subset (queries that fall out of the sample shrink the truth)
     val tot = truth.agg(count(lit(1)).as("n_truth"))
-    Seq(
-      "hamming" -> hammingTopK(emb),
-      "ivf" -> ivfTopK(emb),
-      "ivfpq" -> ivfpqTopK(emb),
-      "lsh" -> lshTopK(emb),
-      "pq" -> pqTopK(emb)
-    ).map { case (name, df) =>
-      df.select("q_id", "neighbor_id")
+    Seq("graph", "hamming", "ivf", "ivfpq", "lsh", "pq").map { name =>
+      topks(name).select("q_id", "neighbor_id")
         .join(broadcast(truth), Seq("q_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-        .crossJoin(tot)
+        .crossJoin(broadcast(tot))
         .select(lit(name).as("method"),
           expr("hits * 1000000 div greatest(n_truth, 1)").as("recall_fp"))
     }.reduce(_ unionByName _).orderBy("method")
@@ -1062,6 +1186,8 @@ object Similarity {
          |      WHERE EXISTS (SELECT 1 FROM truth t
          |                    WHERE t.q_id = g.q_id AND t.neighbor_id = g.neighbor_id)) m""".stripMargin
     s"""WITH truth AS (SELECT q_id, neighbor_id FROM ($bruteTopKOracle) b)
+       |${block("graph", graphTopKOracle)}
+       |UNION ALL
        |${block("hamming", hammingTopKOracle)}
        |UNION ALL
        |${block("ivf", ivfTopKOracle)}
@@ -1108,14 +1234,7 @@ object Similarity {
           expr(s"n_hit * 1000 div $NumQueries").as("hit_pm"),
           expr(s"rel_sum * 1000000 div ${NumQueries * K}").as("mean_prec_fp"))
     }
-    Seq(
-      "brute" -> bruteTopK(emb),
-      "hamming" -> hammingTopK(emb),
-      "ivf" -> ivfTopK(emb),
-      "ivfpq" -> ivfpqTopK(emb),
-      "lsh" -> lshTopK(emb),
-      "pq" -> pqTopK(emb)
-    ).map { case (n, df) => metricsFor(n, df) }
+    methodTopKs(emb).map { case (n, df) => metricsFor(n, df) }
       .reduce(_ unionByName _).orderBy("method")
   }
 
@@ -1137,6 +1256,8 @@ object Similarity {
          |    JOIN embeddings nl ON nl.vec_id = m.neighbor_id) j
          |  GROUP BY j.q_id) pq""".stripMargin
     s"""${block("brute", bruteTopKOracle)}
+       |UNION ALL
+       |${block("graph", graphTopKOracle)}
        |UNION ALL
        |${block("hamming", hammingTopKOracle)}
        |UNION ALL
@@ -1416,14 +1537,18 @@ object Similarity {
        |  FROM votes)
        |SELECT q_id, label AS pred_label, votes FROM top WHERE rn = 1 ORDER BY q_id""".stripMargin
 
+  /** DuckDB twin of [[bucketCol]]'s single-band NumPlanes-bit bucket
+    * (same LCG plane stream) over a relation aliased `t` with column v. */
+  private def lshPlaneDotSql(t: String, j: Int): String =
+    s"""list_reduce(list_transform(range(0, $Dim),
+       |      d -> $t.v[d+1] * ((((((2654435761 * (${j * Dim} + d + 1)) % 2147483647) * ((2654435761 * (${j * Dim} + d + 1)) % 2147483647) + ((2654435761 * (${j * Dim} + d + 1)) % 2147483647)) % 2147483647) % 2001) - 1000)),
+       |    (x, y) -> x + y)""".stripMargin
+  private def lshBucketSql(t: String): String = (0 until NumPlanes)
+    .map(j => s"(CASE WHEN ${lshPlaneDotSql(t, j)} > 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString("(", " + ", ")")
+
   val lshTopKOracle: String = {
-    val planeDot = (t: String, j: Int) =>
-      s"""list_reduce(list_transform(range(0, $Dim),
-         |      d -> $t.v[d+1] * ((((((2654435761 * (${j * Dim} + d + 1)) % 2147483647) * ((2654435761 * (${j * Dim} + d + 1)) % 2147483647) + ((2654435761 * (${j * Dim} + d + 1)) % 2147483647)) % 2147483647) % 2001) - 1000)),
-         |    (x, y) -> x + y)""".stripMargin
-    val bucket = (t: String) => (0 until NumPlanes)
-      .map(j => s"(CASE WHEN ${planeDot(t, j)} > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString("(", " + ", ")")
+    val bucket = lshBucketSql _
     s"""WITH e AS (
        |  SELECT vec_id, v, ${bucket("t")} AS bucket
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t),
@@ -1437,6 +1562,54 @@ object Similarity {
        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[graphTopK]]: the [[GraphHops]]=2 beam loop
+    * unrolled (seeds → sc0/f0 → hop x1/sc1/f1 → hop x2/sc2 → final rank
+    * over the visited union). Splices Dedup.knnEdgesCte (ev, bands,
+    * cand, dir, scored, r) for the edge list and the shared LSH bucket
+    * stream for the seeds. */
+  lazy val graphTopKOracle: String = {
+    def scoreSql(src: String) =
+      s"""SELECT s.q_id, s.id,
+         |       floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT AS cos_fp
+         |FROM $src s JOIN ev q ON q.vec_id = s.q_id JOIN ev c ON c.vec_id = s.id""".stripMargin
+    def beamSql(src: String) =
+      s"""SELECT q_id, id FROM (
+         |  SELECT q_id, id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, id) AS rk
+         |  FROM $src) t WHERE rk <= $GraphBeam""".stripMargin
+    s"""WITH ${Dedup.knnEdgesCte},
+       |eg AS (SELECT vec_id, ${lshBucketSql("t")} AS bucket
+       |       FROM (SELECT vec_id, v FROM ev) t),
+       |edges AS (SELECT vec_id AS id, neighbor_id AS nb FROM r
+       |          WHERE rank <= ${Dedup.KnnGraphK}),
+       |seeds AS (SELECT q.vec_id AS q_id, c.vec_id AS id
+       |          FROM eg q JOIN eg c ON q.vec_id < $NumQueries
+       |            AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |          UNION
+       |          SELECT ed.id AS q_id, ed.nb AS id FROM edges ed
+       |          WHERE ed.id < $NumQueries),
+       |sc0 AS (${scoreSql("seeds")}),
+       |f0 AS (${beamSql("sc0")}),
+       |x1 AS (SELECT DISTINCT f.q_id, ed.nb AS id
+       |       FROM f0 f JOIN edges ed ON ed.id = f.id
+       |       WHERE ed.nb <> f.q_id
+       |         AND NOT EXISTS (SELECT 1 FROM sc0 v WHERE v.q_id = f.q_id AND v.id = ed.nb)),
+       |sc1 AS (${scoreSql("x1")}),
+       |f1 AS (${beamSql("sc1")}),
+       |x2 AS (SELECT DISTINCT f.q_id, ed.nb AS id
+       |       FROM f1 f JOIN edges ed ON ed.id = f.id
+       |       WHERE ed.nb <> f.q_id
+       |         AND NOT EXISTS (SELECT 1 FROM sc0 v WHERE v.q_id = f.q_id AND v.id = ed.nb)
+       |         AND NOT EXISTS (SELECT 1 FROM sc1 v WHERE v.q_id = f.q_id AND v.id = ed.nb)),
+       |sc2 AS (${scoreSql("x2")}),
+       |vis AS (SELECT * FROM sc0 UNION ALL SELECT * FROM sc1 UNION ALL SELECT * FROM sc2),
+       |rg AS (SELECT q_id, id, cos_fp,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, id) AS rank
+       |       FROM vis)
+       |SELECT q_id, rank, id AS neighbor_id, cos_fp FROM rg
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 

@@ -84,6 +84,10 @@ object PipelineScaleProbe {
   private def time(body: => Long): (Double, Long) = {
     var rows = body // untimed warmup (Janino + shuffle files)
     val t = (1 to 2).map { _ =>
+      // the probe measures the BUILD's scaling — memoized artifacts
+      // (IVF clustering, kNN graph, BPE vocab) must be rebuilt per run,
+      // not served from the cross-entry cache
+      graft.util.Memo.clear()
       System.gc()
       val t0 = System.nanoTime()
       rows = body
@@ -162,6 +166,11 @@ object PipelineScaleProbe {
         graft.pipeline.Similarity.lshTopK(synthEmb(spark, n)).count()),
       "ann_hamming" -> (n =>
         graft.pipeline.Similarity.hammingTopK(synthEmb(spark, n)).count()),
+      // round-7: graph-traversal ANN — graph build + fixed-hop beam walk;
+      // band width sized to the corpus like every banded operator
+      "ann_graph" -> (n =>
+        graft.pipeline.Similarity.graphTopK(synthEmb(spark, n),
+          Dedup.bandBitsFor(n)).count()),
       // diverse payloads (hash hex), NOT synthDocs: near-constant word-soup
       // corpora collapse every doc into a handful of phash buckets and the
       // band join degenerates quadratically — the generic LSH skew law;

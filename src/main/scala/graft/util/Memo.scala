@@ -36,6 +36,17 @@ object Memo {
     }
   }
 
-  /** Drop everything (tests / explicit rebuild). */
-  def clear(): Unit = cache.clear()
+  /** Drop everything (scale probes / tests that must re-measure the
+    * BUILD, not the cache). Best-effort unpersist of cached relations so
+    * repeated probe rounds don't accumulate storage. */
+  def clear(): Unit = {
+    def unp(v: Any): Unit = v match {
+      case df: org.apache.spark.sql.DataFrame => df.unpersist(false); ()
+      case (a, b) => unp(a); unp(b)
+      case (a, b, c) => unp(a); unp(b); unp(c)
+      case _ => ()
+    }
+    cache.values().forEach(v => unp(v))
+    cache.clear()
+  }
 }

@@ -734,7 +734,7 @@ class PipelineSpec extends AnyFunSuite {
   test("ranking metrics: bounds hold and brute dominates or ties every ANN method") {
     val rows = Similarity.rankingMetrics(emb).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(rows.keySet === Set("brute", "hamming", "ivf", "ivfpq", "lsh", "pq"))
+    assert(rows.keySet === Set("brute", "graph", "hamming", "ivf", "ivfpq", "lsh", "pq"))
     rows.values.foreach { case (mrr, hit, prec) =>
       assert(mrr >= 0L && mrr <= 1000000L)
       assert(hit >= 0L && hit <= 1000L)
@@ -1055,6 +1055,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(shards.map(_.getLong(2)).sum === encTotal)
   }
 
+  test("dup spans var: planted duplicates of three lengths recover exact extents") {
+    val toks = docs.filter(col("doc_id") === 97L).select(col("text")).collect()(0)
+      .getString(0).split(" ").count(_.nonEmpty).toLong
+    val spans = Dedup.dupSpansVar(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 97 (only the %97 plant): exactly one planted 18-token span
+    // appended right after its own text — extent recovered EXACTLY
+    val d97 = spans.filter(_._1 == 97L)
+    assert(d97.exists { case (_, s, e, n) =>
+      n == 18L && s == toks + 1 && e == toks + 18 }, d97.toSeq.toString)
+    // doc 0 hits all three moduli → all three lengths present, disjoint
+    val d0 = spans.filter(_._1 == 0L).map(_._4)
+    assert(Set(18L, 32L, 64L).subsetOf(d0.toSet), d0.toSeq.toString)
+    // every planted length appears across its modulus class
+    for ((m, len) <- Dedup.SpanPlants) {
+      val hit = spans.filter(s => s._1 % m == 0 && s._4 == len.toLong)
+      assert(hit.nonEmpty, s"no $len-token span for modulus $m")
+    }
+    // extents are internally consistent
+    spans.foreach { case (_, s, e, n) => assert(e - s + 1 == n) }
+  }
+
+  test("graph ANN: beam walk over the kNN graph — recall dominates its LSH seeds") {
+    // structural law (provable, so pinned): the walk's visited set
+    // contains the whole LSH seed bucket, and exact-cosine ranking of a
+    // SUPERSET can only keep or grow the overlap with the brute truth —
+    // so graph recall ≥ lsh recall on any input
+    val rec = Similarity.annRecall(emb).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rec("graph") >= rec("lsh"), rec)
+    // result hygiene: ranks contiguous from 1 per query, no self-matches
+    val g = Similarity.graphTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq, q)
+      rows.foreach { case (qid, _, nb) => assert(nb !== qid) }
+    }
+  }
+
   test("phash dup: near-identical payloads pair within Hamming 3, inverted payloads don't") {
     import spark.implicits._
     // 640 bytes = 64 cells of 10; alternating loud/quiet cells → phash 0x5555…
@@ -1361,26 +1401,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(twin.getLong(3) > 0L)
   }
 
-  test("scene cuts: shot laws hold and a planted hard cut is detected") {
+  test("scene cuts: shot laws hold on real videos; corrupt payloads total to a zero row") {
     import spark.implicits._
-    // two "clips": constant frames (no cuts) and constant-then-jump
-    val calm = Array.fill(160)('a'.toByte)
-    val jump = Array.fill(80)(' '.toByte) ++ Array.fill(80)('~'.toByte)
-    val media = Seq(
-      MediaRow(1L, "video", calm, 64, 48),
-      MediaRow(2L, "video", jump, 64, 48)).toDF()
-    val byId = Multimodal.sceneCuts(media).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    val (nf1, c1, s1, l1, d1) = byId(1L)
-    assert(nf1 === 10L && c1 === 0L && s1 === 1L && l1 === 10L && d1 === 0L)
-    val (nf2, c2, s2, l2, _) = byId(2L)
-    // one hard cut at the ' '→'~' boundary: 16 * |126-32| = 1504 > 500
-    assert(nf2 === 10L && c2 === 1L && s2 === 2L && l2 === 5L)
-    // laws on the corpus-derived table: shots = cuts+1, longest ≤ frames
-    Multimodal.sceneCuts(Multimodal.mediaFromDocs(docs)).collect().foreach { r =>
+    // a blob that is no container at all is a row, not an exception
+    val junk = Seq(MediaRow(1L, "video", Array.fill(160)('a'.toByte), 64, 48)).toDF()
+    val z = Multimodal.sceneCuts(junk).collect()(0)
+    assert(z.getLong(1) === 0L && z.getLong(3) === 0L)
+    // laws on the corpus-derived REAL videos: the planted mid-clip cut is
+    // found in every clip, shots = cuts + 1, longest shot bounded
+    Multimodal.sceneCuts(Multimodal.videoFromDocs(docs)).collect().foreach { r =>
       val (nf, nc, ns, ls) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      assert(ns === (if (nf > 0) nc + 1 else 0L))
-      assert(ls <= nf && (nf == 0 || ls >= (nf + ns - 1) / ns))
+      assert(nc >= 1L, "planted +128 mid-clip shift must register as a cut")
+      assert(ns === nc + 1)
+      assert(ls <= nf && ls >= (nf + ns - 1) / ns)
     }
   }
 
@@ -1645,6 +1678,45 @@ class PipelineSpec extends AnyFunSuite {
     val badFmt = enc.clone(); badFmt(20) = 3
     assert(!Multimodal.decodeWav(1L, badFmt).ok)
     assert(!Multimodal.decodeWav(1L, enc.take(40)).ok)
+  }
+
+  test("video container: real frame decode, planted mid-clip cut on decoded pixels") {
+    import spark.implicits._
+    val text = "abcdefghijklmnopqrstuvwxyz"
+    // container round-trip: frame count, dims, per-frame pixel rule with
+    // the midpoint inversion — verified on the DECODED pixel arrays
+    val enc = Multimodal.encodeVideo(text, 4, 3, 8)
+    val frames = Multimodal.decodeVideoFrames(enc).get
+    assert(frames.length === 8)
+    assert(frames.forall { case (w, h, px) => w == 4 && h == 3 && px.length == 36 })
+    def b(f: Int, j: Int): Int = {
+      val v = text.charAt((3 * f * 12 + j) % text.length).toInt
+      if (f >= 4) (v + 128) % 256 else v
+    }
+    assert(frames(0)._3.toSeq === (0 until 36).map(b(0, _)))
+    assert(frames(5)._3.toSeq === (0 until 36).map(b(5, _)))
+    // corrupt containers reject cleanly (never throw): truncation, a
+    // frame length pointing past the payload, a corrupted inner BMP
+    assert(Multimodal.decodeVideoFrames(enc.take(enc.length - 3)).isEmpty)
+    val lying = enc.clone(); lying(4) = -1
+    assert(Multimodal.decodeVideoFrames(lying).isEmpty)
+    val badInner = enc.clone(); badInner(8) = 'X' // first frame's magic
+    assert(Multimodal.decodeVideoFrames(badInner).isEmpty)
+    // scene cuts find EXACTLY the planted inversion boundary: nf=9 from
+    // n_chars=26 → cut at frame 4, shots [0,4) and [4,9), longest 5
+    val d1 = Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val cuts = Multimodal.sceneCuts(Multimodal.videoFromDocs(d1)).collect()(0)
+    assert(cuts.getLong(1) === 9L) // n_frames
+    assert(cuts.getLong(2) === 1L, cuts.toString) // exactly the planted cut
+    assert(cuts.getLong(3) === 2L)
+    assert(cuts.getLong(4) === 5L)
+    // frame sampling decodes + NN-resizes real frames: 9 frames → 3
+    // sampled, resized to (3, 3) (w=5, h=5 at n_chars=26)
+    val fs = Multimodal.sampleFrames(Multimodal.videoFromDocs(d1)).collect()(0)
+    assert(fs.getLong(1) === 9L)
+    assert(fs.getInt(2) === 3 && fs.getInt(3) === 3)
+    assert(fs.getLong(4) !== 0L)
   }
 
   test("curation full: stage containment and ordered split report") {

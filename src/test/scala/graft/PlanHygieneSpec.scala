@@ -309,6 +309,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("graph ANN: hop expansion joins stay equi — no cartesian/nested loop") {
+    val p = plan("ann_graph_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("LTV triangle: cumulative window after the (cohort, offset) collapse; cohort sizes broadcast") {
     val p = plan("events_ltv_cohort")
     assert(p.contains("Window ["), p)

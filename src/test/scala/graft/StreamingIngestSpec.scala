@@ -154,6 +154,42 @@ class StreamingIngestSpec extends AnyFunSuite {
       "https://site.example.com/c"), canon)
   }
 
+  test("streaming url dedup: stored index survives a restart — no re-admission after recovery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-urldedup2").toString
+    val cfg = graft.streaming.StreamingUrlDedup.Config(
+      s"$dir/canon", s"$dir/accepted", s"$dir/ckpt")
+
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.StreamingUrlDedup.start(
+      s1.toDS().toDF("doc_id", "url"), cfg)
+    s1.addData((1L, "https://site.example.com/a"),
+               (2L, "https://other.example.com/b"))
+    q1.processAllAvailable(); q1.stop()
+
+    // "restarted" crawler: a VARIANT of an admitted page must be
+    // rejected by the recovered stored index (the index IS the dedup
+    // state across restarts), a fresh page admitted
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingUrlDedup.start(
+      s2.toDS().toDF("doc_id", "url"),
+      cfg.copy(checkpointDir = s"$dir/ckpt2"))
+    s2.addData((3L, "HTTPS://WWW.SITE.EXAMPLE.COM/a/"),
+               (4L, "https://site.example.com/new"))
+    q2.processAllAvailable(); q2.stop()
+
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(accepted === Seq(1L, 2L, 4L), accepted)
+    // one index row per admitted canonical page, across both lifetimes
+    val canon = spark.read.parquet(s"$dir/canon").as[String].collect().sorted.toSeq
+    assert(canon === Seq(
+      "https://other.example.com/b",
+      "https://site.example.com/a",
+      "https://site.example.com/new"), canon)
+  }
+
   test("streaming difference carries per-series state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

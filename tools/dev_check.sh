@@ -10,3 +10,11 @@ cd /root/repo
 java $ADD_OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.tools.RunEntries "$SF" "$OUT" "$NAMES" 2>&1 | grep -E "^\[run\]"
 python3 tools/check_oracle.py "$SF" "$OUT"
+# README tally drift gate: full runs carry the complete oracle map (the
+# current-source entry truth); filtered runs fall back to the latest
+# CORRECTNESS_r*.json
+if [ "$NAMES" = "all" ]; then
+  python3 tools/tally_check.py "$OUT/oracle_sql.json"
+else
+  python3 tools/tally_check.py
+fi
