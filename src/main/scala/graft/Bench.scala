@@ -175,7 +175,10 @@ object Bench {
       "emb_calibration", "doc_snapshot_diff", "events_window_funnel",
       "doc_bigram_lm", "doc_quality_normalized", "doc_bpe_compression",
       "events_mad_outliers", "doc_shard_plan", "ann_filtered_topk",
-      "doc_bm25_topk")
+      "doc_bm25_topk",
+      // round-7 additions
+      "ann_graph_topk", "doc_bpe_encode", "doc_pack_bins_bpe",
+      "doc_shard_plan_bpe", "doc_dup_spans_var", "mm_frame_sample")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) ++
       sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" } :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")

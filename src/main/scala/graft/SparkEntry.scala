@@ -411,8 +411,9 @@ object SparkEntry {
         """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(1h, 30m)"""))),
     "ts_select_count_distinct" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT count(distinct("value")) FROM "events" WHERE time > $FromNs AND time < $ToNs GROUP BY time(6h)"""))),
+    // audio windows run on REAL WAVs, decoded sample-by-sample (round-7)
     "mm_audio_windows" -> ((s, dir) =>
-      Multimodal.windowAudio(Multimodal.mediaFromDocs(docs(s, dir)))),
+      Multimodal.windowAudio(Multimodal.audioFromDocs(docs(s, dir)))),
     "ts_select_first_last" -> ((s, dir) => stable(influx(s, dir,
       s"""SELECT first("value"), last("value") FROM "events" WHERE time > $FromNs AND time < $ToNs""" +
         """ AND "event_type" = 'click' AND "user_id" = '7' GROUP BY time(6h)"""))),
@@ -1342,10 +1343,11 @@ object SparkEntry {
       Multimodal.aspectPlan(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_scene_cuts" -> ((s, dir) =>
       Multimodal.sceneCuts(Multimodal.videoFromDocs(docs(s, dir)))),
+    // perceptual hashing runs the REAL aHash on decoded BMP pixels (round-7)
     "mm_phash" -> ((s, dir) =>
-      Multimodal.phashes(Multimodal.mediaFromDocs(docs(s, dir))).orderBy("media_id")),
+      Multimodal.phashes(Multimodal.imagesFromDocs(docs(s, dir))).orderBy("media_id")),
     "mm_phash_dup" -> ((s, dir) =>
-      Multimodal.phashDup(Multimodal.mediaFromDocs(docs(s, dir)))),
+      Multimodal.phashDup(Multimodal.imagesFromDocs(docs(s, dir)))),
     "mm_bmp_roundtrip" -> ((s, dir) => Multimodal.bmpRoundtrip(docs(s, dir))),
     "mm_wav_roundtrip" -> ((s, dir) => Multimodal.wavRoundtrip(docs(s, dir))),
     "mm_bmp_resize" -> ((s, dir) => Multimodal.bmpResize(docs(s, dir))),

@@ -135,52 +135,71 @@ object Multimodal {
     }).toDF().orderBy("media_id")
   }
 
-  /** STUB audio windower — the audio-path plumbing: payload as 16-bit LE
-    * PCM samples, sliced into 64-sample windows with a 32-sample hop;
+  /** Samples per synthetic audio clip: ≥4 windows for every doc. */
+  private def audioSamples(nChars: Long): Int = 256 + (nChars % 77).toInt
+
+  /** Deterministic synthetic audio table from `documents`: one REAL
+    * RIFF/WAVE PCM16 file per doc (the [[encodeWav]] layout with the
+    * LIST chunk before data — chunk walking stays mandatory). */
+  def audioFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        MediaRow(id, "audio", encodeWav(text, audioSamples(nc)), 0, 0)
+      }).toDF()
+  }
+
+  /** REAL audio windower (round-7: byte-stub → decoded samples): decode
+    * the WAV ([[decodeWavSamples]] — chunk walk, sign extension), slice
+    * the SIGNED samples into 64-sample windows with a 32-sample hop;
     * per-window mean amplitude folds into a position-weighted checksum
-    * (integer arithmetic only — a real FFT/feature kernel drops in at the
-    * same per-window point). Blobs shorter than one window emit 0
-    * windows, not an error. */
+    * (integer arithmetic only — a real FFT/feature kernel drops in at
+    * the same per-window point). Clips shorter than one window emit 0
+    * windows; undecodable blobs an all-zero row — never an error. */
   def windowAudio(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val Win = 64
     val Hop = 32
     media.as[MediaRow].mapPartitions(_.map { m =>
-      val n = m.payload.length / 2
-      val nw = if (n < Win) 0 else (n - Win) / Hop + 1
-      var chk = 0L
-      var w = 0
-      while (w < nw) {
-        var s = 0L
-        var i = 0
-        while (i < Win) {
-          val off = (w * Hop + i) * 2
-          s += ((m.payload(off + 1) & 0xffL) << 8) | (m.payload(off) & 0xffL)
-          i += 1
-        }
-        chk += (s / Win) * (w + 1)
-        w += 1
+      decodeWavSamples(m.payload) match {
+        case None => MediaWindows(m.media_id, 0L, 0L, 0L)
+        case Some((_, samples)) =>
+          val n = samples.length
+          val nw = if (n < Win) 0 else (n - Win) / Hop + 1
+          var chk = 0L
+          var w = 0
+          while (w < nw) {
+            var s = 0L
+            var i = 0
+            while (i < Win) { s += samples(w * Hop + i); i += 1 }
+            chk += (s / Win) * (w + 1)
+            w += 1
+          }
+          MediaWindows(m.media_id, n.toLong, nw.toLong, chk)
       }
-      MediaWindows(m.media_id, n.toLong, nw.toLong, chk)
     }).toDF().orderBy("media_id")
   }
 
-  /** DuckDB twin of [[windowAudio]] ∘ [[mediaFromDocs]] (ASCII text:
-    * ord(char) == byte; sample k = hi*256 + lo, little-endian). */
+  /** DuckDB twin of [[windowAudio]] ∘ [[audioFromDocs]]: windows over
+    * the shared signed sample rule ((byte − 96)·128), recomputed from
+    * text — the oracle never parses RIFF, so agreement proves the
+    * decode path. Signed window means: DuckDB `//` truncates toward
+    * zero exactly like Scala `/` (verified). */
   val windowAudioOracle: String =
-    """WITH d AS (SELECT doc_id, text, length(text) // 2 AS n FROM documents),
-      |w AS (SELECT doc_id, text, n,
-      |             CASE WHEN n < 64 THEN 0 ELSE (n - 64) // 32 + 1 END AS nw FROM d)
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |                  256 + n_chars % 77 AS n FROM documents),
+      |w AS (SELECT doc_id, text, len, n, (n - 64) // 32 + 1 AS nw FROM d)
       |SELECT doc_id AS media_id, n::BIGINT AS n_samples, nw::BIGINT AS n_windows,
-      |       CASE WHEN nw = 0 THEN 0 ELSE
-      |         list_reduce(list_transform(range(0, nw), wi ->
-      |           (list_reduce(list_transform(range(0, 64),
-      |              i -> ord(text[(wi * 32 + i) * 2 + 2])::BIGINT * 256
-      |                   + ord(text[(wi * 32 + i) * 2 + 1])::BIGINT),
-      |              (a, b) -> a + b) // 64) * (wi + 1)),
-      |           (a, b) -> a + b)
-      |       END AS energy_checksum
+      |       list_reduce(list_transform(range(0, nw), wi ->
+      |         (list_reduce(list_transform(range(0, 64),
+      |            i -> ((CASE WHEN len = 0 THEN 0
+      |                        ELSE ord(text[CAST((wi * 32 + i) % len AS INTEGER) + 1]) END)
+      |                  - 96) * 128::BIGINT),
+      |            (a, b) -> a + b) // 64) * (wi + 1)),
+      |         (a, b) -> a + b) AS energy_checksum
       |FROM w ORDER BY media_id""".stripMargin
 
   /** Byte rule shared by the video oracles: channel byte j of frame f
@@ -531,29 +550,70 @@ object Multimodal {
     * pre-dedup exact phash values first (group by phash, join
     * representatives) when duplicate multiplicity is high.
     * Output (id_a, id_b, hamming). */
-  /** Per-blob 64-bit perceptual hash (the decode-stage stub of
-    * [[phashDup]], exposed as its own relation — the stored artifact an
-    * incremental media-dedup pipeline indexes). Output (media_id, phash). */
+  /** Deterministic synthetic image table from `documents`: one REAL
+    * 24-bpp BMP per doc (the [[bmpRoundtrip]] dims rule — w ∈ 4..8
+    * exercises every row-padding value). */
+  def imagesFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val w = 4 + (nc % 5).toInt
+        val h = 3 + (nc % 4).toInt
+        MediaRow(id, "image", encodeBmp(id, text, w, h), w, h)
+      }).toDF()
+  }
+
+  /** Per-blob 64-bit perceptual hash, exposed as its own relation — the
+    * stored artifact an incremental media-dedup pipeline indexes.
+    * Round-7: the REAL aHash on decodable images — decode the BMP,
+    * nearest-neighbor-resample the actual pixels to the 8×8 grid,
+    * integer luma per cell, bit_j = "cell j's luma above the 64-cell
+    * mean" compared as lum_j·64 > total (no division). Blobs that are
+    * not valid BMPs keep the byte-cell hash (documented fallback: an
+    * undecodable blob still deduplicates byte-exactly, and planted
+    * raw-blob spec cases keep their semantics). Output (media_id, phash). */
   def phashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { m =>
-      val n = m.payload.length
-      var tot = 0L
-      var i = 0
-      while (i < n) { tot += (m.payload(i) & 0xff); i += 1 }
-      var h = 0L
-      var j = 0
-      while (j < 64) {
-        val cs = j.toLong * n / 64
-        val ce = (j + 1).toLong * n / 64
-        var s = 0L
-        var p = cs
-        while (p < ce) { s += (m.payload(p.toInt) & 0xff); p += 1 }
-        if (ce > cs && s * n > tot * (ce - cs)) h |= (1L << j)
-        j += 1
+      val hsh = decodeBmpPixels(m.payload) match {
+        case Some((w, h, px)) =>
+          val lum = new Array[Long](64)
+          var tot = 0L
+          var j = 0
+          while (j < 64) {
+            val sx = (j % 8) * w / 8
+            val sy = (j / 8) * h / 8
+            val si = (sy * w + sx) * 3
+            val l = 299L * px(si) + 587L * px(si + 1) + 114L * px(si + 2)
+            lum(j) = l; tot += l
+            j += 1
+          }
+          var v = 0L
+          j = 0
+          while (j < 64) { if (lum(j) * 64 > tot) v |= (1L << j); j += 1 }
+          v
+        case None =>
+          val n = m.payload.length
+          var tot = 0L
+          var i = 0
+          while (i < n) { tot += (m.payload(i) & 0xff); i += 1 }
+          var v = 0L
+          var j = 0
+          while (j < 64) {
+            val cs = j.toLong * n / 64
+            val ce = (j + 1).toLong * n / 64
+            var s = 0L
+            var p = cs
+            while (p < ce) { s += (m.payload(p.toInt) & 0xff); p += 1 }
+            if (ce > cs && s * n > tot * (ce - cs)) v |= (1L << j)
+            j += 1
+          }
+          v
       }
-      (m.media_id, h)
+      (m.media_id, hsh)
     }).toDF("media_id", "phash")
   }
 
@@ -574,27 +634,33 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
-  /** Oracle mirror of the hash: the payload is the UTF-8 text bytes and
-    * testdata is ASCII, so ord(one-char substr) IS the byte value. */
-  private val phashCte: String =
-    s"""m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
-       |tot AS (SELECT media_id, text, n,
-       |               list_reduce(list_prepend(0::BIGINT, list_transform(range(1, n + 1),
-       |                 i -> ord(substr(text, CAST(i AS INTEGER), 1))::BIGINT)),
-       |                 (a, b) -> a + b) AS s
-       |        FROM m),
-       |bits AS (SELECT media_id, t.j,
-       |                CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(
-       |                    range((t.j * n) // 64 + 1, ((t.j + 1) * n) // 64 + 1),
-       |                    i -> ord(substr(text, CAST(i AS INTEGER), 1))::BIGINT)),
-       |                    (a, b) -> a + b) * n
-       |                  > s * ((((t.j + 1) * n) // 64) - ((t.j * n) // 64))
-       |                  AND (((t.j + 1) * n) // 64) > ((t.j * n) // 64)
-       |                THEN CASE WHEN t.j = 63 THEN -9223372036854775807 - 1
-       |                          ELSE 1::BIGINT << CAST(t.j AS INTEGER) END
+  /** Oracle mirror of the REAL aHash over [[imagesFromDocs]]: the 8×8
+    * NN-resample + luma + above-mean bits recomputed straight from the
+    * text pixel rule — the oracle never parses BMP, so agreement proves
+    * the decode∘resample∘hash path. Cell j samples source pixel
+    * k = (⌊j/8⌋·h//8)·w + ((j%8)·w//8), channels at text bytes
+    * (3k, 3k+1, 3k+2) mod len. */
+  private val phashCte: String = {
+    def byteAt(i: String) =
+      s"(CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST(($i) % len AS INTEGER) + 1]) END)"
+    val k = "((t.j // 8) * h // 8) * w + ((t.j % 8) * w // 8)"
+    s"""m AS (SELECT doc_id AS media_id, text, length(text) AS len,
+       |             4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h
+       |      FROM documents),
+       |lum AS (SELECT media_id, t.j,
+       |               (299 * ${byteAt(s"3 * ($k)")}
+       |                + 587 * ${byteAt(s"3 * ($k) + 1")}
+       |                + 114 * ${byteAt(s"3 * ($k) + 2")})::BIGINT AS l
+       |        FROM m, range(0, 64) t(j)),
+       |tot AS (SELECT media_id, CAST(sum(l) AS BIGINT) AS s FROM lum GROUP BY 1),
+       |bits AS (SELECT lum.media_id, lum.j,
+       |                CASE WHEN lum.l * 64 > tot.s
+       |                THEN CASE WHEN lum.j = 63 THEN -9223372036854775807 - 1
+       |                          ELSE 1::BIGINT << CAST(lum.j AS INTEGER) END
        |                ELSE 0::BIGINT END AS bit
-       |         FROM tot, range(0, 64) t(j)),
+       |         FROM lum JOIN tot USING (media_id)),
        |ph AS (SELECT media_id, CAST(bit_or(bit) AS BIGINT) AS phash FROM bits GROUP BY 1)""".stripMargin
+  }
 
   val phashesOracle: String =
     s"""WITH $phashCte

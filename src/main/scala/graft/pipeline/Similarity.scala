@@ -1153,13 +1153,24 @@ object Similarity {
     * once per report. Each relation is ≤ NumQueries·K rows → bounded.
     * Bench builds these in its timed shared_build phase; Verify's first
     * consuming entry builds lazily. */
-  def methodTopKs(emb: DataFrame): Seq[(String, DataFrame)] =
-    methodBuilders.map { case (name, build) =>
-      name -> graft.util.Memo(
-        (emb.sparkSession, s"Similarity.topk.$name", emb.semanticHash())) {
+  def methodTopKs(emb: DataFrame): Seq[(String, DataFrame)] = {
+    // the per-method builds are independent job DAGs over one corpus —
+    // launch them concurrently so the sample-scale index builds overlap
+    // on the scheduler (local[32]: wall ≈ the slowest build, not the
+    // sum; on a cluster, concurrent stages pipeline through executors).
+    // A racy double-build of the shared ivfCluster memo wastes a few
+    // overlapped cycles at worst (Memo is last-writer-wins by design).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val key = emb.semanticHash()
+    Await.result(Future.traverse(methodBuilders) { case (name, build) =>
+      Future(name -> graft.util.Memo(
+        (emb.sparkSession, s"Similarity.topk.$name", key)) {
         graft.util.Materialize.bounded(build(emb))
-      }
-    }
+      })
+    }, Duration.Inf)
+  }
 
   def annRecall(emb: DataFrame): DataFrame = {
     val topks = methodTopKs(emb).toMap

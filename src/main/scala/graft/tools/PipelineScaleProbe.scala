@@ -134,6 +134,11 @@ object PipelineScaleProbe {
         Dedup.knnTriangles(synthEmb(spark, n), Dedup.bandBitsFor(n)).count()),
       // claim: corpus collapses to the vocab FIRST, rounds are vocab-bounded
       "bpe_train" -> (n => graft.pipeline.TextOps.bpeTrain(synthDocs(spark, n)).count()),
+      // round-7: tokenizer APPLICATION (vocab-bounded merge application +
+      // one corpus equi-join) and variable-length span extents (stride-1
+      // window rows — the linear suffix-array cost class)
+      "bpe_encode" -> (n => graft.pipeline.TextOps.bpeEncode(synthDocs(spark, n)).count()),
+      "dup_spans_var" -> (n => Dedup.dupSpansVar(synthDocs(spark, n)).count()),
       "bigram_lm" -> (n => graft.pipeline.TextOps.bigramLm(synthDocs(spark, n)).count()),
       "window_funnel" -> (n =>
         graft.pipeline.EventOps.windowFunnel(synthEvents(spark, n)).count()),

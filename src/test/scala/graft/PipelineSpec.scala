@@ -1680,6 +1680,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Multimodal.decodeWav(1L, enc.take(40)).ok)
   }
 
+  test("phash hashes decoded pixels: top-down and bottom-up encodings of one image collide") {
+    import spark.implicits._
+    // one logical image, two byte layouts: encodeBmpPixels stores rows
+    // bottom-up; the hand-built twin uses a NEGATIVE height (top-down).
+    // A byte-level hash would see different files — the pixel aHash
+    // must see one image.
+    val w = 8; val h = 8
+    val px = Array.tabulate(w * h * 3)(i => (i * 37) % 256)
+    val bottomUp = Multimodal.encodeBmpPixels(px, w, h)
+    val buf = new Array[Byte](54 + w * 3 * h)
+    buf(0) = 'B'; buf(1) = 'M'
+    def le32(off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte; buf(off + 1) = ((v >> 8) & 0xff).toByte
+      buf(off + 2) = ((v >> 16) & 0xff).toByte; buf(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte; buf(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    le32(2, buf.length); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, -h) // top-down
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, w * 3 * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = (y * w + x) * 3
+      val off = 54 + y * (w * 3) + x * 3
+      buf(off) = px(k + 2).toByte; buf(off + 1) = px(k + 1).toByte
+      buf(off + 2) = px(k).toByte
+    }
+    val df = Seq(MediaRow(1L, "image", bottomUp, w, h),
+                 MediaRow(2L, "image", buf, w, h)).toDF()
+    val ph = Multimodal.phashes(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) === ph(2L), ph.toString)
+    val pairs = Multimodal.phashDup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((1L, 2L, 0L)), pairs.toString)
+  }
+
   test("video container: real frame decode, planted mid-clip cut on decoded pixels") {
     import spark.implicits._
     val text = "abcdefghijklmnopqrstuvwxyz"
