@@ -41,6 +41,10 @@ object SparkEntry {
   val sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shared_bpe_train" ->
       ((s, dir) => { TextOps.bpeTrain(docs(s, dir)).count(); () }),
+    // the tokenizer trained ON the curated train split (doc_train_manifest)
+    "shared_tokenizer_curated" ->
+      ((s, dir) =>
+        { TextOps.bpeTrain(TextOps.curationTrainDocs(docs(s, dir))).count(); () }),
     "shared_ivf_cluster" ->
       ((s, dir) => Similarity.buildIvfIndex(emb(s, dir))),
     "shared_ann_eval_topks" ->
@@ -1204,6 +1208,9 @@ object SparkEntry {
     "doc_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(docs(s, dir))),
     "doc_pack_bins_bpe" -> ((s, dir) => TextOps.packBinsBpe(docs(s, dir))),
     "doc_shard_plan_bpe" -> ((s, dir) => TextOps.shardPlanBpe(docs(s, dir))),
+    // capstone: curate -> train tokenizer on the curated split -> encode
+    // -> shard manifest in trained-token units
+    "doc_train_manifest" -> ((s, dir) => TextOps.trainManifest(docs(s, dir))),
     "doc_snapshot_diff" -> ((s, dir) =>
       TextOps.snapshotDiff(TextOps.snapshotOld(docs(s, dir)), docs(s, dir))),
     "doc_bigram_lm" -> ((s, dir) => TextOps.bigramLm(docs(s, dir))),
@@ -2563,6 +2570,7 @@ object SparkEntry {
     "doc_bpe_encode" -> TextOps.bpeEncodeOracle,
     "doc_pack_bins_bpe" -> TextOps.packBinsBpeOracle,
     "doc_shard_plan_bpe" -> TextOps.shardPlanBpeOracle,
+    "doc_train_manifest" -> TextOps.trainManifestOracle,
     "doc_snapshot_diff" -> TextOps.snapshotDiffOracle,
     "doc_bigram_lm" -> TextOps.bigramLmOracle,
     "doc_quality_normalized" -> TextOps.qualityNormalizedOracle,

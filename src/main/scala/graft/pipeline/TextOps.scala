@@ -1027,14 +1027,18 @@ object TextOps {
   }
 
   /** Shared oracle pieces: the vocab/char base CTEs and one merge-round
-    * block; consumed by [[bpeTrainOracle]] and [[bpeCompressionOracle]]. */
-  private val bpeBaseCte: String =
+    * block; consumed by [[bpeTrainOracle]] and [[bpeCompressionOracle]].
+    * Parameterized by the corpus relation so the trained-manifest oracle
+    * can train on the CURATED train split instead of raw documents. */
+  private def bpeBaseCteFor(src: String): String =
     s"""vc AS (
        |  SELECT u.word AS word, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT $tokensSql AS w FROM documents) d, unnest(d.w) u(word)
+       |  FROM (SELECT $tokensSql AS w FROM $src) d, unnest(d.w) u(word)
        |  WHERE u.word != '' GROUP BY 1),
        |r0 AS (SELECT word, cnt, t.i AS pos, substring(word, CAST(t.i AS INTEGER), 1) AS sym
        |       FROM vc, unnest(range(1, len(word) + 1)) t(i))""".stripMargin
+
+  private val bpeBaseCte: String = bpeBaseCteFor("documents")
 
   // p/r CTEs are MATERIALIZED: DuckDB inlines CTEs by default and p$k is
   // referenced twice per round (pair counting + candidate marking), so an
@@ -1042,15 +1046,15 @@ object TextOps {
   // oracle crawled and the compression oracle (7 UNION readers of r0..r6)
   // effectively never finished before the hint
   private def bpeRoundCte(k: Int): String =
-      s"""p$k AS MATERIALIZED (SELECT word, cnt, pos, sym,
+      s"""bp$k AS MATERIALIZED (SELECT word, cnt, pos, sym,
          |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r$k),
          |b$k AS (SELECT sym AS pa, nxt AS pb, CAST(sum(cnt) AS BIGINT) AS c
-         |        FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |        FROM bp$k WHERE nxt IS NOT NULL GROUP BY 1, 2
          |        ORDER BY c DESC, pa, pb LIMIT 1),
          |m$k AS MATERIALIZED (SELECT p.word, p.cnt, p.pos, p.sym, b.pa, b.pb,
          |               row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn,
          |               (p.sym = b.pa AND p.nxt = b.pb) AS cand
-         |        FROM p$k p LEFT JOIN b$k b ON TRUE),
+         |        FROM bp$k p LEFT JOIN b$k b ON TRUE),
          |cr$k AS (SELECT word, pos, rn,
          |                row_number() OVER (PARTITION BY word ORDER BY pos) AS crank
          |         FROM m$k WHERE cand),
@@ -1087,10 +1091,12 @@ object TextOps {
   }
 
   /** Shared CTE block: the full training chain + per-doc TRAINED token
-    * counts (pd: doc_id → nt, chk). Consumed by [[bpeEncodeOracle]],
-    * [[packBinsBpeOracle]], [[shardPlanBpeOracle]]. */
-  private val bpeCountCtes: String =
-    s"""$bpeBaseCte,
+    * counts (pd: doc_id → nt, chk) over a parameterized corpus relation.
+    * Consumed by [[bpeEncodeOracle]], [[packBinsBpeOracle]],
+    * [[shardPlanBpeOracle]], and (over the curated train split)
+    * [[trainManifestOracle]]. */
+  private def bpeCountCtesFor(src: String): String =
+    s"""${bpeBaseCteFor(src)},
        |${(0 until BpeRounds).map(bpeRoundCte).mkString(",\n|")},
        |we AS (
        |  SELECT word, count(*)::BIGINT AS n_syms,
@@ -1101,12 +1107,14 @@ object TextOps {
        |  GROUP BY word),
        |dtk AS (
        |  SELECT doc_id, u.word AS word
-       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) dd, unnest(dd.w) u(word)
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM $src) dd, unnest(dd.w) u(word)
        |  WHERE u.word != ''),
        |pd AS (
        |  SELECT doc_id, CAST(sum(we.n_syms) AS BIGINT) AS nt,
        |         CAST(sum(we.wsum) AS BIGINT) AS chk
        |  FROM dtk JOIN we USING (word) GROUP BY doc_id)""".stripMargin
+
+  private val bpeCountCtes: String = bpeCountCtesFor("documents")
 
   val bpeEncodeOracle: String =
     s"""WITH $bpeCountCtes
@@ -1509,7 +1517,18 @@ object TextOps {
     * after training is one Catalyst plan — three left-semi joins on
     * doc_id, two hash aggregates, no window. Output
     * (split, n_docs, docid_sum). */
-  def curationFull(docs: DataFrame): DataFrame = {
+  def curationFull(docs: DataFrame): DataFrame =
+    curationSplits(docs)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("docid_sum"))
+      .orderBy("split")
+
+  /** The per-doc survivor relation behind [[curationFull]]: (doc_id,
+    * split) for every doc that passed URL dedup → Gopher → trained
+    * classifier → exact content dedup, split leakage-safely by content
+    * hash. Reused by [[trainManifest]], which consumes the train split
+    * as the corpus a tokenizer/sharder actually sees. */
+  def curationSplits(docs: DataFrame): DataFrame = {
     val f = qtFeatures(docs).transform(graft.util.Materialize.corpus)
     val w = qtTrain(f)._1.last
     val z = (0 to 4).map(k => s"x$k * ${w(k)}L").mkString(" + ")
@@ -1531,10 +1550,31 @@ object TextOps {
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "valid")
           .otherwise("test"))
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("docid_sum"))
-      .orderBy("split")
+      .select("doc_id", "split")
   }
+
+  /** END-TO-END training manifest — the capstone composition a
+    * training-data pipeline ships: curate the corpus
+    * ([[curationSplits]]: URL dedup → Gopher → trained classifier →
+    * exact dedup → leakage-safe split), train the tokenizer ON THE
+    * CURATED TRAIN SPLIT (the corpus the model will actually see —
+    * training it on raw documents would bake boilerplate merges into
+    * the vocabulary), encode that split with the learned merges
+    * ([[bpeEncode]]), and emit the [[ShardCount]]-way shard manifest
+    * in TRAINED token units ([[shardPlanOn]]) — the loader-facing
+    * artifact. Every stage reuses the verified operator; the
+    * composition itself is what this entry gates. Output = shardPlan
+    * schema over the curated train split. */
+  /** The curated train-split corpus (shared by [[trainManifest]] and
+    * Bench's shared-build hook, so the memoized tokenizer key matches). */
+  def curationTrainDocs(docs: DataFrame): DataFrame =
+    docs.join(
+      curationSplits(docs).filter(col("split") === "train").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  def trainManifest(docs: DataFrame): DataFrame =
+    shardPlanOn(bpeEncode(curationTrainDocs(docs))
+      .select(col("doc_id"), col("n_tokens_bpe").as("t")))
 
   // lazy: declared before the Qt* constants it reads (object init order)
   lazy val curationFullOracle: String =
@@ -1553,6 +1593,39 @@ object TextOps {
        |                          ELSE 'test' END AS split FROM dd)
        |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS docid_sum
        |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  /** Oracle of [[trainManifest]]: the [[curationFullOracle]] split CTEs
+    * feed a `td` train-split relation, the full BPE chain trains over
+    * `td` ([[bpeCountCtesFor]]), and the shard aggregate runs in
+    * trained-token units. lazy: composes blocks that read
+    * later-declared constants. */
+  lazy val trainManifestOracle: String =
+    s"""WITH ${qtOracleCtes(QtIters)},
+       |u AS (SELECT doc_id, ${UrlOps.urlSql} AS url FROM documents),
+       |uc AS (SELECT doc_id, ${UrlOps.canonSql("url")} AS canon FROM u),
+       |uk AS (SELECT min(doc_id) AS doc_id FROM uc GROUP BY canon),
+       |ck AS (SELECT f.doc_id FROM feats f, w$QtIters w
+       |       WHERE f.y = 1000
+       |         AND ${qtPSql("f.")} >= 500),
+       |kd AS (SELECT d.doc_id, ${baseHashSql("text")} AS h
+       |       FROM documents d JOIN uk USING (doc_id) JOIN ck USING (doc_id)),
+       |dd2 AS (SELECT h, min(doc_id) AS doc_id FROM kd GROUP BY h),
+       |td AS (SELECT d.doc_id, d.text
+       |       FROM documents d JOIN dd2 USING (doc_id)
+       |       WHERE dd2.h % 100 < 90),
+       |${bpeCountCtesFor("td")},
+       |tnn AS (SELECT td.doc_id, coalesce(pd.nt, 0)::BIGINT AS t
+       |        FROM td LEFT JOIN pd USING (doc_id)),
+       |sh2 AS (SELECT ${baseHashSql("'shard_' || doc_id")} % $ShardCount AS shard,
+       |               doc_id, t
+       |        FROM tnn),
+       |ag2 AS (SELECT shard, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+       |               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |        FROM sh2 GROUP BY 1),
+       |tt2 AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM ag2)
+       |SELECT shard, n_docs, n_tokens, id_checksum,
+       |       (n_tokens * $ShardCount - tot) * 1000 // tot AS dev_pm
+       |FROM ag2 CROSS JOIN tt2 ORDER BY shard""".stripMargin
 
   // ---- operator: PII scrub ------------------------------------------------
 

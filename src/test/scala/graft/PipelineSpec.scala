@@ -1055,6 +1055,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(shards.map(_.getLong(2)).sum === encTotal)
   }
 
+  test("train manifest: composition conserves the curated train split and its trained tokens") {
+    val splits = TextOps.curationSplits(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nTrain = splits.count(_._2 == "train")
+    assert(nTrain > 0)
+    val m = TextOps.trainManifest(docs).collect()
+    // every curated train doc lands in exactly one shard
+    assert(m.map(_.getLong(1)).sum === nTrain)
+    // shard token units are the TRAINED tokenizer's counts over the
+    // same split — the composition must conserve them exactly
+    val encTotal = TextOps.bpeEncode(TextOps.curationTrainDocs(docs))
+      .collect().map(_.getLong(1)).sum
+    assert(m.map(_.getLong(2)).sum === encTotal)
+    assert(m.length <= TextOps.ShardCount)
+  }
+
   test("dup spans var: planted duplicates of three lengths recover exact extents") {
     val toks = docs.filter(col("doc_id") === 97L).select(col("text")).collect()(0)
       .getString(0).split(" ").count(_.nonEmpty).toLong
