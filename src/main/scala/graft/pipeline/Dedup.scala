@@ -1590,12 +1590,18 @@ object Dedup {
     val vecs = emb.select("vec_id").transform(graft.util.Materialize.corpus)
     val n = vecs.count()
     val base = PrScale / math.max(n, 1L) // total on an empty corpus
+    // out-degree joined onto the edge list ONCE: each iteration is then
+    // a single equi-join + map-side-combinable sum instead of two joins
+    // (5 rounds × 1 join saved; same int64 arithmetic, identical output)
     val deg = edges.groupBy("i").agg(count(lit(1)).as("d"))
+    val edgesDeg = edges.join(deg, Seq("i"))
+      .select(col("i"), col("j"), col("d"))
+      .transform(graft.util.Materialize.corpus)
     var pr = vecs.select(col("vec_id"), lit(base).as("s"))
     for (_ <- 1 to PrIters) {
-      val inc = pr.join(deg, pr("vec_id") === deg("i"))
-        .select(col("i"), expr("s div d").as("c"))
-        .join(edges, Seq("i"))
+      val inc = pr.select(col("vec_id").as("i"), col("s"))
+        .join(edgesDeg, Seq("i"))
+        .select(col("j"), expr("s div d").as("c"))
         .groupBy(col("j").as("vec_id"))
         .agg(sum("c").as("m"))
       pr = vecs.join(inc, Seq("vec_id"), "left_outer")
