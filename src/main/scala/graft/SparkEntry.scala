@@ -1350,6 +1350,10 @@ object SparkEntry {
       Multimodal.aspectPlan(Multimodal.mediaFromDocs(docs(s, dir)))),
     "mm_scene_cuts" -> ((s, dir) =>
       Multimodal.sceneCuts(Multimodal.videoFromDocs(docs(s, dir)))),
+    // magic-byte dispatch over a heterogeneous media column → the real
+    // decoder per detected format, stub only for unknown
+    "mm_decode_router" -> ((s, dir) =>
+      Multimodal.decodeRouter(Multimodal.mixedMediaFromDocs(docs(s, dir)))),
     // perceptual hashing runs the REAL aHash on decoded BMP pixels (round-7)
     "mm_phash" -> ((s, dir) =>
       Multimodal.phashes(Multimodal.imagesFromDocs(docs(s, dir))).orderBy("media_id")),
@@ -2634,6 +2638,7 @@ object SparkEntry {
     "mm_image_tiles" -> Multimodal.tileImagesOracle,
     "mm_aspect_plan" -> Multimodal.aspectPlanOracle,
     "mm_scene_cuts" -> Multimodal.sceneCutsOracle,
+    "mm_decode_router" -> Multimodal.decodeRouterOracle,
     "mm_phash" -> Multimodal.phashesOracle,
     "mm_phash_dup" -> Multimodal.phashDupOracle,
     "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,

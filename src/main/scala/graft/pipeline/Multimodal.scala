@@ -20,6 +20,10 @@ case class MediaFrames(media_id: Long, n_frames: Long, resized_w: Int,
 case class MediaWindows(media_id: Long, n_samples: Long, n_windows: Long,
                         energy_checksum: Long)
 
+/** Decode-router output: detected kind + per-kind units/checksum. */
+case class RoutedMedia(media_id: Long, detected: String, ok: Boolean,
+                       n_units: Long, checksum: Long)
+
 /** Scene-cut output: cut/shot statistics over DECODED video frames. */
 case class MediaCuts(media_id: Long, n_frames: Long, n_cuts: Long,
                      n_shots: Long, longest_shot: Long, mean_diff: Long)
@@ -369,10 +373,11 @@ object Multimodal {
     * 100 separates them with a guaranteed margin on any ASCII text. */
   val VideoCutMean = 100L
 
-  /** Assemble a REAL video container: u32-LE frame count, then per
-    * frame u32-LE length + a complete BMP file ([[encodeBmpPixels]]) —
-    * the length-prefixed chunk layout real containers use, so the
-    * decoder must walk structure, not assume offsets. Frame f's pixels
+  /** Assemble a REAL video container: 4-byte magic "GVC1", u32-LE frame
+    * count, then per frame u32-LE length + a complete BMP file
+    * ([[encodeBmpPixels]]) — the length-prefixed chunk layout real
+    * containers use, so the decoder must walk structure, not assume
+    * offsets (and the magic lets [[detectKind]] route it). Frame f's pixels
     * come from the shared text rule at a per-frame offset
     * (byte j of frame f = text byte 3·f·w·h + j), and every frame from
     * the clip's midpoint on is SHIFTED by +128 mod 256 — a planted
@@ -389,9 +394,10 @@ object Multimodal {
       }
       encodeBmpPixels(px, w, h)
     }
-    val buf = new Array[Byte](4 + frames.map(4 + _.length).sum)
-    putLE32(buf, 0, nf)
-    var off = 4
+    val buf = new Array[Byte](8 + frames.map(4 + _.length).sum)
+    buf(0) = 'G'; buf(1) = 'V'; buf(2) = 'C'; buf(3) = '1'
+    putLE32(buf, 4, nf)
+    var off = 8
     frames.foreach { fr =>
       putLE32(buf, off, fr.length)
       System.arraycopy(fr, 0, buf, off + 4, fr.length)
@@ -405,11 +411,11 @@ object Multimodal {
     * input — any structural violation yields None, never a throw; all
     * size arithmetic in Long. */
   private[graft] def decodeVideoFrames(p: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Int])]] = {
-    if (p.length < 4) return None
-    val nf = getLE32(p, 0)
-    if (nf < 0 || nf > (p.length - 4) / 4) return None // each frame costs ≥4 header bytes
+    if (p.length < 8 || p(0) != 'G' || p(1) != 'V' || p(2) != 'C' || p(3) != '1') return None
+    val nf = getLE32(p, 4)
+    if (nf < 0 || nf > (p.length - 8) / 4) return None // each frame costs ≥4 header bytes
     val acc = new scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])](nf)
-    var off = 4L
+    var off = 8L
     var f = 0
     while (f < nf) {
       if (off + 4 > p.length) return None
@@ -520,6 +526,123 @@ object Multimodal {
        |          list_reduce(list_prepend(0::BIGINT, diffs), (a, b) -> a + b) // (nf - 1)
        |        ELSE 0 END)::BIGINT AS mean_diff
        |FROM b ORDER BY media_id""".stripMargin
+
+  // ---- magic-byte decode router -------------------------------------------
+
+  /** Media kind by magic bytes — the dispatch a production decode stage
+    * runs BEFORE touching any codec (content-typed routing, never
+    * trusting a kind column). */
+  private[graft] def detectKind(p: Array[Byte]): String =
+    if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "image"
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "audio"
+    else if (p.length >= 4 && p(0) == 'G' && p(1) == 'V' && p(2) == 'C' && p(3) == '1') "video"
+    else "unknown"
+
+  /** Mixed-media table: doc_id mod 4 picks the kind, each payload built
+    * by that kind's REAL encoder (unknown = raw text bytes — the
+    * stand-in for formats this container has no codec for). The `kind`
+    * metadata column is deliberately a LIE ("mixed") so the router must
+    * detect from content. */
+  def mixedMediaFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val payload = (id % 4) match {
+          case 0 => encodeBmp(id, text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt)
+          case 1 => encodeWav(text, 16 + (nc % 33).toInt)
+          case 2 => encodeVideo(text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt,
+            8 + (nc % 5).toInt)
+          case _ => text.getBytes("UTF-8")
+        }
+        MediaRow(id, "mixed", payload, 0, 0)
+      }).toDF()
+  }
+
+  /** DECODE ROUTER — the production decode stage over a heterogeneous
+    * media column: detect the format from magic bytes, route to the
+    * matching REAL decoder (BMP / WAV / video container), and fall back
+    * to the documented stub for unknown formats. Per kind, one unit
+    * count + one position-weighted checksum, so a misrouted or
+    * misdecoded blob hash-fails. Batch shape as every decoder here.
+    * Output (media_id, detected, ok, n_units, checksum). */
+  def decodeRouter(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      detectKind(m.payload) match {
+        case "image" =>
+          val f = decodeBmp(m.media_id, m.payload)
+          RoutedMedia(m.media_id, "image", f.ok, f.n_pixels, f.pos_checksum)
+        case "audio" =>
+          val f = decodeWav(m.media_id, m.payload)
+          RoutedMedia(m.media_id, "audio", f.ok, f.n_samples, f.pos_checksum)
+        case "video" =>
+          decodeVideoFrames(m.payload) match {
+            case None => RoutedMedia(m.media_id, "video", ok = false, 0L, 0L)
+            case Some(fr) =>
+              var chk = 0L
+              var f = 0
+              while (f < fr.length) {
+                val px = fr(f)._3
+                var s = 0L
+                var j = 0
+                while (j < px.length) { s += px(j); j += 1 }
+                chk += (f + 1) * s
+                f += 1
+              }
+              RoutedMedia(m.media_id, "video", ok = true, fr.length.toLong, chk)
+          }
+        case _ =>
+          val f = decodeStub(m)
+          RoutedMedia(m.media_id, "unknown", ok = true, f.byte_len, f.checksum)
+      }
+    }).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB twin of [[decodeRouter]] ∘ [[mixedMediaFromDocs]]: each
+    * kind's units/checksum recomputed from text via the shared rules —
+    * four UNION branches keyed by doc_id mod 4. */
+  lazy val decodeRouterOracle: String = {
+    def byteAt(i: String) =
+      s"(CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST(($i) % len AS INTEGER) + 1]) END)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
+       |         8 + n_chars % 5 AS nf,
+       |         16 + n_chars % 33 AS na
+       |  FROM documents)
+       |SELECT doc_id AS media_id, 'image' AS detected, TRUE AS ok,
+       |       (w * h)::BIGINT AS n_units,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+       |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
+       |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
+       |         (a, b) -> a + b) AS checksum
+       |FROM d WHERE doc_id % 4 = 0
+       |UNION ALL
+       |SELECT doc_id, 'audio', TRUE, na::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, na),
+       |         k -> ((${byteAt("k")} - 96) * 128) * (k + 1))),
+       |         (a, b) -> a + b)
+       |FROM d WHERE doc_id % 4 = 1
+       |UNION ALL
+       |SELECT doc_id, 'video', TRUE, nf::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, nf), f ->
+       |         (f + 1) * list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(range(0, w * h * 3),
+       |             j -> ${videoByteSql("f", "j")}::BIGINT)), (a, b) -> a + b))),
+       |         (a, b) -> a + b)
+       |FROM d WHERE doc_id % 4 = 2
+       |UNION ALL
+       |SELECT doc_id, 'unknown', TRUE, len::BIGINT,
+       |       COALESCE(list_reduce(list_transform(range(1, len + 1),
+       |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
+       |         (a, b) -> (a * 31 + b) % 1000000007), 0)
+       |FROM d WHERE doc_id % 4 = 3
+       |ORDER BY media_id""".stripMargin
+  }
 
   // ---- perceptual-hash near-duplicate detection ---------------------------
 

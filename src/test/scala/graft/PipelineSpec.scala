@@ -1733,6 +1733,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs === Seq((1L, 2L, 0L)), pairs.toString)
   }
 
+  test("decode router: magic-byte dispatch hits the right real decoder; corrupt stays total") {
+    import spark.implicits._
+    val bmp = Multimodal.encodeBmp(1L, "abcdef", 4, 3)
+    val wav = Multimodal.encodeWav("abc", 4)
+    val vid = Multimodal.encodeVideo("abcdef", 4, 3, 8)
+    val raw = "just some text".getBytes("UTF-8")
+    val corruptBmp = bmp.clone(); corruptBmp(28) = 16 // right magic, wrong bpp
+    val df = Seq(
+      MediaRow(1L, "mixed", bmp, 0, 0), MediaRow(2L, "mixed", wav, 0, 0),
+      MediaRow(3L, "mixed", vid, 0, 0), MediaRow(4L, "mixed", raw, 0, 0),
+      MediaRow(5L, "mixed", corruptBmp, 0, 0)).toDF()
+    val out = Multimodal.decodeRouter(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("image", true, 12L)))
+    assert(out(2L) === (("audio", true, 4L)))
+    assert(out(3L) === (("video", true, 8L)))
+    assert(out(4L)._1 === "unknown" && out(4L)._3 === raw.length.toLong)
+    // routed correctly by magic, decode rejects cleanly — a row, not a throw
+    assert(out(5L) === (("image", false, 0L)))
+  }
+
   test("video container: real frame decode, planted mid-clip cut on decoded pixels") {
     import spark.implicits._
     val text = "abcdefghijklmnopqrstuvwxyz"
@@ -1751,9 +1772,11 @@ class PipelineSpec extends AnyFunSuite {
     // corrupt containers reject cleanly (never throw): truncation, a
     // frame length pointing past the payload, a corrupted inner BMP
     assert(Multimodal.decodeVideoFrames(enc.take(enc.length - 3)).isEmpty)
-    val lying = enc.clone(); lying(4) = -1
+    val lying = enc.clone(); lying(4) = -1 // frame count field
     assert(Multimodal.decodeVideoFrames(lying).isEmpty)
-    val badInner = enc.clone(); badInner(8) = 'X' // first frame's magic
+    val badMagic = enc.clone(); badMagic(0) = 'X'
+    assert(Multimodal.decodeVideoFrames(badMagic).isEmpty)
+    val badInner = enc.clone(); badInner(12) = 'X' // first frame's BMP magic
     assert(Multimodal.decodeVideoFrames(badInner).isEmpty)
     // scene cuts find EXACTLY the planted inversion boundary: nf=9 from
     // n_chars=26 → cut at frame 4, shots [0,4) and [4,9), longest 5
