@@ -158,6 +158,16 @@ object PipelineScaleProbe {
         graft.pipeline.TextOps.qualityTrainedScores(synthDocs(spark, n)).count()),
       "curation_full" -> (n =>
         graft.pipeline.TextOps.curationFull(synthDocs(spark, n)).count()),
+      // round-7 capstone: curation -> tokenizer trained on the curated
+      // split -> encode -> shard manifest (GD passes + vocab-bounded
+      // merge rounds + one corpus equi-join — fixed pass count end to
+      // end). The synth word-soup has no stopwords, so the Gopher stage
+      // would reject every doc and the probe would measure an empty
+      // pipeline — prepend a stopword preamble so docs survive curation.
+      "train_manifest" -> (n =>
+        graft.pipeline.TextOps.trainManifest(
+          synthDocs(spark, n).withColumn("text",
+            concat(lit("the of and is in to it was "), col("text")))).count()),
       // round-6: the ANN index builds (fixed NumQueries, corpus-sized
       // index side) — codebook-training assignment passes are the most
       // likely super-linear suspects, so measure them a decade up
