@@ -49,7 +49,13 @@ object SparkEntry {
       ((s, dir) => Similarity.buildIvfIndex(emb(s, dir))),
     "shared_ann_eval_topks" ->
       ((s, dir) => Similarity.methodTopKs(EvalSampling(emb(s, dir), "vec_id"))
-        .foreach(_._2.count())))
+        .foreach(_._2.count())),
+    // FULL-corpus kNN edge list (emb_knn_graph / emb_knn_triangles /
+    // emb_pagerank / ann_graph_topk all consume it) — without this the
+    // first consumer pays the band join on run 1 and min-of-2 erases the
+    // build from the total (round-7 advice item)
+    "shared_knn_graph" ->
+      ((s, dir) => { Dedup.knnGraph(emb(s, dir)).count(); () }))
 
   private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame =
     influxCat(spark, EventsAdapter.catalog(spark, sfDir), q)
@@ -1337,9 +1343,12 @@ object SparkEntry {
     "emb_knn_classify" -> ((s, dir) => Similarity.knnClassify(emb(s, dir))),
     "emb_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
 
-    // --- LLM-pipeline: multimodal binary columns (stubbed decode) ---
+    // --- LLM-pipeline: multimodal binary columns (REAL codecs) ---
+    // content-routed feature extraction over the mixed table: BMP / PNG /
+    // WAV / video decoded for real, opaque byte features only for the
+    // genuinely unknown kind (round-8: decodeStub retired)
     "mm_decode_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))),
+      Multimodal.extractFeatures(Multimodal.mixedMediaFromDocs(docs(s, dir)))),
     // frame sampling + scene cuts run on REAL videos: length-prefixed
     // containers of real BMP frames, decoded pixel-by-pixel (round-7)
     "mm_frame_sample" -> ((s, dir) =>
@@ -1360,6 +1369,9 @@ object SparkEntry {
     "mm_phash_dup" -> ((s, dir) =>
       Multimodal.phashDup(Multimodal.imagesFromDocs(docs(s, dir)))),
     "mm_bmp_roundtrip" -> ((s, dir) => Multimodal.bmpRoundtrip(docs(s, dir))),
+    // round-8: REAL PNG (DEFLATE + filters 0-4, JDK Inflater/CRC32) —
+    // encode∘decode identity certified feature-wise against text
+    "mm_png_roundtrip" -> ((s, dir) => Multimodal.pngRoundtrip(docs(s, dir))),
     "mm_wav_roundtrip" -> ((s, dir) => Multimodal.wavRoundtrip(docs(s, dir))),
     "mm_bmp_resize" -> ((s, dir) => Multimodal.bmpResize(docs(s, dir))),
     "mm_wav_resample" -> ((s, dir) => Multimodal.wavResample(docs(s, dir))),
@@ -2642,6 +2654,7 @@ object SparkEntry {
     "mm_phash" -> Multimodal.phashesOracle,
     "mm_phash_dup" -> Multimodal.phashDupOracle,
     "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,
+    "mm_png_roundtrip" -> Multimodal.pngRoundtripOracle,
     "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle,
     "mm_bmp_resize" -> Multimodal.bmpResizeOracle,
     "mm_wav_resample" -> Multimodal.wavResampleOracle

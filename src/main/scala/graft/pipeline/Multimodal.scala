@@ -42,21 +42,21 @@ case class WavFeature(media_id: Long, ok: Boolean, n_channels: Int,
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition in batches.
   *
-  * THREE real codec paths live here: a 24-bpp BMP decoder, a RIFF/WAVE
-  * PCM16 decoder, and a length-prefixed VIDEO container of real BMP
-  * frames (scene cuts + frame sampling run on DECODED PIXELS) —
-  * self-describing formats need no external library, and their entries
-  * are oracle-verified end-to-end. For compressed formats
-  * (JPEG/PNG/MP4/...) the container has no codec libraries, so
-  * `decodeStub` is a clearly-marked deterministic fake (byte length,
-  * mod-prime checksum, head-bytes sample). Everything around it is the
-  * real production shape:
+  * FOUR real codec paths live here: a 24-bpp BMP decoder, a PNG codec
+  * (DEFLATE via the JDK's Inflater/Deflater, scanline filters 0–4,
+  * CRC-verified chunk walk), a RIFF/WAVE PCM16 decoder, and a
+  * length-prefixed VIDEO container of real BMP frames (scene cuts +
+  * frame sampling run on DECODED PIXELS) — none needs an external
+  * library, and their entries are oracle-verified end-to-end. Formats
+  * with no codec in this container (JPEG/MP4/...) fall to
+  * `decodeOpaque` byte-level features — the honest floor of a decode
+  * stage, not a placeholder. The production shape throughout:
   *   - schema: (media_id, kind, payload binary, width, height) — the
   *     payload column stays opaque to Catalyst, metadata columns are
   *     pruned/pushed independently of the blob;
   *   - execution: `mapPartitions` over a typed Dataset = one iterator
   *     per partition, the Scala analogue of `mapInPandas` batches — a
-  *     real decoder (JNI/FFI) drops in by replacing `decodeStub` only;
+  *     hardware decoder (JNI/FFI) drops in per detectKind branch;
   *   - scale: decode is embarrassingly parallel, no shuffle; partition
   *     sizing is controlled upstream by `spark.sql.files.maxPartitionBytes`
   *     so one task never holds more than a bounded number of blobs.
@@ -73,23 +73,72 @@ object Multimodal {
       (col("n_chars") % 640 + 1).cast("int").as("width"),
       (col("n_chars") * 7 % 480 + 1).cast("int").as("height"))
 
-  /** STUB DECODER — deterministic fake standing in for an image/audio
-    * codec (none available in this container). Real per-blob work goes
-    * here; signature and batch shape are what production would use. */
-  private def decodeStub(m: MediaRow): MediaFeature = {
+  /** Opaque-byte fallback for formats with no codec here (and for
+    * corrupt blobs — totality): byte length, rolling mod-prime
+    * checksum, head-bytes sample. This is the honest floor of a decode
+    * stage, not a placeholder — an unknown format still deduplicates
+    * and fingerprints byte-exactly. */
+  private def decodeOpaque(m: MediaRow): MediaFeature = {
     val checksum = m.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-    val headHex = m.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-    MediaFeature(m.media_id, m.kind, m.width, m.height,
-      m.payload.length.toLong, checksum, headHex)
+    MediaFeature(m.media_id, "unknown", m.width, m.height,
+      m.payload.length.toLong, checksum, headHex(m.payload))
   }
 
-  /** Batch feature extraction: typed per-partition iteration (the
-    * mapInPandas-equivalent batch boundary). */
+  private def headHex(p: Array[Byte]): String =
+    p.take(4).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Batch feature extraction — CONTENT-routed to the real decoders
+    * (round-8: the decodeStub placeholder is retired): magic-byte
+    * detect, then BMP / PNG / WAV / video-container decode; the typed
+    * feature row carries decoded truth (dims, unit count,
+    * position-weighted checksum over decoded pixels/samples/frames),
+    * never the metadata columns' claims. Unknown formats — and corrupt
+    * blobs, for totality — fall back to [[decodeOpaque]] byte features.
+    * Typed per-partition iteration (the mapInPandas-equivalent batch
+    * boundary); a hardware decoder drops in per-branch. Output
+    * (media_id, kind, width, height, byte_len = decoded units,
+    * checksum, head_hex). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(decodeStub)).toDF()
-      .orderBy("media_id")
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      val hh = headHex(m.payload)
+      detectKind(m.payload) match {
+        case "image" =>
+          val f = decodeBmp(m.media_id, m.payload)
+          if (!f.ok) decodeOpaque(m)
+          else MediaFeature(m.media_id, "image", f.width, f.height,
+            f.n_pixels, f.pos_checksum, hh)
+        case "png" =>
+          val f = rgbFeatures(m.media_id, decodePngPixels(m.payload))
+          if (!f.ok) decodeOpaque(m)
+          else MediaFeature(m.media_id, "png", f.width, f.height,
+            f.n_pixels, f.pos_checksum, hh)
+        case "audio" =>
+          val f = decodeWav(m.media_id, m.payload)
+          if (!f.ok) decodeOpaque(m)
+          else MediaFeature(m.media_id, "audio", f.n_channels, f.sample_rate,
+            f.n_samples, f.pos_checksum, hh)
+        case "video" =>
+          decodeVideoFrames(m.payload) match {
+            case None => decodeOpaque(m)
+            case Some(fr) =>
+              var chk = 0L
+              var f = 0
+              while (f < fr.length) {
+                val px = fr(f)._3
+                var s = 0L
+                var j = 0
+                while (j < px.length) { s += px(j); j += 1 }
+                chk += (f + 1) * s
+                f += 1
+              }
+              val (w, h) = if (fr.isEmpty) (0, 0) else (fr(0)._1, fr(0)._2)
+              MediaFeature(m.media_id, "video", w, h, fr.length.toLong, chk, hh)
+          }
+        case _ => decodeOpaque(m)
+      }
+    }).toDF().orderBy("media_id")
   }
 
   /** REAL frame sampler (round-7): decode the video container, keep
@@ -211,8 +260,10 @@ object Multimodal {
     * parse the container or BMP — agreement proves the whole
     * container∘BMP decode path). len=0 guard mirrors pixelByte. */
   private def videoByteSql(f: String, j: String): String =
+    // effective frame index: the boundary frame nf//2 reuses frame
+    // nf//2 − 1's base bytes (the exact-128 cut plant — see encodeVideo)
     s"""(CASE WHEN $f >= nf // 2
-       |      THEN ((CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * ($f) * w * h + ($j)) % len AS INTEGER) + 1]) END) + 128) % 256
+       |      THEN ((CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * (CASE WHEN ($f) = nf // 2 THEN ($f) - 1 ELSE ($f) END) * w * h + ($j)) % len AS INTEGER) + 1]) END) + 128) % 256
        |      ELSE (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * ($f) * w * h + ($j)) % len AS INTEGER) + 1]) END)
        | END)""".stripMargin
 
@@ -245,17 +296,66 @@ object Multimodal {
 
   /** DuckDB oracle for extractFeatures ∘ mediaFromDocs: the stub's
     * arithmetic re-expressed over the (ASCII) text — ord(char) == byte. */
-  val extractFeaturesOracle: String =
-    s"""SELECT doc_id AS media_id,
-       |       'image' AS kind,
-       |       (n_chars % 640 + 1)::INTEGER AS width,
-       |       (n_chars * 7 % 480 + 1)::INTEGER AS height,
-       |       length(text)::BIGINT AS byte_len,
-       |       list_reduce(
-       |         list_transform(range(1, length(text) + 1), i -> ord(text[i])::BIGINT),
-       |         (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
-       |       lower(hex(substr(text, 1, 4))) AS head_hex
-       |FROM documents ORDER BY media_id""".stripMargin
+  /** DuckDB twin of [[extractFeatures]] ∘ [[mixedMediaFromDocs]]: per
+    * detected kind, the DECODED dims/units/checksum recomputed from
+    * text via the shared rules, plus each format's first-four-bytes
+    * head_hex (constant magic for WAV/video/PNG; BMP's includes the
+    * computed little-endian file size; unknown is the 0x00 lead byte
+    * plus the first three text bytes). */
+  lazy val extractFeaturesOracle: String = {
+    def byteAt(i: String) =
+      s"(CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST(($i) % len AS INTEGER) + 1]) END)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
+       |         5 + n_chars % 4 AS hp,
+       |         8 + n_chars % 5 AS nf,
+       |         16 + n_chars % 33 AS na
+       |  FROM documents)
+       |SELECT doc_id AS media_id, 'image' AS kind,
+       |       w::INTEGER AS width, h::INTEGER AS height,
+       |       (w * h)::BIGINT AS byte_len,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+       |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
+       |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
+       |         (a, b) -> a + b) AS checksum,
+       |       '424d' || printf('%02x%02x',
+       |         (54 + ((w * 3 + 3) // 4) * 4 * h) % 256,
+       |         ((54 + ((w * 3 + 3) // 4) * 4 * h) // 256) % 256) AS head_hex
+       |FROM d WHERE doc_id % 5 = 0
+       |UNION ALL
+       |SELECT doc_id, 'audio', 1, 8000, na::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, na),
+       |         k -> ((${byteAt("k")} - 96) * 128) * (k + 1))),
+       |         (a, b) -> a + b),
+       |       '52494646'
+       |FROM d WHERE doc_id % 5 = 1
+       |UNION ALL
+       |SELECT doc_id, 'video', w::INTEGER, h::INTEGER, nf::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, nf), f ->
+       |         (f + 1) * list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(range(0, w * h * 3),
+       |             j -> ${videoByteSql("f", "j")}::BIGINT)), (a, b) -> a + b))),
+       |         (a, b) -> a + b),
+       |       '47564331'
+       |FROM d WHERE doc_id % 5 = 2
+       |UNION ALL
+       |SELECT doc_id, 'png', w::INTEGER, hp::INTEGER, (w * hp)::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hp),
+       |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
+       |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
+       |         (a, b) -> a + b),
+       |       '89504e47'
+       |FROM d WHERE doc_id % 5 = 3
+       |UNION ALL
+       |SELECT doc_id, 'unknown', 0, 0, (len + 1)::BIGINT,
+       |       COALESCE(list_reduce(list_transform(range(1, len + 1),
+       |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
+       |         (a, b) -> (a * 31 + b) % 1000000007), 0),
+       |       '00' || lower(hex(substr(text, 1, 3)))
+       |FROM d WHERE doc_id % 5 = 4
+       |ORDER BY media_id""".stripMargin
+  }
 
   /** Vision-encoder tile size (ViT-style 224px patch grid). */
   val TileSize = 224
@@ -369,7 +469,10 @@ object Multimodal {
   /** Scene-cut rule on DECODED pixels: a frame pair whose mean
     * per-channel L1 exceeds this is a cut. The planted mid-clip +128
     * shift (see [[encodeVideo]]) lands at EXACTLY 128/channel for any
-    * byte values; ASCII frame pairs can never exceed |126−32| = 94 —
+    * byte values — the boundary frame reuses the PREVIOUS frame's base
+    * bytes (round-7 advice: with per-frame offsets the boundary mean
+    * was only ~128 in expectation and content could dip it below the
+    * threshold); ASCII frame pairs can never exceed |126−32| = 94 —
     * 100 separates them with a guaranteed margin on any ASCII text. */
   val VideoCutMean = 100L
 
@@ -381,14 +484,17 @@ object Multimodal {
     * come from the shared text rule at a per-frame offset
     * (byte j of frame f = text byte 3·f·w·h + j), and every frame from
     * the clip's midpoint on is SHIFTED by +128 mod 256 — a planted
-    * scene cut (exactly 128/channel at the boundary, for any content)
-    * the detector must find on actual decoded pixels. */
+    * scene cut the detector must find on actual decoded pixels. The
+    * boundary frame nf/2 reuses frame nf/2−1's base bytes so the cut is
+    * exactly 128/channel for ANY content (per-frame offsets would make
+    * it 128 only in expectation — round-7 advice item). */
   private[graft] def encodeVideo(text: String, w: Int, h: Int, nf: Int): Array[Byte] = {
     val frames = (0 until nf).map { f =>
       val px = new Array[Int](w * h * 3)
+      val ef = if (f == nf / 2) f - 1 else f
       var j = 0
       while (j < px.length) {
-        val b = pixelByte(text, 3 * f * w * h + j)
+        val b = pixelByte(text, 3 * ef * w * h + j)
         px(j) = if (f >= nf / 2) (b + 128) % 256 else b
         j += 1
       }
@@ -537,25 +643,34 @@ object Multimodal {
     else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "audio"
     else if (p.length >= 4 && p(0) == 'G' && p(1) == 'V' && p(2) == 'C' && p(3) == '1') "video"
+    else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G' && p(4) == '\r' && p(5) == '\n' && p(6) == 0x1a && p(7) == '\n') "png"
     else "unknown"
 
-  /** Mixed-media table: doc_id mod 4 picks the kind, each payload built
-    * by that kind's REAL encoder (unknown = raw text bytes — the
-    * stand-in for formats this container has no codec for). The `kind`
-    * metadata column is deliberately a LIE ("mixed") so the router must
-    * detect from content. */
+  /** Mixed-media table: doc_id mod 5 picks the kind, each payload built
+    * by that kind's REAL encoder (BMP / WAV / video container / PNG);
+    * unknown = text bytes behind a 0x00 lead byte — no magic starts
+    * with NUL, so the unknown branch can never collide with a real
+    * format regardless of text content (round-7 advice: raw text
+    * starting with "BM"/"RIFF…WAVE" would have routed as media and
+    * diverged from the oracle). The `kind` metadata column is
+    * deliberately a LIE ("mixed") so the router must detect from
+    * content. */
   def mixedMediaFromDocs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (id, text, nc) =>
-        val payload = (id % 4) match {
+        val payload = (id % 5) match {
           case 0 => encodeBmp(id, text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt)
           case 1 => encodeWav(text, 16 + (nc % 33).toInt)
           case 2 => encodeVideo(text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt,
             8 + (nc % 5).toInt)
-          case _ => text.getBytes("UTF-8")
+          case 3 =>
+            val (w, h) = pngDims(nc)
+            encodePng(text, w, h)
+          case _ => (0: Byte) +: text.getBytes("UTF-8")
         }
         MediaRow(id, "mixed", payload, 0, 0)
       }).toDF()
@@ -563,9 +678,9 @@ object Multimodal {
 
   /** DECODE ROUTER — the production decode stage over a heterogeneous
     * media column: detect the format from magic bytes, route to the
-    * matching REAL decoder (BMP / WAV / video container), and fall back
-    * to the documented stub for unknown formats. Per kind, one unit
-    * count + one position-weighted checksum, so a misrouted or
+    * matching REAL decoder (BMP / WAV / video container / PNG), and
+    * fall back to opaque byte features for unknown formats. Per kind,
+    * one unit count + one position-weighted checksum, so a misrouted or
     * misdecoded blob hash-fails. Batch shape as every decoder here.
     * Output (media_id, detected, ok, n_units, checksum). */
   def decodeRouter(media: DataFrame): DataFrame = {
@@ -595,8 +710,11 @@ object Multimodal {
               }
               RoutedMedia(m.media_id, "video", ok = true, fr.length.toLong, chk)
           }
+        case "png" =>
+          val f = rgbFeatures(m.media_id, decodePngPixels(m.payload))
+          RoutedMedia(m.media_id, "png", f.ok, f.n_pixels, f.pos_checksum)
         case _ =>
-          val f = decodeStub(m)
+          val f = decodeOpaque(m)
           RoutedMedia(m.media_id, "unknown", ok = true, f.byte_len, f.checksum)
       }
     }).toDF().orderBy("media_id")
@@ -604,13 +722,16 @@ object Multimodal {
 
   /** DuckDB twin of [[decodeRouter]] ∘ [[mixedMediaFromDocs]]: each
     * kind's units/checksum recomputed from text via the shared rules —
-    * four UNION branches keyed by doc_id mod 4. */
+    * five UNION branches keyed by doc_id mod 5. The unknown branch's
+    * 0x00 lead byte folds into the rolling hash as a no-op (the fold
+    * starts at 0, and 0·31 + 0 = 0) — only the length shifts by one. */
   lazy val decodeRouterOracle: String = {
     def byteAt(i: String) =
       s"(CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST(($i) % len AS INTEGER) + 1]) END)"
     s"""WITH d AS (
        |  SELECT doc_id, text, length(text) AS len,
        |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
+       |         5 + n_chars % 4 AS hp,
        |         8 + n_chars % 5 AS nf,
        |         16 + n_chars % 33 AS na
        |  FROM documents)
@@ -620,13 +741,13 @@ object Multimodal {
        |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
        |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
        |         (a, b) -> a + b) AS checksum
-       |FROM d WHERE doc_id % 4 = 0
+       |FROM d WHERE doc_id % 5 = 0
        |UNION ALL
        |SELECT doc_id, 'audio', TRUE, na::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, na),
        |         k -> ((${byteAt("k")} - 96) * 128) * (k + 1))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 4 = 1
+       |FROM d WHERE doc_id % 5 = 1
        |UNION ALL
        |SELECT doc_id, 'video', TRUE, nf::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, nf), f ->
@@ -634,13 +755,20 @@ object Multimodal {
        |           list_transform(range(0, w * h * 3),
        |             j -> ${videoByteSql("f", "j")}::BIGINT)), (a, b) -> a + b))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 4 = 2
+       |FROM d WHERE doc_id % 5 = 2
        |UNION ALL
-       |SELECT doc_id, 'unknown', TRUE, len::BIGINT,
+       |SELECT doc_id, 'png', TRUE, (w * hp)::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hp),
+       |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
+       |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
+       |         (a, b) -> a + b)
+       |FROM d WHERE doc_id % 5 = 3
+       |UNION ALL
+       |SELECT doc_id, 'unknown', TRUE, (len + 1)::BIGINT,
        |       COALESCE(list_reduce(list_transform(range(1, len + 1),
        |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
        |         (a, b) -> (a * 31 + b) % 1000000007), 0)
-       |FROM d WHERE doc_id % 4 = 3
+       |FROM d WHERE doc_id % 5 = 4
        |ORDER BY media_id""".stripMargin
   }
 
@@ -936,6 +1064,276 @@ object Multimodal {
     """WITH d AS (
       |  SELECT doc_id, text, length(text) AS len,
       |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, w * h AS npix,
+      |         list_transform(range(0, w * h),
+      |           k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k) % len AS INTEGER) + 1]) END)::BIGINT) AS rs,
+      |         list_transform(range(0, w * h),
+      |           k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k + 1) % len AS INTEGER) + 1]) END)::BIGINT) AS gs,
+      |         list_transform(range(0, w * h),
+      |           k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((3 * k + 2) % len AS INTEGER) + 1]) END)::BIGINT) AS bs
+      |  FROM d)
+      |SELECT doc_id AS media_id, TRUE AS ok, w::INTEGER AS width,
+      |       h::INTEGER AS height, npix::BIGINT AS n_pixels,
+      |       list_reduce(list_prepend(0::BIGINT, rs), (a, b) -> a + b) AS sum_r,
+      |       list_reduce(list_prepend(0::BIGINT, gs), (a, b) -> a + b) AS sum_g,
+      |       list_reduce(list_prepend(0::BIGINT, bs), (a, b) -> a + b) AS sum_b,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, npix),
+      |         k -> (299 * rs[CAST(k AS INTEGER) + 1] + 587 * gs[CAST(k AS INTEGER) + 1]
+      |               + 114 * bs[CAST(k AS INTEGER) + 1]) * (k + 1))),
+      |         (a, b) -> a + b) AS pos_checksum
+      |FROM f ORDER BY media_id""".stripMargin
+
+  // ---- REAL PNG: DEFLATE + filters 0–4 (round-8: the last stub retired) ----
+  //
+  // Everything a non-interlaced 8-bit-RGB PNG needs is in the JDK:
+  // java.util.zip.{Deflater, Inflater, CRC32}. The encoder cycles the
+  // scanline filter y % 5 so every decode exercises None/Sub/Up/Average/
+  // Paeth reconstruction; the decoder walks chunks with CRC verification
+  // (a flipped bit anywhere in a chunk → structured failure, not garbage
+  // pixels). Totality contract as every codec here: hostile input yields
+  // None, never a throw, and all size arithmetic is Long-guarded.
+
+  /** Hard ceiling on the decoded scanline buffer (64 MiB): a 33-byte
+    * IDAT can legally inflate to 4 GiB (a zip bomb) — a production
+    * decode stage bounds the raw size BEFORE inflating, from IHDR dims
+    * it already validated. 64 MiB ≈ a 4.7-megapixel RGB frame ceiling,
+    * far above anything the pipeline stores per blob. */
+  private val PngMaxRawBytes = 1L << 26
+
+  private def putBE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  private def getBE32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** PNG Paeth predictor (the spec's exact tie-break order: left, up,
+    * upper-left). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Assemble one chunk: length(BE32) + type + data + CRC32(type‖data). */
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val t = chunkType.getBytes("US-ASCII")
+    val out = new Array[Byte](12 + data.length)
+    putBE32(out, 0, data.length)
+    System.arraycopy(t, 0, out, 4, 4)
+    System.arraycopy(data, 0, out, 8, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    putBE32(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  /** Encode a REAL PNG (8-bit RGB, non-interlaced) from row-major RGB
+    * ints: per-scanline filter y % 5 (every image taller than 4 rows
+    * exercises all five filters on decode), DEFLATE via
+    * java.util.zip.Deflater (level fixed for determinism within a run;
+    * the oracles never parse PNG bytes, so cross-JDK byte identity is
+    * not load-bearing — only decode(encode(px)) == px is). */
+  private[graft] def encodePngPixels(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val bpr = w * 3
+    val raw = new Array[Byte](h * (1 + bpr))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      val rowOff = y * (1 + bpr)
+      raw(rowOff) = f.toByte
+      var x = 0
+      while (x < bpr) {
+        val cur = px(y * bpr + x)
+        val left = if (x >= 3) px(y * bpr + x - 3) else 0
+        val up = if (y > 0) px((y - 1) * bpr + x) else 0
+        val ul = if (y > 0 && x >= 3) px((y - 1) * bpr + x - 3) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(rowOff + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    defl.setInput(raw); defl.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val ihdr = new Array[Byte](13)
+    putBE32(ihdr, 0, w); putBE32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    // compression 0, filter 0, interlace 0 already zero
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    val out = new java.io.ByteArrayOutputStream
+    out.write(sig)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", zBuf.toByteArray))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** PNG dims rule (oracle-shared): w ∈ 4..8, h ∈ 5..8 — h ≥ 5 so every
+    * encoded image exercises all five scanline filters on decode. */
+  private[graft] def pngDims(nChars: Long): (Int, Int) =
+    (4 + (nChars % 5).toInt, 5 + (nChars % 4).toInt)
+
+  /** Encode one PNG per doc from the shared [[pixelByte]] rule. */
+  private[graft] def encodePng(text: String, w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Int](w * h * 3)
+    var j = 0
+    while (j < px.length) { px(j) = pixelByte(text, j); j += 1 }
+    encodePngPixels(px, w, h)
+  }
+
+  /** REAL PNG decode: signature, chunk walk with CRC32 verification on
+    * every chunk, IHDR validation (8-bit RGB, non-interlaced only),
+    * multi-IDAT concatenation, bounded inflate ([[PngMaxRawBytes]] — a
+    * tiny IDAT may legally inflate to gigabytes; bound BEFORE
+    * inflating), then filter reconstruction 0–4. Returns row-major RGB
+    * ints; any structural violation — bad magic, truncated chunk, CRC
+    * mismatch, wrong color layout, short/long inflate, filter byte > 4
+    * — yields None, never a throw. */
+  private[graft] def decodePngPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 8 || (p(0) & 0xff) != 0x89 || p(1) != 'P' || p(2) != 'N' ||
+      p(3) != 'G' || p(4) != '\r' || p(5) != '\n' || p(6) != 0x1a || p(7) != '\n')
+      return None
+    var off = 8L
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream
+    while (!seenIend) {
+      if (off + 12 > p.length) return None
+      val len = getBE32(p, off.toInt)
+      if (len < 0 || off + 12L + len > p.length) return None
+      val typeOff = off.toInt + 4
+      val crc = new java.util.zip.CRC32
+      crc.update(p, typeOff, 4 + len)
+      if (crc.getValue.toInt != getBE32(p, typeOff + 4 + len)) return None
+      val t = new String(p, typeOff, 4, "US-ASCII")
+      t match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          w = getBE32(p, typeOff + 4); h = getBE32(p, typeOff + 8)
+          val bitDepth = p(typeOff + 12) & 0xff
+          val colorType = p(typeOff + 13) & 0xff
+          val comp = p(typeOff + 14) & 0xff
+          val filt = p(typeOff + 15) & 0xff
+          val inter = p(typeOff + 16) & 0xff
+          if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 ||
+            comp != 0 || filt != 0 || inter != 0) return None
+          // Long guard: w,h are attacker-controlled BE32s — the raw
+          // scanline buffer is h·(1+3w) and must be bounded pre-inflate
+          if (h.toLong * (1L + 3L * w) > PngMaxRawBytes) return None
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(p, typeOff + 4, len)
+        case "IEND" =>
+          if (!seenIhdr || len != 0) return None
+          seenIend = true
+        case _ =>
+          if (!seenIhdr) return None // ancillary chunks skipped, CRC-checked
+      }
+      off += 12L + len
+    }
+    val bpr = w * 3
+    val rawSize = h * (1 + bpr)
+    val raw = new Array[Byte](rawSize)
+    val infl = new java.util.zip.Inflater
+    infl.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < rawSize && !infl.finished()) {
+        val n = infl.inflate(raw, got, rawSize - got)
+        if (n == 0 && (infl.needsInput() || infl.needsDictionary())) return None
+        got += n
+      }
+      if (got < rawSize) return None
+      // a longer-than-declared stream is also a structural violation
+      if (!infl.finished() && infl.inflate(new Array[Byte](1)) > 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally infl.end()
+    val px = new Array[Int](h * bpr)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + bpr)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < bpr) {
+        val v = raw(y * (1 + bpr) + 1 + x) & 0xff
+        val left = if (x >= 3) px(y * bpr + x - 3) else 0
+        val up = if (y > 0) px((y - 1) * bpr + x) else 0
+        val ul = if (y > 0 && x >= 3) px((y - 1) * bpr + x - 3) else 0
+        px(y * bpr + x) = f match {
+          case 0 => v
+          case 1 => (v + left) & 0xff
+          case 2 => (v + up) & 0xff
+          case 3 => (v + ((left + up) >> 1)) & 0xff
+          case _ => (v + paeth(left, up, ul)) & 0xff
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** [[BmpFeature]]-shaped stats from decoded RGB pixels (shared by the
+    * PNG round-trip and the router's png branch). */
+  private def rgbFeatures(mediaId: Long, d: Option[(Int, Int, Array[Int])]): BmpFeature =
+    d match {
+      case None => BmpFeature(mediaId, ok = false, 0, 0, 0L, 0L, 0L, 0L, 0L)
+      case Some((w, h, px)) =>
+        var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
+        var k = 0
+        val n = w * h
+        while (k < n) {
+          val r = px(3 * k); val g = px(3 * k + 1); val b = px(3 * k + 2)
+          sr += r; sg += g; sb += b
+          chk += (299L * r + 587L * g + 114L * b) * (k + 1)
+          k += 1
+        }
+        BmpFeature(mediaId, ok = true, w, h, n.toLong, sr, sg, sb, chk)
+    }
+
+  /** PNG round-trip: encode a real PNG per doc (filters 0–4 all
+    * exercised — h ≥ 5), decode with [[decodePngPixels]] (CRC walk +
+    * inflate + filter reconstruction), emit the features. The oracle
+    * recomputes them straight from text, so agreement proves
+    * decode∘encode is the identity through DEFLATE and all five
+    * filters. mapPartitions batch shape, no shuffle. */
+  def pngRoundtrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val (w, h) = pngDims(nc)
+        rgbFeatures(id, decodePngPixels(encodePng(text, w, h)))
+      }).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB twin of [[pngRoundtrip]]: identical feature recomputation
+    * to [[bmpRoundtripOracle]] but on the PNG dims rule — the oracle
+    * never inflates a byte, so a hash match certifies the whole
+    * DEFLATE + filter pipeline. */
+  val pngRoundtripOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         4 + n_chars % 5 AS w, 5 + n_chars % 4 AS h
       |  FROM documents),
       |f AS (
       |  SELECT doc_id, w, h, w * h AS npix,

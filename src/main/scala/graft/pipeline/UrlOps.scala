@@ -175,20 +175,22 @@ object UrlOps {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), sum("s").as("smass"))
     val tot = per.agg(sum("smass").as("stot"))
-    // budget share without the smass*1e6 intermediate: at 100 TB smass is
-    // ~5.5e3 per doc × ~1e10 docs/host ≈ 5.5e13, so smass*1e6 overflows
-    // int64 (DuckDB would silently promote to HUGEINT — engines diverge
-    // exactly at scale). When stot ≥ 1e6, divide by the pre-scaled total
-    // instead: ppm = smass div (stot div 1e6) — relative error ≤ 1e-6 of
-    // the share (one ulp of the divisor), overflow-free to the full int64
-    // range; below 1e6 the exact product fits (< 1e12) and is used as-is.
-    // The oracle mirrors the same two-branch rule, bit-for-bit.
+    // budget share without int64 overflow: smass*1e6 only overflows when
+    // smass > Long.Max/1e6 ≈ 9.2e12 (at 100 TB smass ~5.5e3/doc × ~1e10
+    // docs/host ≈ 5.5e13 crosses it; DuckDB would silently promote to
+    // HUGEINT — engines diverge exactly at scale). Branch on the ACTUAL
+    // overflow bound, not on stot (the round-7 advice fix: the old
+    // stot≥1e6 switch truncated the divisor and inflated ppm by up to
+    // 1/(stot div 1e6) — ~10% at stot~1e7): the exact product is used
+    // whenever it fits, and only beyond ~9.2e12 does the pre-scaled
+    // divisor take over, where stot ≥ smass > 9.2e12 makes its relative
+    // error ≤ 1e6/stot < 1.1e-7. Oracle mirrors the same rule bit-for-bit.
     per.crossJoin(broadcast(tot))
       .select(col("host"), col("n_docs"),
         expr("smass div n_docs").as("mean_score_fp"),
-        expr("""CASE WHEN stot >= 1000000 THEN smass div (stot div 1000000)
-                     WHEN stot > 0 THEN smass * 1000000 div stot
-                     ELSE 0 END""").as("budget_ppm"))
+        expr("""CASE WHEN stot <= 0 THEN 0
+                     WHEN smass <= 9223372036854 THEN smass * 1000000 div stot
+                     ELSE smass div (stot div 1000000) END""").as("budget_ppm"))
       .orderBy("host")
   }
 
@@ -220,9 +222,9 @@ object UrlOps {
        |        FROM h JOIN sc USING (doc_id) GROUP BY host),
        |tot AS (SELECT sum(smass) AS stot FROM per)
        |SELECT host, n_docs, CAST(smass // n_docs AS BIGINT) AS mean_score_fp,
-       |       CAST(CASE WHEN stot >= 1000000 THEN smass // (stot // 1000000)
-       |                 WHEN stot > 0 THEN smass * 1000000 // stot
-       |                 ELSE 0 END AS BIGINT) AS budget_ppm
+       |       CAST(CASE WHEN stot <= 0 THEN 0
+       |                 WHEN smass <= 9223372036854 THEN smass * 1000000 // stot
+       |                 ELSE smass // (stot // 1000000) END AS BIGINT) AS budget_ppm
        |FROM per, tot ORDER BY host""".stripMargin
   }
 }

@@ -27,6 +27,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.decodeWav(1L, p)
     Multimodal.decodeWavSamples(p)
     Multimodal.decodeVideoFrames(p)
+    Multimodal.decodePngPixels(p)
     Multimodal.detectKind(p)
     ()
   }
@@ -35,6 +36,7 @@ class CodecFuzzSpec extends AnyFunSuite {
   private val validBmp = Multimodal.encodeBmp(1L, text, 7, 5)
   private val validWav = Multimodal.encodeWav(text, 33)
   private val validVid = Multimodal.encodeVideo(text, 5, 4, 9)
+  private val validPng = Multimodal.encodePng(text, 6, 8)
 
   test("random byte blobs never throw (all decoders + the router dispatch)") {
     val gen = for {
@@ -49,7 +51,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     // that used to overflow (w*3, pos+8+sz) in Int arithmetic
     val hostile = Seq(0x7fffffff, 0x7ffffffd, 0x80000000, -1, 0x40000000, 54, 1 << 24)
     for {
-      base <- Seq(validBmp, validWav, validVid)
+      base <- Seq(validBmp, validWav, validVid, validPng)
       off <- 0 until math.min(base.length - 3, 96)
       v <- hostile
     } {
@@ -64,8 +66,8 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("random single-byte mutations and truncations of valid files never throw") {
     val gen = for {
-      which <- Gen.choose(0, 2)
-      base = Seq(validBmp, validWav, validVid)(which)
+      which <- Gen.choose(0, 3)
+      base = Seq(validBmp, validWav, validVid, validPng)(which)
       cut <- Gen.choose(0, base.length)
       off <- Gen.choose(0, math.max(base.length - 1, 0))
       b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
@@ -75,5 +77,49 @@ class CodecFuzzSpec extends AnyFunSuite {
       m
     }
     forAll(gen, n = 600)(decodeAll)
+  }
+
+  test("png: decode∘encode is the pixel identity, with all five filters exercised") {
+    val w = 6; val h = 8 // h ≥ 5 → scanline filters 0..4 all present (y % 5)
+    val px = Array.tabulate(w * h * 3)(j => (j * 37 + 11) % 256)
+    val got = Multimodal.decodePngPixels(Multimodal.encodePngPixels(px, w, h))
+    assert(got.isDefined)
+    val (gw, gh, gp) = got.get
+    assert(gw === w && gh === h)
+    assert(gp.toSeq === px.toSeq)
+  }
+
+  test("png: any single-byte corruption is caught by the CRC chunk walk (None, not garbage)") {
+    // flip one byte in every position AFTER the 8-byte signature: each
+    // lands inside some chunk's length/type/data/crc and must fail the
+    // CRC or structural check — a PNG decode never returns wrong pixels
+    val orig = Multimodal.decodePngPixels(validPng).get._3.toSeq
+    (8 until validPng.length).foreach { off =>
+      val m = validPng.clone()
+      m(off) = (m(off) ^ 0x5a).toByte
+      Multimodal.decodePngPixels(m) match {
+        case None => ()
+        case Some((_, _, px)) =>
+          // the only acceptable survivor is a flip that left the stream
+          // semantically identical — impossible for xor 0x5a, so fail
+          assert(px.toSeq === orig, s"corrupt byte at $off decoded differently")
+          fail(s"corrupt byte at $off not rejected")
+      }
+    }
+  }
+
+  test("png: zip-bomb dims are rejected before inflating (IHDR bound)") {
+    // forge IHDR claiming 20000x20000 (raw ≈ 1.2 GB > the 64 MiB bound);
+    // re-CRC the chunk so only the size guard can reject it
+    val m = validPng.clone()
+    def putBE(off: Int, v: Int): Unit = {
+      m(off) = (v >>> 24).toByte; m(off + 1) = (v >>> 16).toByte
+      m(off + 2) = (v >>> 8).toByte; m(off + 3) = v.toByte
+    }
+    putBE(16, 20000); putBE(20, 20000)
+    val crc = new java.util.zip.CRC32
+    crc.update(m, 12, 17)
+    putBE(29, crc.getValue.toInt)
+    assert(Multimodal.decodePngPixels(m).isEmpty)
   }
 }

@@ -110,7 +110,7 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal stub decode is deterministic and matches manual checksum") {
+  test("multimodal opaque fallback (no magic detected) yields byte-exact features") {
     val feat = Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs))
     val first = feat.limit(1).collect()(0)
     val text = docs.filter(col("doc_id") === first.getLong(0))

@@ -89,16 +89,22 @@ def main():
                 if (e_exact and n != e_truth) or (not e_exact and n < e_truth):
                     op = "!=" if e_exact else "<"
                     bad.append(f"README.md:{i}: '{m.group(0)}' {op} {e_truth} (from {os.path.basename(e_src)})")
+        # spec-count claims checked on EVERY line (round-7 advice: this
+        # scan was dead code nested in the inconsistency branch below)
+        if s_truth is not None:
+            for pat in SPEC_PATTERNS:
+                matched = False
+                for m in re.finditer(pat, line):
+                    matched = True
+                    if int(m.group(1)) != s_truth:
+                        bad.append(f"README.md:{i}: '{m.group(0)}' != {s_truth} (from test-reports)")
+                if matched:
+                    break  # the generic '(\d+) specs' also matches the specific pattern
     # internal consistency: every entry-count mention must agree (the
     # 250-vs-246-vs-251 class of drift)
     if len({v for _, v, _ in entry_vals}) > 1:
         for i, v, s in entry_vals:
             bad.append(f"README.md:{i}: inconsistent entry tally '{s}'")
-        for pat in SPEC_PATTERNS:
-            for m in re.finditer(pat, line):
-                if s_truth is not None and int(m.group(1)) != s_truth:
-                    bad.append(f"README.md:{i}: '{m.group(0)}' != {s_truth} (from test-reports)")
-                break  # the generic '(\d+) specs' also matches the specific pattern
     if s_truth is None:
         print(f"[tally] spec check skipped: {s_why}")
     if bad:
