@@ -1201,6 +1201,11 @@ object SparkEntry {
     "doc_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(docs(s, dir))),
     "doc_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    // round-8: TRAINED multi-class language ID — char-trigram NB profiles
+    // learned on the train split of a derived 4-language polyglot corpus,
+    // held-out confusion matrix as its own gated entry
+    "doc_langid_multi" -> ((s, dir) => TextOps.langIdMulti(docs(s, dir))),
+    "doc_langid_confusion" -> ((s, dir) => TextOps.langIdConfusion(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "doc_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "doc_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(docs(s, dir))),
@@ -2575,6 +2580,8 @@ object SparkEntry {
     "doc_token_stats" -> TextOps.tokenStatsOracle,
     "doc_quality" -> TextOps.qualityScoreOracle,
     "doc_langid" -> TextOps.langIdOracle,
+    "doc_langid_multi" -> TextOps.langIdMultiOracle,
+    "doc_langid_confusion" -> TextOps.langIdConfusionOracle,
     "doc_fingerprint" -> TextOps.fingerprintOracle,
     "doc_repetition" -> TextOps.repetitionOracle,
     "doc_sample_stratified" -> TextOps.stratifiedSampleOracle,

@@ -128,6 +128,10 @@ object TextOps {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "to", "in", "and", "is", "on", "for", "it")
 
+  /** KEPT deliberately (round-8): this binary en/unk stopword gate is
+    * the cheap first-pass English filter (CCNet keeps an equivalent);
+    * REAL language identification is [[langIdMulti]] — a trained
+    * char-trigram profile classifier over four languages. */
   def langId(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
     val isStop = (x: Column) => Stopwords.map(x === _).reduce(_ || _)
@@ -150,6 +154,180 @@ object TextOps {
        |            THEN 'en' ELSE 'unk' END AS pred_lang
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ---- operator: TRAINED multi-class language ID (char-trigram NB) -------
+  //
+  // The first gate of every public 100 TB curation stack (CCNet,
+  // RefinedWeb, FineWeb) is a multi-class language classifier over char
+  // n-gram features. Testdata is English-only, so the polyglot corpus is
+  // DERIVED deterministically (the mixedMedia discipline): doc_id mod 4
+  // picks a language, and three bijective ASCII transforms with disjoint
+  // trigram profiles stand in for real languages — word reversal,
+  // vowel rotation, rot13. Both engines replay the transform, the
+  // training aggregation, and the scoring bit-exactly, so the entry
+  // verifies the whole train→classify pipeline, not a canned model.
+
+  /** Language labels; index = doc_id mod 4. */
+  val LangNames: Seq[String] = Seq("en", "rev", "vow", "rot")
+  /** Hashed char-trigram feature buckets. 256 keeps the model at 4·256
+    * int64 rows while separating ~20k distinct ASCII trigrams well. */
+  val LangBuckets = 256
+  /** Train split: doc_id mod 10 < 8 trains; the rest is held out (the
+    * confusion entry reports generalization, not memorization). */
+  val LangTrainMax = 8
+
+  private val Rot13To = "nopqrstuvwxyzabcdefghijklm"
+
+  /** The derived polyglot corpus: (doc_id, lang_true, ptext). */
+  def polyglotDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        element_at(typedLit(LangNames), (col("doc_id") % 4).cast("int") + 1)
+          .as("lang_true"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            array_join(transform(split(col("text"), " "), w => reverse(w)), " "))
+          .when(col("doc_id") % 4 === 2, translate(col("text"), "aeiou", "ouaei"))
+          .otherwise(translate(col("text"), "abcdefghijklmnopqrstuvwxyz", Rot13To))
+          .as("ptext"))
+
+  /** Hashed trigram stream: one (doc_id, lang_true, b) row per char
+    * trigram — corpus-LINEAR (≈ len rows per doc, like the BPE explode),
+    * map-side combinable immediately. Bucket = ((c1·131 + c2)·131 + c3)
+    * mod [[LangBuckets]] over the raw ASCII codes — Horner with 131:
+    * 131² mod 256 = 9 ≠ 1, so the hash is NOT symmetric under trigram
+    * reversal (the first cut used ·961 = 31², and 961 ≡ 1 mod 64 made
+    * reversed text collide bucket-exactly with forward text — the
+    * classifier literally could not see the 'rev' language). */
+  private def langTrigrams(poly: DataFrame): DataFrame =
+    poly.select(col("doc_id"), col("lang_true"),
+        explode(expr(
+          s"""CASE WHEN length(ptext) >= 3 THEN
+             |  transform(sequence(1, length(ptext) - 2),
+             |    i -> ((ascii(element_at(ch, i)) * 131
+             |           + ascii(element_at(ch, i + 1))) * 131
+             |          + ascii(element_at(ch, i + 2))) % $LangBuckets)
+             |ELSE CAST(array() AS array<int>) END""".stripMargin)).as("b"))
+      .withColumn("b", col("b").cast("long"))
+
+  private def polyWithChars(docs: DataFrame): DataFrame =
+    polyglotDocs(docs).withColumn("ch", split(col("ptext"), ""))
+
+  /** TRAIN: per-class trigram-profile in ppm with Laplace smoothing —
+    * the multinomial-NB sufficient statistics, learned from the train
+    * split by ONE hash aggregate. The model is 4·[[LangBuckets]] = 256
+    * int64 rows: catalog-sized, broadcast to every scorer. */
+  private def langProfile(tg: DataFrame): DataFrame = {
+    val spark = tg.sparkSession
+    import spark.implicits._
+    val counts = tg.filter(col("doc_id") % 10 < LangTrainMax)
+      .groupBy(col("lang_true").as("c"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    // full (class × bucket) grid so zero-count buckets still get the
+    // Laplace floor (an unseen trigram must penalize, not crash)
+    val grid = LangNames.flatMap(c => (0 until LangBuckets).map(b => (c, b.toLong)))
+      .toDF("c", "b")
+    val tot = counts.groupBy("c").agg(sum("n").as("t"))
+    grid.join(counts, Seq("c", "b"), "left").na.fill(0L, Seq("n"))
+      .join(tot, Seq("c"))
+      .select(col("c"), col("b"),
+        expr(s"(n + 1) * 1000000 div (t + $LangBuckets)").as("ppm"))
+  }
+
+  /** CLASSIFY every doc: per-doc bucket histogram (map-side combined,
+    * ≤[[LangBuckets]] rows per doc survive the shuffle) ⋈ broadcast
+    * profile → per-(doc, class) dot score → arg-max with the (score
+    * DESC, class ASC) tie-break. Docs too short for one trigram predict
+    * 'unk' with score 0 (totality). At 100 TB: one linear explode, one
+    * bounded-width aggregate, one broadcast join — no corpus-sized
+    * shuffle beyond the histogram. Output
+    * (doc_id, lang_true, lang_pred, score). */
+  def langIdMulti(docs: DataFrame): DataFrame = {
+    val poly = graft.util.Materialize.corpus(polyWithChars(docs))
+    val tg = graft.util.Materialize.corpus(langTrigrams(poly))
+    val prof = langProfile(tg)
+    val x = tg.groupBy("doc_id", "b").agg(count(lit(1)).as("x"))
+    val sc = x.join(broadcast(prof), Seq("b"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(expr("x * ppm")).as("s"))
+    // arg-max with the oracle's exact (s DESC, c ASC) tie-break; the
+    // window partitions are 4 rows per doc — noise next to the histogram
+    val best = sc.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("s").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("c").as("lang_pred"), col("s").as("score"))
+    poly.select("doc_id", "lang_true").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_true"),
+        coalesce(col("lang_pred"), lit("unk")).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Held-out confusion matrix — the generalization report a curation
+    * stack gates deployment on: eval-split docs only (doc_id mod 10 ≥
+    * [[LangTrainMax]]), (lang_true, lang_pred, n). ≤ 16 rows. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langIdMulti(docs).filter(col("doc_id") % 10 >= LangTrainMax)
+      .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_true", "lang_pred")
+
+  /** Oracle CTE chain shared by both langid entries (train replayed in
+    * SQL: transforms → trigrams → split-filtered profile → scores →
+    * ranked predictions). */
+  private def langIdCtes: String =
+    s"""poly AS (
+       |  SELECT doc_id,
+       |         CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'rev'
+       |              WHEN 2 THEN 'vow' ELSE 'rot' END AS lang_true,
+       |         CASE doc_id % 4
+       |           WHEN 0 THEN text
+       |           WHEN 1 THEN array_to_string(
+       |             list_transform(string_split(text, ' '), w -> reverse(w)), ' ')
+       |           WHEN 2 THEN translate(text, 'aeiou', 'ouaei')
+       |           ELSE translate(text, 'abcdefghijklmnopqrstuvwxyz', '$Rot13To')
+       |         END AS ptext
+       |  FROM documents),
+       |tg AS (
+       |  SELECT doc_id, lang_true,
+       |         unnest(list_transform(range(1, length(ptext) - 1),
+       |           i -> ((ord(ptext[i]) * 131 + ord(ptext[i + 1])) * 131
+       |                 + ord(ptext[i + 2])) % $LangBuckets))::BIGINT AS b
+       |  FROM poly),
+       |prof0 AS (
+       |  SELECT lang_true AS c, b, count(*)::BIGINT AS n
+       |  FROM tg WHERE doc_id % 10 < $LangTrainMax GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT c, r.range::BIGINT AS b
+       |  FROM (SELECT DISTINCT lang_true AS c FROM poly), range(0, $LangBuckets) r),
+       |tot AS (SELECT c, sum(n) AS t FROM prof0 GROUP BY c),
+       |prof AS (
+       |  SELECT g.c, g.b,
+       |         CAST((COALESCE(p.n, 0) + 1) * 1000000 // (t.t + $LangBuckets) AS BIGINT) AS ppm
+       |  FROM grid g LEFT JOIN prof0 p ON p.c = g.c AND p.b = g.b
+       |       JOIN tot t ON t.c = g.c),
+       |x AS (SELECT doc_id, b, count(*)::BIGINT AS x FROM tg GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT x.doc_id, prof.c, CAST(sum(x.x * prof.ppm) AS BIGINT) AS s
+       |  FROM x JOIN prof ON x.b = prof.b GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT doc_id, c, s,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c ASC) AS rn
+       |  FROM sc),
+       |pred AS (
+       |  SELECT p.doc_id, p.lang_true,
+       |         COALESCE(r.c, 'unk') AS lang_pred,
+       |         COALESCE(r.s, 0)::BIGINT AS score
+       |  FROM poly p LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id))""".stripMargin
+
+  lazy val langIdMultiOracle: String =
+    s"""WITH $langIdCtes
+       |SELECT doc_id, lang_true, lang_pred, score FROM pred ORDER BY doc_id""".stripMargin
+
+  lazy val langIdConfusionOracle: String =
+    s"""WITH $langIdCtes
+       |SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+       |FROM pred WHERE doc_id % 10 >= $LangTrainMax
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- operator: vocabulary building ------------------------------------
 

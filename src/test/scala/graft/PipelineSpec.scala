@@ -14,6 +14,23 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
   private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
 
+  test("langIdMulti: trained classifier beats chance on EVERY held-out class") {
+    // chance is 25% on 4 balanced classes; pin far above it (the
+    // trigram profiles separate the planted languages near-perfectly —
+    // diagonal dominance per TRUE class on the eval split only)
+    val cm = TextOps.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    TextOps.LangNames.foreach { c =>
+      val row = cm.filter(_._1._1 == c)
+      val total = row.values.sum
+      assert(total > 0, s"no eval docs for class $c")
+      val diag = cm.getOrElse((c, c), 0L)
+      assert(diag * 2 > total, s"class $c: $diag/$total not above 50%")
+    }
+    // and the per-doc entry is total: one prediction per document
+    assert(TextOps.langIdMulti(docs).count() === docs.count())
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = Dedup.exact(docs).collect()
     assert(out.map(_.getLong(0)).distinct.length === out.length)
