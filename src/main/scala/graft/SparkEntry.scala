@@ -1323,6 +1323,9 @@ object SparkEntry {
     "doc_dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir))),
     // variable-length exact span EXTENTS over the span-planted corpus
     "doc_dup_spans_var" -> ((s, dir) => Dedup.dupSpansVar(docs(s, dir))),
+    // round-8: the rewrite half of Lee et al. — duplicated extents excised,
+    // documents reassembled, conservation law (removed+kept==total) spec-pinned
+    "doc_dup_spans_removed" -> ((s, dir) => Dedup.removeSpans(docs(s, dir))),
     "doc_line_dedup" -> ((s, dir) => Dedup.lineDedup(docs(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -2356,6 +2359,7 @@ object SparkEntry {
     "dedup_passage" -> Dedup.passageOracle,
     "doc_dup_spans" -> Dedup.dupSpansOracle,
     "doc_dup_spans_var" -> Dedup.dupSpansVarOracle,
+    "doc_dup_spans_removed" -> Dedup.removeSpansOracle,
     "doc_line_dedup" -> Dedup.lineDedupOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,

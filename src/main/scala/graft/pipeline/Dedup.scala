@@ -402,6 +402,78 @@ object Dedup {
        |FROM runs ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // ---- duplicated-span REMOVAL (the rewrite half of Lee et al. 2022) ------
+
+  /** SPAN REMOVAL — completes the Lee et al. recipe: every token
+    * position covered by a [[dupSpansVar]] maximal duplicated extent is
+    * excised and the survivors reassembled into the rewritten document
+    * (the [[lineDedup]] discipline at token-span granularity). The
+    * extents are disjoint per doc by construction (gaps-and-islands
+    * merge), so removal is a single indexed `filter` over the token
+    * array against the doc's ≤handful of spans — no per-token join, no
+    * quadratic work; the only corpus-sized shuffle is the doc_id join
+    * of spans back to text. A fully-duplicated document rewrites to the
+    * empty string (hash of "" — the conservation law still holds).
+    * Output (doc_id, n_tokens, n_removed, n_kept, new_hash), where
+    * n_removed + n_kept == n_tokens is spec-pinned. */
+  def removeSpans(docs: DataFrame): DataFrame = {
+    val spans = dupSpansVar(docs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        sum("span_tokens").as("n_removed"))
+    graft.util.Spread(plantSpans(docs))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("w")).otherwise(expr(
+          "filter(w, (t, i) -> NOT exists(spans, s -> i + 1 >= s.span_start AND i + 1 <= s.span_end))")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        size(col("kept")).cast("long").as("n_kept"),
+        baseHash(concat_ws(" ", col("kept"))).as("new_hash"))
+      .orderBy("doc_id")
+  }
+
+  lazy val removeSpansOracle: String = {
+    val plantedText = SpanPlants.foldLeft("text") { case (acc, (m, len)) =>
+      s"(CASE WHEN doc_id % $m = 0 THEN $acc || ' ${spanSnippet(len)}' ELSE $acc END)"
+    }
+    s"""WITH base AS (SELECT doc_id, $plantedText AS text FROM documents),
+       |d AS (SELECT doc_id, $tokensSql AS w FROM base),
+       |wins AS (
+       |  SELECT doc_id, u.i + 1 AS pos,
+       |         ('0x' || substr(md5(array_to_string(w[i+1:i+$SpanLen], ' ')), 1, 15))::BIGINT AS h
+       |  FROM d, unnest(range(0, len(w) - $SpanLen + 1)) u(i)
+       |  WHERE len(w) >= $SpanLen),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)),
+       |runs AS (SELECT doc_id, min(pos) AS span_start, count(*) AS run FROM (
+       |           SELECT doc_id, pos, pos - row_number() OVER (
+       |                    PARTITION BY doc_id ORDER BY pos) AS grp
+       |           FROM dp) i GROUP BY doc_id, grp),
+       |toks AS (
+       |  SELECT doc_id, u.i + 1 AS pos, w[CAST(u.i AS INTEGER) + 1] AS tok
+       |  FROM d, unnest(range(0, len(w))) u(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM runs r
+       |    WHERE r.doc_id = t.doc_id
+       |      AND t.pos BETWEEN r.span_start AND r.span_start + r.run + ${SpanLen - 2})),
+       |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |              string_agg(tok, ' ' ORDER BY pos) AS ntext
+       |       FROM kept GROUP BY doc_id),
+       |rm AS (SELECT doc_id, CAST(sum(run + ${SpanLen - 1}) AS BIGINT) AS n_removed
+       |       FROM runs GROUP BY doc_id)
+       |SELECT d.doc_id, len(w)::BIGINT AS n_tokens,
+       |       COALESCE(rm.n_removed, 0)::BIGINT AS n_removed,
+       |       COALESCE(ka.n_kept, 0)::BIGINT AS n_kept,
+       |       ('0x' || substr(md5(COALESCE(ka.ntext, '')), 1, 15))::BIGINT AS new_hash
+       |FROM d LEFT JOIN rm USING (doc_id) LEFT JOIN ka USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- incremental dedup --------------------------------------------------
 
   /** Incremental-ingest dedup: an incoming batch (odd doc_ids here — the

@@ -31,6 +31,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextOps.langIdMulti(docs).count() === docs.count())
   }
 
+  test("removeSpans: conservation law holds and every planted span is excised") {
+    val rows = Dedup.removeSpans(docs).collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r => // removed + kept == original, per doc
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)} + ${r.getLong(3)}")
+    }
+    Dedup.SpanPlants.foreach { case (m, len) =>
+      rows.filter(_.getLong(0) % m == 0).foreach { r =>
+        assert(r.getLong(2) >= len,
+          s"doc ${r.getLong(0)}: removed ${r.getLong(2)} < planted $len")
+      }
+    }
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = Dedup.exact(docs).collect()
     assert(out.map(_.getLong(0)).distinct.length === out.length)
