@@ -1380,6 +1380,12 @@ object SparkEntry {
     // round-8: REAL PNG (DEFLATE + filters 0-4, JDK Inflater/CRC32) —
     // encode∘decode identity certified feature-wise against text
     "mm_png_roundtrip" -> ((s, dir) => Multimodal.pngRoundtrip(docs(s, dir))),
+    // round-8: CLIP-recipe alignment gate — per-pair scores + per-source
+    // retention over derived image/text embedding pairs with planted swaps
+    "mm_align_scores" -> ((s, dir) =>
+      Multimodal.alignScores(emb(s, dir), docs(s, dir))),
+    "mm_text_align" -> ((s, dir) =>
+      Multimodal.textAlign(emb(s, dir), docs(s, dir))),
     "mm_wav_roundtrip" -> ((s, dir) => Multimodal.wavRoundtrip(docs(s, dir))),
     "mm_bmp_resize" -> ((s, dir) => Multimodal.bmpResize(docs(s, dir))),
     "mm_wav_resample" -> ((s, dir) => Multimodal.wavResample(docs(s, dir))),
@@ -2666,6 +2672,8 @@ object SparkEntry {
     "mm_phash_dup" -> Multimodal.phashDupOracle,
     "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,
     "mm_png_roundtrip" -> Multimodal.pngRoundtripOracle,
+    "mm_align_scores" -> Multimodal.alignScoresOracle,
+    "mm_text_align" -> Multimodal.textAlignOracle,
     "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle,
     "mm_bmp_resize" -> Multimodal.bmpResizeOracle,
     "mm_wav_resample" -> Multimodal.wavResampleOracle

@@ -772,6 +772,97 @@ object Multimodal {
        |ORDER BY media_id""".stripMargin
   }
 
+  // ---- cross-modal alignment gate (the LAION/CLIP-recipe keep/drop) -------
+
+  /** Keep threshold in cosine fixed-point (×1e6). Measured margins on
+    * the derived pairs: aligned ≥ 0.999996, caption-swapped ≤ 0.383761
+    * at both tested SFs — 0.9 separates with ~0.62 of headroom. */
+  val AlignThresholdFp = 900000L
+  /** Every 7th pair gets its caption swapped with its ±1 partner — the
+    * planted misalignment the gate must drop. */
+  val AlignSwapMod = 7L
+
+  /** Derived image/text embedding pairs + alignment score — the
+    * CLIP-similarity keep/drop gate a multimodal pretraining pipeline
+    * runs over every (image, caption) pair. The image side is the
+    * embeddings table; the text side is a deterministic per-dim jitter
+    * of the SAME vector (±0.3% — a stand-in for "caption encodes the
+    * image"), except every [[AlignSwapMod]]-th pair whose text vector is
+    * its partner's (vec_id ±1 — the caption swap). Score = fixed-point
+    * cosine; keep = score ≥ [[AlignThresholdFp]].
+    *
+    * Scale shape: ONE equi-self-join on the partner id (corpus-sized
+    * but hash-partitioned, never all-pairs), one equi-join to documents
+    * for source attribution, per-row float math — no window, nothing
+    * quadratic. Output (vec_id, source, cos_fp, keep). */
+  def alignScores(emb: DataFrame, docs: DataFrame): DataFrame = {
+    import graft.functions.VectorMath.dotF64
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val partner = e.select(col("vec_id").as("p_id"), col("v").as("pv"))
+    e.withColumn("p_id",
+        when(col("vec_id") % 2 === 0, col("vec_id") + 1).otherwise(col("vec_id") - 1))
+      .join(partner, Seq("p_id"), "left")
+      .withColumn("tv0",
+        when(col("vec_id") % AlignSwapMod === 0, coalesce(col("pv"), col("v")))
+          .otherwise(col("v")))
+      .withColumn("tv",
+        expr("transform(tv0, (x, i) -> x * (1000 + (vec_id + i) % 7 - 3) / 1000.0)"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      .select(col("vec_id"), col("source"),
+        floor(dotF64(col("v"), col("tv"))
+          / (sqrt(dotF64(col("v"), col("v"))) * sqrt(dotF64(col("tv"), col("tv"))))
+          * 1e6).cast("long").as("cos_fp"))
+      .withColumn("keep", col("cos_fp") >= AlignThresholdFp)
+      .orderBy("vec_id")
+  }
+
+  /** Per-source retention report — what a curation dashboard gates on:
+    * (source, n_pairs, n_kept, kept_ppm). Bounded by the source
+    * catalog; the only shuffle past [[alignScores]] is a map-side
+    * combinable hash aggregate. */
+  def textAlign(emb: DataFrame, docs: DataFrame): DataFrame =
+    alignScores(emb, docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_pairs"))
+      .orderBy("source")
+
+  private val alignCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |t AS (
+       |  SELECT e.vec_id, e.v AS iv,
+       |         CASE WHEN e.vec_id % $AlignSwapMod = 0
+       |              THEN COALESCE(p.v, e.v) ELSE e.v END AS tv0
+       |  FROM e LEFT JOIN e p
+       |    ON p.vec_id = (CASE WHEN e.vec_id % 2 = 0
+       |                        THEN e.vec_id + 1 ELSE e.vec_id - 1 END)),
+       |s AS (
+       |  SELECT vec_id, iv,
+       |         list_transform(range(1, 65),
+       |           d -> tv0[d] * (1000 + (vec_id + d - 1) % 7 - 3) / 1000.0) AS tv
+       |  FROM t),
+       |sc AS (
+       |  SELECT s.vec_id, d.source,
+       |         floor(list_reduce(list_transform(range(1, 65), k -> iv[k] * tv[k]), (x, y) -> x + y)
+       |           / (sqrt(list_reduce(list_transform(range(1, 65), k -> iv[k] * iv[k]), (x, y) -> x + y))
+       |            * sqrt(list_reduce(list_transform(range(1, 65), k -> tv[k] * tv[k]), (x, y) -> x + y)))
+       |           * 1e6)::BIGINT AS cos_fp
+       |  FROM s JOIN documents d ON d.doc_id = s.vec_id)""".stripMargin
+
+  lazy val alignScoresOracle: String =
+    s"""WITH $alignCtes
+       |SELECT vec_id, source, cos_fp, cos_fp >= $AlignThresholdFp AS keep
+       |FROM sc ORDER BY vec_id""".stripMargin
+
+  lazy val textAlignOracle: String =
+    s"""WITH $alignCtes
+       |SELECT source, count(*)::BIGINT AS n_pairs,
+       |       CAST(sum(CASE WHEN cos_fp >= $AlignThresholdFp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN cos_fp >= $AlignThresholdFp THEN 1 ELSE 0 END) * 1000000
+       |            // count(*) AS BIGINT) AS kept_ppm
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+
   // ---- perceptual-hash near-duplicate detection ---------------------------
 
   /** Max Hamming distance for a [[phashDup]] near-dup pair. */

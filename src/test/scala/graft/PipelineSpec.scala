@@ -31,6 +31,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextOps.langIdMulti(docs).count() === docs.count())
   }
 
+  test("alignment gate: every planted caption swap drops, every aligned pair keeps") {
+    val rows = Multimodal.alignScores(emb, docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val keep = r.getBoolean(3)
+      if (id % Multimodal.AlignSwapMod == 0) assert(!keep, s"swapped pair $id kept")
+      else assert(keep, s"aligned pair $id dropped (cos_fp=${r.getLong(2)})")
+    }
+  }
+
   test("removeSpans: conservation law holds and every planted span is excised") {
     val rows = Dedup.removeSpans(docs).collect()
     assert(rows.length === docs.count())

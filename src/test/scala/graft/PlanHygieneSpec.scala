@@ -42,6 +42,15 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"payload source column must be pruned from the scan: $l"))
   }
 
+  test("cross-modal alignment: partner/doc joins stay equi — no cartesian, no NLJ") {
+    // the caption-swap partner lookup and the source attribution are
+    // both equi-joins; nothing here may degenerate to all-pairs
+    Seq("mm_align_scores", "mm_text_align").foreach { e =>
+      val p = plan(e)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    }
+  }
+
   test("session-6 entries: rp_project shuffle-free, triangle/line-dedup joins stay equi") {
     // rp projection is ONE map pass: no Exchange anywhere in the plan
     // (the trailing global orderBy is the entry's presentation sort —
