@@ -1376,6 +1376,13 @@ object SparkEntry {
       Multimodal.phashes(Multimodal.imagesFromDocs(docs(s, dir))).orderBy("media_id")),
     "mm_phash_dup" -> ((s, dir) =>
       Multimodal.phashDup(Multimodal.imagesFromDocs(docs(s, dir)))),
+    // round-8: audio perceptual dedup — energy-envelope hash over decoded
+    // samples; planted volume-doubled duplicates hash identically
+    "mm_audio_phash" -> ((s, dir) =>
+      Multimodal.audioPhashes(Multimodal.audioDupFromDocs(docs(s, dir)))
+        .orderBy("media_id")),
+    "mm_audio_dup" -> ((s, dir) =>
+      Multimodal.audioDup(Multimodal.audioDupFromDocs(docs(s, dir)))),
     "mm_bmp_roundtrip" -> ((s, dir) => Multimodal.bmpRoundtrip(docs(s, dir))),
     // round-8: REAL PNG (DEFLATE + filters 0-4, JDK Inflater/CRC32) —
     // encode∘decode identity certified feature-wise against text
@@ -2673,6 +2680,8 @@ object SparkEntry {
     "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,
     "mm_png_roundtrip" -> Multimodal.pngRoundtripOracle,
     "mm_align_scores" -> Multimodal.alignScoresOracle,
+    "mm_audio_phash" -> Multimodal.audioPhashesOracle,
+    "mm_audio_dup" -> Multimodal.audioDupOracle,
     "mm_text_align" -> Multimodal.textAlignOracle,
     "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle,
     "mm_bmp_resize" -> Multimodal.bmpResizeOracle,

@@ -1021,6 +1021,142 @@ object Multimodal {
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- audio perceptual dedup (energy-envelope hash) -----------------------
+
+  /** Every [[AudioDupMod]]-th doc's clip gets a planted LOUDER duplicate
+    * (every sample ×2) at media_id = doc_id + [[AudioDupOffset]]. */
+  val AudioDupMod = 41L
+  val AudioDupOffset = 10000000L
+  /** Energy window: 4 samples → ≥63 envelope deltas per 256-sample clip. */
+  val AudioWin = 4
+
+  /** Synthetic audio-dedup table: one REAL WAV per doc, plus the planted
+    * volume-doubled duplicate — the perceptual-dup case (same content,
+    * different gain) a byte-level hash can never match. */
+  def audioDupFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.flatMap { case (id, text, nc) =>
+        val n = audioSamples(nc)
+        val base = Array.tabulate(n)(k => sampleVal(text, k))
+        val rows = List(MediaRow(id, "audio", encodeWavSamples(base, 8000), 0, 0))
+        if (id % AudioDupMod == 0)
+          MediaRow(id + AudioDupOffset, "audio",
+            encodeWavSamples(base.map(_ * 2), 8000), 0, 0) :: rows
+        else rows
+      }).toDF()
+  }
+
+  /** 64-bit ENERGY-ENVELOPE perceptual hash over decoded samples: the
+    * clip splits into [[AudioWin]]-sample windows, E_j = Σ s², and
+    * bit j = (E_{j+1} > E_j) — the sign-of-delta envelope shape. Any
+    * uniform gain change scales every integer energy by the same exact
+    * factor, so ALL delta signs survive and a louder copy hashes
+    * IDENTICALLY (hamming 0) — the [[phashes]] layout-invariance
+    * argument, in the audio domain. Undecodable blobs hash to 0
+    * (totality). mapPartitions, zero shuffle.
+    * Output (media_id, aphash). */
+  def audioPhashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      val hsh = decodeWavSamples(m.payload) match {
+        case None => 0L
+        case Some((_, s)) =>
+          val nw = s.length / AudioWin
+          val e = new Array[Long](nw)
+          var j = 0
+          while (j < nw) {
+            var acc = 0L
+            var i = 0
+            while (i < AudioWin) {
+              val v = s(j * AudioWin + i).toLong; acc += v * v; i += 1
+            }
+            e(j) = acc; j += 1
+          }
+          var v = 0L
+          j = 0
+          val lim = math.min(64, nw - 1)
+          while (j < lim) { if (e(j + 1) > e(j)) v |= (1L << j); j += 1 }
+          v
+      }
+      (m.media_id, hsh)
+    }).toDF("media_id", "aphash")
+  }
+
+  /** Audio near-dup pairs: the exact [[phashDup]] pigeonhole discipline
+    * on the envelope hash — 4 fixed-width (band, key16) rows per clip,
+    * banded equi-join, exact bit_count on candidates only, NEVER
+    * all-pairs; ≤[[PhashMaxHamming]] flipped bits cannot touch all 4
+    * bands, so threshold-set recall is exactly 1.
+    * Output (id_a, id_b, hamming). */
+  def audioDup(media: DataFrame): DataFrame = {
+    val bands = audioPhashes(media)
+      .select(col("media_id"), col("aphash"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("key", expr("(aphash >> (16 * b)) & 65535"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.aphash").as("ha"), col("y.aphash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle CTE: clips (base + planted ×2 duplicates) → window energies
+    * → delta-sign bits → envelope hash, all from the shared sample rule
+    * (the oracle never parses RIFF). */
+  private val audioPhashCte: String = {
+    def byteAt(i: String) =
+      s"(CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST(($i) % len AS INTEGER) + 1]) END)"
+    def sq(i: String) =
+      s"((((${byteAt(i)}) - 96) * 128 * gain)::BIGINT * (((${byteAt(i)}) - 96) * 128 * gain))"
+    s"""b0 AS (SELECT doc_id, text, length(text) AS len,
+       |              256 + n_chars % 77 AS na FROM documents),
+       |clips AS (
+       |  SELECT doc_id AS media_id, text, len, na, 1 AS gain FROM b0
+       |  UNION ALL
+       |  SELECT doc_id + $AudioDupOffset, text, len, na, 2 FROM b0
+       |  WHERE doc_id % $AudioDupMod = 0),
+       |en AS (
+       |  SELECT media_id, u.j,
+       |         (${sq("4 * u.j")} + ${sq("4 * u.j + 1")}
+       |          + ${sq("4 * u.j + 2")} + ${sq("4 * u.j + 3")}) AS e
+       |  FROM clips, unnest(range(0, na // $AudioWin)) u(j)),
+       |abits AS (
+       |  SELECT a.media_id, a.j,
+       |         CASE WHEN b.e > a.e
+       |              THEN CASE WHEN a.j = 63 THEN -9223372036854775807 - 1
+       |                        ELSE 1::BIGINT << CAST(a.j AS INTEGER) END
+       |              ELSE 0::BIGINT END AS bit
+       |  FROM en a JOIN en b ON b.media_id = a.media_id AND b.j = a.j + 1
+       |  WHERE a.j < 64),
+       |aph AS (SELECT media_id, CAST(bit_or(bit) AS BIGINT) AS aphash
+       |        FROM abits GROUP BY 1)""".stripMargin
+  }
+
+  lazy val audioPhashesOracle: String =
+    s"""WITH $audioPhashCte
+       |SELECT media_id, aphash FROM aph ORDER BY media_id""".stripMargin
+
+  lazy val audioDupOracle: String =
+    s"""WITH $audioPhashCte,
+       |bands AS (SELECT media_id, aphash, t.b,
+       |                 (aphash >> CAST(16 * t.b AS INTEGER)) & 65535 AS key
+       |          FROM aph, range(0, 4) t(b)),
+       |cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+       |                x.aphash AS ha, y.aphash AS hb
+       |         FROM bands x JOIN bands y
+       |           ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- REAL codecs: BMP (24bpp) and WAV (PCM16) ---------------------------
   //
   // The container has no media libraries, but two self-describing formats

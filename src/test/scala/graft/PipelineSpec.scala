@@ -42,6 +42,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("audio dedup: every planted volume-doubled duplicate matches at hamming 0") {
+    val media = Multimodal.audioDupFromDocs(docs)
+    val pairs = Multimodal.audioDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val planted = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % Multimodal.AudioDupMod == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val h = pairs.get((id, id + Multimodal.AudioDupOffset))
+      assert(h.contains(0L), s"planted louder copy of $id: $h")
+    }
+  }
+
   test("removeSpans: conservation law holds and every planted span is excised") {
     val rows = Dedup.removeSpans(docs).collect()
     assert(rows.length === docs.count())
