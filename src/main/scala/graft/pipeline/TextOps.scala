@@ -1061,30 +1061,41 @@ object TextOps {
   // ---- operator: iterative BPE merge training ----------------------------
 
   /** Merge rounds for [[bpeTrain]]. */
-  val BpeRounds = 6
+  val BpeRounds = 8
+  /** Max merges APPLIED per round (round-8: batched non-conflicting
+    * merges — one-pair-per-round cannot reach a realistic vocabulary;
+    * 8 rounds × ≤32 batched merges approach the driver-iteration cost
+    * of 8 single merges while growing the vocab by up to 256). */
+  val BpeBatch = 32
+  /** Candidate pool per round the batch is drawn from. */
+  val BpePool = 256
 
-  /** Iterative BPE training (Sennrich et al. 2016): [[BpeRounds]] rounds
-    * of pick-most-frequent-adjacent-pair / apply-greedy-merge, producing
-    * the ordered merge table — the artifact a tokenizer ships.
-    * [[bpePairs]] is round 0's counting step; this runs the whole loop.
+  /** Iterative BPE training (Sennrich et al. 2016), BATCHED: each of
+    * the [[BpeRounds]] rounds applies up to [[BpeBatch]] NON-CONFLICTING
+    * pairs at once, producing the ordered merge table — the artifact a
+    * tokenizer ships. [[bpePairs]] is round 0's counting step.
     *
-    * The greedy left-to-right merge pass is expressed CLOSED-FORM over
-    * windows, no sequential fold: consecutive merge candidates can only
-    * arise in equal-symbol runs (s=pa=pb), where greedy selects every
-    * other candidate from the run start — so gaps-and-islands (rn −
-    * candRank) keys the runs and parity of (candRank − min candRank)
-    * picks the winners, bit-identically in both engines. Per round:
-    * count pairs → best = 1-row (cnt DESC, pa, pb) limit — BROADCAST,
-    * not collected, so the loop is fully declarative — mark candidates,
-    * select by run parity, drop each winner's right neighbor, rewrite
-    * the winner's symbol.
+    * Batch rule (oracle-identical, driver-replayed over ≤[[BpePool]]
+    * collected rows — the qtTrain bounded-driver discipline): rank the
+    * round's pairs by (count DESC, pa, pb); a pair is ACCEPTED iff
+    * neither of its symbols appears in ANY higher-ranked pool pair
+    * (accepted or not — the dominance form, so SQL needs one NOT EXISTS
+    * self-join, no sequential greedy state); the first [[BpeBatch]]
+    * accepted pairs apply. Accepted pairs are pairwise symbol-disjoint,
+    * therefore their occurrences can never overlap WITHIN a word:
+    * candidates at adjacent positions would force pb₁ = pa₂, impossible
+    * across disjoint pairs — so the single-pair gaps-and-islands closed
+    * form applies to the whole batch unchanged, and only equal-symbol
+    * runs (pa = pb) need the every-other-candidate parity pick.
     *
-    * Scale shape: identical to [[bpePairs]] — the corpus collapses to
-    * the vocab-bounded (word, freq) relation FIRST and every round's
-    * windows partition by word over ≤ word-length rows; localCheckpoint
-    * per round keeps the 6-round plan shallow. Empty corpora / no pairs
-    * left: later rounds produce no merge row, never a throw.
-    * Output ([[BpeRounds]] rows: round, pa, pb, pair_count, new_sym). */
+    * Scale shape: the corpus collapses to the vocab-bounded (word,
+    * freq) relation FIRST and every round's windows partition by word
+    * over ≤ word-length rows; the driver sees exactly [[BpePool]] rows
+    * per round; localCheckpoint per round keeps the plan shallow.
+    * Empty corpora / no pairs left: later rounds produce no merge rows,
+    * never a throw. Output (round, mrank, pa, pb, pair_count, new_sym),
+    * pair_count non-increasing within a round and round-maxima
+    * non-increasing across rounds. */
   def bpeTrain(docs: DataFrame): DataFrame = bpeCore(docs)._1
 
   /** Token-id rule shared by [[bpeEncode]] and its oracle: token id =
@@ -1114,6 +1125,8 @@ object TextOps {
   /** Eagerly builds + materializes the [[bpeCore]] triple. */
   private def bpeCoreBuild(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy("word").orderBy("pos")
     var rows = docs.select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -1126,19 +1139,37 @@ object TextOps {
     def total(r: Int) = rows.agg(coalesce(sum("cnt"), lit(0L)).as("total_symbols"))
       .select(lit(r.toLong).as("round"), col("total_symbols"))
     var totals = total(0)
-    var out: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, String, Long, String)]
     for (r <- 0 until BpeRounds) {
       val p = rows.withColumn("nxt", lead("sym", 1).over(w))
-      val best = p.filter(col("nxt").isNotNull)
+      // candidate pool: the driver sees exactly ≤ BpePool rows (bounded,
+      // the qtTrain discipline) — TakeOrdered, deterministic total order
+      val pool = p.filter(col("nxt").isNotNull)
         .groupBy(col("sym"), col("nxt")).agg(sum("cnt").as("c"))
-        .select(col("sym").as("pa"), col("nxt").as("pb"), col("c"))
-        .orderBy(col("c").desc, col("pa"), col("pb")).limit(1)
-        .localCheckpoint(true)
-      // LEFT join on true, not crossJoin: an exhausted corpus (no pairs →
-      // empty best) must pass through unchanged, not vanish
-      val m = p.join(broadcast(best), lit(true), "left_outer")
+        .orderBy(col("c").desc, col("sym"), col("nxt")).limit(BpePool)
+        .collect()
+      // dominance acceptance (oracle-identical NOT EXISTS form): accepted
+      // iff neither symbol occurs in ANY higher-ranked pool pair
+      val seen = scala.collection.mutable.Set.empty[String]
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      pool.foreach { row =>
+        val pa = row.getString(0); val pb = row.getString(1)
+        if (!seen(pa) && !seen(pb)) accepted += ((pa, pb, row.getLong(2)))
+        seen += pa; seen += pb
+      }
+      val batch = accepted.take(BpeBatch).toSeq
+      merges ++= batch.zipWithIndex.map { case ((pa, pb, c), i) =>
+        (r.toLong, (i + 1).toLong, pa, pb, c, pa + pb)
+      }
+      // accepted pairs are symbol-disjoint → occurrences of DIFFERENT
+      // pairs can never be adjacent, so one candidate mark + the
+      // single-pair run-parity pick applies to the whole batch
+      val acceptedDf = batch.map { case (pa, pb, _) => (pa, pb) }.toDF("pa", "pb")
+      val m = p.join(broadcast(acceptedDf),
+          col("sym") === col("pa") && col("nxt") === col("pb"), "left_outer")
         .withColumn("rn", row_number().over(w))
-        .withColumn("cand", col("sym") === col("pa") && col("nxt") === col("pb"))
+        .withColumn("cand", col("pa").isNotNull)
       val sel = m.filter(col("cand"))
         .withColumn("crank", row_number().over(w))
         .withColumn("runkey", col("rn") - col("crank"))
@@ -1150,15 +1181,14 @@ object TextOps {
         .withColumn("psel", lag("sel", 1).over(w))
         .filter(!coalesce(col("psel"), lit(false)))
         .select(col("word"), col("cnt"), col("pos"),
-          when(col("sel"), concat(col("pa"), col("pb"))).otherwise(col("sym")).as("sym"))
+          when(col("sel"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
         .localCheckpoint(true)
-      val mergeRow = best.select(lit(r.toLong).as("round"), col("pa"), col("pb"),
-        col("c").as("pair_count"), concat(col("pa"), col("pb")).as("new_sym"))
-      out = if (out == null) mergeRow else out.unionAll(mergeRow)
       totals = totals.unionAll(total(r + 1))
     }
+    val out = merges.toSeq
+      .toDF("round", "mrank", "pa", "pb", "pair_count", "new_sym")
     // rows is the post-merge encoded vocabulary — [[bpeEncode]]'s input
-    (graft.util.Materialize.bounded(out.orderBy("round")),
+    (graft.util.Materialize.bounded(out.orderBy("round", "mrank")),
       graft.util.Materialize.bounded(totals.orderBy("round")),
       rows)
   }
@@ -1226,13 +1256,21 @@ object TextOps {
   private def bpeRoundCte(k: Int): String =
       s"""bp$k AS MATERIALIZED (SELECT word, cnt, pos, sym,
          |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r$k),
-         |b$k AS (SELECT sym AS pa, nxt AS pb, CAST(sum(cnt) AS BIGINT) AS c
-         |        FROM bp$k WHERE nxt IS NOT NULL GROUP BY 1, 2
-         |        ORDER BY c DESC, pa, pb LIMIT 1),
-         |m$k AS MATERIALIZED (SELECT p.word, p.cnt, p.pos, p.sym, b.pa, b.pb,
+         |tp$k AS MATERIALIZED (
+         |        SELECT pa, pb, c, row_number() OVER (ORDER BY c DESC, pa, pb) AS rk
+         |        FROM (SELECT sym AS pa, nxt AS pb, CAST(sum(cnt) AS BIGINT) AS c
+         |              FROM bp$k WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         |        QUALIFY rk <= $BpePool),
+         |b$k AS MATERIALIZED (
+         |        SELECT pa, pb, c, row_number() OVER (ORDER BY rk) AS mrank
+         |        FROM tp$k t
+         |        WHERE NOT EXISTS (SELECT 1 FROM tp$k t2 WHERE t2.rk < t.rk
+         |                AND (t2.pa IN (t.pa, t.pb) OR t2.pb IN (t.pa, t.pb)))
+         |        QUALIFY mrank <= $BpeBatch),
+         |m$k AS MATERIALIZED (SELECT p.word, p.cnt, p.pos, p.sym, p.nxt,
          |               row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn,
-         |               (p.sym = b.pa AND p.nxt = b.pb) AS cand
-         |        FROM bp$k p LEFT JOIN b$k b ON TRUE),
+         |               (b.pa IS NOT NULL) AS cand
+         |        FROM bp$k p LEFT JOIN b$k b ON p.sym = b.pa AND p.nxt = b.pb),
          |cr$k AS (SELECT word, pos, rn,
          |                row_number() OVER (PARTITION BY word ORDER BY pos) AS crank
          |         FROM m$k WHERE cand),
@@ -1240,22 +1278,22 @@ object TextOps {
          |                 (crank - min(crank) OVER (PARTITION BY word, rn - crank)) % 2 = 0
          |                   AS sel
          |          FROM cr$k),
-         |j$k AS (SELECT m.word, m.cnt, m.pos, m.sym, m.pa, m.pb,
+         |j$k AS (SELECT m.word, m.cnt, m.pos, m.sym, m.nxt,
          |               coalesce(s.sel, FALSE) AS sel
          |        FROM m$k m LEFT JOIN sel$k s ON m.word = s.word AND m.pos = s.pos),
          |r${k + 1} AS MATERIALIZED (SELECT word, cnt, pos,
-         |                     CASE WHEN sel THEN pa || pb ELSE sym END AS sym
+         |                     CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
          |              FROM (SELECT *, lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
          |                    FROM j$k)
          |              WHERE NOT coalesce(psel, FALSE))""".stripMargin
   val bpeTrainOracle: String = {
     val mergeRows = (0 until BpeRounds)
-      .map(k => s"SELECT $k AS round, pa, pb, c AS pair_count, pa || pb AS new_sym FROM b$k")
+      .map(k => s"SELECT $k AS round, mrank, pa, pb, c AS pair_count, pa || pb AS new_sym FROM b$k")
       .mkString("\n|UNION ALL\n|")
     s"""WITH $bpeBaseCte,
        |${(0 until BpeRounds).map(bpeRoundCte).mkString(",\n|")}
        |$mergeRows
-       |ORDER BY round""".stripMargin
+       |ORDER BY round, mrank""".stripMargin
   }
 
   val bpeCompressionOracle: String = {

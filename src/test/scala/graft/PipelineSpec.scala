@@ -1048,36 +1048,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean > 9000 && mean < 11000, s"mean distortion $mean")
   }
 
-  test("bpe train: planted merges in order, equal-run greedy parity, monotone counts") {
+  test("bpe train (batched): planted merges, dominance batching, batch-order laws") {
     import spark.implicits._
+    // dominance: round 0 pool ranks (a,a):4 above (a,b):3, and (a,b)
+    // shares 'a' with the higher-ranked pair → each round accepts ONE
+    // pair here, replaying the single-merge trajectory exactly
     val m1 = TextOps.bpeTrain(Seq((1L, "aaab aaab ab")).toDF("doc_id", "text"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getString(5)))
     assert(m1.toSeq === Seq(
-      (0L, "a", "a", 4L, "aa"), // aa:4 beats ab:3
-      (1L, "a", "b", 3L, "ab"), // after merge, (aa,a):2 < (a,b):3
-      (2L, "aa", "ab", 2L, "aaab"))) // then nothing left to merge: 3 rows, not 6
+      (0L, 1L, "a", "a", 4L, "aa"),
+      (1L, 1L, "a", "b", 3L, "ab"),
+      (2L, 1L, "aa", "ab", 2L, "aaab"))) // then nothing left to merge
     // equal-symbol run: greedy takes every other candidate → [aa][aa], then [aaaa]
     val m2 = TextOps.bpeTrain(Seq((1L, "aaaa")).toDF("doc_id", "text"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
-    assert(m2.toSeq === Seq((0L, "a", "a", 3L, "aa"), (1L, "aa", "aa", 1L, "aaaa")))
-    // law on real data: the chosen pair count never increases round-over-round
-    val counts = TextOps.bpeTrain(docs).collect().map(_.getLong(3))
-    assert(counts.length === TextOps.BpeRounds)
-    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts.toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getString(5)))
+    assert(m2.toSeq === Seq((0L, 1L, "a", "a", 3L, "aa"), (1L, 1L, "aa", "aa", 1L, "aaaa")))
+    // a batch round applies SYMBOL-DISJOINT pairs: "ab ab cd cd ef" takes
+    // (a,b), (c,d), (e,f) in ONE round (all counts distinct-symboled)
+    val m3 = TextOps.bpeTrain(Seq((1L, "ab ab cd cd ef")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(5)))
+    assert(m3.count(_._1 == 0L) === 3, m3.toSeq)
+    assert(m3.filter(_._1 == 0L).map(_._3).toSet === Set("ab", "cd", "ef"))
+    // laws on real data: within a round counts are non-increasing in
+    // mrank; round maxima never increase; accepted pairs symbol-disjoint
+    val rowsAll = TextOps.bpeTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rowsAll.nonEmpty && rowsAll.length > TextOps.BpeRounds,
+      s"batching must beat one-merge-per-round: ${rowsAll.length}")
+    rowsAll.groupBy(_._1).foreach { case (round, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._5).zip(byRank.tail.map(_._5)).forall { case (a, b) => b <= a })
+      val syms = rs.flatMap(r => Seq(r._3, r._4))
+      assert(syms.distinct.length === syms.length, s"round $round batch not symbol-disjoint")
+    }
+    val roundMax = rowsAll.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._5).max)
+    assert(roundMax.zip(roundMax.tail).forall { case (a, b) => b <= a }, roundMax)
   }
 
-  test("bpe compression: totals shrink by the merge count, exhausted corpus passes through") {
+  test("bpe compression: totals shrink by the batch's applications, exhausted corpus holds") {
     import spark.implicits._
     // "aaaa": 4 chars → [aa,aa] (2) → [aaaa] (1); merges exhaust, totals HOLD at 1
     val t = TextOps.bpeCompression(Seq((1L, "aaaa")).toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(t.toSeq === Seq((0L, 4L), (1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L)))
-    // law on real data: each round shrinks the total by EXACTLY the number
-    // of merge applications, which is at most that round's pair count
+    assert(t.toSeq === (Seq((0L, 4L), (1L, 2L)) ++
+      (2L to TextOps.BpeRounds.toLong).map(r => (r, 1L))))
+    // law on real data: a round with merges strictly shrinks the total by
+    // at most the round's summed pair counts; a merge-free round holds
     val totals = TextOps.bpeCompression(docs).collect().map(_.getLong(1))
-    val merges = TextOps.bpeTrain(docs).collect().map(_.getLong(3))
-    totals.zip(totals.tail).zip(merges).foreach { case ((before, after), cnt) =>
-      assert(after < before && before - after <= cnt, (before, after, cnt))
+    val perRound = TextOps.bpeTrain(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(4)).sum).toMap
+    totals.zip(totals.tail).zipWithIndex.foreach { case ((before, after), r) =>
+      perRound.get(r.toLong) match {
+        case Some(cnt) => assert(after < before && before - after <= cnt, (r, before, after, cnt))
+        case None => assert(after === before, (r, before, after))
+      }
     }
   }
 
