@@ -46,18 +46,33 @@ object Bench {
     // shared artifact instead of re-paying (or min-of-2-erasing) the
     // training inside whichever entry happens to run first. Single run,
     // no min-of-2: a build happens once per deployment, cache-cold.
-    val sharedTimes: Seq[(String, Double)] = SparkEntry.sharedBuilds.map {
-      case (name, fn) =>
-        System.gc()
-        val t0 = System.nanoTime()
-        val t = try { fn(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          errors.getOrElseUpdate(name,
-            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-          -1.0
+    // The builders are independent (Memo keys are distinct per artifact)
+    // and each one leaves the 32-core scheduler idle between its driver
+    // iterations, so they run CONCURRENTLY on a small thread pool
+    // (round-7 verdict item 8): per-build times still accrue to the
+    // total (the cost is real), and the WALL time of the overlapped
+    // phase is reported separately as "shared_build_wall".
+    System.gc()
+    val sharedWall0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, SparkEntry.sharedBuilds.size)))
+    val sharedFutures = SparkEntry.sharedBuilds.map { case (name, fn) =>
+      name -> pool.submit(new java.util.concurrent.Callable[Double] {
+        def call(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            errors.synchronized { errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+            -1.0
+          }
         }
-        name -> t
+      })
     }
+    val sharedTimes: Seq[(String, Double)] =
+      sharedFutures.map { case (name, f) => name -> f.get() }
+    pool.shutdown()
+    val sharedWall = (System.nanoTime() - sharedWall0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min of two runs: this microVM throttles bursty CPU, and a single
       // sample can read 2-3x high through no fault of the plan — the min
@@ -178,9 +193,13 @@ object Bench {
       "doc_bm25_topk",
       // round-7 additions
       "ann_graph_topk", "doc_bpe_encode", "doc_pack_bins_bpe",
-      "doc_shard_plan_bpe", "doc_dup_spans_var", "mm_frame_sample")
+      "doc_shard_plan_bpe", "doc_dup_spans_var", "mm_frame_sample",
+      // round-8 additions
+      "doc_langid_multi", "doc_dup_spans_removed", "mm_png_roundtrip",
+      "mm_text_align", "mm_audio_dup", "mm_decode_router")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) ++
       sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" } :+
+      f""""shared_build_wall":$sharedWall%.3f""" :+
       f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++
       sharedTimes.map(_._2).filter(_ >= 0) ++

@@ -480,11 +480,16 @@ object Sketches {
     // ONE tokenize+hash pass carries doc_id so the full sketch side and
     // the sampled exact side both derive from the same materialized
     // relation (a second tokenize pass for the sample measured +40% on
-    // this entry at sf0.1 — the explode+md5 is the dominant cost)
+    // this entry at sf0.1 — the explode+md5 is the dominant cost).
+    // Round-8 (verdict item 3): the pass is persisted UNDEDUPED — the
+    // old (doc_id, source, h) distinct() was the entry's widest
+    // exchange and neither consumer needs it: the sketch side dedups at
+    // (source, h) width below, the sampled exact side dedups after its
+    // doc-id filter. Within-doc shingles are mostly unique anyway, so
+    // the persist grows little while the wide shuffle disappears.
     val shDoc = docs.select(col("doc_id"), col("source"),
         explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
       .select(col("doc_id"), col("source"), baseHash(col("s")).as("h"))
-      .distinct()
       .transform(graft.util.Materialize.corpus)
     val sh = shDoc.select("source", "h").distinct()
     // two-phase bottom-K per source (same skew discipline as kmvJaccard)

@@ -70,6 +70,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("theta exact side survives 64+ sources (mask word chunking past bit 59)") {
+    import spark.implicits._
+    // 70 sources → 2 mask words on the Spark side; the oracle has no
+    // cardinality bound at all, so this pins the CHUNKED path against an
+    // independent Scala reference (round-7 advice item 9)
+    val n = 70
+    val d = (0 until n).map(i => (i.toLong, f"s$i%02d",
+      s"common alpha beta w$i x$i y$i")).toDF("doc_id", "source", "text")
+    val out = Sketches.thetaSourceOps(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(5), r.getLong(6))).toMap
+    assert(out.size === n * (n - 1) / 2)
+    def sampled(id: Long) = ((id * 1103515245L + 12345L) % 2147483647L) % 100 < EvalSampling.Pct
+    def shingleSet(i: Int): Set[String] = {
+      val w = s"common alpha beta w$i x$i y$i".split(" ")
+      if (!sampled(i.toLong)) Set.empty
+      else (0 to w.length - 3).map(k => s"${w(k)} ${w(k + 1)} ${w(k + 2)}").toSet
+    }
+    val sets = (0 until n).map(shingleSet)
+    for (a <- 0 until n; b <- a + 1 until n) {
+      val (u, x) = out((f"s$a%02d", f"s$b%02d"))
+      assert(u === (sets(a) | sets(b)).size.toLong, s"union $a,$b")
+      assert(x === (sets(a) & sets(b)).size.toLong, s"inter $a,$b")
+    }
+    // and the high-word bits are actually exercised: some pair with BOTH
+    // sources at index ≥ 60 (word 2) must intersect on the shared shingle
+    val hi = (60 until n).filter(i => sampled(i.toLong))
+    assert(hi.size >= 2, s"sample predicate left <2 sampled sources in word 2: $hi")
+    val (ha, hb) = (hi(0), hi(1))
+    assert(out((f"s$ha%02d", f"s$hb%02d"))._2 >= 1L, "word-2 intersection lost")
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = Dedup.exact(docs).collect()
     assert(out.map(_.getLong(0)).distinct.length === out.length)
