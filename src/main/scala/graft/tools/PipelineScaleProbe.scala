@@ -195,7 +195,21 @@ object PipelineScaleProbe {
           col("id").as("media_id"), lit("image").as("kind"),
           encode(concat((0 until 8).map(k =>
             hex(xxhash64(col("id"), lit(k)))): _*), "UTF-8").as("payload"),
-          lit(64).as("width"), lit(64).as("height"))).count()))
+          lit(64).as("width"), lit(64).as("height"))).count()),
+      // round-8: trained language ID (linear trigram explode + bounded
+      // profile), span REMOVAL (linear token rows + per-doc filter), PNG
+      // codec round-trip (embarrassingly parallel decode), cross-modal
+      // alignment (two equi-joins), audio envelope dedup (banded join)
+      "langid_multi" -> (n =>
+        graft.pipeline.TextOps.langIdMulti(synthDocs(spark, n)).count()),
+      "spans_removed" -> (n => Dedup.removeSpans(synthDocs(spark, n)).count()),
+      "png_roundtrip" -> (n =>
+        graft.pipeline.Multimodal.pngRoundtrip(synthDocs(spark, n)).count()),
+      "text_align" -> (n =>
+        graft.pipeline.Multimodal.textAlign(
+          synthEmb(spark, n), synthDocs(spark, n)).count()),
+      "audio_dup" -> (n => graft.pipeline.Multimodal.audioDup(
+        graft.pipeline.Multimodal.audioDupFromDocs(synthDocs(spark, n))).count()))
 
     val rows = ops.filter(o =>
       opFilter.forall(_.split(",").exists(o._1.contains))).map { case (name, op) =>
