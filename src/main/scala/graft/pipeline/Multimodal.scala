@@ -1057,6 +1057,15 @@ object Multimodal {
     * IDENTICALLY (hamming 0) — the [[phashes]] layout-invariance
     * argument, in the audio domain. Undecodable blobs hash to 0
     * (totality). mapPartitions, zero shuffle.
+    *
+    * CAVEAT (the generic LSH skew law, MEASURED by the scale probe): a
+    * corpus whose byte rhythm aligns with the [[AudioWin]] window — the
+    * probe's "wNN " word soup has exactly period 4 — collapses the
+    * envelope hashes into a handful of buckets and the banded candidate
+    * join degenerates quadratically (×106 for ×10 data at 1M clips);
+    * high-entropy clips scale cleanly. Same discipline as [[phashes]]:
+    * pre-dedup exact hash values (group by aphash, join representatives)
+    * or salt when duplicate multiplicity is high.
     * Output (media_id, aphash). */
   def audioPhashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

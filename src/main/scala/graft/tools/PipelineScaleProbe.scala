@@ -208,8 +208,17 @@ object PipelineScaleProbe {
       "text_align" -> (n =>
         graft.pipeline.Multimodal.textAlign(
           synthEmb(spark, n), synthDocs(spark, n)).count()),
+      // high-entropy clip text (hash hex), NOT synthDocs — measured: the
+      // word-soup's "wNN " period-4 byte rhythm aligns with the 4-sample
+      // energy window and collapses envelope hashes into a handful of
+      // buckets (x106 for x10 at 1M clips — the generic LSH skew law the
+      // phash_dup probe documents); real audio bytes are high-entropy
       "audio_dup" -> (n => graft.pipeline.Multimodal.audioDup(
-        graft.pipeline.Multimodal.audioDupFromDocs(synthDocs(spark, n))).count()))
+        graft.pipeline.Multimodal.audioDupFromDocs(
+          spark.range(n).select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 8).map(k =>
+              hex(xxhash64(col("id"), lit(k)))): _*).as("text"),
+            pmod(xxhash64(col("id")), lit(1000L)).as("n_chars")))).count()))
 
     val rows = ops.filter(o =>
       opFilter.forall(_.split(",").exists(o._1.contains))).map { case (name, op) =>
