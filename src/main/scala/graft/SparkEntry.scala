@@ -1387,6 +1387,9 @@ object SparkEntry {
     // round-8: REAL PNG (DEFLATE + filters 0-4, JDK Inflater/CRC32) —
     // encode∘decode identity certified feature-wise against text
     "mm_png_roundtrip" -> ((s, dir) => Multimodal.pngRoundtrip(docs(s, dir))),
+    // round-8: GIF87a (grayscale palette + REAL LZW: variable code width,
+    // CLEAR/EOI, dict reset) — lossless, so the roundtrip oracle is exact
+    "mm_gif_roundtrip" -> ((s, dir) => Multimodal.gifRoundtrip(docs(s, dir))),
     // round-8: CLIP-recipe alignment gate — per-pair scores + per-source
     // retention over derived image/text embedding pairs with planted swaps
     "mm_align_scores" -> ((s, dir) =>
@@ -2679,6 +2682,7 @@ object SparkEntry {
     "mm_phash_dup" -> Multimodal.phashDupOracle,
     "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,
     "mm_png_roundtrip" -> Multimodal.pngRoundtripOracle,
+    "mm_gif_roundtrip" -> Multimodal.gifRoundtripOracle,
     "mm_align_scores" -> Multimodal.alignScoresOracle,
     "mm_audio_phash" -> Multimodal.audioPhashesOracle,
     "mm_audio_dup" -> Multimodal.audioDupOracle,

@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                     width: Int, height: Int)
 
-/** Features extracted by the (stubbed) decoder. */
+/** GIF round-trip features (decoded index/gray stream). */
+case class GifFeature(media_id: Long, ok: Boolean, width: Int, height: Int,
+                      n_pixels: Long, sum_idx: Long, pos_checksum: Long)
+
+/** Content-routed decode features (real decoders; opaque fallback). */
 case class MediaFeature(media_id: Long, kind: String, width: Int, height: Int,
                         byte_len: Long, checksum: Long, head_hex: String)
 
@@ -114,6 +118,15 @@ object Multimodal {
           if (!f.ok) decodeOpaque(m)
           else MediaFeature(m.media_id, "png", f.width, f.height,
             f.n_pixels, f.pos_checksum, hh)
+        case "gif" =>
+          decodeGifPixels(m.payload) match {
+            case None => decodeOpaque(m)
+            case Some((w, h, px)) =>
+              var chk = 0L
+              var k = 0
+              while (k < px.length) { chk += px(k).toLong * (k + 1); k += 1 }
+              MediaFeature(m.media_id, "gif", w, h, px.length.toLong, chk, hh)
+          }
         case "audio" =>
           val f = decodeWav(m.media_id, m.payload)
           if (!f.ok) decodeOpaque(m)
@@ -309,6 +322,7 @@ object Multimodal {
        |  SELECT doc_id, text, length(text) AS len,
        |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
        |         5 + n_chars % 4 AS hp,
+       |         3 + n_chars % 5 AS hg,
        |         8 + n_chars % 5 AS nf,
        |         16 + n_chars % 33 AS na
        |  FROM documents)
@@ -322,14 +336,14 @@ object Multimodal {
        |       '424d' || printf('%02x%02x',
        |         (54 + ((w * 3 + 3) // 4) * 4 * h) % 256,
        |         ((54 + ((w * 3 + 3) // 4) * 4 * h) // 256) % 256) AS head_hex
-       |FROM d WHERE doc_id % 5 = 0
+       |FROM d WHERE doc_id % 6 = 0
        |UNION ALL
        |SELECT doc_id, 'audio', 1, 8000, na::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, na),
        |         k -> ((${byteAt("k")} - 96) * 128) * (k + 1))),
        |         (a, b) -> a + b),
        |       '52494646'
-       |FROM d WHERE doc_id % 5 = 1
+       |FROM d WHERE doc_id % 6 = 1
        |UNION ALL
        |SELECT doc_id, 'video', w::INTEGER, h::INTEGER, nf::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, nf), f ->
@@ -338,7 +352,7 @@ object Multimodal {
        |             j -> ${videoByteSql("f", "j")}::BIGINT)), (a, b) -> a + b))),
        |         (a, b) -> a + b),
        |       '47564331'
-       |FROM d WHERE doc_id % 5 = 2
+       |FROM d WHERE doc_id % 6 = 2
        |UNION ALL
        |SELECT doc_id, 'png', w::INTEGER, hp::INTEGER, (w * hp)::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hp),
@@ -346,14 +360,21 @@ object Multimodal {
        |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
        |         (a, b) -> a + b),
        |       '89504e47'
-       |FROM d WHERE doc_id % 5 = 3
+       |FROM d WHERE doc_id % 6 = 3
+       |UNION ALL
+       |SELECT doc_id, 'gif', w::INTEGER, hg::INTEGER, (w * hg)::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hg),
+       |         k -> ${byteAt("k")} * (k + 1))),
+       |         (a, b) -> a + b),
+       |       '47494638'
+       |FROM d WHERE doc_id % 6 = 4
        |UNION ALL
        |SELECT doc_id, 'unknown', 0, 0, (len + 1)::BIGINT,
        |       COALESCE(list_reduce(list_transform(range(1, len + 1),
        |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
        |         (a, b) -> (a * 31 + b) % 1000000007), 0),
        |       '00' || lower(hex(substr(text, 1, 3)))
-       |FROM d WHERE doc_id % 5 = 4
+       |FROM d WHERE doc_id % 6 = 5
        |ORDER BY media_id""".stripMargin
   }
 
@@ -645,10 +666,12 @@ object Multimodal {
     else if (p.length >= 4 && p(0) == 'G' && p(1) == 'V' && p(2) == 'C' && p(3) == '1') "video"
     else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
       p(3) == 'G' && p(4) == '\r' && p(5) == '\n' && p(6) == 0x1a && p(7) == '\n') "png"
+    else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a') "gif"
     else "unknown"
 
-  /** Mixed-media table: doc_id mod 5 picks the kind, each payload built
-    * by that kind's REAL encoder (BMP / WAV / video container / PNG);
+  /** Mixed-media table: doc_id mod 6 picks the kind, each payload built
+    * by that kind's REAL encoder (BMP / WAV / video container / PNG / GIF);
     * unknown = text bytes behind a 0x00 lead byte — no magic starts
     * with NUL, so the unknown branch can never collide with a real
     * format regardless of text content (round-7 advice: raw text
@@ -662,7 +685,7 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (id, text, nc) =>
-        val payload = (id % 5) match {
+        val payload = (id % 6) match {
           case 0 => encodeBmp(id, text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt)
           case 1 => encodeWav(text, 16 + (nc % 33).toInt)
           case 2 => encodeVideo(text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt,
@@ -670,6 +693,9 @@ object Multimodal {
           case 3 =>
             val (w, h) = pngDims(nc)
             encodePng(text, w, h)
+          case 4 =>
+            val (w, h) = gifDims(nc)
+            encodeGif(text, w, h)
           case _ => (0: Byte) +: text.getBytes("UTF-8")
         }
         MediaRow(id, "mixed", payload, 0, 0)
@@ -713,6 +739,15 @@ object Multimodal {
         case "png" =>
           val f = rgbFeatures(m.media_id, decodePngPixels(m.payload))
           RoutedMedia(m.media_id, "png", f.ok, f.n_pixels, f.pos_checksum)
+        case "gif" =>
+          decodeGifPixels(m.payload) match {
+            case None => RoutedMedia(m.media_id, "gif", ok = false, 0L, 0L)
+            case Some((w, h, px)) =>
+              var chk = 0L
+              var k = 0
+              while (k < px.length) { chk += px(k).toLong * (k + 1); k += 1 }
+              RoutedMedia(m.media_id, "gif", ok = true, px.length.toLong, chk)
+          }
         case _ =>
           val f = decodeOpaque(m)
           RoutedMedia(m.media_id, "unknown", ok = true, f.byte_len, f.checksum)
@@ -722,7 +757,7 @@ object Multimodal {
 
   /** DuckDB twin of [[decodeRouter]] ∘ [[mixedMediaFromDocs]]: each
     * kind's units/checksum recomputed from text via the shared rules —
-    * five UNION branches keyed by doc_id mod 5. The unknown branch's
+    * six UNION branches keyed by doc_id mod 6. The unknown branch's
     * 0x00 lead byte folds into the rolling hash as a no-op (the fold
     * starts at 0, and 0·31 + 0 = 0) — only the length shifts by one. */
   lazy val decodeRouterOracle: String = {
@@ -732,6 +767,7 @@ object Multimodal {
        |  SELECT doc_id, text, length(text) AS len,
        |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
        |         5 + n_chars % 4 AS hp,
+       |         3 + n_chars % 5 AS hg,
        |         8 + n_chars % 5 AS nf,
        |         16 + n_chars % 33 AS na
        |  FROM documents)
@@ -741,13 +777,13 @@ object Multimodal {
        |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
        |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
        |         (a, b) -> a + b) AS checksum
-       |FROM d WHERE doc_id % 5 = 0
+       |FROM d WHERE doc_id % 6 = 0
        |UNION ALL
        |SELECT doc_id, 'audio', TRUE, na::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, na),
        |         k -> ((${byteAt("k")} - 96) * 128) * (k + 1))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 5 = 1
+       |FROM d WHERE doc_id % 6 = 1
        |UNION ALL
        |SELECT doc_id, 'video', TRUE, nf::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, nf), f ->
@@ -755,20 +791,26 @@ object Multimodal {
        |           list_transform(range(0, w * h * 3),
        |             j -> ${videoByteSql("f", "j")}::BIGINT)), (a, b) -> a + b))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 5 = 2
+       |FROM d WHERE doc_id % 6 = 2
        |UNION ALL
        |SELECT doc_id, 'png', TRUE, (w * hp)::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hp),
        |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
        |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 5 = 3
+       |FROM d WHERE doc_id % 6 = 3
+       |UNION ALL
+       |SELECT doc_id, 'gif', TRUE, (w * hg)::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hg),
+       |         k -> ${byteAt("k")} * (k + 1))),
+       |         (a, b) -> a + b)
+       |FROM d WHERE doc_id % 6 = 4
        |UNION ALL
        |SELECT doc_id, 'unknown', TRUE, (len + 1)::BIGINT,
        |       COALESCE(list_reduce(list_transform(range(1, len + 1),
        |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
        |         (a, b) -> (a * 31 + b) % 1000000007), 0)
-       |FROM d WHERE doc_id % 5 = 4
+       |FROM d WHERE doc_id % 6 = 5
        |ORDER BY media_id""".stripMargin
   }
 
@@ -1588,6 +1630,271 @@ object Multimodal {
       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, npix),
       |         k -> (299 * rs[CAST(k AS INTEGER) + 1] + 587 * gs[CAST(k AS INTEGER) + 1]
       |               + 114 * bs[CAST(k AS INTEGER) + 1]) * (k + 1))),
+      |         (a, b) -> a + b) AS pos_checksum
+      |FROM f ORDER BY media_id""".stripMargin
+
+  // ---- REAL GIF: grayscale palette + LZW (round-8) -------------------------
+  //
+  // GIF87a is the second real compressed format here (after PNG): a
+  // 256-entry grayscale global palette and the GIF flavor of LZW
+  // (variable code width 9→12 bits LSB-first, CLEAR/EOI codes, dict
+  // reset at 4096) — lossless on the index stream, so the round-trip
+  // oracle recomputes decoded indices straight from the text byte rule.
+
+  /** Encode a GIF87a: logical screen + 256-gray global palette + one
+    * image block; index stream compressed with real LZW (initial CLEAR,
+    * dict reset when full — images big enough to hit 4096 codes
+    * exercise the reset path, spec-pinned). */
+  private[graft] def encodeGifPixels(idx: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(idx.length / 2 + 800)
+    out.write('G'); out.write('I'); out.write('F'); out.write('8'); out.write('7'); out.write('a')
+    out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7) // global palette, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+    out.write(0) // no local palette, not interlaced
+    out.write(8) // LZW min code size
+    // --- GIF-LZW over the index stream ---
+    val Clear = 256; val Eoi = 257
+    // (prefixCode << 8 | byte) -> code; a LongMap, NOT a Java map whose
+    // get() would null-unbox to 0 and turn every miss into a "hit"
+    val dict = scala.collection.mutable.LongMap.empty[Int]
+    var nextCode = 258
+    var codeWidth = 9
+    val codes = new java.io.ByteArrayOutputStream
+    var bitBuf = 0L; var bitCnt = 0
+    def emit(c: Int): Unit = {
+      bitBuf |= c.toLong << bitCnt; bitCnt += codeWidth
+      while (bitCnt >= 8) { codes.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    emit(Clear)
+    var prefix = -1
+    i = 0
+    while (i < idx.length) {
+      val b = idx(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val key = (prefix.toLong << 8) | b
+        dict.get(key) match {
+          case Some(c) => prefix = c
+          case None =>
+            emit(prefix)
+            dict.put(key, nextCode)
+            nextCode += 1
+            if (nextCode - 1 == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            if (nextCode == 4096) { // dict full: reset (the simple flavor)
+              emit(Clear); dict.clear(); nextCode = 258; codeWidth = 9
+            }
+            prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(Eoi)
+    if (bitCnt > 0) codes.write((bitBuf & 0xff).toInt)
+    val cb = codes.toByteArray
+    var off = 0
+    while (off < cb.length) { // ≤255-byte sub-blocks
+      val n = math.min(255, cb.length - off)
+      out.write(n); out.write(cb, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF decode: header (87a/89a), screen descriptor, global
+    * palette walk, 89a extension skip, image descriptor (interlace
+    * rejected), GIF-LZW with the KwKwK case, variable code width, CLEAR
+    * reset, EOI. Returns the decoded INDEX stream mapped through the
+    * palette's red channel (identity for the grayscale encoder above).
+    * Total: any structural violation — truncation, bad code, pixel
+    * overflow/underflow — yields None, never a throw. */
+  private[graft] def decodeGifPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 13 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' || p(3) != '8' ||
+      (p(4) != '7' && p(4) != '9') || p(5) != 'a') return None
+    var pos = 6
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (pos + 7 > p.length) return None
+    val flags = u8(pos + 4)
+    pos += 7
+    val palette: Array[Int] =
+      if ((flags & 0x80) != 0) {
+        val n = 2 << (flags & 7)
+        if (pos + 3 * n > p.length) return None
+        val pal = Array.tabulate(n)(j => u8(pos + 3 * j)) // red channel
+        pos += 3 * n
+        pal
+      } else Array.tabulate(256)(identity)
+    // walk blocks to the first image descriptor
+    var w = 0; var h = 0
+    var found = false
+    while (!found) {
+      if (pos >= p.length) return None
+      u8(pos) match {
+        case 0x2c =>
+          if (pos + 10 > p.length) return None
+          w = u16(pos + 5); h = u16(pos + 7)
+          val iflags = u8(pos + 9)
+          if (w <= 0 || h <= 0 || (iflags & 0x40) != 0) return None // interlace unsupported
+          if (w.toLong * h > (1L << 26)) return None // bomb guard
+          pos += 10
+          if ((iflags & 0x80) != 0) { // local palette: skip (indices still decoded)
+            val n = 2 << (iflags & 7)
+            if (pos + 3 * n > p.length) return None
+            pos += 3 * n
+          }
+          found = true
+        case 0x21 => // 89a extension: label + sub-blocks
+          pos += 2
+          var done = false
+          while (!done) {
+            if (pos >= p.length) return None
+            val n = u8(pos); pos += 1 + n
+            if (n == 0) done = true
+          }
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    if (pos >= p.length) return None
+    val minCode = u8(pos); pos += 1
+    if (minCode < 2 || minCode > 8) return None
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream
+    var done = false
+    while (!done) {
+      if (pos >= p.length) return None
+      val n = u8(pos); pos += 1
+      if (n == 0) done = true
+      else {
+        if (pos + n > p.length) return None
+        data.write(p, pos, n); pos += n
+      }
+    }
+    val cb = data.toByteArray
+    val Clear = 1 << minCode; val Eoi = Clear + 1
+    val nPix = w * h
+    val outIdx = new Array[Int](nPix)
+    var nOut = 0
+    // dict as parent/byte arrays (4096 max)
+    val parent = new Array[Int](4096); val last = new Array[Int](4096)
+    var nextCode = Eoi + 1
+    var codeWidth = minCode + 1
+    var bitBuf = 0L; var bitCnt = 0; var bPos = 0
+    var prev = -1
+    def writeCode(c: Int): Boolean = { // expand code c into outIdx; false on overflow
+      val stack = new Array[Int](4096)
+      var sp = 0; var cc = c
+      while (cc >= Clear + 2) {
+        if (sp >= 4096) return false
+        stack(sp) = last(cc); sp += 1; cc = parent(cc)
+      }
+      if (cc >= Clear) return false // dangling reference
+      if (nOut + sp + 1 > nPix) return false
+      outIdx(nOut) = cc; nOut += 1
+      while (sp > 0) { sp -= 1; outIdx(nOut) = stack(sp); nOut += 1 }
+      true
+    }
+    def firstByte(c: Int): Int = { var cc = c; while (cc >= Clear + 2) cc = parent(cc); cc }
+    var eoiSeen = false
+    while (!eoiSeen) {
+      while (bitCnt < codeWidth && bPos < cb.length) {
+        bitBuf |= (cb(bPos) & 0xffL) << bitCnt; bitCnt += 8; bPos += 1
+      }
+      if (bitCnt < codeWidth) return None // ran out of bits before EOI
+      val code = (bitBuf & ((1L << codeWidth) - 1)).toInt
+      bitBuf >>>= codeWidth; bitCnt -= codeWidth
+      if (code == Clear) { nextCode = Eoi + 1; codeWidth = minCode + 1; prev = -1 }
+      else if (code == Eoi) eoiSeen = true
+      else if (prev < 0) {
+        if (code >= Clear) return None
+        if (nOut >= nPix) return None
+        outIdx(nOut) = code; nOut += 1
+        prev = code
+      } else {
+        if (code > nextCode || code == Clear + 1) return None
+        val toWrite = if (code == nextCode) prev else code // KwKwK
+        if (!writeCode(toWrite)) return None
+        if (code == nextCode) { // then append first byte of prev's expansion
+          if (nOut >= nPix) return None
+          outIdx(nOut) = firstByte(prev); nOut += 1
+        }
+        if (nextCode < 4096) {
+          parent(nextCode) = prev; last(nextCode) = firstByte(code)
+          nextCode += 1
+          if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    if (nOut != nPix) return None
+    val px = new Array[Int](nPix)
+    var k = 0
+    while (k < nPix) {
+      val ix = outIdx(k)
+      px(k) = if (ix < palette.length) palette(ix) else ix
+      k += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** GIF dims rule (oracle-shared): w ∈ 4..8, h ∈ 3..7. */
+  private[graft] def gifDims(nChars: Long): (Int, Int) =
+    (4 + (nChars % 5).toInt, 3 + (nChars % 5).toInt)
+
+  /** One grayscale GIF per doc: index k = text byte k (the shared
+    * [[pixelByte]] rule). */
+  private[graft] def encodeGif(text: String, w: Int, h: Int): Array[Byte] = {
+    val idx = new Array[Int](w * h)
+    var k = 0
+    while (k < idx.length) { idx(k) = pixelByte(text, k); k += 1 }
+    encodeGifPixels(idx, w, h)
+  }
+
+  /** GIF round-trip features from the decoded index/gray stream:
+    * (media_id, ok, width, height, n_pixels, sum_idx, pos_checksum). */
+  def gifRoundtrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val (w, h) = gifDims(nc)
+        decodeGifPixels(encodeGif(text, w, h)) match {
+          case None => GifFeature(id, ok = false, 0, 0, 0L, 0L, 0L)
+          case Some((gw, gh, px)) =>
+            var s = 0L; var chk = 0L; var k = 0
+            while (k < px.length) { s += px(k); chk += px(k).toLong * (k + 1); k += 1 }
+            GifFeature(id, ok = true, gw, gh, px.length.toLong, s, chk)
+        }
+      }).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB twin of [[gifRoundtrip]]: decoded indices ARE the text byte
+    * rule (grayscale palette = identity), so the oracle never touches
+    * LZW — agreement proves the whole palette + LZW + sub-block path. */
+  val gifRoundtripOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         4 + n_chars % 5 AS w, 3 + n_chars % 5 AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, w * h AS npix,
+      |         list_transform(range(0, w * h),
+      |           k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST(k % len AS INTEGER) + 1]) END)::BIGINT) AS xs
+      |  FROM d)
+      |SELECT doc_id AS media_id, TRUE AS ok, w::INTEGER AS width,
+      |       h::INTEGER AS height, npix::BIGINT AS n_pixels,
+      |       list_reduce(list_prepend(0::BIGINT, xs), (a, b) -> a + b) AS sum_idx,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, npix),
+      |         k -> xs[CAST(k AS INTEGER) + 1] * (k + 1))),
       |         (a, b) -> a + b) AS pos_checksum
       |FROM f ORDER BY media_id""".stripMargin
 

@@ -28,6 +28,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.decodeWavSamples(p)
     Multimodal.decodeVideoFrames(p)
     Multimodal.decodePngPixels(p)
+    Multimodal.decodeGifPixels(p)
     Multimodal.detectKind(p)
     ()
   }
@@ -37,6 +38,7 @@ class CodecFuzzSpec extends AnyFunSuite {
   private val validWav = Multimodal.encodeWav(text, 33)
   private val validVid = Multimodal.encodeVideo(text, 5, 4, 9)
   private val validPng = Multimodal.encodePng(text, 6, 8)
+  private val validGif = Multimodal.encodeGif(text, 7, 5)
 
   test("random byte blobs never throw (all decoders + the router dispatch)") {
     val gen = for {
@@ -51,7 +53,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     // that used to overflow (w*3, pos+8+sz) in Int arithmetic
     val hostile = Seq(0x7fffffff, 0x7ffffffd, 0x80000000, -1, 0x40000000, 54, 1 << 24)
     for {
-      base <- Seq(validBmp, validWav, validVid, validPng)
+      base <- Seq(validBmp, validWav, validVid, validPng, validGif)
       off <- 0 until math.min(base.length - 3, 96)
       v <- hostile
     } {
@@ -66,8 +68,8 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("random single-byte mutations and truncations of valid files never throw") {
     val gen = for {
-      which <- Gen.choose(0, 3)
-      base = Seq(validBmp, validWav, validVid, validPng)(which)
+      which <- Gen.choose(0, 4)
+      base = Seq(validBmp, validWav, validVid, validPng, validGif)(which)
       cut <- Gen.choose(0, base.length)
       off <- Gen.choose(0, math.max(base.length - 1, 0))
       b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
@@ -105,6 +107,24 @@ class CodecFuzzSpec extends AnyFunSuite {
           assert(px.toSeq === orig, s"corrupt byte at $off decoded differently")
           fail(s"corrupt byte at $off not rejected")
       }
+    }
+  }
+
+  test("gif: LZW decode∘encode is the index identity, through the 4096 dict reset") {
+    // high-entropy indices grow the dictionary ~1 entry per emitted code,
+    // so 12k pixels cross the 4096-code reset (CLEAR mid-stream) — the
+    // decode must resynchronize and still recover every index
+    val w = 120; val h = 100
+    val idx = Array.tabulate(w * h)(j => ((j * 2654435761L >>> 8) & 0xff).toInt)
+    val got = Multimodal.decodeGifPixels(Multimodal.encodeGifPixels(idx, w, h))
+    assert(got.isDefined)
+    val (gw, gh, px) = got.get
+    assert(gw === w && gh === h)
+    assert(px.toSeq === idx.toSeq)
+    // and the repetitive worst case (KwKwK chains): constant + period-2
+    Seq(Array.fill(500)(7), Array.tabulate(500)(j => j % 2)).foreach { a =>
+      val r = Multimodal.decodeGifPixels(Multimodal.encodeGifPixels(a, 50, 10))
+      assert(r.isDefined && r.get._3.toSeq === a.toSeq)
     }
   }
 
