@@ -1230,6 +1230,10 @@ object SparkEntry {
     "doc_bm25_topk" -> ((s, dir) => TextOps.bm25TopK(docs(s, dir))),
     "doc_source_cap" -> ((s, dir) => TextOps.sourceCap(docs(s, dir))),
     "doc_gopher_filters" -> ((s, dir) => TextOps.gopherFilters(docs(s, dir))),
+    // round-8: the Gopher REPETITION battery (top {2,3,4}-gram coverage +
+    // exact duplicated-8-gram coverage via interval-merge islands; the
+    // 3-shingle dup/top fractions stay in doc_repetition)
+    "doc_gopher_repetition" -> ((s, dir) => TextOps.gopherRepetition(docs(s, dir))),
     "doc_pii_scrub" -> ((s, dir) => TextOps.piiScrub(docs(s, dir))),
     "doc_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir))),
     "doc_winnowing" -> ((s, dir) => TextOps.winnowing(docs(s, dir))),
@@ -2399,6 +2403,7 @@ object SparkEntry {
     "emb_gram_matrix" -> Similarity.gramMatrixOracle,
     "dedup_simhash_eval" -> EvalSampling.sampleOracle(Dedup.simhashEvalOracle, "documents", "doc_id"),
     "doc_gopher_filters" -> TextOps.gopherFiltersOracle,
+    "doc_gopher_repetition" -> TextOps.gopherRepetitionOracle,
     "doc_pii_scrub" -> TextOps.piiScrubOracle,
     "doc_dsir_weights" -> TextOps.dsirWeightsOracle,
     "doc_winnowing" -> TextOps.winnowingOracle,

@@ -1671,6 +1671,132 @@ object TextOps {
       .select("doc_id", "n_tokens", "mean_wl_fp", "stop_hits", "keep")
   }
 
+  // ---- operator: Gopher REPETITION battery (round 8) ---------------------
+
+  /** Gopher repetition thresholds (Rae et al. 2021 Table A1 shape, in
+    * per-mille of TOKENS — the published rule uses characters; the
+    * token basis is documented and replayed identically by the oracle):
+    * fraction covered by the most frequent {2,3,4}-gram, and fraction
+    * covered by duplicated 8-grams. */
+  val RepTop2Max = 200L
+  val RepTop3Max = 180L
+  val RepTop4Max = 160L
+  val RepDup8Max = 100L
+
+  /** WITHIN-DOC repetition signals — the Gopher battery's other half
+    * (the length/stopword battery is [[gopherFilters]]; boilerplate and
+    * template spam hide from it but not from n-gram repetition):
+    * per doc, the per-mille of tokens covered by the most frequent
+    * 2/3/4-gram (count × n, the disjoint-occurrence bound) and the
+    * EXACT per-mille covered by 8-grams occurring ≥2 times in the doc
+    * (union of [p, p+7] windows via interval-merge islands — overlap
+    * counted once, the honest coverage). keep = all four under the
+    * published-shape thresholds.
+    *
+    * Scale shape: four linear explodes (corpus-token-bounded), each
+    * aggregated map-side per (doc, gram); the interval merge is one
+    * per-doc window over dup positions only. Nothing cross-doc — the
+    * whole entry partitions by doc_id. The 3-shingle dup/top-fraction
+    * signals live in [[repetition]]; this is the published multi-n
+    * battery with the keep rule. Output (doc_id, n_tokens,
+    * top2_pm, top3_pm, top4_pm, dup8_pm, keep). */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .transform(graft.util.Materialize.corpus)
+    def gramPos(ng: Int) = base
+      .filter(col("n") >= ng)
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(s"transform(sequence(1, size(w) - ${ng - 1}), " +
+          s"i -> array_join(slice(w, i, $ng), ' '))")).as(Seq("p0", "g")))
+    def topPm(ng: Int, out: String) = gramPos(ng)
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("m"), first("n").as("n"))
+      .select(col("doc_id"), expr(s"m * $ng * 1000 div n").as(out))
+    val NDup = 8
+    val dupPos = gramPos(NDup)
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id", "g")))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"))
+    val wd = Window.partitionBy("doc_id").orderBy("p")
+    val cov = dupPos
+      .withColumn("newg",
+        when(col("p") - lag("p", 1).over(wd) <= NDup - 1, 0L).otherwise(1L))
+      .withColumn("grp", sum("newg").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(first("n").as("n"), (max("p") - min("p") + NDup).as("covered"))
+      .groupBy("doc_id")
+      .agg(expr("sum(covered) * 1000 div first(n)").as("dup8_pm"))
+    docs.select("doc_id").join(base.select("doc_id", "n"), Seq("doc_id"))
+      .join(topPm(2, "top2_pm"), Seq("doc_id"), "left")
+      .join(topPm(3, "top3_pm"), Seq("doc_id"), "left")
+      .join(topPm(4, "top4_pm"), Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top2_pm", "top3_pm", "top4_pm", "dup8_pm"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("top2_pm"), col("top3_pm"), col("top4_pm"), col("dup8_pm"))
+      .withColumn("keep",
+        col("top2_pm") <= RepTop2Max && col("top3_pm") <= RepTop3Max &&
+          col("top4_pm") <= RepTop4Max && col("dup8_pm") <= RepDup8Max)
+      .orderBy("doc_id")
+  }
+
+  lazy val gopherRepetitionOracle: String = {
+    def posCte(ng: Int) =
+      s"""g$ng AS (
+         |  SELECT doc_id, n, u.i AS p,
+         |         array_to_string(w[CAST(u.i AS INTEGER):CAST(u.i + ${ng - 1} AS INTEGER)], ' ') AS g
+         |  FROM b, unnest(range(1, len(w) - ${ng - 2})) u(i)
+         |  WHERE n >= $ng)""".stripMargin
+    def gramCte(ng: Int, name: String) =
+      s"""${posCte(ng)},
+         |$name AS (
+         |  SELECT doc_id, CAST(max(c) * $ng * 1000 // any_value(n) AS BIGINT) AS pm
+         |  FROM (SELECT doc_id, n, g, count(*) AS c FROM g$ng GROUP BY 1, 2, 3)
+         |  GROUP BY doc_id)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, $tokensSql AS w, len($tokensSql)::BIGINT AS n
+       |  FROM documents),
+       |${gramCte(2, "t2")},
+       |${gramCte(3, "t3")},
+       |${gramCte(4, "t4")},
+       |${posCte(8)},
+       |dp AS (
+       |  SELECT doc_id, n, p FROM (
+       |    SELECT doc_id, n, p, count(*) OVER (PARTITION BY doc_id, g) AS c
+       |    FROM g8) WHERE c >= 2),
+       |isl AS (
+       |  SELECT doc_id, n, p,
+       |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 7
+       |              THEN 0 ELSE 1 END AS newg
+       |  FROM dp),
+       |cov AS (
+       |  SELECT doc_id,
+       |         CAST(sum(covered) * 1000 // any_value(n) AS BIGINT) AS dup8_pm
+       |  FROM (SELECT doc_id, grp, any_value(n) AS n,
+       |               max(p) - min(p) + 8 AS covered
+       |        FROM (SELECT doc_id, n, p,
+       |                     sum(newg) OVER (PARTITION BY doc_id ORDER BY p
+       |                       ROWS UNBOUNDED PRECEDING) AS grp
+       |              FROM isl)
+       |        GROUP BY 1, 2)
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, b.n AS n_tokens,
+       |       COALESCE(t2.pm, 0) AS top2_pm,
+       |       COALESCE(t3.pm, 0) AS top3_pm,
+       |       COALESCE(t4.pm, 0) AS top4_pm,
+       |       COALESCE(cov.dup8_pm, 0) AS dup8_pm,
+       |       COALESCE(t2.pm, 0) <= $RepTop2Max
+       |         AND COALESCE(t3.pm, 0) <= $RepTop3Max
+       |         AND COALESCE(t4.pm, 0) <= $RepTop4Max
+       |         AND COALESCE(cov.dup8_pm, 0) <= $RepDup8Max AS keep
+       |FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       |       LEFT JOIN t4 USING (doc_id) LEFT JOIN cov USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** End-to-end curation composition — the "what do I actually train on"
     * pipeline as ONE Catalyst plan: Gopher filter battery → exact
     * content dedup among keepers (min doc_id per hash) → leakage-safe

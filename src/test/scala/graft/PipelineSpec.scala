@@ -102,6 +102,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out((f"s$ha%02d", f"s$hb%02d"))._2 >= 1L, "word-2 intersection lost")
   }
 
+  test("gopher repetition: template spam fails keep, dup-8 coverage is interval-exact") {
+    import spark.implicits._
+    val spam = Seq.fill(30)("buy now click here").mkString(" ") // 120 tokens, all template
+    val clean = (1 to 40).map(i => s"uniq$i").mkString(" ")
+    // one repeated 8-gram at positions 1 and 19 → coverage [1..8] ∪ [19..26] = 16 of 36
+    val block = (1 to 8).map(i => s"a$i").mkString(" ")
+    val mid = (1 to 10).map(i => s"m$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"z$i").mkString(" ")
+    val onedup = s"$block $mid $block $tail"
+    val r = TextOps.gopherRepetition(
+        Seq((1L, spam), (2L, clean), (3L, onedup)).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r(1L).getBoolean(6), "spam must fail keep")
+    assert(r(1L).getLong(5) === 1000L, s"spam dup8 ${r(1L).getLong(5)}") // fully covered
+    assert(r(2L).getBoolean(6), "clean must keep")
+    assert(r(2L).getLong(5) === 0L)
+    assert(r(3L).getLong(1) === 36L)
+    assert(r(3L).getLong(5) === 16L * 1000 / 36, s"onedup dup8 ${r(3L).getLong(5)}")
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = Dedup.exact(docs).collect()
     assert(out.map(_.getLong(0)).distinct.length === out.length)
