@@ -1213,6 +1213,8 @@ object SparkEntry {
     "doc_lm_surprisal" -> ((s, dir) => TextOps.lmSurprisal(docs(s, dir))),
     "doc_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
     "doc_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir))),
+    // round-8: trained-tokens-per-word by source (vocab-allocation metric)
+    "doc_bpe_fertility" -> ((s, dir) => TextOps.bpeFertility(docs(s, dir))),
     "doc_bpe_compression" -> ((s, dir) => TextOps.bpeCompression(docs(s, dir))),
     // tokenizer APPLICATION: encode the corpus with the trained merges —
     // shares the memoized training pass with the two entries above
@@ -2614,6 +2616,7 @@ object SparkEntry {
     "doc_lm_surprisal" -> TextOps.lmSurprisalOracle,
     "doc_bpe_pairs" -> TextOps.bpePairsOracle,
     "doc_bpe_train" -> TextOps.bpeTrainOracle,
+    "doc_bpe_fertility" -> TextOps.bpeFertilityOracle,
     "doc_bpe_compression" -> TextOps.bpeCompressionOracle,
     "doc_bpe_encode" -> TextOps.bpeEncodeOracle,
     "doc_pack_bins_bpe" -> TextOps.packBinsBpeOracle,

@@ -1339,6 +1339,40 @@ object TextOps {
        |FROM documents d LEFT JOIN pd USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** TOKENIZER FERTILITY per source — the metric that decides vocab
+    * allocation across languages/sources in every multilingual
+    * tokenizer paper (trained tokens per whitespace word, ×1000): a
+    * source whose fertility runs hot is under-served by the merges.
+    * Consumes the trained [[bpeEncode]] counts (memoized core) + one
+    * word-count projection + one catalog-bounded aggregate.
+    * Output (source, n_docs, n_words, n_bpe_tokens, fertility_pm). */
+  def bpeFertility(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), col("source"),
+      size(filter(tokens(col("text")), w => w =!= "")).cast("long").as("n_words"))
+    bpeEncode(docs).join(words, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens_bpe").as("n_bpe_tokens"))
+      .withColumn("fertility_pm",
+        expr("CASE WHEN n_words > 0 THEN n_bpe_tokens * 1000 div n_words ELSE 0 END"))
+      .orderBy("source")
+  }
+
+  lazy val bpeFertilityOracle: String =
+    s"""WITH $bpeCountCtes,
+       |wc AS (
+       |  SELECT doc_id, source,
+       |         len(list_filter($tokensSql, x -> x != ''))::BIGINT AS n_words
+       |  FROM documents)
+       |SELECT wc.source, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(wc.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(coalesce(pd.nt, 0)) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(CASE WHEN sum(wc.n_words) > 0
+       |                 THEN sum(coalesce(pd.nt, 0)) * 1000 // sum(wc.n_words)
+       |                 ELSE 0 END AS BIGINT) AS fertility_pm
+       |FROM wc LEFT JOIN pd USING (doc_id)
+       |GROUP BY wc.source ORDER BY wc.source""".stripMargin
+
   // lazy: PackTarget/ShardCount are declared earlier in the file but
   // these compose bpeCountCtes which itself reads later-declared vals —
   // lazy sidesteps the object-init-order trap entirely (see gotchas)
