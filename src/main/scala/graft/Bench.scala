@@ -196,7 +196,8 @@ object Bench {
       "doc_shard_plan_bpe", "doc_dup_spans_var", "mm_frame_sample",
       // round-8 additions
       "doc_langid_multi", "doc_dup_spans_removed", "mm_png_roundtrip",
-      "mm_text_align", "mm_audio_dup", "mm_decode_router")
+      "mm_text_align", "mm_audio_dup", "mm_decode_router",
+      "mm_gif_roundtrip", "doc_gopher_repetition", "doc_bpe_fertility")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) ++
       sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" } :+
       f""""shared_build_wall":$sharedWall%.3f""" :+
