@@ -407,20 +407,24 @@ object Dedup {
   /** SPAN REMOVAL — completes the Lee et al. recipe: every token
     * position covered by a [[dupSpansVar]] maximal duplicated extent is
     * excised and the survivors reassembled into the rewritten document
-    * (the [[lineDedup]] discipline at token-span granularity). The
-    * extents are disjoint per doc by construction (gaps-and-islands
-    * merge), so removal is a single indexed `filter` over the token
-    * array against the doc's ≤handful of spans — no per-token join, no
-    * quadratic work; the only corpus-sized shuffle is the doc_id join
-    * of spans back to text. A fully-duplicated document rewrites to the
-    * empty string (hash of "" — the conservation law still holds).
+    * (the [[lineDedup]] discipline at token-span granularity). NOTE:
+    * maximal extents can OVERLAP in token space — duplicated-window-start
+    * islands separated by a gap of 1..SpanLen−1 positions produce extents
+    * whose token ranges intersect (the gaps-and-islands merge joins only
+    * gap-0 islands) — so n_removed is derived as n_tokens − n_kept, never
+    * as a sum of span lengths, which would double-count the overlap.
+    * Removal itself is a single indexed `filter` over the token array
+    * against the doc's ≤handful of spans (position-covered-by-ANY-extent,
+    * naturally overlap-safe) — no per-token join, no quadratic work; the
+    * only corpus-sized shuffle is the doc_id join of spans back to text.
+    * A fully-duplicated document rewrites to the empty string (hash of
+    * "" — the conservation law still holds).
     * Output (doc_id, n_tokens, n_removed, n_kept, new_hash), where
     * n_removed + n_kept == n_tokens is spec-pinned. */
   def removeSpans(docs: DataFrame): DataFrame = {
     val spans = dupSpansVar(docs)
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
-        sum("span_tokens").as("n_removed"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     graft.util.Spread(plantSpans(docs))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .join(spans, Seq("doc_id"), "left")
@@ -429,7 +433,7 @@ object Dedup {
           "filter(w, (t, i) -> NOT exists(spans, s -> i + 1 >= s.span_start AND i + 1 <= s.span_end))")))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
         size(col("kept")).cast("long").as("n_kept"),
         baseHash(concat_ws(" ", col("kept"))).as("new_hash"))
       .orderBy("doc_id")
@@ -463,14 +467,12 @@ object Dedup {
        |      AND t.pos BETWEEN r.span_start AND r.span_start + r.run + ${SpanLen - 2})),
        |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
        |              string_agg(tok, ' ' ORDER BY pos) AS ntext
-       |       FROM kept GROUP BY doc_id),
-       |rm AS (SELECT doc_id, CAST(sum(run + ${SpanLen - 1}) AS BIGINT) AS n_removed
-       |       FROM runs GROUP BY doc_id)
+       |       FROM kept GROUP BY doc_id)
        |SELECT d.doc_id, len(w)::BIGINT AS n_tokens,
-       |       COALESCE(rm.n_removed, 0)::BIGINT AS n_removed,
+       |       (len(w) - COALESCE(ka.n_kept, 0))::BIGINT AS n_removed,
        |       COALESCE(ka.n_kept, 0)::BIGINT AS n_kept,
        |       ('0x' || substr(md5(COALESCE(ka.ntext, '')), 1, 15))::BIGINT AS new_hash
-       |FROM d LEFT JOIN rm USING (doc_id) LEFT JOIN ka USING (doc_id)
+       |FROM d LEFT JOIN ka USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
 

@@ -370,9 +370,9 @@ object Multimodal {
        |FROM d WHERE doc_id % 6 = 4
        |UNION ALL
        |SELECT doc_id, 'unknown', 0, 0, (len + 1)::BIGINT,
-       |       COALESCE(list_reduce(list_transform(range(1, len + 1),
+       |       CASE WHEN len = 0 THEN 0 ELSE list_reduce(list_transform(range(1, len + 1),
        |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
-       |         (a, b) -> (a * 31 + b) % 1000000007), 0),
+       |         (a, b) -> (a * 31 + b) % 1000000007) END,
        |       '00' || lower(hex(substr(text, 1, 3)))
        |FROM d WHERE doc_id % 6 = 5
        |ORDER BY media_id""".stripMargin
@@ -807,9 +807,9 @@ object Multimodal {
        |FROM d WHERE doc_id % 6 = 4
        |UNION ALL
        |SELECT doc_id, 'unknown', TRUE, (len + 1)::BIGINT,
-       |       COALESCE(list_reduce(list_transform(range(1, len + 1),
+       |       CASE WHEN len = 0 THEN 0 ELSE list_reduce(list_transform(range(1, len + 1),
        |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
-       |         (a, b) -> (a * 31 + b) % 1000000007), 0)
+       |         (a, b) -> (a * 31 + b) % 1000000007) END
        |FROM d WHERE doc_id % 6 = 5
        |ORDER BY media_id""".stripMargin
   }
@@ -1695,6 +1695,11 @@ object Multimodal {
       i += 1
     }
     if (prefix >= 0) emit(prefix)
+    // Mirror the decoder's post-final-code bump: after consuming the last
+    // data code the decoder adds a dict entry and widens when its nextCode
+    // reaches 1<<codeWidth — if the encoder left EOI at the old width, a
+    // byte-aligned stream would leave the decoder 1 bit short of EOI.
+    if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
     emit(Eoi)
     if (bitCnt > 0) codes.write((bitBuf & 0xff).toInt)
     val cb = codes.toByteArray
@@ -1819,7 +1824,7 @@ object Multimodal {
         outIdx(nOut) = code; nOut += 1
         prev = code
       } else {
-        if (code > nextCode || code == Clear + 1) return None
+        if (code > nextCode) return None // (code == Eoi consumed by the branch above)
         val toWrite = if (code == nextCode) prev else code // KwKwK
         if (!writeCode(toWrite)) return None
         if (code == nextCode) { // then append first byte of prev's expansion

@@ -17,22 +17,33 @@ package graft.util
   * entries then measure steady-state cost against the shared artifact
   * instead of re-paying (or min-of-2-erasing) the build.
   *
+  * SINGLE-FLIGHT (round-9): Bench's shared builders run concurrently,
+  * and two of them now derive from one shared base relation
+  * (TextOps.docWords feeds both tokenizer trainings) — a last-writer-
+  * wins race would build the base twice in parallel and erase the
+  * sharing. Each key maps to a FutureTask: the first arrival runs the
+  * build on ITS thread (so builders may freely re-enter Memo for OTHER
+  * keys), later arrivals block on the same task and share the value. A
+  * failed build is evicted so a later caller can retry.
+  *
   * Bounded: a handful of artifacts × a handful of (session, input)
   * pairs per JVM; entries are never evicted (the JVM is per-run). */
 object Memo {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Any, Any]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Any, java.util.concurrent.FutureTask[Any]]()
 
-  /** Return the cached value for `key`, or build + cache it. The build
-    * runs outside the map's compute lock (builders launch Spark jobs and
-    * may re-enter Memo); last-writer-wins on a race is acceptable — both
-    * writers produce equivalent materializations. */
+  /** Return the cached value for `key`, or build + cache it — exactly
+    * one builder per key runs, concurrent callers wait and share. */
   def apply[T](key: Any)(build: => T): T = {
-    val hit = cache.get(key)
-    if (hit != null) hit.asInstanceOf[T]
-    else {
-      val v = build
-      cache.put(key, v)
-      v
+    val task = new java.util.concurrent.FutureTask[Any](
+      new java.util.concurrent.Callable[Any] { def call(): Any = build })
+    val prior = cache.putIfAbsent(key, task)
+    val f = if (prior == null) { task.run(); task } else prior
+    try f.get().asInstanceOf[T]
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        cache.remove(key, f) // let a later caller retry a failed build
+        throw e.getCause
     }
   }
 
@@ -46,7 +57,9 @@ object Memo {
       case (a, b, c) => unp(a); unp(b); unp(c)
       case _ => ()
     }
-    cache.values().forEach(v => unp(v))
+    cache.values().forEach { f =>
+      if (f.isDone) try unp(f.get()) catch { case _: Throwable => () }
+    }
     cache.clear()
   }
 }

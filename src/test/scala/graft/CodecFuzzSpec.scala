@@ -128,6 +128,33 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("gif: final data code landing exactly on a width boundary keeps EOI in sync") {
+    // all-distinct-pairs streams emit one data code per pixel; n pixels →
+    // decoder nextCode = 258 + n - 1 after the last code, so n = 255 lands
+    // the post-final-code bump exactly at 512 = 1<<9 (the encoder must
+    // widen EOI to 10 bits to match). Bracket the boundary ±1, and the
+    // 10-bit boundary (n = 767) too.
+    // every adjacent byte-pair distinct → every step is a dict miss → one
+    // data code per pixel (blocks a,k,a,k+1,… enumerate pairs (a,k),(k,a)
+    // each at most once; block transitions contribute unique (255,a+1))
+    def allMiss(n: Int): Array[Int] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[Int](n + 2)
+      var a = 0
+      while (buf.length < n && a < 255) {
+        var k = a + 1
+        while (k <= 255 && buf.length < n) { buf += a; buf += k; k += 1 }
+        a += 1
+      }
+      buf.take(n).toArray
+    }
+    Seq(254, 255, 256, 767).foreach { n =>
+      val idx = allMiss(n)
+      val r = Multimodal.decodeGifPixels(Multimodal.encodeGifPixels(idx, n, 1))
+      assert(r.isDefined, s"n=$n: boundary EOI desync")
+      assert(r.get._3.toSeq === idx.toSeq, s"n=$n: pixels differ")
+    }
+  }
+
   test("png: zip-bomb dims are rejected before inflating (IHDR bound)") {
     // forge IHDR claiming 20000x20000 (raw ≈ 1.2 GB > the 64 MiB bound);
     // re-CRC the chunk so only the size guard can reject it

@@ -70,6 +70,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("removeSpans: OVERLAPPING maximal extents don't double-count n_removed") {
+    import spark.implicits._
+    // doc 1 = ov1..ov20; its window@1 (ov1..ov16) duplicates doc 2 and its
+    // window@5 (ov5..ov20) duplicates doc 3, but windows@2..4 are unique →
+    // two maximal extents [1,16] and [5,20] whose TOKEN ranges overlap on
+    // 5..16. A sum-of-span-lengths n_removed would report 32 > n_tokens=20;
+    // the conservation law (n_removed = n_tokens - n_kept) demands 20.
+    val d = Seq(
+      (1L, (1 to 20).map(i => s"ov$i").mkString(" ")),
+      (2L, (1 to 16).map(i => s"ov$i").mkString(" ")),
+      (3L, (5 to 20).map(i => s"ov$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpansVar(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 1L, 16L), (1L, 5L, 20L), (2L, 1L, 16L), (3L, 1L, 16L)),
+      s"expected overlapping extents in doc 1, got $spans")
+    val rows = Dedup.removeSpans(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) === ((20L, 20L, 0L)), s"doc 1: ${rows(1L)}")
+    assert(rows(2L) === ((16L, 16L, 0L)))
+    assert(rows(3L) === ((16L, 16L, 0L)))
+    rows.values.foreach { case (n, rm, kp) => assert(n === rm + kp) }
+  }
+
   test("theta exact side survives 64+ sources (mask word chunking past bit 59)") {
     import spark.implicits._
     // 70 sources → 2 mask words on the Spark side; the oracle has no

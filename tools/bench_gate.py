@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Per-entry bench regression gate (round-8 verdict item 1).
+
+Compares a fresh pinned-protocol bench record (bench_out.json — MUST be
+produced under SPARK_DRIVER_MEM=16g with no other JVM alive, or the
+comparison is meaningless) against the committed protocol reference
+tools/bench_baseline.json. Fails when:
+  - any shared entry exceeds 1.5x its reference time AND the absolute
+    drift is > 0.5 s (the floor keeps sub-second entries' scheduling
+    jitter from tripping the ratio), or
+  - the entries-only total (queries minus shared_* builds and the
+    store segment) exceeds 1.2x the reference entries-only total.
+
+usage: tools/bench_gate.py [new.json] [ref.json]
+To re-baseline after an accepted slowdown (new operators, heavier
+shared builds): cp bench_out.json tools/bench_baseline.json and commit.
+"""
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RATIO = 1.5
+ABS_FLOOR = 0.5
+TOTAL_RATIO = 1.2
+
+
+def entries_only(queries):
+    return {k: v for k, v in queries.items()
+            if not k.startswith("shared_") and k != "store_hour_prune"
+            and v >= 0}
+
+
+def main():
+    new_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, "bench_out.json")
+    ref_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(ROOT, "tools/bench_baseline.json")
+    if not os.path.exists(ref_path):
+        print(f"[bench-gate] no reference at {ref_path} — skipped (commit one to arm the gate)")
+        return
+    if not os.path.exists(new_path):
+        print(f"[bench-gate] no bench record at {new_path} — skipped")
+        return
+    with open(new_path) as f:
+        new = json.load(f)
+    with open(ref_path) as f:
+        ref = json.load(f)
+    nq, rq = entries_only(new["queries"]), entries_only(ref["queries"])
+    bad = []
+    for k, v in sorted(nq.items()):
+        r = rq.get(k)
+        if r is None or r <= 0:
+            continue
+        if v > r * RATIO and v - r > ABS_FLOOR:
+            bad.append(f"  {k}: {r:.2f} -> {v:.2f} s (x{v / r:.2f})")
+    nt, rt = sum(nq.values()), sum(v for k, v in rq.items() if k in nq)
+    if rt > 0 and nt > rt * TOTAL_RATIO:
+        bad.append(f"  entries-only total (shared keys): {rt:.1f} -> {nt:.1f} s (x{nt / rt:.2f})")
+    new_keys = sorted(set(nq) - set(rq))
+    if new_keys:
+        print(f"[bench-gate] {len(new_keys)} entries not in baseline (unchecked): "
+              + ", ".join(new_keys[:8]) + ("…" if len(new_keys) > 8 else ""))
+    if bad:
+        print(f"[bench-gate] REGRESSION vs {os.path.basename(ref_path)} "
+              f"(protocol runs only — was this one SPARK_DRIVER_MEM=16g, no other JVM?):")
+        print("\n".join(bad))
+        sys.exit(1)
+    print(f"[bench-gate] ok: {len(nq)} entries within x{RATIO} of baseline, "
+          f"entries-only total {nt:.1f} s vs {rt:.1f} s reference")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,3 +18,6 @@ if [ "$NAMES" = "all" ]; then
 else
   python3 tools/tally_check.py
 fi
+# bench regression gate: latest protocol bench_out.json vs the committed
+# baseline (skips itself when either file is absent)
+python3 tools/bench_gate.py

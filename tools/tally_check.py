@@ -71,12 +71,28 @@ def spec_truth():
     return n, None
 
 
+def bench_truth():
+    """Headline seconds from the committed protocol bench record."""
+    p = os.path.join(ROOT, "bench_out.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("value")
+
+
+# A bolded "**X s at sf0.1" is a headline timing claim (round-8 verdict
+# item 2: a round-7 total survived under a round-8 entry count) — it must
+# match bench_out.json["value"] to the displayed precision.
+BENCH_PATTERN = r"\*\*([\d.]+)\s*s at sf0\.1"
+
+
 def main():
     readme = os.path.join(ROOT, "README.md")
     with open(readme) as f:
         lines = f.readlines()
     e_truth, e_src, e_exact = entry_truth()
     s_truth, s_why = spec_truth()
+    b_truth = bench_truth()
     bad = []
     entry_vals = []
     for i, line in enumerate(lines, 1):
@@ -100,6 +116,12 @@ def main():
                         bad.append(f"README.md:{i}: '{m.group(0)}' != {s_truth} (from test-reports)")
                 if matched:
                     break  # the generic '(\d+) specs' also matches the specific pattern
+        if b_truth is not None:
+            for m in re.finditer(BENCH_PATTERN, line):
+                claim = float(m.group(1))
+                if abs(claim - b_truth) > 0.1:
+                    bad.append(f"README.md:{i}: headline '{m.group(0)}' != "
+                               f"{b_truth:.1f} s (from bench_out.json)")
     # internal consistency: every entry-count mention must agree (the
     # 250-vs-246-vs-251 class of drift)
     if len({v for _, v, _ in entry_vals}) > 1:
