@@ -197,7 +197,9 @@ object Bench {
       // round-8 additions
       "doc_langid_multi", "doc_dup_spans_removed", "mm_png_roundtrip",
       "mm_text_align", "mm_audio_dup", "mm_decode_router",
-      "mm_gif_roundtrip", "doc_gopher_repetition", "doc_bpe_fertility")
+      "mm_gif_roundtrip", "doc_gopher_repetition", "doc_bpe_fertility",
+      // round-9 additions
+      "mm_jpeg_roundtrip")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) ++
       sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" } :+
       f""""shared_build_wall":$sharedWall%.3f""" :+

@@ -41,10 +41,11 @@ object SparkEntry {
   val sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shared_bpe_train" ->
       ((s, dir) => { TextOps.bpeTrain(docs(s, dir)).count(); () }),
-    // the tokenizer trained ON the curated train split (doc_train_manifest)
+    // the tokenizer trained ON the curated train split (doc_train_manifest);
+    // shares docWords' single tokenize pass with shared_bpe_train (Memo is
+    // single-flight, so whichever build arrives first tokenizes for both)
     "shared_tokenizer_curated" ->
-      ((s, dir) =>
-        { TextOps.bpeTrain(TextOps.curationTrainDocs(docs(s, dir))).count(); () }),
+      ((s, dir) => { TextOps.bpeTrainCurated(docs(s, dir)).count(); () }),
     "shared_ivf_cluster" ->
       ((s, dir) => Similarity.buildIvfIndex(emb(s, dir))),
     "shared_ann_eval_topks" ->
@@ -1396,6 +1397,7 @@ object SparkEntry {
     // round-8: GIF87a (grayscale palette + REAL LZW: variable code width,
     // CLEAR/EOI, dict reset) — lossless, so the roundtrip oracle is exact
     "mm_gif_roundtrip" -> ((s, dir) => Multimodal.gifRoundtrip(docs(s, dir))),
+    "mm_jpeg_roundtrip" -> ((s, dir) => Multimodal.jpegRoundtrip(docs(s, dir))),
     // round-8: CLIP-recipe alignment gate — per-pair scores + per-source
     // retention over derived image/text embedding pairs with planted swaps
     "mm_align_scores" -> ((s, dir) =>
@@ -2691,6 +2693,7 @@ object SparkEntry {
     "mm_bmp_roundtrip" -> Multimodal.bmpRoundtripOracle,
     "mm_png_roundtrip" -> Multimodal.pngRoundtripOracle,
     "mm_gif_roundtrip" -> Multimodal.gifRoundtripOracle,
+    "mm_jpeg_roundtrip" -> Multimodal.jpegRoundtripOracle,
     "mm_align_scores" -> Multimodal.alignScoresOracle,
     "mm_audio_phash" -> Multimodal.audioPhashesOracle,
     "mm_audio_dup" -> Multimodal.audioDupOracle,

@@ -11,6 +11,10 @@ case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
 case class GifFeature(media_id: Long, ok: Boolean, width: Int, height: Int,
                       n_pixels: Long, sum_idx: Long, pos_checksum: Long)
 
+/** JPEG round-trip features (decoded grayscale stream). */
+case class JpegFeature(media_id: Long, ok: Boolean, width: Int, height: Int,
+                       n_pixels: Long, sum_gray: Long, pos_checksum: Long)
+
 /** Content-routed decode features (real decoders; opaque fallback). */
 case class MediaFeature(media_id: Long, kind: String, width: Int, height: Int,
                         byte_len: Long, checksum: Long, head_hex: String)
@@ -46,15 +50,17 @@ case class WavFeature(media_id: Long, ok: Boolean, n_channels: Int,
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition in batches.
   *
-  * FOUR real codec paths live here: a 24-bpp BMP decoder, a PNG codec
+  * SIX real codec paths live here: a 24-bpp BMP decoder, a PNG codec
   * (DEFLATE via the JDK's Inflater/Deflater, scanline filters 0–4,
-  * CRC-verified chunk walk), a RIFF/WAVE PCM16 decoder, and a
-  * length-prefixed VIDEO container of real BMP frames (scene cuts +
-  * frame sampling run on DECODED PIXELS) — none needs an external
-  * library, and their entries are oracle-verified end-to-end. Formats
-  * with no codec in this container (JPEG/MP4/...) fall to
-  * `decodeOpaque` byte-level features — the honest floor of a decode
-  * stage, not a placeholder. The production shape throughout:
+  * CRC-verified chunk walk), a GIF87a codec (real LZW, variable code
+  * width), a baseline-JFIF JPEG codec (DCT + Annex-K Huffman), a
+  * RIFF/WAVE PCM16 decoder, and a length-prefixed VIDEO container of
+  * real BMP frames (scene cuts + frame sampling run on DECODED PIXELS)
+  * — none needs an external library, and their entries are
+  * oracle-verified end-to-end. Formats with no codec in this container
+  * (MP4/WEBP/...) fall to `decodeOpaque` byte-level features — the
+  * honest floor of a decode stage, not a placeholder. The production
+  * shape throughout:
   *   - schema: (media_id, kind, payload binary, width, height) — the
   *     payload column stays opaque to Catalyst, metadata columns are
   *     pruned/pushed independently of the blob;
@@ -126,6 +132,15 @@ object Multimodal {
               var k = 0
               while (k < px.length) { chk += px(k).toLong * (k + 1); k += 1 }
               MediaFeature(m.media_id, "gif", w, h, px.length.toLong, chk, hh)
+          }
+        case "jpeg" =>
+          decodeJpegPixels(m.payload) match {
+            case None => decodeOpaque(m)
+            case Some((w, h, px)) =>
+              var chk = 0L
+              var k = 0
+              while (k < px.length) { chk += px(k).toLong * (k + 1); k += 1 }
+              MediaFeature(m.media_id, "jpeg", w, h, px.length.toLong, chk, hh)
           }
         case "audio" =>
           val f = decodeWav(m.media_id, m.payload)
@@ -323,6 +338,7 @@ object Multimodal {
        |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
        |         5 + n_chars % 4 AS hp,
        |         3 + n_chars % 5 AS hg,
+       |         8 * (1 + n_chars % 2) AS wj, 8 * (1 + n_chars % 3) AS hj,
        |         8 + n_chars % 5 AS nf,
        |         16 + n_chars % 33 AS na
        |  FROM documents)
@@ -336,14 +352,14 @@ object Multimodal {
        |       '424d' || printf('%02x%02x',
        |         (54 + ((w * 3 + 3) // 4) * 4 * h) % 256,
        |         ((54 + ((w * 3 + 3) // 4) * 4 * h) // 256) % 256) AS head_hex
-       |FROM d WHERE doc_id % 6 = 0
+       |FROM d WHERE doc_id % 7 = 0
        |UNION ALL
        |SELECT doc_id, 'audio', 1, 8000, na::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, na),
        |         k -> ((${byteAt("k")} - 96) * 128) * (k + 1))),
        |         (a, b) -> a + b),
        |       '52494646'
-       |FROM d WHERE doc_id % 6 = 1
+       |FROM d WHERE doc_id % 7 = 1
        |UNION ALL
        |SELECT doc_id, 'video', w::INTEGER, h::INTEGER, nf::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, nf), f ->
@@ -352,7 +368,7 @@ object Multimodal {
        |             j -> ${videoByteSql("f", "j")}::BIGINT)), (a, b) -> a + b))),
        |         (a, b) -> a + b),
        |       '47564331'
-       |FROM d WHERE doc_id % 6 = 2
+       |FROM d WHERE doc_id % 7 = 2
        |UNION ALL
        |SELECT doc_id, 'png', w::INTEGER, hp::INTEGER, (w * hp)::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hp),
@@ -360,21 +376,28 @@ object Multimodal {
        |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
        |         (a, b) -> a + b),
        |       '89504e47'
-       |FROM d WHERE doc_id % 6 = 3
+       |FROM d WHERE doc_id % 7 = 3
        |UNION ALL
        |SELECT doc_id, 'gif', w::INTEGER, hg::INTEGER, (w * hg)::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hg),
        |         k -> ${byteAt("k")} * (k + 1))),
        |         (a, b) -> a + b),
        |       '47494638'
-       |FROM d WHERE doc_id % 6 = 4
+       |FROM d WHERE doc_id % 7 = 4
        |UNION ALL
        |SELECT doc_id, 'unknown', 0, 0, (len + 1)::BIGINT,
        |       CASE WHEN len = 0 THEN 0 ELSE list_reduce(list_transform(range(1, len + 1),
        |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
        |         (a, b) -> (a * 31 + b) % 1000000007) END,
        |       '00' || lower(hex(substr(text, 1, 3)))
-       |FROM d WHERE doc_id % 6 = 5
+       |FROM d WHERE doc_id % 7 = 5
+       |UNION ALL
+       |SELECT doc_id, 'jpeg', wj::INTEGER, hj::INTEGER, (wj * hj)::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, wj * hj),
+       |         k -> ${byteAt("(k // (wj * 8)) * (wj // 8) + (k % wj) // 8")} * (k + 1))),
+       |         (a, b) -> a + b),
+       |       'ffd8ffe0'
+       |FROM d WHERE doc_id % 7 = 6
        |ORDER BY media_id""".stripMargin
   }
 
@@ -668,14 +691,16 @@ object Multimodal {
       p(3) == 'G' && p(4) == '\r' && p(5) == '\n' && p(6) == 0x1a && p(7) == '\n') "png"
     else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
       (p(4) == '7' || p(4) == '9') && p(5) == 'a') "gif"
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff) "jpeg"
     else "unknown"
 
-  /** Mixed-media table: doc_id mod 6 picks the kind, each payload built
-    * by that kind's REAL encoder (BMP / WAV / video container / PNG / GIF);
-    * unknown = text bytes behind a 0x00 lead byte — no magic starts
-    * with NUL, so the unknown branch can never collide with a real
-    * format regardless of text content (round-7 advice: raw text
-    * starting with "BM"/"RIFF…WAVE" would have routed as media and
+  /** Mixed-media table: doc_id mod 7 picks the kind, each payload built
+    * by that kind's REAL encoder (BMP / WAV / video container / PNG /
+    * GIF / JPEG); unknown = text bytes behind a 0x00 lead byte — no
+    * magic starts with NUL, so the unknown branch can never collide
+    * with a real format regardless of text content (round-7 advice: raw
+    * text starting with "BM"/"RIFF…WAVE" would have routed as media and
     * diverged from the oracle). The `kind` metadata column is
     * deliberately a LIE ("mixed") so the router must detect from
     * content. */
@@ -685,7 +710,7 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (id, text, nc) =>
-        val payload = (id % 6) match {
+        val payload = (id % 7) match {
           case 0 => encodeBmp(id, text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt)
           case 1 => encodeWav(text, 16 + (nc % 33).toInt)
           case 2 => encodeVideo(text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt,
@@ -696,7 +721,10 @@ object Multimodal {
           case 4 =>
             val (w, h) = gifDims(nc)
             encodeGif(text, w, h)
-          case _ => (0: Byte) +: text.getBytes("UTF-8")
+          case 5 => (0: Byte) +: text.getBytes("UTF-8")
+          case _ =>
+            val (w, h) = jpegDims(nc)
+            encodeJpeg(text, w, h)
         }
         MediaRow(id, "mixed", payload, 0, 0)
       }).toDF()
@@ -748,6 +776,15 @@ object Multimodal {
               while (k < px.length) { chk += px(k).toLong * (k + 1); k += 1 }
               RoutedMedia(m.media_id, "gif", ok = true, px.length.toLong, chk)
           }
+        case "jpeg" =>
+          decodeJpegPixels(m.payload) match {
+            case None => RoutedMedia(m.media_id, "jpeg", ok = false, 0L, 0L)
+            case Some((w, h, px)) =>
+              var chk = 0L
+              var k = 0
+              while (k < px.length) { chk += px(k).toLong * (k + 1); k += 1 }
+              RoutedMedia(m.media_id, "jpeg", ok = true, px.length.toLong, chk)
+          }
         case _ =>
           val f = decodeOpaque(m)
           RoutedMedia(m.media_id, "unknown", ok = true, f.byte_len, f.checksum)
@@ -757,7 +794,7 @@ object Multimodal {
 
   /** DuckDB twin of [[decodeRouter]] ∘ [[mixedMediaFromDocs]]: each
     * kind's units/checksum recomputed from text via the shared rules —
-    * six UNION branches keyed by doc_id mod 6. The unknown branch's
+    * seven UNION branches keyed by doc_id mod 7. The unknown branch's
     * 0x00 lead byte folds into the rolling hash as a no-op (the fold
     * starts at 0, and 0·31 + 0 = 0) — only the length shifts by one. */
   lazy val decodeRouterOracle: String = {
@@ -768,6 +805,7 @@ object Multimodal {
        |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
        |         5 + n_chars % 4 AS hp,
        |         3 + n_chars % 5 AS hg,
+       |         8 * (1 + n_chars % 2) AS wj, 8 * (1 + n_chars % 3) AS hj,
        |         8 + n_chars % 5 AS nf,
        |         16 + n_chars % 33 AS na
        |  FROM documents)
@@ -777,13 +815,13 @@ object Multimodal {
        |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
        |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
        |         (a, b) -> a + b) AS checksum
-       |FROM d WHERE doc_id % 6 = 0
+       |FROM d WHERE doc_id % 7 = 0
        |UNION ALL
        |SELECT doc_id, 'audio', TRUE, na::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, na),
        |         k -> ((${byteAt("k")} - 96) * 128) * (k + 1))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 6 = 1
+       |FROM d WHERE doc_id % 7 = 1
        |UNION ALL
        |SELECT doc_id, 'video', TRUE, nf::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, nf), f ->
@@ -791,26 +829,32 @@ object Multimodal {
        |           list_transform(range(0, w * h * 3),
        |             j -> ${videoByteSql("f", "j")}::BIGINT)), (a, b) -> a + b))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 6 = 2
+       |FROM d WHERE doc_id % 7 = 2
        |UNION ALL
        |SELECT doc_id, 'png', TRUE, (w * hp)::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hp),
        |         k -> (299 * ${byteAt("3 * k")} + 587 * ${byteAt("3 * k + 1")}
        |               + 114 * ${byteAt("3 * k + 2")}) * (k + 1))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 6 = 3
+       |FROM d WHERE doc_id % 7 = 3
        |UNION ALL
        |SELECT doc_id, 'gif', TRUE, (w * hg)::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * hg),
        |         k -> ${byteAt("k")} * (k + 1))),
        |         (a, b) -> a + b)
-       |FROM d WHERE doc_id % 6 = 4
+       |FROM d WHERE doc_id % 7 = 4
        |UNION ALL
        |SELECT doc_id, 'unknown', TRUE, (len + 1)::BIGINT,
        |       CASE WHEN len = 0 THEN 0 ELSE list_reduce(list_transform(range(1, len + 1),
        |         i -> ord(text[CAST(i AS INTEGER)])::BIGINT),
        |         (a, b) -> (a * 31 + b) % 1000000007) END
-       |FROM d WHERE doc_id % 6 = 5
+       |FROM d WHERE doc_id % 7 = 5
+       |UNION ALL
+       |SELECT doc_id, 'jpeg', TRUE, (wj * hj)::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, wj * hj),
+       |         k -> ${byteAt("(k // (wj * 8)) * (wj // 8) + (k % wj) // 8")} * (k + 1))),
+       |         (a, b) -> a + b)
+       |FROM d WHERE doc_id % 7 = 6
        |ORDER BY media_id""".stripMargin
   }
 
@@ -1898,6 +1942,451 @@ object Multimodal {
       |SELECT doc_id AS media_id, TRUE AS ok, w::INTEGER AS width,
       |       h::INTEGER AS height, npix::BIGINT AS n_pixels,
       |       list_reduce(list_prepend(0::BIGINT, xs), (a, b) -> a + b) AS sum_idx,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, npix),
+      |         k -> xs[CAST(k AS INTEGER) + 1] * (k + 1))),
+      |         (a, b) -> a + b) AS pos_checksum
+      |FROM f ORDER BY media_id""".stripMargin
+
+  // ---- REAL baseline JPEG (round-9): JFIF grayscale, DCT + Huffman --------
+  //
+  // The format that dominates real crawl data. This is a complete
+  // baseline-JFIF codec pair in JDK-only Scala: forward/inverse 8×8 DCT,
+  // quantization (all-ones tables — "quality 100", legal per T.81),
+  // zigzag, DC-differential + run-length AC Huffman coding with the
+  // public Annex-K luminance tables, 0xFF byte stuffing, and a marker
+  // walk (APPn/COM skipped, progressive/multi-component/restart-interval
+  // streams rejected — the grayscale baseline subset). JPEG is lossy in
+  // general, so the oracle-gated entry encodes 8×8 BLOCK-CONSTANT tiles:
+  // a constant block has only a DC coefficient, the float DCT/IDCT pair
+  // is exact on it (AC sums cancel below the rounding threshold), and
+  // decode∘encode is the pixel identity — text-derivable, hash-exact.
+  // Arbitrary images round-trip within a spec-pinned error bound.
+
+  /** Zigzag scan order: zigzag index → natural (row-major) index. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex-K luminance DC table: code-length counts + symbols (cats 0–11). */
+  private val JpegDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array.tabulate(12)(identity)
+
+  /** Annex-K luminance AC table (162 symbols: (run, size) + EOB + ZRL). */
+  private val JpegAcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** cos((2x+1)·u·π/16) and the u=0 1/√2 scale, shared by FDCT/IDCT. */
+  private lazy val JpegCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val JpegC0 = 1.0 / math.sqrt(2.0)
+
+  /** Canonical Huffman assignment: symbol → (code, length). */
+  private def jpegCanonical(bits: Array[Int], vals: Array[Int]): (Array[Int], Array[Int]) = {
+    val code = new Array[Int](256); val len = new Array[Int](256)
+    var c = 0; var vi = 0
+    var l = 1
+    while (l <= 16) {
+      var n = 0
+      while (n < bits(l - 1)) {
+        code(vals(vi)) = c; len(vals(vi)) = l
+        c += 1; vi += 1; n += 1
+      }
+      c <<= 1; l += 1
+    }
+    (code, len)
+  }
+
+  /** Magnitude category: number of bits of |v| (0 for v = 0). */
+  private def jpegCat(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode a baseline JFIF grayscale JPEG from row-major 0..255 gray
+    * pixels: SOI, APP0, DQT (all-ones), SOF0, the two Annex-K DHTs,
+    * SOS, entropy-coded 8×8 blocks (edge-replicated at the borders),
+    * EOI. Real stuffed-byte bitstream — any JFIF reader decodes it. */
+  private[graft] def encodeJpegPixels(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(gray.length / 2 + 1024)
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)
+    marker(0xe0); be16(16)
+    out.write('J'); out.write('F'); out.write('I'); out.write('F'); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    marker(0xdb); be16(2 + 1 + 64); out.write(0x00)
+    var qi = 0
+    while (qi < 64) { out.write(1); qi += 1 }
+    marker(0xc0); be16(8 + 3)
+    out.write(8); be16(h); be16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write(cls)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0x00, JpegDcBits, JpegDcVals)
+    dht(0x10, JpegAcBits, JpegAcVals)
+    marker(0xda); be16(8)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val (dcCode, dcLen) = jpegCanonical(JpegDcBits, JpegDcVals)
+    val (acCode, acLen) = jpegCanonical(JpegAcBits, JpegAcVals)
+    // stuffed-byte bit writer, MSB first
+    var cur = 0; var nb = 0
+    def putBits(bits: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((bits >>> i) & 1); nb += 1
+        if (nb == 8) {
+          out.write(cur)
+          if (cur == 0xff) out.write(0x00)
+          cur = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def putVal(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v >= 0) v else v + (1 << cat) - 1, cat)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val blk = new Array[Double](64); val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { // edge replication outside w×h
+            val sy = math.min(by * 8 + y, h - 1)
+            val sx = math.min(bx * 8 + x, w - 1)
+            blk(y * 8 + x) = gray(sy * w + sx) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var s = 0.0
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                s += blk(yy * 8 + xx) * JpegCos(u)(xx) * JpegCos(v)(yy)
+                xx += 1
+              }
+              yy += 1
+            }
+            val cu = if (u == 0) JpegC0 else 1.0
+            val cv = if (v == 0) JpegC0 else 1.0
+            coef(v * 8 + u) = math.round(0.25 * cu * cv * s).toInt // quant = 1
+            u += 1
+          }
+          v += 1
+        }
+        val dc = coef(0)
+        val dCat = jpegCat(dc - pred)
+        putBits(dcCode(dCat), dcLen(dCat)); putVal(dc - pred, dCat)
+        pred = dc
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val z = coef(JpegZigzag(k))
+          if (z == 0) run += 1
+          else {
+            while (run > 15) { putBits(acCode(0xf0), acLen(0xf0)); run -= 16 }
+            val cat = jpegCat(z)
+            val sym = (run << 4) | cat
+            putBits(acCode(sym), acLen(sym)); putVal(z, cat)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) putBits(acCode(0x00), acLen(0x00)) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb) // pad with 1s
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** REAL baseline JPEG decode: marker walk (APPn/COM skipped; SOF2
+    * progressive, multi-component scans, DRI restart intervals, 12-bit
+    * precision all rejected), DQT/DHT parsed FROM THE STREAM (canonical
+    * rebuild — the decoder never assumes the encoder's tables), stuffed
+    * bit reader, DC-diff + AC run-length Huffman entropy decode,
+    * dequantize, dezigzag, inverse DCT, +128 clamp. Returns row-major
+    * gray 0..255. Any structural violation — truncation, bad code,
+    * coefficient overflow, pixel bomb — yields None, never a throw. */
+  private[graft] def decodeJpegPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var pos = 2
+    val qtz = Array.ofDim[Int](4, 64)
+    val qtSeen = new Array[Boolean](4)
+    // (class 0|1)(id) → canonical map keyed (len << 32) | code
+    val huff = Array.fill(2, 4)(null: scala.collection.mutable.LongMap[Int])
+    var w = 0; var h = 0; var compQ = 0; var sofSeen = false
+    var dcTbl = 0; var acTbl = 0
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (pos + 2 > p.length) return None
+      if (u8(pos) != 0xff) return None
+      val m = u8(pos + 1); pos += 2
+      if (m == 0xd8 || m == 0xd9 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) return None
+      if (pos + 2 > p.length) return None
+      val len = u16(pos)
+      if (len < 2 || pos + len > p.length) return None
+      m match {
+        case 0xdb => // DQT (possibly several tables)
+          var q = pos + 2
+          while (q < pos + len) {
+            val pqtq = u8(q); q += 1
+            if ((pqtq >> 4) != 0 || (pqtq & 15) > 3) return None // 8-bit only
+            if (q + 64 > pos + len) return None
+            var i = 0
+            while (i < 64) { qtz(pqtq & 15)(i) = u8(q + i); i += 1 }
+            qtSeen(pqtq & 15) = true
+            q += 64
+          }
+        case 0xc0 => // SOF0 baseline
+          if (sofSeen || len < 11 || u8(pos + 2) != 8) return None
+          h = u16(pos + 3); w = u16(pos + 5)
+          if (u8(pos + 7) != 1) return None // grayscale subset
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+          if (u8(pos + 9) != 0x11) return None // 1×1 sampling
+          compQ = u8(pos + 10)
+          if (compQ > 3) return None
+          sofSeen = true
+        case 0xc4 => // DHT (possibly several tables)
+          var q = pos + 2
+          while (q < pos + len) {
+            val tcth = u8(q); q += 1
+            val tc = tcth >> 4; val th = tcth & 15
+            if (tc > 1 || th > 3 || q + 16 > pos + len) return None
+            var total = 0
+            var l = 0
+            while (l < 16) { total += u8(q + l); l += 1 }
+            if (total > 256 || q + 16 + total > pos + len) return None
+            val map = scala.collection.mutable.LongMap.empty[Int]
+            var code = 0; var vi = 0
+            l = 1
+            while (l <= 16) {
+              var n = 0
+              while (n < u8(q + l - 1)) {
+                if (code >= (1 << l)) return None // over-full code
+                map.put((l.toLong << 32) | code.toLong, u8(q + 16 + vi))
+                code += 1; vi += 1; n += 1
+              }
+              code <<= 1; l += 1
+            }
+            huff(tc)(th) = map
+            q += 16 + total
+          }
+        case 0xda => // SOS
+          if (!sofSeen || len != 8 || u8(pos + 2) != 1) return None
+          val tdta = u8(pos + 4)
+          dcTbl = tdta >> 4; acTbl = tdta & 15
+          if (dcTbl > 3 || acTbl > 3) return None
+          if (u8(pos + 5) != 0 || u8(pos + 6) != 63 || u8(pos + 7) != 0) return None
+          sosAt = pos + len
+        case 0xc2 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf => return None // non-baseline SOF
+        case 0xdd => return None // DRI: restart intervals unsupported
+        case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe => () // APPn/COM: skip
+        case _ => return None
+      }
+      if (sosAt < 0) pos += len
+    }
+    if (!qtSeen(compQ)) return None
+    if (huff(0)(dcTbl) == null || huff(1)(acTbl) == null) return None
+    val dcMap = huff(0)(dcTbl); val acMap = huff(1)(acTbl)
+    val q = qtz(compQ)
+    // stuffed bit reader
+    var bpos = sosAt; var bbuf = 0; var bcnt = 0
+    def nextBit(): Int = {
+      if (bcnt == 0) {
+        if (bpos >= p.length) return -1
+        val b = u8(bpos); bpos += 1
+        if (b == 0xff) {
+          if (bpos >= p.length || u8(bpos) != 0x00) return -1 // marker: data over
+          bpos += 1
+        }
+        bbuf = b; bcnt = 8
+      }
+      bcnt -= 1
+      (bbuf >> bcnt) & 1
+    }
+    def decodeSym(map: scala.collection.mutable.LongMap[Int]): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val b = nextBit(); if (b < 0) return -1
+        code = (code << 1) | b; l += 1
+        map.get((l.toLong << 32) | code.toLong) match {
+          case Some(s) => return s
+          case None => ()
+        }
+      }
+      -1
+    }
+    def receiveExtend(cat: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < cat) {
+        val b = nextBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      if (cat > 0 && v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+    }
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val gray = new Array[Int](w * h)
+    val coefZ = new Array[Int](64); val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coefZ, 0)
+        val dCat = decodeSym(dcMap)
+        if (dCat < 0 || dCat > 11) return None
+        val diff = receiveExtend(dCat)
+        if (diff == Int.MinValue) return None
+        pred += diff
+        coefZ(0) = pred * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val sym = decodeSym(acMap)
+          if (sym < 0) return None
+          val run = sym >> 4; val cat = sym & 15
+          if (cat == 0) {
+            if (sym == 0x00) eob = true
+            else if (sym == 0xf0) k += 16
+            else return None
+          } else {
+            k += run
+            if (k > 63 || cat > 10) return None
+            val v = receiveExtend(cat)
+            if (v == Int.MinValue) return None
+            coefZ(k) = v * q(k)
+            k += 1
+          }
+        }
+        var z = 0
+        while (z < 64) { coef(JpegZigzag(z)) = coefZ(z); z += 1 }
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val py = by * 8 + y; val px = bx * 8 + x
+            if (py < h && px < w) {
+              var s = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val c = coef(v * 8 + u)
+                  if (c != 0) {
+                    val cu = if (u == 0) JpegC0 else 1.0
+                    val cv = if (v == 0) JpegC0 else 1.0
+                    s += cu * cv * c * JpegCos(u)(x) * JpegCos(v)(y)
+                  }
+                  u += 1
+                }
+                v += 1
+              }
+              val g = math.round(0.25 * s).toInt + 128
+              gray(py * w + px) = math.max(0, math.min(255, g))
+            }
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** JPEG dims rule (oracle-shared): multiples of 8 — w ∈ {8,16},
+    * h ∈ {8,16,24} — so the block-constant tile construction below has
+    * no partial blocks and decode∘encode is pixel-exact. */
+  private[graft] def jpegDims(nChars: Long): (Int, Int) =
+    (8 * (1 + (nChars % 2)).toInt, 8 * (1 + (nChars % 3)).toInt)
+
+  /** One grayscale JPEG per doc: every 8×8 tile is CONSTANT at the text
+    * byte of its tile index (row-major tiles) — DC-only blocks, exact
+    * through the real DCT/quantizer (see the section comment). */
+  private[graft] def encodeJpeg(text: String, w: Int, h: Int): Array[Byte] = {
+    val gray = new Array[Int](w * h)
+    val tw = w / 8
+    var k = 0
+    while (k < gray.length) {
+      val tile = (k / (w * 8)) * tw + (k % w) / 8
+      gray(k) = pixelByte(text, tile)
+      k += 1
+    }
+    encodeJpegPixels(gray, w, h)
+  }
+
+  /** JPEG round-trip features from the decoded grayscale stream:
+    * (media_id, ok, width, height, n_pixels, sum_gray, pos_checksum). */
+  def jpegRoundtrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val (w, h) = jpegDims(nc)
+        decodeJpegPixels(encodeJpeg(text, w, h)) match {
+          case None => JpegFeature(id, ok = false, 0, 0, 0L, 0L, 0L)
+          case Some((gw, gh, px)) =>
+            var s = 0L; var chk = 0L; var k = 0
+            while (k < px.length) { s += px(k); chk += px(k).toLong * (k + 1); k += 1 }
+            JpegFeature(id, ok = true, gw, gh, px.length.toLong, s, chk)
+        }
+      }).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB twin of [[jpegRoundtrip]]: decoded pixels ARE the tile byte
+    * rule (block-constant ⇒ DCT-exact), so the oracle never touches a
+    * coefficient — agreement proves the whole marker + Huffman + DCT +
+    * quantizer pipeline is the identity on its exactness domain. */
+  val jpegRoundtripOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         8 * (1 + n_chars % 2) AS w, 8 * (1 + n_chars % 3) AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, w * h AS npix,
+      |         list_transform(range(0, w * h),
+      |           k -> (CASE WHEN len = 0 THEN 0 ELSE ord(text[
+      |             CAST(((k // (w * 8)) * (w // 8) + (k % w) // 8) % len AS INTEGER) + 1]) END)::BIGINT) AS xs
+      |  FROM d)
+      |SELECT doc_id AS media_id, TRUE AS ok, w::INTEGER AS width,
+      |       h::INTEGER AS height, npix::BIGINT AS n_pixels,
+      |       list_reduce(list_prepend(0::BIGINT, xs), (a, b) -> a + b) AS sum_gray,
       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, npix),
       |         k -> xs[CAST(k AS INTEGER) + 1] * (k + 1))),
       |         (a, b) -> a + b) AS pos_checksum

@@ -29,6 +29,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.decodeVideoFrames(p)
     Multimodal.decodePngPixels(p)
     Multimodal.decodeGifPixels(p)
+    Multimodal.decodeJpegPixels(p)
     Multimodal.detectKind(p)
     ()
   }
@@ -39,6 +40,7 @@ class CodecFuzzSpec extends AnyFunSuite {
   private val validVid = Multimodal.encodeVideo(text, 5, 4, 9)
   private val validPng = Multimodal.encodePng(text, 6, 8)
   private val validGif = Multimodal.encodeGif(text, 7, 5)
+  private val validJpg = Multimodal.encodeJpeg(text, 16, 24)
 
   test("random byte blobs never throw (all decoders + the router dispatch)") {
     val gen = for {
@@ -53,7 +55,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     // that used to overflow (w*3, pos+8+sz) in Int arithmetic
     val hostile = Seq(0x7fffffff, 0x7ffffffd, 0x80000000, -1, 0x40000000, 54, 1 << 24)
     for {
-      base <- Seq(validBmp, validWav, validVid, validPng, validGif)
+      base <- Seq(validBmp, validWav, validVid, validPng, validGif, validJpg)
       off <- 0 until math.min(base.length - 3, 96)
       v <- hostile
     } {
@@ -68,8 +70,8 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("random single-byte mutations and truncations of valid files never throw") {
     val gen = for {
-      which <- Gen.choose(0, 4)
-      base = Seq(validBmp, validWav, validVid, validPng, validGif)(which)
+      which <- Gen.choose(0, 5)
+      base = Seq(validBmp, validWav, validVid, validPng, validGif, validJpg)(which)
       cut <- Gen.choose(0, base.length)
       off <- Gen.choose(0, math.max(base.length - 1, 0))
       b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
@@ -153,6 +155,77 @@ class CodecFuzzSpec extends AnyFunSuite {
       assert(r.isDefined, s"n=$n: boundary EOI desync")
       assert(r.get._3.toSeq === idx.toSeq, s"n=$n: pixels differ")
     }
+  }
+
+  test("jpeg: decode∘encode is the pixel identity on 8×8 block-constant images") {
+    // a constant block has only a DC coefficient; with all-ones quant
+    // tables the float DCT/IDCT pair is exact on it — the exactness
+    // domain the oracle-gated entry (mm_jpeg_roundtrip) relies on
+    val w = 16; val h = 24
+    val tiles = Array(0, 255, 128, 7, 200, 64) // extremes + mid values
+    val px = Array.tabulate(w * h) { k =>
+      tiles(((k / (w * 8)) * (w / 8) + (k % w) / 8) % tiles.length)
+    }
+    val got = Multimodal.decodeJpegPixels(Multimodal.encodeJpegPixels(px, w, h))
+    assert(got.isDefined)
+    val (gw, gh, gp) = got.get
+    assert(gw === w && gh === h)
+    assert(gp.toSeq === px.toSeq)
+  }
+
+  test("jpeg: arbitrary images round-trip within the quantizer error bound") {
+    // quant=1 ⇒ per-coefficient rounding error ≤ 0.5 ⇒ per-pixel IDCT
+    // error ≤ 0.25·Σ|cucv·0.5| = 8 worst-case; measure ≤ 4 in practice
+    // and non-8-multiple dims exercise the edge-replication path
+    for ((w, h) <- Seq((16, 16), (13, 9), (8, 25))) {
+      val px = Array.tabulate(w * h)(j => ((j * 2654435761L >>> 7) & 0xff).toInt)
+      val got = Multimodal.decodeJpegPixels(Multimodal.encodeJpegPixels(px, w, h))
+      assert(got.isDefined, s"${w}x$h")
+      val (gw, gh, gp) = got.get
+      assert(gw === w && gh === h)
+      var maxErr = 0
+      var k = 0
+      while (k < px.length) {
+        maxErr = math.max(maxErr, math.abs(gp(k) - px(k))); k += 1
+      }
+      assert(maxErr <= 8, s"${w}x$h: max per-pixel error $maxErr > quantizer bound")
+    }
+  }
+
+  test("jpeg: non-baseline and hostile structures are rejected, never thrown") {
+    // progressive SOF2 instead of SOF0
+    assert(Multimodal.decodeJpegPixels(mark(validJpg, 0xc0, 0xc2)).isEmpty)
+    // 16-bit precision claim
+    val deep = validJpg.clone()
+    val at = sofIdx(deep, 0xc0)
+    deep(at + 4) = 16
+    assert(Multimodal.decodeJpegPixels(deep).isEmpty)
+    // dimension bomb: SOF h×w = 65535×65535 > the 2^26 pixel bound
+    val bomb = validJpg.clone()
+    val sa = sofIdx(bomb, 0xc0)
+    bomb(sa + 5) = 0xff.toByte; bomb(sa + 6) = 0xff.toByte
+    bomb(sa + 7) = 0xff.toByte; bomb(sa + 8) = 0xff.toByte
+    assert(Multimodal.decodeJpegPixels(bomb).isEmpty)
+    // truncated entropy stream (cut before EOI)
+    assert(Multimodal.decodeJpegPixels(
+      java.util.Arrays.copyOf(validJpg, validJpg.length - 4)).isEmpty)
+  }
+
+  /** Offset of the 0xFF byte of the first marker `m` in a JPEG. */
+  private def sofIdx(p: Array[Byte], m: Int): Int = {
+    var i = 2
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def mark(p: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val m = p.clone()
+    val i = sofIdx(m, from)
+    if (i >= 0) m(i + 1) = to.toByte
+    m
   }
 
   test("png: zip-bomb dims are rejected before inflating (IHDR bound)") {

@@ -1898,10 +1898,12 @@ class PipelineSpec extends AnyFunSuite {
     val vid = Multimodal.encodeVideo("abcdef", 4, 3, 8)
     val raw = "just some text".getBytes("UTF-8")
     val corruptBmp = bmp.clone(); corruptBmp(28) = 16 // right magic, wrong bpp
+    val jpg = Multimodal.encodeJpeg("abcdef", 8, 16)
     val df = Seq(
       MediaRow(1L, "mixed", bmp, 0, 0), MediaRow(2L, "mixed", wav, 0, 0),
       MediaRow(3L, "mixed", vid, 0, 0), MediaRow(4L, "mixed", raw, 0, 0),
-      MediaRow(5L, "mixed", corruptBmp, 0, 0)).toDF()
+      MediaRow(5L, "mixed", corruptBmp, 0, 0),
+      MediaRow(6L, "mixed", jpg, 0, 0)).toDF()
     val out = Multimodal.decodeRouter(df).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3)))).toMap
     assert(out(1L) === (("image", true, 12L)))
@@ -1910,6 +1912,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L)._1 === "unknown" && out(4L)._3 === raw.length.toLong)
     // routed correctly by magic, decode rejects cleanly — a row, not a throw
     assert(out(5L) === (("image", false, 0L)))
+    assert(out(6L) === (("jpeg", true, 128L)))
   }
 
   test("video container: real frame decode, planted mid-clip cut on decoded pixels") {
