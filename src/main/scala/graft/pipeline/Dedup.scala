@@ -476,6 +476,56 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- span primitives shared with the STREAMING face ---------------------
+
+  /** Stride-1 [[SpanLen]]-token window hashes of a (doc_id, text) corpus:
+    * (doc_id, pos, h) — the window primitive behind [[dupSpans]]/
+    * [[dupSpansVar]], exposed for
+    * [[graft.streaming.StreamingSpanDedup]]'s stored-index probes.
+    * Linear in tokens, map-side generated, no shuffle. */
+  private[graft] def spanWindows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= SpanLen)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - SpanLen),
+          i => struct((i + 1).cast("long").as("pos"),
+            baseHash(concat_ws(" ", slice(col("w"), i + lit(1), lit(SpanLen)))).as("h")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+
+  /** Merge duplicated window-start positions (doc_id, pos) into maximal
+    * token extents [span_start, span_end] — the gaps-and-islands closed
+    * form shared by the batch and streaming span operators. The islands
+    * window is per-doc (bounded by doc length), never global. */
+  private[graft] def extentsOf(dupPos: DataFrame): DataFrame = {
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos.withColumn("grp", col("pos") - row_number().over(wn))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("span_start"),
+        (col("span_start") + col("run") + lit(SpanLen - 2)).as("span_end"))
+  }
+
+  /** Excise every token position covered by an extent and reassemble —
+    * the [[removeSpans]] filter, parameterized by the extent relation so
+    * the streaming operator can feed stored-index extents. Extents may
+    * overlap (position-covered-by-ANY is overlap-safe); n_removed is
+    * derived, never summed. Output (doc_id, n_tokens, n_removed,
+    * n_kept, new_text). */
+  private[graft] def removeByExtents(docs: DataFrame, extents: DataFrame): DataFrame = {
+    val spans = extents.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("w")).otherwise(expr(
+          "filter(w, (t, i) -> NOT exists(spans, s -> i + 1 >= s.span_start AND i + 1 <= s.span_end))")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("new_text"))
+  }
+
   // ---- incremental dedup --------------------------------------------------
 
   /** Incremental-ingest dedup: an incoming batch (odd doc_ids here — the

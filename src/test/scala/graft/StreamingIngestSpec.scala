@@ -116,6 +116,82 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(bands.count() === shingled.length * graft.pipeline.Dedup.Bands)
   }
 
+  test("streaming span dedup: later span occurrences excised within and across batches; batch differential") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-spandedup").toString
+    val cfg = graft.streaming.StreamingSpanDedup.Config(
+      s"$dir/index", s"$dir/rewritten", s"$dir/ckpt")
+    val span = (1 to 16).map(i => s"sp$i").mkString(" ")
+    def prefix(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingSpanDedup.start(
+      stream.toDS().toDF("doc_id", "text"), cfg)
+    // batch 1: first span occurrence (doc 1) + a within-batch repeat
+    // (doc 4 — larger id, must lose) + a short doc (no windows → intact)
+    stream.addData((1L, prefix("a") + " " + span),
+      (4L, prefix("c") + " " + span), (6L, "hi there"))
+    q.processAllAvailable()
+    // batch 2: cross-batch repeats — embedded (doc 2) and span-only (doc 3)
+    stream.addData((2L, prefix("b") + " " + span), (3L, span))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/rewritten").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    rows.values.foreach { case (n, rm, kp, _) => assert(n === rm + kp) }
+    assert(rows(1L) === ((36L, 0L, 36L, prefix("a") + " " + span)),
+      "first occurrence must survive intact")
+    assert(rows(4L) === ((36L, 16L, 20L, prefix("c"))))
+    assert(rows(2L) === ((36L, 16L, 20L, prefix("b"))))
+    assert(rows(3L) === ((16L, 16L, 0L, "")), "span-only doc rewrites to empty")
+    assert(rows(6L) === ((2L, 0L, 2L, "hi there")), "short docs pass through")
+    // differential vs the BATCH operator: batch extents over the same
+    // corpus = the streamed removals PLUS the first occurrence (batch
+    // removal deletes every copy; the stream keeps the first)
+    val corpus = Seq((1L, prefix("a") + " " + span), (4L, prefix("c") + " " + span),
+      (6L, "hi there"), (2L, prefix("b") + " " + span), (3L, span))
+      .toDF("doc_id", "text")
+    val batchExtents = graft.pipeline.Dedup.dupSpansVar(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamedRemoved = Set((4L, 21L, 36L), (2L, 21L, 36L), (3L, 1L, 16L))
+    assert(batchExtents === streamedRemoved + ((1L, 21L, 36L)), batchExtents)
+    // the index carries one row per distinct window hash of the originals
+    val idx = spark.read.parquet(s"$dir/index").as[Long].collect()
+    assert(idx.length === idx.distinct.length)
+    // doc1: 21 windows; doc4: 21 (20 shared-position-but-different + 1 S dup
+    // shared with doc1); doc2: 21; doc3: 1 (= the shared S window)
+    assert(idx.length === 21 + 20 + 20)
+  }
+
+  test("streaming span dedup: stored index survives a restart — recovered state still excises") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-spandedup2").toString
+    val cfg = graft.streaming.StreamingSpanDedup.Config(
+      s"$dir/index", s"$dir/rewritten", s"$dir/ckpt")
+    val span = (1 to 16).map(i => s"sp$i").mkString(" ")
+    def prefix(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.StreamingSpanDedup.start(
+      s1.toDS().toDF("doc_id", "text"), cfg)
+    s1.addData((1L, prefix("a") + " " + span))
+    q1.processAllAvailable(); q1.stop()
+    // restarted pipeline: the recovered window index must excise the span
+    // from a new doc, and admit genuinely fresh text intact
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingSpanDedup.start(
+      s2.toDS().toDF("doc_id", "text"),
+      cfg.copy(checkpointDir = s"$dir/ckpt2"))
+    s2.addData((2L, prefix("d") + " " + span), (3L, prefix("e")))
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(s"$dir/rewritten").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4)))).toMap
+    assert(rows(1L) === ((0L, prefix("a") + " " + span)))
+    assert(rows(2L) === ((16L, prefix("d"))), "recovered index must excise")
+    assert(rows(3L) === ((0L, prefix("e"))))
+  }
+
   test("streaming url dedup: canonical collisions reject within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
