@@ -1225,6 +1225,8 @@ object SparkEntry {
     // capstone: curate -> train tokenizer on the curated split -> encode
     // -> shard manifest in trained-token units
     "doc_train_manifest" -> ((s, dir) => TextOps.trainManifest(docs(s, dir))),
+    "doc_train_manifest_v2" ->
+      ((s, dir) => TextOps.trainManifestV2(docs(s, dir), emb(s, dir))),
     "doc_snapshot_diff" -> ((s, dir) =>
       TextOps.snapshotDiff(TextOps.snapshotOld(docs(s, dir)), docs(s, dir))),
     "doc_bigram_lm" -> ((s, dir) => TextOps.bigramLm(docs(s, dir))),
@@ -2624,6 +2626,7 @@ object SparkEntry {
     "doc_pack_bins_bpe" -> TextOps.packBinsBpeOracle,
     "doc_shard_plan_bpe" -> TextOps.shardPlanBpeOracle,
     "doc_train_manifest" -> TextOps.trainManifestOracle,
+    "doc_train_manifest_v2" -> TextOps.trainManifestV2Oracle,
     "doc_snapshot_diff" -> TextOps.snapshotDiffOracle,
     "doc_bigram_lm" -> TextOps.bigramLmOracle,
     "doc_quality_normalized" -> TextOps.qualityNormalizedOracle,

@@ -1511,8 +1511,10 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  val semanticDecontaminateOracle: String =
-    s"""WITH $bandsCteSql,
+  /** The bands+cand+hits chain — spliced into
+    * [[semanticDecontaminateOracle]] and the trainManifestV2 oracle. */
+  private[pipeline] val semDecontamCtes: String =
+    s"""$bandsCteSql,
        |cand AS (
        |  SELECT DISTINCT t.vec_id AS i, b.vec_id AS j
        |  FROM bands t JOIN bands b ON t.band = b.band AND t.bkt = b.bkt
@@ -1523,7 +1525,10 @@ object Dedup {
        |           / (sqrt(list_reduce(list_transform(range(1, 65), d -> av.v[d] * av.v[d]), (x, y) -> x + y))
        |              * sqrt(list_reduce(list_transform(range(1, 65), d -> bv.v[d] * bv.v[d]), (x, y) -> x + y)))
        |           * 1e6)::BIGINT AS cos_fp
-       |  FROM cand JOIN ev av ON av.vec_id = cand.i JOIN ev bv ON bv.vec_id = cand.j)
+       |  FROM cand JOIN ev av ON av.vec_id = cand.i JOIN ev bv ON bv.vec_id = cand.j)""".stripMargin
+
+  val semanticDecontaminateOracle: String =
+    s"""WITH $semDecontamCtes
        |SELECT i AS vec_id, count(*)::BIGINT AS n_bench_hits, max(cos_fp) AS max_cos_fp
        |FROM hits WHERE cos_fp >= $CosineThresholdFp
        |GROUP BY i ORDER BY vec_id""".stripMargin

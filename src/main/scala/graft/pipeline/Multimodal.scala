@@ -936,6 +936,31 @@ object Multimodal {
        |           * 1e6)::BIGINT AS cos_fp
        |  FROM s JOIN documents d ON d.doc_id = s.vec_id)""".stripMargin
 
+  /** Alignment keep-set chain for splicing into composed oracles (the
+    * trainManifestV2 composition): requires an `e` CTE (vec_id,
+    * v DOUBLE[]) upstream; CTE names al*-prefixed to avoid collisions.
+    * Same arithmetic as [[alignCtes]], minus the source join. */
+  private[pipeline] lazy val alignKeepCtes: String =
+    s"""alt AS (
+       |  SELECT e.vec_id, e.v AS iv,
+       |         CASE WHEN e.vec_id % $AlignSwapMod = 0
+       |              THEN COALESCE(p.v, e.v) ELSE e.v END AS tv0
+       |  FROM e LEFT JOIN e p
+       |    ON p.vec_id = (CASE WHEN e.vec_id % 2 = 0
+       |                        THEN e.vec_id + 1 ELSE e.vec_id - 1 END)),
+       |als AS (
+       |  SELECT vec_id, iv,
+       |         list_transform(range(1, 65),
+       |           d -> tv0[d] * (1000 + (vec_id + d - 1) % 7 - 3) / 1000.0) AS tv
+       |  FROM alt),
+       |alkeep AS (
+       |  SELECT vec_id
+       |  FROM als
+       |  WHERE floor(list_reduce(list_transform(range(1, 65), k -> iv[k] * tv[k]), (x, y) -> x + y)
+       |          / (sqrt(list_reduce(list_transform(range(1, 65), k -> iv[k] * iv[k]), (x, y) -> x + y))
+       |           * sqrt(list_reduce(list_transform(range(1, 65), k -> tv[k] * tv[k]), (x, y) -> x + y)))
+       |          * 1e6)::BIGINT >= $AlignThresholdFp)""".stripMargin
+
   lazy val alignScoresOracle: String =
     s"""WITH $alignCtes
        |SELECT vec_id, source, cos_fp, cos_fp >= $AlignThresholdFp AS keep

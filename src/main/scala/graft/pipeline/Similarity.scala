@@ -521,9 +521,10 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Shared k-means CTE chain (e, x, c0..a2) — spliced into both the IVF
-    * and SemDeDup oracles so the clustering is textually identical. */
-  private val ivfClusterCtes: String = {
+  /** Shared k-means CTE chain (e, x, c0..a2) — spliced into the IVF,
+    * SemDeDup, and trainManifestV2 oracles so the clustering is
+    * textually identical. */
+  private[pipeline] val ivfClusterCtes: String = {
     val dSq = (xt: String, ct: String) =>
       s"""list_reduce(list_transform(range(1, ${Dim + 1}),
          |        d -> ($xt.xq[d] - $ct.c[d]) * ($xt.xq[d] - $ct.c[d])), (a, b) -> a + b)""".stripMargin
@@ -620,12 +621,17 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val semDedupOracle: String =
-    s"""$ivfClusterCtes,
-       |m AS (SELECT e.vec_id, a2.cid, e.v FROM e JOIN a2 USING (vec_id)),
+  /** The m+dup chain over [[ivfClusterCtes]] — spliced into
+    * [[semDedupOracle]] and the trainManifestV2 oracle. */
+  private[pipeline] val semDedupCtes: String =
+    s"""m AS (SELECT e.vec_id, a2.cid, e.v FROM e JOIN a2 USING (vec_id)),
        |dup AS (SELECT DISTINCT c.vec_id
        |        FROM m q JOIN m c ON q.cid = c.cid AND q.vec_id < c.vec_id
-       |        WHERE floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT >= $SemDedupTauFp)
+       |        WHERE floor($dotSql / (${nrmSql("q")} * ${nrmSql("c")}) * 1e6)::BIGINT >= $SemDedupTauFp)""".stripMargin
+
+  val semDedupOracle: String =
+    s"""$ivfClusterCtes,
+       |$semDedupCtes
        |SELECT m.vec_id, m.cid, d.vec_id IS NULL AS keep
        |FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id
        |ORDER BY m.vec_id""".stripMargin

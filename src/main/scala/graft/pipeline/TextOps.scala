@@ -1359,8 +1359,13 @@ object TextOps {
     * Consumed by [[bpeEncodeOracle]], [[packBinsBpeOracle]],
     * [[shardPlanBpeOracle]], and (over the curated train split)
     * [[trainManifestOracle]]. */
-  private def bpeCountCtesFor(src: String): String =
-    s"""${bpeBaseCteFor(src)},
+  private def bpeCountCtesFor(src: String): String = bpeCountCtesFor(src, src)
+
+  /** BPE CTE chain TRAINING on `trainSrc` and ENCODING `encodeSrc` —
+    * the v2 manifest trains the tokenizer on the v1 curated split but
+    * encodes only the embedding-gated subset. */
+  private def bpeCountCtesFor(trainSrc: String, encodeSrc: String): String =
+    s"""${bpeBaseCteFor(trainSrc)},
        |${(0 until BpeRounds).map(bpeRoundCte).mkString(",\n|")},
        |we AS (
        |  SELECT word, count(*)::BIGINT AS n_syms,
@@ -1371,7 +1376,7 @@ object TextOps {
        |  GROUP BY word),
        |dtk AS (
        |  SELECT doc_id, u.word AS word
-       |  FROM (SELECT doc_id, $tokensSql AS w FROM $src) dd, unnest(dd.w) u(word)
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM $encodeSrc) dd, unnest(dd.w) u(word)
        |  WHERE u.word != ''),
        |pd AS (
        |  SELECT doc_id, CAST(sum(we.n_syms) AS BIGINT) AS nt,
@@ -2060,6 +2065,91 @@ object TextOps {
        |SELECT shard, n_docs, n_tokens, id_checksum,
        |       (n_tokens * $ShardCount - tot) * 1000 // tot AS dev_pm
        |FROM ag2 CROSS JOIN tt2 ORDER BY shard""".stripMargin
+
+  /** TRAINING MANIFEST V2 — the v1 capstone plus the EMBEDDING-side
+    * curation gates a multimodal pretraining pipeline runs (round-9):
+    * the text-curated train split ([[curationSplits]]) is additionally
+    * filtered by (1) SemDeDup keep ([[Similarity.semDedup]] — semantic
+    * duplicates within k-means clusters pruned), (2) the cross-modal
+    * alignment keep ([[Multimodal.alignScores]] — CLIP-cosine below
+    * threshold dropped), and (3) semantic decontamination
+    * ([[Dedup.semanticDecontaminate]] — train vectors within cosine
+    * reach of the benchmark split dropped); the survivors are encoded
+    * with the V1 curated-split tokenizer (the gates drop documents, not
+    * text-distribution mass — a third training would triple build cost
+    * without changing the merges materially) and sharded in
+    * trained-token units. Conservation is spec-pinned:
+    * v2 = v1-train ∩ semKeep ∩ alignKeep ∖ contaminated, exactly.
+    *
+    * Scale shape: each gate is the already-verified operator (cluster-
+    * bounded pairs, banded cross-side probe, partner equi-join); the
+    * composition adds only doc_id semi/anti joins and reuses the
+    * memoized curated tokenizer core and the shared [[docWords]] pass.
+    * Output = shardPlan schema over the v2 split. */
+  def trainManifestV2(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val trainIds = curationSplits(docs)
+      .filter(col("split") === "train").select("doc_id")
+    val semKeep = Similarity.semDedup(emb).filter(col("keep"))
+      .select(col("vec_id").as("doc_id"))
+    val alignKeep = Multimodal.alignScores(emb, docs).filter(col("keep"))
+      .select(col("vec_id").as("doc_id"))
+    val contam = Dedup.semanticDecontaminate(emb)
+      .select(col("vec_id").as("doc_id"))
+    val v2 = trainIds
+      .join(semKeep, Seq("doc_id"), "left_semi")
+      .join(alignKeep, Seq("doc_id"), "left_semi")
+      .join(contam, Seq("doc_id"), "left_anti")
+    shardPlanOn(bpeEncodeOn(
+      docWords(docs).join(v2, Seq("doc_id"), "left_semi"),
+      docs.select("doc_id").join(v2, Seq("doc_id"), "left_semi"),
+      bpeCoreCurated(docs)._3)
+      .select(col("doc_id"), col("n_tokens_bpe").as("t")))
+  }
+
+  /** Oracle of [[trainManifestV2]]: the v1 split CTEs + the spliced
+    * k-means/SemDeDup, banded-decontamination, and alignment chains
+    * (textually identical to their own oracles), tokenizer TRAINED on
+    * `td` but ENCODING the gated `v2` relation. lazy: cross-object
+    * fragment composition. */
+  lazy val trainManifestV2Oracle: String =
+    s"""WITH ${qtOracleCtes(QtIters)},
+       |u AS (SELECT doc_id, ${UrlOps.urlSql} AS url FROM documents),
+       |uc AS (SELECT doc_id, ${UrlOps.canonSql("url")} AS canon FROM u),
+       |uk AS (SELECT min(doc_id) AS doc_id FROM uc GROUP BY canon),
+       |ck AS (SELECT f.doc_id FROM feats f, w$QtIters w
+       |       WHERE f.y = 1000
+       |         AND ${qtPSql("f.")} >= 500),
+       |kd AS (SELECT d.doc_id, ${baseHashSql("text")} AS h
+       |       FROM documents d JOIN uk USING (doc_id) JOIN ck USING (doc_id)),
+       |dd2 AS (SELECT h, min(doc_id) AS doc_id FROM kd GROUP BY h),
+       |td AS (SELECT d.doc_id, d.text
+       |       FROM documents d JOIN dd2 USING (doc_id)
+       |       WHERE dd2.h % 100 < 90),
+       |${Similarity.ivfClusterCtes.stripPrefix("WITH ")},
+       |${Similarity.semDedupCtes},
+       |${Dedup.semDecontamCtes},
+       |contam AS (SELECT DISTINCT i AS vec_id FROM hits
+       |           WHERE cos_fp >= ${Dedup.CosineThresholdFp}),
+       |${Multimodal.alignKeepCtes},
+       |v2 AS (
+       |  SELECT td.doc_id, td.text FROM td
+       |  JOIN m ON m.vec_id = td.doc_id
+       |  JOIN alkeep ON alkeep.vec_id = td.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vec_id = td.doc_id)
+       |    AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.vec_id = td.doc_id)),
+       |${bpeCountCtesFor("td", "v2")},
+       |tnn3 AS (SELECT v2.doc_id, coalesce(pd.nt, 0)::BIGINT AS t
+       |         FROM v2 LEFT JOIN pd USING (doc_id)),
+       |sh3 AS (SELECT ${baseHashSql("'shard_' || doc_id")} % $ShardCount AS shard,
+       |               doc_id, t
+       |        FROM tnn3),
+       |ag3 AS (SELECT shard, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+       |               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |        FROM sh3 GROUP BY 1),
+       |tt3 AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM ag3)
+       |SELECT shard, n_docs, n_tokens, id_checksum,
+       |       (n_tokens * $ShardCount - tot) * 1000 // tot AS dev_pm
+       |FROM ag3 CROSS JOIN tt3 ORDER BY shard""".stripMargin
 
   // ---- operator: PII scrub ------------------------------------------------
 

@@ -1229,6 +1229,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.length <= TextOps.ShardCount)
   }
 
+  test("train manifest v2: conservation — v2 = v1-train ∩ semKeep ∩ alignKeep ∖ contaminated") {
+    val trainIds = TextOps.curationSplits(docs).collect()
+      .filter(_.getString(1) == "train").map(_.getLong(0)).toSet
+    val semKeep = Similarity.semDedup(emb).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val alignKeep = Multimodal.alignScores(emb, docs).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val contam = Dedup.semanticDecontaminate(emb).collect()
+      .map(_.getLong(0)).toSet
+    val expected = trainIds & semKeep & alignKeep &~ contam
+    assert(expected.nonEmpty, "gates must leave a non-trivial v2 split")
+    assert(expected != trainIds, "at least one gate must bite at sf0.001")
+    val m = TextOps.trainManifestV2(docs, emb).collect()
+    // every v2 doc lands in exactly one shard; id checksum conserves the set
+    assert(m.map(_.getLong(1)).sum === expected.size.toLong)
+    assert(m.map(_.getLong(3)).sum === expected.sum)
+    // token units are the V1 curated tokenizer's counts over the v2 set
+    val encTotal = TextOps.bpeEncode(TextOps.curationTrainDocs(docs))
+      .filter(col("doc_id").isin(expected.toSeq: _*))
+      .collect().map(_.getLong(1)).sum
+    assert(m.map(_.getLong(2)).sum === encTotal)
+  }
+
   test("dup spans var: planted duplicates of three lengths recover exact extents") {
     val toks = docs.filter(col("doc_id") === 97L).select(col("text")).collect()(0)
       .getString(0).split(" ").count(_.nonEmpty).toLong
