@@ -46,6 +46,9 @@ object SparkEntry {
     // single-flight, so whichever build arrives first tokenizes for both)
     "shared_tokenizer_curated" ->
       ((s, dir) => { TextOps.bpeTrainCurated(docs(s, dir)).count(); () }),
+    // the unigram-LM EM loop (doc_unigram_train/_encode share its memo)
+    "shared_unigram_train" ->
+      ((s, dir) => { TextOps.unigramTrain(docs(s, dir)).count(); () }),
     "shared_ivf_cluster" ->
       ((s, dir) => Similarity.buildIvfIndex(emb(s, dir))),
     "shared_ann_eval_topks" ->
@@ -1214,6 +1217,8 @@ object SparkEntry {
     "doc_lm_surprisal" -> ((s, dir) => TextOps.lmSurprisal(docs(s, dir))),
     "doc_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
     "doc_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir))),
+    "doc_unigram_train" -> ((s, dir) => TextOps.unigramTrain(docs(s, dir))),
+    "doc_unigram_encode" -> ((s, dir) => TextOps.unigramEncode(docs(s, dir))),
     // round-8: trained-tokens-per-word by source (vocab-allocation metric)
     "doc_bpe_fertility" -> ((s, dir) => TextOps.bpeFertility(docs(s, dir))),
     "doc_bpe_compression" -> ((s, dir) => TextOps.bpeCompression(docs(s, dir))),
@@ -2620,6 +2625,8 @@ object SparkEntry {
     "doc_lm_surprisal" -> TextOps.lmSurprisalOracle,
     "doc_bpe_pairs" -> TextOps.bpePairsOracle,
     "doc_bpe_train" -> TextOps.bpeTrainOracle,
+    "doc_unigram_train" -> TextOps.unigramTrainOracle,
+    "doc_unigram_encode" -> TextOps.unigramEncodeOracle,
     "doc_bpe_fertility" -> TextOps.bpeFertilityOracle,
     "doc_bpe_compression" -> TextOps.bpeCompressionOracle,
     "doc_bpe_encode" -> TextOps.bpeEncodeOracle,

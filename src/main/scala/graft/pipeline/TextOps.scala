@@ -1426,6 +1426,292 @@ object TextOps {
        |FROM wc LEFT JOIN pd USING (doc_id)
        |GROUP BY wc.source ORDER BY wc.source""".stripMargin
 
+  // ---- operator: unigram-LM (SentencePiece) tokenizer training ------------
+  //
+  // The OTHER tokenizer family real pipelines ship (Kudo 2018): seed a
+  // large candidate vocabulary, alternate E-steps (segment the corpus
+  // with the current piece scores) and prune steps (drop the lowest-
+  // utility pieces) until the target vocabulary remains. This build is
+  // the hard-EM (Viterbi) variant with INTEGER-QUANTIZED log-costs —
+  // cost(piece) = UniCostCap − bitlen(usage), a log₂-quantized unigram
+  // log-probability — so the whole EM loop replays bit-exactly in
+  // DuckDB (the qtTrain/bpe fixed-point discipline; float log-probs
+  // would diverge across libms). Viterbi tie-break: minimal total cost,
+  // then the LONGEST piece at each boundary. Words longer than
+  // [[UniMaxWordLen]] segment as single chars on BOTH sides (totality —
+  // unreachable in testdata where max word length is 8). Single chars
+  // are never pruned, so every word stays segmentable.
+  //
+  // Scale shape: the corpus collapses to the vocabulary-bounded
+  // (word, cnt) relation once (shared [[docWords]] pass); each E-step
+  // is a flatMap over distinct words with the ≤(chars+UniSeedPool)
+  // piece table in closure + one map-side-combinable aggregate; the
+  // driver sees only the vocab-bounded usage relation per round (the
+  // BpePool discipline). Encoding joins the per-word segmentation back
+  // to the corpus by word — the bpeEncode shape.
+
+  /** EM rounds: rounds 1..UniRounds−1 prune, the last re-estimates only
+    * (so the final trajectory round IS the encode segmentation). */
+  val UniRounds = 3
+  /** Multi-char seed pieces (top 2..4-grams by weighted count). */
+  val UniSeedPool = 64
+  /** Multi-char pieces dropped per pruning round (usage ASC, piece ASC). */
+  val UniPruneDrop = 12
+  val UniMaxPiece = 4
+  val UniMaxWordLen = 12
+  val UniCostCap = 64L
+
+  private def uniBitlen(u: Long): Int =
+    if (u <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(u)
+
+  /** Viterbi segmentation: min total cost, longer piece wins ties —
+    * identical to the oracle's (c ASC, l DESC) rank. Over-length words
+    * fall back to chars; an unreachable position (impossible while
+    * single chars stay in the vocabulary) also falls back, so the
+    * segmenter is total. */
+  private[graft] def uniSegment(word: String, cost: collection.Map[String, Long]): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    if (n > UniMaxWordLen) return word.map(_.toString)
+    val Inf = Long.MaxValue / 4
+    val dp = Array.fill(n + 1)(Inf); dp(0) = 0L
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(UniMaxPiece, i)) {
+        cost.get(word.substring(i - l, i)) match {
+          case Some(c) =>
+            val tot = dp(i - l) + c
+            if (tot < dp(i) || (tot == dp(i) && l > back(i))) {
+              dp(i) = tot; back(i) = l
+            }
+          case None => ()
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (dp(n) >= Inf) return word.map(_.toString) // totality fallback
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var p = n
+    while (p > 0) { val l = back(p); out.prepend(word.substring(p - l, p)); p -= l }
+    out.toList
+  }
+
+  /** Trained trajectory (round, piece, cost, usage) + the final cost map
+    * (the one round [[UniRounds]] segmented with), memoized per corpus. */
+  private def unigramCore(docs: DataFrame): (DataFrame, Map[String, Long]) =
+    graft.util.Memo((docs.sparkSession, "TextOps.unigramCore", docs.semanticHash())) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val uw = graft.util.Materialize.bounded(
+        docWords(docs).groupBy("word").agg(count(lit(1)).as("cnt")))
+      // seed: every single char (never pruned — the fallback alphabet)…
+      val chars = uw.select(explode(split(col("word"), "(?!^)")).as("piece"), col("cnt"))
+        .filter(col("piece") =!= "")
+        .groupBy("piece").agg(sum("cnt").as("u"))
+        .as[(String, Long)].collect() // alphabet-bounded
+      // …plus the top multi-char 2..4-grams by (weighted count DESC, piece)
+      val ngrams = uw.select(col("word"), col("cnt"))
+        .select(explode(expr(
+          // per (l, s) with an explicit bound guard: substring would
+          // silently clamp short/negative windows and double-count
+          s"""flatten(transform(sequence(2, $UniMaxPiece), l ->
+             |  transform(sequence(1, length(word)), s ->
+             |    CASE WHEN s + l - 1 <= length(word)
+             |         THEN substring(word, s, l) END)))""".stripMargin)).as("piece"),
+          col("cnt"))
+        .filter(col("piece").isNotNull && length(col("piece")) >= 2)
+        .groupBy("piece").agg(sum("cnt").as("u"))
+        .orderBy(col("u").desc, col("piece")).limit(UniSeedPool)
+        .as[(String, Long)].collect() // driver-bounded (the BpePool discipline)
+      var usage = scala.collection.immutable.SortedMap.empty[String, Long] ++
+        chars ++ ngrams
+      val traj = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      var lastCost = Map.empty[String, Long]
+      for (r <- 1 to UniRounds) {
+        val cost = usage.map { case (p, u) => p -> (UniCostCap - uniBitlen(u)) }.toMap
+        lastCost = cost
+        val used = uw.as[(String, Long)]
+          .flatMap { case (w, c) =>
+            uniSegment(w, cost).groupBy(identity).map { case (p, os) => (p, c * os.size) }
+          }
+          .toDF("piece", "u").groupBy("piece").agg(sum("u").as("u"))
+          .as[(String, Long)].collect().toMap // vocab-bounded
+        val roundUsage = usage.map { case (p, _) => p -> used.getOrElse(p, 0L) }
+        traj ++= roundUsage.map { case (p, u) => (r.toLong, p, cost(p), u) }
+        usage = roundUsage
+        if (r < UniRounds) { // prune the weakest multi-char pieces
+          val drop = usage.iterator.filter(_._1.length >= 2).toSeq
+            .sortBy { case (p, u) => (u, p) }.take(UniPruneDrop).map(_._1).toSet
+          usage = usage.filter { case (p, _) => !drop.contains(p) }
+        }
+      }
+      (graft.util.Materialize.bounded(
+        traj.toSeq.toDF("round", "piece", "cost", "usage").orderBy("round", "piece")),
+        lastCost)
+    }
+
+  /** The EM trajectory — (round, piece, cost, usage) for every piece
+    * alive at that round; pruning shrinks the multi-char population by
+    * [[UniPruneDrop]] per round while the char alphabet is invariant. */
+  def unigramTrain(docs: DataFrame): DataFrame = unigramCore(docs)._1
+
+  /** Encode the corpus with the trained unigram vocabulary — per doc,
+    * the Viterbi token count and the position-weighted token-id
+    * checksum (the [[bpeEncode]] contract). The encode totals law is
+    * spec-pinned: Σ n_tokens_uni == Σ usage of the FINAL trajectory
+    * round (the last E-step and the encode share one cost map). */
+  def unigramEncode(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cost = unigramCore(docs)._2
+    val words = docWords(docs)
+    val wEnc = words.select("word").distinct()
+      .as[String].map(w => (w, uniSegment(w, cost))).toDF("word", "seg")
+      .select(col("word"), posexplode(col("seg")).as(Seq("k", "piece")))
+      .select(col("word"), (col("k") + 1).cast("long").as("rn"), col("piece"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_syms"),
+        sum((baseHash(col("piece")) % TokenIdMod) * col("rn")).as("wsum"))
+    val perDoc = words.join(wEnc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n_syms").as("nt"), sum("wsum").as("chk"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens_uni"),
+        coalesce(col("chk"), lit(0L)).as("token_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** Integer bit length (floor(log₂ u) + 1, 0 for u ≤ 0) in pure-integer
+    * SQL — float log2 near powers of two is not cross-engine safe. */
+  private def uniBitlenSql(c: String): String =
+    s"len(list_filter(range(0, 63), b -> (1::BIGINT << b) <= $c))"
+
+  /** Seed CTEs: the weighted word vocab, the char alphabet, the top
+    * multi-char n-grams, and the round-0 usage feeding round 1. */
+  private lazy val uniSeedCtes: String =
+    s"""uw AS MATERIALIZED (
+       |  SELECT u.word AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT $tokensSql AS w FROM documents) d, unnest(d.w) u(word)
+       |  WHERE u.word != '' GROUP BY 1),
+       |uch AS (
+       |  SELECT substr(word, CAST(t.i AS INTEGER), 1) AS piece,
+       |         CAST(sum(cnt) AS BIGINT) AS usage
+       |  FROM uw, unnest(range(1, len(word) + 1)) t(i) GROUP BY 1),
+       |ung AS (
+       |  SELECT piece, usage FROM (
+       |    SELECT piece, usage, row_number() OVER (ORDER BY usage DESC, piece) AS rk
+       |    FROM (SELECT substr(word, CAST(s.i AS INTEGER), CAST(l.j AS INTEGER)) AS piece,
+       |                 CAST(sum(cnt) AS BIGINT) AS usage
+       |          FROM uw, unnest(range(2, $UniMaxPiece + 1)) l(j),
+       |               unnest(range(1, len(word) + 1)) s(i)
+       |          WHERE s.i + l.j - 1 <= len(word)
+       |          GROUP BY 1) g) r
+       |  WHERE rk <= $UniSeedPool),
+       |uus0 AS (SELECT piece, usage FROM uch UNION ALL SELECT piece, usage FROM ung)""".stripMargin
+
+  /** One EM round: vocab (with the prune of round r−1's usage for
+    * r ≥ 2), the 12-position unrolled Viterbi DP with (cost ASC, piece
+    * length DESC) tie-break, the backtrace, the char fallback for
+    * over-length words, and the coalesced usage over alive pieces. */
+  private def uniRoundCtes(r: Int): String = {
+    val vocab =
+      if (r == 1)
+        s"""uvoc1 AS MATERIALIZED (
+           |  SELECT piece, ($UniCostCap - ${uniBitlenSql("usage")})::BIGINT AS cost
+           |  FROM uus0)""".stripMargin
+      else
+        s"""uvoc$r AS MATERIALIZED (
+           |  SELECT piece, ($UniCostCap - ${uniBitlenSql("usage")})::BIGINT AS cost
+           |  FROM (SELECT piece, usage,
+           |               row_number() OVER (PARTITION BY len(piece) >= 2
+           |                                  ORDER BY usage, piece) AS rk,
+           |               len(piece) >= 2 AS multi
+           |        FROM uus${r - 1}) t
+           |  WHERE NOT multi OR rk > $UniPruneDrop)""".stripMargin
+    val dp0 =
+      s"ud${r}_0 AS (SELECT word, 0::BIGINT AS dp FROM uw WHERE len(word) <= $UniMaxWordLen)"
+    val dpSteps = (1 to UniMaxWordLen).map { i =>
+      val cands = (1 to math.min(UniMaxPiece, i)).map { l =>
+        s"""SELECT p.word, ${l}::BIGINT AS l, p.dp + v.cost AS c
+           |        FROM ud${r}_${i - l} p
+           |        JOIN uvoc$r v ON v.piece = substr(p.word, ${i - l + 1}, $l)
+           |        WHERE len(p.word) >= $i""".stripMargin
+      }.mkString("\n|        UNION ALL\n|        ")
+      s"""ucd${r}_$i AS MATERIALIZED (
+         |  SELECT word, l, c, row_number() OVER (PARTITION BY word ORDER BY c, l DESC) AS rk
+         |  FROM ($cands) cands),
+         |ud${r}_$i AS (SELECT word, c AS dp FROM ucd${r}_$i WHERE rk = 1)""".stripMargin
+    }.mkString(",\n|")
+    val chosen = (1 to UniMaxWordLen)
+      .map(i => s"SELECT word, ${i}::BIGINT AS i, l FROM ucd${r}_$i WHERE rk = 1")
+      .mkString("\n|  UNION ALL ")
+    val btSteps = (1 to UniMaxWordLen).map { k =>
+      s"""ubt${r}_$k AS (
+         |  SELECT b.word, b.pos - ch.l AS pos,
+         |         substr(b.word, CAST(b.pos - ch.l + 1 AS INTEGER), CAST(ch.l AS INTEGER)) AS piece,
+         |         ${k}::BIGINT AS step
+         |  FROM ubt${r}_${k - 1} b JOIN uchn$r ch ON ch.word = b.word AND ch.i = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n|")
+    val pieceUnion = (1 to UniMaxWordLen)
+      .map(k => s"SELECT word, piece, step FROM ubt${r}_$k")
+      .mkString("\n|  UNION ALL ")
+    s"""$vocab,
+       |$dp0,
+       |$dpSteps,
+       |uchn$r AS MATERIALIZED (
+       |  $chosen),
+       |ubt${r}_0 AS (SELECT word, len(word)::BIGINT AS pos FROM uw WHERE len(word) <= $UniMaxWordLen),
+       |$btSteps,
+       |upc$r AS MATERIALIZED (
+       |  $pieceUnion
+       |  UNION ALL
+       |  SELECT word, substr(word, CAST(t.i AS INTEGER), 1) AS piece,
+       |         (len(word) - t.i + 1)::BIGINT AS step
+       |  FROM uw, unnest(range(1, len(word) + 1)) t(i)
+       |  WHERE len(word) > $UniMaxWordLen),
+       |uus$r AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(g.usage, 0)::BIGINT AS usage
+       |  FROM uvoc$r v LEFT JOIN (
+       |    SELECT p.piece, CAST(sum(w.cnt) AS BIGINT) AS usage
+       |    FROM upc$r p JOIN uw w USING (word) GROUP BY 1) g USING (piece))""".stripMargin
+  }
+
+  lazy val unigramTrainOracle: String =
+    s"""WITH $uniSeedCtes,
+       |${(1 to UniRounds).map(uniRoundCtes).mkString(",\n|")}
+       |SELECT round, piece, cost, usage FROM (
+       |  ${(1 to UniRounds).map(r =>
+            s"SELECT ${r}::BIGINT AS round, v.piece, v.cost, u.usage " +
+              s"FROM uvoc$r v JOIN uus$r u USING (piece)").mkString("\n|  UNION ALL ")})
+       |ORDER BY round, piece""".stripMargin
+
+  lazy val unigramEncodeOracle: String =
+    s"""WITH $uniSeedCtes,
+       |${(1 to UniRounds).map(uniRoundCtes).mkString(",\n|")},
+       |une AS (SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+       |        FROM upc$UniRounds GROUP BY word),
+       |uwe2 AS (
+       |  SELECT p.word, any_value(une.n_syms) AS n_syms,
+       |         CAST(sum((${baseHashSql("p.piece")} % $TokenIdMod)
+       |                  * (une.n_syms - p.step + 1)) AS BIGINT) AS wsum
+       |  FROM upc$UniRounds p JOIN une USING (word) GROUP BY p.word),
+       |udt AS (
+       |  SELECT doc_id, u.word AS word
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) dd, unnest(dd.w) u(word)
+       |  WHERE u.word != ''),
+       |upd AS (SELECT doc_id, CAST(sum(w.n_syms) AS BIGINT) AS nt,
+       |               CAST(sum(w.wsum) AS BIGINT) AS chk
+       |        FROM udt JOIN uwe2 w USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(upd.nt, 0)::BIGINT AS n_tokens_uni,
+       |       coalesce(upd.chk, 0)::BIGINT AS token_checksum
+       |FROM documents d LEFT JOIN upd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // lazy: PackTarget/ShardCount are declared earlier in the file but
   // these compose bpeCountCtes which itself reads later-declared vals —
   // lazy sidesteps the object-init-order trap entirely (see gotchas)

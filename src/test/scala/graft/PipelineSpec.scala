@@ -1229,6 +1229,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.length <= TextOps.ShardCount)
   }
 
+  test("unigram LM: encode totals == final-round usage; prune shrinks multi-char by exactly UniPruneDrop") {
+    val traj = TextOps.unigramTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the encode-totals law (the doc_bpe_encode discipline): the last
+    // E-step and the encode share one cost map, so corpus trained-token
+    // count == sum of final-round piece usage
+    val finalUsage = traj.filter(_._1 == TextOps.UniRounds.toLong).map(_._4).sum
+    val encTotal = TextOps.unigramEncode(docs).collect().map(_.getLong(1)).sum
+    assert(encTotal === finalUsage, s"encode $encTotal != final usage $finalUsage")
+    // pruning: multi-char population drops by exactly UniPruneDrop per
+    // pruning round; the char alphabet is invariant (the fallback floor)
+    val byRound = traj.groupBy(_._1)
+    (1 until TextOps.UniRounds).foreach { r =>
+      val multi = byRound(r.toLong).count(_._2.length >= 2)
+      val multiNext = byRound(r.toLong + 1).count(_._2.length >= 2)
+      assert(multiNext === multi - TextOps.UniPruneDrop, s"round $r: $multi -> $multiNext")
+      val chars = byRound(r.toLong).filter(_._2.length == 1).map(_._2).toSet
+      val charsNext = byRound(r.toLong + 1).filter(_._2.length == 1).map(_._2).toSet
+      assert(charsNext === chars, "char alphabet must never be pruned")
+    }
+    // multi-char pieces actually WIN segments (the EM is doing something):
+    // some multi-char piece has non-zero final usage
+    assert(traj.exists(t => t._1 == TextOps.UniRounds.toLong && t._2.length >= 2 && t._4 > 0))
+    // segmentation laws on the real corpus words: concat == word, and the
+    // Viterbi cost-optimal pick never loses to the all-chars fallback
+    val finalCost = traj.filter(_._1 == TextOps.UniRounds.toLong)
+      .map(t => t._2 -> t._3).toMap
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val seg = TextOps.uniSegment(w, finalCost)
+      assert(seg.mkString === w, s"'$w' -> $seg")
+      val segCost = seg.map(finalCost).sum
+      val charCost = w.map(c => finalCost(c.toString)).sum
+      assert(segCost <= charCost, s"'$w': $segCost > chars $charCost")
+    }
+  }
+
   test("train manifest v2: conservation — v2 = v1-train ∩ semKeep ∩ alignKeep ∖ contaminated") {
     val trainIds = TextOps.curationSplits(docs).collect()
       .filter(_.getString(1) == "train").map(_.getLong(0)).toSet
