@@ -49,6 +49,9 @@ object SparkEntry {
     // the unigram-LM EM loop (doc_unigram_train/_encode share its memo)
     "shared_unigram_train" ->
       ((s, dir) => { TextOps.unigramTrain(docs(s, dir)).count(); () }),
+    // the WordPiece likelihood-merge loop (doc_wordpiece_train/_encode)
+    "shared_wordpiece_train" ->
+      ((s, dir) => { TextOps.wordpieceTrain(docs(s, dir)).count(); () }),
     "shared_ivf_cluster" ->
       ((s, dir) => Similarity.buildIvfIndex(emb(s, dir))),
     "shared_ann_eval_topks" ->
@@ -1219,6 +1222,9 @@ object SparkEntry {
     "doc_bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir))),
     "doc_unigram_train" -> ((s, dir) => TextOps.unigramTrain(docs(s, dir))),
     "doc_unigram_encode" -> ((s, dir) => TextOps.unigramEncode(docs(s, dir))),
+    // round-9: the THIRD tokenizer family (likelihood merges + max-munch)
+    "doc_wordpiece_train" -> ((s, dir) => TextOps.wordpieceTrain(docs(s, dir))),
+    "doc_wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(docs(s, dir))),
     // round-8: trained-tokens-per-word by source (vocab-allocation metric)
     "doc_bpe_fertility" -> ((s, dir) => TextOps.bpeFertility(docs(s, dir))),
     "doc_bpe_compression" -> ((s, dir) => TextOps.bpeCompression(docs(s, dir))),
@@ -1397,6 +1403,9 @@ object SparkEntry {
         .orderBy("media_id")),
     "mm_audio_dup" -> ((s, dir) =>
       Multimodal.audioDup(Multimodal.audioDupFromDocs(docs(s, dir)))),
+    // round-9: video near-dup — frame-fingerprint containment finds the
+    // planted head-trimmed re-uploads via a frame-hash equi-join
+    "mm_video_dup" -> ((s, dir) => Multimodal.videoDup(docs(s, dir))),
     "mm_bmp_roundtrip" -> ((s, dir) => Multimodal.bmpRoundtrip(docs(s, dir))),
     // round-8: REAL PNG (DEFLATE + filters 0-4, JDK Inflater/CRC32) —
     // encode∘decode identity certified feature-wise against text
@@ -2627,6 +2636,8 @@ object SparkEntry {
     "doc_bpe_train" -> TextOps.bpeTrainOracle,
     "doc_unigram_train" -> TextOps.unigramTrainOracle,
     "doc_unigram_encode" -> TextOps.unigramEncodeOracle,
+    "doc_wordpiece_train" -> TextOps.wordpieceTrainOracle,
+    "doc_wordpiece_encode" -> TextOps.wordpieceEncodeOracle,
     "doc_bpe_fertility" -> TextOps.bpeFertilityOracle,
     "doc_bpe_compression" -> TextOps.bpeCompressionOracle,
     "doc_bpe_encode" -> TextOps.bpeEncodeOracle,
@@ -2707,6 +2718,7 @@ object SparkEntry {
     "mm_align_scores" -> Multimodal.alignScoresOracle,
     "mm_audio_phash" -> Multimodal.audioPhashesOracle,
     "mm_audio_dup" -> Multimodal.audioDupOracle,
+    "mm_video_dup" -> Multimodal.videoDupOracle,
     "mm_text_align" -> Multimodal.textAlignOracle,
     "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle,
     "mm_bmp_resize" -> Multimodal.bmpResizeOracle,

@@ -677,6 +677,135 @@ object Multimodal {
        |        ELSE 0 END)::BIGINT AS mean_diff
        |FROM b ORDER BY media_id""".stripMargin
 
+  // ---- operator: video near-dup (frame-fingerprint containment) -----------
+  //
+  // How production pipelines dedup video at crawl scale: a clip's
+  // signature is its SET of per-frame fingerprints, and a re-upload that
+  // trims the head/tail (the dominant duplication mode) still shares
+  // almost all frames — so containment |A∩B| / min(|A|,|B|) over frame
+  // hashes finds it where a whole-file hash cannot. Candidate pairs come
+  // from a frame-hash EQUI-JOIN (every shared frame proposes the pair —
+  // the pigeonhole/band discipline of [[phashDup]]/[[audioDup]]), never
+  // an all-pairs comparison: at 100 TB the join fanout is bounded by
+  // actual duplicate multiplicity, and popular-frame skew takes the same
+  // pre-dedup/salting remedy documented at [[audioPhashes]].
+
+  /** Every [[VideoDupMod]]-th doc's clip gets a planted HEAD-TRIMMED
+    * duplicate (first frame dropped) at media_id = doc_id + offset. */
+  val VideoDupMod = 5L
+  val VideoDupOffset = 20000000L
+
+  /** Drop the first frame from a GVC1 container by slicing the byte
+    * stream (no re-encode — the remaining frame BMPs are bit-identical,
+    * exactly like a head-trim remux). Structural violations yield the
+    * input unchanged (totality; unreachable on encoder output). */
+  private[graft] def trimFirstFrame(p: Array[Byte]): Array[Byte] = {
+    if (p.length < 12 || p(0) != 'G' || p(1) != 'V' || p(2) != 'C' || p(3) != '1') return p
+    val nf = getLE32(p, 4)
+    if (nf < 1) return p
+    val sz = getLE32(p, 8)
+    if (sz < 0 || 12L + sz > p.length) return p
+    val out = new Array[Byte](p.length - 4 - sz)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'C'; out(3) = '1'
+    putLE32(out, 4, nf - 1)
+    System.arraycopy(p, 12 + sz, out, 8, p.length - 12 - sz)
+    out
+  }
+
+  /** Clip corpus with planted trimmed duplicates: the base clip per doc
+    * plus, for doc_id mod [[VideoDupMod]] = 0, its head-trimmed copy. */
+  def videoDupCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.flatMap { case (id, text, nc) =>
+        val w = 4 + (nc % 5).toInt
+        val h = 3 + (nc % 4).toInt
+        val nf = 8 + (nc % 5).toInt
+        val base = encodeVideo(text, w, h, nf)
+        val rows = List(MediaRow(id, "video", base, w, h))
+        if (id % VideoDupMod == 0)
+          MediaRow(id + VideoDupOffset, "video", trimFirstFrame(base), w, h) :: rows
+        else rows
+      }).toDF()
+  }
+
+  /** Per-frame fingerprints: decode the container (REAL BMP decode per
+    * frame), canonicalize each frame's pixel triples to "r,g,b,…", and
+    * hash with the cross-engine [[graft.pipeline.TextOps.baseHash]] so
+    * the oracle can recompute every fingerprint from text via the shared
+    * byte rule. Undecodable blobs emit no frames (totality).
+    * mapPartitions, zero shuffle. Output (media_id, fhash) DISTINCT. */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { m =>
+      decodeVideoFrames(m.payload) match {
+        case None => Iterator.empty
+        case Some(frames) => frames.iterator.map { case (_, _, px) =>
+          (m.media_id, px.mkString(","))
+        }
+      }
+    }).toDF("media_id", "fstr")
+      .select(col("media_id"), TextOps.baseHash(col("fstr")).as("fhash"))
+      .distinct()
+  }
+
+  /** Video near-dup report over [[videoDupCorpus]]: candidate pairs via
+    * the frame-hash equi-join, containment_pm = 1000·|shared| /
+    * min(|A|,|B|) over DISTINCT frame hashes, is_dup at full
+    * containment. Every planted trim is found (its frame set is a
+    * subset of its source's); unrelated clips share no frames unless
+    * their text collides, which the oracle reproduces identically.
+    * Output (id_a, id_b, shared_frames, containment_pm, is_dup). */
+  def videoDup(docs: DataFrame): DataFrame = {
+    val fh = graft.util.Materialize.corpus(videoFrameHashes(videoDupCorpus(docs)))
+    val sizes = fh.groupBy("media_id").agg(count(lit(1)).as("nfr"))
+    val pairs = fh.select(col("media_id").as("id_a"), col("fhash"))
+      .join(fh.select(col("media_id").as("id_b"), col("fhash")), Seq("fhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_frames"))
+    pairs
+      .join(sizes.select(col("media_id").as("id_a"), col("nfr").as("na")), Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"), col("nfr").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_frames"),
+        expr("shared_frames * 1000 div least(na, nb)").as("containment_pm"))
+      .withColumn("is_dup", col("containment_pm") === 1000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[videoDup]] ∘ [[videoDupCorpus]]: every frame
+    * fingerprint recomputed from TEXT via the shared byte rule (base
+    * clip frames 0..nf−1; the planted trim starts at frame 1), so a
+    * container-slice bug, a wrong frame boundary, or a decode drift on
+    * the Spark side hash-fails. */
+  lazy val videoDupOracle: String =
+    s"""WITH $videoDimsCte,
+       |vclips AS (
+       |  SELECT doc_id, doc_id AS media_id, 0 AS f0 FROM d
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + $VideoDupOffset AS media_id, 1 AS f0 FROM d
+       |  WHERE doc_id % $VideoDupMod = 0),
+       |vfh AS (
+       |  SELECT DISTINCT c.media_id,
+       |         ${TextOps.baseHashSql(
+             s"""array_to_string(list_transform(range(0, w * h * 3),
+                |           j -> ${videoByteSql("t.f", "j")}), ',')""".stripMargin)} AS fhash
+       |  FROM vclips c JOIN d USING (doc_id), unnest(range(c.f0, d.nf)) t(f)),
+       |vsz AS (SELECT media_id, count(*)::BIGINT AS nfr FROM vfh GROUP BY 1),
+       |vpairs AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |         count(*)::BIGINT AS shared_frames
+       |  FROM vfh a JOIN vfh b ON a.fhash = b.fhash AND a.media_id < b.media_id
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, p.shared_frames,
+       |       p.shared_frames * 1000 // least(sa.nfr, sb.nfr) AS containment_pm,
+       |       p.shared_frames * 1000 // least(sa.nfr, sb.nfr) = 1000 AS is_dup
+       |FROM vpairs p JOIN vsz sa ON sa.media_id = p.id_a
+       |     JOIN vsz sb ON sb.media_id = p.id_b
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+
   // ---- magic-byte decode router -------------------------------------------
 
   /** Media kind by magic bytes — the dispatch a production decode stage

@@ -1712,6 +1712,251 @@ object TextOps {
        |FROM documents d LEFT JOIN upd USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- operator: WordPiece tokenizer training + max-munch encode ---------
+  //
+  // The THIRD tokenizer family real pipelines ship (Schuster & Nakajima
+  // 2012; BERT's tokenizer): the training loop is BPE-shaped but the
+  // merge argmax maximizes corpus LIKELIHOOD gain, score(a,b) =
+  // count(ab) / (count(a)·count(b)) — a pair of rare symbols that
+  // almost always co-occur wins over a merely frequent pair — and
+  // INFERENCE is a different algorithm entirely: greedy
+  // longest-match-first (max-munch) over the final vocabulary, not a
+  // merge-rule replay. Both sides quantize the score as
+  // c · [[WpScale]] div (cu_a · cu_b) in int64 — exact while the corpus
+  // stays under ~3·10⁹ tokens (cu_a·cu_b < 2⁶³/1; c·WpScale < 2⁶³);
+  // beyond that drop WpScale a decade per corpus decade — the rank only
+  // needs relative order inside one round's pool (the hostBudget
+  // overflow-bound discipline).
+  //
+  // Scale shape: identical to [[bpeCore]] — the corpus collapses to the
+  // vocabulary-bounded (word, cnt) relation once (shared [[docWords]]
+  // pass); per round one lead() window + two vocab-bounded aggregates
+  // (pair counts, symbol counts); the driver sees ONE row per round.
+  // One merge per round (the reference WordPiece formulation — the
+  // likelihood scores of overlapping pairs all change after a single
+  // merge, so batching would need the dominance argument re-proved per
+  // score update; 1/round keeps train == oracle trivially).
+
+  /** Merge rounds (one likelihood-argmax merge each). */
+  val WpRounds = 8
+  /** Integer score quantization: c·WpScale div (cu_a·cu_b). */
+  val WpScale = 1000000000L
+  /** Max-munch pieces emitted per word; tail beyond this is dropped on
+    * BOTH sides (unreachable: corpus max word length is 8). */
+  val WpMaxSteps = 20
+
+  /** Greedy longest-match-first segmentation (the real WordPiece
+    * inference algorithm). Single chars always match (the alphabet is
+    * derived from the same corpus the encode runs on), so the segmenter
+    * is total; `maxLen` bounds the probe to the longest vocab piece. */
+  private[graft] def wpSegment(word: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = 0
+    var steps = 0
+    while (pos < word.length && steps < WpMaxSteps) {
+      var l = math.min(maxLen, word.length - pos)
+      while (l > 1 && !vocab.contains(word.substring(pos, pos + l))) l -= 1
+      out += word.substring(pos, pos + l)
+      pos += l
+      steps += 1
+    }
+    out.toList
+  }
+
+  /** Trained trajectory (round, pa, pb, pair_count, score, new_sym) +
+    * the final vocabulary (corpus alphabet ∪ merged symbols) + the
+    * longest piece length, memoized per corpus. */
+  private def wordpieceCore(docs: DataFrame): (DataFrame, Set[String]) =
+    graft.util.Memo((docs.sparkSession, "TextOps.wordpieceCore", docs.semanticHash())) {
+      import org.apache.spark.sql.expressions.Window
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val uw = docWords(docs).groupBy("word").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("word").orderBy("pos")
+      var rows = uw
+        .select(col("word"), col("cnt"),
+          posexplode(split(col("word"), "(?!^)")).as(Seq("pos", "sym")))
+        .filter(col("sym") =!= "")
+        .localCheckpoint(true)
+      val alphabet = rows.select("sym").distinct().as[String].collect().toSet
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long, Long, String)]
+      for (r <- 0 until WpRounds) {
+        val p = rows.withColumn("nxt", lead("sym", 1).over(w))
+        val uc = rows.groupBy("sym").agg(sum("cnt").as("cu"))
+        val top = p.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("pa"), col("nxt").as("pb"))
+          .agg(sum("cnt").as("c"))
+          .join(broadcast(uc.select(col("sym").as("pa"), col("cu").as("cua"))), Seq("pa"))
+          .join(broadcast(uc.select(col("sym").as("pb"), col("cu").as("cub"))), Seq("pb"))
+          .withColumn("score", expr(s"c * $WpScale div (cua * cub)"))
+          .orderBy(col("score").desc, col("pa"), col("pb")).limit(1)
+          .select("pa", "pb", "c", "score")
+          .collect() // exactly one row per round — the BpePool discipline
+        val (pa, pb, c, sc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2), top(0).getLong(3))
+        merges += ((r.toLong, pa, pb, c, sc, pa + pb))
+        // single accepted pair → the bpeCoreBuild run-parity pick verbatim
+        val m = p
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cand", col("sym") === lit(pa) && col("nxt") === lit(pb))
+        val sel = m.filter(col("cand"))
+          .withColumn("crank", row_number().over(w))
+          .withColumn("runkey", col("rn") - col("crank"))
+          .withColumn("minr", min("crank").over(Window.partitionBy("word", "runkey")))
+          .select(col("word"), col("pos"),
+            (((col("crank") - col("minr")) % 2) === 0).as("sel"))
+        rows = m.join(sel, Seq("word", "pos"), "left_outer")
+          .withColumn("sel", coalesce(col("sel"), lit(false)))
+          .withColumn("psel", lag("sel", 1).over(w))
+          .filter(!coalesce(col("psel"), lit(false)))
+          .select(col("word"), col("cnt"), col("pos"),
+            when(col("sel"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+          .localCheckpoint(true)
+      }
+      val traj = merges.toSeq.toDF("round", "pa", "pb", "pair_count", "score", "new_sym")
+      (graft.util.Materialize.bounded(traj.orderBy("round")),
+        alphabet ++ merges.map(_._6))
+    }
+
+  /** The likelihood-merge trajectory — one row per round:
+    * (round, pa, pb, pair_count, score, new_sym). */
+  def wordpieceTrain(docs: DataFrame): DataFrame = wordpieceCore(docs)._1
+
+  /** Encode the corpus by greedy longest-match-first over the trained
+    * vocabulary — per doc the piece count and the position-weighted
+    * token-id checksum (the [[bpeEncode]] contract, id =
+    * baseHash(piece) mod [[TokenIdMod]]). Segmentation runs on the
+    * DISTINCT-word relation in executors with the (tokenizer-sized)
+    * vocab in closure; the corpus side is one equi-join on word + one
+    * map-side-combinable aggregate — the [[bpeEncodeOn]] shape. */
+  def wordpieceEncode(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = wordpieceCore(docs)._2
+    val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+    val words = docWords(docs)
+    val wEnc = words.select("word").distinct()
+      .as[String].map(w => (w, wpSegment(w, vocab, maxLen))).toDF("word", "seg")
+      .select(col("word"), posexplode(col("seg")).as(Seq("k", "piece")))
+      .select(col("word"), (col("k") + 1).cast("long").as("rn"), col("piece"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_syms"),
+        sum((baseHash(col("piece")) % TokenIdMod) * col("rn")).as("wsum"))
+    val perDoc = words.join(wEnc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n_syms").as("nt"), sum("wsum").as("chk"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens_wp"),
+        coalesce(col("chk"), lit(0L)).as("token_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** One WordPiece training round in SQL: symbol counts → pair counts →
+    * the likelihood-quantized argmax (score DESC, pa, pb) → the
+    * single-pair run-parity merge (the bpeRoundCte pick verbatim). */
+  private def wpRoundCte(k: Int): String =
+    s"""wuc$k AS MATERIALIZED (
+       |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS cu FROM wr$k GROUP BY 1),
+       |wp$k AS MATERIALIZED (
+       |  SELECT word, cnt, pos, sym,
+       |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM wr$k),
+       |wb$k AS MATERIALIZED (
+       |  SELECT pa, pb, c, score FROM (
+       |    SELECT t.pa, t.pb, t.c,
+       |           t.c * $WpScale // (a.cu * b.cu) AS score,
+       |           row_number() OVER (
+       |             ORDER BY t.c * $WpScale // (a.cu * b.cu) DESC, t.pa, t.pb) AS rk
+       |    FROM (SELECT sym AS pa, nxt AS pb, CAST(sum(cnt) AS BIGINT) AS c
+       |          FROM wp$k WHERE nxt IS NOT NULL GROUP BY 1, 2) t
+       |    JOIN wuc$k a ON a.sym = t.pa JOIN wuc$k b ON b.sym = t.pb)
+       |  WHERE rk = 1),
+       |wm$k AS MATERIALIZED (
+       |  SELECT p.word, p.cnt, p.pos, p.sym, p.nxt,
+       |         row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn,
+       |         (b.pa IS NOT NULL) AS cand
+       |  FROM wp$k p LEFT JOIN wb$k b ON p.sym = b.pa AND p.nxt = b.pb),
+       |wcr$k AS (SELECT word, pos, rn,
+       |                 row_number() OVER (PARTITION BY word ORDER BY pos) AS crank
+       |          FROM wm$k WHERE cand),
+       |wsel$k AS (SELECT word, pos,
+       |                  (crank - min(crank) OVER (PARTITION BY word, rn - crank)) % 2 = 0
+       |                    AS sel
+       |           FROM wcr$k),
+       |wj$k AS (SELECT m.word, m.cnt, m.pos, m.sym, m.nxt,
+       |                coalesce(s.sel, FALSE) AS sel
+       |         FROM wm$k m LEFT JOIN wsel$k s ON m.word = s.word AND m.pos = s.pos),
+       |wr${k + 1} AS MATERIALIZED (
+       |  SELECT word, cnt, pos,
+       |         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel
+       |        FROM wj$k)
+       |  WHERE NOT coalesce(psel, FALSE))""".stripMargin
+
+  private val wpBaseCte: String =
+    s"""wvc AS (
+       |  SELECT u.word AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT $tokensSql AS w FROM documents) d, unnest(d.w) u(word)
+       |  WHERE u.word != '' GROUP BY 1),
+       |wr0 AS (SELECT word, cnt, t.i AS pos, substring(word, CAST(t.i AS INTEGER), 1) AS sym
+       |        FROM wvc, unnest(range(1, len(word) + 1)) t(i))""".stripMargin
+
+  lazy val wordpieceTrainOracle: String = {
+    val mergeRows = (0 until WpRounds)
+      .map(k => s"SELECT ${k}::BIGINT AS round, pa, pb, c AS pair_count, " +
+        s"CAST(score AS BIGINT) AS score, pa || pb AS new_sym FROM wb$k")
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH $wpBaseCte,
+       |${(0 until WpRounds).map(wpRoundCte).mkString(",\n|")}
+       |$mergeRows
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Max-munch replayed in SQL: the vocab CTE (alphabet ∪ merges), then
+    * [[WpMaxSteps]] unrolled steps — each step extends every unfinished
+    * word by its LONGEST vocab match (the piece is determined by
+    * (word, pos, l), so ORDER BY len DESC alone is a total pick). */
+  lazy val wordpieceEncodeOracle: String = {
+    val vocabUnion = (0 until WpRounds)
+      .map(k => s"SELECT pa || pb AS piece FROM wb$k").mkString("\n|  UNION ")
+    val steps = (1 to WpMaxSteps).map { j =>
+      s"""ws$j AS MATERIALIZED (
+         |  SELECT word, pos, k, chk FROM ws${j - 1} WHERE pos >= len(word)
+         |  UNION ALL
+         |  SELECT word, pos + plen AS pos, k + 1 AS k,
+         |         chk + (${baseHashSql("piece")} % $TokenIdMod) * (k + 1) AS chk
+         |  FROM (SELECT t.word, t.pos, t.k, t.chk, v.piece, len(v.piece) AS plen,
+         |               row_number() OVER (PARTITION BY t.word
+         |                 ORDER BY len(v.piece) DESC) AS mrk
+         |        FROM ws${j - 1} t JOIN wvocab v
+         |          ON t.pos < len(t.word)
+         |         AND substr(t.word, CAST(t.pos + 1 AS INTEGER),
+         |                    CAST(len(v.piece) AS INTEGER)) = v.piece)
+         |  WHERE mrk = 1)""".stripMargin
+    }.mkString(",\n|")
+    s"""WITH $wpBaseCte,
+       |${(0 until WpRounds).map(wpRoundCte).mkString(",\n|")},
+       |wvocab AS (
+       |  SELECT DISTINCT substr(word, CAST(t.i AS INTEGER), 1) AS piece
+       |  FROM wvc, unnest(range(1, len(word) + 1)) t(i)
+       |  UNION $vocabUnion),
+       |ws0 AS (SELECT word, 0::BIGINT AS pos, 0::BIGINT AS k, 0::BIGINT AS chk FROM wvc),
+       |$steps,
+       |wwe AS (SELECT word, k AS n_syms, chk AS wsum FROM ws$WpMaxSteps),
+       |wdt AS (
+       |  SELECT doc_id, u.word AS word
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) dd, unnest(dd.w) u(word)
+       |  WHERE u.word != ''),
+       |wpd AS (SELECT doc_id, CAST(sum(w.n_syms) AS BIGINT) AS nt,
+       |               CAST(sum(w.wsum) AS BIGINT) AS chk
+       |        FROM wdt JOIN wwe w USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(wpd.nt, 0)::BIGINT AS n_tokens_wp,
+       |       coalesce(wpd.chk, 0)::BIGINT AS token_checksum
+       |FROM documents d LEFT JOIN wpd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // lazy: PackTarget/ShardCount are declared earlier in the file but
   // these compose bpeCountCtes which itself reads later-declared vals —
   // lazy sidesteps the object-init-order trap entirely (see gotchas)

@@ -218,7 +218,37 @@ object PipelineScaleProbe {
           spark.range(n).select(col("id").as("doc_id"),
             concat_ws(" ", (0 until 8).map(k =>
               hex(xxhash64(col("id"), lit(k)))): _*).as("text"),
-            pmod(xxhash64(col("id")), lit(1000L)).as("n_chars")))).count()))
+            pmod(xxhash64(col("id")), lit(1000L)).as("n_chars")))).count()),
+      // round-9: the two remaining tokenizer families (claims: corpus
+      // collapses to the vocab first; EM / merge rounds are vocab-bounded;
+      // encode = one corpus equi-join) and the capstone with embedding
+      // gates (fixed stage count, each stage already probed)
+      "unigram_train" -> (n =>
+        graft.pipeline.TextOps.unigramTrain(synthDocs(spark, n)).count()),
+      "wordpiece_train" -> (n =>
+        graft.pipeline.TextOps.wordpieceTrain(synthDocs(spark, n)).count()),
+      "wordpiece_encode" -> (n =>
+        graft.pipeline.TextOps.wordpieceEncode(synthDocs(spark, n)).count()),
+      "jpeg_roundtrip" -> (n =>
+        graft.pipeline.Multimodal.jpegRoundtrip(synthDocs(spark, n)).count()),
+      // high-entropy clip text like audio_dup (frame fingerprints are
+      // exact pixel hashes — a word-soup corpus would plant cross-doc
+      // frame collisions the skew law already documents)
+      "video_dup" -> (n => graft.pipeline.Multimodal.videoDup(
+        spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 8).map(k =>
+            hex(xxhash64(col("id"), lit(k)))): _*).as("text"),
+          pmod(xxhash64(col("id")), lit(1000L)).as("n_chars"))).count()))
+      // trainManifestV2 is deliberately NOT probed here (no silent caps:
+      // this is a documented drop, not coverage): the composition is a
+      // fixed stage count of individually-probed operators, but its
+      // embedding gates (semDedup, semanticDecontaminate) run with the
+      // testdata-sized k / band bits — at 1M synthetic vectors the
+      // within-cluster pair stage degenerates exactly as the SemDeDup
+      // cost model predicts when k is NOT scaled with the corpus (k must
+      // grow to hold n/k fixed; see the operator's scale note). Probing
+      // it un-rescaled would measure that documented degeneracy, not the
+      // composition.
 
     val rows = ops.filter(o =>
       opFilter.forall(_.split(",").exists(o._1.contains))).map { case (name, op) =>

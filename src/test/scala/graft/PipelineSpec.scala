@@ -1268,6 +1268,87 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("video dup: every planted head-trim is found at full containment") {
+    val planted = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % Multimodal.VideoDupMod == 0).toSet
+    assert(planted.nonEmpty)
+    val dups = Multimodal.videoDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // every planted (base, trimmed) pair is reported as a full-containment dup
+    planted.foreach { id =>
+      val hit = dups.find(d => d._1 == id && d._2 == id + Multimodal.VideoDupOffset)
+      assert(hit.isDefined, s"planted trim of clip $id not found")
+      assert(hit.get._5, s"planted trim of clip $id not flagged is_dup")
+      assert(hit.get._4 === 1000L)
+    }
+    // containment is well-formed on every pair: 0 < shared ≤ min size ⇒ pm ≤ 1000
+    dups.foreach { case (a, b, shared, pm, isDup) =>
+      assert(a < b && shared > 0 && pm > 0 && pm <= 1000)
+      assert(isDup === (pm == 1000L))
+    }
+    // trimFirstFrame is a REAL remux: the trimmed clip decodes to exactly
+    // the base clip's frames 1..nf-1, bit-identical pixels
+    val row = docs.filter(col("doc_id") % Multimodal.VideoDupMod === 0)
+      .select("text", "n_chars").head()
+    val (text, nc) = (row.getString(0), row.getLong(1))
+    val base = Multimodal.encodeVideo(text, 4 + (nc % 5).toInt, 3 + (nc % 4).toInt,
+      8 + (nc % 5).toInt)
+    val bf = Multimodal.decodeVideoFrames(base).get
+    val tf = Multimodal.decodeVideoFrames(Multimodal.trimFirstFrame(base)).get
+    assert(tf.length === bf.length - 1)
+    tf.zip(bf.tail).foreach { case ((w1, h1, p1), (w2, h2, p2)) =>
+      assert(w1 === w2 && h1 === h2 && p1.toSeq === p2.toSeq)
+    }
+  }
+
+  test("wordpiece: likelihood merges + greedy max-munch laws") {
+    val traj = TextOps.wordpieceTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    // exactly one merge per round, rounds 0..WpRounds-1, new_sym = pa||pb
+    assert(traj.length === TextOps.WpRounds)
+    assert(traj.map(_._1).toSeq === (0 until TextOps.WpRounds).map(_.toLong))
+    traj.foreach { case (_, pa, pb, c, score, ns) =>
+      assert(ns === pa + pb)
+      assert(c > 0 && score >= 0)
+    }
+    // the vocabulary the encoder sees: corpus alphabet ∪ merged symbols
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    val alphabet = words.flatMap(_.map(_.toString)).toSet
+    val vocab = alphabet ++ traj.map(_._6)
+    val maxLen = vocab.iterator.map(_.length).max
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val seg = TextOps.wpSegment(w, vocab, maxLen)
+      // concat law
+      assert(seg.mkString === w, s"'$w' -> $seg")
+      // greedy-longest law: each piece is the LONGEST vocab match at its
+      // position (no longer vocab piece is a prefix of the remainder)
+      var pos = 0
+      seg.foreach { p =>
+        assert(vocab.contains(p) || p.length == 1, s"'$w': piece '$p' not in vocab")
+        val rest = w.substring(pos)
+        ((p.length + 1) to math.min(maxLen, rest.length)).foreach { l =>
+          assert(!vocab.contains(rest.substring(0, l)),
+            s"'$w' at $pos: picked '$p' but '${rest.substring(0, l)}' is in vocab")
+        }
+        pos += p.length
+      }
+    }
+    // merges actually fire in the encode: some corpus word segments to a
+    // multi-char piece (the likelihood argmax found a real collocation)
+    assert(words.exists(w => TextOps.wpSegment(w, vocab, maxLen).exists(_.length >= 2)))
+    // encode totality + internal consistency: one row per doc; totals =
+    // the word-level segmentation replayed over corpus occurrences
+    val enc = TextOps.wordpieceEncode(docs).collect()
+    assert(enc.length === docs.count())
+    val occ = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").collect().map(_.getString(0))
+    val expectTotal = occ.map(w => TextOps.wpSegment(w, vocab, maxLen).length.toLong).sum
+    assert(enc.map(_.getLong(1)).sum === expectTotal)
+  }
+
   test("train manifest v2: conservation — v2 = v1-train ∩ semKeep ∩ alignKeep ∖ contaminated") {
     val trainIds = TextOps.curationSplits(docs).collect()
       .filter(_.getString(1) == "train").map(_.getLong(0)).toSet
