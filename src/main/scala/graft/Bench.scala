@@ -201,7 +201,8 @@ object Bench {
       // round-9 additions
       "mm_jpeg_roundtrip", "doc_train_manifest_v2",
       "doc_unigram_train", "doc_unigram_encode",
-      "doc_wordpiece_train", "doc_wordpiece_encode", "mm_video_dup")
+      "doc_wordpiece_train", "doc_wordpiece_encode", "mm_video_dup",
+      "doc_tokenizer_compare", "doc_pack_split", "doc_ngram_novelty")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) ++
       sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" } :+
       f""""shared_build_wall":$sharedWall%.3f""" :+

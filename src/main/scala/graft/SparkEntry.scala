@@ -1225,6 +1225,12 @@ object SparkEntry {
     // round-9: the THIRD tokenizer family (likelihood merges + max-munch)
     "doc_wordpiece_train" -> ((s, dir) => TextOps.wordpieceTrain(docs(s, dir))),
     "doc_wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(docs(s, dir))),
+    // round-9: cross-family fertility report off the three memoized cores
+    "doc_tokenizer_compare" -> ((s, dir) => TextOps.tokenizerCompare(docs(s, dir))),
+    // round-9: GPT-style exact-boundary sequence packing (docs straddle)
+    "doc_pack_split" -> ((s, dir) => TextOps.packSplit(docs(s, dir))),
+    // round-9: per-snapshot new-ngram rate (crawl freshness)
+    "doc_ngram_novelty" -> ((s, dir) => TextOps.ngramNovelty(docs(s, dir))),
     // round-8: trained-tokens-per-word by source (vocab-allocation metric)
     "doc_bpe_fertility" -> ((s, dir) => TextOps.bpeFertility(docs(s, dir))),
     "doc_bpe_compression" -> ((s, dir) => TextOps.bpeCompression(docs(s, dir))),
@@ -2638,6 +2644,9 @@ object SparkEntry {
     "doc_unigram_encode" -> TextOps.unigramEncodeOracle,
     "doc_wordpiece_train" -> TextOps.wordpieceTrainOracle,
     "doc_wordpiece_encode" -> TextOps.wordpieceEncodeOracle,
+    "doc_tokenizer_compare" -> TextOps.tokenizerCompareOracle,
+    "doc_pack_split" -> TextOps.packSplitOracle,
+    "doc_ngram_novelty" -> TextOps.ngramNoveltyOracle,
     "doc_bpe_fertility" -> TextOps.bpeFertilityOracle,
     "doc_bpe_compression" -> TextOps.bpeCompressionOracle,
     "doc_bpe_encode" -> TextOps.bpeEncodeOracle,

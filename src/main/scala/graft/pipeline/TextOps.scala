@@ -404,7 +404,18 @@ object TextOps {
   /** Core of [[packBins]] over an explicit (doc_id, n) token-count
     * relation — lets the caller choose the token accounting (whitespace
     * counts here, TRAINED-tokenizer counts in [[packBinsBpe]]). */
-  private[pipeline] def packBinsOn(counts: DataFrame): DataFrame = {
+  private[pipeline] def packBinsOn(counts: DataFrame): DataFrame =
+    prefixSumOn(counts)
+      .withColumn("bin", expr(s"before div $PackTarget"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .orderBy("bin")
+
+  /** Distributed exact prefix sum over a (doc_id, n) relation in doc_id
+    * order — (doc_id, n, before) where before = Σ n of all earlier docs.
+    * The two-phase shape is the cluster-scale form of a global running
+    * sum (a single-partition window at 100 TB is a non-starter). */
+  private[pipeline] def prefixSumOn(counts: DataFrame): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
     val toks = graft.util.Materialize.pinned(counts
@@ -434,11 +445,46 @@ object TextOps {
     toks
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("before", coalesce(sum("n").over(w), lit(0L)) + col("off"))
-      .withColumn("bin", expr(s"before div $PackTarget"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-      .orderBy("bin")
+      .select("doc_id", "n", "before")
   }
+
+  /** GPT-style SEQUENCE PACKING — the other packing discipline real
+    * pretraining loaders ship: concatenate the corpus in doc_id order
+    * and cut at EXACT [[PackTarget]]-token boundaries, documents
+    * straddling cuts (every sequence but the last is exactly full; the
+    * non-straddling [[packBins]] bins overflow instead). Counts are the
+    * TRAINED-tokenizer token counts ([[bpeEncode]] — what the loader
+    * actually cuts by). Per doc: its token span's first/last sequence
+    * and whether it straddles a boundary (the attention-mask /
+    * cross-doc-contamination accounting a loader needs). Empty docs
+    * occupy zero tokens: first_seq = last_seq = the sequence their
+    * offset falls in, is_straddle false.
+    * Output (doc_id, n_tokens, first_seq, last_seq, is_straddle). */
+  def packSplit(docs: DataFrame): DataFrame =
+    prefixSumOn(bpeEncode(docs)
+      .select(col("doc_id"), col("n_tokens_bpe").as("n")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr(s"before div $PackTarget").as("first_seq"),
+        expr(s"CASE WHEN n > 0 THEN (before + n - 1) div $PackTarget " +
+          s"ELSE before div $PackTarget END").as("last_seq"))
+      .withColumn("is_straddle", col("last_seq") =!= col("first_seq"))
+      .orderBy("doc_id")
+
+  lazy val packSplitOracle: String =
+    s"""WITH $bpeCountCtes,
+       |dn AS (SELECT doc.doc_id, coalesce(pd.nt, 0)::BIGINT AS n
+       |       FROM documents doc LEFT JOIN pd USING (doc_id)),
+       |c AS (SELECT doc_id, n,
+       |             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+       |      FROM dn)
+       |SELECT doc_id, n AS n_tokens,
+       |       before // $PackTarget AS first_seq,
+       |       CASE WHEN n > 0 THEN (before + n - 1) // $PackTarget
+       |            ELSE before // $PackTarget END AS last_seq,
+       |       (CASE WHEN n > 0 THEN (before + n - 1) // $PackTarget
+       |             ELSE before // $PackTarget END) != before // $PackTarget AS is_straddle
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** [[packBins]] fed by TRAINED-tokenizer counts ([[bpeEncode]]) — the
     * accounting a training run actually bins by (round-6 verdict item 1:
@@ -1007,6 +1053,50 @@ object TextOps {
     * equi-join on doc_id and a tiny grouped aggregate. Id-partitioned
     * snapshots co-locate for free at 100 TB (bucketed stores skip the
     * shuffle entirely). Output (source, status, n_docs, token_delta). */
+  /** N-GRAM NOVELTY across crawl snapshots — the freshness metric that
+    * decides whether re-crawling a source is worth the compute: per
+    * snapshot (here doc_id mod 4, in crawl order), how many of its
+    * distinct word-3-gram fingerprints were NEVER seen in any earlier
+    * snapshot. A snapshot whose novelty_pm collapses is re-serving old
+    * content. Scale shape: one shingle explode + ONE hash aggregate
+    * keyed by gram (min first-seen snapshot — map-side combinable) +
+    * one catalog-bounded rollup; never a snapshot×snapshot join.
+    * Output (snapshot, n_grams, n_distinct, n_new, novelty_pm). */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val g = docs.select((col("doc_id") % 4).as("snapshot"),
+        explode(shingles(tokens(col("text")))).as("s"))
+      .select(col("snapshot"), baseHash(col("s")).as("g"))
+      .transform(graft.util.Materialize.corpus) // feeds totals + first-seen
+    val perSnap = g.groupBy("snapshot", "g").agg(count(lit(1)).as("occ"))
+    val firstSeen = g.groupBy("g").agg(min("snapshot").as("first_snap"))
+    perSnap.join(firstSeen, Seq("g"))
+      .groupBy("snapshot")
+      .agg(sum("occ").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("first_snap") === col("snapshot"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty_pm",
+        expr("CASE WHEN n_distinct > 0 THEN n_new * 1000 div n_distinct ELSE 0 END"))
+      .orderBy("snapshot")
+  }
+
+  val ngramNoveltyOracle: String =
+    s"""WITH g AS (
+       |  SELECT doc_id % 4 AS snapshot,
+       |         ${baseHashSql("s.sh")} AS g
+       |  FROM (SELECT doc_id, ${shinglesSql(tokensSql)} AS shs FROM documents) d,
+       |       unnest(d.shs) s(sh)),
+       |ps AS (SELECT snapshot, g, count(*)::BIGINT AS occ FROM g GROUP BY 1, 2),
+       |fs AS (SELECT g, min(snapshot) AS first_snap FROM g GROUP BY 1)
+       |SELECT ps.snapshot,
+       |       CAST(sum(ps.occ) AS BIGINT) AS n_grams,
+       |       count(*)::BIGINT AS n_distinct,
+       |       CAST(sum(CASE WHEN fs.first_snap = ps.snapshot THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |       CAST(CASE WHEN count(*) > 0
+       |                 THEN sum(CASE WHEN fs.first_snap = ps.snapshot THEN 1 ELSE 0 END) * 1000 // count(*)
+       |                 ELSE 0 END AS BIGINT) AS novelty_pm
+       |FROM ps JOIN fs USING (g)
+       |GROUP BY ps.snapshot ORDER BY ps.snapshot""".stripMargin
+
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def collapse(d: DataFrame, p: String) = d.select(col("doc_id"),
       col("source").as(s"${p}_src"), baseHash(col("text")).as(s"${p}_h"),
@@ -1913,28 +2003,30 @@ object TextOps {
        |ORDER BY round""".stripMargin
   }
 
+  /** One max-munch step in SQL: extend every unfinished word by its
+    * LONGEST vocab match (the piece is determined by (word, pos, l), so
+    * ORDER BY len DESC alone is a total pick); finished words carry. */
+  private def wpMunchStepCte(j: Int): String =
+    s"""ws$j AS MATERIALIZED (
+       |  SELECT word, pos, k, chk FROM ws${j - 1} WHERE pos >= len(word)
+       |  UNION ALL
+       |  SELECT word, pos + plen AS pos, k + 1 AS k,
+       |         chk + (${baseHashSql("piece")} % $TokenIdMod) * (k + 1) AS chk
+       |  FROM (SELECT t.word, t.pos, t.k, t.chk, v.piece, len(v.piece) AS plen,
+       |               row_number() OVER (PARTITION BY t.word
+       |                 ORDER BY len(v.piece) DESC) AS mrk
+       |        FROM ws${j - 1} t JOIN wvocab v
+       |          ON t.pos < len(t.word)
+       |         AND substr(t.word, CAST(t.pos + 1 AS INTEGER),
+       |                    CAST(len(v.piece) AS INTEGER)) = v.piece)
+       |  WHERE mrk = 1)""".stripMargin
+
   /** Max-munch replayed in SQL: the vocab CTE (alphabet ∪ merges), then
-    * [[WpMaxSteps]] unrolled steps — each step extends every unfinished
-    * word by its LONGEST vocab match (the piece is determined by
-    * (word, pos, l), so ORDER BY len DESC alone is a total pick). */
+    * [[WpMaxSteps]] unrolled [[wpMunchStepCte]] steps. */
   lazy val wordpieceEncodeOracle: String = {
     val vocabUnion = (0 until WpRounds)
       .map(k => s"SELECT pa || pb AS piece FROM wb$k").mkString("\n|  UNION ")
-    val steps = (1 to WpMaxSteps).map { j =>
-      s"""ws$j AS MATERIALIZED (
-         |  SELECT word, pos, k, chk FROM ws${j - 1} WHERE pos >= len(word)
-         |  UNION ALL
-         |  SELECT word, pos + plen AS pos, k + 1 AS k,
-         |         chk + (${baseHashSql("piece")} % $TokenIdMod) * (k + 1) AS chk
-         |  FROM (SELECT t.word, t.pos, t.k, t.chk, v.piece, len(v.piece) AS plen,
-         |               row_number() OVER (PARTITION BY t.word
-         |                 ORDER BY len(v.piece) DESC) AS mrk
-         |        FROM ws${j - 1} t JOIN wvocab v
-         |          ON t.pos < len(t.word)
-         |         AND substr(t.word, CAST(t.pos + 1 AS INTEGER),
-         |                    CAST(len(v.piece) AS INTEGER)) = v.piece)
-         |  WHERE mrk = 1)""".stripMargin
-    }.mkString(",\n|")
+    val steps = (1 to WpMaxSteps).map(wpMunchStepCte).mkString(",\n|")
     s"""WITH $wpBaseCte,
        |${(0 until WpRounds).map(wpRoundCte).mkString(",\n|")},
        |wvocab AS (
@@ -1956,6 +2048,85 @@ object TextOps {
        |FROM documents d LEFT JOIN wpd USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- operator: tokenizer family comparison ------------------------------
+
+  /** The "pick your tokenizer" report — all THREE trained families (BPE,
+    * unigram-LM, WordPiece) encoded over the same corpus, compared per
+    * source by fertility (trained tokens per whitespace word, ×1000):
+    * the table a pipeline owner reads before committing a vocabulary.
+    * Each encode is the already-verified operator off its memoized
+    * training core (one training per family per run); the comparison
+    * adds three doc_id equi-joins + one catalog-bounded aggregate.
+    * Output (source, n_docs, n_words, n_bpe, n_uni, n_wp,
+    * fert_bpe_pm, fert_uni_pm, fert_wp_pm). */
+  def tokenizerCompare(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), col("source"),
+      size(filter(tokens(col("text")), w => w =!= "")).cast("long").as("n_words"))
+    words
+      .join(bpeEncode(docs).select(col("doc_id"), col("n_tokens_bpe")), Seq("doc_id"))
+      .join(unigramEncode(docs).select(col("doc_id"), col("n_tokens_uni")), Seq("doc_id"))
+      .join(wordpieceEncode(docs).select(col("doc_id"), col("n_tokens_wp")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens_bpe").as("n_bpe"), sum("n_tokens_uni").as("n_uni"),
+        sum("n_tokens_wp").as("n_wp"))
+      .withColumn("fert_bpe_pm",
+        expr("CASE WHEN n_words > 0 THEN n_bpe * 1000 div n_words ELSE 0 END"))
+      .withColumn("fert_uni_pm",
+        expr("CASE WHEN n_words > 0 THEN n_uni * 1000 div n_words ELSE 0 END"))
+      .withColumn("fert_wp_pm",
+        expr("CASE WHEN n_words > 0 THEN n_wp * 1000 div n_words ELSE 0 END"))
+      .orderBy("source")
+  }
+
+  /** All three training chains spliced into one WITH — their CTE
+    * namespaces are disjoint by construction (vc, r-rounds, we, pd for
+    * BPE; the u-prefixed unigram chain; the w-prefixed WordPiece one). */
+  lazy val tokenizerCompareOracle: String =
+    s"""WITH $bpeCountCtes,
+       |${uniSeedCtes},
+       |${(1 to UniRounds).map(uniRoundCtes).mkString(",\n|")},
+       |une AS (SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+       |        FROM upc$UniRounds GROUP BY word),
+       |udt AS (
+       |  SELECT doc_id, u.word AS word
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) dd, unnest(dd.w) u(word)
+       |  WHERE u.word != ''),
+       |upd AS (SELECT doc_id, CAST(sum(une.n_syms) AS BIGINT) AS nt
+       |        FROM udt JOIN une USING (word) GROUP BY doc_id),
+       |${wpBaseCte},
+       |${(0 until WpRounds).map(wpRoundCte).mkString(",\n|")},
+       |wvocab AS (
+       |  SELECT DISTINCT substr(word, CAST(t.i AS INTEGER), 1) AS piece
+       |  FROM wvc, unnest(range(1, len(word) + 1)) t(i)
+       |  UNION ${(0 until WpRounds).map(k => s"SELECT pa || pb AS piece FROM wb$k").mkString("\n|  UNION ")}),
+       |ws0 AS (SELECT word, 0::BIGINT AS pos, 0::BIGINT AS k, 0::BIGINT AS chk FROM wvc),
+       |${(1 to WpMaxSteps).map(wpMunchStepCte).mkString(",\n|")},
+       |wwe AS (SELECT word, k AS n_syms FROM ws$WpMaxSteps),
+       |wpd AS (SELECT doc_id, CAST(sum(w.n_syms) AS BIGINT) AS nt
+       |        FROM udt JOIN wwe w USING (word) GROUP BY doc_id),
+       |wc AS (
+       |  SELECT doc_id, source,
+       |         len(list_filter($tokensSql, x -> x != ''))::BIGINT AS n_words
+       |  FROM documents)
+       |SELECT wc.source, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(wc.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(coalesce(pd.nt, 0)) AS BIGINT) AS n_bpe,
+       |       CAST(sum(coalesce(upd.nt, 0)) AS BIGINT) AS n_uni,
+       |       CAST(sum(coalesce(wpd.nt, 0)) AS BIGINT) AS n_wp,
+       |       CAST(CASE WHEN sum(wc.n_words) > 0
+       |                 THEN sum(coalesce(pd.nt, 0)) * 1000 // sum(wc.n_words)
+       |                 ELSE 0 END AS BIGINT) AS fert_bpe_pm,
+       |       CAST(CASE WHEN sum(wc.n_words) > 0
+       |                 THEN sum(coalesce(upd.nt, 0)) * 1000 // sum(wc.n_words)
+       |                 ELSE 0 END AS BIGINT) AS fert_uni_pm,
+       |       CAST(CASE WHEN sum(wc.n_words) > 0
+       |                 THEN sum(coalesce(wpd.nt, 0)) * 1000 // sum(wc.n_words)
+       |                 ELSE 0 END AS BIGINT) AS fert_wp_pm
+       |FROM wc LEFT JOIN pd USING (doc_id) LEFT JOIN upd USING (doc_id)
+       |     LEFT JOIN wpd USING (doc_id)
+       |GROUP BY wc.source ORDER BY wc.source""".stripMargin
 
   // lazy: PackTarget/ShardCount are declared earlier in the file but
   // these compose bpeCountCtes which itself reads later-declared vals —

@@ -238,7 +238,17 @@ object PipelineScaleProbe {
         spark.range(n).select(col("id").as("doc_id"),
           concat_ws(" ", (0 until 8).map(k =>
             hex(xxhash64(col("id"), lit(k)))): _*).as("text"),
-          pmod(xxhash64(col("id")), lit(1000L)).as("n_chars"))).count()))
+          pmod(xxhash64(col("id")), lit(1000L)).as("n_chars"))).count()),
+      // round-9 session 2: two-phase prefix-sum packing (claims: the
+      // global running sum never runs on one partition), the novelty
+      // rollup (one gram-keyed hash aggregate), and the three-core
+      // fertility report (bounded by the slowest tokenizer training)
+      "pack_split" -> (n =>
+        graft.pipeline.TextOps.packSplit(synthDocs(spark, n)).count()),
+      "ngram_novelty" -> (n =>
+        graft.pipeline.TextOps.ngramNovelty(synthDocs(spark, n)).count()),
+      "tok_compare" -> (n =>
+        graft.pipeline.TextOps.tokenizerCompare(synthDocs(spark, n)).count()))
       // trainManifestV2 is deliberately NOT probed here (no silent caps:
       // this is a documented drop, not coverage): the composition is a
       // fixed stage count of individually-probed operators, but its

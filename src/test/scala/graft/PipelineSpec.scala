@@ -1349,6 +1349,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(enc.map(_.getLong(1)).sum === expectTotal)
   }
 
+  test("pack split: exact-boundary sequence laws (conservation, span math, straddle)") {
+    val rows = TextOps.packSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val cap = TextOps.PackTarget
+    // replay the global cumsum independently and check every span
+    var before = 0L
+    rows.sortBy(_._1).foreach { case (id, n, first, last, straddle) =>
+      assert(first === before / cap, s"doc $id first_seq")
+      val expLast = if (n > 0) (before + n - 1) / cap else before / cap
+      assert(last === expLast, s"doc $id last_seq")
+      assert(straddle === (first != last), s"doc $id straddle flag")
+      before += n
+    }
+    // conservation: the last sequence index covers exactly ceil(total/cap)
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._4).max === (total - 1) / cap)
+    // packing is non-trivial on this corpus: some doc straddles a boundary
+    assert(rows.exists(_._5), "no doc straddles a sequence boundary")
+  }
+
+  test("tokenizer compare: three-family fertility report agrees with each encoder") {
+    val rep = TextOps.tokenizerCompare(docs).collect()
+    val srcs = docs.select("source").distinct().count()
+    assert(rep.length === srcs)
+    val bpeBySrc = docs.select(col("doc_id"), col("source"))
+      .join(TextOps.bpeEncode(docs), Seq("doc_id")).groupBy("source")
+      .agg(sum("n_tokens_bpe")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rep.foreach { r =>
+      val (src, nw, nb, nu, np) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nb === bpeBySrc(src), s"$src: report n_bpe drifts from bpeEncode")
+      // every family emits >= 1 piece per word => fertility floor 1000
+      Seq(r.getLong(6), r.getLong(7), r.getLong(8)).foreach { f =>
+        assert(f >= 1000L, s"$src: fertility $f below the 1-piece-per-word floor")
+      }
+      assert(nu > 0 && np > 0 && nw > 0)
+    }
+  }
+
+  test("ngram novelty: first snapshot is all-new; new-gram counts partition the gram space") {
+    val rows = TextOps.ngramNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    // snapshot 0 has no past: everything it contains is new
+    val s0 = rows.find(_._1 == 0L).get
+    assert(s0._4 === s0._3 && s0._5 === 1000L)
+    rows.foreach { case (_, nGrams, nDistinct, nNew, pm) =>
+      assert(nNew <= nDistinct && nDistinct <= nGrams)
+      assert(pm >= 0 && pm <= 1000)
+    }
+    // Σ n_new over snapshots == corpus-wide distinct grams (each gram is
+    // new in exactly its first-seen snapshot)
+    val totalDistinct = docs
+      .select(explode(TextOps.shingles(TextOps.tokens(col("text")))).as("s"))
+      .select(TextOps.baseHash(col("s"))).distinct().count()
+    assert(rows.map(_._4).sum === totalDistinct)
+  }
+
   test("train manifest v2: conservation — v2 = v1-train ∩ semKeep ∩ alignKeep ∖ contaminated") {
     val trainIds = TextOps.curationSplits(docs).collect()
       .filter(_.getString(1) == "train").map(_.getLong(0)).toSet
