@@ -1373,6 +1373,9 @@ object SparkEntry {
     // --- LLM-pipeline: similarity search over embeddings ---
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(emb(s, dir))),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
+    // round-9: hybrid retrieval — RRF fusion of the dense (exact-cosine)
+    // and sketch (hamming) rankings, the standard RAG combiner
+    "ann_rrf_fusion" -> ((s, dir) => Similarity.rrfFusion(emb(s, dir))),
     "emb_centroids" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
     "emb_knn_classify" -> ((s, dir) => Similarity.knnClassify(emb(s, dir))),
     "emb_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
@@ -1412,6 +1415,10 @@ object SparkEntry {
     // round-9: video near-dup — frame-fingerprint containment finds the
     // planted head-trimmed re-uploads via a frame-hash equi-join
     "mm_video_dup" -> ((s, dir) => Multimodal.videoDup(docs(s, dir))),
+    // round-9: trained image-content gate over DECODED pixels (NB on
+    // intensity histograms; held-out confusion is its own entry)
+    "mm_image_classify" -> ((s, dir) => Multimodal.imageClassify(docs(s, dir))),
+    "mm_image_confusion" -> ((s, dir) => Multimodal.imageConfusion(docs(s, dir))),
     "mm_bmp_roundtrip" -> ((s, dir) => Multimodal.bmpRoundtrip(docs(s, dir))),
     // round-8: REAL PNG (DEFLATE + filters 0-4, JDK Inflater/CRC32) —
     // encode∘decode identity certified feature-wise against text
@@ -2698,6 +2705,7 @@ object SparkEntry {
     "dedup_emb_cosine" -> Dedup.cosinePairsBandedOracle,
     "dedup_emb_cosine_eval" -> EvalSampling.sampleOracle(Dedup.cosineBandedEvalOracle, "embeddings", "vec_id"),
     "ann_brute_topk" -> Similarity.bruteTopKOracle,
+    "ann_rrf_fusion" -> Similarity.rrfFusionOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,
     "emb_centroids" -> Similarity.centroidsOracle,
     "emb_knn_classify" -> Similarity.knnClassifyOracle,
@@ -2728,6 +2736,8 @@ object SparkEntry {
     "mm_audio_phash" -> Multimodal.audioPhashesOracle,
     "mm_audio_dup" -> Multimodal.audioDupOracle,
     "mm_video_dup" -> Multimodal.videoDupOracle,
+    "mm_image_classify" -> Multimodal.imageClassifyOracle,
+    "mm_image_confusion" -> Multimodal.imageConfusionOracle,
     "mm_text_align" -> Multimodal.textAlignOracle,
     "mm_wav_roundtrip" -> Multimodal.wavRoundtripOracle,
     "mm_bmp_resize" -> Multimodal.bmpResizeOracle,

@@ -806,6 +806,194 @@ object Multimodal {
        |     JOIN vsz sb ON sb.media_id = p.id_b
        |ORDER BY p.id_a, p.id_b""".stripMargin
 
+  // ---- operator: trained image-content classifier --------------------------
+  //
+  // The multimodal counterpart of the trained language ID: every public
+  // image-curation stack runs a TRAINED content gate over decoded
+  // pixels, and this is that gate in its honest form — a multinomial-NB
+  // classifier over the 16-bucket intensity histogram of ACTUALLY
+  // DECODED pixels, trained on the train split of a 4-class corpus
+  // derived bijectively from documents (identity / inverted / +64 shift
+  // / doubled byte transforms — histogram-visibly distinct, unlike a
+  // pixel PERMUTATION, which a histogram model is provably blind to:
+  // the langid reversal lesson applied at design time). Model =
+  // 4×[[ImgBuckets]] int64 rows, broadcast; held-out confusion matrix
+  // is its own entry. At 100 TB: one decode pass (mapPartitions, no
+  // shuffle), one bounded-width histogram aggregate, one broadcast
+  // join — the langIdMulti cost shape on the pixel domain.
+
+  val ImgClassNames: Seq[String] = Seq("dbl", "id", "inv", "sh64")
+  val ImgBuckets = 16
+  /** doc_id mod 10 < this → train split; the rest is held out. */
+  val ImgTrainMax = 8
+
+  /** 4-class image corpus: class = doc_id mod 4 picks a byte transform
+    * of the base text-derived pixels; payloads are REAL BMPs so the
+    * classifier consumes the actual decode path. kind carries the true
+    * class label (ground truth, not routing — detectKind still sees
+    * "BM"). */
+  def imageClassCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val w = 4 + (nc % 5).toInt
+        val h = 3 + (nc % 4).toInt
+        val px = new Array[Int](w * h * 3)
+        var j = 0
+        while (j < px.length) {
+          val b = pixelByte(text, j)
+          px(j) = (id % 4) match {
+            case 0 => b
+            case 1 => 255 - b
+            case 2 => (b + 64) % 256
+            case _ => (2 * b) % 256
+          }
+          j += 1
+        }
+        val cls = (id % 4) match {
+          case 0 => "id"; case 1 => "inv"; case 2 => "sh64"; case _ => "dbl"
+        }
+        MediaRow(id, cls, encodeBmpPixels(px, w, h), w, h)
+      }).toDF()
+  }
+
+  /** Decoded-pixel intensity histograms: decode each REAL BMP, bucket
+    * every channel value by //16 — one 16-int array per blob inside the
+    * partition iterator, exploded to ≤[[ImgBuckets]] rows per image
+    * (map-side-combinable immediately). Undecodable blobs emit nothing
+    * (totality; unreachable on encoder output). */
+  private def imageHistograms(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { m =>
+      decodeBmpPixels(m.payload) match {
+        case None => Iterator.empty
+        case Some((_, _, px)) =>
+          val h = new Array[Long](ImgBuckets)
+          var j = 0
+          while (j < px.length) { h(px(j) / ImgBuckets) += 1L; j += 1 }
+          (0 until ImgBuckets).iterator.filter(b => h(b) > 0)
+            .map(b => (m.media_id, m.kind, b.toLong, h(b)))
+      }
+    }).toDF("media_id", "class_true", "b", "x")
+  }
+
+  /** NB ppm profiles learned from the train split by one hash aggregate
+    * (full class×bucket grid so unseen buckets keep the Laplace floor).
+    * Output (c, b, ppm) — 4×[[ImgBuckets]] rows. */
+  private def imageProfileOn(x: DataFrame): DataFrame = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    val counts = x.filter(col("media_id") % 10 < ImgTrainMax)
+      .groupBy(col("class_true").as("c"), col("b"))
+      .agg(sum("x").as("n"))
+    val grid = ImgClassNames.flatMap(c => (0 until ImgBuckets).map(b => (c, b.toLong)))
+      .toDF("c", "b")
+    val tot = counts.groupBy("c").agg(sum("n").as("t"))
+    grid.join(counts, Seq("c", "b"), "left").na.fill(0L, Seq("n"))
+      .join(tot, Seq("c"))
+      .select(col("c"), col("b"),
+        expr(s"(n + 1) * 1000000 div (t + $ImgBuckets)").as("ppm"))
+  }
+
+  /** The trained profile as a standalone relation — what a deployment
+    * versions and ships to the ingest stream
+    * ([[graft.streaming.StreamingMediaGate]]). */
+  def imageClassProfile(docs: DataFrame): DataFrame =
+    imageProfileOn(imageHistograms(imageClassCorpus(docs)))
+      .orderBy("c", "b")
+
+  /** CLASSIFY every image: the [[imageProfileOn]] profile broadcast to
+    * the per-image histogram → dot score → (s DESC, c ASC) argmax.
+    * Output (media_id, class_true, class_pred, score). */
+  def imageClassify(docs: DataFrame): DataFrame = {
+    val x = graft.util.Materialize.corpus(imageHistograms(imageClassCorpus(docs)))
+    val prof = imageProfileOn(x)
+    val sc = x.join(broadcast(prof), Seq("b"))
+      .groupBy(col("media_id"), col("c"))
+      .agg(sum(expr("x * ppm")).as("s"))
+    val best = sc.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+          .orderBy(col("s").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+      .select(col("media_id"), col("c").as("class_pred"), col("s").as("score"))
+    x.select("media_id", "class_true").distinct()
+      .join(best, Seq("media_id"), "left")
+      .select(col("media_id"), col("class_true"),
+        coalesce(col("class_pred"), lit("unk")).as("class_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy("media_id")
+  }
+
+  /** Held-out confusion matrix (eval split only) — generalization, not
+    * memorization; ≤16 rows. */
+  def imageConfusion(docs: DataFrame): DataFrame =
+    imageClassify(docs).filter(col("media_id") % 10 >= ImgTrainMax)
+      .groupBy("class_true", "class_pred").agg(count(lit(1)).as("n"))
+      .orderBy("class_true", "class_pred")
+
+  /** Oracle CTE chain shared by both image-classifier entries: the byte
+    * transforms, decoded-pixel histograms, split-filtered NB profile,
+    * and ranked predictions — all recomputed from TEXT via the shared
+    * pixel rule, so a decode or histogram bug on the Spark side
+    * hash-fails. */
+  private def imgClassifyCtes: String = {
+    val base = "CASE WHEN len = 0 THEN 0 ELSE ord(text[CAST((t.j) % len AS INTEGER) + 1]) END"
+    s"""ic AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |         4 + n_chars % 5 AS w, 3 + n_chars % 4 AS h,
+       |         CASE doc_id % 4 WHEN 0 THEN 'id' WHEN 1 THEN 'inv'
+       |              WHEN 2 THEN 'sh64' ELSE 'dbl' END AS class_true
+       |  FROM documents),
+       |ipx AS (
+       |  SELECT doc_id, class_true,
+       |         (CASE doc_id % 4
+       |            WHEN 0 THEN ($base)
+       |            WHEN 1 THEN 255 - ($base)
+       |            WHEN 2 THEN (($base) + 64) % 256
+       |            ELSE (2 * ($base)) % 256 END) // $ImgBuckets AS b
+       |  FROM ic, unnest(range(0, w * h * 3)) t(j)),
+       |ix AS (SELECT doc_id, class_true, b, count(*)::BIGINT AS x
+       |       FROM ipx GROUP BY 1, 2, 3),
+       |iprof0 AS (
+       |  SELECT class_true AS c, b, CAST(sum(x) AS BIGINT) AS n
+       |  FROM ix WHERE doc_id % 10 < $ImgTrainMax GROUP BY 1, 2),
+       |igrid AS (
+       |  SELECT c, r.range::BIGINT AS b
+       |  FROM (SELECT DISTINCT class_true AS c FROM ic), range(0, $ImgBuckets) r),
+       |itot AS (SELECT c, sum(n) AS t FROM iprof0 GROUP BY c),
+       |iprof AS (
+       |  SELECT g.c, g.b,
+       |         CAST((COALESCE(p.n, 0) + 1) * 1000000 // (t.t + $ImgBuckets) AS BIGINT) AS ppm
+       |  FROM igrid g LEFT JOIN iprof0 p ON p.c = g.c AND p.b = g.b
+       |       JOIN itot t ON t.c = g.c),
+       |isc AS (
+       |  SELECT ix.doc_id, iprof.c, CAST(sum(ix.x * iprof.ppm) AS BIGINT) AS s
+       |  FROM ix JOIN iprof ON ix.b = iprof.b GROUP BY 1, 2),
+       |irk AS (
+       |  SELECT doc_id, c, s,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c ASC) AS rn
+       |  FROM isc),
+       |ipred AS (
+       |  SELECT i.doc_id AS media_id, i.class_true,
+       |         COALESCE(r.c, 'unk') AS class_pred,
+       |         COALESCE(r.s, 0)::BIGINT AS score
+       |  FROM ic i LEFT JOIN (SELECT * FROM irk WHERE rn = 1) r USING (doc_id))""".stripMargin
+  }
+
+  lazy val imageClassifyOracle: String =
+    s"""WITH $imgClassifyCtes
+       |SELECT media_id, class_true, class_pred, score FROM ipred
+       |ORDER BY media_id""".stripMargin
+
+  lazy val imageConfusionOracle: String =
+    s"""WITH $imgClassifyCtes
+       |SELECT class_true, class_pred, count(*)::BIGINT AS n
+       |FROM ipred WHERE media_id % 10 >= $ImgTrainMax
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- magic-byte decode router -------------------------------------------
 
   /** Media kind by magic bytes — the dispatch a production decode stage

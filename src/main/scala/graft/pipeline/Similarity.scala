@@ -84,6 +84,65 @@ object Similarity {
        |SELECT q_id, rank, neighbor_id, cos_fp FROM ranked
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ---- reciprocal-rank fusion ----------------------------------------------
+
+  /** RRF smoothing constant (Cormack et al. 2009's k=60). */
+  val RrfK = 60L
+
+  /** RECIPROCAL-RANK FUSION of two retrievers per query — the standard
+    * hybrid-retrieval combiner (every production RAG stack fuses a
+    * dense ranking with a cheap sketch/lexical one): fused score =
+    * Σ_methods 1e6 div (60 + rank), integer-quantized so both engines
+    * rank identically; ties broken by neighbor id. Fused here: the
+    * exact-cosine ranking ([[bruteTopK]], the dense retriever) and the
+    * binary-sketch ranking ([[hammingTopK]], the cheap first-stage) —
+    * a neighbor surfaced by BOTH beats either's solo top hit exactly
+    * when its ranks satisfy the RRF inequality, which the spec pins.
+    * Scale shape: two already-verified top-K relations (each
+    * NumQueries·K rows — eval-bounded), one full-outer join on
+    * (q_id, neighbor_id), one window per query. Output
+    * (q_id, rank, neighbor_id, rrf_fp, n_methods). */
+  def rrfFusion(emb: DataFrame): DataFrame = {
+    def side(df: DataFrame, m: String) = df
+      .select(col("q_id"), col("neighbor_id"),
+        expr(s"1000000 div ($RrfK + rank)").as(s"rrf_$m"))
+    val fused = side(bruteTopK(emb), "dense")
+      .join(side(hammingTopK(emb), "sketch"), Seq("q_id", "neighbor_id"), "full_outer")
+      .select(col("q_id"), col("neighbor_id"),
+        (coalesce(col("rrf_dense"), lit(0L)) + coalesce(col("rrf_sketch"), lit(0L)))
+          .as("rrf_fp"),
+        (when(col("rrf_dense").isNotNull, 1L).otherwise(0L) +
+          when(col("rrf_sketch").isNotNull, 1L).otherwise(0L)).as("n_methods"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf_fp").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor_id", "rrf_fp", "n_methods")
+      .orderBy("q_id", "rank")
+  }
+
+  lazy val rrfFusionOracle: String =
+    s"""WITH bd AS (SELECT q_id, neighbor_id,
+       |                   1000000 // ($RrfK + rank) AS rrf_dense
+       |            FROM ($bruteTopKOracle) b),
+       |hd AS (SELECT q_id, neighbor_id,
+       |              1000000 // ($RrfK + rank) AS rrf_sketch
+       |       FROM ($hammingTopKOracle) h),
+       |fused AS (
+       |  SELECT coalesce(bd.q_id, hd.q_id) AS q_id,
+       |         coalesce(bd.neighbor_id, hd.neighbor_id) AS neighbor_id,
+       |         CAST(coalesce(bd.rrf_dense, 0) + coalesce(hd.rrf_sketch, 0) AS BIGINT) AS rrf_fp,
+       |         CAST((CASE WHEN bd.rrf_dense IS NOT NULL THEN 1 ELSE 0 END)
+       |            + (CASE WHEN hd.rrf_sketch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_methods
+       |  FROM bd FULL OUTER JOIN hd
+       |    ON bd.q_id = hd.q_id AND bd.neighbor_id = hd.neighbor_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, rrf_fp, n_methods,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rrf_fp DESC, neighbor_id) AS rank
+       |  FROM fused)
+       |SELECT q_id, rank, neighbor_id, rrf_fp, n_methods FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // ---- filtered ANN -------------------------------------------------------
 
   /** Metadata-filtered exact top-K: each query's neighbors restricted

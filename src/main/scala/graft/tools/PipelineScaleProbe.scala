@@ -248,7 +248,11 @@ object PipelineScaleProbe {
       "ngram_novelty" -> (n =>
         graft.pipeline.TextOps.ngramNovelty(synthDocs(spark, n)).count()),
       "tok_compare" -> (n =>
-        graft.pipeline.TextOps.tokenizerCompare(synthDocs(spark, n)).count()))
+        graft.pipeline.TextOps.tokenizerCompare(synthDocs(spark, n)).count()),
+      // decode pass + bounded histogram aggregate + broadcast profile —
+      // the langid cost shape on the pixel domain
+      "image_classify" -> (n =>
+        graft.pipeline.Multimodal.imageClassify(synthDocs(spark, n)).count()))
       // trainManifestV2 is deliberately NOT probed here (no silent caps:
       // this is a documented drop, not coverage): the composition is a
       // fixed stage count of individually-probed operators, but its

@@ -1268,6 +1268,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rrf fusion: differential replay against the two source rankings") {
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val dense = ranks(Similarity.bruteTopK(emb))
+    val sketch = ranks(Similarity.hammingTopK(emb))
+    // independent re-fusion in plain Scala
+    val expected = (dense.keySet ++ sketch.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        val scored = keys.toSeq.map { k =>
+          val s = dense.get(k).map(r => 1000000L / (Similarity.RrfK + r)).getOrElse(0L) +
+            sketch.get(k).map(r => 1000000L / (Similarity.RrfK + r)).getOrElse(0L)
+          (k._2, s, (dense.contains(k) : Boolean, sketch.contains(k)))
+        }.sortBy { case (nid, s, _) => (-s, nid) }.take(Similarity.K)
+        scored.zipWithIndex.map { case ((nid, s, (d, h)), i) =>
+          (q, i + 1L) -> (nid, s, (if (d) 1L else 0L) + (if (h) 1L else 0L))
+        }
+    }
+    val got = Similarity.rrfFusion(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) === v, s"fused row $k")
+    }
+    // fusion is non-trivial on this corpus: some fused top-K row is
+    // surfaced by BOTH methods (n_methods = 2)
+    assert(got.values.exists(_._3 == 2L))
+  }
+
+  test("image classifier: trained gate beats chance on EVERY held-out class") {
+    val cm = Multimodal.imageConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Multimodal.ImgClassNames.foreach { c =>
+      val row = cm.filter(_._1._1 == c)
+      val total = row.values.sum
+      assert(total > 0, s"no eval images for class $c")
+      val diag = cm.getOrElse((c, c), 0L)
+      assert(diag * 2 > total, s"class $c: $diag/$total not above 50%")
+    }
+    // the per-image entry is total: one prediction per document's image
+    assert(Multimodal.imageClassify(docs).count() === docs.count())
+  }
+
   test("video dup: every planted head-trim is found at full containment") {
     val planted = docs.select("doc_id").collect().map(_.getLong(0))
       .filter(_ % Multimodal.VideoDupMod == 0).toSet

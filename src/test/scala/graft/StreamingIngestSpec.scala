@@ -719,4 +719,56 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(a == b, s"${c.name}: streaming-store result diverges from adapter")
     }
   }
+
+  test("streaming media gate: batch-trained profile scores the stream; differential + fail-closed + restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-mediagate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // model trained OFFLINE on the reference corpus, shipped as a constant
+    val profile = graft.streaming.StreamingMediaGate.trainProfile(docs)
+    assert(profile.keySet === graft.pipeline.Multimodal.ImgClassNames.toSet)
+    val cfg = graft.streaming.StreamingMediaGate.Config(
+      s"$dir/verdicts", s"$dir/ckpt", dropClasses = Set("inv"))
+    // stream payloads from the SAME derivation the batch operator scores
+    val corpus = graft.pipeline.Multimodal.imageClassCorpus(docs)
+      .select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1).take(40)
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingMediaGate.start(
+      stream.toDS().toDF("media_id", "payload"), profile, cfg)
+    val (b1, b2) = corpus.splitAt(20)
+    stream.addData(b1.toSeq)
+    q.processAllAvailable()
+    // batch 2 includes a corrupt payload: the gate must fail CLOSED
+    stream.addData(b2.toSeq :+ (999999L, Array[Byte](1, 2, 3)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$dir/verdicts")
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // differential: streamed class_pred == the batch operator's, row by row
+    val batchPred = graft.pipeline.Multimodal.imageClassify(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    corpus.foreach { case (id, _) =>
+      val (cls, score) = batchPred(id)
+      assert(got(id)._2 === cls, s"media $id: stream pred drifts from batch")
+      assert(got(id)._3 === score, s"media $id: stream score drifts from batch")
+      assert(got(id)._4 === (cls != "inv"), s"media $id: kept flag")
+    }
+    assert(got(999999L)._2 === "unk" && !got(999999L)._4,
+      "corrupt payload must predict unk and be dropped (fail closed)")
+    // restart from the same checkpoint: replay-new-data only, verdicts
+    // for a third batch land after restart (the at-least-once posture)
+    val q2 = graft.streaming.StreamingMediaGate.start(
+      stream.toDS().toDF("media_id", "payload"), profile, cfg)
+    val extra = graft.pipeline.Multimodal.imageClassCorpus(docs)
+      .select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1).slice(40, 45)
+    stream.addData(extra.toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(s"$dir/verdicts")
+      .as[(Long, String, Long, Boolean)].collect().map(_._1).toSet
+    extra.foreach { case (id, _) => assert(after.contains(id), s"post-restart media $id") }
+  }
 }
