@@ -1231,6 +1231,8 @@ object SparkEntry {
     "doc_pack_split" -> ((s, dir) => TextOps.packSplit(docs(s, dir))),
     // round-9: per-snapshot new-ngram rate (crawl freshness)
     "doc_ngram_novelty" -> ((s, dir) => TextOps.ngramNovelty(docs(s, dir))),
+    // round-9: deterministic easy->hard global training order
+    "doc_curriculum_order" -> ((s, dir) => TextOps.curriculumOrder(docs(s, dir))),
     // round-8: trained-tokens-per-word by source (vocab-allocation metric)
     "doc_bpe_fertility" -> ((s, dir) => TextOps.bpeFertility(docs(s, dir))),
     "doc_bpe_compression" -> ((s, dir) => TextOps.bpeCompression(docs(s, dir))),
@@ -2654,6 +2656,7 @@ object SparkEntry {
     "doc_tokenizer_compare" -> TextOps.tokenizerCompareOracle,
     "doc_pack_split" -> TextOps.packSplitOracle,
     "doc_ngram_novelty" -> TextOps.ngramNoveltyOracle,
+    "doc_curriculum_order" -> TextOps.curriculumOrderOracle,
     "doc_bpe_fertility" -> TextOps.bpeFertilityOracle,
     "doc_bpe_compression" -> TextOps.bpeCompressionOracle,
     "doc_bpe_encode" -> TextOps.bpeEncodeOracle,

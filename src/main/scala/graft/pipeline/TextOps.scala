@@ -1053,6 +1053,63 @@ object TextOps {
     * equi-join on doc_id and a tiny grouped aggregate. Id-partitioned
     * snapshots co-locate for free at 100 TB (bucketed stores skip the
     * shuffle entirely). Output (source, status, n_docs, token_delta). */
+  /** CURRICULUM DATA ORDERING — the deterministic global training order
+    * a curriculum-trained run consumes: documents ranked easy → hard by
+    * the LM-surprisal fluency score ([[lmSurprisal]]'s per-doc metric),
+    * with a SEEDED hash shuffle inside each difficulty level (equal
+    * scores must not replay in doc_id order — that would correlate
+    * difficulty with crawl order) and doc_id as the final total-order
+    * tiebreak so replays are bit-identical. Position is a GLOBAL
+    * 1-based rank computed with the two-phase pid-offset discipline
+    * ([[prefixSumOn]]): a global row_number at 100 TB must never run
+    * on one partition. Output (doc_id, surprisal_fp, position). */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = lmSurprisalCore(docs)
+      .select(col("doc_id"), col("surprisal_fp"),
+        baseHash(concat(lit("cur_"), col("doc_id").cast("string"))).as("h"))
+    val toks = graft.util.Materialize.pinned(keyed
+      .repartitionByRange(col("surprisal_fp"), col("h"), col("doc_id"))
+      .sortWithinPartitions("surprisal_fp", "h", "doc_id")
+      .withColumn("pid", spark_partition_id()))
+    // phase 1: per-partition row counts, prefix-scanned on the driver;
+    // phase 2: per-partition rank (parallel) + broadcast pid offset —
+    // the prefixSumOn shape with n = 1 per row (see its pinned note)
+    val totals = toks.groupBy("pid").agg(count(lit(1)).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot })
+      .toSeq.toDF("pid", "off")
+    val w = Window.partitionBy("pid")
+      .orderBy("surprisal_fp", "h", "doc_id")
+    toks.join(broadcast(offsets), Seq("pid"))
+      .withColumn("position", row_number().over(w).cast("long") + col("off"))
+      .select("doc_id", "surprisal_fp", "position")
+      .orderBy("doc_id")
+  }
+
+  lazy val curriculumOrderOracle: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, u.token
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents) d, unnest(d.w) u(token)),
+       |ranked AS (
+       |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+       |  FROM occ GROUP BY token QUALIFY rank <= $LmVocabCap),
+       |sdoc AS (
+       |  SELECT doc_id,
+       |         CAST(sum(coalesce(rank, ${LmVocabCap + 1})) * 1000 // count(*) AS BIGINT)
+       |           AS surprisal_fp
+       |  FROM occ LEFT JOIN ranked USING (token) GROUP BY doc_id),
+       |cur AS (SELECT doc_id, surprisal_fp,
+       |               ${baseHashSql("'cur_' || doc_id")} AS h
+       |        FROM sdoc)
+       |SELECT doc_id, surprisal_fp,
+       |       CAST(row_number() OVER (ORDER BY surprisal_fp, h, doc_id) AS BIGINT)
+       |         AS position
+       |FROM cur ORDER BY doc_id""".stripMargin
+
   /** N-GRAM NOVELTY across crawl snapshots — the freshness metric that
     * decides whether re-crawling a source is worth the compute: per
     * snapshot (here doc_id mod 4, in crawl order), how many of its

@@ -252,7 +252,11 @@ object PipelineScaleProbe {
       // decode pass + bounded histogram aggregate + broadcast profile —
       // the langid cost shape on the pixel domain
       "image_classify" -> (n =>
-        graft.pipeline.Multimodal.imageClassify(synthDocs(spark, n)).count()))
+        graft.pipeline.Multimodal.imageClassify(synthDocs(spark, n)).count()),
+      // surprisal scoring + the two-phase global rank (claim: the global
+      // row_number never lands on one partition)
+      "curriculum" -> (n =>
+        graft.pipeline.TextOps.curriculumOrder(synthDocs(spark, n)).count()))
       // trainManifestV2 is deliberately NOT probed here (no silent caps:
       // this is a documented drop, not coverage): the composition is a
       // fixed stage count of individually-probed operators, but its

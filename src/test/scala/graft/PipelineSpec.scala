@@ -1268,6 +1268,66 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum order: bijective global rank replayed independently") {
+    val rows = TextOps.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // bijection: positions are exactly 1..N
+    assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    // differential replay: rank by (surprisal ASC, seeded hash, doc_id)
+    // recomputed in plain Scala must match the distributed two-phase rank
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cur_$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expected = rows.sortBy { case (id, s, _) => (s, h(id), id) }
+      .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, _, pos) =>
+      assert(pos === expected(id), s"doc $id position")
+    }
+    // the easy->hard law: walking positions in order, surprisal never drops
+    val bySeq = rows.sortBy(_._3).map(_._2).toSeq
+    bySeq.zip(bySeq.tail).foreach { case (a, b) => assert(a <= b) }
+  }
+
+  test("wordpiece segmenter: property laws on random words and vocabularies") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def forAll[A](gen: Gen[A], n: Int = 400)(check: A => Unit): Unit =
+      (0 until n).foreach { i =>
+        gen.apply(Gen.Parameters.default, Seed(777L + i)).foreach(check)
+      }
+    val gen = for {
+      w <- Gen.chooseNum(1, 14).flatMap(l =>
+        Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))
+      extra <- if (w.length < 2) Gen.const(Nil)
+      else Gen.listOf(for {
+        s <- Gen.chooseNum(0, w.length - 2)
+        l <- Gen.chooseNum(2, math.min(4, w.length - s))
+      } yield w.substring(s, s + l))
+    } yield (w, extra)
+    forAll(gen) { case (w, extra) =>
+      val vocab = w.map(_.toString).toSet ++ extra
+      val maxLen = vocab.iterator.map(_.length).max
+      val seg = TextOps.wpSegment(w, vocab, maxLen)
+      // concat law (words under the step cap always reassemble exactly)
+      assert(seg.mkString === w, s"'$w' -> $seg")
+      // greedy-longest law at every boundary
+      var pos = 0
+      seg.foreach { p =>
+        val rest = w.substring(pos)
+        ((p.length + 1) to math.min(maxLen, rest.length)).foreach { l =>
+          assert(!vocab.contains(rest.substring(0, l)),
+            s"'$w' at $pos: picked '$p' over longer '${rest.substring(0, l)}'")
+        }
+        pos += p.length
+      }
+      // cap law: never more than WpMaxSteps pieces
+      assert(seg.length <= TextOps.WpMaxSteps)
+    }
+  }
+
   test("rrf fusion: differential replay against the two source rankings") {
     def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
