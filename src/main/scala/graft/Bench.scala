@@ -204,7 +204,7 @@ object Bench {
       "doc_wordpiece_train", "doc_wordpiece_encode", "mm_video_dup",
       "doc_tokenizer_compare", "doc_pack_split", "doc_ngram_novelty",
       "mm_image_classify", "mm_image_confusion", "ann_rrf_fusion",
-      "doc_curriculum_order")
+      "doc_curriculum_order", "dedup_lsh_sweep")
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) ++
       sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" } :+
       f""""shared_build_wall":$sharedWall%.3f""" :+

@@ -1339,6 +1339,8 @@ object SparkEntry {
     "emb_calibration" -> ((s, dir) => Similarity.centroidCalibration(emb(s, dir))),
     "emb_pagerank" -> ((s, dir) => Dedup.knnPagerank(emb(s, dir))),
     "dedup_minhash_est_eval" -> ((s, dir) => Dedup.minhashEstEval(docs(s, dir))),
+    // round-9: the LSH tuning table — 3 band shapes over ONE signature
+    "dedup_lsh_sweep" -> ((s, dir) => Dedup.lshSweep(docs(s, dir))),
     "ann_graph_topk" -> ((s, dir) => Similarity.graphTopK(emb(s, dir))),
     "ann_ranking_metrics" -> ((s, dir) =>
       Similarity.rankingMetrics(EvalSampling(emb(s, dir), "vec_id"))),
@@ -2404,6 +2406,7 @@ object SparkEntry {
     "emb_calibration" -> Similarity.centroidCalibrationOracle,
     "emb_pagerank" -> Dedup.knnPagerankOracle,
     "dedup_minhash_est_eval" -> Dedup.minhashEstEvalOracle,
+    "dedup_lsh_sweep" -> Dedup.lshSweepOracle,
     "ann_graph_topk" -> Similarity.graphTopKOracle,
     "ann_ranking_metrics" ->
       EvalSampling.sampleOracle(Similarity.rankingMetricsOracle, "embeddings", "vec_id"),

@@ -869,6 +869,114 @@ object Dedup {
        |ORDER BY est.i, est.j""".stripMargin
   }
 
+  // ---- LSH parameter sweep ------------------------------------------------
+
+  /** (bands, rows-per-band) configurations swept by [[lshSweep]] — every
+    * grouping of the same [[NumPerms]]-component signature, so the sweep
+    * costs ONE signature build plus three band joins. */
+  val SweepConfigs: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2))
+
+  /** LSH PARAMETER SWEEP — the tuning table an operator consults before
+    * committing a band shape at corpus scale: for each (bands, rows)
+    * grouping of the ONE shared 32-perm signature, the banded candidate
+    * volume, the exact-verified duplicates found, candidate-level
+    * precision, and recall against the exact-Jaccard truth
+    * ([[ngramJaccard]] — shingle-blocked, perfect recall at the
+    * threshold, so verified ⊆ truth by construction and recall needs no
+    * sampling). More rows per band → fewer, higher-precision candidates
+    * (the S-curve steepens); fewer rows → recall at the cost of
+    * candidate volume. Scale shape: the signature/shingle relations
+    * build once ([[minhashParts]]' materialization discipline); each
+    * config adds one band self-join + a candidates-only verify; the
+    * report itself is three rows of 1-row broadcast scalar joins.
+    * Output (bands, rows_per_band, n_candidates, n_dups_found,
+    * n_true_dups, precision_pm, recall_pm). */
+  def lshSweep(docs: DataFrame): DataFrame = {
+    val (sh, sig, _) = minhashParts(docs)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val truthN = jaccardPairs(docs).agg(count(lit(1)).as("n_true_dups"))
+    SweepConfigs.map { case (nb, rpb) =>
+      val bandStructs = (0 until nb).map { b =>
+        val rows = (0 until rpb).map(r => col(s"sig${b * rpb + r}"))
+        struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bv"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bv"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+        .transform(graft.util.Materialize.corpus) // counted + verified below
+      val found = cand
+        .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+        .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
+        .join(broadcast(cnt.as("cb")), col("j") === col("cb.doc_id"))
+        .filter(expr("inter * 1000000 div (ca.c + cb.c - inter)") >= JaccardThresholdFp)
+        .agg(count(lit(1)).as("n_dups_found"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(found))          // 1-row scalar joins
+        .crossJoin(broadcast(truthN))
+        .select(lit(nb.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_dups_found"), col("n_true_dups"),
+          expr("CASE WHEN n_candidates > 0 THEN n_dups_found * 1000 div n_candidates ELSE 0 END")
+            .as("precision_pm"),
+          expr("CASE WHEN n_true_dups > 0 THEN n_dups_found * 1000 div n_true_dups ELSE 0 END")
+            .as("recall_pm"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
+  lazy val lshSweepOracle: String = {
+    val sigExprs = (0 until NumPerms)
+      .map(i => s"min((hp * ${permA(i)} + ${permB(i)}) % $P) AS sig$i").mkString(",\n       ")
+    val cfg = SweepConfigs.map { case (nb, rpb) =>
+      val bandCase = (0 until nb).map { b =>
+        val rows = (0 until rpb).map(r => s"sig${b * rpb + r}").mkString(", ")
+        s"WHEN $b THEN concat_ws('_', $rows)"
+      }.mkString(" ")
+      s"""bands_$nb AS (
+         |  SELECT doc_id, t.band, CASE t.band $bandCase END AS bv
+         |  FROM sig, range($nb) t(band)),
+         |cand_$nb AS (
+         |  SELECT DISTINCT x.doc_id i, y.doc_id j
+         |  FROM bands_$nb x JOIN bands_$nb y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |found_$nb AS (
+         |  SELECT c.i, c.j
+         |  FROM (SELECT c.i, c.j, count(*) n
+         |        FROM cand_$nb c
+         |        JOIN sh sa ON sa.doc_id = c.i
+         |        JOIN sh sb ON sb.doc_id = c.j AND sb.h = sa.h
+         |        GROUP BY 1, 2) c
+         |  JOIN cnt ca ON ca.doc_id = c.i JOIN cnt cb ON cb.doc_id = c.j
+         |  WHERE c.n * 1000000 // (ca.c + cb.c - c.n) >= $JaccardThresholdFp)""".stripMargin
+    }.mkString(",\n|")
+    val rows = SweepConfigs.map { case (nb, rpb) =>
+      s"""SELECT ${nb}::BIGINT AS bands, ${rpb}::BIGINT AS rows_per_band,
+         |       (SELECT count(*) FROM cand_$nb)::BIGINT AS n_candidates,
+         |       (SELECT count(*) FROM found_$nb)::BIGINT AS n_dups_found,
+         |       (SELECT count(*) FROM truth)::BIGINT AS n_true_dups,
+         |       CAST(CASE WHEN (SELECT count(*) FROM cand_$nb) > 0
+         |            THEN (SELECT count(*) FROM found_$nb) * 1000 // (SELECT count(*) FROM cand_$nb)
+         |            ELSE 0 END AS BIGINT) AS precision_pm,
+         |       CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+         |            THEN (SELECT count(*) FROM found_$nb) * 1000 // (SELECT count(*) FROM truth)
+         |            ELSE 0 END AS BIGINT) AS recall_pm""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH sh AS ($shingleRowsSql),
+       |hs AS (SELECT doc_id, h % $P AS hp FROM sh),
+       |sig AS (SELECT doc_id,
+       |       $sigExprs
+       |  FROM hs GROUP BY doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |truth AS (SELECT i, j FROM ($ngramJaccardOracle)),
+       |$cfg
+       |$rows
+       |ORDER BY bands""".stripMargin
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   val SimBits = 60               // baseHash is 60 bits

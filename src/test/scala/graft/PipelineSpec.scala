@@ -1268,6 +1268,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh sweep: aligned-band containment laws across the three shapes") {
+    val rows = Dedup.lshSweep(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq === Seq(4L, 8L, 16L))
+    rows.foreach { case (b, rpb, cand, found, truth, prec, rec) =>
+      assert(b * rpb === Dedup.NumPerms.toLong)
+      // verified duplicates are exact-Jaccard hits => bounded by both
+      // the candidate set and the truth set
+      assert(found <= cand && found <= truth)
+      assert(prec <= 1000 && rec <= 1000)
+    }
+    // aligned groupings: an 8-row band match implies its 4-row halves and
+    // 2-row quarters match, so candidates (and found, and recall) are
+    // monotone as bands go 4 -> 8 -> 16
+    rows.sliding(2).foreach {
+      case Array((_, _, c1, f1, _, _, r1), (_, _, c2, f2, _, _, r2)) =>
+        assert(c1 <= c2, "candidate containment")
+        assert(f1 <= f2 && r1 <= r2, "found/recall monotone")
+      case _ => ()
+    }
+    // the sweep is informative on this corpus: the loosest shape finds
+    // at least one real duplicate
+    assert(rows.last._4 > 0)
+  }
+
   test("curriculum order: bijective global rank replayed independently") {
     val rows = TextOps.curriculumOrder(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
