@@ -892,9 +892,14 @@ object Dedup {
     * Output (bands, rows_per_band, n_candidates, n_dups_found,
     * n_true_dups, precision_pm, recall_pm). */
   def lshSweep(docs: DataFrame): DataFrame = {
-    val (sh, sig, _) = minhashParts(docs)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val truthN = jaccardPairs(docs).agg(count(lit(1)).as("n_true_dups"))
+    val (_, sig, _) = minhashParts(docs)
+    // verified = candidates ∩ truth (both sides are the SAME exact
+    // Jaccard at the same threshold), so the per-config verify is one
+    // semi-join against the truth pairs computed once — never three
+    // re-runs of the shingle intersection
+    val truthPairs = graft.util.Materialize.bounded(
+      jaccardPairs(docs).select("i", "j"))
+    val truthN = truthPairs.agg(count(lit(1)).as("n_true_dups"))
     SweepConfigs.map { case (nb, rpb) =>
       val bandStructs = (0 until nb).map { b =>
         val rows = (0 until rpb).map(r => col(s"sig${b * rpb + r}"))
@@ -908,13 +913,7 @@ object Dedup {
         .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
         .distinct()
         .transform(graft.util.Materialize.corpus) // counted + verified below
-      val found = cand
-        .join(sh.as("sa"), col("i") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
-        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-        .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
-        .join(broadcast(cnt.as("cb")), col("j") === col("cb.doc_id"))
-        .filter(expr("inter * 1000000 div (ca.c + cb.c - inter)") >= JaccardThresholdFp)
+      val found = cand.join(truthPairs, Seq("i", "j"), "left_semi")
         .agg(count(lit(1)).as("n_dups_found"))
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(found))          // 1-row scalar joins
@@ -944,14 +943,8 @@ object Dedup {
          |  FROM bands_$nb x JOIN bands_$nb y
          |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
          |found_$nb AS (
-         |  SELECT c.i, c.j
-         |  FROM (SELECT c.i, c.j, count(*) n
-         |        FROM cand_$nb c
-         |        JOIN sh sa ON sa.doc_id = c.i
-         |        JOIN sh sb ON sb.doc_id = c.j AND sb.h = sa.h
-         |        GROUP BY 1, 2) c
-         |  JOIN cnt ca ON ca.doc_id = c.i JOIN cnt cb ON cb.doc_id = c.j
-         |  WHERE c.n * 1000000 // (ca.c + cb.c - c.n) >= $JaccardThresholdFp)""".stripMargin
+         |  SELECT c.i, c.j FROM cand_$nb c
+         |  WHERE EXISTS (SELECT 1 FROM truth t WHERE t.i = c.i AND t.j = c.j))""".stripMargin
     }.mkString(",\n|")
     val rows = SweepConfigs.map { case (nb, rpb) =>
       s"""SELECT ${nb}::BIGINT AS bands, ${rpb}::BIGINT AS rows_per_band,
@@ -970,8 +963,7 @@ object Dedup {
        |sig AS (SELECT doc_id,
        |       $sigExprs
        |  FROM hs GROUP BY doc_id),
-       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-       |truth AS (SELECT i, j FROM ($ngramJaccardOracle)),
+       |truth AS MATERIALIZED (SELECT i, j FROM ($ngramJaccardOracle)),
        |$cfg
        |$rows
        |ORDER BY bands""".stripMargin
