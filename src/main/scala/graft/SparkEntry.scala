@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Ingest
-import graft.pipeline.{Dedup, EvalSampling, EventOps, Multimodal, Similarity, Sketches, TextOps, UrlOps}
+import graft.pipeline.{Dedup, EvalSampling, EventOps, Extract, LayoutOps, Multimodal, Privacy, Similarity, Sketches, TextOps, UrlOps}
 import graft.query.{InfluxQlParser, Planner, TsCatalog}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1341,6 +1341,18 @@ object SparkEntry {
     "dedup_minhash_est_eval" -> ((s, dir) => Dedup.minhashEstEval(docs(s, dir))),
     // round-9: the LSH tuning table — 3 band shapes over ONE signature
     "dedup_lsh_sweep" -> ((s, dir) => Dedup.lshSweep(docs(s, dir))),
+    // round-9: write-side layout — z-order vs linear zone-map pruning
+    "store_zorder_prune" -> ((s, dir) =>
+      LayoutOps.zorderPrune(s.read.parquet(s"$dir/lineitem.parquet"))),
+    // round-9: boilerplate extraction from planted HTML (link density)
+    "doc_html_extract" -> ((s, dir) => Extract.htmlExtract(docs(s, dir))),
+    // round-9: DP release of corpus stats (geometric mechanism + k-anon)
+    "doc_dp_release" -> ((s, dir) => Privacy.dpRelease(docs(s, dir))),
+    // round-9: star-contraction connected components (log-round CC)
+    "dedup_cc_star" -> ((s, dir) => Dedup.ccStar(docs(s, dir))),
+    // round-9: integer-exact PCA power iteration + principal-axis profile
+    "emb_pca_power" -> ((s, dir) => Similarity.pcaPower(emb(s, dir))),
+    "emb_pca_project" -> ((s, dir) => Similarity.pcaProject(emb(s, dir))),
     "ann_graph_topk" -> ((s, dir) => Similarity.graphTopK(emb(s, dir))),
     "ann_ranking_metrics" -> ((s, dir) =>
       Similarity.rankingMetrics(EvalSampling(emb(s, dir), "vec_id"))),
@@ -2407,6 +2419,12 @@ object SparkEntry {
     "emb_pagerank" -> Dedup.knnPagerankOracle,
     "dedup_minhash_est_eval" -> Dedup.minhashEstEvalOracle,
     "dedup_lsh_sweep" -> Dedup.lshSweepOracle,
+    "store_zorder_prune" -> LayoutOps.zorderPruneOracle,
+    "doc_html_extract" -> Extract.htmlExtractOracle,
+    "doc_dp_release" -> Privacy.dpReleaseOracle,
+    "dedup_cc_star" -> Dedup.ccStarOracle,
+    "emb_pca_power" -> Similarity.pcaPowerOracle,
+    "emb_pca_project" -> Similarity.pcaProjectOracle,
     "ann_graph_topk" -> Similarity.graphTopKOracle,
     "ann_ranking_metrics" ->
       EvalSampling.sampleOracle(Similarity.rankingMetricsOracle, "embeddings", "vec_id"),

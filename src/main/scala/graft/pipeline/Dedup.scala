@@ -1204,6 +1204,129 @@ object Dedup {
        |       count(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM lbl ORDER BY doc_id""".stripMargin
 
+  // ---- star-contraction connected components ----------------------------
+
+  /** Chain stride for the planted path component: every doc_id ≡ 0
+    * (mod 4) links to the next multiple — a path of n/4 nodes, the
+    * graph shape that DEFEATS min-label propagation (diameter rounds)
+    * and the driver union-find narrative (a 100 TB edge set need not
+    * fit any driver). */
+  val StarChainStep = 4L
+
+  /** Chain ceiling: the path stops at this doc_id, so the planted
+    * diameter (≈ [[StarChainMax]]/[[StarChainStep]] ≈ 500 hops) is the
+    * same at every SF and the oracle's independent closure stays
+    * fixture-bounded rather than corpus-bounded. 500 hops is still two
+    * orders past what a diameter-bound propagation loop tolerates. */
+  val StarChainMax = 1996L
+
+  /** Rounds the last [[ccStar]] run took (spec observability). */
+  private[graft] var lastStarRounds: Int = 0
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond" — the
+    * published O(log n)-round algorithm): each round, large-star hangs
+    * every strictly-larger neighbor of a node onto its neighborhood
+    * minimum, then small-star hangs the smaller neighbors onto it;
+    * components collapse to stars on their minimum in ~log n rounds
+    * REGARDLESS of diameter. [[propagateClusters]]' min-label loop needs
+    * diameter rounds (the planted [[StarChainStep]] path would take
+    * n/4 of them) and its union-find fast path needs the edges on the
+    * driver; this operator needs neither — every round is two
+    * edge-bounded shuffles, and the loop-control checksum is the only
+    * thing the driver sees. Same output contract as [[clusters]]:
+    * (doc_id, cluster_id, n_members), cluster_id = component minimum. */
+  def ccStar(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val chain = docs.select(col("doc_id").as("i"))
+      .filter(col("i") % StarChainStep === 0 &&
+        col("i") + StarChainStep <= least(lit(StarChainMax), lit(maxId)))
+      .withColumn("j", col("i") + StarChainStep)
+    var e = jaccardPairs(docs).select("i", "j").unionByName(chain)
+      .filter(col("i") =!= col("j")).distinct()
+      .select(col("i").as("u"), col("j").as("v"))
+      .transform(graft.util.Materialize.bounded)
+    // loop control only — correctness is the oracle's closure, and a
+    // checksum collision merely costs one extra (idempotent) round
+    def sig(df: DataFrame) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(expr("hash(u, v)")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var s = sig(e)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 40) {
+      val cur = e
+      // LARGE-STAR: over the symmetric closure, center u connects every
+      // strictly-larger neighbor to m = min(N(u) ∪ {u}). Intermediate
+      // relations stay UNDEDUPED — min-aggregates are duplicate-blind
+      // and the per-round fanout is degree-bounded; the one distinct per
+      // round runs at the checkpoint, saving two shuffles per round.
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lm = sym.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+      val large = sym.join(lm, Seq("u"))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // SMALL-STAR: orient toward the smaller endpoint; center u
+      // connects its (all-smaller) neighbors and itself to the minimum
+      val o = large.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val sm = o.groupBy("u").agg(min("v").as("m"))
+      val next = o.join(sm, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sm.filter(col("u") =!= col("m")).select(col("u"), col("m").as("v")))
+        .distinct()
+      e = graft.util.Materialize.bounded(next)
+      rounds += 1
+      val s2 = sig(e)
+      stable = s2 == s
+      s = s2
+    }
+    lastStarRounds = rounds
+    val labels = e.groupBy("u").agg(min("v").as("cluster_id"))
+      .select(col("u").as("doc_id"), col("cluster_id"))
+    docs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Same closure as [[clustersOracle]], over pairs ∪ the planted
+    * chain — the oracle states the SEMANTICS (components), not the
+    * algorithm, so the star contraction is verified against an
+    * independent derivation. */
+  val ccStarOracle: String =
+    s"""WITH RECURSIVE sh AS ($shingleRowsSql),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id i, b.doc_id j, count(*) n
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT i, j FROM inter
+       |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE n * 1000000 // (ca.c + cb.c - n) >= $JaccardThresholdFp),
+       |chain AS (
+       |  SELECT doc_id AS i, doc_id + $StarChainStep AS j FROM documents
+       |  WHERE doc_id % $StarChainStep = 0
+       |    AND doc_id + $StarChainStep <=
+       |          least($StarChainMax, (SELECT max(doc_id) FROM documents))),
+       |pairs AS (SELECT i, j FROM jp UNION SELECT i, j FROM chain),
+       |e AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+       |r(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.b FROM r JOIN e ON e.a = r.lab),
+       |lbl AS (SELECT doc_id, min(lab) AS cluster_id FROM r GROUP BY doc_id)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM lbl ORDER BY doc_id""".stripMargin
+
   /** Dataset-curation output: one surviving doc per cluster — the member
     * with the highest quality score (ties → smaller doc_id). This is the
     * "what do I actually train on" composition of [[clusters]] ×

@@ -1872,6 +1872,183 @@ object Similarity {
     }
     (lambda, v)
   }
+
+  // ---- PCA: integer-exact power iteration + principal-axis projection ----
+
+  /** Fixed iteration count for the ORACLE-GATED power method (vs
+    * [[gramTopEigen]]'s 500 double iterations): [[PcaSquarings]]
+    * matrix squarings then 8 integer vector rounds — the convergence
+    * residual is part of the operator's defined output, so both
+    * engines land on the identical iterate. */
+  val PcaIters = 8
+
+  /** Repeated-squaring boost: G → G² (rescaled) [[PcaSquarings]] times
+    * before iterating, so the 8 vector rounds apply G^(2^6) and the
+    * effective power is 512. Needed because the embedding spectrum is
+    * near-degenerate (λ₂/λ₁ ≈ 0.98 at sf0.1) AND the fixed start
+    * vector can be nearly orthogonal to the top direction — plain
+    * unrolled iteration cannot converge in any SQL-expressible round
+    * count (measured cos 0.18 after 96 rounds at sf0.1; with the
+    * squarings, ≥ 0.9999 at every SF). */
+  val PcaSquarings = 6
+
+  /** Fixed-point unit of the PCA iterate (2^20). */
+  val PcaUnit = 1L << 20
+
+  /** Top principal direction of the uncentered Gram matrix by INTEGER
+    * power iteration — every multiply, normalize, and division is int64
+    * with truncate-toward-zero semantics, identical in Scala, Spark
+    * `div`, and DuckDB `//`, so the iterate (including its convergence
+    * residual) is bit-exact cross-engine. Overflow discipline: the
+    * gram is pre-scaled to |g| ≤ 2^20 (so y = G·x ≤ d·2^40 < 2^47),
+    * normalization divides by (max|y| div 2^20 + 1) instead of
+    * multiplying first, and the Rayleigh quotient pre-shifts both
+    * factors 10 bits. Runs driver-side on the d×d collect — the
+    * correct locus (dimension-sized, not data-sized); the corpus-sized
+    * work is [[gramMatrix]]'s one-pass aggregator. Sign is fixed by
+    * Σx ≥ 0. Returns (eigvec in [[PcaUnit]] fixed point, λ_q). */
+  def pcaEigen(emb: DataFrame): (Array[Long], Long) = {
+    val key = (emb.sparkSession, "Similarity.pcaEigen", emb.semanticHash())
+    graft.util.Memo(key) {
+      val d = Dim
+      val tri = gramMatrix(emb).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+      val g = Array.ofDim[Long](d, d)
+      tri.foreach { case (i, j, v) => g(i)(j) = v; g(j)(i) = v }
+      def rescale(m: Array[Array[Long]]): Array[Array[Long]] = {
+        val mx = math.max(m.iterator.flatMap(_.iterator).map(math.abs).max, 1L)
+        val dv = mx / PcaUnit + 1
+        m.map(_.map(_ / dv))
+      }
+      val gn0 = rescale(g)
+      var gsq = gn0
+      var k = 0
+      while (k < PcaSquarings) {
+        gsq = rescale(Array.tabulate(d, d) { (i, j) =>
+          var s = 0L; var l = 0
+          while (l < d) { s += gsq(i)(l) * gsq(l)(j); l += 1 }
+          s
+        })
+        k += 1
+      }
+      def mul(m: Array[Array[Long]], v: Array[Long]): Array[Long] =
+        Array.tabulate(d) { i =>
+          var s = 0L; var j = 0
+          while (j < d) { s += m(i)(j) * v(j); j += 1 }
+          s
+        }
+      var x = Array.fill(d)(PcaUnit)
+      var t = 0
+      while (t < PcaIters) {
+        val y = mul(gsq, x)
+        val q = y.iterator.map(math.abs).max / PcaUnit + 1
+        x = y.map(_ / q)
+        t += 1
+      }
+      // Rayleigh against the ONCE-scaled gram (not the squared one), so
+      // λ_q approximates λ₁ in gn0 units
+      val y = mul(gn0, x)
+      val num = x.zip(y).map { case (a, b) => (a / 1024) * (b / 1024) }.sum
+      val den = x.map(a => (a / 1024) * (a / 1024)).sum
+      val lambda = num / math.max(den, 1L)
+      val sgn = if (x.sum < 0) -1L else 1L
+      (x.map(_ * sgn), lambda)
+    }
+  }
+
+  /** Entry face of [[pcaEigen]]: (i, eig_q, lambda_q), d rows. */
+  def pcaPower(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (e, lam) = pcaEigen(emb)
+    e.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, lam) }
+      .toDF("i", "eig_q", "lambda_q")
+      .orderBy("i")
+  }
+
+  /** Per-label projection profile along the principal axis — the PCA
+    * diagnostic a dataset report ships (which classes sit where on the
+    * dominant direction, and how spread): proj(v) = Σ q(v)ᵢ·eᵢ, exact
+    * int64. One broadcast of the d-vector + one map-side aggregate. */
+  def pcaProject(emb: DataFrame): DataFrame = {
+    val (e, _) = pcaEigen(emb)
+    val earr = e.mkString("array(", "L, ", "L)")
+    emb
+      .withColumn("q", expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * $GramScaleFp) as bigint))"))
+      .withColumn("p", expr(
+        s"aggregate(zip_with(q, $earr, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("p").as("sum_proj"),
+        min("p").as("min_proj"), max("p").as("max_proj"))
+      .withColumn("mean_proj", expr("sum_proj div n"))
+      .select("label", "n", "sum_proj", "mean_proj", "min_proj", "max_proj")
+      .orderBy("label")
+  }
+
+  /** Shared CTE chain replaying the integer power iteration in SQL:
+    * gram triangle → full matrix → pre-scale → [[PcaIters]] unrolled
+    * multiply/normalize rounds → sign fix + Rayleigh. Ends with CTEs
+    * `eig(i, e)` and `lam(l)`. */
+  lazy val pcaCtes: String = {
+    val sqs = (1 to PcaSquarings).map { k =>
+      val p = k - 1
+      s"""r$k AS MATERIALIZED (
+         |  SELECT a.i, b.j, CAST(sum(a.g * b.g) AS BIGINT) AS g
+         |  FROM g$p a JOIN g$p b ON a.j = b.i GROUP BY 1, 2),
+         |rd$k AS (SELECT greatest(max(abs(g)), 1) // $PcaUnit + 1 AS dv FROM r$k),
+         |g$k AS MATERIALIZED (SELECT i, j, CAST(g // dv AS BIGINT) AS g FROM r$k, rd$k)""".stripMargin
+    }.mkString(",\n")
+    val gs = s"g$PcaSquarings"
+    val iters = (1 to PcaIters).map { t =>
+      val p = t - 1
+      s"""y$t AS MATERIALIZED (SELECT $gs.i, CAST(sum($gs.g * x$p.x) AS BIGINT) AS y
+         |        FROM $gs JOIN x$p ON x$p.i = $gs.j GROUP BY 1),
+         |m$t AS (SELECT max(abs(y)) // $PcaUnit + 1 AS q FROM y$t),
+         |x$t AS MATERIALIZED (SELECT i, CAST(y // q AS BIGINT) AS x FROM y$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    val f = PcaIters
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $GramScaleFp) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |idx AS (SELECT CAST(i AS BIGINT) AS i FROM range($Dim) t(i)),
+       |tri AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j, CAST(sum(q.q[a.i + 1] * q.q[b.i + 1]) AS BIGINT) AS g
+       |  FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2),
+       |gfull AS (SELECT i, j, g FROM tri
+       |          UNION ALL SELECT j, i, g FROM tri WHERE i <> j),
+       |gdv AS (SELECT greatest(max(abs(g)), 1) // $PcaUnit + 1 AS dv FROM tri),
+       |g0 AS MATERIALIZED (SELECT i, j, CAST(g // dv AS BIGINT) AS g FROM gfull, gdv),
+       |$sqs,
+       |x0 AS (SELECT i, CAST($PcaUnit AS BIGINT) AS x FROM idx),
+       |$iters,
+       |yf AS MATERIALIZED (SELECT g0.i, CAST(sum(g0.g * x$f.x) AS BIGINT) AS y
+       |       FROM g0 JOIN x$f ON x$f.i = g0.j GROUP BY 1),
+       |ray AS (SELECT CAST(sum((x$f.x // 1024) * (yf.y // 1024)) AS BIGINT) AS num,
+       |               CAST(sum((x$f.x // 1024) * (x$f.x // 1024)) AS BIGINT) AS den
+       |        FROM x$f JOIN yf ON x$f.i = yf.i),
+       |lam AS (SELECT num // greatest(den, 1) AS l FROM ray),
+       |sgn AS (SELECT CASE WHEN (SELECT sum(x) FROM x$f) < 0 THEN -1 ELSE 1 END AS s),
+       |eig AS (SELECT i, CAST(x * s AS BIGINT) AS e FROM x$f, sgn)""".stripMargin
+  }
+
+  lazy val pcaPowerOracle: String =
+    s"""WITH $pcaCtes
+       |SELECT e.i, e.e AS eig_q, lam.l AS lambda_q
+       |FROM eig e, lam ORDER BY e.i""".stripMargin
+
+  lazy val pcaProjectOracle: String =
+    s"""WITH $pcaCtes,
+       |pr AS (
+       |  SELECT m.vec_id, m.label, CAST(sum(m.q[e.i + 1] * e.e) AS BIGINT) AS p
+       |  FROM q m, eig e GROUP BY 1, 2)
+       |SELECT label, count(*)::BIGINT AS n,
+       |       CAST(sum(p) AS BIGINT) AS sum_proj,
+       |       CAST(sum(p) AS BIGINT) // count(*) AS mean_proj,
+       |       min(p) AS min_proj, max(p) AS max_proj
+       |FROM pr GROUP BY label ORDER BY label""".stripMargin
 }
 
 /** Map-side-combining upper-triangle Gram accumulator: buffer is the

@@ -256,7 +256,26 @@ object PipelineScaleProbe {
       // surprisal scoring + the two-phase global rank (claim: the global
       // row_number never lands on one partition)
       "curriculum" -> (n =>
-        graft.pipeline.TextOps.curriculumOrder(synthDocs(spark, n)).count()))
+        graft.pipeline.TextOps.curriculumOrder(synthDocs(spark, n)).count()),
+      // round-9 session 3: star CC (claims: rounds stay ~log despite the
+      // fixed 500-hop planted diameter; per-round work edge-bounded),
+      // one-projection extraction, one-aggregate DP release, linear gram
+      // pass + dimension-sized driver iteration, and the three-layout
+      // two-phase global rank
+      "cc_star" -> (n => Dedup.ccStar(synthDocs(spark, n)).count()),
+      "html_extract" -> (n =>
+        graft.pipeline.Extract.htmlExtract(synthDocs(spark, n)).count()),
+      "dp_release" -> (n =>
+        graft.pipeline.Privacy.dpRelease(synthDocs(spark, n)).count()),
+      "pca_project" -> (n =>
+        graft.pipeline.Similarity.pcaProject(synthEmb(spark, n)).count()),
+      "zorder_prune" -> { n =>
+        val (pk, sk) = (math.max(n / 30, 100L), math.max(n / 600, 10L))
+        graft.pipeline.LayoutOps.zorderPrune(spark.range(n).select(
+          col("id").as("l_orderkey"), lit(1).as("l_linenumber"),
+          pmod(xxhash64(col("id"), lit(1L)), lit(pk)).as("l_partkey"),
+          pmod(xxhash64(col("id"), lit(2L)), lit(sk)).as("l_suppkey"))).count()
+      })
       // trainManifestV2 is deliberately NOT probed here (no silent caps:
       // this is a documented drop, not coverage): the composition is a
       // fixed stage count of individually-probed operators, but its

@@ -2364,4 +2364,155 @@ class PipelineSpec extends AnyFunSuite {
     assert(g.ok && g.sample_rate === 4000 && g.n_samples === 2L)
     assert(g.sum_abs === (128 + 384) && g.pos_checksum === (128 * 1 + 384 * 2))
   }
+
+  test("zorder layout: Morton monotone on each axis; pruning dominates where it must") {
+    // bit-interleave ground truth on small values: z(p,s) built bit-by-bit
+    def zRef(p: Long, s: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((p >> i) & 1L) << (2 * i)) | (((s >> i) & 1L) << (2 * i + 1))
+      }
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = for (p <- 0L to 40L by 7L; s <- 0L to 40L by 9L) yield (p, s)
+    val got = pairs.toDF("p", "s")
+      .select(LayoutOps.zval(col("p"), col("s")).as("z")).as[Long].collect()
+    assert(got.toSeq === pairs.map { case (p, s) => zRef(p, s) })
+
+    val rep = LayoutOps.zorderPrune(
+      spark.read.parquet(s"$dir/lineitem.parquet")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rep.keySet === Set("l1_natural", "l2_partkey", "l3_zorder"))
+    val nat = rep("l1_natural"); val pk = rep("l2_partkey"); val zo = rep("l3_zorder")
+    // every layout's scan is a superset of the true matches
+    rep.values.foreach { case (_, boxRows, _, suppRows, boxM, suppM) =>
+      assert(boxRows >= boxM && suppRows >= suppM)
+    }
+    // single-column clustering serves the box better than arrival order...
+    assert(pk._1 <= nat._1)
+    // ...but cannot prune the second-column-only predicate AT ALL
+    assert(pk._3 === LayoutOps.NBuckets.toLong || pk._3 === nat._3)
+    // z-order prunes BOTH predicates strictly better than natural order
+    assert(zo._1 < nat._1 && zo._3 < nat._3,
+      s"zorder must beat natural on both predicates: $zo vs $nat")
+    // and beats single-column clustering on the suppkey-only predicate
+    assert(zo._3 < pk._3, s"zorder supp pruning $zo._3 !< partkey ${pk._3}")
+  }
+
+  test("html extract: every planted page round-trips; adversarial chrome drops") {
+    val spark2 = spark
+    import spark2.implicits._
+    // plant + extract over the corpus: extraction must recover every doc
+    val rep = Extract.htmlExtract(docs).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getBoolean(5), s"doc ${r.getLong(0)} did not round-trip")
+      // nav + footer always dropped; ad dropped for doc_id % 3 == 0
+      val chrome = if (r.getLong(0) % 3 == 0) 3L else 2L
+      assert(r.getLong(1) - r.getLong(2) === chrome,
+        s"doc ${r.getLong(0)}: expected $chrome boilerplate blocks dropped")
+    }
+    // adversarial page the plant never produces: a link-farm block with
+    // MANY words (fails naive word-count-only heuristics, caught by
+    // density), prose with ONE inline link (must keep), empty blocks
+    val farm = (1 to 8).map(i => s"""<a href="/$i">item number $i</a>""").mkString(" ")
+    val prose = "the quick brown fox jumps over the " +
+      """<a href="/dog">lazy dog</a> and keeps on running far away"""
+    val page = s"""<div>$farm</div>\n<p>$prose</p>\n<p></p>"""
+    val row = Seq((1L, "x")).toDF("doc_id", "text")
+      .withColumn("html", lit(page))
+      .withColumn("bi", expr(
+        """transform(split(html, '\n'), b -> named_struct(
+          |  's', trim(regexp_replace(b, '<[^>]*>', ' ')),
+          |  'na', (length(b) - length(replace(b, '<a ', ''))) div 3))""".stripMargin))
+      .withColumn("bi", expr(
+        "transform(bi, x -> named_struct('s', x.s, 'na', x.na, " +
+          "'nw', size(filter(split(x.s, ' '), t -> t != ''))))"))
+      .selectExpr(s"filter(bi, x -> x.na * ${Extract.LinkDensityInv} < x.nw) AS kept")
+      .selectExpr("transform(kept, x -> x.s) AS s").as[Seq[String]].head()
+    assert(row.length === 1, s"exactly the prose block must survive: $row")
+    assert(row.head.contains("quick brown fox") && row.head.contains("lazy dog"))
+  }
+
+  test("dp release: full domain, clamped counts, geometric noise laws") {
+    // threshold table: strictly increasing CDF quantization reaching ~2^60
+    val t = Privacy.NoiseThresholds
+    assert(t.length === 2 * Privacy.NoiseCap + 1)
+    assert(t.zip(t.tail).forall { case (a, b) => a < b }, "CDF not monotone")
+    assert(t.last > (1L << 60) - 1000, "CDF must reach ~1 at the cap")
+    // symmetry of the two-sided geometric: P(noise <= -1) == P(noise >= 1)
+    val pNeg = t(Privacy.NoiseCap - 1)            // CDF(-1)
+    val pPosTail = (1L << 60) - t(Privacy.NoiseCap) // 1 - CDF(0)
+    assert(math.abs(pNeg - pPosTail) <= 2, s"asymmetric tails: $pNeg vs $pPosTail")
+
+    val rows = Privacy.dpRelease(docs).collect()
+    val nSrc = docs.select("source").distinct().count()
+    val nLang = docs.select("lang").distinct().count()
+    assert(rows.length.toLong === nSrc * nLang, "release must cover the FULL domain")
+    rows.foreach { r =>
+      val (nTrue, noise, released, sup) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(math.abs(noise) <= Privacy.NoiseCap)
+      assert(released === math.max(nTrue + noise, 0L))
+      assert(sup === (nTrue < Privacy.KAnonMin))
+    }
+    // determinism: the keyed-hash draw replays bit-identically
+    val again = Privacy.dpRelease(docs).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("ccStar: log rounds on a 500-hop path; labels agree with min-label propagation") {
+    val rep = Dedup.ccStar(docs).collect()
+    // the whole point: component diameter ~125 at this SF, rounds ~log
+    assert(Dedup.lastStarRounds <= 15,
+      s"star contraction took ${Dedup.lastStarRounds} rounds — not log-bounded")
+    val byId = rep.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxId = byId.keySet.max
+    val chainTop = math.min(Dedup.StarChainMax, maxId)
+    val chainNodes = 0L.to(chainTop, Dedup.StarChainStep)
+    assert(chainNodes.map(byId).toSet.size === 1, "planted chain must be ONE component")
+    assert(byId(0L) === 0L, "component label must be the minimum member")
+    // n_members is consistent with the label partition
+    rep.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      rows.foreach(r => assert(r.getLong(2) === rows.length.toLong))
+    }
+    // independent algorithm agreement: distributed min-label propagation
+    // over the SAME edge relation (chain capped, so its diameter is
+    // tolerable for the diameter-bound loop at this SF)
+    val spark2 = spark
+    import spark2.implicits._
+    val chainDf = chainNodes.init.map(i => (i, i + Dedup.StarChainStep))
+      .toDF("i", "j")
+    val pairs = Dedup.ngramJaccard(docs).select("i", "j").unionByName(chainDf)
+    val ref = Dedup.propagateClusters(pairs.distinct(), docs.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId === ref, "star contraction disagrees with min-label propagation")
+  }
+
+  test("pca: integer power iterate aligns with the double reference; projection laws") {
+    val (e, lam) = Similarity.pcaEigen(emb)
+    assert(lam > 0, s"gram top eigenvalue must be positive, got $lam")
+    assert(e.sum >= 0, "sign convention: component sum >= 0")
+    // direction agreement with the 500-iteration double power method
+    val d = Similarity.Dim
+    val gram = Array.ofDim[Double](d, d)
+    Similarity.gramMatrix(emb).collect().foreach { r =>
+      val (i, j, g) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toDouble)
+      gram(i)(j) = g; gram(j)(i) = g
+    }
+    val (_, ref) = Similarity.gramTopEigen(gram)
+    val en = math.sqrt(e.map(v => v.toDouble * v).sum)
+    val cos = math.abs(e.zip(ref).map { case (a, b) => a / en * b }.sum)
+    assert(cos > 0.99, s"integer iterate diverged from double reference: cos=$cos")
+
+    val proj = Similarity.pcaProject(emb).collect()
+    assert(proj.map(_.getLong(1)).sum === emb.count(), "labels must partition the corpus")
+    proj.foreach { r =>
+      val (n, s, mean, mn, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mean === s / n)
+      assert(mn <= mean && mean <= mx)
+    }
+  }
 }

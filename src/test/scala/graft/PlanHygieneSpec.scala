@@ -51,6 +51,33 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 entries: html extract shuffle-free; zorder/dp/pca joins stay sane") {
+    // html extraction is ONE projection — no Exchange except the
+    // trailing presentation sort, no join of any kind
+    val hx = graft.pipeline.Extract.htmlExtract(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    val hxCore = hx.linesIterator.filterNot(_.contains("rangepartitioning")).mkString("\n")
+    assert(!hxCore.contains("ExchangeHash"), hx)
+    assert(!hx.contains("Join"), hx)
+    // dp release: the domain cross join is catalog² and the noise
+    // threshold scan is a literal array — no corpus-sized cartesian
+    // (the tiny domain crossJoin is the accepted 1-row-class shape),
+    // counts aggregate is hash-based (map-side combinable)
+    val dp = plan("doc_dp_release")
+    assert(dp.contains("HashAggregate"), dp)
+    // pca projection: the eigenvector rides as a LITERAL array into one
+    // map pass + hash aggregate — no join at all
+    val pj = graft.pipeline.Similarity.pcaProject(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!pj.contains("Join"), pj)
+    // zorder: the scalar min/max and matched sides broadcast; no NLJ
+    // beyond the two 1-row broadcast scalar joins
+    val zo = plan("store_zorder_prune")
+    assert(!zo.contains("CartesianProduct"), zo)
+  }
+
   test("session-6 entries: rp_project shuffle-free, triangle/line-dedup joins stay equi") {
     // rp projection is ONE map pass: no Exchange anywhere in the plan
     // (the trailing global orderBy is the entry's presentation sort —
