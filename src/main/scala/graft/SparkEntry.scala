@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Ingest
-import graft.pipeline.{Dedup, EvalSampling, EventOps, Extract, LayoutOps, Multimodal, Privacy, Similarity, Sketches, TextOps, UrlOps}
+import graft.pipeline.{Dedup, EvalSampling, EventOps, Extract, LayoutOps, Multimodal, Privacy, Similarity, Sketches, SuffixOps, TextOps, UrlOps}
 import graft.query.{InfluxQlParser, Planner, TsCatalog}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -62,7 +62,13 @@ object SparkEntry {
     // first consumer pays the band join on run 1 and min-of-2 erases the
     // build from the total (round-7 advice item)
     "shared_knn_graph" ->
-      ((s, dir) => { Dedup.knnGraph(emb(s, dir)).count(); () }))
+      ((s, dir) => { Dedup.knnGraph(emb(s, dir)).count(); () }),
+    // the PCA eigen builds (gram collect + integer iterations) feed
+    // emb_pca_power/_project (top-1) and emb_pca_map (deflated top-2) —
+    // same accounting contract
+    "shared_pca_eigen" ->
+      ((s, dir) => { Similarity.pcaEigen(emb(s, dir))
+        Similarity.pcaEigenPair(emb(s, dir)); () }))
 
   private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame =
     influxCat(spark, EventsAdapter.catalog(spark, sfDir), q)
@@ -1350,9 +1356,14 @@ object SparkEntry {
     "doc_dp_release" -> ((s, dir) => Privacy.dpRelease(docs(s, dir))),
     // round-9: star-contraction connected components (log-round CC)
     "dedup_cc_star" -> ((s, dir) => Dedup.ccStar(docs(s, dir))),
+    // round-9: suffix-array ranks by distributed prefix doubling
+    "doc_suffix_ranks" -> ((s, dir) => SuffixOps.suffixRanks(docs(s, dir))),
+    // round-9: realized temperature mixture (epochs + keyed-hash frac)
+    "doc_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docs(s, dir))),
     // round-9: integer-exact PCA power iteration + principal-axis profile
     "emb_pca_power" -> ((s, dir) => Similarity.pcaPower(emb(s, dir))),
     "emb_pca_project" -> ((s, dir) => Similarity.pcaProject(emb(s, dir))),
+    "emb_pca_map" -> ((s, dir) => Similarity.pcaMap(emb(s, dir))),
     "ann_graph_topk" -> ((s, dir) => Similarity.graphTopK(emb(s, dir))),
     "ann_ranking_metrics" -> ((s, dir) =>
       Similarity.rankingMetrics(EvalSampling(emb(s, dir), "vec_id"))),
@@ -2423,7 +2434,10 @@ object SparkEntry {
     "doc_html_extract" -> Extract.htmlExtractOracle,
     "doc_dp_release" -> Privacy.dpReleaseOracle,
     "dedup_cc_star" -> Dedup.ccStarOracle,
+    "doc_suffix_ranks" -> SuffixOps.suffixRanksOracle,
+    "doc_mixture_sample" -> TextOps.mixtureSampleOracle,
     "emb_pca_power" -> Similarity.pcaPowerOracle,
+    "emb_pca_map" -> Similarity.pcaMapOracle,
     "emb_pca_project" -> Similarity.pcaProjectOracle,
     "ann_graph_topk" -> Similarity.graphTopKOracle,
     "ann_ranking_metrics" ->

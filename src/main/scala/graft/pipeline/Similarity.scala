@@ -1907,53 +1907,114 @@ object Similarity {
     * correct locus (dimension-sized, not data-sized); the corpus-sized
     * work is [[gramMatrix]]'s one-pass aggregator. Sign is fixed by
     * Σx ≥ 0. Returns (eigvec in [[PcaUnit]] fixed point, λ_q). */
+  private def pcaRescale(m: Array[Array[Long]]): Array[Array[Long]] = {
+    val mx = math.max(m.iterator.flatMap(_.iterator).map(math.abs).max, 1L)
+    val dv = mx / PcaUnit + 1
+    m.map(_.map(_ / dv))
+  }
+
+  private def pcaMul(m: Array[Array[Long]], v: Array[Long]): Array[Long] =
+    Array.tabulate(m.length) { i =>
+      var s = 0L; var j = 0
+      while (j < m.length) { s += m(i)(j) * v(j); j += 1 }
+      s
+    }
+
+  /** Squaring-boosted integer iteration on an already once-rescaled
+    * matrix: returns the UNSIGNED final iterate, its Rayleigh λ_q
+    * against the input matrix, and the pre-shifted denominator the
+    * deflation step reuses. */
+  private def pcaIterate(gn0: Array[Array[Long]]): (Array[Long], Long, Long) = {
+    val d = gn0.length
+    var gsq = gn0
+    var k = 0
+    while (k < PcaSquarings) {
+      gsq = pcaRescale(Array.tabulate(d, d) { (i, j) =>
+        var s = 0L; var l = 0
+        while (l < d) { s += gsq(i)(l) * gsq(l)(j); l += 1 }
+        s
+      })
+      k += 1
+    }
+    var x = Array.fill(d)(PcaUnit)
+    var t = 0
+    while (t < PcaIters) {
+      val y = pcaMul(gsq, x)
+      val q = y.iterator.map(math.abs).max / PcaUnit + 1
+      x = y.map(_ / q)
+      t += 1
+    }
+    // Rayleigh against the ONCE-scaled input (not the squared one)
+    val y = pcaMul(gn0, x)
+    val num = x.zip(y).map { case (a, b) => (a / 1024) * (b / 1024) }.sum
+    val den = math.max(x.map(a => (a / 1024) * (a / 1024)).sum, 1L)
+    (x, num / den, den)
+  }
+
+  private def pcaGram(emb: DataFrame): Array[Array[Long]] = {
+    val d = Dim
+    val tri = gramMatrix(emb).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+    val g = Array.ofDim[Long](d, d)
+    tri.foreach { case (i, j, v) => g(i)(j) = v; g(j)(i) = v }
+    g
+  }
+
   def pcaEigen(emb: DataFrame): (Array[Long], Long) = {
     val key = (emb.sparkSession, "Similarity.pcaEigen", emb.semanticHash())
     graft.util.Memo(key) {
-      val d = Dim
-      val tri = gramMatrix(emb).collect()
-        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
-      val g = Array.ofDim[Long](d, d)
-      tri.foreach { case (i, j, v) => g(i)(j) = v; g(j)(i) = v }
-      def rescale(m: Array[Array[Long]]): Array[Array[Long]] = {
-        val mx = math.max(m.iterator.flatMap(_.iterator).map(math.abs).max, 1L)
-        val dv = mx / PcaUnit + 1
-        m.map(_.map(_ / dv))
-      }
-      val gn0 = rescale(g)
-      var gsq = gn0
-      var k = 0
-      while (k < PcaSquarings) {
-        gsq = rescale(Array.tabulate(d, d) { (i, j) =>
-          var s = 0L; var l = 0
-          while (l < d) { s += gsq(i)(l) * gsq(l)(j); l += 1 }
-          s
-        })
-        k += 1
-      }
-      def mul(m: Array[Array[Long]], v: Array[Long]): Array[Long] =
-        Array.tabulate(d) { i =>
-          var s = 0L; var j = 0
-          while (j < d) { s += m(i)(j) * v(j); j += 1 }
-          s
-        }
-      var x = Array.fill(d)(PcaUnit)
-      var t = 0
-      while (t < PcaIters) {
-        val y = mul(gsq, x)
-        val q = y.iterator.map(math.abs).max / PcaUnit + 1
-        x = y.map(_ / q)
-        t += 1
-      }
-      // Rayleigh against the ONCE-scaled gram (not the squared one), so
-      // λ_q approximates λ₁ in gn0 units
-      val y = mul(gn0, x)
-      val num = x.zip(y).map { case (a, b) => (a / 1024) * (b / 1024) }.sum
-      val den = x.map(a => (a / 1024) * (a / 1024)).sum
-      val lambda = num / math.max(den, 1L)
+      val (x, lambda, _) = pcaIterate(pcaRescale(pcaGram(emb)))
       val sgn = if (x.sum < 0) -1L else 1L
       (x.map(_ * sgn), lambda)
     }
+  }
+
+  /** Top-TWO principal directions: the first from [[pcaIterate]], the
+    * second from the same iteration on the DEFLATED matrix
+    * gn0 − λ₁·(x̂₁x̂₁ᵀ)/(x̂₁·x̂₁) (Hotelling deflation, all divisions
+    * integer and order-pinned, so both engines land on the identical
+    * second iterate). The quantization residual of the deflation
+    * (≈2⁻¹⁰ of λ₁) stays far below λ₂/λ₁ ≈ 0.98, so the squaring
+    * boost re-amplifies the true second direction, not the leftover
+    * first. Returns (e1, e2, λ1_q, λ2_q), both sign-fixed. */
+  def pcaEigenPair(emb: DataFrame): (Array[Long], Array[Long], Long, Long) = {
+    val key = (emb.sparkSession, "Similarity.pcaEigenPair", emb.semanticHash())
+    graft.util.Memo(key) {
+      val d = Dim
+      val gn0 = pcaRescale(pcaGram(emb))
+      val (x1, lam1, den1) = pcaIterate(gn0)
+      val defl = Array.tabulate(d, d) { (i, j) =>
+        gn0(i)(j) - (lam1 * ((x1(i) / 1024) * (x1(j) / 1024))) / den1
+      }
+      val (x2, lam2, _) = pcaIterate(pcaRescale(defl))
+      val s1 = if (x1.sum < 0) -1L else 1L
+      val s2 = if (x2.sum < 0) -1L else 1L
+      (x1.map(_ * s1), x2.map(_ * s2), lam1, lam2)
+    }
+  }
+
+  /** Dataset cartography: per-label centroid in the top-2 principal
+    * plane — (label, n, mean_x, mean_y), with the e1·e2 orthogonality
+    * residual riding along as a constant diagnostic column. One
+    * broadcast of two d-vectors + one map-side aggregate. */
+  def pcaMap(emb: DataFrame): DataFrame = {
+    val (e1, e2, _, _) = pcaEigenPair(emb)
+    val ortho = e1.zip(e2).map { case (a, b) => (a / 1024) * (b / 1024) }.sum / PcaUnit
+    val a1 = e1.mkString("array(", "L, ", "L)")
+    val a2 = e2.mkString("array(", "L, ", "L)")
+    emb
+      .withColumn("q", expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * $GramScaleFp) as bigint))"))
+      .withColumn("px", expr(
+        s"aggregate(zip_with(q, $a1, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("py", expr(
+        s"aggregate(zip_with(q, $a2, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("px").as("sx"), sum("py").as("sy"))
+      .select(col("label"), col("n"),
+        expr("sx div n").as("mean_x"), expr("sy div n").as("mean_y"),
+        lit(ortho).as("ortho_q"))
+      .orderBy("label")
   }
 
   /** Entry face of [[pcaEigen]]: (i, eig_q, lambda_q), d rows. */
@@ -1987,28 +2048,45 @@ object Similarity {
       .orderBy("label")
   }
 
-  /** Shared CTE chain replaying the integer power iteration in SQL:
-    * gram triangle → full matrix → pre-scale → [[PcaIters]] unrolled
-    * multiply/normalize rounds → sign fix + Rayleigh. Ends with CTEs
-    * `eig(i, e)` and `lam(l)`. */
-  lazy val pcaCtes: String = {
+  /** One squaring+iteration chain in SQL: from a once-rescaled matrix
+    * CTE `src(i, j, g)`, emits `${p}g0..g6` (squarings), `${p}x0..x8`
+    * (iterations), `${p}yf`, `${p}ray(num, den)`, `${p}lam(l)`,
+    * `${p}sgn(s)`, `${p}eig(i, e)` — the SQL twin of [[pcaIterate]]. */
+  private def pcaChain(src: String, p: String): String = {
     val sqs = (1 to PcaSquarings).map { k =>
-      val p = k - 1
-      s"""r$k AS MATERIALIZED (
+      val q = k - 1
+      s"""${p}r$k AS MATERIALIZED (
          |  SELECT a.i, b.j, CAST(sum(a.g * b.g) AS BIGINT) AS g
-         |  FROM g$p a JOIN g$p b ON a.j = b.i GROUP BY 1, 2),
-         |rd$k AS (SELECT greatest(max(abs(g)), 1) // $PcaUnit + 1 AS dv FROM r$k),
-         |g$k AS MATERIALIZED (SELECT i, j, CAST(g // dv AS BIGINT) AS g FROM r$k, rd$k)""".stripMargin
+         |  FROM ${p}g$q a JOIN ${p}g$q b ON a.j = b.i GROUP BY 1, 2),
+         |${p}rd$k AS (SELECT greatest(max(abs(g)), 1) // $PcaUnit + 1 AS dv FROM ${p}r$k),
+         |${p}g$k AS MATERIALIZED (SELECT i, j, CAST(g // dv AS BIGINT) AS g FROM ${p}r$k, ${p}rd$k)""".stripMargin
     }.mkString(",\n")
-    val gs = s"g$PcaSquarings"
+    val gs = s"${p}g$PcaSquarings"
     val iters = (1 to PcaIters).map { t =>
-      val p = t - 1
-      s"""y$t AS MATERIALIZED (SELECT $gs.i, CAST(sum($gs.g * x$p.x) AS BIGINT) AS y
-         |        FROM $gs JOIN x$p ON x$p.i = $gs.j GROUP BY 1),
-         |m$t AS (SELECT max(abs(y)) // $PcaUnit + 1 AS q FROM y$t),
-         |x$t AS MATERIALIZED (SELECT i, CAST(y // q AS BIGINT) AS x FROM y$t, m$t)""".stripMargin
+      val q = t - 1
+      s"""${p}y$t AS MATERIALIZED (SELECT $gs.i, CAST(sum($gs.g * ${p}x$q.x) AS BIGINT) AS y
+         |        FROM $gs JOIN ${p}x$q ON ${p}x$q.i = $gs.j GROUP BY 1),
+         |${p}m$t AS (SELECT max(abs(y)) // $PcaUnit + 1 AS q FROM ${p}y$t),
+         |${p}x$t AS MATERIALIZED (SELECT i, CAST(y // q AS BIGINT) AS x FROM ${p}y$t, ${p}m$t)""".stripMargin
     }.mkString(",\n")
     val f = PcaIters
+    s"""${p}g0 AS MATERIALIZED (SELECT i, j, g FROM $src),
+       |$sqs,
+       |${p}x0 AS (SELECT i, CAST($PcaUnit AS BIGINT) AS x FROM idx),
+       |$iters,
+       |${p}yf AS MATERIALIZED (SELECT ${p}g0.i, CAST(sum(${p}g0.g * ${p}x$f.x) AS BIGINT) AS y
+       |       FROM ${p}g0 JOIN ${p}x$f ON ${p}x$f.i = ${p}g0.j GROUP BY 1),
+       |${p}ray AS (SELECT CAST(sum((${p}x$f.x // 1024) * (${p}yf.y // 1024)) AS BIGINT) AS num,
+       |               greatest(CAST(sum((${p}x$f.x // 1024) * (${p}x$f.x // 1024)) AS BIGINT), 1) AS den
+       |        FROM ${p}x$f JOIN ${p}yf ON ${p}x$f.i = ${p}yf.i),
+       |${p}lam AS (SELECT num // den AS l FROM ${p}ray),
+       |${p}sgn AS (SELECT CASE WHEN (SELECT sum(x) FROM ${p}x$f) < 0 THEN -1 ELSE 1 END AS s),
+       |${p}eig AS (SELECT i, CAST(x * s AS BIGINT) AS e FROM ${p}x$f, ${p}sgn)""".stripMargin
+  }
+
+  /** Shared preamble: gram triangle → full matrix → once-rescaled
+    * `base1`, plus chain `a` (first eigenpair). */
+  lazy val pcaCtes: String = {
     s"""q AS MATERIALIZED (
        |  SELECT vec_id, label, list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * $GramScaleFp) AS BIGINT)) AS q
@@ -2020,35 +2098,56 @@ object Similarity {
        |gfull AS (SELECT i, j, g FROM tri
        |          UNION ALL SELECT j, i, g FROM tri WHERE i <> j),
        |gdv AS (SELECT greatest(max(abs(g)), 1) // $PcaUnit + 1 AS dv FROM tri),
-       |g0 AS MATERIALIZED (SELECT i, j, CAST(g // dv AS BIGINT) AS g FROM gfull, gdv),
-       |$sqs,
-       |x0 AS (SELECT i, CAST($PcaUnit AS BIGINT) AS x FROM idx),
-       |$iters,
-       |yf AS MATERIALIZED (SELECT g0.i, CAST(sum(g0.g * x$f.x) AS BIGINT) AS y
-       |       FROM g0 JOIN x$f ON x$f.i = g0.j GROUP BY 1),
-       |ray AS (SELECT CAST(sum((x$f.x // 1024) * (yf.y // 1024)) AS BIGINT) AS num,
-       |               CAST(sum((x$f.x // 1024) * (x$f.x // 1024)) AS BIGINT) AS den
-       |        FROM x$f JOIN yf ON x$f.i = yf.i),
-       |lam AS (SELECT num // greatest(den, 1) AS l FROM ray),
-       |sgn AS (SELECT CASE WHEN (SELECT sum(x) FROM x$f) < 0 THEN -1 ELSE 1 END AS s),
-       |eig AS (SELECT i, CAST(x * s AS BIGINT) AS e FROM x$f, sgn)""".stripMargin
+       |base1 AS MATERIALIZED (SELECT i, j, CAST(g // dv AS BIGINT) AS g FROM gfull, gdv),
+       |${pcaChain("base1", "a")}""".stripMargin
+  }
+
+  /** Hotelling deflation + chain `b` (second eigenpair) — appended
+    * after [[pcaCtes]] by the oracles that need both directions. */
+  lazy val pcaCtes2: String = {
+    val f = PcaIters
+    s"""defl AS MATERIALIZED (
+       |  SELECT b.i, b.j,
+       |         b.g - (alam.l * ((xi.x // 1024) * (xj.x // 1024))) // aray.den AS g
+       |  FROM base1 b
+       |  JOIN ax$f xi ON xi.i = b.i
+       |  JOIN ax$f xj ON xj.i = b.j, alam, aray),
+       |d2dv AS (SELECT greatest(max(abs(g)), 1) // $PcaUnit + 1 AS dv FROM defl),
+       |base2 AS MATERIALIZED (SELECT i, j, CAST(g // dv AS BIGINT) AS g FROM defl, d2dv),
+       |${pcaChain("base2", "b")}""".stripMargin
   }
 
   lazy val pcaPowerOracle: String =
     s"""WITH $pcaCtes
-       |SELECT e.i, e.e AS eig_q, lam.l AS lambda_q
-       |FROM eig e, lam ORDER BY e.i""".stripMargin
+       |SELECT e.i, e.e AS eig_q, alam.l AS lambda_q
+       |FROM aeig e, alam ORDER BY e.i""".stripMargin
 
   lazy val pcaProjectOracle: String =
     s"""WITH $pcaCtes,
        |pr AS (
        |  SELECT m.vec_id, m.label, CAST(sum(m.q[e.i + 1] * e.e) AS BIGINT) AS p
-       |  FROM q m, eig e GROUP BY 1, 2)
+       |  FROM q m, aeig e GROUP BY 1, 2)
        |SELECT label, count(*)::BIGINT AS n,
        |       CAST(sum(p) AS BIGINT) AS sum_proj,
        |       CAST(sum(p) AS BIGINT) // count(*) AS mean_proj,
        |       min(p) AS min_proj, max(p) AS max_proj
        |FROM pr GROUP BY label ORDER BY label""".stripMargin
+
+  lazy val pcaMapOracle: String =
+    s"""WITH $pcaCtes,
+       |$pcaCtes2,
+       |pr AS (
+       |  SELECT m.vec_id, m.label,
+       |         CAST(sum(m.q[a.i + 1] * a.e) AS BIGINT) AS px,
+       |         CAST(sum(m.q[b.i + 1] * b.e) AS BIGINT) AS py
+       |  FROM q m, aeig a JOIN beig b ON a.i = b.i GROUP BY 1, 2),
+       |o AS (SELECT CAST(sum((a.e // 1024) * (b.e // 1024)) AS BIGINT) // $PcaUnit AS ortho_q
+       |      FROM aeig a JOIN beig b ON a.i = b.i)
+       |SELECT label, count(*)::BIGINT AS n,
+       |       CAST(sum(px) AS BIGINT) // count(*) AS mean_x,
+       |       CAST(sum(py) AS BIGINT) // count(*) AS mean_y,
+       |       o.ortho_q
+       |FROM pr, o GROUP BY label, o.ortho_q ORDER BY label""".stripMargin
 }
 
 /** Map-side-combining upper-triangle Gram accumulator: buffer is the

@@ -2472,6 +2472,58 @@ object TextOps {
        |       weight_fp * $MixTargetDocs // greatest(tot, 1) AS target_docs
        |FROM c CROSS JOIN t ORDER BY source""".stripMargin
 
+  /** REALIZE the [[mixtureWeights]] mix as a deterministic sample — the
+    * step a loader actually executes: target_docs per source becomes
+    * `n_epochs` full passes over the source (target div n) plus a
+    * keyed-hash fractional sample (doc kept for one extra epoch iff
+    * baseHash('mix|'‖doc_id) lands under the remainder rate) — the
+    * standard up/down-sampling semantics of a temperature mix, and
+    * reproducible across reruns because the draw is content-keyed, not
+    * RNG-keyed (the same discipline as [[Privacy.dpRelease]]'s noise).
+    * One broadcast of the |sources| weight table + one map-side
+    * aggregate. Output (source, n_docs, target_docs, n_epochs,
+    * n_frac_kept, realized_docs), realized ≈ target per construction. */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val w = mixtureWeights(docs).select("source", "n_docs", "target_docs")
+    docs.select("doc_id", "source")
+      .join(broadcast(w), Seq("source"))
+      .withColumn("u", baseHash(concat(lit("mix|"), col("doc_id").cast("string"))))
+      .withColumn("extra", expr(
+        "CASE WHEN u % 1000000 < (target_docs % n_docs) * 1000000 div n_docs " +
+          "THEN 1L ELSE 0L END"))
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"), max("target_docs").as("target_docs"),
+        sum("extra").as("n_frac_kept"))
+      .withColumn("n_epochs", expr("target_docs div n_docs"))
+      .select(col("source"), col("n_docs"), col("target_docs"), col("n_epochs"),
+        col("n_frac_kept"),
+        expr("n_epochs * n_docs + n_frac_kept").as("realized_docs"))
+      .orderBy("source")
+  }
+
+  lazy val mixtureSampleOracle: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS weight_fp
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(weight_fp) AS BIGINT) AS tot FROM c),
+       |w AS (SELECT source, n_docs,
+       |             weight_fp * $MixTargetDocs // greatest(tot, 1) AS target_docs
+       |      FROM c CROSS JOIN t),
+       |k AS (
+       |  SELECT d.source, w.n_docs, w.target_docs,
+       |         CASE WHEN ${baseHashSql("'mix|' || d.doc_id")} % 1000000
+       |                   < (w.target_docs % w.n_docs) * 1000000 // w.n_docs
+       |              THEN 1 ELSE 0 END AS extra
+       |  FROM documents d JOIN w USING (source))
+       |SELECT source, max(n_docs)::BIGINT AS n_docs,
+       |       max(target_docs)::BIGINT AS target_docs,
+       |       max(target_docs) // max(n_docs) AS n_epochs,
+       |       CAST(sum(extra) AS BIGINT) AS n_frac_kept,
+       |       max(target_docs) // max(n_docs) * max(n_docs)
+       |         + CAST(sum(extra) AS BIGINT) AS realized_docs
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   // ---- operator: Gopher-style filter battery -----------------------------
 
   /** Gopher rule thresholds (Rae et al. 2021, table A1 shape — constants

@@ -2490,6 +2490,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId === ref, "star contraction disagrees with min-label propagation")
   }
 
+  test("mixture sample: realized epochs+fraction track the temperature targets") {
+    val rows = TextOps.mixtureSample(docs).collect()
+    assert(rows.nonEmpty)
+    val targets = rows.map(_.getLong(2)).sum
+    assert(targets <= TextOps.MixTargetDocs, "floor division cannot overshoot")
+    rows.foreach { r =>
+      val (n, t, ep, frac, real) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ep === t / n)
+      assert(frac >= 0 && frac <= n)
+      assert(real === ep * n + frac)
+      // keyed-hash uniformity: the fractional sample lands near its rate
+      val expect = t % n
+      assert(math.abs(frac - expect) <= math.max(n / 4, 10L),
+        s"fractional sample $frac far from expected $expect of $n")
+    }
+    // content-keyed draw: bit-identical on replay
+    assert(rows.map(_.toSeq).toSeq ===
+      TextOps.mixtureSample(docs).collect().map(_.toSeq).toSeq)
+  }
+
+  test("suffix ranks: prefix doubling equals the definitional sort at every position") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = SuffixOps.suffixRankRows(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // naive reference: materialize every capped suffix STRING and rank
+    // by one global sort (fine at spec SF; impossible at corpus scale —
+    // which is what the doubling exists to avoid)
+    val naive = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        expr(s"array_join(slice(split(text, ' '), p0 + 1, ${SuffixOps.SuffixCap}), ' ')").as("sfx"))
+      .withColumn("rank", dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy("sfx")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.size === naive.size)
+    assert(got === naive, "doubling ranks diverge from the definitional string sort")
+    // a planted exact-duplicate doc: every one of its suffixes occurs
+    // elsewhere, and the twin's per-doc profile is identical (positions,
+    // dup mass — ranks shift globally, so compare the dup law, not the
+    // checksum)
+    val twin = docs.filter(col("doc_id") === 0L)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val prof = SuffixOps.suffixRanks(docs.unionByName(twin)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof(0L) === prof(1000000L), "identical docs must share their profile")
+    assert(prof(0L)._2 === prof(0L)._1, "every suffix of a duplicated doc occurs elsewhere")
+  }
+
   test("pca: integer power iterate aligns with the double reference; projection laws") {
     val (e, lam) = Similarity.pcaEigen(emb)
     assert(lam > 0, s"gram top eigenvalue must be positive, got $lam")
@@ -2505,6 +2555,21 @@ class PipelineSpec extends AnyFunSuite {
     val en = math.sqrt(e.map(v => v.toDouble * v).sum)
     val cos = math.abs(e.zip(ref).map { case (a, b) => a / en * b }.sum)
     assert(cos > 0.99, s"integer iterate diverged from double reference: cos=$cos")
+
+    // top-2: second direction orthogonal to the first, positive spectrum,
+    // and aligned with the double-deflation reference
+    val (_, e2, _, lam2) = Similarity.pcaEigenPair(emb)
+    assert(lam2 > 0)
+    // ref is the converged unit top eigenvector; l1 = refᵀ G ref
+    val l1 = ref.indices.map(i =>
+      ref(i) * ref.indices.map(j => gram(i)(j) * ref(j)).sum).sum
+    val defl = Array.tabulate(d, d)((i, j) => gram(i)(j) - l1 * ref(i) * ref(j))
+    val (_, ref2) = Similarity.gramTopEigen(defl)
+    val n2 = math.sqrt(e2.map(v => v.toDouble * v).sum)
+    val cos2 = math.abs(e2.zip(ref2).map { case (a, b) => a / n2 * b }.sum)
+    assert(cos2 > 0.99, s"second direction diverged from double deflation: cos=$cos2")
+    val o12 = e.zip(e2).map { case (a, b) => (a / 1024) * (b / 1024) }.sum
+    assert(math.abs(o12) < (1L << 30), s"e1·e2 not orthogonal: $o12")
 
     val proj = Similarity.pcaProject(emb).collect()
     assert(proj.map(_.getLong(1)).sum === emb.count(), "labels must partition the corpus")
