@@ -25,7 +25,13 @@ usage: tools/bench_gate.py [new.json] [ref.json]
 Protocol for a fresh record: cp bench_out.json tools/bench_prev.json,
 re-run graft.Bench, commit both. To re-baseline after an accepted
 slowdown (new operators, heavier shared builds): merge per-entry MINIMA
-into tools/bench_baseline.json and commit.
+into tools/bench_baseline.json and commit. RATCHET CAVEAT: per-entry
+minima accumulate lucky runs — when a two-run-confirmed flag appears
+for an entry whose code did not change, re-measure it ISOLATED
+(RunEntries name,name,name under the protocol, take the warm minimum)
+and re-pin its baseline at that value; a baseline no single honest run
+can reproduce just converts drift into permanent false alarms
+(mm_video_dup: lucky 0.67, isolated steady state 1.00).
 """
 import json
 import os
