@@ -263,8 +263,17 @@ object PipelineScaleProbe {
       // pass + dimension-sized driver iteration, and the three-layout
       // two-phase global rank
       "cc_star" -> (n => Dedup.ccStar(synthDocs(spark, n)).count()),
+      // suffix ranks: 3 global-rank rounds, int-pair shuffle keys; the
+      // claim is rounds stay FIXED while per-round work is linear
+      "suffix_ranks" -> (n =>
+        graft.pipeline.SuffixOps.suffixRanks(synthDocs(spark, n)).count()),
+      "mixture_sample" -> (n =>
+        graft.pipeline.TextOps.mixtureSample(synthDocs(spark, n)).count()),
+      // NOT .count(): a pure projection prunes to nothing under count —
+      // the aggregate forces every page through the extractor
       "html_extract" -> (n =>
-        graft.pipeline.Extract.htmlExtract(synthDocs(spark, n)).count()),
+        graft.pipeline.Extract.htmlExtract(synthDocs(spark, n))
+          .agg(sum("kept_words")).head().getLong(0)),
       "dp_release" -> (n =>
         graft.pipeline.Privacy.dpRelease(synthDocs(spark, n)).count()),
       "pca_project" -> (n =>
