@@ -59,11 +59,10 @@ object Extract {
            |  array('$Footer')), '\n')""".stripMargin))
       .drop("w", "paras")
 
-  /** Block-level link-density extraction over the planted pages.
-    * Output (doc_id, n_blocks, n_kept, kept_words, extracted_hash,
-    * recovered) per doc, ordered. */
-  def htmlExtract(docs: DataFrame): DataFrame =
-    plantHtml(docs)
+  /** The block/strip/density computation, columns `bi` + `kept` added
+    * to any (doc_id, html, …) relation — other columns pass through. */
+  private def withExtraction(pages: DataFrame): DataFrame =
+    pages
       .withColumn("bi", expr(
         """transform(split(html, '\n'), b -> named_struct(
           |  's', trim(regexp_replace(b, '<[^>]*>', ' ')),
@@ -72,6 +71,25 @@ object Extract {
         "transform(bi, x -> named_struct('s', x.s, 'na', x.na, " +
           "'nw', size(filter(split(x.s, ' '), t -> t != ''))))"))
       .withColumn("kept", expr(s"filter(bi, x -> x.na * $LinkDensityInv < x.nw)"))
+
+  /** Core extractor over any (doc_id, html) relation — shared by the
+    * batch entry and [[graft.streaming.StreamingExtract]]. Output
+    * (doc_id, n_blocks, n_kept, kept_words, extracted_hash), one
+    * projection, no shuffle. */
+  def extractPages(pages: DataFrame): DataFrame =
+    withExtraction(pages)
+      .select(col("doc_id"),
+        expr("CAST(size(split(html, '\n')) AS BIGINT)").as("n_blocks"),
+        expr("CAST(size(kept) AS BIGINT)").as("n_kept"),
+        expr("CAST(aggregate(kept, 0, (a, x) -> a + x.nw) AS BIGINT)").as("kept_words"),
+        baseHash(expr("array_join(transform(kept, x -> x.s), ' ')")).as("extracted_hash"))
+
+  /** Block-level link-density extraction over the planted pages.
+    * Output (doc_id, n_blocks, n_kept, kept_words, extracted_hash,
+    * recovered) per doc, ordered — still ONE projection (plantHtml
+    * carries `text` through, so the recovery law needs no join). */
+  def htmlExtract(docs: DataFrame): DataFrame =
+    withExtraction(plantHtml(docs))
       .select(col("doc_id"),
         expr("CAST(size(split(html, '\n')) AS BIGINT)").as("n_blocks"),
         expr("CAST(size(kept) AS BIGINT)").as("n_kept"),

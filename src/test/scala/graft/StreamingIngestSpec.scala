@@ -771,4 +771,54 @@ class StreamingIngestSpec extends AnyFunSuite {
       .as[(Long, String, Long, Boolean)].collect().map(_._1).toSet
     extra.foreach { case (id, _) => assert(after.contains(id), s"post-restart media $id") }
   }
+
+  test("streaming extract gate: stream verdicts match batch; chrome-only fails closed; restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-extractgate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cfg = graft.streaming.StreamingExtract.Config(
+      s"$dir/verdicts", s"$dir/ckpt", minKeptWords = 1L)
+    // pages from the SAME plant the batch entry extracts
+    val pages = graft.pipeline.Extract.plantHtml(docs)
+      .select("doc_id", "html").as[(Long, String)].collect().sortBy(_._1).take(40)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingExtract.start(
+      stream.toDS().toDF("doc_id", "html"), cfg)
+    val (b1, b2) = pages.splitAt(20)
+    stream.addData(b1.toSeq)
+    q.processAllAvailable()
+    // batch 2 includes a chrome-only page: all links, zero prose words
+    val chromeOnly =
+      s"${graft.pipeline.Extract.Nav}\n${graft.pipeline.Extract.Footer}"
+    stream.addData(b2.toSeq :+ (999999L, chromeOnly))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$dir/verdicts")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // differential: every streamed verdict equals the batch operator's
+    val batchRows = graft.pipeline.Extract.htmlExtract(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    pages.foreach { case (id, _) =>
+      val (nb, nk, kw, h) = batchRows(id)
+      val s = got(id)
+      assert((s._2, s._3, s._4, s._5) === ((nb, nk, kw, h)),
+        s"page $id: stream verdict drifts from batch")
+      assert(s._6, s"page $id wrongly dropped")
+    }
+    assert(got(999999L)._4 === 0L && !got(999999L)._6,
+      "chrome-only page must extract zero words and be dropped (fail closed)")
+    // restart from the same checkpoint: a third batch lands after restart
+    val q2 = graft.streaming.StreamingExtract.start(
+      stream.toDS().toDF("doc_id", "html"), cfg)
+    val extra = graft.pipeline.Extract.plantHtml(docs)
+      .select("doc_id", "html").as[(Long, String)].collect().sortBy(_._1).slice(40, 45)
+    stream.addData(extra.toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(s"$dir/verdicts")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().map(_._1).toSet
+    extra.foreach { case (id, _) => assert(after.contains(id), s"post-restart page $id") }
+  }
 }
