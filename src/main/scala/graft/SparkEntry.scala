@@ -68,7 +68,12 @@ object SparkEntry {
     // same accounting contract
     "shared_pca_eigen" ->
       ((s, dir) => { Similarity.pcaEigen(emb(s, dir))
-        Similarity.pcaEigenPair(emb(s, dir)); () }))
+        Similarity.pcaEigenPair(emb(s, dir)); () }),
+    // the SA depth relation (all-level ranks + adjacent-rank LCP descent)
+    // feeds doc_sa_lcp AND doc_sa_dup_extents
+    "shared_sa_depth" ->
+      ((s, dir) => { SuffixOps.saDepthRows(
+        Dedup.plantSpans(docs(s, dir))).count(); () }))
 
   private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame =
     influxCat(spark, EventsAdapter.catalog(spark, sfDir), q)
@@ -1354,10 +1359,22 @@ object SparkEntry {
     "doc_html_extract" -> ((s, dir) => Extract.htmlExtract(docs(s, dir))),
     // round-9: DP release of corpus stats (geometric mechanism + k-anon)
     "doc_dp_release" -> ((s, dir) => Privacy.dpRelease(docs(s, dir))),
+    // round-10: the RELEASE view — noised counts only, sub-k cells gone,
+    // seed a parameter (the audit view above is the parity demo)
+    "doc_dp_release_public" -> ((s, dir) =>
+      Privacy.dpReleasePublic(docs(s, dir), Privacy.PublicDemoSeed)),
     // round-9: star-contraction connected components (log-round CC)
     "dedup_cc_star" -> ((s, dir) => Dedup.ccStar(docs(s, dir))),
     // round-9: suffix-array ranks by distributed prefix doubling
     "doc_suffix_ranks" -> ((s, dir) => SuffixOps.suffixRanks(docs(s, dir))),
+    // round-10: LCP layer (per-position duplication depth) + EXACT
+    // any-length duplicated extents off the suffix array — both over the
+    // planted corpus, sharing one memoized depth build; threshold 8 on the
+    // extents exercises real LCP values (below the 16-token window class)
+    "doc_sa_lcp" -> ((s, dir) =>
+      SuffixOps.saDepthProfile(Dedup.plantSpans(docs(s, dir)))),
+    "doc_sa_dup_extents" -> ((s, dir) =>
+      SuffixOps.saDupExtents(Dedup.plantSpans(docs(s, dir)), 8)),
     // round-9: realized temperature mixture (epochs + keyed-hash frac)
     "doc_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docs(s, dir))),
     // round-9: integer-exact PCA power iteration + principal-axis profile
@@ -2433,8 +2450,11 @@ object SparkEntry {
     "store_zorder_prune" -> LayoutOps.zorderPruneOracle,
     "doc_html_extract" -> Extract.htmlExtractOracle,
     "doc_dp_release" -> Privacy.dpReleaseOracle,
+    "doc_dp_release_public" -> Privacy.dpReleasePublicOracle,
     "dedup_cc_star" -> Dedup.ccStarOracle,
     "doc_suffix_ranks" -> SuffixOps.suffixRanksOracle,
+    "doc_sa_lcp" -> SuffixOps.saDepthProfileOracle,
+    "doc_sa_dup_extents" -> SuffixOps.saDupExtentsOracle(8),
     "doc_mixture_sample" -> TextOps.mixtureSampleOracle,
     "emb_pca_power" -> Similarity.pcaPowerOracle,
     "emb_pca_map" -> Similarity.pcaMapOracle,

@@ -328,6 +328,13 @@ object Dedup {
     * occurrence is byte-identical across its docs, and the snippet
     * tokens (xdup…) occur nowhere in natural text, so each plant is a
     * clean duplicated span of a KNOWN length at a KNOWN position. */
+  /** DuckDB-side twin of [[plantSpans]] — the planted `text` expression
+    * every span oracle shares. */
+  private[graft] lazy val plantedTextSql: String =
+    SpanPlants.foldLeft("text") { case (acc, (m, len)) =>
+      s"(CASE WHEN doc_id % $m = 0 THEN $acc || ' ${spanSnippet(len)}' ELSE $acc END)"
+    }
+
   def plantSpans(docs: DataFrame): DataFrame = {
     val planted = SpanPlants.foldLeft(col("text")) { case (acc, (m, len)) =>
       when(col("doc_id") % m === 0,
@@ -380,10 +387,7 @@ object Dedup {
   }
 
   val dupSpansVarOracle: String = {
-    val plantedText = SpanPlants.foldLeft("text") { case (acc, (m, len)) =>
-      s"(CASE WHEN doc_id % $m = 0 THEN $acc || ' ${spanSnippet(len)}' ELSE $acc END)"
-    }
-    s"""WITH base AS (SELECT doc_id, $plantedText AS text FROM documents),
+    s"""WITH base AS (SELECT doc_id, $plantedTextSql AS text FROM documents),
        |wins AS (
        |  SELECT doc_id, u.i + 1 AS pos,
        |         ('0x' || substr(md5(array_to_string(w[i+1:i+$SpanLen], ' ')), 1, 15))::BIGINT AS h
@@ -440,10 +444,7 @@ object Dedup {
   }
 
   lazy val removeSpansOracle: String = {
-    val plantedText = SpanPlants.foldLeft("text") { case (acc, (m, len)) =>
-      s"(CASE WHEN doc_id % $m = 0 THEN $acc || ' ${spanSnippet(len)}' ELSE $acc END)"
-    }
-    s"""WITH base AS (SELECT doc_id, $plantedText AS text FROM documents),
+    s"""WITH base AS (SELECT doc_id, $plantedTextSql AS text FROM documents),
        |d AS (SELECT doc_id, $tokensSql AS w FROM base),
        |wins AS (
        |  SELECT doc_id, u.i + 1 AS pos,
@@ -1039,6 +1040,20 @@ object Dedup {
 
   // ---- dedup clusters (connected components) -----------------------------
 
+  /** Skew-safe per-cluster member count: aggregate + join back, never
+    * `count().over(Window.partitionBy("cluster_id"))` — the window puts
+    * every member row of the LARGEST cluster into one task, and at
+    * 100 TB a boilerplate near-dup component can hold a large fraction
+    * of the corpus (the one non-AQE-splittable stage flagged in round
+    * 9). The shuffle join is AQE-skew-splittable and the counted
+    * relation is cluster-bounded. Output preserves (idCol, cluster_id,
+    * n_members). */
+  private def withMemberCounts(labeled: DataFrame, idCol: String): DataFrame =
+    labeled.join(
+        labeled.groupBy("cluster_id").agg(count(lit(1)).cast("long").as("n_members")),
+        Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("n_members"))
+
   /** Group near-duplicates into clusters: connected components over the
     * ngram-Jaccard pair graph, labeled by the min doc_id in each
     * component (the canonical "keep" representative). Every doc gets a
@@ -1054,9 +1069,7 @@ object Dedup {
     * iteration count is bounded by component diameter, which dedup
     * graphs keep tiny. */
   def clusters(docs: DataFrame): DataFrame =
-    labelDf(docs)
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    withMemberCounts(graft.util.Materialize.corpus(labelDf(docs)), "doc_id")
       .orderBy("doc_id")
 
   /** Core of [[clusters]]: (doc_id, cluster_id) via distributed min-label
@@ -1238,7 +1251,9 @@ object Dedup {
     * (doc_id, cluster_id, n_members), cluster_id = component minimum. */
   def ccStar(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    // coalesce: max of zero rows is null — empty input must return empty,
+    // not NPE (the other operators' totality contract)
+    val maxId = docs.agg(coalesce(max("doc_id"), lit(-1L))).head.getLong(0)
     val chain = docs.select(col("doc_id").as("i"))
       .filter(col("i") % StarChainStep === 0 &&
         col("i") + StarChainStep <= least(lit(StarChainMax), lit(maxId)))
@@ -1247,8 +1262,11 @@ object Dedup {
       .filter(col("i") =!= col("j")).distinct()
       .select(col("i").as("u"), col("j").as("v"))
       .transform(graft.util.Materialize.bounded)
-    // loop control only — correctness is the oracle's closure, and a
-    // checksum collision merely costs one extra (idempotent) round
+    // loop control only. Failure mode of a (count, hash-sum) collision:
+    // PREMATURE exit — declaring stability while the edge set is still
+    // changing, i.e. potentially wrong labels — not an extra round;
+    // including the edge count in the signature bounds that risk (the
+    // colliding round would need identical cardinality AND hash mass)
     def sig(df: DataFrame) = {
       val r = df.agg(count(lit(1)), coalesce(sum(expr("hash(u, v)")), lit(0L))).head
       (r.getLong(0), r.getLong(1))
@@ -1285,15 +1303,18 @@ object Dedup {
       stable = s2 == s
       s = s2
     }
+    if (!stable)
+      throw new IllegalStateException(
+        s"ccStar: star contraction did not stabilize within $rounds rounds — " +
+          "log-round convergence is the algorithm's theorem, so this input " +
+          "hit a bug, not a big graph; refusing to emit possibly-wrong labels")
     lastStarRounds = rounds
     val labels = e.groupBy("u").agg(min("v").as("cluster_id"))
       .select(col("u").as("doc_id"), col("cluster_id"))
-    docs.select("doc_id")
+    val labeled = graft.util.Materialize.corpus(docs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
-      .orderBy("doc_id")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))))
+    withMemberCounts(labeled, "doc_id").orderBy("doc_id")
   }
 
   /** Same closure as [[clustersOracle]], over pairs ∪ the planted
@@ -2046,9 +2067,11 @@ object Dedup {
     * all-pairs join rides into the clustering at scale.
     * Output (vec_id, cluster_id, n_members). */
   def semanticClusters(emb: DataFrame): DataFrame =
-    propagateClusters(cosinePairsBandedUnsorted(emb, EmbBandBits).select("i", "j"), emb.select("vec_id"))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    withMemberCounts(
+      graft.util.Materialize.corpus(
+        propagateClusters(cosinePairsBandedUnsorted(emb, EmbBandBits).select("i", "j"),
+          emb.select("vec_id"))),
+      "vec_id")
       .orderBy("vec_id")
 
   val semanticClustersOracle: String = {

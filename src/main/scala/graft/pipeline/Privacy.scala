@@ -29,6 +29,21 @@ import TextOps._
   * libm in either engine, bit-identical everywhere; the noise is still
   * exactly geometric-distributed under the hash-uniform assumption.
   *
+  * SECRECY CAVEAT (round-9 advice, adopted): determinism and privacy
+  * trade off THROUGH THE SEED. The noise is a deterministic function
+  * of (seed, cell); with a public seed anyone holding the code
+  * recovers n_true exactly — effective ε = ∞. So the surface is split:
+  *
+  *  - [[dpRelease]] is the AUDIT view — diagnostic columns (n_true,
+  *    noise, suppress) included, fixture seed, the cross-engine
+  *    determinism/parity demonstration. It must never leave the
+  *    curation boundary.
+  *  - [[dpReleasePublic]] is the RELEASE view — noised counts ONLY
+  *    (no n_true, no noise, no flag), sub-[[KAnonMin]] cells REMOVED
+  *    rather than flagged, and the seed is a caller-supplied
+  *    parameter that a deployment draws from a secret store. The DP
+  *    guarantee holds exactly insofar as that seed stays secret.
+  *
   * Scale shape: one map-side-combinable count aggregate over the
   * corpus; the release domain (sources × languages — released over the
   * FULL domain, not just non-empty cells, because which cells exist is
@@ -68,18 +83,19 @@ object Privacy {
 
   private def thresholdsSql: String = NoiseThresholds.mkString("[", ", ", "]")
 
-  /** DP-noised (source, lang) document-count release over the full
-    * source × lang domain. Output (source, lang, n_true, noise,
+  /** DP-noised (source, lang) document-count AUDIT view over the full
+    * source × lang domain — diagnostic columns included; see the
+    * secrecy caveat above. Output (source, lang, n_true, noise,
     * n_released, suppress), ordered; n_released is clamped at 0 (a
     * negative count is not a plausible release). */
-  def dpRelease(docs: DataFrame): DataFrame = {
+  def dpRelease(docs: DataFrame, seed: String = "dpv1"): DataFrame = {
     val counts = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_true"))
     val domain = docs.select("source").distinct()
       .crossJoin(docs.select("lang").distinct()) // catalog² rows, both tiny
     val arr = NoiseThresholds.mkString("array(", "L, ", "L)")
     domain.join(counts, Seq("source", "lang"), "left")
       .na.fill(0L, Seq("n_true"))
-      .withColumn("u", baseHash(concat_ws("|", lit("dpv1"), col("source"), col("lang"))))
+      .withColumn("u", baseHash(concat_ws("|", lit(seed), col("source"), col("lang"))))
       .withColumn("noise",
         expr(s"CAST(size(filter($arr, t -> t <= u)) AS BIGINT) - $NoiseCap"))
       .select(col("source"), col("lang"), col("n_true"), col("noise"),
@@ -88,7 +104,20 @@ object Privacy {
       .orderBy("source", "lang")
   }
 
-  lazy val dpReleaseOracle: String =
+  /** The RELEASE view: what actually crosses the boundary. Noised
+    * counts only — n_true/noise/suppress never appear — and
+    * sub-[[KAnonMin]] cells are REMOVED (publishing nothing about
+    * them), not flagged. `seed` is caller-supplied; a deployment draws
+    * it from a secret store, and the entry's fixture seed exists only
+    * so the oracle can replay the projection. Output
+    * (source, lang, n_released), ordered. */
+  def dpReleasePublic(docs: DataFrame, seed: String): DataFrame =
+    dpRelease(docs, seed)
+      .filter(col("n_true") >= KAnonMin)
+      .select("source", "lang", "n_released")
+      .orderBy("source", "lang")
+
+  private def noisedCte(seed: String): String =
     s"""WITH counts AS (
        |  SELECT source, lang, count(*) AS n_true FROM documents GROUP BY 1, 2),
        |domain AS (
@@ -98,11 +127,26 @@ object Privacy {
        |noised AS (
        |  SELECT d.source, d.lang, coalesce(c.n_true, 0) AS n_true,
        |         len(list_filter($thresholdsSql,
-       |           t -> t <= ${baseHashSql("'dpv1' || '|' || d.source || '|' || d.lang")}))::BIGINT
+       |           t -> t <= ${baseHashSql(s"'$seed' || '|' || d.source || '|' || d.lang")}))::BIGINT
        |           - $NoiseCap AS noise
-       |  FROM domain d LEFT JOIN counts c USING (source, lang))
+       |  FROM domain d LEFT JOIN counts c USING (source, lang))""".stripMargin
+
+  lazy val dpReleaseOracle: String =
+    s"""${noisedCte("dpv1")}
        |SELECT source, lang, n_true::BIGINT AS n_true, noise,
        |       greatest(n_true + noise, 0)::BIGINT AS n_released,
        |       n_true < $KAnonMin AS suppress
        |FROM noised ORDER BY source, lang""".stripMargin
+
+  /** Fixture seed for the release-view ENTRY only — a deployment
+    * passes a secret instead. */
+  val PublicDemoSeed = "release-demo-seed"
+
+  /** Oracle for [[dpReleasePublic]] at the entry's fixture seed. */
+  lazy val dpReleasePublicOracle: String =
+    s"""${noisedCte(PublicDemoSeed)}
+       |SELECT source, lang,
+       |       greatest(n_true + noise, 0)::BIGINT AS n_released
+       |FROM noised WHERE n_true >= $KAnonMin
+       |ORDER BY source, lang""".stripMargin
 }

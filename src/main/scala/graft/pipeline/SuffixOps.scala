@@ -38,9 +38,12 @@ object SuffixOps {
   val SuffixCap = 16
 
   /** Dense rank (1-based) of the DISTINCT key tuples in lexicographic
-    * order, joined back onto `rel` as column `rank` — the two-phase
-    * global rank on the distinct relation. */
-  private def denseRankKeys(rel: DataFrame, keys: Seq[String]): DataFrame = {
+    * order, joined back onto `rel` as column `out` — the two-phase
+    * global rank on the distinct relation. `keepKeys` retains the key
+    * columns in the output (the multi-level builder ranks the SAME
+    * relation at several granularities). */
+  private def denseRankKeys(rel: DataFrame, keys: Seq[String],
+      out: String = "rank", keepKeys: Boolean = false): DataFrame = {
     val spark = rel.sparkSession
     import spark.implicits._
     val kc = keys.map(col)
@@ -55,9 +58,10 @@ object SuffixOps {
       .toSeq.toDF("pid", "off")
     val w = Window.partitionBy("pid").orderBy(kc: _*)
     val ranked = dk.join(broadcast(offsets), Seq("pid"))
-      .withColumn("rank", row_number().over(w).cast("long") + col("off"))
-      .select(kc :+ col("rank"): _*)
-    rel.join(ranked, keys).drop(keys: _*)
+      .withColumn(out, row_number().over(w).cast("long") + col("off"))
+      .select(kc :+ col(out): _*)
+    val joined = rel.join(ranked, keys)
+    if (keepKeys) joined else joined.drop(keys: _*)
   }
 
   /** (doc_id, pos, rank): rank of each position's capped suffix in the
@@ -113,6 +117,234 @@ object SuffixOps {
         sum(col("rank") * col("pos")).as("rank_checksum"))
       .orderBy("doc_id")
   }
+
+  // ---- LCP + exact duplicated extents (completes the Lee et al. SA recipe) --
+
+  /** ALL-LEVEL suffix view: (doc_id, pos, slen, k1, k2, r4, r8, r16),
+    * where `r{k}` is the dense rank of the position's k-token capped
+    * prefix, `k1`/`k2` are the position's first two tokens ('' pad),
+    * and `slen` = min([[SuffixCap]], tokens remaining). The greedy LCP
+    * descent in [[saDepthRows]] only needs EQUALITY per level, not
+    * order — order is needed solely to build the next doubling — so
+    * levels 1 and 2 are served by the raw tokens (prefix-1/2 equality
+    * IS token/bigram equality, exact and free) and only 4/8/16 pay a
+    * dense rank: the same 4-gram seed + 2 doublings as
+    * [[suffixRankRows]]. Shuffle keys are 4 short strings at the seed
+    * and (long, long) pairs after — no suffix string ever moves.
+    *
+    * Each level is [[graft.util.Materialize.bounded]] (NOT
+    * corpus-persist): each doubling references the previous level twice
+    * and the LCP descent re-references the result 8 more times —
+    * without plan truncation the logical tree grows 2^levels and
+    * Catalyst re-analysis dominates every downstream action (measured
+    * 14 s of pure re-planning at sf0.01). The iterative-loop-state rule
+    * from Materialize's doc applies verbatim. */
+  private[graft] def suffixLevelRows(docs: DataFrame): DataFrame = {
+    val pos4 = graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("p0", "k1")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        least(lit(SuffixCap.toLong), size(col("w")).cast("long") - col("p0")).as("slen"),
+        col("k1"),
+        expr("IF(p0 + 1 < size(w), w[p0 + 1], '')").as("k2"),
+        expr("IF(p0 + 2 < size(w), w[p0 + 2], '')").as("k3"),
+        expr("IF(p0 + 3 < size(w), w[p0 + 3], '')").as("k4"))
+    var rel = denseRankKeys(pos4, Seq("k1", "k2", "k3", "k4"), "r4", keepKeys = true)
+      .drop("k3", "k4") // k1, k2 stay: they ARE levels 1 and 2
+      .transform(graft.util.Materialize.bounded)
+    var k = 4
+    while (k < SuffixCap) {
+      // r_2k = dense rank of (r_k(i), r_k(i+k)); a suffix ending before
+      // i+k pairs with 0, which sorts below every rank — shorter first
+      val shifted = rel.select(col("doc_id"),
+        (col("pos") - k).as("pos"), col(s"r$k").as("nb"))
+      val paired = rel.join(shifted, Seq("doc_id", "pos"), "left")
+        .na.fill(0L, Seq("nb"))
+      rel = denseRankKeys(paired, Seq(s"r$k", "nb"), s"r${2 * k}", keepKeys = true)
+        .drop("nb")
+        .transform(graft.util.Materialize.bounded)
+      k *= 2
+    }
+    rel
+  }
+
+  /** Per-position DUPLICATION DEPTH — the LCP layer of the suffix-array
+    * dedup recipe: depth(p) = length of the longest prefix of p's
+    * capped suffix that occurs anywhere else in the corpus (0 if even
+    * the single token is unique). This is the quantity Lee et al. 2022
+    * threshold to cut duplicated extents ("every position whose suffix
+    * shares ≥ L leading tokens with another suffix").
+    *
+    * Distributed derivation, int-only shuffles end to end:
+    *  1. positions with a NON-UNIQUE final rank share their entire
+    *     capped suffix with another position → depth = slen;
+    *  2. for the rest, the classic SA fact applies: the maximum LCP
+    *     with any other suffix is attained at a RANK-ADJACENT suffix,
+    *     and because ranks are DENSE the adjacent pair relation is an
+    *     equi-join on r16 = r16' − 1 — no global-order window at all;
+    *  3. the LCP of one adjacent pair is computed by greedy binary
+    *     descent over the level ranks (8,4,2,1): if the k-prefixes at
+    *     the current offset match, advance by k. Rank equality at a
+    *     level is prefix equality by construction, so no token is ever
+    *     re-read — each level is one equi-join of the pair relation
+    *     against the level relation per side. Adjacent DISTINCT ranks
+    *     bound LCP ≤ 15, so level 16 is never tested. A both-sides-
+    *     short full match overshoots the greedy sum, which the final
+    *     least(l, len_a, len_b) clamp restores (the padding rule makes
+    *     a short prefix unequal to any longer one, so the overshoot
+    *     case is exactly "both suffixes exhausted and identical").
+    *  4. LCP is a function of the rank VALUES, so only one
+    *     representative position per distinct rank enters the pair
+    *     relation; depth joins back per rank.
+    * Output (doc_id, pos, slen, depth), memoized per (session, input)
+    * — `doc_sa_lcp` and `doc_sa_dup_extents` share one build. */
+  private[graft] def saDepthRows(docs: DataFrame): DataFrame =
+    graft.util.Memo((docs.sparkSession, "SuffixOps.saDepth", docs.semanticHash())) {
+      val lv = suffixLevelRows(docs)
+      val cnt = lv.groupBy("r16").agg(count(lit(1)).as("cnt"))
+      val reps = lv.groupBy("r16")
+        .agg(min(struct(col("doc_id"), col("pos"), col("slen"))).as("rep"))
+        .select(col("r16"), col("rep.doc_id").as("rd"),
+          col("rep.pos").as("rp"), col("rep.slen").as("rl"))
+        .transform(graft.util.Materialize.corpus)
+      var pairs = reps.select(col("r16").as("ra"), col("rd").as("da"),
+          col("rp").as("pa"), col("rl").as("la"))
+        .join(reps.select((col("r16") - 1).as("ra"), col("rd").as("db"),
+          col("rp").as("pb"), col("rl").as("lb")), Seq("ra"))
+        .withColumn("l", lit(0L))
+      // level -> the equality witness: ordered ranks for 8/4 (doubling
+      // artifacts), raw token tuples for 2/1 (prefix equality there IS
+      // token equality — exact, and two dense-rank builds cheaper)
+      def witness(k: Int) = k match {
+        case 2 => struct(col("k1"), col("k2"))
+        case 1 => col("k1")
+        case _ => col(s"r$k")
+      }
+      for (k <- Seq(8, 4, 2, 1)) {
+        val lvA = lv.select(col("doc_id").as("ja"), col("pos").as("qa"),
+          witness(k).as("rka"))
+        val lvB = lv.select(col("doc_id").as("jb"), col("pos").as("qb"),
+          witness(k).as("rkb"))
+        pairs = pairs
+          .join(lvA, col("da") === col("ja") &&
+            (col("pa") + col("l")) === col("qa"), "left")
+          .join(lvB, col("db") === col("jb") &&
+            (col("pb") + col("l")) === col("qb"), "left")
+          .withColumn("l",
+            col("l") + when(col("rka") === col("rkb"), lit(k.toLong)).otherwise(0L))
+          .drop("ja", "qa", "rka", "jb", "qb", "rkb")
+      }
+      // pair (ra, ra+1): its LCP bounds the depth of BOTH endpoint ranks
+      val lcp = pairs.select(col("ra"),
+        least(col("l"), col("la"), col("lb")).as("lcp"))
+      val nbr = lcp.select(col("ra").as("r16"), col("lcp"))
+        .unionByName(lcp.select((col("ra") + 1).as("r16"), col("lcp")))
+        .groupBy("r16").agg(max("lcp").as("nd"))
+      lv.join(cnt, Seq("r16"))
+        .join(nbr, Seq("r16"), "left")
+        .select(col("doc_id"), col("pos"), col("slen"),
+          when(col("cnt") >= 2, col("slen"))
+            .otherwise(coalesce(col("nd"), lit(0L))).as("depth"))
+        .transform(graft.util.Materialize.bounded)
+    }
+
+  /** Per-document LCP/depth profile: position count, duplicated-prefix
+    * mass (sum of depths — the token mass a threshold-0 removal pass
+    * would weigh), deepest shared prefix, and a position-weighted
+    * checksum pinning every per-position depth. Output
+    * (doc_id, n_pos, sum_depth, max_depth, depth_checksum). */
+  def saDepthProfile(docs: DataFrame): DataFrame =
+    saDepthRows(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum("depth").as("sum_depth"),
+        max("depth").as("max_depth"),
+        sum(col("depth") * col("pos")).as("depth_checksum"))
+      .orderBy("doc_id")
+
+  /** EXACT maximal duplicated extents of ANY length ≥ `minLen`, from
+    * the suffix array: a position starts a duplicated `minLen`-window
+    * iff depth(p) ≥ minLen (≥ minLen leading tokens occur elsewhere),
+    * and merging consecutive qualifying positions (gaps-and-islands)
+    * recovers each maximal extent exactly — the same merge discipline
+    * as [[Dedup.dupSpansVar]], but fed by the SA/LCP layer instead of
+    * fixed-width window hashes, so ONE build serves every threshold
+    * ≤ [[SuffixCap]] (dupSpansVar must re-window per threshold) and
+    * matches are exact, not 61-bit-hash-probable. At minLen =
+    * [[Dedup.SpanLen]] the output is law-identical to dupSpansVar
+    * (spec-pinned). Output (doc_id, span_start, span_end, span_tokens)
+    * per maximal extent, ordered. */
+  def saDupExtents(docs: DataFrame, minLen: Int): DataFrame = {
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    saDepthRows(docs).filter(col("depth") >= minLen)
+      .select("doc_id", "pos")
+      .withColumn("grp", col("pos") - row_number().over(wn))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("span_start"),
+        (col("span_start") + col("run") + lit(minLen.toLong - 2)).as("span_end"),
+        (col("run") + lit(minLen.toLong - 1)).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Definitional oracle for [[saDepthProfile]] over the
+    * [[Dedup.plantSpans]]-planted corpus: depth(p) is re-derived with
+    * NO suffix array at all — for each L in 1..16, a count-over-
+    * partition by the L-token prefix string marks "this capped-L prefix
+    * occurs elsewhere", and depth = max over L of least(L, slen) where
+    * the count is ≥ 2 (the least-clamp handles two short identical
+    * suffixes, which match at every L ≥ their length). Agreement pins
+    * the doubling ranks, the adjacency join, the greedy descent, and
+    * the clamp. */
+  lazy val saDepthProfileOracle: String = {
+    val pcols = (1 to SuffixCap).map(l =>
+      s"array_to_string(w[u.i + 1 : u.i + $l], ' ') AS p$l").mkString(",\n       |         ")
+    val ccols = (1 to SuffixCap).map(l =>
+      s"count(*) OVER (PARTITION BY p$l) AS c$l").mkString(",\n       |         ")
+    val cases = (1 to SuffixCap).map(l =>
+      s"CASE WHEN c$l >= 2 THEN least($l, slen) ELSE 0 END").mkString(",\n       |         ")
+    s"""WITH base AS (SELECT doc_id, ${Dedup.plantedTextSql} AS text FROM documents),
+       |d AS (SELECT doc_id, $tokensSql AS w FROM base),
+       |pos AS (
+       |  SELECT doc_id, u.i + 1 AS pos, least($SuffixCap, len(w) - u.i) AS slen,
+       |         $pcols
+       |  FROM d, unnest(range(0, len(w))) u(i)),
+       |c AS (
+       |  SELECT doc_id, pos, slen,
+       |         $ccols
+       |  FROM pos),
+       |dep AS (
+       |  SELECT doc_id, pos, greatest(
+       |         $cases) AS depth
+       |  FROM c)
+       |SELECT doc_id, count(*)::BIGINT AS n_pos,
+       |       CAST(sum(depth) AS BIGINT) AS sum_depth,
+       |       CAST(max(depth) AS BIGINT) AS max_depth,
+       |       CAST(sum(depth * pos) AS BIGINT) AS depth_checksum
+       |FROM dep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Definitional oracle for [[saDupExtents]] at threshold `minLen`
+    * over the planted corpus: duplicated windows by EXACT string
+    * grouping (no hash), islands merged per doc. */
+  def saDupExtentsOracle(minLen: Int): String =
+    s"""WITH base AS (SELECT doc_id, ${Dedup.plantedTextSql} AS text FROM documents),
+       |wins AS (
+       |  SELECT doc_id, u.i + 1 AS pos,
+       |         array_to_string(w[u.i + 1 : u.i + $minLen], ' ') AS s
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM base) d,
+       |       unnest(range(0, len(w) - $minLen + 1)) u(i)
+       |  WHERE len(w) >= $minLen),
+       |dup AS (SELECT s FROM wins GROUP BY s HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM wins WHERE s IN (SELECT s FROM dup)),
+       |runs AS (SELECT doc_id, grp, min(pos) AS span_start, count(*) AS run FROM (
+       |           SELECT doc_id, pos, pos - row_number() OVER (
+       |                    PARTITION BY doc_id ORDER BY pos) AS grp
+       |           FROM dp) i GROUP BY 1, 2)
+       |SELECT doc_id, span_start,
+       |       span_start + run + ${minLen - 2} AS span_end,
+       |       run + ${minLen - 1} AS span_tokens
+       |FROM runs ORDER BY doc_id, span_start""".stripMargin
 
   val suffixRanksOracle: String =
     s"""WITH d AS (SELECT doc_id, $tokensSql AS w FROM documents),

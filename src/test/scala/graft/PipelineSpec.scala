@@ -1432,20 +1432,63 @@ class PipelineSpec extends AnyFunSuite {
 
   test("wordpiece: likelihood merges + greedy max-munch laws") {
     val traj = TextOps.wordpieceTrain(docs).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getString(5)))
-    // exactly one merge per round, rounds 0..WpRounds-1, new_sym = pa||pb
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    // WpBatch symbol-disjoint merges per round, WpRounds total
     assert(traj.length === TextOps.WpRounds)
-    assert(traj.map(_._1).toSeq === (0 until TextOps.WpRounds).map(_.toLong))
-    traj.foreach { case (_, pa, pb, c, score, ns) =>
+    assert(traj.map(t => (t._1, t._2)).toSeq ===
+      (0 until TextOps.WpRounds).map(i =>
+        ((i / TextOps.WpBatch).toLong, (i % TextOps.WpBatch + 1).toLong)))
+    traj.foreach { case (_, _, pa, pb, c, score, ns) =>
       assert(ns === pa + pb)
       assert(c > 0 && score >= 0)
     }
+    // within a round the accepted pairs are symbol-disjoint
+    traj.groupBy(_._1).values.foreach { b =>
+      val syms = b.flatMap(t => Seq(t._3, t._4))
+      assert(syms.distinct.length === syms.length, s"round shares a symbol: $b")
+    }
+    // the batching law that keeps WpBatch=2 honest: the batched
+    // vocabulary equals the strictly-SEQUENTIAL (one merge, full
+    // rescoring) trajectory's vocabulary on this corpus — rederived
+    // here on the driver over the word-frequency map (vocabulary-sized)
+    val wfreq = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val seqVocab = {
+      var segs = wfreq.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (_ <- 0 until TextOps.WpRounds) {
+        val cu = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        segs.foreach { case (ss, c) =>
+          ss.foreach(x => cu(x) += c)
+          ss.zip(ss.tail).foreach(p => pc(p) += c)
+        }
+        val (pa, pb) = pc.keys.toSeq
+          .map(p => ((pc(p) * TextOps.WpScale) / (cu(p._1) * cu(p._2)), p))
+          .minBy { case (sc, (a, b)) => (-sc, a, b) }._2
+        out += pa + pb
+        segs = segs.map { case (ss, c) =>
+          val ns = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == pa && ss(i + 1) == pb) {
+              ns += pa + pb; i += 2
+            } else { ns += ss(i); i += 1 }
+          }
+          (ns.toList, c)
+        }
+      }
+      out.toSet
+    }
+    assert(traj.map(_._7).toSet === seqVocab,
+      "batched-dominance vocabulary diverged from the sequential trajectory")
     // the vocabulary the encoder sees: corpus alphabet ∪ merged symbols
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
     val alphabet = words.flatMap(_.map(_.toString)).toSet
-    val vocab = alphabet ++ traj.map(_._6)
+    val vocab = alphabet ++ traj.map(_._7)
     val maxLen = vocab.iterator.map(_.length).max
     assert(words.nonEmpty)
     words.foreach { w =>
@@ -2538,6 +2581,111 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(prof(0L) === prof(1000000L), "identical docs must share their profile")
     assert(prof(0L)._2 === prof(0L)._1, "every suffix of a duplicated doc occurs elsewhere")
+  }
+
+  test("dp release: release view carries no truth columns, drops sub-k cells; the seed keys the noise") {
+    val audit = Privacy.dpRelease(docs).collect()
+    val pub = Privacy.dpReleasePublic(docs, Privacy.PublicDemoSeed)
+    assert(pub.columns.toSeq === Seq("source", "lang", "n_released"),
+      "release view must expose ONLY the noised count")
+    val pubRows = pub.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val suppressed = audit.filter(_.getBoolean(5))
+    assert(suppressed.nonEmpty, "fixture must exercise suppression")
+    suppressed.foreach { r =>
+      assert(!pubRows.contains((r.getString(0), r.getString(1))),
+        s"suppressed cell ${r.getString(0)}/${r.getString(1)} leaked into the release view")
+    }
+    assert(pubRows.size === audit.count(!_.getBoolean(5)),
+      "every publishable cell appears exactly once")
+    // the seed keys the mechanism: independent seeds draw different noise
+    val a = Privacy.dpRelease(docs, "seed-a").collect().map(_.getLong(3)).toSeq
+    val b = Privacy.dpRelease(docs, "seed-b").collect().map(_.getLong(3)).toSeq
+    assert(a !== b, "independent seeds must draw different noise")
+    // and the same seed replays bit-identically (the reproducibility contract)
+    assert(a === Privacy.dpRelease(docs, "seed-a").collect().map(_.getLong(3)).toSeq)
+  }
+
+  test("cluster member counts stay exact under a 90% giant component with spec-scale skew thresholds") {
+    // forced skew: 90% of docs are byte-identical (one near-dup component
+    // holding 900 of 1000 docs — the 100 TB boilerplate shape). With the
+    // AQE skew knobs cranked to spec scale, clusters() must return exact
+    // member counts: the giant cluster's count must come from the
+    // aggregate+join path, not a single-task window.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val giant = (0 until 40).map(i => s"boiler$i").mkString(" ")
+      val skewed = spark.range(0, 1000).select(
+        col("id").as("doc_id"),
+        when(col("id") % 10 < 9, lit(giant))
+          .otherwise(concat(lit("unique doc body number "), col("id"))).as("text"))
+      val got = Dedup.clusters(skewed).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      assert(got.length === 1000)
+      val (giants, rest) = got.partition(_._1 % 10 < 9)
+      giants.foreach { case (d, (c, n)) =>
+        assert(c === 0L, s"doc $d: giant component labels by its minimum")
+        assert(n === 900L, s"doc $d: giant component count must be exact, got $n")
+      }
+      rest.foreach { case (d, (c, n)) =>
+        assert(c === d && n === 1L, s"doc $d must stay a singleton, got ($c, $n)")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("sa lcp/extents: depth equals prefix-count rederivation; T=16 law-identical to dupSpansVar; plants surface") {
+    val planted = Dedup.plantSpans(docs)
+    // naive depth: for each L in 1..16, count positions per capped-L
+    // prefix string; depth = max over L of min(L, slen) where count >= 2
+    // (the DuckDB oracle's formulation, re-derived in plain Scala so the
+    // law also holds away from the oracle harness)
+    val toks = planted.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val cnt = scala.collection.mutable.HashMap.empty[(Int, String), Int]
+    for ((_, w) <- toks; i <- w.indices; l <- 1 to SuffixOps.SuffixCap) {
+      val k = (l, w.slice(i, i + l).mkString(" "))
+      cnt.update(k, cnt.getOrElse(k, 0) + 1)
+    }
+    val naive = (for ((d, w) <- toks; i <- w.indices) yield {
+      val slen = math.min(SuffixOps.SuffixCap, w.length - i)
+      val depth = (1 to SuffixOps.SuffixCap).map { l =>
+        if (cnt((l, w.slice(i, i + l).mkString(" "))) >= 2) math.min(l, slen) else 0
+      }.max
+      (d, (i + 1).toLong) -> depth.toLong
+    }).toMap
+    val got = SuffixOps.saDepthRows(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.size === naive.size)
+    assert(got === naive, "SA-derived depth diverges from prefix-count rederivation")
+
+    // the SA extent engine at the window threshold IS dupSpansVar
+    val viaSa = SuffixOps.saDupExtents(planted, Dedup.SpanLen)
+      .collect().map(_.toSeq).toSeq
+    val viaWin = Dedup.dupSpansVar(docs).collect().map(_.toSeq).toSeq
+    assert(viaSa === viaWin, "saDupExtents(SpanLen) must be law-identical to dupSpansVar")
+
+    // every planted ≥8-token span is recovered as an extent at T=8: the
+    // 32- and 64-token plants appear whole (span_tokens >= plant length)
+    val ex8 = SuffixOps.saDupExtents(planted, 8).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(3)).max }
+    for ((m, len) <- Dedup.SpanPlants; if len >= 8) {
+      val planted = toks.map(_._1).filter(_ % m == 0)
+      assert(planted.size >= 2, s"plant $m needs >= 2 docs at spec SF")
+      planted.foreach { d =>
+        assert(ex8.getOrElse(d, 0L) >= len,
+          s"doc $d: planted $len-token span not recovered (max extent ${ex8.getOrElse(d, 0L)})")
+      }
+    }
   }
 
   test("pca: integer power iterate aligns with the double reference; projection laws") {

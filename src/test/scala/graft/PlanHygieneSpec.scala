@@ -358,6 +358,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cluster member counts: aggregate + join back, never a partition-only window") {
+    // round-9 verdict item: count().over(Window.partitionBy(cluster_id))
+    // puts every member row of the LARGEST component into one task — a
+    // boilerplate near-dup cluster at 100 TB can hold much of the corpus.
+    // The fix (groupBy + shuffle join) is AQE-skew-splittable; pin that no
+    // cluster entry plans a window partitioned by cluster_id.
+    Seq("dedup_clusters", "dedup_cc_star", "emb_dup_clusters").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("windowspecdefinition(cluster_id"),
+        s"$name plans a partition-only window over cluster_id:\n$p")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime; result stays exact") {
     // The 100 TB skew story: a hot key (90% of one side) must not pin a
     // single reducer. With broadcast disabled (forcing the shuffle join)
