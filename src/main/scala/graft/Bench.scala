@@ -101,7 +101,7 @@ object Bench {
     // WRITES. Load the target SF's events once (untimed — a store ingests
     // once, queries many times), then time a 1-hour-window query THROUGH
     // the engine: partition pruning on hour= is what pays here.
-    val storeTime: Double =
+    val (storeTime, storeZTime): (Double, Double) =
       try {
         import spark.implicits._
         val storeRoot = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
@@ -112,16 +112,37 @@ object Bench {
         // Jan 2024): pruning must cut the ~720 hour= partitions to 1-2
         val q = """SELECT mean("value") FROM "events" WHERE time >= '2024-01-15 00:00:00' AND time < '2024-01-15 01:00:00' GROUP BY time(5m)"""
         engine.query("bench", q) // untimed Janino warmup
-        (1 to 2).map { _ =>
+        val t1 = (1 to 2).map { _ =>
           System.gc()
           val t0 = System.nanoTime()
           engine.query("bench", q)
           (System.nanoTime() - t0) / 1e9
         }.min
+        // store_zorder_live (round-9 verdict item 5): z-order compaction is
+        // a maintenance pass (untimed, like the ingest above); the timed
+        // part is the SAME query over the live Morton layout — comparable
+        // to store_hour_prune's number directly.
+        val zt =
+          try {
+            engine.compactClustered("bench",
+              graft.sources.EventsAdapter.Measurement, files = 8, zorder = true)
+            engine.query("bench", q) // warm the new file listing
+            (1 to 2).map { _ =>
+              System.gc()
+              val t0 = System.nanoTime()
+              engine.query("bench", q)
+              (System.nanoTime() - t0) / 1e9
+            }.min
+          } catch { case e: Throwable =>
+            errors.getOrElseUpdate("store_zorder_live",
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            -1.0
+          }
+        (t1, zt)
       } catch { case e: Throwable =>
         errors.getOrElseUpdate("store_hour_prune",
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-        -1.0
+        (-1.0, -1.0)
       }
 
     // The driver keeps only a bounded tail of stdout; a per-query map over
@@ -208,23 +229,59 @@ object Bench {
     val qs = (headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f""")) ++
       sharedTimes.map { case (k, v) => f""""$k":$v%.3f""" } :+
       f""""shared_build_wall":$sharedWall%.3f""" :+
-      f""""store_hour_prune":$storeTime%.3f""").mkString("{", ",", "}")
+      f""""store_hour_prune":$storeTime%.3f""" :+
+      f""""store_zorder_live":$storeZTime%.3f""").mkString("{", ",", "}")
     val total = (results.values.filter(_ >= 0) ++
       sharedTimes.map(_._2).filter(_ >= 0) ++
-      Some(storeTime).filter(_ >= 0)).sum
+      Seq(storeTime, storeZTime).filter(_ >= 0)).sum
     val errField =
       if (errors.isEmpty) """"errors":0"""
       else s""""errors":${errors.size},"error_queries":${errors.keys.map(k => s""""$k"""").mkString("[", ",", "]")}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$errField}""")
+    // ---- protocol self-labeling (round-9 verdict item 4) ----
+    // A bench record is only comparable under the pinned protocol (16g
+    // driver, no JVM outside this process' own ancestry — an idle sbt
+    // launcher parent is part of the protocol; a CONCURRENT sbt compiling
+    // in another tree is exactly the round-9 contamination). Stamp the
+    // run's actual environment and source SHA into the artifact so the
+    // gates can tell "drifted environment" from "regressed code" and
+    // stale-prev two-run comparisons can be detected, instead of either
+    // failing on both or silently masking real regressions.
+    val driverMemGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val siblingJvms: Int = try {
+      val anc = scala.collection.mutable.Set[Long]()
+      var h = ProcessHandle.current()
+      anc += h.pid()
+      while (h.parent().isPresent) { h = h.parent().get(); anc += h.pid() }
+      new java.io.File("/proc").listFiles().count { f =>
+        f.getName.forall(_.isDigit) && !anc.contains(f.getName.toLong) && {
+          try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f.getPath, "cmdline")))
+            .takeWhile(_ != '\u0000').endsWith("java") // argv[0] is NUL-terminated
+          catch { case _: Throwable => false }
+        }
+      }
+    } catch { case _: Throwable => -1 }
+    val gitSha: String = try {
+      val gitDir = java.nio.file.Paths.get(".git")
+      val head = new String(java.nio.file.Files.readAllBytes(gitDir.resolve("HEAD"))).trim
+      if (head.startsWith("ref: "))
+        new String(java.nio.file.Files.readAllBytes(gitDir.resolve(head.drop(5)))).trim.take(12)
+      else head.take(12)
+    } catch { case _: Throwable => "unknown" }
+    val protocolOk = driverMemGb >= 12.0 && siblingJvms == 0
+    val protoField =
+      f""""protocol":{"driver_mem_gb":$driverMemGb%.1f,"sibling_jvms":$siblingJvms,"git_sha":"$gitSha","ok":$protocolOk}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$errField,$protoField}""")
     // The stdout line is tail-truncated by the driver (BENCH_r05 kept only
     // the last 73 of 239 timings), so the COMPLETE per-query record — every
     // entry, not the headline subset — is additionally written as a repo
     // artifact (round-5 verdict item 1). Path overridable for local runs.
-    val fullQs = (results.toSeq ++ sharedTimes :+ ("store_hour_prune" -> storeTime))
+    val fullQs = (results.toSeq ++ sharedTimes
+        :+ ("store_hour_prune" -> storeTime) :+ ("store_zorder_live" -> storeZTime))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir",$errField}%n"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir",$errField,$protoField}%n"""
         .getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

@@ -3,7 +3,7 @@ package graft.api
 import graft.ingest.Ingest
 import graft.query.{Ast, InfluxQlParser, Planner, Response, TsCatalog}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, broadcast, coalesce, col, concat, floor, lit, map, regexp_replace, to_json, when, xxhash64, zip_with}
+import org.apache.spark.sql.functions.{array, array_join, broadcast, coalesce, col, concat, expr, floor, lit, map, max, min, regexp_replace, to_json, when, xxhash64, zip_with}
 import scala.collection.concurrent.TrieMap
 
 /** The reference's two HTTP entry points as a library API:
@@ -803,6 +803,67 @@ class GraftEngine(
       }
     }
     // rewritten files ≠ the cached FileIndex's listing — drop it
+    if (done > 0) invalidateSeriesIndex(db)
+    done
+  }
+
+  /** CLUSTERED compaction — the LIVE writer for the layout law
+    * [[graft.pipeline.LayoutOps.zorderPrune]] proves by simulation
+    * (round-9 verdict item 5): rewrite every hour partition of
+    * `measurement` into `files` parquet files, clustered by the Morton
+    * interleave of (fingerprint rank, minute-of-hour rank) when
+    * `zorder`, else range-clustered by (fingerprint, timestamp_ms) —
+    * the single-column comparison layout. With parquet footer zone maps
+    * per file, the z-ordered layout serves BOTH a sub-hour time window
+    * AND a single-series read with a bounded file bill, where the
+    * fingerprint-clustered layout must read every file of the hour for
+    * a time-only predicate (GraftEngineSpec pins both bills).
+    * The fingerprint bin is the UNSIGNED top byte of the hash — no
+    * min/max pass, no subtraction (fingerprints span the full signed
+    * int64 range, so range arithmetic overflows); hashes are uniform,
+    * so the top byte IS the rank bin, and every bin holds a contiguous
+    * signed range (the 0x7F/0x80 boundary is exactly the sign flip) so
+    * per-file zone maps stay tight.
+    * Per-partition independent rewrites (trivially parallel across a
+    * cluster); temp dirs keep [[compact]]'s crash-invisible underscore
+    * discipline. Returns partitions rewritten. */
+  def compactClustered(db: String, measurement: String, files: Int = 8,
+      zorder: Boolean = true): Int = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(s"${samplesPath(db)}/measurement=$measurement")
+    val fs = hadoopFs(base)
+    if (!fs.exists(base)) return 0
+    var done = 0
+    fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("hour=")) {
+        val part = spark.read.parquet(st.getPath.toString)
+        val tmp = new Path(st.getPath.getParent, "_zcompact_" + name)
+        val clustered =
+          if (zorder) {
+            part
+              .withColumn("f8",
+                org.apache.spark.sql.functions.shiftrightunsigned(col("fingerprint"), 56))
+              .withColumn("m8",
+                expr("((timestamp_ms % 3600000) * 255) div 3599999"))
+              // zval's SECOND argument takes the top interleave bit:
+              // fingerprint gets it, so the coarsest file split is by
+              // series (store queries are series-heavy), minutes refine
+              .withColumn("zv",
+                graft.pipeline.LayoutOps.zval(col("m8"), col("f8")))
+              .repartitionByRange(files, col("zv"))
+              .sortWithinPartitions("zv", "fingerprint", "timestamp_ms")
+              .drop("f8", "m8", "zv")
+          } else {
+            part.repartitionByRange(files, col("fingerprint"), col("timestamp_ms"))
+              .sortWithinPartitions("fingerprint", "timestamp_ms")
+          }
+        clustered.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(st.getPath, true)
+        fs.rename(tmp, st.getPath)
+        done += 1
+      }
+    }
     if (done > 0) invalidateSeriesIndex(db)
     done
   }

@@ -770,6 +770,54 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(after === before, "compaction must not change query results")
   }
 
+  test("z-order compaction: live layout serves time-window AND series reads; fp-clustering can't") {
+    import org.apache.spark.sql.functions._
+    val e = newEngine()
+    // one hour (2024-12-31T23:00Z), 64 series × 60 minutes
+    val baseMs = 1735686000000L
+    val lines = (for (h <- 0 until 64; m <- 0 until 60)
+      yield s"cpu,host=h$h u=${h + m} ${(baseMs + m * 60000L)}000000").mkString("\n")
+    e.write("dbz", lines)
+    val q = """SELECT mean("u") FROM "cpu" WHERE time >= '2024-12-31 23:00:00' AND time < '2025-01-01 00:00:00' GROUP BY time(10m)"""
+    val before = e.query("dbz", q)
+    val part = e.root + "/dbz/samples/measurement=cpu"
+
+    // per-file zone maps (parquet footer min/max as any engine sees them)
+    def zoneMaps() = spark.read.parquet(part)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("fingerprint").as("fmn"), max("fingerprint").as("fmx"),
+        min("timestamp_ms").as("tmn"), max("timestamp_ms").as("tmx"))
+      .collect()
+    // file bill of a predicate under zone-map skipping
+    def billTime(lo: Long, hi: Long) =
+      zoneMaps().count(r => r.getLong(3) <= hi && r.getLong(4) >= lo)
+    def billSeries(fp: Long) =
+      zoneMaps().count(r => r.getLong(1) <= fp && r.getLong(2) >= fp)
+    val someFp = spark.read.parquet(part).select("fingerprint")
+      .orderBy("fingerprint").collect().apply(1900).getLong(0)
+    val win = (baseMs + 10 * 60000L, baseMs + 15 * 60000L) // 5-minute window
+
+    assert(e.compactClustered("dbz", "cpu", files = 8, zorder = false) === 1)
+    val sortedFiles = zoneMaps().length
+    val (sortedTime, sortedSeries) = (billTime(win._1, win._2), billSeries(someFp))
+
+    assert(e.compactClustered("dbz", "cpu", files = 8, zorder = true) === 1)
+    assert(e.query("dbz", q) === before, "compaction must not change results")
+    val zFiles = zoneMaps().length
+    val (zTime, zSeries) = (billTime(win._1, win._2), billSeries(someFp))
+
+    assert(sortedFiles === 8 && zFiles === 8, s"$sortedFiles/$zFiles files")
+    // fingerprint clustering is blind to time: a 5-minute window bills
+    // the whole hour; the Morton layout prunes it
+    assert(sortedTime === 8, s"fp-clustered time bill: $sortedTime")
+    assert(zTime < sortedTime, s"z-order time bill $zTime !< $sortedTime")
+    // and stays within a small constant of the single-column layout on
+    // ITS predicate (a range boundary may split one fingerprint across
+    // two files, so the fp layout bills 1-2)
+    assert(sortedSeries <= 2, s"fp-clustered series bill: $sortedSeries")
+    assert(zSeries <= 4, s"z-order series bill: $zSeries")
+  }
+
   test("SHOW SERIES WHERE tag filters series keys") {
     val e = newEngine()
     e.write("dbss",

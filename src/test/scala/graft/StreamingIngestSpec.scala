@@ -1,5 +1,6 @@
 package graft
 
+import graft.pipeline.TextOps
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -190,6 +191,53 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(rows(1L) === ((0L, prefix("a") + " " + span)))
     assert(rows(2L) === ((16L, prefix("d"))), "recovered index must excise")
     assert(rows(3L) === ((0L, prefix("e"))))
+  }
+
+  test("streaming pack: incremental sequence spans equal the batch pack; ledger survives restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-streampack").toString
+    val cfg = graft.streaming.StreamingPack.Config(
+      s"$dir/assigned", s"$dir/state", s"$dir/ckpt")
+    // ~900-token docs against PackTarget=2048 → straddles are guaranteed
+    def body(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      1L -> body("a", 900), 2L -> body("b", 700), 3L -> body("c", 1100),
+      4L -> body("d", 950), 5L -> body("e", 40),
+      6L -> body("f", 1500), 7L -> body("g", 10))
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.StreamingPack.start(
+      s1.toDS().toDF("doc_id", "text"), cfg)
+    s1.addData(corpus.take(3).map { case (i, t) => (i, t) }: _*)
+    q1.processAllAvailable()
+    s1.addData(corpus.slice(3, 5).map { case (i, t) => (i, t) }: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart with a FRESH checkpoint (new run, batch ids begin at 0
+    // again): the ledger total must carry over, not reset or collide
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingPack.start(
+      s2.toDS().toDF("doc_id", "text"), cfg.copy(checkpointDir = s"$dir/ckpt2"))
+    s2.addData(corpus.drop(5).map { case (i, t) => (i, t) }: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(s"$dir/assigned").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // differential: batches arrived in doc_id order, so the streamed
+    // assignment must equal the batch operator over the same counts
+    val ref = TextOps.packSplitOn(
+        corpus.toDF("doc_id", "text").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got === ref, "streamed packing diverged from the batch pack")
+    // the fixture actually exercises straddles and cross-batch/cross-run
+    // continuity (doc 6 starts exactly where run 1 left off)
+    assert(got.values.exists(_._4), "no straddle exercised")
+    val tokensThrough5 = corpus.take(5).map(_._2.split(" ").length.toLong).sum
+    assert(got(6L)._2 === tokensThrough5 / TextOps.PackTarget)
   }
 
   test("streaming url dedup: canonical collisions reject within and across batches") {
