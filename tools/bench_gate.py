@@ -45,7 +45,7 @@ TOTAL_RATIO = 1.2
 
 def entries_only(queries):
     return {k: v for k, v in queries.items()
-            if not k.startswith("shared_") and k != "store_hour_prune"
+            if not k.startswith("shared_") and not k.startswith("store_")
             and v >= 0}
 
 
@@ -62,11 +62,37 @@ def main():
         new = json.load(f)
     with open(ref_path) as f:
         ref = json.load(f)
+    # protocol self-label (round-9 verdict item 4): a record stamped
+    # non-protocol (wrong driver memory / concurrent JVM) is environment
+    # evidence, not a performance signal — skip LOUDLY instead of failing
+    # the tree on numbers the protocol disavows.
+    proto = new.get("protocol", {})
+    if proto and not proto.get("ok", True):
+        print(f"[bench-gate] SKIPPED: bench_out.json is self-labeled non-protocol "
+              f"(driver_mem_gb={proto.get('driver_mem_gb')}, "
+              f"sibling_jvms={proto.get('sibling_jvms')}) — rerun under "
+              f"SPARK_DRIVER_MEM=16g with no concurrent JVM to arm the gate")
+        return
     prev_path = os.path.join(ROOT, "tools/bench_prev.json")
     pq = {}
     if os.path.exists(prev_path):
         with open(prev_path) as f:
-            pq = entries_only(json.load(f)["queries"])
+            prev = json.load(f)
+        pprev = prev.get("protocol", {})
+        # two-run confirmation is only valid when prev measured the SAME
+        # code under the protocol: a stale prev (different SHA) would make
+        # every persistent regression look like unreproduced drift and
+        # pass the gate silently (round-9 advice item 1)
+        if pprev.get("ok", True) and (
+                "git_sha" not in proto or "git_sha" not in pprev
+                or proto["git_sha"] == pprev["git_sha"]):
+            pq = entries_only(prev["queries"])
+        else:
+            why = ("non-protocol" if not pprev.get("ok", True) else
+                   f"sha {pprev.get('git_sha')} != {proto.get('git_sha')}")
+            print(f"[bench-gate] bench_prev.json ignored ({why}): "
+                  f"single-run verdicts apply — expect drift false-positives; "
+                  f"refresh prev with a protocol run of the CURRENT code")
     nq, rq = entries_only(new["queries"]), entries_only(ref["queries"])
     bad = []
     for k, v in sorted(nq.items()):

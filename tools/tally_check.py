@@ -72,12 +72,21 @@ def spec_truth():
 
 
 def bench_truth():
-    """Headline seconds from the committed protocol bench record."""
+    """Headline seconds from the committed protocol bench record; None
+    (with a loud note) when the record self-labels as non-protocol —
+    the README headline claims a protocol number, and a contaminated
+    run must neither rewrite it nor fail the tree (round-9 item 4)."""
     p = os.path.join(ROOT, "bench_out.json")
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f).get("value")
+        rec = json.load(f)
+    proto = rec.get("protocol", {})
+    if proto and not proto.get("ok", True):
+        print("[tally] bench_out.json is self-labeled non-protocol — "
+              "headline timing check skipped (rerun the protocol bench)")
+        return None
+    return rec.get("value")
 
 
 # A bolded "**X s at sf0.1" is a headline timing claim (round-8 verdict

@@ -52,7 +52,7 @@ code=$(printf '%s' "$LP_V1" | gzip -c | curl -s -o /dev/null -w '%{http_code}' \
 echo "[wire] v1 write ok (gzip line protocol)"
 
 series_count() { # ingested series via SHOW SERIES (the admission gate)
-  curl -s "$BASE/query?db=smoke" --data-urlencode "q=SHOW SERIES" \
+  curl -s "$BASE/query?db=${1:-smoke}" --data-urlencode "q=SHOW SERIES" \
     | python3 -c 'import json,sys
 try:
     rs=json.load(sys.stdin)["results"][0]["series"]
@@ -62,10 +62,10 @@ except Exception: print(0)' 2>/dev/null || echo 0
 
 wait_series() { # the engine admits before ingesting; writes must not overlap
   for _ in $(seq 1 120); do
-    [ "$(series_count)" = "$1" ] && return 0
+    [ "$(series_count "${2:-smoke}")" = "$1" ] && return 0
     sleep 1
   done
-  echo "[wire] ingest never reached $1 series (got $(series_count))"; exit 1
+  echo "[wire] db ${2:-smoke} never reached $1 series (got $(series_count "${2:-smoke}"))"; exit 1
 }
 wait_series 3
 
@@ -101,6 +101,47 @@ names = {v[0] for s in all_series(q3) for v in s["values"]}
 assert {"cpu", "mem"} <= names, names
 print("[wire] query round-trip ok: per-host means over v1+v2 points, tag filter, SHOW MEASUREMENTS")
 EOF
+
+# --- Telegraf capture replay (round-9 verdict item 8): a stored batch in
+# the exact public shape Telegraf's outputs.influxdb plugin emits —
+# system plugins, i-suffix integer fields, a string field, an escaped
+# tag value, the cpu-total pseudo-cpu — replayed through the same gzip'd
+# v1 /write a Telegraf process would use, then verified field/tag/type-
+# faithfully through SELECTs.
+FIX=tools/fixtures/telegraf_capture.lp
+code=$(gzip -c "$FIX" | curl -s -o /dev/null -w '%{http_code}' \
+  -XPOST -H 'Content-Encoding: gzip' --data-binary @- "$BASE/write?db=tg")
+[ "$code" = "204" ] || { echo "[wire] telegraf replay write: $code != 204"; exit 1; }
+wait_series 8 tg
+T1=$(curl -s "$BASE/query?db=tg" --data-urlencode "q=SELECT mean(usage_user) FROM cpu WHERE cpu = 'cpu-total' AND time > now() - 5m GROUP BY time(5m)")
+T2=$(curl -s "$BASE/query?db=tg" --data-urlencode "q=SELECT count(usage_idle) FROM cpu WHERE cpu = 'cpu-total' AND time > now() - 5m GROUP BY time(5m)")
+T3=$(curl -s "$BASE/query?db=tg" --data-urlencode "q=SELECT uptime_format FROM system WHERE time > now() - 5m")
+T4=$(curl -s "$BASE/query?db=tg" --data-urlencode "q=SELECT used_percent FROM disk WHERE path = '/mnt/data vol' AND time > now() - 5m")
+T5=$(curl -s "$BASE/query?db=tg" --data-urlencode "q=SELECT mean(used) FROM mem WHERE host = 'edge-01' AND time > now() - 5m GROUP BY time(5m)")
+python3 - "$T1" "$T2" "$T3" "$T4" "$T5" <<'TGEOF'
+import json, sys
+t1, t2, t3, t4, t5 = (json.loads(a) for a in sys.argv[1:6])
+def all_series(resp):
+    return [s for r in resp["results"] for s in r.get("series", [])]
+# tag-filtered per-host means over the replayed batch
+means = {s["tags"]["host"]: s["values"][0][-1]
+         for s in all_series(t1) if "host" in s.get("tags", {})}
+assert means == {"edge-01": 5.0, "edge-02": 10.0}, means
+# row counts per host (2 cpu-total points each)
+counts = {s["tags"]["host"]: s["values"][0][-1]
+          for s in all_series(t2) if "host" in s.get("tags", {})}
+assert counts == {"edge-01": 2, "edge-02": 2}, counts
+# string field survives as a string (Telegraf's uptime_format)
+sv = {tuple(v) for s in all_series(t3) for v in s["values"]}
+assert len(sv) == 1 and next(iter(sv))[-1] == "1 day, 0:00", sv
+# escaped tag value (space) round-trips through write AND the WHERE
+dv = {tuple(v) for s in all_series(t4) for v in s["values"]}
+assert len(dv) == 1 and next(iter(dv))[-1] == 75.0, dv
+# i-suffix integer field readable as numeric (the documented type policy)
+mv = {s["values"][0][-1] for s in all_series(t5)}
+assert mv == {7159980032.0}, mv
+print("[wire] telegraf capture replay ok: means, counts, string field, escaped tag, int field")
+TGEOF
 
 # --- docker tier: a REAL telegraf if the environment has one ---
 if docker info >/dev/null 2>&1 && docker image inspect telegraf >/dev/null 2>&1; then
