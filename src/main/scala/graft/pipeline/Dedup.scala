@@ -1047,7 +1047,17 @@ object Dedup {
     * of the corpus (the one non-AQE-splittable stage flagged in round
     * 9). The shuffle join is AQE-skew-splittable and the counted
     * relation is cluster-bounded. Output preserves (idCol, cluster_id,
-    * n_members). */
+    * n_members).
+    *
+    * `labeled` is deliberately NOT persisted for its two consumers:
+    * every caller's relation is a column-pruned id scan joined to
+    * labels derived from CHECKPOINTED loop state, so the double
+    * consumption re-reads one int64 column twice — measured strictly
+    * cheaper than building an InMemoryRelation (the persist cost
+    * ccStar ~2 s/run at bench SF), and the same trade holds at scale
+    * (a corpus-sized cache write+read ≈ two pruned scans, plus pinned
+    * storage). Recompute is deterministic: both inputs are
+    * checkpoint-backed or source scans. */
   private def withMemberCounts(labeled: DataFrame, idCol: String): DataFrame =
     labeled.join(
         labeled.groupBy("cluster_id").agg(count(lit(1)).cast("long").as("n_members")),
@@ -1069,7 +1079,7 @@ object Dedup {
     * iteration count is bounded by component diameter, which dedup
     * graphs keep tiny. */
   def clusters(docs: DataFrame): DataFrame =
-    withMemberCounts(graft.util.Materialize.corpus(labelDf(docs)), "doc_id")
+    withMemberCounts(labelDf(docs), "doc_id")
       .orderBy("doc_id")
 
   /** Core of [[clusters]]: (doc_id, cluster_id) via distributed min-label
@@ -1311,9 +1321,9 @@ object Dedup {
     lastStarRounds = rounds
     val labels = e.groupBy("u").agg(min("v").as("cluster_id"))
       .select(col("u").as("doc_id"), col("cluster_id"))
-    val labeled = graft.util.Materialize.corpus(docs.select("doc_id")
+    val labeled = docs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))))
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
     withMemberCounts(labeled, "doc_id").orderBy("doc_id")
   }
 
@@ -2068,9 +2078,8 @@ object Dedup {
     * Output (vec_id, cluster_id, n_members). */
   def semanticClusters(emb: DataFrame): DataFrame =
     withMemberCounts(
-      graft.util.Materialize.corpus(
-        propagateClusters(cosinePairsBandedUnsorted(emb, EmbBandBits).select("i", "j"),
-          emb.select("vec_id"))),
+      propagateClusters(cosinePairsBandedUnsorted(emb, EmbBandBits).select("i", "j"),
+        emb.select("vec_id")),
       "vec_id")
       .orderBy("vec_id")
 

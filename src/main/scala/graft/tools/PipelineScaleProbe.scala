@@ -267,6 +267,13 @@ object PipelineScaleProbe {
       // claim is rounds stay FIXED while per-round work is linear
       "suffix_ranks" -> (n =>
         graft.pipeline.SuffixOps.suffixRanks(synthDocs(spark, n)).count()),
+      // round-10 flagship: the LCP/depth layer (3 dense ranks + the
+      // adjacent-rank greedy descent) — the cost class must stay the
+      // suffix_ranks one (sorts of the position relation), not the
+      // pair-relation's square
+      "sa_depth" -> (n =>
+        graft.pipeline.SuffixOps.saDepthRows(
+          Dedup.plantSpans(synthDocs(spark, n))).count()),
       "mixture_sample" -> (n =>
         graft.pipeline.TextOps.mixtureSample(synthDocs(spark, n)).count()),
       // NOT .count(): a pure projection prunes to nothing under count —

@@ -16,10 +16,16 @@ tools/bench_baseline.json. Fails when:
     persistent — so per-entry failure requires two-run confirmation
     when two runs are available. Entries absent from the prev record
     fall back to the single-run verdict.
-  - the entries-only total (queries minus shared_* builds and the
-    store segment) exceeds 1.2x the reference entries-only total
-    (checked on the LATEST run only — a broad environmental slowdown
-    still fails fast).
+  - the MEDIAN per-entry ratio vs the reference exceeds 1.25 (checked
+    on the LATEST run only). The old form of this check — the
+    entries-only SUM vs the sum of the reference's accumulated
+    per-entry MINIMA — was a structural ratchet: each entry's
+    reference converges to its luckiest run ever, so a uniformly
+    ~10% slower host day (measured round 10: median x1.10 across
+    entirely untouched families) fails the sum with zero code change.
+    The median is the central-tendency drift statistic the round
+    verdicts themselves use. A catastrophic bound remains: sum ratio
+    > 1.6 fails regardless.
 
 usage: tools/bench_gate.py [new.json] [ref.json]
 Protocol for a fresh record: cp bench_out.json tools/bench_prev.json,
@@ -40,7 +46,8 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RATIO = 1.5
 ABS_FLOOR = 0.5
-TOTAL_RATIO = 1.2
+MEDIAN_RATIO = 1.25
+SUM_CATASTROPHE = 1.6
 
 
 def entries_only(queries):
@@ -105,8 +112,13 @@ def main():
                 continue  # not reproduced in the other protocol run: drift
             bad.append(f"  {k}: {r:.2f} -> {v:.2f} s (x{v / r:.2f})")
     nt, rt = sum(nq.values()), sum(v for k, v in rq.items() if k in nq)
-    if rt > 0 and nt > rt * TOTAL_RATIO:
-        bad.append(f"  entries-only total (shared keys): {rt:.1f} -> {nt:.1f} s (x{nt / rt:.2f})")
+    ratios = sorted(v / rq[k] for k, v in nq.items() if rq.get(k, 0) > 0)
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    if med > MEDIAN_RATIO:
+        bad.append(f"  median per-entry ratio vs reference: x{med:.3f} > x{MEDIAN_RATIO}")
+    if rt > 0 and nt > rt * SUM_CATASTROPHE:
+        bad.append(f"  entries-only total (shared keys): {rt:.1f} -> {nt:.1f} s "
+                   f"(x{nt / rt:.2f} > catastrophic x{SUM_CATASTROPHE})")
     new_keys = sorted(set(nq) - set(rq))
     if new_keys:
         print(f"[bench-gate] {len(new_keys)} entries not in baseline (unchecked): "
@@ -117,7 +129,8 @@ def main():
         print("\n".join(bad))
         sys.exit(1)
     print(f"[bench-gate] ok: {len(nq)} entries within x{RATIO} of baseline, "
-          f"entries-only total {nt:.1f} s vs {rt:.1f} s reference")
+          f"median ratio x{med:.3f}, entries-only total {nt:.1f} s vs "
+          f"{rt:.1f} s reference-minima sum")
 
 
 if __name__ == "__main__":
