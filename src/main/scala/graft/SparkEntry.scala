@@ -1375,6 +1375,10 @@ object SparkEntry {
       SuffixOps.saDepthProfile(Dedup.plantSpans(docs(s, dir)))),
     "doc_sa_dup_extents" -> ((s, dir) =>
       SuffixOps.saDupExtents(Dedup.plantSpans(docs(s, dir)), 8)),
+    // the REWRITE half off the same depth build: SA-driven span removal
+    // at the sub-window threshold
+    "doc_sa_remove_spans" -> ((s, dir) =>
+      SuffixOps.saRemoveSpans(Dedup.plantSpans(docs(s, dir)), 8)),
     // round-9: realized temperature mixture (epochs + keyed-hash frac)
     "doc_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docs(s, dir))),
     // round-9: integer-exact PCA power iteration + principal-axis profile
@@ -2455,6 +2459,7 @@ object SparkEntry {
     "doc_suffix_ranks" -> SuffixOps.suffixRanksOracle,
     "doc_sa_lcp" -> SuffixOps.saDepthProfileOracle,
     "doc_sa_dup_extents" -> SuffixOps.saDupExtentsOracle(8),
+    "doc_sa_remove_spans" -> SuffixOps.saRemoveSpansOracle(8),
     "doc_mixture_sample" -> TextOps.mixtureSampleOracle,
     "emb_pca_power" -> Similarity.pcaPowerOracle,
     "emb_pca_map" -> Similarity.pcaMapOracle,

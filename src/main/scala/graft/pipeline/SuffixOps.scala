@@ -287,6 +287,60 @@ object SuffixOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** SPAN REMOVAL driven by the SA extents — the REWRITE half of the
+    * Lee et al. recipe at ANY threshold ≤ [[SuffixCap]], where
+    * [[Dedup.removeSpans]] is locked to the [[Dedup.SpanLen]] window
+    * class. Composition of verified parts: [[saDupExtents]] finds the
+    * maximal extents, [[Dedup.removeByExtents]] excises every covered
+    * position (position-covered-by-ANY-extent, overlap-safe — two
+    * islands separated by a gap < minLen produce extents whose token
+    * ranges intersect, so n_removed derives as n_tokens − n_kept,
+    * never a sum of span lengths). A fully-duplicated document
+    * rewrites to the empty string. Output
+    * (doc_id, n_tokens, n_removed, n_kept, new_hash), ordered. */
+  def saRemoveSpans(docs: DataFrame, minLen: Int): DataFrame =
+    Dedup.removeByExtents(docs, saDupExtents(docs, minLen))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("n_kept"),
+        baseHash(col("new_text")).as("new_hash"))
+      .orderBy("doc_id")
+
+  /** Definitional oracle for [[saRemoveSpans]] at threshold `minLen`
+    * over the planted corpus: exact-string duplicated windows →
+    * islands → a NOT EXISTS coverage filter over the token relation —
+    * no suffix array, no depth, no hash candidates. */
+  def saRemoveSpansOracle(minLen: Int): String =
+    s"""WITH base AS (SELECT doc_id, ${Dedup.plantedTextSql} AS text FROM documents),
+       |d AS (SELECT doc_id, $tokensSql AS w FROM base),
+       |wins AS (
+       |  SELECT doc_id, u.i + 1 AS pos,
+       |         array_to_string(w[u.i + 1 : u.i + $minLen], ' ') AS s
+       |  FROM d, unnest(range(0, len(w) - $minLen + 1)) u(i)
+       |  WHERE len(w) >= $minLen),
+       |dup AS (SELECT s FROM wins GROUP BY s HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM wins WHERE s IN (SELECT s FROM dup)),
+       |runs AS (SELECT doc_id, min(pos) AS span_start, count(*) AS run FROM (
+       |           SELECT doc_id, pos, pos - row_number() OVER (
+       |                    PARTITION BY doc_id ORDER BY pos) AS grp
+       |           FROM dp) i GROUP BY doc_id, grp),
+       |toks AS (
+       |  SELECT doc_id, u.i + 1 AS pos, w[CAST(u.i AS INTEGER) + 1] AS tok
+       |  FROM d, unnest(range(0, len(w))) u(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM runs r
+       |    WHERE r.doc_id = t.doc_id
+       |      AND t.pos BETWEEN r.span_start AND r.span_start + r.run + ${minLen - 2})),
+       |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |              string_agg(tok, ' ' ORDER BY pos) AS ntext
+       |       FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len(w)::BIGINT AS n_tokens,
+       |       (len(w) - COALESCE(ka.n_kept, 0))::BIGINT AS n_removed,
+       |       COALESCE(ka.n_kept, 0)::BIGINT AS n_kept,
+       |       ${baseHashSql("COALESCE(ka.ntext, '')")} AS new_hash
+       |FROM d LEFT JOIN ka USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Definitional oracle for [[saDepthProfile]] over the
     * [[Dedup.plantSpans]]-planted corpus: depth(p) is re-derived with
     * NO suffix array at all — for each L in 1..16, a count-over-

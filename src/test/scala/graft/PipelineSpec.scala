@@ -2674,6 +2674,18 @@ class PipelineSpec extends AnyFunSuite {
     val viaWin = Dedup.dupSpansVar(docs).collect().map(_.toSeq).toSeq
     assert(viaSa === viaWin, "saDupExtents(SpanLen) must be law-identical to dupSpansVar")
 
+    // and the REWRITE half composes: SA-driven removal at the window
+    // threshold is law-identical to the windowed removeSpans, and the
+    // conservation law holds at the sub-window threshold too
+    val viaSaRm = SuffixOps.saRemoveSpans(planted, Dedup.SpanLen)
+      .collect().map(_.toSeq).toSeq
+    val viaWinRm = Dedup.removeSpans(docs).collect().map(_.toSeq).toSeq
+    assert(viaSaRm === viaWinRm, "saRemoveSpans(SpanLen) must equal removeSpans")
+    SuffixOps.saRemoveSpans(planted, 8).collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"conservation: ${r.toSeq}")
+    }
+
     // every planted ≥8-token span is recovered as an extent at T=8: the
     // 32- and 64-token plants appear whole (span_tokens >= plant length)
     val ex8 = SuffixOps.saDupExtents(planted, 8).collect()
