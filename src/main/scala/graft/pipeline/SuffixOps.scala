@@ -120,52 +120,50 @@ object SuffixOps {
 
   // ---- LCP + exact duplicated extents (completes the Lee et al. SA recipe) --
 
-  /** ALL-LEVEL suffix view: (doc_id, pos, slen, k1, k2, r4, r8, r16),
+  /** ALL-LEVEL suffix view: (doc_id, pos, slen, k1..k4, r8, r16),
     * where `r{k}` is the dense rank of the position's k-token capped
-    * prefix, `k1`/`k2` are the position's first two tokens ('' pad),
+    * prefix, `k1..k4` are the position's first four tokens ('' pad),
     * and `slen` = min([[SuffixCap]], tokens remaining). The greedy LCP
     * descent in [[saDepthRows]] only needs EQUALITY per level, not
     * order — order is needed solely to build the next doubling — so
-    * levels 1 and 2 are served by the raw tokens (prefix-1/2 equality
-    * IS token/bigram equality, exact and free) and only 4/8/16 pay a
-    * dense rank: the same 4-gram seed + 2 doublings as
-    * [[suffixRankRows]]. Shuffle keys are 4 short strings at the seed
-    * and (long, long) pairs after — no suffix string ever moves.
+    * levels 1/2/4 are served by the raw token tuples (capped-gram
+    * equality IS capped-prefix equality, exact and free) and only
+    * 8/16 pay a dense rank: one 8-GRAM string seed + one doubling.
+    * The 8-gram seed trades a wider one-pass distinct for two whole
+    * rank rounds (each a distinct + range-sample + checkpoint +
+    * offset collect) — measured isolated cold build at sf0.1:
+    * 28.5 → 23.3 s.
+    * Shuffle keys are 8 short strings at the seed and (long, long)
+    * pairs after — no suffix string ever moves.
     *
     * Each level is [[graft.util.Materialize.bounded]] (NOT
-    * corpus-persist): each doubling references the previous level twice
+    * corpus-persist): the doubling references the previous level twice
     * and the LCP descent re-references the result 8 more times —
     * without plan truncation the logical tree grows 2^levels and
     * Catalyst re-analysis dominates every downstream action (measured
     * 14 s of pure re-planning at sf0.01). The iterative-loop-state rule
     * from Materialize's doc applies verbatim. */
   private[graft] def suffixLevelRows(docs: DataFrame): DataFrame = {
-    val pos4 = graft.util.Spread(docs.select("doc_id", "text"))
+    val grams = (1 to 7).map(j =>
+      expr(s"IF(p0 + $j < size(w), w[p0 + $j], '')").as(s"k${j + 1}"))
+    val pos8 = graft.util.Spread(docs.select("doc_id", "text"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("p0", "k1")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+      .select(Seq(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         least(lit(SuffixCap.toLong), size(col("w")).cast("long") - col("p0")).as("slen"),
-        col("k1"),
-        expr("IF(p0 + 1 < size(w), w[p0 + 1], '')").as("k2"),
-        expr("IF(p0 + 2 < size(w), w[p0 + 2], '')").as("k3"),
-        expr("IF(p0 + 3 < size(w), w[p0 + 3], '')").as("k4"))
-    var rel = denseRankKeys(pos4, Seq("k1", "k2", "k3", "k4"), "r4", keepKeys = true)
-      .drop("k3", "k4") // k1, k2 stay: they ARE levels 1 and 2
+        col("k1")) ++ grams: _*)
+    val rel8 = denseRankKeys(pos8, (1 to 8).map(j => s"k$j"), "r8", keepKeys = true)
+      .drop("k5", "k6", "k7", "k8") // k1..k4 stay: they ARE levels 1/2/4
       .transform(graft.util.Materialize.bounded)
-    var k = 4
-    while (k < SuffixCap) {
-      // r_2k = dense rank of (r_k(i), r_k(i+k)); a suffix ending before
-      // i+k pairs with 0, which sorts below every rank — shorter first
-      val shifted = rel.select(col("doc_id"),
-        (col("pos") - k).as("pos"), col(s"r$k").as("nb"))
-      val paired = rel.join(shifted, Seq("doc_id", "pos"), "left")
-        .na.fill(0L, Seq("nb"))
-      rel = denseRankKeys(paired, Seq(s"r$k", "nb"), s"r${2 * k}", keepKeys = true)
-        .drop("nb")
-        .transform(graft.util.Materialize.bounded)
-      k *= 2
-    }
-    rel
+    // r16 = dense rank of (r8(i), r8(i+8)); a suffix ending before i+8
+    // pairs with 0, which sorts below every rank — shorter first
+    val shifted = rel8.select(col("doc_id"),
+      (col("pos") - 8).as("pos"), col("r8").as("nb"))
+    val paired = rel8.join(shifted, Seq("doc_id", "pos"), "left")
+      .na.fill(0L, Seq("nb"))
+    denseRankKeys(paired, Seq("r8", "nb"), "r16", keepKeys = true)
+      .drop("nb")
+      .transform(graft.util.Materialize.bounded)
   }
 
   /** Per-position DUPLICATION DEPTH — the LCP layer of the suffix-array
@@ -201,12 +199,13 @@ object SuffixOps {
   private[graft] def saDepthRows(docs: DataFrame): DataFrame =
     graft.util.Memo((docs.sparkSession, "SuffixOps.saDepth", docs.semanticHash())) {
       val lv = suffixLevelRows(docs)
-      val cnt = lv.groupBy("r16").agg(count(lit(1)).as("cnt"))
-      val reps = lv.groupBy("r16")
-        .agg(min(struct(col("doc_id"), col("pos"), col("slen"))).as("rep"))
-        .select(col("r16"), col("rep.doc_id").as("rd"),
-          col("rep.pos").as("rp"), col("rep.slen").as("rl"))
-        .transform(graft.util.Materialize.corpus)
+      // one pass per distinct rank: its member count AND a representative
+      val cr = lv.groupBy("r16")
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("pos"), col("slen"))).as("rep"))
+        .transform(graft.util.Materialize.bounded)
+      val reps = cr.select(col("r16"), col("rep.doc_id").as("rd"),
+        col("rep.pos").as("rp"), col("rep.slen").as("rl"))
       var pairs = reps.select(col("r16").as("ra"), col("rd").as("da"),
           col("rp").as("pa"), col("rl").as("la"))
         .join(reps.select((col("r16") - 1).as("ra"), col("rd").as("db"),
@@ -216,6 +215,7 @@ object SuffixOps {
       // artifacts), raw token tuples for 2/1 (prefix equality there IS
       // token equality — exact, and two dense-rank builds cheaper)
       def witness(k: Int) = k match {
+        case 4 => struct(col("k1"), col("k2"), col("k3"), col("k4"))
         case 2 => struct(col("k1"), col("k2"))
         case 1 => col("k1")
         case _ => col(s"r$k")
@@ -240,7 +240,7 @@ object SuffixOps {
       val nbr = lcp.select(col("ra").as("r16"), col("lcp"))
         .unionByName(lcp.select((col("ra") + 1).as("r16"), col("lcp")))
         .groupBy("r16").agg(max("lcp").as("nd"))
-      lv.join(cnt, Seq("r16"))
+      lv.join(cr.select("r16", "cnt"), Seq("r16"))
         .join(nbr, Seq("r16"), "left")
         .select(col("doc_id"), col("pos"), col("slen"),
           when(col("cnt") >= 2, col("slen"))
