@@ -261,12 +261,27 @@ object Bench {
         }
       }
     } catch { case _: Throwable => -1 }
+    // Loose ref first; PACKED refs (post-`git gc`/clone) fall back to
+    // .git/packed-refs, so a packed HEAD never degrades to "unknown" —
+    // bench_gate treats unknown as a SHA mismatch, but silently re-arming
+    // two-run confirmation against a stale prev via unknown==unknown was
+    // exactly the masking the SHA check exists to prevent (round-10 advice).
     val gitSha: String = try {
       val gitDir = java.nio.file.Paths.get(".git")
       val head = new String(java.nio.file.Files.readAllBytes(gitDir.resolve("HEAD"))).trim
-      if (head.startsWith("ref: "))
-        new String(java.nio.file.Files.readAllBytes(gitDir.resolve(head.drop(5)))).trim.take(12)
-      else head.take(12)
+      if (head.startsWith("ref: ")) {
+        val ref = head.drop(5)
+        val loose = gitDir.resolve(ref)
+        if (java.nio.file.Files.exists(loose))
+          new String(java.nio.file.Files.readAllBytes(loose)).trim.take(12)
+        else {
+          val packed = new String(java.nio.file.Files.readAllBytes(
+            gitDir.resolve("packed-refs")))
+          packed.linesIterator
+            .find(l => !l.startsWith("#") && !l.startsWith("^") && l.endsWith(" " + ref))
+            .map(_.take(12)).getOrElse("unknown")
+        }
+      } else head.take(12)
     } catch { case _: Throwable => "unknown" }
     val protocolOk = driverMemGb >= 12.0 && siblingJvms == 0
     val protoField =

@@ -39,10 +39,22 @@ import TextOps._
   *    determinism/parity demonstration. It must never leave the
   *    curation boundary.
   *  - [[dpReleasePublic]] is the RELEASE view — noised counts ONLY
-  *    (no n_true, no noise, no flag), sub-[[KAnonMin]] cells REMOVED
-  *    rather than flagged, and the seed is a caller-supplied
-  *    parameter that a deployment draws from a secret store. The DP
-  *    guarantee holds exactly insofar as that seed stays secret.
+  *    (no n_true, no noise, no flag), cells whose NOISED count falls
+  *    below [[KAnonMin]] REMOVED, and the seed is a caller-supplied
+  *    parameter that a deployment draws from a secret store.
+  *    Thresholding on the noised count matters (round-10 advice):
+  *    a threshold on n_true makes cell presence/absence a
+  *    DETERMINISTIC function of the raw data — a neighboring dataset
+  *    flips a cell in/out with unbounded likelihood ratio — whereas
+  *    the noised threshold keeps presence itself randomized (the
+  *    standard "noisy thresholding" release). GUARANTEE CLASS: with a
+  *    secret seed this is ε-DP up to the ±[[NoiseCap]] truncation —
+  *    the truncated geometric has zero mass beyond ±35, so outputs
+  *    more than 35 from a true count have likelihood ratio ∞; the
+  *    tail chopped is < 4e-16 per cell at ε = 1, i.e. (ε, δ≈4e-16)-DP
+  *    rather than pure ε-DP. Both caveats are inherent to any
+  *    bounded-support deterministic-replay release, and are the
+  *    documented contract here, not an oversight.
   *
   * Scale shape: one map-side-combinable count aggregate over the
   * corpus; the release domain (sources × languages — released over the
@@ -105,15 +117,18 @@ object Privacy {
   }
 
   /** The RELEASE view: what actually crosses the boundary. Noised
-    * counts only — n_true/noise/suppress never appear — and
-    * sub-[[KAnonMin]] cells are REMOVED (publishing nothing about
-    * them), not flagged. `seed` is caller-supplied; a deployment draws
+    * counts only — n_true/noise/suppress never appear — and cells
+    * whose NOISED count is below [[KAnonMin]] are REMOVED (publishing
+    * nothing about them), not flagged. The threshold reads the noised
+    * value on purpose: thresholding n_true would make cell presence a
+    * deterministic leak of the raw data (see the guarantee-class note
+    * in the object doc). `seed` is caller-supplied; a deployment draws
     * it from a secret store, and the entry's fixture seed exists only
     * so the oracle can replay the projection. Output
     * (source, lang, n_released), ordered. */
   def dpReleasePublic(docs: DataFrame, seed: String): DataFrame =
     dpRelease(docs, seed)
-      .filter(col("n_true") >= KAnonMin)
+      .filter(col("n_released") >= KAnonMin)
       .select("source", "lang", "n_released")
       .orderBy("source", "lang")
 
@@ -142,11 +157,12 @@ object Privacy {
     * passes a secret instead. */
   val PublicDemoSeed = "release-demo-seed"
 
-  /** Oracle for [[dpReleasePublic]] at the entry's fixture seed. */
+  /** Oracle for [[dpReleasePublic]] at the entry's fixture seed —
+    * the noisy-threshold filter replayed on the noised value. */
   lazy val dpReleasePublicOracle: String =
     s"""${noisedCte(PublicDemoSeed)}
        |SELECT source, lang,
        |       greatest(n_true + noise, 0)::BIGINT AS n_released
-       |FROM noised WHERE n_true >= $KAnonMin
+       |FROM noised WHERE greatest(n_true + noise, 0) >= $KAnonMin
        |ORDER BY source, lang""".stripMargin
 }

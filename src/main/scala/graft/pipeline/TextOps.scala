@@ -1939,8 +1939,9 @@ object TextOps {
   /** Trained trajectory (round, mrank, pa, pb, pair_count, score,
     * new_sym) + the final vocabulary (corpus alphabet ∪ merged symbols),
     * memoized per corpus. */
-  private def wordpieceCore(docs: DataFrame): (DataFrame, Set[String]) =
-    graft.util.Memo((docs.sparkSession, "TextOps.wordpieceCore", docs.semanticHash())) {
+  private def wordpieceCore(docs: DataFrame,
+      batchK: Int = WpBatch): (DataFrame, Set[String]) =
+    graft.util.Memo((docs.sparkSession, s"TextOps.wordpieceCore.$batchK", docs.semanticHash())) {
       import org.apache.spark.sql.expressions.Window
       val spark = docs.sparkSession
       import spark.implicits._
@@ -1954,7 +1955,8 @@ object TextOps {
       val alphabet = rows.select("sym").distinct().as[String].collect().toSet
       val merges = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, String, String, Long, Long, String)]
-      for (r <- 0 until WpTrainRounds) {
+      val trainRounds = (WpRounds + batchK - 1) / batchK
+      for (r <- 0 until trainRounds) {
         val p = rows.withColumn("nxt", lead("sym", 1).over(w))
         val uc = rows.groupBy("sym").agg(sum("cnt").as("cu"))
         val pool = p.filter(col("nxt").isNotNull)
@@ -1972,7 +1974,7 @@ object TextOps {
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
         pool.foreach { row =>
           val pa = row.getString(0); val pb = row.getString(1)
-          if (!seen(pa) && !seen(pb) && accepted.size < WpBatch)
+          if (!seen(pa) && !seen(pb) && accepted.size < batchK)
             accepted += ((pa, pb, row.getLong(2), row.getLong(3)))
           seen += pa; seen += pb
         }
@@ -2007,8 +2009,21 @@ object TextOps {
     }
 
   /** The likelihood-merge trajectory — one row per accepted merge:
-    * (round, mrank, pa, pb, pair_count, score, new_sym). */
-  def wordpieceTrain(docs: DataFrame): DataFrame = wordpieceCore(docs)._1
+    * (round, mrank, pa, pb, pair_count, score, new_sym).
+    *
+    * SEMANTICS CONTRACT (round-10 advice, stated here because callers
+    * see this doc, not the trainer internals): the default trains with
+    * [[WpBatch]] = 2 SYMBOL-DISJOINT merges per round, which is NOT
+    * equivalent to the published one-merge-per-step WordPiece recipe in
+    * general — likelihood scores shift after every merge, and the BPE
+    * dominance rule does not transfer (batch 4 provably diverges on the
+    * SF fixtures). K = 2 coincides with the sequential vocabulary on
+    * every fixture (spec-pinned, empirical, not a theorem). Callers who
+    * need strict published semantics on an arbitrary corpus pass
+    * `batch = 1` — one merge per round, the textbook trajectory, at
+    * twice the round count. */
+  def wordpieceTrain(docs: DataFrame, batch: Int = WpBatch): DataFrame =
+    wordpieceCore(docs, batch)._1
 
   /** Encode the corpus by greedy longest-match-first over the trained
     * vocabulary — per doc the piece count and the position-weighted

@@ -31,8 +31,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (run, batch_id) is excluded from the read, so a batch replayed after
   * a crash between the two writes reads the same offset and re-emits
   * byte-identical assignment rows (consumers dedup by doc_id; nothing
-  * shifts). `run` disambiguates a restart with a fresh checkpoint,
-  * whose batch ids begin at 0 again. Within a batch the prefix sum is
+  * shifts). `run` disambiguates a restart with a fresh checkpoint: a
+  * nonce file INSIDE the checkpoint directory (create-if-absent at
+  * [[start]]) mints the run id, so deleting the checkpoint — even when
+  * the ledger survives at the SAME paths — starts a new run whose
+  * batch 0 is distinct from the old run's batch 0 in the ledger, while
+  * a normal resume re-reads the old nonce (round-10 advice: deriving
+  * run from the checkpoint PATH conflated old and new deltas after a
+  * delete-checkpoint-keep-ledger restart). Within a batch the prefix sum is
   * the two-phase pid-offset discipline of the batch operator — never a
   * one-partition window; everything else is batch-sized.
   */
@@ -53,10 +59,25 @@ object StreamingPack {
       .agg(coalesce(sum("d"), lit(0L))).head.getLong(0)
     catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
+  /** The run nonce lives INSIDE the checkpoint so its lifetime IS the
+    * checkpoint's: resume reads it back, delete-and-restart mints a new
+    * one (and thus a fresh ledger run) even at the same paths. */
+  private def runNonce(checkpointDir: String): String = {
+    val dir = java.nio.file.Paths.get(checkpointDir)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("graft-run-nonce")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+    else {
+      val n = java.util.UUID.randomUUID().toString
+      java.nio.file.Files.write(f, n.getBytes("UTF-8"))
+      n
+    }
+  }
+
   /** Start over a streaming (doc_id, text) DataFrame. */
   def start(docs: DataFrame, cfg: Config): StreamingQuery = {
-    val run = java.util.UUID.nameUUIDFromBytes(
-      cfg.checkpointDir.getBytes("UTF-8")).toString
+    val run = runNonce(cfg.checkpointDir)
     docs.writeStream
       .queryName("graft-pack")
       .option("checkpointLocation", cfg.checkpointDir)

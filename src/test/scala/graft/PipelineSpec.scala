@@ -1521,6 +1521,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(enc.map(_.getLong(1)).sum === expectTotal)
   }
 
+  test("wordpiece: batch=1 trains the strict-sequential published trajectory") {
+    // round-10 advice: the batched default is a documented approximation;
+    // batch=1 is the config'd fallback — one merge per round, full
+    // rescoring between merges, the textbook WordPiece recipe
+    val t1 = TextOps.wordpieceTrain(docs, batch = 1).collect()
+    assert(t1.length === TextOps.WpRounds)
+    assert(t1.map(_.getLong(1)).forall(_ == 1L), "one merge per round")
+    assert(t1.map(_.getLong(0)).toSeq ===
+      (0 until TextOps.WpRounds).map(_.toLong), "rounds advance one by one")
+    // on this corpus the K=2 batched vocabulary coincides with the
+    // sequential one (the pinned coincidence the default relies on), so
+    // the two trainers must agree here — and batch=1 agrees by
+    // construction with the driver-rederived sequential law above
+    val batched = TextOps.wordpieceTrain(docs).collect().map(_.getString(6)).toSet
+    assert(t1.map(_.getString(6)).toSet === batched)
+  }
+
   test("pack split: exact-boundary sequence laws (conservation, span math, straddle)") {
     val rows = TextOps.packSplit(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
@@ -2583,20 +2600,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(prof(0L)._2 === prof(0L)._1, "every suffix of a duplicated doc occurs elsewhere")
   }
 
-  test("dp release: release view carries no truth columns, drops sub-k cells; the seed keys the noise") {
-    val audit = Privacy.dpRelease(docs).collect()
+  test("dp release: release view carries no truth columns, noisy-thresholds cells; the seed keys the noise") {
+    // round-10 advice: the release filter reads the NOISED count — a
+    // threshold on n_true would make cell presence a deterministic
+    // function of the raw data (unbounded likelihood ratio on neighbors)
+    val audit = Privacy.dpRelease(docs, Privacy.PublicDemoSeed).collect()
     val pub = Privacy.dpReleasePublic(docs, Privacy.PublicDemoSeed)
     assert(pub.columns.toSeq === Seq("source", "lang", "n_released"),
       "release view must expose ONLY the noised count")
     val pubRows = pub.collect().map(r => (r.getString(0), r.getString(1))).toSet
-    val suppressed = audit.filter(_.getBoolean(5))
-    assert(suppressed.nonEmpty, "fixture must exercise suppression")
-    suppressed.foreach { r =>
-      assert(!pubRows.contains((r.getString(0), r.getString(1))),
-        s"suppressed cell ${r.getString(0)}/${r.getString(1)} leaked into the release view")
-    }
-    assert(pubRows.size === audit.count(!_.getBoolean(5)),
-      "every publishable cell appears exactly once")
+    // presence law: released cells are EXACTLY those whose noised count
+    // clears the floor — n_true plays no direct role
+    val expected = audit.filter(_.getLong(4) >= Privacy.KAnonMin)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pubRows === expected, "release membership must be a function of the noised count only")
+    assert(audit.exists(_.getLong(4) < Privacy.KAnonMin),
+      "fixture must exercise suppression")
     // the seed keys the mechanism: independent seeds draw different noise
     val a = Privacy.dpRelease(docs, "seed-a").collect().map(_.getLong(3)).toSeq
     val b = Privacy.dpRelease(docs, "seed-b").collect().map(_.getLong(3)).toSeq

@@ -240,6 +240,54 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(got(6L)._2 === tokensThrough5 / TextOps.PackTarget)
   }
 
+  test("streaming pack: deleted checkpoint at the SAME path mints a new run; ledger mass survives") {
+    // round-10 advice: run was UUID(checkpointDir), so delete-checkpoint-
+    // keep-ledger at the same path reused the old run id and the in-flight
+    // filter excluded the OLD batch 0 together with the new one — token
+    // mass silently dropped. The nonce file inside the checkpoint now
+    // disambiguates: same path, fresh checkpoint, distinct run.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-streampack-nonce").toString
+    val cfg = graft.streaming.StreamingPack.Config(
+      s"$dir/assigned", s"$dir/state", s"$dir/ckpt")
+    def body(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(1L -> body("a", 900), 2L -> body("b", 1300),
+      3L -> body("c", 1100), 4L -> body("d", 700))
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.StreamingPack.start(
+      s1.toDS().toDF("doc_id", "text"), cfg)
+    s1.addData(corpus.take(2).map { case (i, t) => (i, t) }: _*)
+    q1.processAllAvailable(); q1.stop()
+    // delete the CHECKPOINT only — ledger and assignments stay
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(java.nio.file.Paths.get(s"$dir/ckpt"))
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingPack.start(
+      s2.toDS().toDF("doc_id", "text"), cfg) // SAME paths throughout
+    s2.addData(corpus.drop(2).map { case (i, t) => (i, t) }: _*)
+    q2.processAllAvailable(); q2.stop()
+    // two distinct runs in the ledger: batch 0 of run 2 did NOT evict
+    // batch 0 of run 1 from the stored total
+    val runs = spark.read.parquet(s"$dir/state")
+      .select("run").distinct().count()
+    assert(runs === 2L, "fresh checkpoint at the same path must mint a new run")
+    val got = spark.read.parquet(s"$dir/assigned").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val ref = TextOps.packSplitOn(
+        corpus.toDF("doc_id", "text").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got === ref, "run-2 sequence ids shifted: ledger mass dropped or merged")
+  }
+
   test("streaming url dedup: canonical collisions reject within and across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

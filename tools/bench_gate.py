@@ -90,9 +90,13 @@ def main():
         # code under the protocol: a stale prev (different SHA) would make
         # every persistent regression look like unreproduced drift and
         # pass the gate silently (round-9 advice item 1)
-        if pprev.get("ok", True) and (
-                "git_sha" not in proto or "git_sha" not in pprev
-                or proto["git_sha"] == pprev["git_sha"]):
+        # "unknown" on EITHER side is a mismatch, not a wildcard: a
+        # packed-refs/"ran outside repo root" fallback must not silently
+        # re-arm two-run confirmation against a stale prev (round-10 advice)
+        sha_new, sha_prev = proto.get("git_sha"), pprev.get("git_sha")
+        sha_match = (sha_new is None or sha_prev is None
+                     or (sha_new == sha_prev and sha_new != "unknown"))
+        if pprev.get("ok", True) and sha_match:
             pq = entries_only(prev["queries"])
         else:
             why = ("non-protocol" if not pprev.get("ok", True) else
