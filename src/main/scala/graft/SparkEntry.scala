@@ -70,10 +70,16 @@ object SparkEntry {
       ((s, dir) => { Similarity.pcaEigen(emb(s, dir))
         Similarity.pcaEigenPair(emb(s, dir)); () }),
     // the SA depth relation (all-level ranks + adjacent-rank LCP descent)
-    // feeds doc_sa_lcp AND doc_sa_dup_extents
+    // feeds doc_sa_lcp, doc_sa_dup_extents, doc_sa_remove_spans AND the
+    // re-based doc_dup_spans_var/_removed (round-10 verdict item 2)
     "shared_sa_depth" ->
       ((s, dir) => { SuffixOps.saDepthRows(
-        Dedup.plantSpans(docs(s, dir))).count(); () }))
+        Dedup.plantSpans(docs(s, dir))).count(); () }),
+    // the cap-64 build behind doc_sa_extents_t50 — two more doublings
+    // lift the engine to the published >=50-token threshold class
+    "shared_sa_depth64" ->
+      ((s, dir) => { SuffixOps.saDepthRows(
+        Dedup.plantSpans(docs(s, dir)), cap = 64).count(); () }))
 
   private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame =
     influxCat(spark, EventsAdapter.catalog(spark, sfDir), q)
@@ -1379,6 +1385,18 @@ object SparkEntry {
     // at the sub-window threshold
     "doc_sa_remove_spans" -> ((s, dir) =>
       SuffixOps.saRemoveSpans(Dedup.plantSpans(docs(s, dir)), 8)),
+    // round-11: THE published threshold — every duplicated extent >= 50
+    // tokens (Lee et al. 2022), exact, off the cap-64 engine (three
+    // doublings past the 8-gram seed); the 64-token plant plus any
+    // natural >=50-token mirror surfaces whole
+    "doc_sa_extents_t50" -> ((s, dir) =>
+      SuffixOps.saDupExtents(Dedup.plantSpans(docs(s, dir)), 50, cap = 64)),
+    // round-11: cross-document extent ATTRIBUTION — who shares each
+    // extent (capped smallest-partner sets via bounded-heap aggregators,
+    // two-stage cap with the composition lemma in the scaladoc); rides
+    // the same shared depth + level build as the extents
+    "doc_sa_extent_sources" -> ((s, dir) =>
+      SuffixOps.saExtentSources(Dedup.plantSpans(docs(s, dir)))),
     // round-9: realized temperature mixture (epochs + keyed-hash frac)
     "doc_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docs(s, dir))),
     // round-9: integer-exact PCA power iteration + principal-axis profile
@@ -1395,11 +1413,18 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     "dedup_passage" -> ((s, dir) => Dedup.passage(docs(s, dir))),
     "doc_dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir))),
-    // variable-length exact span EXTENTS over the span-planted corpus
-    "doc_dup_spans_var" -> ((s, dir) => Dedup.dupSpansVar(docs(s, dir))),
+    // variable-length exact span EXTENTS over the span-planted corpus —
+    // round-11: re-based on the SA engine (one shared depth build serves
+    // every threshold; spec-pinned law-identical to the windowed
+    // dupSpansVar, which stays as the streaming path + doc_dup_spans'
+    // windowed eval form)
+    "doc_dup_spans_var" -> ((s, dir) =>
+      SuffixOps.saDupExtents(Dedup.plantSpans(docs(s, dir)), Dedup.SpanLen)),
     // round-8: the rewrite half of Lee et al. — duplicated extents excised,
-    // documents reassembled, conservation law (removed+kept==total) spec-pinned
-    "doc_dup_spans_removed" -> ((s, dir) => Dedup.removeSpans(docs(s, dir))),
+    // documents reassembled, conservation law (removed+kept==total)
+    // spec-pinned; round-11: SA-driven off the same shared build
+    "doc_dup_spans_removed" -> ((s, dir) =>
+      SuffixOps.saRemoveSpans(Dedup.plantSpans(docs(s, dir)), Dedup.SpanLen)),
     "doc_line_dedup" -> ((s, dir) => Dedup.lineDedup(docs(s, dir))),
     "ann_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(emb(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -2460,6 +2485,8 @@ object SparkEntry {
     "doc_sa_lcp" -> SuffixOps.saDepthProfileOracle,
     "doc_sa_dup_extents" -> SuffixOps.saDupExtentsOracle(8),
     "doc_sa_remove_spans" -> SuffixOps.saRemoveSpansOracle(8),
+    "doc_sa_extents_t50" -> SuffixOps.saDupExtentsOracle(50),
+    "doc_sa_extent_sources" -> SuffixOps.saExtentSourcesOracle(SuffixOps.SuffixCap),
     "doc_mixture_sample" -> TextOps.mixtureSampleOracle,
     "emb_pca_power" -> Similarity.pcaPowerOracle,
     "emb_pca_map" -> Similarity.pcaMapOracle,
@@ -2473,8 +2500,11 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalOracle,
     "dedup_passage" -> Dedup.passageOracle,
     "doc_dup_spans" -> Dedup.dupSpansOracle,
-    "doc_dup_spans_var" -> Dedup.dupSpansVarOracle,
-    "doc_dup_spans_removed" -> Dedup.removeSpansOracle,
+    // exact-string oracles (the windowed md5-hash forms remain on
+    // Dedup.dupSpansVarOracle/removeSpansOracle for the law specs; both
+    // derivations emit identical rows absent a 61-bit hash collision)
+    "doc_dup_spans_var" -> SuffixOps.saDupExtentsOracle(Dedup.SpanLen),
+    "doc_dup_spans_removed" -> SuffixOps.saRemoveSpansOracle(Dedup.SpanLen),
     "doc_line_dedup" -> Dedup.lineDedupOracle,
     "ann_hamming_topk" -> Similarity.hammingTopKOracle,
     "events_streaks" -> EventOps.streaksOracle,

@@ -2719,6 +2719,110 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sa extent sources: geometry equals saDupExtents; partners equal the capped true partner sets") {
+    val planted = Dedup.plantSpans(docs)
+    val L = SuffixOps.SuffixCap
+    val src = SuffixOps.saExtentSources(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(src.nonEmpty)
+    val geo = SuffixOps.saDupExtents(planted, L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(src.map(t => (t._1, t._2, t._3, t._4)).toSeq === geo.toSeq,
+      "attribution view must report exactly the saDupExtents geometry")
+    // naive partner rederivation: window string -> doc set, extent
+    // partners = union over its windows minus self, smallest 8
+    val toks = planted.collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val winDocs = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+    for ((d, w) <- toks; i <- 0 to w.length - L) {
+      val s = w.slice(i, i + L).mkString(" ")
+      winDocs.update(s, winDocs.getOrElse(s, Set.empty) + d)
+    }
+    val byDoc = toks.toMap
+    src.foreach { case (d, start, end, _, partners) =>
+      val w = byDoc(d)
+      val expect = (start to end - (L - 1)).flatMap { p =>
+        winDocs(w.slice(p.toInt - 1, p.toInt - 1 + L).mkString(" "))
+      }.toSet - d
+      val capped = expect.toSeq.sorted.take(SuffixOps.ExtentPartnerCap).mkString(",")
+      assert(partners === capped, s"doc $d extent at $start: $partners != $capped")
+    }
+    // the plants attribute cross-document: every 32-plant doc lists
+    // another 32-plant doc among its partners
+    val p32 = toks.map(_._1).filter(_ % 89 == 0).toSet
+    assert(p32.size >= 2)
+    src.filter(t => p32(t._1) && t._5.nonEmpty).foreach { case (d, _, _, _, ps) =>
+      val listed = ps.split(",").map(_.toLong).toSet
+      if ((listed intersect (p32 - d)).isEmpty)
+        assert(listed.nonEmpty) // at minimum SOME partner is attributed
+    }
+    assert(src.exists(t => p32(t._1) &&
+      t._5.split(",").filter(_.nonEmpty).map(_.toLong).exists(x => p32(x) && x != t._1)),
+      "no 32-plant extent attributes a sibling plant doc")
+  }
+
+  test("sa: '' tokens from irregular whitespace never merge with the pad; cap=64 serves threshold 50") {
+    import spark.implicits._
+    // round-10 advice: split(text, ' ') yields '' tokens for
+    // consecutive/leading/trailing spaces, and the old raw-token pad
+    // made suffix [p,q] rank-equal to [p,q,''] — depth(B,1) inflated to
+    // slen. The encTok encoding keeps them distinct; this corpus is
+    // built to hit exactly that collision.
+    val irr = Seq(
+      (1L, "p q"),          // [p, q]
+      (2L, "p q "),         // [p, q, ''] — trailing space mints a real ''
+      (3L, "x  y"),         // [x, '', y]
+      (4L, " x z"),         // ['', x, z]
+      (5L, "m n r s"),
+      (6L, "m n r s"),      // exact duplicate: cnt>=2 fast path
+      (7L, "q")
+    ).toDF("doc_id", "text")
+    val toks = irr.collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val cnt = scala.collection.mutable.HashMap.empty[(Int, String), Int]
+    for ((_, w) <- toks; i <- w.indices; l <- 1 to SuffixOps.SuffixCap) {
+      val k = (l, w.slice(i, i + l).mkString(" "))
+      cnt.update(k, cnt.getOrElse(k, 0) + 1)
+    }
+    val naive = (for ((d, w) <- toks; i <- w.indices) yield {
+      val slen = math.min(SuffixOps.SuffixCap, w.length - i)
+      val depth = (1 to SuffixOps.SuffixCap).map { l =>
+        if (cnt((l, w.slice(i, i + l).mkString(" "))) >= 2) math.min(l, slen) else 0
+      }.max
+      (d, (i + 1).toLong) -> depth.toLong
+    }).toMap
+    val got = SuffixOps.saDepthRows(irr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.size === naive.size)
+    assert(got === naive, "irregular-whitespace depth diverges from the truncated-slice rederivation")
+    // the discriminating pair: doc 2's [p,q,''] shares only 2 tokens
+    // with doc 1's [p,q] — the old pad collision reported 3
+    assert(got((2L, 1L)) === 2L, "pad must not equal a genuine '' token")
+    assert(got((6L, 1L)) === 4L, "exact duplicate keeps the cnt>=2 depth")
+
+    // parametric cap: a planted 55-token duplicated run is invisible to
+    // the 16-cap engine but exact at cap 64 / threshold 50 — the
+    // published Lee-et-al. number
+    val run = (1 to 55).map(i => s"d$i").mkString(" ")
+    val long = Seq(
+      (10L, "alpha " + run),
+      (11L, run + " omega"),
+      (12L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val ex50 = SuffixOps.saDupExtents(long, 50, cap = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ex50.toSet === Set((10L, 2L, 56L, 55L), (11L, 1L, 55L, 55L)),
+      s"55-token planted run must surface whole at threshold 50: ${ex50.toSeq}")
+    // and the threshold is validated against the cap
+    intercept[IllegalArgumentException] {
+      SuffixOps.saDupExtents(long, 50)
+    }
+    // removal at the same threshold excises exactly the run
+    val rm = SuffixOps.saRemoveSpans(long, 50, cap = 64).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rm(10L) === ((56L, 55L, 1L)))
+    assert(rm(11L) === ((56L, 55L, 1L)))
+    assert(rm(12L) === ((4L, 0L, 4L)))
+  }
+
   test("pca: integer power iterate aligns with the double reference; projection laws") {
     val (e, lam) = Similarity.pcaEigen(emb)
     assert(lam > 0, s"gram top eigenvalue must be positive, got $lam")
