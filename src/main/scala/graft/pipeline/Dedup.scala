@@ -1040,28 +1040,41 @@ object Dedup {
 
   // ---- dedup clusters (connected components) -----------------------------
 
-  /** Skew-safe per-cluster member count: aggregate + join back, never
-    * `count().over(Window.partitionBy("cluster_id"))` — the window puts
-    * every member row of the LARGEST cluster into one task, and at
-    * 100 TB a boilerplate near-dup component can hold a large fraction
-    * of the corpus (the one non-AQE-splittable stage flagged in round
-    * 9). The shuffle join is AQE-skew-splittable and the counted
-    * relation is cluster-bounded. Output preserves (idCol, cluster_id,
-    * n_members).
+  /** Skew-safe per-cluster member count: aggregate + BROADCAST join,
+    * never `count().over(Window.partitionBy("cluster_id"))` — the
+    * window puts every member row of the LARGEST cluster into one task,
+    * and at 100 TB a boilerplate near-dup component can hold a large
+    * fraction of the corpus (the one non-AQE-splittable stage flagged
+    * in round 9).
     *
-    * `labeled` is deliberately NOT persisted for its two consumers:
-    * every caller's relation is a column-pruned id scan joined to
-    * labels derived from CHECKPOINTED loop state, so the double
-    * consumption re-reads one int64 column twice — measured strictly
-    * cheaper than building an InMemoryRelation (the persist cost
-    * ccStar ~2 s/run at bench SF), and the same trade holds at scale
-    * (a corpus-sized cache write+read ≈ two pruned scans, plus pinned
-    * storage). Recompute is deterministic: both inputs are
-    * checkpoint-backed or source scans. */
+    * The broadcast side is counts of MULTI-member clusters only
+    * (n ≥ 2): singletons — the overwhelming corpus majority — are
+    * reconstructed as fill(1) after a left join, so the broadcast
+    * relation is COMPONENT-bounded (≤ edge count / 2, the same bound
+    * the driver union-find fast path already banks on), never
+    * doc-count-bounded. That kills the round-10 shape's second
+    * shuffle+sort of the full labeled relation (round-10's reproduced
+    * ×1.8 on dedup_clusters, attributed this round by isolated
+    * fresh-JVM A/B: window 1.35 s floor, shuffled agg+join 2.15 s,
+    * this form 1.4 s) while keeping the skew safety: a broadcast hash
+    * join has no partition-by-cluster stage at all.
+    *
+    * `labeled` is deliberately NOT persisted for its two consumers
+    * (counts + the join probe): every caller's relation is a
+    * column-pruned id scan joined to labels derived from CHECKPOINTED
+    * loop state, so the double consumption re-reads one int64 column
+    * twice — measured strictly cheaper than building an
+    * InMemoryRelation (the persist cost ccStar ~2 s/run at bench SF),
+    * and the same trade holds at scale. Recompute is deterministic:
+    * both inputs are checkpoint-backed or source scans. Output
+    * preserves (idCol, cluster_id, n_members). */
   private def withMemberCounts(labeled: DataFrame, idCol: String): DataFrame =
     labeled.join(
-        labeled.groupBy("cluster_id").agg(count(lit(1)).cast("long").as("n_members")),
-        Seq("cluster_id"))
+        broadcast(labeled.groupBy("cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_members"))
+          .filter(col("n_members") >= 2L)),
+        Seq("cluster_id"), "left")
+      .na.fill(1L, Seq("n_members"))
       .select(col(idCol), col("cluster_id"), col("n_members"))
 
   /** Group near-duplicates into clusters: connected components over the

@@ -154,8 +154,10 @@ object SuffixOps {
     * rank rounds (each a distinct + range-sample + checkpoint +
     * offset collect) — measured isolated cold build at sf0.1:
     * 28.5 → 23.3 s.
-    * Shuffle keys are 8 short strings at the seed and (long, long)
-    * pairs after — no suffix string ever moves.
+    * Shuffle keys are int64 END TO END — tokens dictionary-encode to
+    * ids before the seed (see the encode note in the body), so no
+    * suffix string (nor any token string past the vocabulary pass)
+    * ever moves.
     *
     * Each level is [[graft.util.Materialize.bounded]] (NOT
     * corpus-persist): the doubling references the previous level twice
@@ -168,13 +170,36 @@ object SuffixOps {
     graft.util.Memo((docs.sparkSession, s"SuffixOps.levels.$cap", docs.semanticHash())) {
     require(cap >= 16 && Integer.bitCount(cap) == 1,
       s"suffix cap must be a power of two >= 16, got $cap")
-    val grams = (1 to 7).map(j => expr(encTokAtSql(j)).as(s"k${j + 1}"))
-    val pos8 = graft.util.Spread(docs.select("doc_id", "text"))
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("p0", "k1")))
+    // DICTIONARY-ENCODE tokens to int64 ids FIRST (round-11): the dense
+    // rank of the DISTINCT token set is order-preserving (tid order ==
+    // lexicographic token order) and injective, so ranking 8-gram id
+    // tuples IS ranking 8-gram token tuples — and every downstream
+    // shuffle row (the seed distinct, its join-back, each descent
+    // witness join) carries 8 longs instead of 8 strings, a measured
+    // ~2-3× byte reduction on the build's dominant shuffles. Found the
+    // hard way: the ×100 decade probe (124M positions) exceeded this
+    // container's ~50 GB free disk in shuffle+spill under string keys —
+    // single-node disk is the binding constraint the narrower rows
+    // attack. The encode pass costs one map-side-combinable distinct
+    // (vocabulary-sized output), one narrow corpus shuffle to join ids
+    // back, and one per-doc collect_list (doc-length-bounded) to
+    // rebuild positional arrays. Pads are id 0 < every real id (ids are
+    // 1-based), so a genuine '' token (id ≥ 1) can never collide with
+    // the pad — the round-10 advice fix, now by construction.
+    val toks = graft.util.Spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+    val tids = denseRankKeys(toks, Seq("tok"), "tid")
+    val docArr = tids.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("p0"), col("tid")))),
+        x => x.getField("tid")).as("wi"))
+      .transform(graft.util.Materialize.bounded)
+    val grams = (1 to 7).map(j =>
+      expr(s"IF(p0 + $j < size(wi), wi[p0 + $j], 0L)").as(s"k${j + 1}"))
+    val pos8 = docArr
+      .select(col("doc_id"), col("wi"), posexplode(col("wi")).as(Seq("p0", "k1")))
       .select(Seq(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        least(lit(cap.toLong), size(col("w")).cast("long") - col("p0")).as("slen"),
-        encTok(col("k1")).as("k1")) ++ grams: _*)
+        least(lit(cap.toLong), size(col("wi")).cast("long") - col("p0")).as("slen"),
+        col("k1")) ++ grams: _*)
     var rel = denseRankKeys(pos8, (1 to 8).map(j => s"k$j"), "r8", keepKeys = true)
       .drop("k5", "k6", "k7", "k8") // k1..k4 stay: they ARE levels 1/2/4
       .transform(graft.util.Materialize.bounded)

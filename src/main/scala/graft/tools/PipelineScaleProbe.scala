@@ -81,9 +81,27 @@ object PipelineScaleProbe {
         pmod(col("vec_id"), lit(8L)).cast("int").as("label"))
   }
 
+  /** Timed reps per point (min taken). SPARK_PROBE_REPS=0 → ONE COLD
+    * build, no untimed warmup: the disk-bounded mode for the largest
+    * decade points, where warmup+2 reps triples transient shuffle
+    * footprint and a 124M-position build alone is tens of GB (round-11:
+    * the ×100 sa_depth point filled /tmp under the default mode).
+    * Cold mode carries Janino compile (~seconds) inside the
+    * measurement — negligible at the hundreds-of-seconds scale the mode
+    * exists for, and stated alongside any number it produces. */
+  private val Reps: Int =
+    sys.env.getOrElse("SPARK_PROBE_REPS", "2").toInt
+
   private def time(body: => Long): (Double, Long) = {
+    if (Reps <= 0) {
+      graft.util.Memo.clear()
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = body
+      return ((System.nanoTime() - t0) / 1e9, rows)
+    }
     var rows = body // untimed warmup (Janino + shuffle files)
-    val t = (1 to 2).map { _ =>
+    val t = (1 to Reps).map { _ =>
       // the probe measures the BUILD's scaling — memoized artifacts
       // (IVF clustering, kNN graph, BPE vocab) must be rebuilt per run,
       // not served from the cross-entry cache
@@ -305,11 +323,19 @@ object PipelineScaleProbe {
 
     val rows = ops.filter(o =>
       opFilter.forall(_.split(",").exists(o._1.contains))).map { case (name, op) =>
+      // factor 1 = SINGLE-POINT mode (one size, one JVM): decade curves
+      // whose large point is disk-bounded run each point in its own
+      // process instead of tripling transient shuffle footprint here
       val (ts, rs) = time(op(base))
-      val (tb, rb) = time(op(base * factor))
-      println(f"[probe] $name%-12s ${base}%8d rows ${ts}%7.2fs ($rs%d pairs)   " +
-        f"${base * factor}%9d rows ${tb}%7.2fs ($rb%d pairs)   x${tb / ts}%.2f")
-      (ts, tb)
+      if (factor == 1) {
+        println(f"[probe] $name%-12s ${base}%8d rows ${ts}%7.2fs ($rs%d pairs)   single-point")
+        (ts, ts)
+      } else {
+        val (tb, rb) = time(op(base * factor))
+        println(f"[probe] $name%-12s ${base}%8d rows ${ts}%7.2fs ($rs%d pairs)   " +
+          f"${base * factor}%9d rows ${tb}%7.2fs ($rb%d pairs)   x${tb / ts}%.2f")
+        (ts, tb)
+      }
     }
     val (sSum, bSum) = (rows.map(_._1).sum, rows.map(_._2).sum)
     println(f"[probe] TOTAL ${sSum}%7.2fs -> ${bSum}%7.2fs  x${bSum / sSum}%.2f for x$factor data")

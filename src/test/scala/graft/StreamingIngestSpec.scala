@@ -193,6 +193,67 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(rows(3L) === ((0L, prefix("e"))))
   }
 
+  test("streaming span dedup hybrid: SA sweep is a fixed point on intact state and heals state loss exactly") {
+    // round-10 verdict item 6: streaming admits via window hashes
+    // (candidate-level, at-least-once); the maintenanceSweep SA pass
+    // re-adjudicates EXACTLY. Differential pinned here: intact stream
+    // state -> sweep removes nothing; lost index state -> sweep equals
+    // the batch SA removal over the degraded store.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-spanhybrid").toString
+    val cfg = graft.streaming.StreamingSpanDedup.Config(
+      s"$dir/index", s"$dir/rewritten", s"$dir/ckpt")
+    val span = (1 to 20).map(i => s"hy$i").mkString(" ")
+    def prefix(tag: String) = (1 to 18).map(i => s"$tag$i").mkString(" ")
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.StreamingSpanDedup.start(
+      s1.toDS().toDF("doc_id", "text"), cfg)
+    s1.addData((1L, prefix("a") + " " + span))          // first copy, kept
+    q1.processAllAvailable()
+    s1.addData((2L, prefix("b") + " " + span),          // cross-batch dup, excised
+      (3L, prefix("c")))                                // fresh, kept whole
+    q1.processAllAvailable(); q1.stop()
+    // the consumer contract: keep the longest kept version per doc_id
+    val keepW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("n_kept").desc, col("new_text"))
+    val admitted = spark.read.parquet(s"$dir/rewritten")
+      .withColumn("rn", row_number().over(keepW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("new_text").as("text"))
+      .filter(col("text") =!= "")
+      .localCheckpoint(true)
+    // (a) FIXED POINT: intact streaming state left exactly one copy of
+    // every span, so the exact SA sweep finds nothing to remove
+    val sweep = graft.streaming.StreamingSpanDedup.maintenanceSweep(admitted)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sweep.values.forall(_ == 0L),
+      s"sweep must be a no-op on intact stream state: $sweep")
+    // (b) STATE LOSS: a second pipeline with a FRESH index admits the
+    // span again (doc 4) — the store now holds two copies; the sweep
+    // excises the duplicated extent from BOTH (batch semantics), and is
+    // definitionally the batch SA removal over the degraded store
+    val degraded = admitted.unionByName(
+      Seq((4L, prefix("d") + " " + span)).toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val healed = graft.streaming.StreamingSpanDedup.maintenanceSweep(degraded)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    assert(healed(1L)._1 === 20L, "first copy loses the span under batch re-adjudication")
+    assert(healed(4L)._1 === 20L, "re-admitted copy loses the span")
+    assert(healed(3L)._1 === 0L, "unique doc untouched")
+    assert(healed(1L)._2 === prefix("a"), "prefix survives the sweep")
+    // and the healed store is itself a fixed point (no dup extents left)
+    val after = degraded.join(
+        Seq((1L, healed(1L)._2), (2L, healed(2L)._2), (3L, healed(3L)._2),
+          (4L, healed(4L)._2)).toDF("doc_id", "t2"), Seq("doc_id"))
+      .select(col("doc_id"), col("t2").as("text"))
+      .filter(col("text") =!= "")
+    assert(graft.pipeline.SuffixOps.saDupExtents(
+        after.localCheckpoint(true), graft.pipeline.Dedup.SpanLen).count() === 0L,
+      "sweep output must contain no duplicated extent")
+  }
+
   test("streaming pack: incremental sequence spans equal the batch pack; ledger survives restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
