@@ -1397,6 +1397,12 @@ object SparkEntry {
     // the same shared depth + level build as the extents
     "doc_sa_extent_sources" -> ((s, dir) =>
       SuffixOps.saExtentSources(Dedup.plantSpans(docs(s, dir)))),
+    // round-11: EXACT-SUBSTRING decontamination (the published Lee et
+    // al./GPT-3 train-test overlap standard; hashed-13-gram rule stays
+    // in doc_decontaminate) — benchmark window classes broadcast, train
+    // side resolves through the shared SA build's rank classes
+    "doc_sa_decontaminate" -> ((s, dir) =>
+      SuffixOps.saDecontaminate(Dedup.plantSpans(docs(s, dir)))),
     // round-9: realized temperature mixture (epochs + keyed-hash frac)
     "doc_mixture_sample" -> ((s, dir) => TextOps.mixtureSample(docs(s, dir))),
     // round-9: integer-exact PCA power iteration + principal-axis profile
@@ -2487,6 +2493,7 @@ object SparkEntry {
     "doc_sa_remove_spans" -> SuffixOps.saRemoveSpansOracle(8),
     "doc_sa_extents_t50" -> SuffixOps.saDupExtentsOracle(50),
     "doc_sa_extent_sources" -> SuffixOps.saExtentSourcesOracle(SuffixOps.SuffixCap),
+    "doc_sa_decontaminate" -> SuffixOps.saDecontaminateOracle(SuffixOps.SuffixCap),
     "doc_mixture_sample" -> TextOps.mixtureSampleOracle,
     "emb_pca_power" -> Similarity.pcaPowerOracle,
     "emb_pca_map" -> Similarity.pcaMapOracle,

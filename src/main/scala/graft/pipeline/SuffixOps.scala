@@ -13,9 +13,10 @@ import TextOps._
   * [[SuffixCap]]-token capped suffix — the generalized-suffix-array
   * order restricted to the match lengths dedup actually uses — via the
   * textbook doubling recurrence: rank_2k(i) = rank of the PAIR
-  * (rank_k(i), rank_k(i+k)), seeded from a 4-gram rank, so 3 rounds of
-  * sort+join replace any comparison of long strings. The shuffle keys are (int, int)
-  * pairs END TO END: no suffix string ever moves, which is the entire
+  * (rank_k(i), rank_k(i+k)), seeded from a dictionary-encoded 8-gram
+  * rank, so one doubling replaces any comparison of long strings. The
+  * shuffle keys are int64 END TO END (tokens dictionary-encode first):
+  * no suffix string ever moves, which is the entire
   * point of the algorithm at 100 TB (a naive sort of n suffix strings
   * moves O(n·cap) bytes; doubling moves O(n·log cap) ints).
   *
@@ -40,20 +41,6 @@ object SuffixOps {
     * Lee-et-al. threshold: cap = 64 covers "every duplicated extent
     * ≥ 50 tokens" (round-10 verdict item 1). */
   val SuffixCap = 16
-
-  /** Token encoding for rank keys: every REAL token is prefixed with
-    * 'T' and absent tail positions pad with '' — so the pad sorts below
-    * every token AND can never equal one. `split(text, ' ')` yields ''
-    * tokens for consecutive/leading/trailing spaces; with raw-token
-    * keys a short suffix's padded k-gram equals a longer suffix whose
-    * next token is a genuine '' (round-10 advice: merged ranks inflated
-    * depth on irregular-whitespace text, diverging from the truncated-
-    * slice oracles). A fixed shared prefix preserves token order, and
-    * '' («absent») < 'T' («empty token») < 'T'+t matches the oracles'
-    * truncated-slice string order exactly. */
-  private def encTok(c: Column): Column = concat(lit("T"), c)
-  private def encTokAtSql(j: Int): String =
-    s"IF(p0 + $j < size(w), 'T' || w[p0 + $j], '')"
 
   /** Dense rank (1-based) of the DISTINCT key tuples in lexicographic
     * order, joined back onto `rel` as column `out` — the two-phase
@@ -83,41 +70,16 @@ object SuffixOps {
   }
 
   /** (doc_id, pos, rank): rank of each position's capped suffix in the
-    * global generalized-suffix order. Round 0 ranks 4-GRAMS directly
-    * (the k-mer seeding every practical SA builder uses — 4 short
-    * strings per position in one distinct relation beats two extra
-    * doubling rounds of global ranking; measured 9.8 → ~6 s at sf0.1),
-    * then 2 doublings lift 4 → 8 → 16. Keys use the [[encTok]]
-    * encoding: pads sort below every token and never collide with a
-    * genuine '' token (the definitional tie rule, exactly). */
-  private[graft] def suffixRankRows(docs: DataFrame): DataFrame = {
-    val pos4 = graft.util.Spread(docs.select("doc_id", "text"))
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("p0", "k1")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        encTok(col("k1")).as("k1"),
-        expr(encTokAtSql(1)).as("k2"),
-        expr(encTokAtSql(2)).as("k3"),
-        expr(encTokAtSql(3)).as("k4"))
-    var r = denseRankKeys(pos4, Seq("k1", "k2", "k3", "k4"))
-      .select("doc_id", "pos", "rank")
-      .transform(graft.util.Materialize.corpus)
-    var k = 4
-    while (k < SuffixCap) {
-      // rank_2k(i) = dense rank of (rank_k(i), rank_k(i+k)); positions
-      // whose suffix ends before i+k pair with 0 — shorter sorts first
-      val shifted = r.select(col("doc_id"),
-        (col("pos") - k).as("pos"), col("rank").as("k2"))
-      val paired = r.withColumnRenamed("rank", "k1")
-        .join(shifted, Seq("doc_id", "pos"), "left")
-        .na.fill(0L, Seq("k2"))
-      r = denseRankKeys(paired, Seq("k1", "k2"))
-        .select("doc_id", "pos", "rank")
-        .transform(graft.util.Materialize.corpus)
-      k *= 2
-    }
-    r
-  }
+    * global generalized-suffix order — a projection of the ONE engine
+    * ([[suffixLevelRows]]'s top rank): int64-keyed 8-gram seed + one
+    * doubling, dictionary pad-below-token tie rule. Until round 11 this
+    * was a second, string-keyed 4-gram/2-doubling pipeline; the merged
+    * path is narrower on the wire and leaves a single SA implementation
+    * to verify (the definitional-sort spec and the DuckDB oracle both
+    * gate THIS engine now). */
+  private[graft] def suffixRankRows(docs: DataFrame): DataFrame =
+    suffixLevelRows(docs, SuffixCap)
+      .select(col("doc_id"), col("pos"), col(s"r$SuffixCap").as("rank"))
 
   /** Per-document suffix-order profile: position count, positions whose
     * capped suffix occurs elsewhere in the corpus (the duplicated-
@@ -139,11 +101,12 @@ object SuffixOps {
 
   // ---- LCP + exact duplicated extents (completes the Lee et al. SA recipe) --
 
-  /** ALL-LEVEL suffix view: (doc_id, pos, slen, k1..k4, r8, …, r{cap}),
+  /** ALL-LEVEL suffix view: (doc_id, pos, rem, k1..k4, r8, …, r{cap}),
     * where `r{k}` is the dense rank of the position's k-token capped
     * prefix, `k1..k4` are the position's first four tokens
-    * ([[encTok]]-encoded, '' pad), and `slen` = min(cap, tokens
-    * remaining). The greedy LCP descent in [[saDepthRows]] only needs
+    * (dictionary-encoded, 0 pad), and `rem` = tokens remaining
+    * (UNCAPPED — consumers clamp slen = least(cap, rem), which is what
+    * lets one chain serve every cap). The greedy LCP descent in [[saDepthRows]] only needs
     * EQUALITY per level, not order — order is needed solely to build
     * the next doubling — so levels 1/2/4 are served by the raw token
     * tuples (capped-gram equality IS capped-prefix equality, exact and
@@ -154,6 +117,14 @@ object SuffixOps {
     * rank rounds (each a distinct + range-sample + checkpoint +
     * offset collect) — measured isolated cold build at sf0.1:
     * 28.5 → 23.3 s.
+    *
+    * Caps CHAIN (round-11): `levels(cap)` for cap > 16 is ONE doubling
+    * on top of the memoized `levels(cap/2)` — the doubling recurrence
+    * only reads the previous level's ranks, and `rem` is cap-agnostic,
+    * so the cap-64 build behind the ≥50-token threshold shares the
+    * token encode, the 8-gram seed, and the 16-level with the cap-16
+    * engine instead of rebuilding them (the two builds' shared prefix
+    * is the expensive ~80% of each).
     * Shuffle keys are int64 END TO END — tokens dictionary-encode to
     * ids before the seed (see the encode note in the body), so no
     * suffix string (nor any token string past the vocabulary pass)
@@ -170,6 +141,18 @@ object SuffixOps {
     graft.util.Memo((docs.sparkSession, s"SuffixOps.levels.$cap", docs.semanticHash())) {
     require(cap >= 16 && Integer.bitCount(cap) == 1,
       s"suffix cap must be a power of two >= 16, got $cap")
+    if (cap > 16) {
+      // chain: one doubling on the memoized half-cap levels
+      val k = cap / 2
+      val prev = suffixLevelRows(docs, k)
+      val shifted = prev.select(col("doc_id"),
+        (col("pos") - k).as("pos"), col(s"r$k").as("nb"))
+      val paired = prev.join(shifted, Seq("doc_id", "pos"), "left")
+        .na.fill(0L, Seq("nb"))
+      denseRankKeys(paired, Seq(s"r$k", "nb"), s"r$cap", keepKeys = true)
+        .drop("nb")
+        .transform(graft.util.Materialize.bounded)
+    } else {
     // DICTIONARY-ENCODE tokens to int64 ids FIRST (round-11): the dense
     // rank of the DISTINCT token set is order-preserving (tid order ==
     // lexicographic token order) and injective, so ranking 8-gram id
@@ -198,25 +181,21 @@ object SuffixOps {
     val pos8 = docArr
       .select(col("doc_id"), col("wi"), posexplode(col("wi")).as(Seq("p0", "k1")))
       .select(Seq(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        least(lit(cap.toLong), size(col("wi")).cast("long") - col("p0")).as("slen"),
+        (size(col("wi")).cast("long") - col("p0")).as("rem"),
         col("k1")) ++ grams: _*)
-    var rel = denseRankKeys(pos8, (1 to 8).map(j => s"k$j"), "r8", keepKeys = true)
+    val r8 = denseRankKeys(pos8, (1 to 8).map(j => s"k$j"), "r8", keepKeys = true)
       .drop("k5", "k6", "k7", "k8") // k1..k4 stay: they ARE levels 1/2/4
       .transform(graft.util.Materialize.bounded)
-    // r2k = dense rank of (rk(i), rk(i+k)); a suffix ending before i+k
+    // r16 = dense rank of (r8(i), r8(i+8)); a suffix ending before i+8
     // pairs with 0, which sorts below every rank — shorter first
-    var k = 8
-    while (k < cap) {
-      val shifted = rel.select(col("doc_id"),
-        (col("pos") - k).as("pos"), col(s"r$k").as("nb"))
-      val paired = rel.join(shifted, Seq("doc_id", "pos"), "left")
-        .na.fill(0L, Seq("nb"))
-      rel = denseRankKeys(paired, Seq(s"r$k", "nb"), s"r${2 * k}", keepKeys = true)
-        .drop("nb")
-        .transform(graft.util.Materialize.bounded)
-      k *= 2
+    val shifted = r8.select(col("doc_id"),
+      (col("pos") - 8).as("pos"), col("r8").as("nb"))
+    val paired = r8.join(shifted, Seq("doc_id", "pos"), "left")
+      .na.fill(0L, Seq("nb"))
+    denseRankKeys(paired, Seq("r8", "nb"), "r16", keepKeys = true)
+      .drop("nb")
+      .transform(graft.util.Materialize.bounded)
     }
-    rel
     }
 
   /** Per-position DUPLICATION DEPTH — the LCP layer of the suffix-array
@@ -254,6 +233,7 @@ object SuffixOps {
   private[graft] def saDepthRows(docs: DataFrame, cap: Int = SuffixCap): DataFrame =
     graft.util.Memo((docs.sparkSession, s"SuffixOps.saDepth.$cap", docs.semanticHash())) {
       val lv = suffixLevelRows(docs, cap)
+        .withColumn("slen", least(lit(cap.toLong), col("rem")))
       val top = s"r$cap"
       // one pass per distinct rank: its member count AND a representative
       val cr = lv.groupBy(top)
@@ -400,8 +380,8 @@ object SuffixOps {
     import spark.implicits._
     val lv = suffixLevelRows(docs, minLen)
     val top = s"r$minLen"
-    // full windows only: slen == cap ⇔ the class key IS the window string
-    val wins = lv.filter(col("slen") === minLen.toLong)
+    // full windows only: rem >= cap ⇔ the class key IS the window string
+    val wins = lv.filter(col("rem") >= minLen.toLong)
       .select(col("doc_id"), col("pos"), col(top).as("cls"))
       .transform(graft.util.Materialize.bounded)
     val mAgg = new graft.operators.TopKAggregator(partnerCap + 1).toColumn
@@ -440,6 +420,87 @@ object SuffixOps {
         coalesce(col("partners"), lit("")).as("partners"))
       .orderBy("doc_id", "span_start")
   }
+
+  /** EXACT-SUBSTRING train/benchmark decontamination — the published
+    * standard for train-test overlap (Lee et al. 2022 §6.2 / GPT-3
+    * appendix C measure overlap with exact duplicated substrings, where
+    * [[graft.pipeline.TextOps.decontaminate]] implements the weaker
+    * hashed-13-gram rule): a train-side position is contaminated iff
+    * its `minLen`-token window occurs verbatim in ANY benchmark-side
+    * document (membership by [[graft.pipeline.TextOps.BenchMod]], the
+    * corpus' benchmark-split convention). Windows resolve through the
+    * [[suffixLevelRows]] rank classes — the train side never compares
+    * strings — and the benchmark class set is BROADCAST: benchmark
+    * suites are fixed-size (MB against 100 TB of train), so the only
+    * corpus-sized exchanges are the ones the shared SA build already
+    * paid. Maximal contaminated extents merge by gaps-and-islands;
+    * `contaminated_tokens` is the EXACT token coverage of the extent
+    * union (islands can overlap in tokens when gaps < minLen, so
+    * per-extent lengths are summed via the lag recurrence
+    * end − max(start, prev_end + 1) + 1 over the extent relation —
+    * extent-bounded, never a corpus window; island ends are strictly
+    * increasing, so one lag suffices). Output per contaminated train
+    * doc: (doc_id, n_extents, contaminated_tokens, max_extent_tokens),
+    * ordered. One [[suffixLevelRows]] build serves this, the extents,
+    * the attribution, and the depth entries. */
+  def saDecontaminate(docs: DataFrame, minLen: Int = SuffixCap): DataFrame = {
+    val lv = suffixLevelRows(docs, minLen)
+    val top = s"r$minLen"
+    val wins = lv.filter(col("rem") >= minLen.toLong)
+      .select(col("doc_id"), col("pos"), col(top).as("cls"))
+      .transform(graft.util.Materialize.bounded)
+    val benchCls = wins.filter(col("doc_id") % TextOps.BenchMod === 0)
+      .select("cls").distinct()
+    val qual = wins.filter(col("doc_id") % TextOps.BenchMod =!= 0)
+      .join(broadcast(benchCls), Seq("cls"))
+      .select("doc_id", "pos")
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    val extents = qual
+      .withColumn("grp", col("pos") - row_number().over(wn))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("s"),
+        (col("s") + col("run") + lit(minLen.toLong - 2)).as("e"))
+    val we = Window.partitionBy("doc_id").orderBy("s")
+    extents
+      .withColumn("pe", lag(col("e"), 1, -1L).over(we))
+      .withColumn("cov", col("e") - greatest(col("s"), col("pe") + 1) + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_extents"),
+        sum("cov").as("contaminated_tokens"),
+        max(col("e") - col("s") + 1).as("max_extent_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Definitional oracle for [[saDecontaminate]]: train windows grouped
+    * by EXACT string against the benchmark side's window set, islands,
+    * and the same lag-recurrence coverage — no ranks, no broadcast. */
+  def saDecontaminateOracle(minLen: Int): String =
+    s"""WITH base AS (SELECT doc_id, ${Dedup.plantedTextSql} AS text FROM documents),
+       |wins AS (
+       |  SELECT doc_id, u.i + 1 AS pos,
+       |         array_to_string(w[u.i + 1 : u.i + $minLen], ' ') AS s
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM base) d,
+       |       unnest(range(0, len(w) - $minLen + 1)) u(i)
+       |  WHERE len(w) >= $minLen),
+       |b AS (SELECT DISTINCT s FROM wins WHERE doc_id % ${TextOps.BenchMod} = 0),
+       |q AS (SELECT doc_id, pos FROM wins
+       |      WHERE doc_id % ${TextOps.BenchMod} != 0 AND s IN (SELECT s FROM b)),
+       |runs AS (
+       |  SELECT doc_id, min(pos) AS s,
+       |         min(pos) + count(*) + ${minLen - 2} AS e
+       |  FROM (SELECT doc_id, pos, pos - row_number() OVER (
+       |          PARTITION BY doc_id ORDER BY pos) AS grp FROM q) i
+       |  GROUP BY doc_id, grp),
+       |cov AS (
+       |  SELECT doc_id, s, e,
+       |         e - greatest(s, COALESCE(lag(e) OVER (
+       |           PARTITION BY doc_id ORDER BY s), -1) + 1) + 1 AS cov
+       |  FROM runs)
+       |SELECT doc_id, count(*)::BIGINT AS n_extents,
+       |       CAST(sum(cov) AS BIGINT) AS contaminated_tokens,
+       |       CAST(max(e - s + 1) AS BIGINT) AS max_extent_tokens
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Definitional oracle for [[saExtentSources]] at threshold `minLen`
     * over the planted corpus: windows grouped by EXACT string, extents

@@ -2823,6 +2823,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rm(12L) === ((4L, 0L, 4L)))
   }
 
+  test("sa decontaminate: only cross-side extents report; overlapping islands cover exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    def toks(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    // benchmark side: doc_id % BenchMod == 0. Doc 0 holds the 16-gram
+    // w1..w16, doc 7 holds w5..w20 — so train doc 1 (w1..w20) qualifies
+    // at start positions 1 and 5 ONLY (its windows @2..@4 exist nowhere
+    // on the benchmark side): two islands whose token ranges [1,16] and
+    // [5,20] OVERLAP. Exact union coverage = 20, naive sum = 32 — the
+    // lag recurrence must report 20. Train doc 2 repeats doc 3's text
+    // verbatim (a TRAIN-side duplicate): contaminated by nothing
+    // benchmark-side, so it must be ABSENT from the report.
+    val docs = Seq(
+      (0L, toks(1, 16)),            // benchmark
+      (7L, toks(5, 20)),            // benchmark
+      (1L, toks(1, 20)),            // train: two overlapping extents
+      (2L, toks(100, 140)),         // train dup pair — same side only
+      (3L, toks(100, 140)),
+      (4L, toks(200, 210))          // train, clean, too short anyway
+    ).toDF("doc_id", "text").localCheckpoint(true)
+    val got = SuffixOps.saDecontaminate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set(1L),
+      s"only the cross-side doc reports (train-side dups never do): $got")
+    assert(got(1L) === ((2L, 20L, 16L)),
+      s"overlapping islands must union to exact coverage 20: ${got(1L)}")
+    // benchmark docs never report themselves
+    assert(!got.contains(0L) && !got.contains(7L))
+  }
+
   test("pca: integer power iterate aligns with the double reference; projection laws") {
     val (e, lam) = Similarity.pcaEigen(emb)
     assert(lam > 0, s"gram top eigenvalue must be positive, got $lam")
