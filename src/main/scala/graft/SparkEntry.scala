@@ -69,6 +69,11 @@ object SparkEntry {
     "shared_pca_eigen" ->
       ((s, dir) => { Similarity.pcaEigen(emb(s, dir))
         Similarity.pcaEigenPair(emb(s, dir)); () }),
+    // the RAW-corpus suffix levels (doc_suffix_ranks is a projection of
+    // this build since the round-11 engine unification; suffixLevelRows
+    // memoizes, so without this builder min-of-2 would erase its cost)
+    "shared_suffix_levels" ->
+      ((s, dir) => { SuffixOps.suffixRankRows(docs(s, dir)).count(); () }),
     // the SA depth relation (all-level ranks + adjacent-rank LCP descent)
     // feeds doc_sa_lcp, doc_sa_dup_extents, doc_sa_remove_spans AND the
     // re-based doc_dup_spans_var/_removed (round-10 verdict item 2)
