@@ -42,31 +42,77 @@ object SuffixOps {
     * ≥ 50 tokens" (round-10 verdict item 1). */
   val SuffixCap = 16
 
-  /** Dense rank (1-based) of the DISTINCT key tuples in lexicographic
-    * order, joined back onto `rel` as column `out` — the two-phase
-    * global rank on the distinct relation. `keepKeys` retains the key
+  /** Dense rank (1-based) of the key tuples in lexicographic order,
+    * attached to `rel` as column `out`. `keepKeys` retains the key
     * columns in the output (the multi-level builder ranks the SAME
-    * relation at several granularities). */
+    * relation at several granularities).
+    *
+    * r11 shape (guide §2.3/§2.4): the FULL relation is range-sorted by
+    * the keys ONCE and dense ranks are assigned directly — per
+    * partition a streaming distinct counter, plus driver-prefix-scanned
+    * offsets with a boundary adjustment when a key straddles two
+    * partitions. The former shape (distinct → range sort → reliable
+    * checkpoint → pid window → join back onto `rel`) moved the key
+    * columns three times (distinct exchange + both join sides) and
+    * spent 6-7 jobs per rank; this one moves `rel` exactly once and
+    * spends 2 (range sample + boundary metadata collect — the rank
+    * pass itself rides the consumer's materialization, re-reading the
+    * exchange's shuffle files). Dense-rank-per-partition + offsets is
+    * the same two-phase discipline as before: no global-order window
+    * ever runs on one partition, and the boundary metadata is
+    * partition-count-sized. Determinism under retry: rank values are a
+    * pure function of the sorted key CONTENT (never of partition ids
+    * or sample outcomes — the range bounds are fixed once in the
+    * partitioner object), so a recomputed partition reproduces its
+    * ranks exactly. */
   private def denseRankKeys(rel: DataFrame, keys: Seq[String],
       out: String = "rank", keepKeys: Boolean = false): DataFrame = {
     val spark = rel.sparkSession
-    import spark.implicits._
     val kc = keys.map(col)
-    val dk = graft.util.Materialize.pinned(rel.select(kc: _*).distinct()
+    val rest = rel.columns.filterNot(keys.contains).toSeq
+    val ordered = rel.select((keys ++ rest).map(col): _*)
       .repartitionByRange(kc: _*)
       .sortWithinPartitions(kc: _*)
-      .withColumn("pid", spark_partition_id()))
-    val totals = dk.groupBy("pid").agg(count(lit(1)).as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.map(_._1)
-      .zip(totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot })
-      .toSeq.toDF("pid", "off")
-    val w = Window.partitionBy("pid").orderBy(kc: _*)
-    val ranked = dk.join(broadcast(offsets), Seq("pid"))
-      .withColumn(out, row_number().over(w).cast("long") + col("off"))
-      .select(kc :+ col(out): _*)
-    val joined = rel.join(ranked, keys)
-    if (keepKeys) joined else joined.drop(keys: _*)
+    val nk = keys.length
+    val rdd0 = ordered.rdd
+    // pass 1 (metadata-only collect): per-partition distinct count and
+    // boundary keys
+    val parts = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      var first: Seq[Any] = null
+      var prev: Seq[Any] = null
+      while (it.hasNext) {
+        val k = it.next().toSeq.take(nk)
+        if (prev == null || k != prev) { n += 1; if (first == null) first = k }
+        prev = k
+      }
+      Iterator.single((pid, n, first, prev))
+    }.collect().sortBy(_._1)
+    val offs = new Array[Long](parts.length)
+    var acc = 0L
+    var lastKey: Seq[Any] = null
+    for (((_, n, first, last), i) <- parts.zipWithIndex) {
+      val adj = if (first != null && lastKey != null && first == lastKey) 1L else 0L
+      offs(i) = acc - adj
+      acc += n - adj
+      if (last != null) lastKey = last
+    }
+    val offsB = spark.sparkContext.broadcast(offs)
+    val schema = org.apache.spark.sql.types.StructType(ordered.schema.fields :+
+      org.apache.spark.sql.types.StructField(out,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      rdd0.mapPartitionsWithIndex { (pid, it) =>
+        var r = offsB.value(pid)
+        var prev: Seq[Any] = null
+        it.map { row =>
+          val k = row.toSeq.take(nk)
+          if (prev == null || k != prev) r += 1
+          prev = k
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+        }
+      }, schema)
+    if (keepKeys) ranked else ranked.drop(keys: _*)
   }
 
   /** (doc_id, pos, rank): rank of each position's capped suffix in the
@@ -137,64 +183,80 @@ object SuffixOps {
     * Catalyst re-analysis dominates every downstream action (measured
     * 14 s of pure re-planning at sf0.01). The iterative-loop-state rule
     * from Materialize's doc applies verbatim. */
+  /** The 8-GRAM SEED relation (doc_id, pos, rem, k1..k8, r8), memoized
+    * per corpus and shared by every cap's level chain AND the LCP
+    * descent's final sub-8 tuple fetch (see [[saDepthRows]]).
+    *
+    * DICTIONARY-ENCODE tokens to int64 ids FIRST (round-11): the dense
+    * rank of the DISTINCT token set is order-preserving (tid order ==
+    * lexicographic token order) and injective, so ranking 8-gram id
+    * tuples IS ranking 8-gram token tuples — and every downstream
+    * shuffle row (the seed distinct, its join-back, each descent
+    * witness join) carries 8 longs instead of 8 strings, a measured
+    * ~2-3× byte reduction on the build's dominant shuffles. Found the
+    * hard way: the ×100 decade probe (124M positions) exceeded this
+    * container's ~50 GB free disk in shuffle+spill under string keys —
+    * single-node disk is the binding constraint the narrower rows
+    * attack. The encode pass costs one map-side-combinable distinct
+    * (vocabulary-sized output), one narrow corpus shuffle to join ids
+    * back (broadcast hash when the vocabulary is provably small — see
+    * [[RankBroadcastRows]]), and one per-doc collect_list
+    * (doc-length-bounded) to rebuild positional arrays. Pads are id 0 <
+    * every real id (ids are 1-based), so a genuine '' token (id ≥ 1)
+    * can never collide with the pad — the round-10 advice fix, now by
+    * construction. k5..k8 are RETAINED on the seed (r11): the LCP
+    * descent fetches the aligned 8-token tuples once instead of
+    * re-joining the level relation at k = 4/2/1 (guide §2.4 — four
+    * corpus-sized equi-joins removed per depth build). */
+  private[graft] def gram8Rows(docs: DataFrame): DataFrame =
+    graft.util.Memo((docs.sparkSession, "SuffixOps.g8", docs.semanticHash())) {
+      val toks = graft.util.Spread(docs.select("doc_id", "text"))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+      val tids = denseRankKeys(toks, Seq("tok"), "tid")
+      val docArr = tids.groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("p0"), col("tid")))),
+          x => x.getField("tid")).as("wi"))
+        .transform(graft.util.Materialize.bounded)
+      val grams = (1 to 7).map(j =>
+        expr(s"IF(p0 + $j < size(wi), wi[p0 + $j], 0L)").as(s"k${j + 1}"))
+      val pos8 = docArr
+        .select(col("doc_id"), col("wi"), posexplode(col("wi")).as(Seq("p0", "k1")))
+        .select(Seq(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          (size(col("wi")).cast("long") - col("p0")).as("rem"),
+          col("k1")) ++ grams: _*)
+      denseRankKeys(pos8, (1 to 8).map(j => s"k$j"), "r8", keepKeys = true)
+        .transform(graft.util.Materialize.bounded)
+    }
+
   private[graft] def suffixLevelRows(docs: DataFrame, cap: Int = SuffixCap): DataFrame =
     graft.util.Memo((docs.sparkSession, s"SuffixOps.levels.$cap", docs.semanticHash())) {
     require(cap >= 16 && Integer.bitCount(cap) == 1,
       s"suffix cap must be a power of two >= 16, got $cap")
+    // The doubling pairs rank(i) with rank(i+k). Positions are DENSE
+    // consecutive ints per doc (posexplode of the full token array), so
+    // the pair partner is `lead(rank, k)` over the per-doc position
+    // window — ONE exchange by doc_id instead of the former self-join's
+    // two hash exchanges + two sorts (guide §2.4); a suffix ending
+    // before i+k gets coalesce→0, which sorts below every rank —
+    // shorter first, same tie rule as before.
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
     if (cap > 16) {
       // chain: one doubling on the memoized half-cap levels
       val k = cap / 2
       val prev = suffixLevelRows(docs, k)
-      val shifted = prev.select(col("doc_id"),
-        (col("pos") - k).as("pos"), col(s"r$k").as("nb"))
-      val paired = prev.join(shifted, Seq("doc_id", "pos"), "left")
-        .na.fill(0L, Seq("nb"))
+      val paired = prev.withColumn("nb",
+        coalesce(lead(col(s"r$k"), k).over(wd), lit(0L)))
       denseRankKeys(paired, Seq(s"r$k", "nb"), s"r$cap", keepKeys = true)
         .drop("nb")
         .transform(graft.util.Materialize.bounded)
     } else {
-    // DICTIONARY-ENCODE tokens to int64 ids FIRST (round-11): the dense
-    // rank of the DISTINCT token set is order-preserving (tid order ==
-    // lexicographic token order) and injective, so ranking 8-gram id
-    // tuples IS ranking 8-gram token tuples — and every downstream
-    // shuffle row (the seed distinct, its join-back, each descent
-    // witness join) carries 8 longs instead of 8 strings, a measured
-    // ~2-3× byte reduction on the build's dominant shuffles. Found the
-    // hard way: the ×100 decade probe (124M positions) exceeded this
-    // container's ~50 GB free disk in shuffle+spill under string keys —
-    // single-node disk is the binding constraint the narrower rows
-    // attack. The encode pass costs one map-side-combinable distinct
-    // (vocabulary-sized output), one narrow corpus shuffle to join ids
-    // back, and one per-doc collect_list (doc-length-bounded) to
-    // rebuild positional arrays. Pads are id 0 < every real id (ids are
-    // 1-based), so a genuine '' token (id ≥ 1) can never collide with
-    // the pad — the round-10 advice fix, now by construction.
-    val toks = graft.util.Spread(docs.select("doc_id", "text"))
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
-    val tids = denseRankKeys(toks, Seq("tok"), "tid")
-    val docArr = tids.groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("p0"), col("tid")))),
-        x => x.getField("tid")).as("wi"))
-      .transform(graft.util.Materialize.bounded)
-    val grams = (1 to 7).map(j =>
-      expr(s"IF(p0 + $j < size(wi), wi[p0 + $j], 0L)").as(s"k${j + 1}"))
-    val pos8 = docArr
-      .select(col("doc_id"), col("wi"), posexplode(col("wi")).as(Seq("p0", "k1")))
-      .select(Seq(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        (size(col("wi")).cast("long") - col("p0")).as("rem"),
-        col("k1")) ++ grams: _*)
-    val r8 = denseRankKeys(pos8, (1 to 8).map(j => s"k$j"), "r8", keepKeys = true)
-      .drop("k5", "k6", "k7", "k8") // k1..k4 stay: they ARE levels 1/2/4
-      .transform(graft.util.Materialize.bounded)
-    // r16 = dense rank of (r8(i), r8(i+8)); a suffix ending before i+8
-    // pairs with 0, which sorts below every rank — shorter first
-    val shifted = r8.select(col("doc_id"),
-      (col("pos") - 8).as("pos"), col("r8").as("nb"))
-    val paired = r8.join(shifted, Seq("doc_id", "pos"), "left")
-      .na.fill(0L, Seq("nb"))
-    denseRankKeys(paired, Seq("r8", "nb"), "r16", keepKeys = true)
-      .drop("nb")
-      .transform(graft.util.Materialize.bounded)
+      val r8 = gram8Rows(docs)
+        .drop("k5", "k6", "k7", "k8") // k1..k4 stay: they ARE levels 1/2/4
+      val paired = r8.withColumn("nb",
+        coalesce(lead(col("r8"), 8).over(wd), lit(0L)))
+      denseRankKeys(paired, Seq("r8", "nb"), "r16", keepKeys = true)
+        .drop("nb")
+        .transform(graft.util.Materialize.bounded)
     }
     }
 
@@ -247,22 +309,19 @@ object SuffixOps {
         .join(reps.select((col(top) - 1).as("ra"), col("rd").as("db"),
           col("rp").as("pb"), col("rl").as("lb")), Seq("ra"))
         .withColumn("l", lit(0L))
-      // level -> the equality witness: ordered ranks for 8 and above
-      // (doubling artifacts), raw token tuples for 4/2/1 (prefix
-      // equality there IS token equality — exact, and cheaper than two
-      // more dense-rank builds)
-      def witness(k: Int) = k match {
-        case 4 => struct(col("k1"), col("k2"), col("k3"), col("k4"))
-        case 2 => struct(col("k1"), col("k2"))
-        case 1 => col("k1")
-        case _ => col(s"r$k")
-      }
-      val levels = Iterator.iterate(cap / 2)(_ / 2).takeWhile(_ >= 1).toSeq
-      for (k <- levels) {
+      // levels ≥ 8 use the doubling ranks as equality witnesses (rank
+      // equality IS prefix equality); the sub-8 tail is resolved by ONE
+      // aligned 8-token-tuple fetch + an expression cascade instead of
+      // the former 4/2/1 witness joins (r11, guide §2.4): greedy binary
+      // descent over aligned power-of-2 tuple tests computes exactly
+      // min(7, leading-equal-token-count), and so does the cascade —
+      // same value, four fewer corpus-sized equi-joins per build.
+      val rankLevels = Iterator.iterate(cap / 2)(_ / 2).takeWhile(_ >= 8).toSeq
+      for (k <- rankLevels) {
         val lvA = lv.select(col("doc_id").as("ja"), col("pos").as("qa"),
-          witness(k).as("rka"))
+          col(s"r$k").as("rka"))
         val lvB = lv.select(col("doc_id").as("jb"), col("pos").as("qb"),
-          witness(k).as("rkb"))
+          col(s"r$k").as("rkb"))
         pairs = pairs
           .join(lvA, col("da") === col("ja") &&
             (col("pa") + col("l")) === col("qa"), "left")
@@ -272,18 +331,50 @@ object SuffixOps {
             col("l") + when(col("rka") === col("rkb"), lit(k.toLong)).otherwise(0L))
           .drop("ja", "qa", "rka", "jb", "qb", "rkb")
       }
-      // pair (ra, ra+1): its LCP bounds the depth of BOTH endpoint ranks
+      // sub-8 tail: fetch both sides' aligned 8-token tuples at the
+      // current offset from the shared seed and add the leading-equal
+      // count, capped at 7 (adjacent DISTINCT ranks bound the remaining
+      // match below 8; a both-sides-exhausted full match overshoots and
+      // is restored by the final least() clamp exactly as before). A
+      // missing row (offset past doc end) or any null comparison yields
+      // 0 through the when-cascade, the old left-join semantics.
+      val g8 = gram8Rows(docs)
+      val tupA = g8.select(col("doc_id").as("ja"), col("pos").as("qa"),
+        array((1 to 8).map(j => col(s"k$j")): _*).as("ta"))
+      val tupB = g8.select(col("doc_id").as("jb"), col("pos").as("qb"),
+        array((1 to 8).map(j => col(s"k$j")): _*).as("tb"))
+      def leadEq(j: Int): Column =
+        if (j >= 7) lit(0L)
+        else when(col("ta").getItem(j) === col("tb").getItem(j),
+          lit(1L) + leadEq(j + 1)).otherwise(lit(0L))
+      pairs = pairs
+        .join(tupA, col("da") === col("ja") &&
+          (col("pa") + col("l")) === col("qa"), "left")
+        .join(tupB, col("db") === col("jb") &&
+          (col("pb") + col("l")) === col("qb"), "left")
+        .withColumn("l", col("l") + coalesce(leadEq(0), lit(0L)))
+        .drop("ja", "qa", "ta", "jb", "qb", "tb")
+      // pair (ra, ra+1): its LCP bounds the depth of BOTH endpoint ranks.
+      // explode, NOT a union of two projections: a union would reference
+      // the un-materialized descent subtree twice and Catalyst re-executes
+      // it per branch (r11 fix — the whole multi-join descent ran twice;
+      // explode emits both endpoint rows in one evaluation)
       val lcp = pairs.select(col("ra"),
         least(col("l"), col("la"), col("lb")).as("lcp"))
-      val nbr = lcp.select(col("ra").as(top), col("lcp"))
-        .unionByName(lcp.select((col("ra") + 1).as(top), col("lcp")))
+      val nbr = lcp
+        .select(explode(array(col("ra"), col("ra") + 1)).as(top), col("lcp"))
         .groupBy(top).agg(max("lcp").as("nd"))
-      lv.join(cr.select(top, "cnt"), Seq(top))
+      val out = lv.join(cr.select(top, "cnt"), Seq(top))
         .join(nbr, Seq(top), "left")
         .select(col("doc_id"), col("pos"), col("slen"),
           when(col("cnt") >= 2, col("slen"))
             .otherwise(coalesce(col("nd"), lit(0L))).as("depth"))
-        .transform(graft.util.Materialize.bounded)
+      // dev hook: dump the pre-materialization build plan (the entry
+      // plans only show this build's checkpointed leaf)
+      if (sys.env.contains("GRAFT_EXPLAIN_SA"))
+        println(out.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      out.transform(graft.util.Materialize.bounded)
     }
 
   /** Per-document LCP/depth profile: position count, duplicated-prefix

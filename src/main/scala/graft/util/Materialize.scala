@@ -73,6 +73,16 @@ object Materialize {
         System.getProperty("java.io.tmpdir"), s"graft-ckpt-${sc.applicationId}")
       sc.setCheckpointDir(dir.getAbsolutePath)
     }
-    df.checkpoint(eager = true)
+    // persist-before-checkpoint (r11 optimization, guide §5): an eager
+    // reliable checkpoint otherwise computes the plan TWICE — once for
+    // the materializing count, once more when doCheckpoint() re-runs the
+    // lineage to write the checkpoint files. The persist makes the write
+    // pass read cached blocks instead of recomputing a corpus-sized
+    // distinct+sort; unpersisted immediately after, so nothing stays
+    // pinned past the build.
+    val pre = df.persist(CorpusLevel)
+    val out = pre.checkpoint(eager = true)
+    pre.unpersist(blocking = false)
+    out
   }
 }
