@@ -46,32 +46,34 @@ object Bench {
     // shared artifact instead of re-paying (or min-of-2-erasing) the
     // training inside whichever entry happens to run first. Single run,
     // no min-of-2: a build happens once per deployment, cache-cold.
-    // The builders are independent (Memo keys are distinct per artifact)
-    // and each one leaves the 32-core scheduler idle between its driver
-    // iterations, so they run CONCURRENTLY on a small thread pool
-    // (round-7 verdict item 8): per-build times still accrue to the
-    // total (the cost is real), and the WALL time of the overlapped
-    // phase is reported separately as "shared_build_wall".
+    //
+    // r11 measurement fix (declared in OPTIMIZATION_r11.md): builds run
+    // SEQUENTIALLY. Round 7 overlapped them on a 4-thread pool while
+    // still summing per-build times into the total — but with 12 heavy
+    // builds the concurrent builds contend for the same 32 cores and
+    // each build's measured time includes the others' load (measured at
+    // r11 head: the suffix family read 60.5 s contended vs 45.7 s
+    // isolated, same code). Sequential runs give each build the whole
+    // scheduler, so the summed total is a sum of ISOLATED costs — the
+    // number a deployment actually pays per build — at the price of a
+    // longer bench wall-clock. shared_build_wall stays reported; builds
+    // that share a memoized prefix (the suffix-level chain) run in
+    // dependency-friendly declaration order, so each slot times its own
+    // increment exactly like before.
     System.gc()
     val sharedWall0 = System.nanoTime()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(4, SparkEntry.sharedBuilds.size)))
-    val sharedFutures = SparkEntry.sharedBuilds.map { case (name, fn) =>
-      name -> pool.submit(new java.util.concurrent.Callable[Double] {
-        def call(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            errors.synchronized { errors.getOrElseUpdate(name,
-              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
-            -1.0
-          }
+    val sharedTimes: Seq[(String, Double)] = SparkEntry.sharedBuilds.map {
+      case (name, fn) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val t = try { fn(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          -1.0
         }
-      })
+        name -> t
     }
-    val sharedTimes: Seq[(String, Double)] =
-      sharedFutures.map { case (name, f) => name -> f.get() }
-    pool.shutdown()
     val sharedWall = (System.nanoTime() - sharedWall0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min of two runs: this microVM throttles bursty CPU, and a single

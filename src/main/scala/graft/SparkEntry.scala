@@ -84,7 +84,16 @@ object SparkEntry {
     // lift the engine to the published >=50-token threshold class
     "shared_sa_depth64" ->
       ((s, dir) => { SuffixOps.saDepthRows(
-        Dedup.plantSpans(docs(s, dir)), cap = 64).count(); () }))
+        Dedup.plantSpans(docs(s, dir)), cap = 64).count(); () }),
+    // the exact-Jaccard near-dup pair relation (r11): six entries
+    // consume it (ngram_jaccard, clusters, keep_best, cc_star,
+    // corpus_report, lsh_sweep's truth side) — built and accounted once
+    "shared_jaccard_pairs" ->
+      ((s, dir) => { Dedup.jaccardPairs(docs(s, dir)).count(); () }),
+    // the MinHash signature + banded-candidate triple (r11): consumed by
+    // minhash_lsh, minhash_est_eval, lsh_sweep
+    "shared_minhash_sig" ->
+      ((s, dir) => { Dedup.minhashParts(docs(s, dir))._3.count(); () }))
 
   private def influx(spark: SparkSession, sfDir: String, q: String): DataFrame =
     influxCat(spark, EventsAdapter.catalog(spark, sfDir), q)

@@ -81,18 +81,47 @@ object Dedup {
     * consumers ([[clusters]], [[keepBest]]) feed the pairs straight into
     * the propagation loop, where a total order buys nothing but a range
     * exchange. */
-  private def jaccardPairs(docs: DataFrame): DataFrame = {
-    // materialize the shingle relation once: it feeds the self-join
-    // (twice) and the count side — without this, the tokenize + md5 +
-    // explode lineage recomputes per consumer. Corpus-scale, so it
-    // takes the spill-safe Materialize.corpus policy (MEMORY_AND_DISK,
-    // evictable, spills).
-    val sh = shingleRows(docs).transform(graft.util.Materialize.corpus)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
+  /** Memoized per (session, corpus): the exact-Jaccard near-dup pair
+    * relation is consumed by SIX entries in a run (ngram_jaccard,
+    * clusters, keep_best, cc_star, corpus_report, lsh_sweep's truth
+    * side), each of which previously re-paid the shingle explode + the
+    * banded self-join + the exact verify (r11, guide §2.4 — compute
+    * once, reuse). Bench accounts the build once in its shared_build
+    * phase (`shared_jaccard_pairs`); the result is pair-count-bounded
+    * (near-dup graphs are sparse by construction — the same bound the
+    * driver union-find fast path banks on), so it takes the bounded
+    * localCheckpoint policy. */
+  private[graft] def jaccardPairs(docs: DataFrame): DataFrame =
+    graft.util.Memo((docs.sparkSession, "Dedup.jaccardPairs", docs.semanticHash())) {
+      graft.util.Materialize.bounded(jaccardPairsBuild(docs))
+    }
+
+  /** Memoized per (session, corpus): the shingle-intersection relation
+    * (i, j, inter) over co-shingling doc pairs plus the per-doc shingle
+    * counts — the expensive self-join shared by [[jaccardPairs]] and
+    * [[containment]] (r11: containment previously re-paid the whole
+    * join). The count side is doc-bounded; the intersection relation is
+    * candidate-pair-bounded and takes the spill-safe corpus persist. */
+  private def interParts(docs: DataFrame): (DataFrame, DataFrame) =
+    graft.util.Memo((docs.sparkSession, "Dedup.interParts", docs.semanticHash())) {
+      // materialize the shingle relation once: it feeds the self-join
+      // (twice) and the count side — without this, the tokenize + md5 +
+      // explode lineage recomputes per consumer. Corpus-scale, so it
+      // takes the spill-safe Materialize.corpus policy (MEMORY_AND_DISK,
+      // evictable, spills).
+      val sh = shingleRows(docs).transform(graft.util.Materialize.corpus)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .transform(graft.util.Materialize.bounded)
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("inter"))
+        .transform(graft.util.Materialize.corpus)
+      (cnt, inter)
+    }
+
+  private def jaccardPairsBuild(docs: DataFrame): DataFrame = {
+    val (cnt, inter) = interParts(docs)
     inter
       .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
       .join(broadcast(cnt.as("cb")), col("j") === col("cb.doc_id"))
@@ -577,12 +606,9 @@ object Dedup {
     * (one intersection aggregation serves both directions).
     * Output (i, j, cont_i_fp, cont_j_fp). */
   def containment(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs).transform(graft.util.Materialize.corpus)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
+    // shares the memoized shingle-intersection relation with
+    // [[jaccardPairs]] (r11) — only the threshold/output math differs
+    val (cnt, inter) = interParts(docs)
     inter
       .join(broadcast(cnt.as("ca")), col("i") === col("ca.doc_id"))
       .join(broadcast(cnt.as("cb")), col("j") === col("cb.doc_id"))
@@ -718,7 +744,20 @@ object Dedup {
     * signature relation, banded candidate pairs. Consumed by
     * [[minhashLsh]] (threshold verify) and [[minhashEstEval]]
     * (estimate-vs-exact report). */
-  private[graft] def minhashParts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def minhashParts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    // memoized per (session, corpus) — r11: three entries consume this
+    // triple (minhash_lsh, minhash_est_eval, lsh_sweep) and each
+    // previously re-paid the signature aggregate + banded self-join.
+    // Bench accounts the build once (`shared_minhash_sig`); the persists
+    // inside are the corpus policy, the candidate relation is
+    // pair-bounded (banded), so the memo holds only persisted/bounded
+    // relations.
+    graft.util.Memo((docs.sparkSession, "Dedup.minhashParts", docs.semanticHash())) {
+      val (sh, sig, cand) = minhashPartsBuild(docs)
+      (sh, sig, graft.util.Materialize.bounded(cand))
+    }
+
+  private def minhashPartsBuild(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // shingles feed the signature build AND the verify self-join AND the
     // set-size counts — materialize once (6 consumers otherwise re-run
     // the tokenize+hash+explode lineage; this one call took 13 s/query
@@ -1294,11 +1333,8 @@ object Dedup {
       val r = df.agg(count(lit(1)), coalesce(sum(expr("hash(u, v)")), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
-    var s = sig(e)
-    var rounds = 0
-    var stable = false
-    while (!stable && rounds < 40) {
-      val cur = e
+    // one large-star + small-star round as a pure plan transform
+    def roundStep(cur: DataFrame): DataFrame = {
       // LARGE-STAR: over the symmetric closure, center u connects every
       // strictly-larger neighbor to m = min(N(u) ∪ {u}). Intermediate
       // relations stay UNDEDUPED — min-aggregates are duplicate-blind
@@ -1315,11 +1351,25 @@ object Dedup {
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
       val sm = o.groupBy("u").agg(min("v").as("m"))
-      val next = o.join(sm, Seq("u"))
+      o.join(sm, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(sm.filter(col("u") =!= col("m")).select(col("u"), col("m").as("v")))
         .distinct()
+    }
+    var s = sig(e)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 40) {
+      // exactly ONE star round per materialization: each round body
+      // references its input several times (symmetric-closure union,
+      // aggregate + join pairs), which is free against a checkpointed
+      // leaf but multiplies compute when chained un-materialized —
+      // fusing two rounds per checkpoint was measured 2× SLOWER at
+      // sf0.1 (11.7 s vs 6.1 s: only exchanges are runtime-reused;
+      // the post-exchange operators of the inner round re-execute per
+      // reference).
+      val next = roundStep(e)
       e = graft.util.Materialize.bounded(next)
       rounds += 1
       val s2 = sig(e)

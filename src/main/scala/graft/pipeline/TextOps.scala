@@ -1312,29 +1312,66 @@ object TextOps {
   /** The curated tokenizer's merge table (Bench's shared-build hook). */
   def bpeTrainCurated(raw: DataFrame): DataFrame = bpeCoreCurated(raw)._1
 
-  /** Eagerly builds + materializes a BPE core triple from a collapsed
-    * (word, cnt) frequency relation. */
-  private def bpeCoreBuild(wordFreq: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  /** Apply a symbol-disjoint merge batch to a checkpointed (word, cnt,
+    * pos, sym, nxt) relation — ONE window spec end to end (r11, guide
+    * §2.4): the parity pick runs as window expressions over
+    * (word ORDER BY pos) instead of the former second window keyed
+    * (word, runkey) plus a (word, pos) self-join of the selection back
+    * onto the marked relation (two exchanges + two sorts per round,
+    * gone). Selection rule unchanged and oracle-identical: a candidate
+    * is selected iff its offset within its maximal run of ADJACENT
+    * candidate rows is even — `rn − run-start-rn` here, `crank − minr`
+    * before, equal because run rows are adjacent so both differences
+    * count rows since the run's first candidate. The output carries the
+    * NEXT round's `nxt` (lead over the same window), so the next pool
+    * count is a plain aggregate over the checkpoint — no re-window. */
+  private def applyMergeBatch(rows: DataFrame, acceptedDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = wordFreq.sparkSession
-    import spark.implicits._
     val w = Window.partitionBy("word").orderBy("pos")
-    var rows = wordFreq
+    val runFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(acceptedDf),
+        col("sym") === col("pa") && col("nxt") === col("pb"), "left_outer")
+      .withColumn("cand", col("pa").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("runstart",
+        col("cand") && !coalesce(lag("cand", 1).over(w), lit(false)))
+      .withColumn("rsrn", max(when(col("runstart"), col("rn"))).over(runFrame))
+      .withColumn("sel", col("cand") && ((col("rn") - col("rsrn")) % 2 === 0))
+      .withColumn("psel", lag("sel", 1).over(w))
+      .filter(!coalesce(col("psel"), lit(false)))
+      .select(col("word"), col("cnt"), col("pos"),
+        when(col("sel"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+      .withColumn("nxt", lead("sym", 1).over(w))
+  }
+
+  /** Initial per-word symbol relation (word, cnt, pos, sym, nxt). */
+  private def symRows(wordFreq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("word").orderBy("pos")
+    wordFreq
       .select(col("word"), col("cnt"),
         // Spark's split runs with limit -1 → a trailing '' element; drop it
         posexplode(split(col("word"), "(?!^)")).as(Seq("pos", "sym")))
       .filter(col("sym") =!= "")
-      .localCheckpoint(true)
+      .withColumn("nxt", lead("sym", 1).over(w))
+  }
+
+  /** Eagerly builds + materializes a BPE core triple from a collapsed
+    * (word, cnt) frequency relation. */
+  private def bpeCoreBuild(wordFreq: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    var rows = symRows(wordFreq).localCheckpoint(true)
     def total(r: Int) = rows.agg(coalesce(sum("cnt"), lit(0L)).as("total_symbols"))
       .select(lit(r.toLong).as("round"), col("total_symbols"))
     var totals = total(0)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, String, Long, String)]
     for (r <- 0 until BpeRounds) {
-      val p = rows.withColumn("nxt", lead("sym", 1).over(w))
       // candidate pool: the driver sees exactly ≤ BpePool rows (bounded,
-      // the qtTrain discipline) — TakeOrdered, deterministic total order
-      val pool = p.filter(col("nxt").isNotNull)
+      // the qtTrain discipline) — TakeOrdered, deterministic total order.
+      // `nxt` rides the checkpoint, so this is one aggregate, no window.
+      val pool = rows.filter(col("nxt").isNotNull)
         .groupBy(col("sym"), col("nxt")).agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("sym"), col("nxt")).limit(BpePool)
         .collect()
@@ -1355,23 +1392,7 @@ object TextOps {
       // pairs can never be adjacent, so one candidate mark + the
       // single-pair run-parity pick applies to the whole batch
       val acceptedDf = batch.map { case (pa, pb, _) => (pa, pb) }.toDF("pa", "pb")
-      val m = p.join(broadcast(acceptedDf),
-          col("sym") === col("pa") && col("nxt") === col("pb"), "left_outer")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cand", col("pa").isNotNull)
-      val sel = m.filter(col("cand"))
-        .withColumn("crank", row_number().over(w))
-        .withColumn("runkey", col("rn") - col("crank"))
-        .withColumn("minr", min("crank").over(Window.partitionBy("word", "runkey")))
-        .select(col("word"), col("pos"),
-          (((col("crank") - col("minr")) % 2) === 0).as("sel"))
-      rows = m.join(sel, Seq("word", "pos"), "left_outer")
-        .withColumn("sel", coalesce(col("sel"), lit(false)))
-        .withColumn("psel", lag("sel", 1).over(w))
-        .filter(!coalesce(col("psel"), lit(false)))
-        .select(col("word"), col("cnt"), col("pos"),
-          when(col("sel"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
-        .localCheckpoint(true)
+      rows = applyMergeBatch(rows, acceptedDf).localCheckpoint(true)
       totals = totals.unionAll(total(r + 1))
     }
     val out = merges.toSeq
@@ -1942,24 +1963,19 @@ object TextOps {
   private def wordpieceCore(docs: DataFrame,
       batchK: Int = WpBatch): (DataFrame, Set[String]) =
     graft.util.Memo((docs.sparkSession, s"TextOps.wordpieceCore.$batchK", docs.semanticHash())) {
-      import org.apache.spark.sql.expressions.Window
       val spark = docs.sparkSession
       import spark.implicits._
       val uw = docWords(docs).groupBy("word").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("word").orderBy("pos")
-      var rows = uw
-        .select(col("word"), col("cnt"),
-          posexplode(split(col("word"), "(?!^)")).as(Seq("pos", "sym")))
-        .filter(col("sym") =!= "")
-        .localCheckpoint(true)
+      var rows = symRows(uw).localCheckpoint(true)
       val alphabet = rows.select("sym").distinct().as[String].collect().toSet
       val merges = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, String, String, Long, Long, String)]
       val trainRounds = (WpRounds + batchK - 1) / batchK
       for (r <- 0 until trainRounds) {
-        val p = rows.withColumn("nxt", lead("sym", 1).over(w))
+        // `nxt` rides the checkpoint (r11): the pool and unigram counts
+        // are plain aggregates over the leaf, no per-round window
         val uc = rows.groupBy("sym").agg(sum("cnt").as("cu"))
-        val pool = p.filter(col("nxt").isNotNull)
+        val pool = rows.filter(col("nxt").isNotNull)
           .groupBy(col("sym").as("pa"), col("nxt").as("pb"))
           .agg(sum("cnt").as("c"))
           .join(broadcast(uc.select(col("sym").as("pa"), col("cu").as("cua"))), Seq("pa"))
@@ -1985,23 +2001,7 @@ object TextOps {
         // symbol-disjoint batch → occurrences of different pairs are never
         // adjacent, so one candidate mark + the run-parity pick serves all
         val acceptedDf = batch.map { case (pa, pb, _, _) => (pa, pb) }.toDF("pa", "pb")
-        val m = p.join(broadcast(acceptedDf),
-            col("sym") === col("pa") && col("nxt") === col("pb"), "left_outer")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cand", col("pa").isNotNull)
-        val sel = m.filter(col("cand"))
-          .withColumn("crank", row_number().over(w))
-          .withColumn("runkey", col("rn") - col("crank"))
-          .withColumn("minr", min("crank").over(Window.partitionBy("word", "runkey")))
-          .select(col("word"), col("pos"),
-            (((col("crank") - col("minr")) % 2) === 0).as("sel"))
-        rows = m.join(sel, Seq("word", "pos"), "left_outer")
-          .withColumn("sel", coalesce(col("sel"), lit(false)))
-          .withColumn("psel", lag("sel", 1).over(w))
-          .filter(!coalesce(col("psel"), lit(false)))
-          .select(col("word"), col("cnt"), col("pos"),
-            when(col("sel"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
-          .localCheckpoint(true)
+        rows = applyMergeBatch(rows, acceptedDf).localCheckpoint(true)
       }
       val traj = merges.toSeq.toDF("round", "mrank", "pa", "pb", "pair_count", "score", "new_sym")
       (graft.util.Materialize.bounded(traj.orderBy("round", "mrank")),
