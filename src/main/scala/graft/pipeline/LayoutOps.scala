@@ -95,13 +95,20 @@ object LayoutOps {
     * two-phase global rank: range-partition on the sort key, per-
     * partition row_number (parallel), plus the driver-prefix-scanned
     * partition offset — never a global single-partition window. The
-    * materialization is [[graft.util.Materialize.pinned]] because both
-    * phases read `spark_partition_id()` of ONE physical partitioning. */
+    * materialization must make `spark_partition_id()` non-recomputable
+    * because both phases read ONE physical partitioning; r11 uses the
+    * bounded localCheckpoint (pinned blocks, no recompute path at all)
+    * instead of the reliable checkpoint — this is a zone-map SIMULATION
+    * over a 4-column projection, and the A/B showed the reliable
+    * checkpoint's write+reread pass cost ~0.3 s per layout here while
+    * the RangeRank RDD pass (better for the suffix builds) was slower
+    * still (4.4 s vs 2.6 s for the whole entry: three layouts × two
+    * re-sorted passes + row conversions outweigh the saved window). */
   private def bucketed(rows: DataFrame, layout: String, sortCols: Seq[String]): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val cols = sortCols.map(col)
-    val toks = graft.util.Materialize.pinned(rows
+    val toks = graft.util.Materialize.bounded(rows
       .repartitionByRange(cols: _*)
       .sortWithinPartitions(cols: _*)
       .withColumn("pid", spark_partition_id()))

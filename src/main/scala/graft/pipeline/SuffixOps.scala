@@ -66,54 +66,8 @@ object SuffixOps {
     * partitioner object), so a recomputed partition reproduces its
     * ranks exactly. */
   private def denseRankKeys(rel: DataFrame, keys: Seq[String],
-      out: String = "rank", keepKeys: Boolean = false): DataFrame = {
-    val spark = rel.sparkSession
-    val kc = keys.map(col)
-    val rest = rel.columns.filterNot(keys.contains).toSeq
-    val ordered = rel.select((keys ++ rest).map(col): _*)
-      .repartitionByRange(kc: _*)
-      .sortWithinPartitions(kc: _*)
-    val nk = keys.length
-    val rdd0 = ordered.rdd
-    // pass 1 (metadata-only collect): per-partition distinct count and
-    // boundary keys
-    val parts = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L
-      var first: Seq[Any] = null
-      var prev: Seq[Any] = null
-      while (it.hasNext) {
-        val k = it.next().toSeq.take(nk)
-        if (prev == null || k != prev) { n += 1; if (first == null) first = k }
-        prev = k
-      }
-      Iterator.single((pid, n, first, prev))
-    }.collect().sortBy(_._1)
-    val offs = new Array[Long](parts.length)
-    var acc = 0L
-    var lastKey: Seq[Any] = null
-    for (((_, n, first, last), i) <- parts.zipWithIndex) {
-      val adj = if (first != null && lastKey != null && first == lastKey) 1L else 0L
-      offs(i) = acc - adj
-      acc += n - adj
-      if (last != null) lastKey = last
-    }
-    val offsB = spark.sparkContext.broadcast(offs)
-    val schema = org.apache.spark.sql.types.StructType(ordered.schema.fields :+
-      org.apache.spark.sql.types.StructField(out,
-        org.apache.spark.sql.types.LongType, nullable = false))
-    val ranked = spark.createDataFrame(
-      rdd0.mapPartitionsWithIndex { (pid, it) =>
-        var r = offsB.value(pid)
-        var prev: Seq[Any] = null
-        it.map { row =>
-          val k = row.toSeq.take(nk)
-          if (prev == null || k != prev) r += 1
-          prev = k
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
-        }
-      }, schema)
-    if (keepKeys) ranked else ranked.drop(keys: _*)
-  }
+      out: String = "rank", keepKeys: Boolean = false): DataFrame =
+    graft.util.RangeRank.denseRank(rel, keys, out, keepKeys)
 
   /** (doc_id, pos, rank): rank of each position's capped suffix in the
     * global generalized-suffix order — a projection of the ONE engine
