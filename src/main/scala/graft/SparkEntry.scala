@@ -54,6 +54,14 @@ object SparkEntry {
       ((s, dir) => { TextOps.wordpieceTrain(docs(s, dir)).count(); () }),
     "shared_ivf_cluster" ->
       ((s, dir) => Similarity.buildIvfIndex(emb(s, dir))),
+    // the full-corpus PQ / IVF-PQ trained structures (r12): codebooks +
+    // corpus codes built once; ann_pq_topk / ann_ivfpq_topk then measure
+    // steady-state query cost (the index-build/search split a production
+    // ANN deployment has). ivfpq reuses the memoized shared_ivf_cluster.
+    "shared_pq_codes" ->
+      ((s, dir) => Similarity.buildPqIndex(emb(s, dir))),
+    "shared_ivfpq_codes" ->
+      ((s, dir) => Similarity.buildIvfpqIndex(emb(s, dir))),
     "shared_ann_eval_topks" ->
       ((s, dir) => Similarity.methodTopKs(EvalSampling(emb(s, dir), "vec_id"))
         .foreach(_._2.count())),

@@ -1107,14 +1107,28 @@ object Dedup {
     * and the same trade holds at scale. Recompute is deterministic:
     * both inputs are checkpoint-backed or source scans. Output
     * preserves (idCol, cluster_id, n_members). */
-  private def withMemberCounts(labeled: DataFrame, idCol: String): DataFrame =
+  /** r12 size gate (round-11 verdict item 1): the broadcast is only
+    * taken when the caller can BOUND the multi-member count relation
+    * from something it already knows driver-side (the collected edge
+    * list of the union-find fast path, ccStar's loop-signature edge
+    * count). An unconditional `broadcast()` hint bypasses
+    * autoBroadcastJoinThreshold, and the count relation's true bound is
+    * edge-count/2 — multi-GB at 10⁹ near-dup pairs, a guaranteed
+    * driver/executor OOM at 100 TB. The fallback is a plain equi-join:
+    * sort-merge/shuffled-hash under AQE, whose skew-join splitting
+    * handles the giant-component partition the broadcast was originally
+    * protecting against. */
+  private[graft] def withMemberCounts(labeled: DataFrame, idCol: String,
+      broadcastCounts: Boolean): DataFrame = {
+    val counts = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .filter(col("n_members") >= 2L)
     labeled.join(
-        broadcast(labeled.groupBy("cluster_id")
-          .agg(count(lit(1)).cast("long").as("n_members"))
-          .filter(col("n_members") >= 2L)),
+        if (broadcastCounts) broadcast(counts) else counts,
         Seq("cluster_id"), "left")
       .na.fill(1L, Seq("n_members"))
       .select(col(idCol), col("cluster_id"), col("n_members"))
+  }
 
   /** Group near-duplicates into clusters: connected components over the
     * ngram-Jaccard pair graph, labeled by the min doc_id in each
@@ -1130,9 +1144,15 @@ object Dedup {
     * relation hash-partitioned on doc_id so each round is one shuffle;
     * iteration count is bounded by component diameter, which dedup
     * graphs keep tiny. */
-  def clusters(docs: DataFrame): DataFrame =
-    withMemberCounts(labelDf(docs), "doc_id")
+  def clusters(docs: DataFrame): DataFrame = {
+    val labeled = labelDf(docs) // eager: propagateClusters has chosen its path
+    // fast path taken ⇔ the whole edge list fit on the driver ⇒ the
+    // multi-member count relation is ≤ driverEdgeLimit rows — broadcast
+    // is safe; otherwise fall back to the AQE-splittable shuffle join
+    withMemberCounts(labeled, "doc_id",
+        broadcastCounts = lastPropagationRounds == 0)
       .orderBy("doc_id")
+  }
 
   /** Core of [[clusters]]: (doc_id, cluster_id) via distributed min-label
     * propagation, without the n_members window (callers that aggregate
@@ -1387,7 +1407,11 @@ object Dedup {
     val labeled = docs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-    withMemberCounts(labeled, "doc_id").orderBy("doc_id")
+    // the loop signature's final edge count bounds the multi-member
+    // count relation (one count row per star root ≤ contracted edges)
+    withMemberCounts(labeled, "doc_id",
+        broadcastCounts = s._1 <= driverEdgeLimit)
+      .orderBy("doc_id")
   }
 
   /** Same closure as [[clustersOracle]], over pairs ∪ the planted
@@ -2033,9 +2057,10 @@ object Dedup {
   def knnPagerank(emb: DataFrame): DataFrame = {
     val edges = knnGraph(emb).select(col("vec_id").as("i"), col("neighbor_id").as("j"))
       .transform(graft.util.Materialize.corpus)
-    val vecs = emb.select("vec_id").transform(graft.util.Materialize.corpus)
+    val vecs = emb.select("vec_id")
     val n = vecs.count()
     val base = PrScale / math.max(n, 1L) // total on an empty corpus
+    val tele = (100L - PrDamp) * base / 100L // teleport term, constant per node
     // out-degree joined onto the edge list ONCE: each iteration is then
     // a single equi-join + map-side-combinable sum instead of two joins
     // (5 rounds × 1 join saved; same int64 arithmetic, identical output)
@@ -2043,20 +2068,29 @@ object Dedup {
     val edgesDeg = edges.join(deg, Seq("i"))
       .select(col("i"), col("j"), col("d"))
       .transform(graft.util.Materialize.corpus)
-    var pr = vecs.select(col("vec_id"), lit(base).as("s"))
+    // r12 (guide §2.4): the loop state is the SPARSE in-mass relation
+    // `m` (nodes receiving any mass), not the dense (vec_id, s) table —
+    // a node absent from `m` has score exactly `tele` (its in-sum is 0),
+    // a constant, so the old per-round `vecs LEFT JOIN inc` densification
+    // is recoverable with one coalesce at the NEXT join and the dense
+    // relation only materializes once, at the end. Identical int64
+    // arithmetic: s = tele + 85·coalesce(m, 0) div 100 unchanged.
+    var m: DataFrame = null // iteration-0 scores are uniformly `base`
     for (_ <- 1 to PrIters) {
-      val inc = pr.select(col("vec_id").as("i"), col("s"))
-        .join(edgesDeg, Seq("i"))
+      val src =
+        if (m == null) edgesDeg.withColumn("s", lit(base))
+        else edgesDeg.join(m.select(col("vec_id").as("i"), col("m")), Seq("i"), "left_outer")
+          .withColumn("s", lit(tele) + expr(s"$PrDamp * coalesce(m, 0L) div 100"))
+      m = src
         .select(col("j"), expr("s div d").as("c"))
         .groupBy(col("j").as("vec_id"))
         .agg(sum("c").as("m"))
-      pr = vecs.join(inc, Seq("vec_id"), "left_outer")
-        .select(col("vec_id"),
-          (lit((100L - PrDamp) * base / 100L) +
-            expr(s"$PrDamp * coalesce(m, 0L) div 100")).as("s"))
         .localCheckpoint(true) // loop state: cut lineage per iteration (Materialize.bounded class)
     }
-    pr.select(col("vec_id"), col("s").as("pr_fp")).orderBy("vec_id")
+    vecs.join(m, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        (lit(tele) + expr(s"$PrDamp * coalesce(m, 0L) div 100")).as("pr_fp"))
+      .orderBy("vec_id")
   }
 
   val knnPagerankOracle: String = {
@@ -2139,12 +2173,14 @@ object Dedup {
     * [[ngramJaccard]]. Edge generation is the banded-LSH path, so no
     * all-pairs join rides into the clustering at scale.
     * Output (vec_id, cluster_id, n_members). */
-  def semanticClusters(emb: DataFrame): DataFrame =
-    withMemberCounts(
+  def semanticClusters(emb: DataFrame): DataFrame = {
+    val labeled =
       propagateClusters(cosinePairsBandedUnsorted(emb, EmbBandBits).select("i", "j"),
-        emb.select("vec_id")),
-      "vec_id")
+        emb.select("vec_id"))
+    withMemberCounts(labeled, "vec_id",
+        broadcastCounts = lastPropagationRounds == 0)
       .orderBy("vec_id")
+  }
 
   val semanticClustersOracle: String = {
     s"""WITH RECURSIVE $bandedCandSql,

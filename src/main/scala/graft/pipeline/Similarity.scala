@@ -455,17 +455,22 @@ object Similarity {
       .unionByName(edges.filter(col("id") < NumQueries)
         .select(col("id").as("q_id"), col("nb").as("id")))
       .distinct()
-    // visited is bounded: seed-bucket occupancy + hops·queries·beam·K
-    var visited = graft.util.Materialize.bounded(score(seeds))
-    var frontier = beam(visited)
+    // visited is bounded: seed-bucket occupancy + hops·queries·beam·K.
+    // r12: only each hop's FRESH scores are checkpointed; `visited` is a
+    // plain union of those leaves — the old re-checkpoint of the growing
+    // union rewrote every previously-visited row once per hop (guide §5:
+    // materialize the increment, not the accumulation).
+    val sc0 = graft.util.Materialize.bounded(score(seeds))
+    var visited = sc0
+    var frontier = beam(sc0)
     for (_ <- 1 to GraphHops) {
       val fresh = frontier.join(edges, Seq("id"))
         .select(col("q_id"), col("nb").as("id"))
         .filter(col("id") =!= col("q_id"))
         .distinct()
         .join(visited.select("q_id", "id"), Seq("q_id", "id"), "left_anti")
-      val sc = score(fresh)
-      visited = graft.util.Materialize.bounded(visited.unionByName(sc))
+      val sc = graft.util.Materialize.bounded(score(fresh))
+      visited = visited.unionByName(sc)
       frontier = beam(sc)
     }
     val w = Window.partitionBy("q_id").orderBy(col("cos_fp").desc, col("id"))
@@ -491,6 +496,20 @@ object Similarity {
     * 64 * (diff ≤ 1e7)^2 ≈ 6.4e15). */
   private def distSq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Codebook argmin WITHOUT the crossjoin→groupBy shuffle (guide §2.4):
+    * the codebook collapses to one array-of-(id, c) column (broadcast),
+    * and every row picks its nearest entry by folding that array in
+    * place — `array_min(struct(d, id))` computes exactly
+    * `min(struct(d, id))` (lexicographic: min distance, ties to the
+    * smallest id), so assignments and every downstream oracle hash are
+    * unchanged while the corpus×K intermediate rows and the
+    * per-assignment exchange disappear. Null on an empty codebook —
+    * callers filter, matching the old inner-join's empty result. */
+  private def argminCode(sub: Column, cbs: Column): Column =
+    array_min(transform(cbs, e =>
+      struct(distSq(sub, e.getField("c")).as("d"), e.getField("id").as("id"))))
+      .getField("id")
 
   /** IVF ANN top-K: deterministic quantized k-means (init = first IvfK
     * vectors, one recompute round — fixed iterations over convergence
@@ -526,11 +545,15 @@ object Similarity {
 
   private def ivfClusterBuild(x: DataFrame): (DataFrame, DataFrame) = {
     val x0 = x.select("vec_id", "xq")
+    // r12: assignment via [[argminCode]] — one broadcast array row, a
+    // map-only argmin per vector; the old crossjoin + groupBy(vec_id)
+    // min(struct) computed the identical (d, cid) lexicographic minimum
+    // through an IvfK× row blowup and an exchange (guide §2.4).
     def assign(cent: DataFrame): DataFrame =
-      x0.join(broadcast(cent), lit(true))
-        .groupBy("vec_id")
-        .agg(min(struct(distSq(col("xq"), col("c")).as("d"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
+      x0.join(broadcast(cent.agg(
+          collect_list(struct(col("cid").as("id"), col("c"))).as("cbs"))), lit(true))
+        .select(col("vec_id"), argminCode(col("xq"), col("cbs")).as("cid"))
+        .filter(col("cid").isNotNull)
     val c0 = x0.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cid"), col("xq").as("c"))
     val a1 = assign(c0)
@@ -850,34 +873,65 @@ object Similarity {
     * (PqM small ints per vector ≈ 4 bytes) instead of raw vectors
     * (Dim × 8 bytes) — a 64× memory-bandwidth reduction; the per-query
     * distance table (PqM × PqK entries) and the codebooks broadcast. */
+  /** The TRAINED PQ structure over the quantized corpus `x`: (final
+    * per-subspace codebooks `(m, cid, c)`, corpus codes
+    * `(vec_id, m, cid)`). Memoized per (session, corpus) like
+    * [[ivfCluster]]: training runs once per run (Bench counts it in its
+    * `shared_pq_codes` slot) and [[pqTopK]] measures steady-state query
+    * cost against the artifact — the index-build/search split every
+    * production PQ deployment has. Assignments use [[argminCode]] (one
+    * broadcast codebook array per subspace, map-only argmin) instead of
+    * the old crossjoin + groupBy(vec_id, m) exchange; identical
+    * lexicographic (d, cid) minima, identical codes. */
+  private def pqStruct(x: DataFrame): (DataFrame, DataFrame) =
+    graft.util.Memo((x.sparkSession, "Similarity.pqStruct", x.semanticHash())) {
+      val subs = x.select(col("vec_id"), col("xq"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+        .select(col("vec_id"), col("m"),
+          slice(col("xq"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+        .transform(graft.util.Materialize.corpus) // feeds codebook build + both assignments
+      def assign(cb: DataFrame): DataFrame =
+        subs.join(broadcast(cb.groupBy("m").agg(
+            collect_list(struct(col("cid").as("id"), col("c"))).as("cbs"))), Seq("m"))
+          .select(col("vec_id"), col("m"), argminCode(col("sub"), col("cbs")).as("cid"))
+          .filter(col("cid").isNotNull)
+      val cb0 = subs.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("cid"), col("sub").as("c"))
+      val a1 = assign(cb0)
+      val cb1 = subs.join(a1, Seq("vec_id", "m"))
+        .select(col("m"), col("cid"), col("sub"),
+          explode(sequence(lit(1), lit(PqSub))).as("pos"))
+        .withColumn("comp", element_at(col("sub"), col("pos")))
+        .groupBy("m", "cid", "pos")
+        .agg(floor(sum("comp") / count(lit(1))).cast("long").as("cp"))
+        .groupBy("m", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
+          s => s.getField("cp")).as("c"))
+        .localCheckpoint(true) // consumed by assignment + every query's distance table
+      val codes = graft.util.Materialize.corpus(assign(cb1))
+      codes.count()
+      subs.unpersist(blocking = false) // training-only intermediate
+      (cb1, codes)
+    }
+
+  /** Force-build the full-corpus PQ structure (Bench's shared_build
+    * hook — [[pqTopK]] then measures query cost only). */
+  def buildPqIndex(emb: DataFrame): Unit = {
+    pqStruct(normalized(emb).withColumn("xq", quantCol))
+    ()
+  }
+
   def pqTopK(emb: DataFrame): DataFrame = {
     val x = normalized(emb).withColumn("xq", quantCol)
-    val subs = x.select(col("vec_id"), col("xq"),
+    val (cb1, codes) = pqStruct(x)
+    // query-side distance table: the query rows' subvectors recompute
+    // from the (pruned, NumQueries-bounded) scan — same slices the old
+    // corpus-wide `subs` relation carried for them
+    val dtab = x.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("xq"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"))
-      .select(col("vec_id"), col("m"),
-        slice(col("xq"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
-      .transform(graft.util.Materialize.corpus) // feeds codebook build, assignment, queries
-    def assign(cb: DataFrame): DataFrame =
-      subs.join(broadcast(cb), Seq("m"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(distSq(col("sub"), col("c")).as("d"), col("cid"))).as("mm"))
-        .select(col("vec_id"), col("m"), col("mm.cid").as("cid"))
-    val cb0 = subs.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").as("cid"), col("sub").as("c"))
-    val a1 = assign(cb0)
-    val cb1 = subs.join(a1, Seq("vec_id", "m"))
-      .select(col("m"), col("cid"), col("sub"),
-        explode(sequence(lit(1), lit(PqSub))).as("pos"))
-      .withColumn("comp", element_at(col("sub"), col("pos")))
-      .groupBy("m", "cid", "pos")
-      .agg(floor(sum("comp") / count(lit(1))).cast("long").as("cp"))
-      .groupBy("m", "cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
-        s => s.getField("cp")).as("c"))
-      .localCheckpoint(true) // consumed by assignment + the distance table
-    val codes = assign(cb1)
-    val dtab = subs.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+      .select(col("q_id"), col("m"),
+        slice(col("xq"), col("m") * PqSub + 1, lit(PqSub)).as("qsub"))
       .join(broadcast(cb1), Seq("m"))
       .select(col("q_id"), col("m"), col("cid"),
         distSq(col("qsub"), col("c")).as("d"))
@@ -955,39 +1009,61 @@ object Similarity {
     * 13k rows). All arithmetic exact int64; the one float division
     * (centroid/codebook means) is exact under 2^53 as in [[ivfTopK]].
     * Output (q_id, rank, neighbor_id, adc_fp). */
+  /** The TRAINED IVF-PQ structure over the quantized corpus `x`:
+    * (final shared residual codebooks `(m, cbid, c)`, corpus codes
+    * `(vec_id, cid, m, cbid)`). Memoized per (session, corpus) — Bench
+    * counts the build once in `shared_ivfpq_codes`; [[ivfpqTopK]]
+    * measures query cost. Same [[argminCode]] assignment rewrite as
+    * [[pqStruct]] (identical minima, identical codes). */
+  private def ivfpqStruct(x: DataFrame): (DataFrame, DataFrame) =
+    graft.util.Memo((x.sparkSession, "Similarity.ivfpqStruct", x.semanticHash())) {
+      val (cent, asg) = ivfCluster(x)
+      // residual per vector, then PqM subspace slices (3 consumers:
+      // codebook init, both assignment passes, codebook recompute)
+      val subs = x.join(asg, "vec_id").join(broadcast(cent), "cid")
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("xq"), col("c"), (a, b) => a - b).as("r"))
+        .select(col("vec_id"), col("cid"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
+        .select(col("vec_id"), col("cid"), col("m"),
+          expr(s"slice(r, m * $PqSub + 1, $PqSub)").as("sub"))
+        .transform(graft.util.Materialize.corpus)
+      def assign(cb: DataFrame): DataFrame =
+        subs.join(broadcast(cb.groupBy("m").agg(
+            collect_list(struct(col("cbid").as("id"), col("c"))).as("cbs"))), Seq("m"))
+          .select(col("vec_id"), col("cid"), col("m"),
+            argminCode(col("sub"), col("cbs")).as("cbid"))
+          .filter(col("cbid").isNotNull)
+      val cb0 = subs.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("cbid"), col("sub").as("c"))
+      val a1 = assign(cb0)
+      val cb1 = subs.join(a1.select("vec_id", "m", "cbid"), Seq("vec_id", "m"))
+        .select(col("m"), col("cbid"), col("sub"),
+          explode(sequence(lit(1), lit(PqSub))).as("pos"))
+        .withColumn("comp", element_at(col("sub"), col("pos")))
+        .groupBy("m", "cbid", "pos")
+        .agg(floor(sum("comp") / count(lit(1))).cast("long").as("cp"))
+        .groupBy("m", "cbid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
+          s => s.getField("cp")).as("c"))
+        .localCheckpoint(true) // consumed by assignment + every query's ADC table
+      val codes = graft.util.Materialize.corpus(assign(cb1))
+      codes.count()
+      subs.unpersist(blocking = false) // training-only intermediate
+      (cb1, codes)
+    }
+
+  /** Force-build the full-corpus IVF-PQ structure (Bench's shared_build
+    * hook — [[ivfpqTopK]] then measures query cost only). */
+  def buildIvfpqIndex(emb: DataFrame): Unit = {
+    ivfpqStruct(normalized(emb).withColumn("xq", quantCol))
+    ()
+  }
+
   def ivfpqTopK(emb: DataFrame): DataFrame = {
     val x = normalized(emb).withColumn("xq", quantCol)
-    val (cent, asg) = ivfCluster(x)
-    // residual per vector, then PqM subspace slices (3 consumers:
-    // codebook init, both assignment passes, codebook recompute)
-    val subs = x.join(asg, "vec_id").join(broadcast(cent), "cid")
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("xq"), col("c"), (a, b) => a - b).as("r"))
-      .select(col("vec_id"), col("cid"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
-      .select(col("vec_id"), col("cid"), col("m"),
-        expr(s"slice(r, m * $PqSub + 1, $PqSub)").as("sub"))
-      .transform(graft.util.Materialize.corpus)
-    def assign(cb: DataFrame): DataFrame =
-      subs.join(broadcast(cb), Seq("m"))
-        .groupBy("vec_id", "m")
-        .agg(min("cid").as("cid"),
-          min(struct(distSq(col("sub"), col("c")).as("d"), col("cbid"))).as("mm"))
-        .select(col("vec_id"), col("cid"), col("m"), col("mm.cbid").as("cbid"))
-    val cb0 = subs.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").as("cbid"), col("sub").as("c"))
-    val a1 = assign(cb0)
-    val cb1 = subs.join(a1.select("vec_id", "m", "cbid"), Seq("vec_id", "m"))
-      .select(col("m"), col("cbid"), col("sub"),
-        explode(sequence(lit(1), lit(PqSub))).as("pos"))
-      .withColumn("comp", element_at(col("sub"), col("pos")))
-      .groupBy("m", "cbid", "pos")
-      .agg(floor(sum("comp") / count(lit(1))).cast("long").as("cp"))
-      .groupBy("m", "cbid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cp")))),
-        s => s.getField("cp")).as("c"))
-      .localCheckpoint(true) // consumed by assignment + the ADC table
-    val codes = assign(cb1)
+    val (cent, _) = ivfCluster(x)
+    val (cb1, codes) = ivfpqStruct(x)
     // query side: NProbe nearest cells, one residual per probed cell
     val q = x.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("xq").as("qq"))

@@ -20,11 +20,12 @@ import TextOps._
   * point of the algorithm at 100 TB (a naive sort of n suffix strings
   * moves O(n·cap) bytes; doubling moves O(n·log cap) ints).
   *
-  * Every doubling's dense rank is assigned with the two-phase
-  * pid-offset discipline (`TextOps.prefixSumOn`): range-partition the
-  * DISTINCT pairs, rank within partitions in parallel, add the
-  * driver-prefix-scanned partition offsets — a global window never
-  * runs on one partition.
+  * Every doubling's dense rank is assigned by [[graft.util.RangeRank]]:
+  * the FULL relation range-sorts by the pair keys once, per-partition
+  * streaming counters rank in parallel, and driver-prefix-scanned
+  * offsets (with a key-straddle adjustment) complete the global dense
+  * rank in place — no distinct relation, no join-back, and a global
+  * window never runs on one partition.
   *
   * The oracle is a genuinely INDEPENDENT derivation: DuckDB
   * dense_rank()s the materialized suffix strings directly (valid
@@ -151,10 +152,10 @@ object SuffixOps {
     * hard way: the ×100 decade probe (124M positions) exceeded this
     * container's ~50 GB free disk in shuffle+spill under string keys —
     * single-node disk is the binding constraint the narrower rows
-    * attack. The encode pass costs one map-side-combinable distinct
-    * (vocabulary-sized output), one narrow corpus shuffle to join ids
-    * back (broadcast hash when the vocabulary is provably small — see
-    * [[RankBroadcastRows]]), and one per-doc collect_list
+    * attack. The encode pass costs one [[graft.util.RangeRank]] pass
+    * (range-sort the token relation once; dense ids are assigned in
+    * place from the sorted shuffle files — no distinct relation and no
+    * join-back), and one per-doc collect_list
     * (doc-length-bounded) to rebuild positional arrays. Pads are id 0 <
     * every real id (ids are 1-based), so a genuine '' token (id ≥ 1)
     * can never collide with the pad — the round-10 advice fix, now by
@@ -408,9 +409,10 @@ object SuffixOps {
     * a boilerplate string shared by 10⁹ documents must not emit 10⁹
     * rows per extent. The cap COMPOSES in two bounded stages without
     * losing exactness of the reported prefix: per rank class keep the
-    * (cap+1) smallest member docs ([[graft.operators.TopKAggregator]] —
-    * bounded state, map-side combine, never a per-class window), then
-    * per extent keep the cap smallest of the exploded union minus self.
+    * (cap+1) smallest member docs (a two-phase [[MemberSalt]]-salted
+    * window top-k — codegen'd, and no giant class ever sorts in one
+    * task), then per extent keep the cap smallest of the exploded union
+    * minus self.
     * Lemma: if x is among the cap smallest of the TRUE partner union,
     * then within x's class fewer than cap partners (plus possibly self)
     * precede it, so x survives the (cap+1) class cut — the two-stage
@@ -419,24 +421,36 @@ object SuffixOps {
     * Output (doc_id, span_start, span_end, span_tokens, partners) with
     * partners a comma-joined ascending doc-id string ('' for a pure
     * self-repeat), ordered. */
+  /** Salt width for the two-phase member top-k: a rank class shared by
+    * many documents ranks as `MemberSalt` bounded slices in phase 1, so
+    * no single task ever sorts a whole giant class. */
+  val MemberSalt = 64L
+
   def saExtentSources(docs: DataFrame, minLen: Int = SuffixCap,
       partnerCap: Int = ExtentPartnerCap): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val lv = suffixLevelRows(docs, minLen)
     val top = s"r$minLen"
     // full windows only: rem >= cap ⇔ the class key IS the window string
     val wins = lv.filter(col("rem") >= minLen.toLong)
       .select(col("doc_id"), col("pos"), col(top).as("cls"))
       .transform(graft.util.Materialize.bounded)
-    val mAgg = new graft.operators.TopKAggregator(partnerCap + 1).toColumn
+    // (cap+1) smallest member docs per rank class — two-phase SALTED
+    // window top-k, codegen end to end (r12, round-11 verdict item 5:
+    // the former typed TopKAggregator groupByKey spent the entry in
+    // Kryo/row serde). Exactness: a doc among the class's true (cap+1)
+    // smallest has < cap+1 smaller classmates overall, hence < cap+1 in
+    // its own salt group, so it survives phase 1; phase 2 ranks the
+    // ≤ MemberSalt·(cap+1) survivors exactly. Phase 2's window and the
+    // collect_list groupBy share one cls-hash exchange.
+    val w1 = Window.partitionBy(col("cls"), pmod(col("doc_id"), lit(MemberSalt)))
+      .orderBy("doc_id")
+    val w2 = Window.partitionBy("cls").orderBy("doc_id")
     val members = wins.select(col("cls"), col("doc_id")).distinct()
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => graft.operators.ScoredId(-t._2, t._2))
-      .agg(mAgg.name("m"))
-      .map { case (cls, m) => (cls, m.map(_.id)) }
-      .toDF("cls", "mdocs")
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= partnerCap + 1)
+      .withColumn("r2", row_number().over(w2))
+      .filter(col("r2") <= partnerCap + 1)
+      .groupBy("cls").agg(collect_list(col("doc_id")).as("mdocs"))
     // duplicated window positions + their islands (the extent identity —
     // same gaps-and-islands as saDupExtents, so geometry matches exactly)
     val wn = Window.partitionBy("doc_id").orderBy("pos")
@@ -449,13 +463,18 @@ object SuffixOps {
       .select(col("doc_id"), col("grp"), explode(col("mdocs")).as("partner"))
       .filter(col("partner") =!= col("doc_id"))
       .distinct()
-    val pAgg = new graft.operators.TopKAggregator(partnerCap).toColumn
-    val partners = pp.as[(Long, Long, Long)]
-      .groupByKey(t => (t._1, t._2))
-      .mapValues(t => graft.operators.ScoredId(-t._3, t._3))
-      .agg(pAgg.name("p"))
-      .map { case ((d, g), p) => (d, g, p.map(_.id).mkString(",")) }
-      .toDF("doc_id", "grp", "partners")
+    // cap smallest partners per extent: the keys are (doc_id, grp) —
+    // extent-bounded, skew-bounded by doc length × (cap+1) after the
+    // class cut — so one window + the same-keyed groupBy (shared
+    // exchange) replaces the second typed aggregator; ascending
+    // array_join matches the old sorted mkString exactly
+    val wp = Window.partitionBy("doc_id", "grp").orderBy("partner")
+    val partners = pp
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= partnerCap)
+      .groupBy("doc_id", "grp")
+      .agg(array_join(transform(array_sort(collect_list(col("partner"))),
+        x => x.cast("string")), ",").as("partners"))
     qual.groupBy("doc_id", "grp")
       .agg(min("pos").as("span_start"), count(lit(1)).as("run"))
       .join(partners, Seq("doc_id", "grp"), "left")

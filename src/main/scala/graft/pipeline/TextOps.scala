@@ -3105,21 +3105,28 @@ object TextOps {
       transform(sequence(lit(1), size(w) - 1),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val feats = graft.util.Spread(docs.select("doc_id", "lang", "text"))
+    // r12 fusion (guide §2.3 "aggregate before you shuffle"): ONE pass
+    // over the exploded bigram relation straight into the per-(doc,
+    // bucket) aggregate (map-side combinable; tgt is constant per doc so
+    // it rides the key for free) — the bucket totals then derive from
+    // that vocab×doc-bounded relation instead of a second full scan of
+    // the corpus-sized exploded rows, and the corpus-sized persist
+    // disappears. cr/ct are the identical integers (Σ per-doc n).
+    val perDocBucket = graft.util.Spread(docs.select("doc_id", "lang", "text"))
       .select(col("doc_id"), (col("lang") === "en").as("tgt"),
         explode(bigr).as("g"))
       .select(col("doc_id"), col("tgt"),
         (baseHash(concat(lit("dsir:"), col("g"))) % DsirBuckets).as("b"))
-      .transform(graft.util.Materialize.corpus) // feeds bucket counts, totals, and doc scores
-    val counts = feats.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+      .groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("n"))
+      .transform(graft.util.Materialize.corpus) // feeds bucket counts + doc scores
+    val counts = perDocBucket.groupBy("b").agg(
+      sum("n").as("cr"),
+      sum(when(col("tgt"), col("n")).otherwise(0L)).as("ct"))
     val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
     val weights = counts.join(broadcast(totals), lit(true))
       .select(col("b"),
         (expr(s"(ct + 1) * 1000000000 div (nt + $DsirBuckets)") -
           expr(s"(cr + 1) * 1000000000 div (nr + $DsirBuckets)")).as("w_fp"))
-    val perDocBucket = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
     val scored = perDocBucket.join(broadcast(weights), Seq("b"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_bigrams"), sum(col("n") * col("w_fp")).as("score_fp"))

@@ -27,13 +27,32 @@ object RangeRank {
     if (keepKeys) ranked else ranked.drop(keys: _*)
   }
 
-  /** Global 0-based row number in key order (ties broken arbitrarily but
-    * deterministically within the sorted run), appended as `out`. */
+  /** Global 0-based row number in key order, appended as `out`.
+    * UNLIKE [[denseRank]], tie order among EQUAL keys is NOT a function
+    * of key content: it depends on shuffle-fetch arrival order before
+    * `sortWithinPartitions`, which can differ between the metadata pass,
+    * the rank pass, and any partition recompute. Callers that consume
+    * the result more than once (or need retry-stability) must
+    * materialize it first; currently unused in production paths
+    * (LayoutOps kept its pid-window). */
   def rowNumber(rel: DataFrame, keys: Seq[String], out: String): DataFrame =
     rankBy(rel, keys, out, dense = false)
 
+  /** Key columns must be atomic (string/numeric/etc). Array or binary
+    * keys would compare by REFERENCE under `Seq[Any]` equality in the
+    * partition passes — every row a "new" key, silently wrong dense
+    * ranks — so they are rejected loudly here. */
+  private def assertAtomicKeys(rel: DataFrame, keys: Seq[String]): Unit =
+    keys.foreach { k =>
+      val dt = rel.schema(k).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.AtomicType],
+        s"RangeRank keys must be atomic types; '$k' is ${dt.simpleString} " +
+          "(array/binary/struct keys compare by reference in the rank passes)")
+    }
+
   private def rankBy(rel: DataFrame, keys: Seq[String], out: String,
       dense: Boolean): DataFrame = {
+    assertAtomicKeys(rel, keys)
     val spark = rel.sparkSession
     val kc = keys.map(col)
     val rest = rel.columns.filterNot(keys.contains).toSeq

@@ -665,6 +665,30 @@ class PipelineSpec extends AnyFunSuite {
       s"took ${Dedup.lastPropagationRounds} rounds for diameter 19")
   }
 
+  test("member-count broadcast is size-gated: fallback join is hint-free and byte-identical") {
+    import spark.implicits._
+    // giant component (40 members) + pairs + singletons
+    val labeled = ((1L to 40L).map(i => (i, 1L)) ++
+      Seq((50L, 50L), (51L, 50L), (60L, 60L), (61L, 61L)))
+      .toDF("doc_id", "cluster_id")
+    val viaB = Dedup.withMemberCounts(labeled, "doc_id", broadcastCounts = true)
+    val viaS = Dedup.withMemberCounts(labeled, "doc_id", broadcastCounts = false)
+    assert(viaB.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "gated path must carry the broadcast hint")
+    assert(!viaS.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "fallback path must NOT force a broadcast (AQE must stay free to shuffle-join)")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(viaS.collect().map(key).sortBy(identity).toSeq ===
+      viaB.collect().map(key).sortBy(identity).toSeq)
+    // end-to-end: the distributed-propagation branch (which disables the
+    // broadcast) produces the same clusters relation as the fast path
+    val viaFast = Dedup.clusters(docs).collect().map(key).toSeq
+    val saved = Dedup.driverEdgeLimit
+    val viaLoop = try { Dedup.driverEdgeLimit = 0; Dedup.clusters(docs).collect().map(key).toSeq }
+      finally Dedup.driverEdgeLimit = saved
+    assert(viaLoop === viaFast)
+  }
+
   test("semdedup: every pruned vector has a kept lower-id partner in its cluster") {
     // sf0.001 may not carry a >=0.95-cosine pair; plant one: vec 9000 is
     // an exact copy of vec 5 (cosine 1.0, same cluster by construction)
